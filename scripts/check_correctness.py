@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: compare Verify.scala's
+parquet dumps against DuckDB running SparkEntry.oracleSql on the same tables.
+Usage: check_correctness.py <sfDir> <verifyOutDir>
+"""
+import sys, json, os, hashlib
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        # match plausible driver normalization: repr of float
+        return repr(v)
+    if isinstance(v, bool):
+        return str(v).lower()
+    return str(v)
+
+def frame_fingerprint(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x1f".join(norm_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256("\n".join(lines).encode()).hexdigest()
+    return sorted(cols), len(rows), h
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    results = {}
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        try:
+            spark_rel = con.execute(f"SELECT * FROM '{d}/*.parquet'")
+            s_cols = [c[0] for c in spark_rel.description]
+            s_rows = spark_rel.fetchall()
+        except Exception as e:
+            results[name] = {"error": f"spark result unreadable: {e}"}
+            continue
+        if name not in oracle:
+            results[name] = {"rows": len(s_rows), "rows_only": True,
+                             "ok": len(s_rows) > 0}
+            continue
+        try:
+            o_rel = con.execute(oracle[name])
+            o_cols = [c[0] for c in o_rel.description]
+            o_rows = o_rel.fetchall()
+        except Exception as e:
+            results[name] = {"error": f"oracle failed: {e}"}
+            continue
+        sc, sn, sh = frame_fingerprint(s_cols, s_rows)
+        oc, on, oh = frame_fingerprint(o_cols, o_rows)
+        results[name] = {
+            "rows_match": sn == on, "schema_match": sc == oc,
+            "hash_match": sh == oh, "rows": sn, "oracle_rows": on,
+            "ok": sn == on and sc == oc and sh == oh,
+        }
+        if not results[name]["ok"] and sc == oc and sn == on:
+            # find first differing row for debugging
+            order = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+            oorder = sorted(range(len(o_cols)), key=lambda i: o_cols[i])
+            sl = sorted("\x1f".join(norm_cell(r[i]) for i in order) for r in s_rows)
+            ol = sorted("\x1f".join(norm_cell(r[i]) for i in oorder) for r in o_rows)
+            for a, b in zip(sl, ol):
+                if a != b:
+                    results[name]["first_diff"] = {"spark": a[:300], "oracle": b[:300]}
+                    break
+    n_ok = sum(1 for r in results.values() if r.get("ok"))
+    print(json.dumps(results, indent=1, default=str))
+    print(f"== {n_ok}/{len(results)} ok", file=sys.stderr)
+    return 0 if n_ok == len(results) else 1
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

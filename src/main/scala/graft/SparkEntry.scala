@@ -1,13 +1,89 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory each
+  * entry maps to. Every `queries` key has a DuckDB oracle in `oracleSql`
+  * except ops SQL can't express (rows-only checks, see SURVEY.md §6). */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the reference's anagram pipeline (groups per signature) on
+    * sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Anagrams.anagramGroups(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // reference pipeline (§2 #1-14)
+    "ingest_documents" -> Anagrams.ingestDocuments _,
+    "utf8_normalize" -> Anagrams.utf8Normalize _,
+    "strip_gutenberg" -> Anagrams.stripGutenbergQ _,
+    "tokenize" -> Anagrams.tokenize _,
+    "doc_unique_words" -> Anagrams.docUniqueWords _,
+    "partition_stats" -> Anagrams.partitionStats _,
+    "preprocess_words" -> Anagrams.preprocessWords _,
+    "anagram_signatures" -> Anagrams.anagramSignatures _,
+    "combine_per_doc" -> Anagrams.combinePerDoc _,
+    "shuffle_assignment" -> Anagrams.shuffleAssignment _,
+    "anagram_groups" -> Anagrams.anagramGroups _,
+    "anagrams" -> Anagrams.anagrams _,
+    "anagram_output_lines" -> Anagrams.anagramOutputLines _,
+    // LLM dedup (§2 #15-19)
+    "dedup_exact" -> Dedup.dedupExact _,
+    "dedup_minhash" -> Dedup.dedupMinhash _,
+    "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccard _,
+    "dedup_simhash" -> Dedup.dedupSimhash _,
+    "dedup_embedding" -> Dedup.dedupEmbedding _,
+    // similarity search (§2 #20-21)
+    "ann_topk" -> Similarity.annTopk _,
+    "ann_lsh" -> Similarity.annLsh _,
+    // text analysis (§2 #22-25)
+    "lang_id" -> TextAnalysis.langId _,
+    "quality_score" -> TextAnalysis.qualityScore _,
+    "token_count" -> TextAnalysis.tokenCount _,
+    "fingerprint" -> TextAnalysis.fingerprint _,
+    // multimodal (§2 #26)
+    "multimodal_meta" -> Multimodal.multimodalMeta _,
+    // supplementary OLAP + events (§2 #27-31)
+    "q1_agg" -> Relational.q1Agg _,
+    "join_enrich" -> Relational.joinEnrich _,
+    "top_customers_window" -> Relational.topCustomersWindow _,
+    "events_window_agg" -> Relational.eventsWindowAgg _,
+    "sessionize" -> Relational.sessionize _,
+  )
+
+  /** DuckDB-equivalent SQL per query (same math, shared constants).
+    * `partition_stats` is rows-only by design (spark_partition_id has no
+    * SQL equivalent). */
+  def oracleSql: Map[String, String] = Map(
+    "ingest_documents" -> Anagrams.ingestDocumentsSql,
+    "utf8_normalize" -> Anagrams.utf8NormalizeSql,
+    "strip_gutenberg" -> Anagrams.stripGutenbergSql,
+    "tokenize" -> Anagrams.tokenizeSql,
+    "doc_unique_words" -> Anagrams.docUniqueWordsSql,
+    "preprocess_words" -> Anagrams.preprocessWordsSql,
+    "anagram_signatures" -> Anagrams.anagramSignaturesSql,
+    "combine_per_doc" -> Anagrams.combinePerDocSql,
+    "shuffle_assignment" -> Anagrams.shuffleAssignmentSql,
+    "anagram_groups" -> Anagrams.anagramGroupsSql,
+    "anagrams" -> Anagrams.anagramsSql,
+    "anagram_output_lines" -> Anagrams.anagramOutputLinesSql,
+    "dedup_exact" -> Dedup.dedupExactSql,
+    "dedup_minhash" -> Dedup.dedupMinhashSql,
+    "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
+    "dedup_simhash" -> Dedup.dedupSimhashSql,
+    "dedup_embedding" -> Dedup.dedupEmbeddingSql,
+    "ann_topk" -> Similarity.annTopkSql,
+    "ann_lsh" -> Similarity.annLshSql,
+    "lang_id" -> TextAnalysis.langIdSql,
+    "quality_score" -> TextAnalysis.qualityScoreSql,
+    "token_count" -> TextAnalysis.tokenCountSql,
+    "fingerprint" -> TextAnalysis.fingerprintSql,
+    "multimodal_meta" -> Multimodal.multimodalMetaSql,
+    "q1_agg" -> Relational.q1AggSql,
+    "join_enrich" -> Relational.joinEnrichSql,
+    "top_customers_window" -> Relational.topCustomersWindowSql,
+    "events_window_agg" -> Relational.eventsWindowAggSql,
+    "sessionize" -> Relational.sessionizeSql,
+  )
 }

@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns._
+
+/** The reference's product pipeline (anagram groups over a corpus), §2 #1-14,
+  * re-expressed as declarative Spark plans. One wide transform end-to-end:
+  * per-doc dedup and the combiner (mapphase/combine.go) are realized by
+  * Spark's map-side partial aggregation; the fnv-hash shuffle
+  * (reducephase/shuffle.go:84-93) is the exchange on groupBy(sig).
+  *
+  * Scale: shuffle bytes are bounded by |distinct words| per map partition
+  * (vocabulary-sized, not corpus-sized); no key can skew beyond the words
+  * sharing one signature (≤ dozens). See SURVEY.md §4.
+  */
+object Anagrams {
+
+  def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** #4+#5: whitespace tokens (strings.Fields ≡ split \s+ minus empties),
+    * lowercased, deduped per document (mapphase/split.go:68,119-133). */
+  def docWords(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), WsTokenRe)).as("tok"))
+      .where(col("tok") =!= "")
+      .select(col("doc_id"), lower(col("tok")).as("word"))
+      .distinct()
+
+  /** Distinct corpus-wide clean words (mapphase/map.go:60-77 preprocessing). */
+  def cleanWords(spark: SparkSession, dir: String): DataFrame =
+    docWords(spark, dir)
+      .select(trimNonAlpha(col("word")).as("word"))
+      .where(isCleanWord(col("word")))
+      .distinct()
+
+  private val cleanWordsCte =
+    s"""WITH toks AS (
+       |  SELECT DISTINCT lower(t.w) AS word
+       |  FROM documents d, unnest(string_split_regex(d.text, '\\s+')) AS t(w)
+       |  WHERE t.w <> ''
+       |), clean AS (
+       |  SELECT DISTINCT ${sqlTrim("word")} AS word FROM toks
+       |  WHERE ${sqlIsCleanWord(sqlTrim("word"))}
+       |)""".stripMargin
+
+  // ---- #1 ingest: pushed-filter + pruned-column scan --------------------
+  def ingestDocuments(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"), col("source"), col("n_chars"))
+      .where(col("n_chars") > 0)
+  val ingestDocumentsSql =
+    "SELECT doc_id, source, n_chars FROM documents WHERE n_chars > 0"
+
+  // ---- #2 byte→string normalization (mapphase/split.go:78-87) -----------
+  def utf8Normalize(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      md5(decode(encode(col("text"), "UTF-8"), "UTF-8")).as("text_md5"),
+    )
+  val utf8NormalizeSql = "SELECT doc_id, md5(text) AS text_md5 FROM documents"
+
+  // ---- #3 Gutenberg header/footer strip (mapphase/split.go:90-116) ------
+  def stripGutenbergQ(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      length(stripGutenberg(col("text"))).as("stripped_len"),
+      md5(stripGutenberg(col("text"))).as("stripped_md5"),
+    )
+  val stripGutenbergSql =
+    s"""SELECT doc_id,
+       |  length(${sqlStripGutenberg("text")}) AS stripped_len,
+       |  md5(${sqlStripGutenberg("text")}) AS stripped_md5
+       |FROM documents""".stripMargin
+
+  // ---- #4 tokenize (mapphase/split.go:68) -------------------------------
+  def tokenize(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), WsTokenRe)).as("token"))
+      .where(col("token") =!= "")
+  val tokenizeSql =
+    s"""SELECT d.doc_id, t.w AS token
+       |FROM documents d, unnest(string_split_regex(d.text, '\\s+')) AS t(w)
+       |WHERE t.w <> ''""".stripMargin
+
+  // ---- #5 per-doc lowercase+dedup (mapphase/split.go:119-133) -----------
+  def docUniqueWords(spark: SparkSession, dir: String): DataFrame =
+    docWords(spark, dir)
+      .groupBy("doc_id")
+      .agg(array_join(sort_array(collect_set(col("word"))), " ").as("words"))
+  val docUniqueWordsSql =
+    s"""SELECT doc_id,
+       |  list_aggr(list_sort(list(DISTINCT lower(t.w))), 'string_agg', ' ') AS words
+       |FROM documents d, unnest(string_split_regex(d.text, '\\s+')) AS t(w)
+       |WHERE t.w <> ''
+       |GROUP BY doc_id""".stripMargin
+
+  // ---- #6 partition sizing (mapphase/split.go:137-161); rows-only -------
+  def partitionStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).repartition(32)
+      .groupBy(spark_partition_id().as("pid"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  // ---- #7 preprocessing (mapphase/map.go:82-151) ------------------------
+  def preprocessWords(spark: SparkSession, dir: String): DataFrame =
+    cleanWords(spark, dir)
+  val preprocessWordsSql = s"$cleanWordsCte SELECT word FROM clean"
+
+  // ---- #8 anagram key (mapphase/map.go:60-77) ---------------------------
+  def anagramSignatures(spark: SparkSession, dir: String): DataFrame =
+    cleanWords(spark, dir).select(col("word"), signature(col("word")).as("sig"))
+  val anagramSignaturesSql =
+    s"$cleanWordsCte SELECT word, ${sqlSignature("word")} AS sig FROM clean"
+
+  // ---- #9 combiner semantics per doc (mapphase/combine.go:13-47) --------
+  def combinePerDoc(spark: SparkSession, dir: String): DataFrame =
+    docWords(spark, dir)
+      .select(col("doc_id"), trimNonAlpha(col("word")).as("word"))
+      .where(isCleanWord(col("word")))
+      .groupBy(col("doc_id"), signature(col("word")).as("sig"))
+      .agg(array_join(sort_array(collect_set(col("word"))), " ").as("words"))
+  val combinePerDocSql =
+    s"""WITH toks AS (
+       |  SELECT DISTINCT d.doc_id, lower(t.w) AS word
+       |  FROM documents d, unnest(string_split_regex(d.text, '\\s+')) AS t(w)
+       |  WHERE t.w <> ''
+       |), clean AS (
+       |  SELECT DISTINCT doc_id, ${sqlTrim("word")} AS word FROM toks
+       |  WHERE ${sqlIsCleanWord(sqlTrim("word"))}
+       |)
+       |SELECT doc_id, ${sqlSignature("word")} AS sig,
+       |  list_aggr(list_sort(list(DISTINCT word)), 'string_agg', ' ') AS words
+       |FROM clean GROUP BY 1, 2""".stripMargin
+
+  // ---- #10 shuffle partitioner (reducephase/shuffle.go:84-93) -----------
+  // fnv-mod-N re-expressed with the engines' shared md5-based hash; the real
+  // exchange in the anagram plan is Spark's hash partitioning on sig.
+  def shuffleAssignment(spark: SparkSession, dir: String): DataFrame =
+    cleanWords(spark, dir)
+      .select(signature(col("word")).as("sig")).distinct()
+      .groupBy(pmod(md5Long(col("sig")), lit(32)).as("bucket"))
+      .agg(count(lit(1)).as("n_sigs"))
+  val shuffleAssignmentSql =
+    s"""$cleanWordsCte, sigs AS (
+       |  SELECT DISTINCT ${sqlSignature("word")} AS sig FROM clean
+       |)
+       |SELECT ${sqlMd5Long("sig")} % 32 AS bucket, count(*) AS n_sigs
+       |FROM sigs GROUP BY 1""".stripMargin
+
+  // ---- #11+#13 the reduce: global set-dedup, sort, keep >1 --------------
+  def anagramGroups(spark: SparkSession, dir: String): DataFrame =
+    cleanWords(spark, dir)
+      .groupBy(signature(col("word")).as("sig"))
+      .agg(array_join(sort_array(collect_set(col("word"))), " ").as("anagrams"),
+           count(lit(1)).as("n_words"))
+  val anagramGroupsSql =
+    s"""$cleanWordsCte
+       |SELECT ${sqlSignature("word")} AS sig,
+       |  list_aggr(list_sort(list(DISTINCT word)), 'string_agg', ' ') AS anagrams,
+       |  count(*) AS n_words
+       |FROM clean GROUP BY 1""".stripMargin
+
+  /** reducephase/reduce.go:57-115 — only groups with >1 distinct word. */
+  def anagrams(spark: SparkSession, dir: String): DataFrame =
+    anagramGroups(spark, dir).where(col("n_words") > 1)
+      .select("sig", "anagrams")
+  val anagramsSql =
+    s"""$cleanWordsCte
+       |SELECT sig, anagrams FROM (
+       |  SELECT ${sqlSignature("word")} AS sig,
+       |    list_aggr(list_sort(list(DISTINCT word)), 'string_agg', ' ') AS anagrams,
+       |    count(*) AS n
+       |  FROM clean GROUP BY 1
+       |) WHERE n > 1""".stripMargin
+
+  // ---- #12 formatted output lines (reducephase/reduce.go:36-52) ---------
+  def anagramOutputLines(spark: SparkSession, dir: String): DataFrame =
+    anagramGroups(spark, dir)
+      .select(concat(col("sig"), lit(": "), col("anagrams")).as("line"))
+  val anagramOutputLinesSql =
+    s"""$cleanWordsCte
+       |SELECT concat(${sqlSignature("word")}, ': ',
+       |  list_aggr(list_sort(list(DISTINCT word)), 'string_agg', ' ')) AS line
+       |FROM clean GROUP BY ${sqlSignature("word")}""".stripMargin
+}

@@ -1,0 +1,289 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns._
+
+/** LLM-pipeline deduplication (SURVEY.md §2 #15-19).
+  *
+  * Scale design (100 TB): every near-dup variant generates candidate pairs
+  * through bucketed joins (LSH bands / simhash chunks), never all-pairs.
+  * Signature aggregation is map-side partial (min/sum are commutative), so
+  * the only corpus-sized shuffle is the shingle explode feeding it; band
+  * buckets are capped implicitly by the s-curve (non-discriminative buckets
+  * can be dropped by a count-filter without changing recall materially).
+  */
+object Dedup {
+
+  private def docs(spark: SparkSession, dir: String) =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  // ---- #15 exact dedup --------------------------------------------------
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(sha2(col("text"), 256).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+  val dedupExactSql: String =
+    """SELECT sha256(text) AS text_hash, min(doc_id) AS keep_doc_id,
+      |  count(*) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin
+
+  // ---- MinHash machinery (shared by #16 and #17) ------------------------
+  /** Mersenne prime 2^31-1; a*h stays under 2^62 → no BIGINT overflow in
+    * either engine. Coefficients are fixed constants shared with the oracle. */
+  val P = 2147483647L
+  val K = 32 // signature length
+  val Bands = 16 // × 2 rows per band
+  val Rows = K / Bands
+  val CoefA: IndexedSeq[Long] = (0 until K).map(i => ((2L * i + 1) * 1299721L + 15485863L) % P)
+  val CoefB: IndexedSeq[Long] = (0 until K).map(i => (i.toLong * 32452843L + 49979687L) % P)
+  val ShingleK = 5
+
+  /** Distinct char-k-gram shingles with their shared md5-based base hash. */
+  def shingleHashes(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .where(length(col("text")) >= ShingleK)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - (ShingleK - 1))).as("pos"))
+      .select(col("doc_id"),
+        (md5Long(col("text").substr(col("pos"), lit(ShingleK))) % P).as("h"))
+      .distinct()
+
+  private val shinglesCte =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT d.doc_id,
+       |    ${sqlMd5Long(s"substr(d.text, CAST(g.pos AS INTEGER), $ShingleK)")} % $P AS h
+       |  FROM documents d,
+       |    unnest(range(1, length(d.text) - ${ShingleK - 1} + 1)) AS g(pos)
+       |  WHERE length(d.text) >= $ShingleK
+       |)""".stripMargin
+
+  /** One row per doc: s0..s{K-1} minhash signature (single map-side-partial agg). */
+  def signatures(spark: SparkSession, dir: String): DataFrame =
+    shingleHashes(spark, dir).groupBy("doc_id")
+      .agg(
+        min((col("h") * CoefA(0) + CoefB(0)) % P).as("s0"),
+        (1 until K).map(i =>
+          min((col("h") * CoefA(i) + CoefB(i)) % P).as(s"s$i")): _*)
+
+  private val signaturesCte: String = {
+    val aggs = (0 until K)
+      .map(i => s"min((h * ${CoefA(i)} + ${CoefB(i)}) % $P) AS s$i")
+      .mkString(",\n    ")
+    s"""$shinglesCte, sig AS (
+       |  SELECT doc_id,
+       |    $aggs
+       |  FROM sh GROUP BY doc_id
+       |)""".stripMargin
+  }
+
+  /** doc_id → (band, key) exploded; key = concat of the band's sig rows. */
+  private def bandedDf(sig: DataFrame): DataFrame = {
+    val bandStructs = (0 until Bands).map { j =>
+      struct(lit(j).as("band"),
+        concat_ws(",", (0 until Rows).map(r => col(s"s${j * Rows + r}")): _*).as("key"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  private val bandedCte: String = {
+    val rowsSql = (0 until Bands).map { j =>
+      val key = (0 until Rows).map(r => s"CAST(s${j * Rows + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $j AS band, $key AS key FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""$signaturesCte, banded AS (
+       |  $rowsSql
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+       |)""".stripMargin
+  }
+
+  /** Candidate pairs from LSH band buckets (never all-pairs). */
+  def candidatePairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = signatures(spark, dir)
+    val banded = bandedDf(sig)
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  // ---- #16 MinHash near-dup: signature-estimated similarity -------------
+  val MinhashSimThreshold = 0.5
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val sig = signatures(spark, dir)
+    val simHat = (0 until K)
+      .map(i => when(col(s"a.s$i") === col(s"b.s$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / K
+    candidatePairs(spark, dir)
+      .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"), round(simHat, 4).as("sim_hat"))
+      .where(col("sim_hat") >= MinhashSimThreshold)
+  }
+  val dedupMinhashSql: String = {
+    val matches = (0 until K)
+      .map(i => s"CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""$bandedCte
+       |SELECT doc_a, doc_b,
+       |  round(CAST($matches AS DOUBLE) / $K, 4) AS sim_hat
+       |FROM cand
+       |JOIN sig a ON doc_a = a.doc_id
+       |JOIN sig b ON doc_b = b.doc_id
+       |WHERE round(CAST($matches AS DOUBLE) / $K, 4) >= $MinhashSimThreshold""".stripMargin
+  }
+
+  // ---- #17 exact n-gram Jaccard on LSH candidates -----------------------
+  val JaccardThreshold = 0.35
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleHashes(spark, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = candidatePairs(spark, dir)
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.h") === col("sb.h"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double")
+          / (col("na.n") + col("nb.n") - col("inter")), 4).as("jaccard"))
+      .where(col("jaccard") >= JaccardThreshold)
+  }
+  val dedupNgramJaccardSql: String =
+    s"""$bandedCte, sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+       |), inter AS (
+       |  SELECT doc_a, doc_b, count(*) AS inter
+       |  FROM cand
+       |  JOIN sh sa ON doc_a = sa.doc_id
+       |  JOIN sh sb ON doc_b = sb.doc_id AND sa.h = sb.h
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 4) AS jaccard
+       |FROM inter
+       |JOIN sizes na ON doc_a = na.doc_id
+       |JOIN sizes nb ON doc_b = nb.doc_id
+       |WHERE round(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 4) >= $JaccardThreshold""".stripMargin
+
+  // ---- #18 SimHash near-dup ---------------------------------------------
+  /** 60-bit simhash over distinct lowercase tokens; 4×15-bit chunk blocking
+    * guarantees recall for hamming ≤ 3 (pigeonhole). */
+  val SimhashBits = 60
+  val SimhashChunks = 4
+  val ChunkBits = SimhashBits / SimhashChunks
+  val HammingMax = 3
+
+  def simhashes(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), WsTokenRe)).as("tok"))
+      .where(col("tok") =!= "")
+      .select(col("doc_id"), lower(col("tok")).as("tok")).distinct()
+      .select(col("doc_id"), md5Long(col("tok")).as("th"))
+    val bitSums = toks.groupBy("doc_id").agg(
+      sum(when(shiftright(col("th"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("c0"),
+      (1 until SimhashBits).map(i =>
+        sum(when(shiftright(col("th"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"c$i")): _*)
+    val value = (0 until SimhashBits)
+      .map(i => when(col(s"c$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    bitSums.select(col("doc_id"), value.as("simhash"))
+  }
+
+  private val simhashCte: String = {
+    val sums = (0 until SimhashBits)
+      .map(i => s"sum(CASE WHEN (th >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS c$i")
+      .mkString(",\n    ")
+    val value = (0 until SimhashBits)
+      .map(i => s"CASE WHEN c$i > 0 THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT DISTINCT d.doc_id, ${sqlMd5Long("lower(t.w)")} AS th
+       |  FROM documents d, unnest(string_split_regex(d.text, '\\s+')) AS t(w)
+       |  WHERE t.w <> ''
+       |), bitsums AS (
+       |  SELECT doc_id,
+       |    $sums
+       |  FROM toks GROUP BY doc_id
+       |), sim AS (
+       |  SELECT doc_id, CAST($value AS BIGINT) AS simhash FROM bitsums
+       |)""".stripMargin
+  }
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val sim = simhashes(spark, dir)
+    val chunkStructs = (0 until SimhashChunks).map { j =>
+      struct(lit(j).as("cidx"),
+        shiftright(col("simhash"), j * ChunkBits)
+          .bitwiseAND((1L << ChunkBits) - 1).as("chunk"))
+    }
+    val chunked = sim
+      .select(col("doc_id"), col("simhash"), explode(array(chunkStructs: _*)).as("ck"))
+      .select(col("doc_id"), col("simhash"),
+        col("ck.cidx").as("cidx"), col("ck.chunk").as("chunk"))
+    chunked.as("x").join(chunked.as("y"),
+        col("x.cidx") === col("y.cidx") && col("x.chunk") === col("y.chunk")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= HammingMax)
+  }
+  val dedupSimhashSql: String = {
+    val chunkRows = (0 until SimhashChunks).map { j =>
+      s"SELECT doc_id, simhash, $j AS cidx, (simhash >> ${j * ChunkBits}) & ${(1L << ChunkBits) - 1} AS chunk FROM sim"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""$simhashCte, chunked AS (
+       |  $chunkRows
+       |)
+       |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+       |FROM chunked x JOIN chunked y
+       |  ON x.cidx = y.cidx AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= $HammingMax""".stripMargin
+  }
+
+  // ---- #19 embedding-cosine near-dup ------------------------------------
+  // Correctness shape: all-pairs at tiny SF. Scale path: the ann_lsh bucket
+  // join (Similarity.scala) replaces the cross join at 100 TB.
+  val CosineThreshold = 0.4 // tuned to the synthetic embeddings (max pairwise cos ~0.51)
+  val Dim = 64
+
+  /** Explicit left-assoc 64-term dot product — bit-identical on both engines
+    * (same IEEE op sequence), unlike an unordered SUM over unnest. */
+  def dotExpr(a: String, b: String): Column =
+    (0 until Dim).map(i =>
+      element_at(col(a), i + 1).cast("double") * element_at(col(b), i + 1).cast("double"))
+      .reduce(_ + _)
+  def sqlDotExpr(a: String, b: String): String =
+    (0 until Dim).map(i =>
+      s"CAST($a[${i + 1}] AS DOUBLE) * CAST($b[${i + 1}] AS DOUBLE)")
+      .mkString(" + ")
+
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cos = dotExpr("a.embedding", "b.embedding") /
+      (sqrt(dotExpr("a.embedding", "a.embedding"))
+        * sqrt(dotExpr("b.embedding", "b.embedding")))
+    emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(cos, 4).as("cos"))
+      .where(col("cos") >= CosineThreshold)
+  }
+  val dedupEmbeddingSql: String = {
+    val cos = s"(${sqlDotExpr("a.embedding", "b.embedding")}) / " +
+      s"(sqrt(${sqlDotExpr("a.embedding", "a.embedding")}) * sqrt(${sqlDotExpr("b.embedding", "b.embedding")}))"
+    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round($cos, 4) AS cos
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |WHERE round($cos, 4) >= $CosineThreshold""".stripMargin
+  }
+}

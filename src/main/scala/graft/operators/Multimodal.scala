@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY.md §2 #26): media as opaque `binary`
+  * columns with typed metadata extracted executor-side.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * deterministic STUB (dimensions derived from the content hash). What is
+  * real — and what this operator demonstrates — is the Spark-side plumbing:
+  * a typed `Dataset[DocBlob] → mapPartitions → Dataset[MediaMeta]` pipeline
+  * with per-partition batch processing (the Scala analogue of a Pandas UDF
+  * over mapInPandas), a fixed output schema, and no driver-side collect.
+  * Swapping the stub for a real decoder changes only the closure body.
+  */
+object Multimodal {
+
+  case class DocBlob(doc_id: Long, blob: Array[Byte])
+  case class MediaMeta(doc_id: Long, byte_len: Long, fake_width: Long,
+                       fake_height: Long, blob_md5: String)
+
+  /** STUB decode: a real implementation would parse the media container
+    * here; we derive deterministic "dimensions" from the md5 so the oracle
+    * can verify the plumbing end-to-end. */
+  def decodeStub(r: DocBlob): MediaMeta = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(r.blob).map("%02x".format(_)).mkString
+    val h = java.lang.Long.parseLong(hex.take(15), 16)
+    MediaMeta(r.doc_id, r.blob.length.toLong,
+      1L + h % 1024L, 1L + (h >> 10) % 1024L, hex)
+  }
+
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .as[DocBlob]
+      .mapPartitions(_.map(decodeStub))
+      .toDF()
+  }
+  val multimodalMetaSql: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+      |  1 + CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 1024 AS fake_width,
+      |  1 + (CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) >> 10) % 1024 AS fake_height,
+      |  md5(text) AS blob_md5
+      |FROM documents""".stripMargin
+}

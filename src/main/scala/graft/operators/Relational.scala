@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Supplementary engine queries (SURVEY.md §2 #27-31): classic OLAP shapes +
+  * event-time analytics, written so Catalyst gets full pushdown/broadcast
+  * opportunities. Float policy: money/measure aggregates run on exact
+  * DECIMAL and only the final value is cast to DOUBLE, so Spark and the
+  * DuckDB oracle produce bit-identical doubles (SURVEY.md §6).
+  */
+object Relational {
+
+  private def t(spark: SparkSession, dir: String, name: String) =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // ---- #27 TPC-H Q1-style aggregate ------------------------------------
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("sum_base_price"),
+        sum((col("l_extendedprice").cast("decimal(18,4)")
+          * (lit(BigDecimal(1)).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+      |    * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+      |  count(*) AS count_order
+      |FROM lineitem GROUP BY 1, 2""".stripMargin
+
+  // ---- #28 dimension-broadcast join chain ------------------------------
+  def joinEnrich(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .where(col("o_totalprice") > 1000.0)
+      .join(broadcast(t(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("c_name"),
+        col("n_name"), col("r_name"))
+  val joinEnrichSql: String =
+    """SELECT o_orderkey, o_totalprice, c_name, n_name, r_name
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE o_totalprice > 1000.0""".stripMargin
+
+  // ---- #29 windowed top-N per group ------------------------------------
+  def topCustomersWindow(spark: SparkSession, dir: String): DataFrame = {
+    val rev = t(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("rev"))
+    val w = Window.partitionBy("n_name").orderBy(col("rev").desc, col("c_custkey"))
+    rev
+      .join(broadcast(t(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("rk", rank().over(w))
+      .where(col("rk") <= 5)
+      .select(col("n_name"), col("c_custkey"), col("c_name"),
+        col("rev").cast("double").as("revenue"), col("rk").cast("long").as("rk"))
+  }
+  val topCustomersWindowSql: String =
+    """WITH rev AS (
+      |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+      |  FROM orders GROUP BY 1
+      |), ranked AS (
+      |  SELECT n_name, c_custkey, c_name, rev,
+      |    rank() OVER (PARTITION BY n_name ORDER BY rev DESC, c_custkey) AS rk
+      |  FROM rev
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |)
+      |SELECT n_name, c_custkey, c_name, CAST(rev AS DOUBLE) AS revenue,
+      |  CAST(rk AS BIGINT) AS rk
+      |FROM ranked WHERE rk <= 5""".stripMargin
+
+  // ---- #30 tumbling event-time window (batch twin of the stream) -------
+  // events.ts arrives as epoch-NANO longs (nanosAsLong); integer math keeps
+  // full precision (a double round-trip would lose sub-second bits at 2^63).
+  def eventsWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(
+        expr("ts DIV 1000000000 DIV 3600 * 3600").as("hour_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+  val eventsWindowAggSql: String =
+    """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+      |  event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  // ---- #31 gap-based sessionization (30-min inactivity) ----------------
+  // Second-floored timestamps on both engines so ns-vs-µs precision can't
+  // skew the gap comparison.
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        expr("ts DIV 1000000000").as("sec"))
+      .withColumn("prev_sec", lag(col("sec"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_sec").isNull || col("sec") - col("prev_sec") > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("is_new")).over(wRun))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("sec")).as("start_epoch"), max(col("sec")).as("end_epoch"))
+  }
+  val sessionizeSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts,
+      |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+      |  FROM events
+      |), flagged AS (
+      |  SELECT *,
+      |    CASE WHEN lag(sec) OVER w IS NULL
+      |           OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sessions AS (
+      |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM flagged
+      |)
+      |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+      |  count(*) AS n_events, min(sec) AS start_epoch, max(sec) AS end_epoch
+      |FROM sessions GROUP BY 1, 2""".stripMargin
+}

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup.{dotExpr, sqlDotExpr}
+
+/** Similarity search over the embedding column (SURVEY.md §2 #20-21).
+  *
+  * `ann_topk` is the exact brute-force baseline: one scan, no shuffle of
+  * vectors (the query vector broadcasts). `ann_lsh` is the scale path:
+  * signed-random-hyperplane buckets prune the scan to ~hamming≤1 buckets;
+  * at 100 TB the bucket id becomes a partition/bucketing key so a probe
+  * touches only matching partitions.
+  */
+object Similarity {
+
+  val TopK = 10
+  val NumPlanes = 8
+
+  /** Deterministic pseudo-random hyperplanes (fixed seed, embedded as
+    * literals in both engines — SURVEY.md §6). */
+  val Planes: IndexedSeq[IndexedSeq[Double]] = {
+    val rng = new scala.util.Random(42)
+    IndexedSeq.fill(NumPlanes)(IndexedSeq.fill(Dedup.Dim)(rng.nextGaussian()))
+  }
+
+  private def emb(spark: SparkSession, dir: String) =
+    spark.read.parquet(s"$dir/embeddings.parquet").select(col("vec_id"), col("embedding"))
+
+  /** Left-assoc literal dot with plane j — bit-identical across engines. */
+  private def planeDot(vecCol: String, j: Int) =
+    (0 until Dedup.Dim).map(i =>
+      element_at(col(vecCol), i + 1).cast("double") * lit(Planes(j)(i)))
+      .reduce(_ + _)
+  private def sqlPlaneDot(vecExpr: String, j: Int) =
+    (0 until Dedup.Dim).map(i =>
+      s"CAST($vecExpr[${i + 1}] AS DOUBLE) * ${Planes(j)(i)}")
+      .mkString(" + ")
+
+  private def bucketCol(vecCol: String) =
+    (0 until NumPlanes).map(j =>
+      when(planeDot(vecCol, j) > 0.0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+  private def sqlBucket(vecExpr: String) =
+    (0 until NumPlanes).map(j =>
+      s"CASE WHEN ${sqlPlaneDot(vecExpr, j)} > 0.0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+
+  private def cosExpr(a: String, b: String) =
+    dotExpr(a, b) / (sqrt(dotExpr(a, a)) * sqrt(dotExpr(b, b)))
+  private def sqlCos(a: String, b: String) =
+    s"(${sqlDotExpr(a, b)}) / (sqrt(${sqlDotExpr(a, a)}) * sqrt(${sqlDotExpr(b, b)}))"
+
+  // ---- #20 brute-force cosine top-k ------------------------------------
+  def annTopk(spark: SparkSession, dir: String): DataFrame = {
+    val q = emb(spark, dir).orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val w = Window.orderBy(col("cos").desc, col("vec_id"))
+    emb(spark, dir).crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("vec_id"), cosExpr("embedding", "qv").as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= TopK)
+      .select(col("vec_id"), round(col("cos"), 4).as("cos"), col("rk").cast("long").as("rk"))
+  }
+  val annTopkSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |  ORDER BY vec_id LIMIT 1
+       |), scored AS (
+       |  SELECT e.vec_id, ${sqlCos("e.embedding", "q.qv")} AS cos
+       |  FROM embeddings e, q WHERE e.vec_id <> q.qid
+       |), ranked AS (
+       |  SELECT vec_id, cos, row_number() OVER (ORDER BY cos DESC, vec_id) AS rk
+       |  FROM scored
+       |)
+       |SELECT vec_id, round(cos, 4) AS cos, CAST(rk AS BIGINT) AS rk
+       |FROM ranked WHERE rk <= $TopK""".stripMargin
+
+  // ---- #21 LSH-bucketed ANN (scale path) -------------------------------
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).withColumn("bucket", bucketCol("embedding"))
+    val q = e.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("bucket").as("qbucket"))
+    val w = Window.orderBy(col("cos").desc, col("vec_id"))
+    e.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid")
+        && bit_count(col("bucket").bitwiseXOR(col("qbucket"))) <= 1)
+      .select(col("vec_id"), cosExpr("embedding", "qv").as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= TopK)
+      .select(col("vec_id"), round(col("cos"), 4).as("cos"), col("rk").cast("long").as("rk"))
+  }
+  val annLshSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, ${sqlBucket("embedding")} AS bucket
+       |  FROM embeddings
+       |), q AS (
+       |  SELECT vec_id AS qid, embedding AS qv, bucket AS qbucket FROM e
+       |  ORDER BY vec_id LIMIT 1
+       |), scored AS (
+       |  SELECT e.vec_id, ${sqlCos("e.embedding", "q.qv")} AS cos
+       |  FROM e, q
+       |  WHERE e.vec_id <> q.qid AND bit_count(xor(e.bucket, q.qbucket)) <= 1
+       |), ranked AS (
+       |  SELECT vec_id, cos, row_number() OVER (ORDER BY cos DESC, vec_id) AS rk
+       |  FROM scored
+       |)
+       |SELECT vec_id, round(cos, 4) AS cos, CAST(rk AS BIGINT) AS rk
+       |FROM ranked WHERE rk <= $TopK""".stripMargin
+}
