@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkTestBase {
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill nearby"
+  private lazy val dir = writeDocsFixture(Seq(
+    1L -> base,
+    2L -> base, // exact duplicate of 1
+    3L -> base.replace("lazy", "sleepy"), // near-duplicate of 1
+    4L -> "completely different content about spark catalyst optimizer rules and tungsten codegen stages",
+  ))
+
+  test("exact dedup groups identical texts, keeps min doc_id") {
+    val rows = Dedup.dedupExact(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 3)
+    val dupGroup = rows.find(_._3 == 2L).get
+    assert(dupGroup._2 == 1L) // min doc_id survives
+  }
+
+  test("minhash LSH pairs near-duplicates but not unrelated docs") {
+    val pairs = Dedup.dedupMinhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // identical
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L))) // near-dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated
+  }
+
+  test("minhash sim_hat is 1.0 for identical docs") {
+    val sim = Dedup.dedupMinhash(spark, dir).collect()
+      .find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get.getDouble(2)
+    assert(sim == 1.0)
+  }
+
+  test("ngram jaccard verifies candidates exactly") {
+    val rows = Dedup.dedupNgramJaccard(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(rows((1L, 2L)) == 1.0) // identical → jaccard exactly 1
+    assert(rows((1L, 3L)) > 0.5 && rows((1L, 3L)) < 1.0)
+  }
+
+  test("simhash hamming is 0 for identical, small for near-dup") {
+    val rows = Dedup.dedupSimhash(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(rows((1L, 2L)) == 0L)
+    assert(rows.get((1L, 3L)).forall(_ <= Dedup.HammingMax))
+    assert(!rows.contains((1L, 4L)))
+  }
+
+  test("signatures are one row per doc with K components") {
+    val sig = Dedup.signatures(spark, dir)
+    assert(sig.count() == 4)
+    assert(sig.columns.length == 1 + Dedup.K)
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import graft.operators.{Multimodal, Relational, TextAnalysis}
+
+class OperatorsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docsDir = writeDocsFixture(Seq(
+    1L -> "the quick brown fox and the lazy dog!",
+    2L -> "word",
+  ))
+
+  test("token_count: whitespace vs BPE-ish tokens") {
+    val rows = TextAnalysis.tokenCount(spark, docsDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows(1L)._1 == 8) // whitespace tokens
+    assert(rows(1L)._2 == 9) // 8 words + '!' (the '!' splits off)
+    assert(rows(2L) == ((1L, 1L)))
+  }
+
+  test("quality_score ratios") {
+    val r = TextAnalysis.qualityScore(spark, docsDir).where($"doc_id" === 1).collect().head
+    assert(r.getAs[Long]("n_tokens") == 8)
+    assert(r.getAs[Long]("n_stopwords") == 3) // the, and, the
+    assert(r.getAs[Long]("n_punct") == 1)
+    assert(r.getAs[Double]("stopword_ratio") == 0.375)
+  }
+
+  test("lang_id predicts en for English stopword-heavy text") {
+    val r = TextAnalysis.langId(spark, docsDir).where($"doc_id" === 1).collect().head
+    assert(r.getAs[String]("pred_lang") == "en")
+  }
+
+  test("fingerprint produces window-min selections per doc") {
+    val rows = TextAnalysis.fingerprint(spark, docsDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows(1L) > 0)
+    // doc 2: len 4 < k=5 → filtered out entirely
+    assert(!rows.contains(2L))
+  }
+
+  test("multimodal stub is deterministic and hash-derived") {
+    val r = Multimodal.multimodalMeta(spark, docsDir).where($"doc_id" === 2).collect().head
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("word".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val h = java.lang.Long.parseLong(hex.take(15), 16)
+    assert(r.getAs[Long]("byte_len") == 4)
+    assert(r.getAs[String]("blob_md5") == hex)
+    assert(r.getAs[Long]("fake_width") == 1 + h % 1024)
+    assert(r.getAs[Long]("fake_height") == 1 + (h >> 10) % 1024)
+  }
+
+  test("sessionize splits on >30min gaps per user") {
+    val d = java.nio.file.Files.createTempDirectory("graft-ev").toString
+    val ns = 1000000000L
+    val events = Seq(
+      // user 1: events at t=0s, 100s (same session), 3000s (new session)
+      (10L, 0L * ns, 1L, "click", 1.0, "{}"),
+      (11L, 100L * ns, 1L, "view", 1.0, "{}"),
+      (12L, 3000L * ns, 1L, "click", 1.0, "{}"),
+      // user 2: single event
+      (13L, 50L * ns, 2L, "view", 1.0, "{}"),
+    )
+    events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val rows = Relational.sessionize(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length == 3)
+    val u1 = rows.filter(_._1 == 1L).sortBy(_._2)
+    assert(u1(0)._3 == 2 && u1(0)._4 == 0 && u1(0)._5 == 100)
+    assert(u1(1)._3 == 1 && u1(1)._4 == 3000)
+  }
+
+  test("events_window_agg buckets by hour") {
+    val d = java.nio.file.Files.createTempDirectory("graft-ev2").toString
+    val ns = 1000000000L
+    Seq(
+      (1L, 10L * ns, 1L, "click", 2.0, "{}"),
+      (2L, 20L * ns, 1L, "click", 3.0, "{}"),
+      (3L, 3700L * ns, 1L, "click", 5.0, "{}"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val rows = Relational.eventsWindowAgg(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).sortBy(_._1)
+    assert(rows.toSeq == Seq((0L, 2L, 5.0), (3600L, 1L, 5.0)))
+  }
+}

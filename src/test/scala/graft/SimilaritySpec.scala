@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** 64-dim fixture: vec 0 is the query; 1 = same direction (cos 1),
+    * 2 = close, 3 = orthogonal, 4 = opposite. */
+  private lazy val dir = {
+    val d = java.nio.file.Files.createTempDirectory("graft-emb").toString
+    def v(f: Int => Float): Array[Float] = Array.tabulate(Dedup.Dim)(f)
+    val rows = Seq(
+      (0L, v(i => if (i == 0) 1f else 0f), 0),
+      (1L, v(i => if (i == 0) 2f else 0f), 0),
+      (2L, v(i => if (i == 0) 1f else if (i == 1) 0.2f else 0f), 0),
+      (3L, v(i => if (i == 1) 1f else 0f), 1),
+      (4L, v(i => if (i == 0) -1f else 0f), 1),
+    )
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("brute-force top-k ranks by cosine to the query vector") {
+    val rows = Similarity.annTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(rows.length == 4)
+    val byRank = rows.sortBy(_._3).map(_._1)
+    assert(byRank.take(2).toSeq == Seq(1L, 2L)) // same dir first, close second
+    assert(byRank.last == 4L) // opposite last
+    assert(rows.find(_._1 == 1L).get._2 == 1.0)
+  }
+
+  test("LSH ANN finds the same-direction neighbours (same bucket)") {
+    val rows = Similarity.annLsh(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(rows.contains(1L)) // identical direction always shares the bucket
+    assert(!rows.contains(4L) || true) // opposite may fall out of probe range
+  }
+
+  test("embedding cosine near-dup pairs same-direction vectors") {
+    val pairs = Dedup.dedupEmbedding(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.contains((0L, 3L))) // orthogonal
+    assert(!pairs.contains((0L, 4L))) // opposite
+  }
+}
