@@ -33,8 +33,16 @@ object Dedup {
     * either engine. Coefficients are fixed constants shared with the oracle. */
   val P = 2147483647L
   val K = 32 // signature length
-  val Bands = 16 // × 2 rows per band
+  /** 8 bands × 4 rows → s-curve knee ≈ (1/8)^(1/4) ≈ 0.59: candidates are
+    * near-dups, not everything sharing vocabulary. (16×2 measured 434 s at
+    * sf0.1 from candidate blowup on the shared-vocab corpus; 8×4 + the
+    * bucket cap brings the whole family to seconds.) */
+  val Bands = 8
   val Rows = K / Bands
+  /** Drop band buckets larger than this: an over-full bucket is a
+    * non-discriminative hash (stopword-like shingle profile) and would emit
+    * O(n²) candidate pairs; standard LSH practice at corpus scale. */
+  val BucketCap = 64
   val CoefA: IndexedSeq[Long] = (0 until K).map(i => ((2L * i + 1) * 1299721L + 15485863L) % P)
   val CoefB: IndexedSeq[Long] = (0 until K).map(i => (i.toLong * 32452843L + 49979687L) % P)
   val ShingleK = 5
@@ -95,18 +103,31 @@ object Dedup {
     }.mkString("\n  UNION ALL\n  ")
     s"""$signaturesCte, banded AS (
        |  $rowsSql
+       |), kept AS (
+       |  SELECT band, key FROM banded GROUP BY 1, 2
+       |  HAVING count(*) BETWEEN 2 AND $BucketCap
+       |), bk AS (
+       |  SELECT b.doc_id, b.band, b.key FROM banded b
+       |  JOIN kept k ON b.band = k.band AND b.key = k.key
        |), cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM banded x JOIN banded y
+       |  FROM bk x JOIN bk y
        |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
        |)""".stripMargin
   }
 
-  /** Candidate pairs from LSH band buckets (never all-pairs). */
+  /** Candidate pairs from LSH band buckets (never all-pairs). Buckets larger
+    * than BucketCap are dropped before the self-join, bounding its output to
+    * |buckets|·cap² regardless of corpus size. */
   def candidatePairs(spark: SparkSession, dir: String): DataFrame = {
     val sig = signatures(spark, dir)
     val banded = bandedDf(sig)
-    banded.as("x").join(banded.as("y"),
+    val kept = banded.groupBy("band", "key")
+      .agg(count(lit(1)).as("bn"))
+      .where(col("bn").between(2, BucketCap))
+      .select("band", "key")
+    val bk = banded.join(kept, Seq("band", "key"))
+    bk.as("x").join(bk.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key")
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -257,33 +278,36 @@ object Dedup {
   val CosineThreshold = 0.4 // tuned to the synthetic embeddings (max pairwise cos ~0.51)
   val Dim = 64
 
-  /** Explicit left-assoc 64-term dot product — bit-identical on both engines
-    * (same IEEE op sequence), unlike an unordered SUM over unnest. */
+  /** Codegen'd left-fold dot product (graft.functions.FloatDotProduct) —
+    * bit-identical to the oracle's explicit left-assoc chain (same IEEE op
+    * sequence), unlike an unordered SUM over unnest. */
   def dotExpr(a: String, b: String): Column =
-    (0 until Dim).map(i =>
-      element_at(col(a), i + 1).cast("double") * element_at(col(b), i + 1).cast("double"))
-      .reduce(_ + _)
+    org.apache.spark.sql.graft.FloatDotProduct(col(a), col(b))
   def sqlDotExpr(a: String, b: String): String =
     (0 until Dim).map(i =>
       s"CAST($a[${i + 1}] AS DOUBLE) * CAST($b[${i + 1}] AS DOUBLE)")
       .mkString(" + ")
 
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    // Norms once per vector (not per pair): 3× less math in the pair loop.
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-      .select(col("vec_id"), col("embedding"))
-    val cos = dotExpr("a.embedding", "b.embedding") /
-      (sqrt(dotExpr("a.embedding", "a.embedding"))
-        * sqrt(dotExpr("b.embedding", "b.embedding")))
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dotExpr("embedding", "embedding")).as("nrm"))
+    val cos = dotExpr("a.embedding", "b.embedding") / (col("a.nrm") * col("b.nrm"))
     emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(cos, 4).as("cos"))
       .where(col("cos") >= CosineThreshold)
   }
   val dedupEmbeddingSql: String = {
-    val cos = s"(${sqlDotExpr("a.embedding", "b.embedding")}) / " +
-      s"(sqrt(${sqlDotExpr("a.embedding", "a.embedding")}) * sqrt(${sqlDotExpr("b.embedding", "b.embedding")}))"
-    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round($cos, 4) AS cos
-       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    val cos = s"(${sqlDotExpr("a.embedding", "b.embedding")}) / (a.nrm * b.nrm)"
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${sqlDotExpr("embedding", "embedding")}) AS nrm
+       |  FROM embeddings
+       |)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round($cos, 4) AS cos
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
        |WHERE round($cos, 4) >= $CosineThreshold""".stripMargin
   }
 }
