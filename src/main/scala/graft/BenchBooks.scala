@@ -1,0 +1,24 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Times the reference's headline workload (raw book files → anagram part
+  * files) for BASELINE.md: the reference README reports "under 20 seconds"
+  * for 100 books (~43 MB) on its deployed GCP pipeline. */
+object BenchBooks {
+  def main(args: Array[String]): Unit = {
+    val Array(booksDir) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id * 2)").collect() // JVM warmup
+    val t0 = System.nanoTime()
+    val n = graft.sources.GutenbergSource.anagramsFromBooks(spark, booksDir).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"metric":"anagrams_from_books","groups":$n,"value":$sec%.3f,"unit":"sec"}""")
+    spark.stop()
+  }
+}

@@ -19,21 +19,39 @@ object Anagrams {
   def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
-  /** #4+#5: whitespace tokens (strings.Fields ≡ split \s+ minus empties),
-    * lowercased, deduped per document (mapphase/split.go:68,119-133). */
-  def docWords(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
+  /** #4+#5 on any (doc_id, text) frame: whitespace tokens (strings.Fields ≡
+    * split \s+ minus empties), lowercased, deduped per document
+    * (mapphase/split.go:68,119-133). */
+  def docWordsOf(docsDf: DataFrame): DataFrame =
+    docsDf
       .select(col("doc_id"), explode(split(col("text"), WsTokenRe)).as("tok"))
       .where(col("tok") =!= "")
       .select(col("doc_id"), lower(col("tok")).as("word"))
       .distinct()
 
+  def docWords(spark: SparkSession, dir: String): DataFrame =
+    docWordsOf(docs(spark, dir))
+
   /** Distinct corpus-wide clean words (mapphase/map.go:60-77 preprocessing). */
-  def cleanWords(spark: SparkSession, dir: String): DataFrame =
-    docWords(spark, dir)
+  def cleanWordsOf(docsDf: DataFrame): DataFrame =
+    docWordsOf(docsDf)
       .select(trimNonAlpha(col("word")).as("word"))
       .where(isCleanWord(col("word")))
       .distinct()
+
+  def cleanWords(spark: SparkSession, dir: String): DataFrame =
+    cleanWordsOf(docs(spark, dir))
+
+  /** The full reduce on any (doc_id, text) frame: group by signature,
+    * set-dedup, sort, keep >1, format (reducephase/reduce.go:57-115 +
+    * 36-52). Used by both the parquet queries and the raw-file source. */
+  def anagramLinesOf(docsDf: DataFrame): DataFrame =
+    cleanWordsOf(docsDf)
+      .groupBy(signature(col("word")).as("sig"))
+      .agg(array_join(sort_array(collect_set(col("word"))), " ").as("anagrams"),
+           count(lit(1)).as("n_words"))
+      .where(col("n_words") > 1)
+      .select(concat(col("sig"), lit(": "), col("anagrams")).as("line"))
 
   private val cleanWordsCte =
     s"""WITH toks AS (

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the batch event analytics (SURVEY.md §2
+  * #30-31): the same logical aggregations expressed over an unbounded
+  * source with watermarks. Input is any streaming DataFrame with the events
+  * schema (`ts` as TIMESTAMP event time).
+  *
+  * Scale: windowed aggregation state is bounded by the watermark horizon ×
+  * |event_type|; session state by |active users|. Both are keyed state in
+  * the state store — shuffle-partitioned, no driver state.
+  */
+object EventsStream {
+
+  /** Tumbling 1-hour windows per event_type, 10-minute watermark. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  case class Ev(user_id: Long, ts: java.sql.Timestamp)
+  case class SessionState(start: Long, end: Long, n: Long)
+  case class SessionOut(user_id: Long, start_epoch: Long, end_epoch: Long, n_events: Long)
+
+  /** Gap-based sessionization with custom keyed state
+    * (flatMapGroupsWithState + event-time timeout): a session closes when
+    * the watermark passes its end + gap. Streaming twin of
+    * Relational.sessionize. */
+  def sessionize(events: Dataset[Ev], gapSec: Long = 1800): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+
+    def fn(userId: Long, evs: Iterator[Ev],
+           state: GroupState[SessionState]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(SessionOut(userId, s.start, s.end, s.n))
+      } else {
+        val sorted = evs.map(e => e.ts.getTime / 1000).toSeq.sorted
+        var closed = List.empty[SessionOut]
+        var cur = state.getOption
+        sorted.foreach { sec =>
+          cur match {
+            case Some(s) if sec - s.end <= gapSec =>
+              cur = Some(s.copy(end = math.max(s.end, sec), n = s.n + 1))
+            case Some(s) =>
+              closed ::= SessionOut(userId, s.start, s.end, s.n)
+              cur = Some(SessionState(sec, sec, 1))
+            case None =>
+              cur = Some(SessionState(sec, sec, 1))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp((s.end + gapSec) * 1000 + 1)
+        }
+        closed.reverseIterator
+      }
+    }
+
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}

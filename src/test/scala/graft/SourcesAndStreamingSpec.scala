@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.sources.GutenbergSource
+import graft.streaming.EventsStream
+import graft.streaming.EventsStream.Ev
+
+class SourcesAndStreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("gutenberg source: raw files with headers -> anagram lines") {
+    val dir = Files.createTempDirectory("graft-books")
+    Files.writeString(Paths.get(dir.toString, "book1.txt"),
+      "#HEADER# *** START OF THIS PROJECT GUTENBERG EBOOK ONE *** care race part\n" +
+        "*** END OF THE PROJECT GUTENBERG EBOOK ONE *** #FOOTER#")
+    Files.writeString(Paths.get(dir.toString, "book2.txt"),
+      "#HEADER# *** START OF THE PROJECT GUTENBERG EBOOK TWO *** trap race the\n" +
+        "End of Project Gutenberg's Two")
+    val lines = GutenbergSource.anagramsFromBooks(spark, dir.toString)
+      .collect().map(_.getString(0)).toSet
+    assert(lines == Set("acer: care race", "aprt: part trap"))
+    // header words (#HEADER#) and stopwords (the) must not leak through
+  }
+
+  test("gutenberg source decodes ISO-8859-1 bytes like the Go rune cast") {
+    val dir = Files.createTempDirectory("graft-books2")
+    // 0xE7 is ç in Latin-1; invalid as standalone UTF-8
+    Files.write(Paths.get(dir.toString, "b.txt"),
+      Array[Byte]('f', 'a', 0xE7.toByte, 'a', 'd', 'e'))
+    val text = GutenbergSource.readBooks(spark, dir.toString)
+      .collect().head.getString(1)
+    assert(text == "façade")
+  }
+
+  test("streaming windowed counts with watermark") {
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val q = EventsStream.windowedCounts(df)
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    input.addData((t(10), "click", 1.0), (t(20), "click", 2.0), (t(3700), "view", 5.0))
+    q.processAllAvailable()
+    val rows = spark.table("win_counts").collect()
+      .map(r => (r.getTimestamp(0).getTime / 1000, r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    q.stop()
+    assert(rows == Set((0L, "click", 2L, 3.0), (3600L, "view", 1L, 5.0)))
+  }
+
+  test("streaming sessionization closes sessions via event-time timeout") {
+    val input = MemoryStream[Ev](spark)
+    val q = EventsStream.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    // session 1: two events close together
+    input.addData(Ev(1L, t(100)), Ev(1L, t(200)))
+    q.processAllAvailable()
+    // far-future event advances the watermark past session 1's gap → closes it
+    input.addData(Ev(1L, t(10000)))
+    q.processAllAvailable()
+    input.addData(Ev(2L, t(20000)))
+    q.processAllAvailable()
+    val rows = spark.table("sessions").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    q.stop()
+    assert(rows.contains((1L, 100L, 200L, 2L)))
+  }
+
+  test("float_dot is SQL-callable via GraftExtensions") {
+    val v = spark.sql(
+      "SELECT float_dot(array(CAST(1.5 AS FLOAT), CAST(2 AS FLOAT)), array(CAST(2 AS FLOAT), CAST(3 AS FLOAT)))")
+      .collect().head.getDouble(0)
+    assert(v == 9.0)
+  }
+}
