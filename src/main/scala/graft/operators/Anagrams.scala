@@ -32,24 +32,40 @@ object Anagrams {
   def docWords(spark: SparkSession, dir: String): DataFrame =
     docWordsOf(docs(spark, dir))
 
+  /** Clean words WITHOUT any distinct: the downstream `collect_set` dedups
+    * (map-side partially, then globally), so the anagram plan needs exactly
+    * ONE shuffle. The reference's per-doc dedup (split.go:119-133) and
+    * combiner (combine.go) exist to shrink shuffle volume — in Spark that
+    * role is played by the partial ObjectHashAggregate, not by extra
+    * exchanges. */
+  def cleanWordsRawOf(docsDf: DataFrame): DataFrame =
+    docsDf
+      .select(explode(split(col("text"), WsTokenRe)).as("tok"))
+      .where(col("tok") =!= "")
+      .select(trimNonAlpha(lower(col("tok"))).as("word"))
+      .where(isCleanWord(col("word")))
+
   /** Distinct corpus-wide clean words (mapphase/map.go:60-77 preprocessing). */
   def cleanWordsOf(docsDf: DataFrame): DataFrame =
-    docWordsOf(docsDf)
-      .select(trimNonAlpha(col("word")).as("word"))
-      .where(isCleanWord(col("word")))
-      .distinct()
+    cleanWordsRawOf(docsDf).distinct()
 
   def cleanWords(spark: SparkSession, dir: String): DataFrame =
     cleanWordsOf(docs(spark, dir))
+
+  /** Signature → sorted distinct word set, ONE shuffle (partial collect_set
+    * is the combiner; n_words from the set, so no pre-distinct needed). */
+  def anagramGroupsOf(docsDf: DataFrame): DataFrame =
+    cleanWordsRawOf(docsDf)
+      .groupBy(signature(col("word")).as("sig"))
+      .agg(sort_array(collect_set(col("word"))).as("set"))
+      .select(col("sig"), array_join(col("set"), " ").as("anagrams"),
+        size(col("set")).cast("long").as("n_words"))
 
   /** The full reduce on any (doc_id, text) frame: group by signature,
     * set-dedup, sort, keep >1, format (reducephase/reduce.go:57-115 +
     * 36-52). Used by both the parquet queries and the raw-file source. */
   def anagramLinesOf(docsDf: DataFrame): DataFrame =
-    cleanWordsOf(docsDf)
-      .groupBy(signature(col("word")).as("sig"))
-      .agg(array_join(sort_array(collect_set(col("word"))), " ").as("anagrams"),
-           count(lit(1)).as("n_words"))
+    anagramGroupsOf(docsDf)
       .where(col("n_words") > 1)
       .select(concat(col("sig"), lit(": "), col("anagrams")).as("line"))
 
@@ -132,9 +148,12 @@ object Anagrams {
 
   // ---- #9 combiner semantics per doc (mapphase/combine.go:13-47) --------
   def combinePerDoc(spark: SparkSession, dir: String): DataFrame =
-    docWords(spark, dir)
-      .select(col("doc_id"), trimNonAlpha(col("word")).as("word"))
+    docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), WsTokenRe)).as("tok"))
+      .where(col("tok") =!= "")
+      .select(col("doc_id"), trimNonAlpha(lower(col("tok"))).as("word"))
       .where(isCleanWord(col("word")))
+      // no pre-distinct: collect_set dedups, map-side first → one shuffle
       .groupBy(col("doc_id"), signature(col("word")).as("sig"))
       .agg(array_join(sort_array(collect_set(col("word"))), " ").as("words"))
   val combinePerDocSql =
@@ -154,8 +173,8 @@ object Anagrams {
   // fnv-mod-N re-expressed with the engines' shared md5-based hash; the real
   // exchange in the anagram plan is Spark's hash partitioning on sig.
   def shuffleAssignment(spark: SparkSession, dir: String): DataFrame =
-    cleanWords(spark, dir)
-      .select(signature(col("word")).as("sig")).distinct()
+    cleanWordsRawOf(docs(spark, dir))
+      .select(signature(col("word")).as("sig")).dropDuplicates("sig")
       .groupBy(pmod(md5Long(col("sig")), lit(32)).as("bucket"))
       .agg(count(lit(1)).as("n_sigs"))
   val shuffleAssignmentSql =
@@ -167,10 +186,7 @@ object Anagrams {
 
   // ---- #11+#13 the reduce: global set-dedup, sort, keep >1 --------------
   def anagramGroups(spark: SparkSession, dir: String): DataFrame =
-    cleanWords(spark, dir)
-      .groupBy(signature(col("word")).as("sig"))
-      .agg(array_join(sort_array(collect_set(col("word"))), " ").as("anagrams"),
-           count(lit(1)).as("n_words"))
+    anagramGroupsOf(docs(spark, dir))
   val anagramGroupsSql =
     s"""$cleanWordsCte
        |SELECT ${sqlSignature("word")} AS sig,

@@ -116,12 +116,21 @@ object Dedup {
        |)""".stripMargin
   }
 
-  /** Candidate pairs from LSH band buckets (never all-pairs). Buckets larger
-    * than BucketCap are dropped before the self-join, bounding its output to
+  /** Candidate pairs from LSH band buckets (never all-pairs), carrying both
+    * docs' signature arrays so no join back to the signatures is needed
+    * (one shingle pass for the whole minhash query). Buckets larger than
+    * BucketCap are dropped before the self-join, bounding its output to
     * |buckets|·cap² regardless of corpus size. */
-  def candidatePairs(spark: SparkSession, dir: String): DataFrame = {
+  def candidatePairsWithSigs(spark: SparkSession, dir: String): DataFrame = {
     val sig = signatures(spark, dir)
-    val banded = bandedDf(sig)
+      .withColumn("sa", array((0 until K).map(i => col(s"s$i")): _*))
+    val bandStructs = (0 until Bands).map { j =>
+      struct(lit(j).as("band"),
+        concat_ws(",", (0 until Rows).map(r => col(s"s${j * Rows + r}")): _*).as("key"))
+    }
+    val banded = sig
+      .select(col("doc_id"), col("sa"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("sa"), col("bk.band").as("band"), col("bk.key").as("key"))
     val kept = banded.groupBy("band", "key")
       .agg(count(lit(1)).as("bn"))
       .where(col("bn").between(2, BucketCap))
@@ -130,21 +139,26 @@ object Dedup {
     bk.as("x").join(bk.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key")
           && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sa").as("sig_a"), col("y.sa").as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
   }
+
+  def candidatePairs(spark: SparkSession, dir: String): DataFrame =
+    candidatePairsWithSigs(spark, dir).select("doc_a", "doc_b")
 
   // ---- #16 MinHash near-dup: signature-estimated similarity -------------
   val MinhashSimThreshold = 0.5
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val sig = signatures(spark, dir)
-    val simHat = (0 until K)
-      .map(i => when(col(s"a.s$i") === col(s"b.s$i"), 1).otherwise(0))
-      .reduce(_ + _).cast("double") / K
-    candidatePairs(spark, dir)
-      .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
-      .select(col("doc_a"), col("doc_b"), round(simHat, 4).as("sim_hat"))
+    // matching components counted from the carried arrays — one shingle
+    // pass total, no joins back to the signature table
+    val matches = (0 until K)
+      .map(i => when(element_at(col("sig_a"), i + 1) === element_at(col("sig_b"), i + 1), 1)
+        .otherwise(0))
+      .reduce(_ + _)
+    candidatePairsWithSigs(spark, dir)
+      .select(col("doc_a"), col("doc_b"),
+        round(matches.cast("double") / K, 4).as("sim_hat"))
       .where(col("sim_hat") >= MinhashSimThreshold)
   }
   val dedupMinhashSql: String = {
@@ -163,19 +177,19 @@ object Dedup {
   // ---- #17 exact n-gram Jaccard on LSH candidates -----------------------
   val JaccardThreshold = 0.35
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleHashes(spark, dir)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = candidatePairs(spark, dir)
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"),
-        col("doc_b") === col("sb.doc_id") && col("sa.h") === col("sb.h"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
-      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        round(col("inter").cast("double")
-          / (col("na.n") + col("nb.n") - col("inter")), 4).as("jaccard"))
+    // Per-doc shingle sets aggregated once (both join sides shuffle by
+    // doc_id → the exchange is reused); intersection via array_intersect
+    // on the candidate pairs only. Candidates are the LSH output, so the
+    // expensive part never sees all-pairs.
+    val shSets = shingleHashes(spark, dir)
+      .groupBy("doc_id").agg(collect_set(col("h")).as("hs"))
+    val inter = size(array_intersect(col("a.hs"), col("b.hs")))
+    val jac = inter.cast("double") /
+      (size(col("a.hs")) + size(col("b.hs")) - inter)
+    candidatePairs(spark, dir)
+      .join(shSets.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(shSets.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
       .where(col("jaccard") >= JaccardThreshold)
   }
   val dedupNgramJaccardSql: String =
