@@ -37,6 +37,7 @@ object SparkEntry {
     // similarity search (§2 #20-21)
     "ann_topk" -> Similarity.annTopk _,
     "ann_lsh" -> Similarity.annLsh _,
+    "ann_ivf" -> Similarity.annIvf _,
     // text analysis (§2 #22-25)
     "lang_id" -> TextAnalysis.langId _,
     "quality_score" -> TextAnalysis.qualityScore _,
@@ -75,6 +76,7 @@ object SparkEntry {
     "dedup_embedding" -> Dedup.dedupEmbeddingSql,
     "ann_topk" -> Similarity.annTopkSql,
     "ann_lsh" -> Similarity.annLshSql,
+    "ann_ivf" -> Similarity.annIvfSql,
     "lang_id" -> TextAnalysis.langIdSql,
     "quality_score" -> TextAnalysis.qualityScoreSql,
     "token_count" -> TextAnalysis.tokenCountSql,

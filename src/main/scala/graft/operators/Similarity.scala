@@ -110,4 +110,108 @@ object Similarity {
        |)
        |SELECT vec_id, round(cos, 4) AS cos, CAST(rk AS BIGINT) AS rk
        |FROM ranked WHERE rk <= $TopK""".stripMargin
+
+  // ---- #21b IVF ANN: learned centroids (one Lloyd pass) -----------------
+  /** Coarse quantizer: seed centroids = first IvfK vectors (deterministic
+    * training sample), one relational Lloyd refinement (assign → per-dim
+    * mean), refined centroids cast to float on both engines so the
+    * assignment math is identical. Query probes IvfProbes nearest cells —
+    * at 100 TB the cell id is the partitioning key and a probe touches
+    * only matching partitions. */
+  val IvfK = 16
+  val IvfProbes = 2
+
+  /** Squared L2 via three dots, same assoc order as the SQL mirror. */
+  private def l2sq(a: String, c: String) =
+    dotExpr(a, a) + dotExpr(c, c) - lit(2.0) * dotExpr(a, c)
+  private def sqlL2sq(a: String, c: String) =
+    s"(${sqlDotExpr(a, a)}) + (${sqlDotExpr(c, c)}) - 2 * (${sqlDotExpr(a, c)})"
+
+  /** Refined float centroids: (cid, c array<float>). */
+  def ivfCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val seeds = e.orderBy("vec_id").limit(IvfK)
+      .select(col("vec_id").as("cid"), col("embedding").as("c"))
+    val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+    val assign1 = e.crossJoin(broadcast(seeds))
+      .withColumn("dist", l2sq("embedding", "c"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("cid"), col("embedding"))
+    assign1
+      .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("cid", "pos").agg(avg(col("v").cast("double")).as("m"))
+      .groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m").cast("float")).as("c"))
+  }
+  private val ivfCentroidsCte: String =
+    s"""seeds AS (
+       |  SELECT vec_id AS cid, embedding AS c FROM embeddings
+       |  ORDER BY vec_id LIMIT $IvfK
+       |), a1 AS (
+       |  SELECT vec_id, embedding, cid,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY ${sqlL2sq("embedding", "c")}, cid) AS rn
+       |  FROM embeddings CROSS JOIN seeds
+       |), ref AS (
+       |  SELECT cid, g.i,
+       |    CAST(avg(CAST(embedding[g.i] AS DOUBLE)) AS FLOAT) AS m
+       |  FROM a1, unnest(range(1, ${Dedup.Dim} + 1)) AS g(i)
+       |  WHERE rn = 1 GROUP BY 1, 2
+       |), cents AS (
+       |  SELECT cid, list(m ORDER BY i) AS c FROM ref GROUP BY cid
+       |)""".stripMargin
+
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cents = ivfCentroids(spark, dir)
+    val q = e.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    // probe cells: IvfProbes nearest centroids to the query
+    val wq = Window.partitionBy("qid").orderBy(col("qdist"), col("cid"))
+    val probes = cents.crossJoin(broadcast(q))
+      .withColumn("qdist", l2sq("qv", "c"))
+      .withColumn("qrn", row_number().over(wq)).where(col("qrn") <= IvfProbes)
+      .select(col("cid"), col("qid"), col("qv"))
+    // assign every vector to its cell, keep only probed cells
+    val wa = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("dist", l2sq("embedding", "c"))
+      .withColumn("rn", row_number().over(wa)).where(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+    val wr = Window.orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(probes, "cid")
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("vec_id"), cosExpr("embedding", "qv").as("cos"))
+      .withColumn("rk", row_number().over(wr)).where(col("rk") <= TopK)
+      .select(col("vec_id"), round(col("cos"), 4).as("cos"), col("rk").cast("long").as("rk"))
+  }
+  val annIvfSql: String =
+    s"""WITH $ivfCentroidsCte, q AS (
+       |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |  ORDER BY vec_id LIMIT 1
+       |), probes AS (
+       |  SELECT cid, qid, qv FROM (
+       |    SELECT c.cid, q.qid, q.qv,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY ${sqlL2sq("q.qv", "c.c")}, c.cid) AS qrn
+       |    FROM cents c CROSS JOIN q
+       |  ) WHERE qrn <= $IvfProbes
+       |), assigned AS (
+       |  SELECT vec_id, embedding, cid FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqlL2sq("e.embedding", "c.c")}, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cents c
+       |  ) WHERE rn = 1
+       |), scored AS (
+       |  SELECT a.vec_id, ${sqlCos("a.embedding", "p.qv")} AS cos
+       |  FROM assigned a JOIN probes p USING (cid)
+       |  WHERE a.vec_id <> p.qid
+       |), ranked AS (
+       |  SELECT vec_id, cos, row_number() OVER (ORDER BY cos DESC, vec_id) AS rk
+       |  FROM scored
+       |)
+       |SELECT vec_id, round(cos, 4) AS cos, CAST(rk AS BIGINT) AS rk
+       |FROM ranked WHERE rk <= $TopK""".stripMargin
 }

@@ -38,6 +38,18 @@ class SimilaritySpec extends SparkTestBase {
     assert(!rows.contains(4L) || true) // opposite may fall out of probe range
   }
 
+  test("IVF ANN probes nearest cells only (partial recall by design)") {
+    val rows = Similarity.annIvf(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // every fixture vector is its own cell (5 vecs, 16 seeds) → the probe
+    // reaches the query's cell + its nearest neighbour cell: vec 2
+    assert(rows.contains(2L) && rows(2L) > 0.97)
+    assert(!rows.contains(4L)) // opposite direction cell never probed
+    val cents = Similarity.ivfCentroids(spark, dir)
+    assert(cents.count() <= Similarity.IvfK)
+    assert(cents.collect().forall(_.getSeq[Float](1).length == 64))
+  }
+
   test("embedding cosine near-dup pairs same-direction vectors") {
     val pairs = Dedup.dedupEmbedding(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
