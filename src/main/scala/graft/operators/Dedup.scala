@@ -47,7 +47,10 @@ object Dedup {
   val CoefB: IndexedSeq[Long] = (0 until K).map(i => (i.toLong * 32452843L + 49979687L) % P)
   val ShingleK = 5
 
-  /** Distinct char-k-gram shingles with their shared md5-based base hash. */
+  /** Char-k-gram shingle hashes (shared md5-based hash). NOT deduped: both
+    * consumers (min-signatures, collect_set) are dedup-insensitive, so a
+    * pre-distinct would only add a corpus-sized shuffle. The oracle keeps
+    * DISTINCT for clarity — semantically identical. */
   def shingleHashes(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .where(length(col("text")) >= ShingleK)
@@ -55,7 +58,6 @@ object Dedup {
         explode(sequence(lit(1), length(col("text")) - (ShingleK - 1))).as("pos"))
       .select(col("doc_id"),
         (md5Long(col("text").substr(col("pos"), lit(ShingleK))) % P).as("h"))
-      .distinct()
 
   private val shinglesCte =
     s"""WITH sh AS (

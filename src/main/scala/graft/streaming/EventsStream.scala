@@ -24,6 +24,13 @@ object EventsStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exact dedup (the LLM-pipeline dedup op on an unbounded
+    * source): state bounded by the watermark horizon, keyed by event_id. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   case class Ev(user_id: Long, ts: java.sql.Timestamp)
   case class SessionState(start: Long, end: Long, n: Long)
   case class SessionOut(user_id: Long, start_epoch: Long, end_epoch: Long, n_events: Long)

@@ -69,6 +69,20 @@ class SourcesAndStreamingSpec extends SparkTestBase {
     assert(rows.contains((1L, 100L, 200L, 2L)))
   }
 
+  test("streaming dedup drops duplicate event_ids within the watermark") {
+    val input = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val df = input.toDF().toDF("event_id", "ts")
+    val q = EventsStream.dedupEvents(df)
+      .writeStream.format("memory").queryName("dedup_ev")
+      .outputMode("append").start()
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    input.addData((1L, t(10)), (1L, t(11)), (2L, t(12)), (2L, t(12)), (3L, t(13)))
+    q.processAllAvailable()
+    val ids = spark.table("dedup_ev").collect().map(_.getLong(0)).sorted
+    q.stop()
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("float_dot is SQL-callable via GraftExtensions") {
     val v = spark.sql(
       "SELECT float_dot(array(CAST(1.5 AS FLOAT), CAST(2 AS FLOAT)), array(CAST(2 AS FLOAT), CAST(3 AS FLOAT)))")
