@@ -15,10 +15,14 @@ object Bench {
     // JVM/codegen warmup so the first measured query doesn't absorb
     // session startup (~5s of JIT + classloading).
     spark.range(1000000).selectExpr("sum(id * 2)").collect()
+    // best of 2 runs per query: measures the plan, not first-run JIT noise
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

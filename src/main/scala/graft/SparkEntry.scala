@@ -45,6 +45,7 @@ object SparkEntry {
     "fingerprint" -> TextAnalysis.fingerprint _,
     // multimodal (§2 #26)
     "multimodal_meta" -> Multimodal.multimodalMeta _,
+    "multimodal_frames" -> Multimodal.multimodalFrames _,
     // supplementary OLAP + events (§2 #27-31)
     "q1_agg" -> Relational.q1Agg _,
     "join_enrich" -> Relational.joinEnrich _,
@@ -82,6 +83,7 @@ object SparkEntry {
     "token_count" -> TextAnalysis.tokenCountSql,
     "fingerprint" -> TextAnalysis.fingerprintSql,
     "multimodal_meta" -> Multimodal.multimodalMetaSql,
+    "multimodal_frames" -> Multimodal.multimodalFramesSql,
     "q1_agg" -> Relational.q1AggSql,
     "join_enrich" -> Relational.joinEnrichSql,
     "top_customers_window" -> Relational.topCustomersWindowSql,

@@ -39,6 +39,42 @@ object Multimodal {
       .mapPartitions(_.map(decodeStub))
       .toDF()
   }
+
+  case class Frame(doc_id: Long, frame_idx: Long, frame_off: Long, frame_md5: String)
+
+  /** Frame sampling: the one-to-many decode shape (video → frames, audio →
+    * windows). The STUB samples a fixed-stride byte window per frame; a real
+    * decoder would demux the container instead. The plumbing — typed
+    * flatMap, per-doc fan-out, fixed schema, executor-side only — is real. */
+  val FrameStride = 64
+  val FrameLen = 32
+  def frameSample(r: DocBlob): Iterator[Frame] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = r.blob.length
+    // floorDiv so blobs shorter than a frame yield 0 frames (matches the
+    // oracle's `//` floor division)
+    Iterator.range(0, math.max(Math.floorDiv(n - FrameLen, FrameStride) + 1, 0)).map { i =>
+      val off = i * FrameStride
+      val hex = md.digest(r.blob.slice(off, off + FrameLen))
+        .map("%02x".format(_)).mkString
+      Frame(r.doc_id, i.toLong, off.toLong, hex)
+    }
+  }
+
+  def multimodalFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .as[DocBlob]
+      .mapPartitions(_.flatMap(frameSample))
+      .toDF()
+  }
+  val multimodalFramesSql: String =
+    s"""SELECT doc_id, g.i AS frame_idx, g.i * $FrameStride AS frame_off,
+       |  md5(substr(text, CAST(g.i * $FrameStride + 1 AS INTEGER), $FrameLen)) AS frame_md5
+       |FROM documents,
+       |  unnest(range(0, greatest((length(text) - $FrameLen) // $FrameStride + 1, 0))) AS g(i)
+       |WHERE length(text) >= 1""".stripMargin
   val multimodalMetaSql: String =
     """SELECT doc_id,
       |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
