@@ -47,22 +47,30 @@ object Dedup {
   val CoefB: IndexedSeq[Long] = (0 until K).map(i => (i.toLong * 32452843L + 49979687L) % P)
   val ShingleK = 5
 
-  /** Char-k-gram shingle hashes (shared md5-based hash). NOT deduped: both
-    * consumers (min-signatures, collect_set) are dedup-insensitive, so a
-    * pre-distinct would only add a corpus-sized shuffle. The oracle keeps
-    * DISTINCT for clarity — semantically identical. */
+  /** Rolling-hash base for shingles (see ShinglePolyHash). */
+  val ShingleB = 131L
+
+  /** Char-k-gram shingle hashes via the codegen'd one-pass rolling hash.
+    * NOT deduped: both consumers (min-signatures, collect_set) are
+    * dedup-insensitive, so a pre-distinct would only add a corpus-sized
+    * shuffle. The oracle keeps DISTINCT for clarity — semantically
+    * identical. */
   def shingleHashes(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .where(length(col("text")) >= ShingleK)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")) - (ShingleK - 1))).as("pos"))
       .select(col("doc_id"),
-        (md5Long(col("text").substr(col("pos"), lit(ShingleK))) % P).as("h"))
+        explode(org.apache.spark.sql.graft.ShinglePolyHash(
+          col("text"), ShingleK, ShingleB, P)).as("h"))
+
+  /** The same fold as ShinglePolyHash, unrolled: ((…*B + ord_j) % P)… */
+  private def sqlShingleHash(textExpr: String, posExpr: String): String =
+    (0 until ShingleK).foldLeft("CAST(0 AS BIGINT)") { (acc, j) =>
+      s"(($acc * $ShingleB + ord(substr($textExpr, CAST($posExpr AS INTEGER) + $j, 1))) % $P)"
+    }
 
   private val shinglesCte =
     s"""WITH sh AS (
        |  SELECT DISTINCT d.doc_id,
-       |    ${sqlMd5Long(s"substr(d.text, CAST(g.pos AS INTEGER), $ShingleK)")} % $P AS h
+       |    ${sqlShingleHash("d.text", "g.pos")} AS h
        |  FROM documents d,
        |    unnest(range(1, length(d.text) - ${ShingleK - 1} + 1)) AS g(pos)
        |  WHERE length(d.text) >= $ShingleK

@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.Scale
+
+class ScaleSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("salted aggregation equals direct aggregation") {
+    val df = (1 to 5000).map(i => (if (i % 10 == 0) "hot" else s"k${i % 37}", i.toDouble))
+      .toDF("k", "v")
+    val salted = Scale.saltedAgg(df, "k", "v", 8).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val direct = df.groupBy("k")
+      .agg(org.apache.spark.sql.functions.count("*").as("n"),
+        org.apache.spark.sql.functions.sum("v").as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(salted.keySet == direct.keySet)
+    direct.foreach { case (k, (n, s)) =>
+      assert(salted(k)._1 == n, s"count for $k")
+      assert(math.abs(salted(k)._2 - s) < 1e-6, s"sum for $k")
+    }
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      val customer = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      Scale.writeBucketed(orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        "orders_b", "o_custkey", 8)
+      Scale.writeBucketed(customer.select("c_custkey", "c_name"),
+        "customer_b", "c_custkey", 8)
+      val joined = spark.table("orders_b")
+        .join(spark.table("customer_b"), $"o_custkey" === $"c_custkey")
+      assert(joined.count() > 0)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+}

@@ -23,6 +23,17 @@ class SourcesAndStreamingSpec extends SparkTestBase {
     // header words (#HEADER#) and stopwords (the) must not leak through
   }
 
+  test("writeAnagramParts produces per-reducer part files") {
+    val books = Files.createTempDirectory("graft-books3")
+    Files.writeString(Paths.get(books.toString, "b.txt"), "care race part trap dog god")
+    val out = Files.createTempDirectory("graft-out").toString + "/parts"
+    GutenbergSource.writeAnagramParts(spark, books.toString, out, 3)
+    val parts = new java.io.File(out).listFiles().filter(_.getName.startsWith("part-"))
+    assert(parts.length == 3)
+    val lines = parts.flatMap(f => scala.io.Source.fromFile(f).getLines()).toSet
+    assert(lines == Set("acer: care race", "aprt: part trap", "dgo: dog god"))
+  }
+
   test("gutenberg source decodes ISO-8859-1 bytes like the Go rune cast") {
     val dir = Files.createTempDirectory("graft-books2")
     // 0xE7 is ç in Latin-1; invalid as standalone UTF-8
