@@ -43,6 +43,10 @@ object SparkEntry {
     "quality_score" -> TextAnalysis.qualityScore _,
     "token_count" -> TextAnalysis.tokenCount _,
     "fingerprint" -> TextAnalysis.fingerprint _,
+    "tfidf_top_terms" -> TextAnalysis.tfidfTopTerms _,
+    "sample_deterministic" -> TextAnalysis.sampleDeterministic _,
+    "redact_pii" -> TextAnalysis.redactPii _,
+    "word_bigrams" -> TextAnalysis.wordBigrams _,
     // multimodal (§2 #26)
     "multimodal_meta" -> Multimodal.multimodalMeta _,
     "multimodal_frames" -> Multimodal.multimodalFrames _,
@@ -82,6 +86,10 @@ object SparkEntry {
     "quality_score" -> TextAnalysis.qualityScoreSql,
     "token_count" -> TextAnalysis.tokenCountSql,
     "fingerprint" -> TextAnalysis.fingerprintSql,
+    "tfidf_top_terms" -> TextAnalysis.tfidfTopTermsSql,
+    "sample_deterministic" -> TextAnalysis.sampleDeterministicSql,
+    "redact_pii" -> TextAnalysis.redactPiiSql,
+    "word_bigrams" -> TextAnalysis.wordBigramsSql,
     "multimodal_meta" -> Multimodal.multimodalMetaSql,
     "multimodal_frames" -> Multimodal.multimodalFramesSql,
     "q1_agg" -> Relational.q1AggSql,

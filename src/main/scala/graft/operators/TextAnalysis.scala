@@ -112,6 +112,116 @@ object TextAnalysis {
        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens
        |FROM documents""".stripMargin
 
+  // ---- TF-IDF top terms per document ------------------------------------
+  // rank on (rounded score, term) so a last-ulp ln() difference between
+  // libm implementations can't flip the ordering.
+  val TfIdfTopN = 5
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val toksDf = docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), WsTokenRe)).as("tok"))
+      .where(col("tok") =!= "")
+      .select(col("doc_id"), lower(col("tok")).as("term"))
+    val nDocs = docs(spark, dir).select(countDistinct(col("doc_id")).as("nd"))
+    val tf = toksDf.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("doc_len", sum(col("tf")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+    val df_ = toksDf.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(df_, "term").crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round((col("tf").cast("double") / col("doc_len"))
+          * log((col("nd").cast("double") + 1.0) / (col("df").cast("double") + 1.0)), 4))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= TfIdfTopN)
+      .select(col("doc_id"), col("term"), col("score"), col("rk").cast("long").as("rk"))
+  }
+  val tfidfTopTermsSql: String =
+    s"""WITH toks AS (
+       |  SELECT d.doc_id, lower(t.w) AS term
+       |  FROM documents d, unnest(string_split_regex(d.text, '\\s+')) AS t(w)
+       |  WHERE t.w <> ''
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+       |), tl AS (
+       |  SELECT *, sum(tf) OVER (PARTITION BY doc_id) AS doc_len FROM tf
+       |), dfq AS (
+       |  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+       |), nd AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+       |scored AS (
+       |  SELECT tl.doc_id, tl.term,
+       |    round((CAST(tf AS DOUBLE) / doc_len)
+       |      * ln((CAST(nd AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)), 4) AS score
+       |  FROM tl JOIN dfq USING (term) CROSS JOIN nd
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY score DESC, term) AS rk FROM scored
+       |)
+       |SELECT doc_id, term, score, CAST(rk AS BIGINT) AS rk
+       |FROM ranked WHERE rk <= $TfIdfTopN""".stripMargin
+
+  // ---- deterministic hash sampling (reproducible data mixing) -----------
+  val SamplePct = 10
+  def sampleDeterministic(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .where(pmod(md5Long(col("text")), lit(100)) < SamplePct)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+  val sampleDeterministicSql: String =
+    s"""SELECT doc_id, source, n_chars FROM documents
+       |WHERE ${sqlMd5Long("text")} % 100 < $SamplePct""".stripMargin
+
+  // ---- PII-style redaction ----------------------------------------------
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongDigitsRe = "[0-9]{7,}"
+  def redactPii(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      (regexp_count(col("text"), lit(EmailRe))
+        + regexp_count(col("text"), lit(LongDigitsRe))).cast("long").as("n_redactions"),
+      md5(regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        LongDigitsRe, "<NUM>")).as("redacted_md5"))
+  val redactPiiSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$EmailRe'))
+       |    + len(regexp_extract_all(text, '$LongDigitsRe')) AS BIGINT) AS n_redactions,
+       |  md5(regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+       |    '$LongDigitsRe', '<NUM>', 'g')) AS redacted_md5
+       |FROM documents""".stripMargin
+
+  // ---- word bigram counts (corpus n-gram statistics) --------------------
+  val BigramTopN = 50
+  def wordBigrams(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("bigram"))
+    docs(spark, dir)
+      .select(filter(transform(split(col("text"), WsTokenRe), t => lower(t)),
+        t => t =!= "").as("toks"))
+      .where(size(col("toks")) >= 2) // sequence(1,0) would run descending
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))"))
+        .as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= BigramTopN)
+      .select(col("bigram"), col("n"), col("rk").cast("long").as("rk"))
+  }
+  val wordBigramsSql: String =
+    s"""WITH toks AS (
+       |  SELECT list_filter(list_transform(
+       |    string_split_regex(text, '\\s+'), t -> lower(t)), t -> t <> '') AS t
+       |  FROM documents
+       |), bg AS (
+       |  SELECT g.b AS bigram
+       |  FROM toks, unnest(list_transform(range(1, len(t)),
+       |    i -> t[i] || ' ' || t[i + 1])) AS g(b)
+       |  WHERE len(t) >= 2
+       |), counted AS (
+       |  SELECT bigram, count(*) AS n FROM bg GROUP BY 1
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (ORDER BY n DESC, bigram) AS rk FROM counted
+       |)
+       |SELECT bigram, n, CAST(rk AS BIGINT) AS rk
+       |FROM ranked WHERE rk <= $BigramTopN""".stripMargin
+
   // ---- #25 winnowing fingerprints (k=5 char-grams, window w=4) ----------
   val FpK = 5
   val FpW = 4

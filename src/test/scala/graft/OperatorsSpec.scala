@@ -50,6 +50,44 @@ class OperatorsSpec extends SparkTestBase {
     assert(r.getAs[Long]("fake_height") == 1 + (h >> 10) % 1024)
   }
 
+  test("tfidf ranks doc-distinctive terms above common ones") {
+    val d = writeDocsFixture(Seq(
+      1L -> "spark spark spark common",
+      2L -> "duck duck common",
+      3L -> "common common words here",
+    ))
+    val top1 = TextAnalysis.tfidfTopTerms(spark, d)
+      .where($"rk" === 1).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top1(1L) == "spark") // unique to doc 1 and frequent there
+    assert(top1(2L) == "duck")
+  }
+
+  test("deterministic sampling is stable across runs") {
+    val a = TextAnalysis.sampleDeterministic(spark, docsDir).collect().map(_.getLong(0)).toSet
+    val b = TextAnalysis.sampleDeterministic(spark, docsDir).collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  test("pii redaction counts and scrubs emails and long digit runs") {
+    val d = writeDocsFixture(Seq(
+      1L -> "contact me at alice@example.com or call 12345678 thanks",
+      2L -> "no pii here at all",
+    ))
+    val rows = TextAnalysis.redactPii(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows(1L) == 2)
+    assert(rows(2L) == 0)
+  }
+
+  test("word bigrams count consecutive lowercase pairs") {
+    val d = writeDocsFixture(Seq(1L -> "big data big data big", 2L -> "single"))
+    val rows = TextAnalysis.wordBigrams(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("big data") == 2)
+    assert(rows("data big") == 2)
+    assert(!rows.keys.exists(_.contains("single")))
+  }
+
   test("sessionize splits on >30min gaps per user") {
     val d = java.nio.file.Files.createTempDirectory("graft-ev").toString
     val ns = 1000000000L
