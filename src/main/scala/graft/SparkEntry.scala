@@ -56,6 +56,9 @@ object SparkEntry {
     "top_customers_window" -> Relational.topCustomersWindow _,
     "events_window_agg" -> Relational.eventsWindowAgg _,
     "sessionize" -> Relational.sessionize _,
+    "asof_join" -> Relational.asofJoin _,
+    "value_quantiles" -> Relational.valueQuantiles _,
+    "event_pivot" -> Relational.eventPivot _,
   )
 
   /** DuckDB-equivalent SQL per query (same math, shared constants).
@@ -97,5 +100,8 @@ object SparkEntry {
     "top_customers_window" -> Relational.topCustomersWindowSql,
     "events_window_agg" -> Relational.eventsWindowAggSql,
     "sessionize" -> Relational.sessionizeSql,
+    "asof_join" -> Relational.asofJoinSql,
+    "value_quantiles" -> Relational.valueQuantilesSql,
+    "event_pivot" -> Relational.eventPivotSql,
   )
 }

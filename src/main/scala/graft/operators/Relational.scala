@@ -97,6 +97,81 @@ object Relational {
       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  // ---- as-of join: each purchase matched to the user's latest prior view
+  // Spark lacks a native as-of join; the union+window pattern composes
+  // existing operators (preference (a) of the custom-operator ladder): tag
+  // both sides, sort by time within user, carry the last view forward with
+  // last_value(ignoreNulls). One shuffle on user_id. The oracle uses
+  // DuckDB's native ASOF JOIN — two independent implementations agreeing.
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts DIV 1000000000").as("sec"))
+    // one view per (user, sec): ASOF tie-behavior on duplicate keys is
+    // engine-unspecified, so both sides agree on max(event_id)
+    val views = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id"), col("sec"))
+      .agg(max(col("event_id")).as("view_id"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("sec"), col("event_id"))
+    val tagged = purchases
+      .withColumn("view_id", lit(null).cast("long")).withColumn("side", lit(1))
+      .unionByName(views
+        .withColumn("event_id", lit(null).cast("long")).withColumn("side", lit(0)))
+    val w = Window.partitionBy("user_id").orderBy(col("sec"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_view", last(col("view_id"), ignoreNulls = true).over(w))
+      .where(col("side") === 1)
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("sec").as("purchase_sec"), col("last_view").as("matched_view_id"))
+  }
+  val asofJoinSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+      |  FROM events
+      |), v AS (
+      |  SELECT user_id, sec, max(event_id) AS view_id FROM ev
+      |  WHERE event_type = 'view' GROUP BY 1, 2
+      |), p AS (
+      |  SELECT user_id, sec, event_id FROM ev WHERE event_type = 'purchase'
+      |)
+      |SELECT p.user_id, p.event_id AS purchase_id, p.sec AS purchase_sec,
+      |  v.view_id AS matched_view_id
+      |FROM p ASOF LEFT JOIN v
+      |  ON p.user_id = v.user_id AND p.sec >= v.sec""".stripMargin
+
+  // ---- exact per-group quantiles ---------------------------------------
+  def valueQuantiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"))
+  val valueQuantilesSql: String =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 4) AS p50,
+      |  round(quantile_cont(value, 0.95), 4) AS p95
+      |FROM events GROUP BY 1""".stripMargin
+
+  // ---- pivot: event counts per user across types -----------------------
+  val PivotTypes = Seq("click", "view", "purchase", "signup", "error")
+  def eventPivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", PivotTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, PivotTypes)
+  val eventPivotSql: String = {
+    val cols = PivotTypes
+      .map(p => s"count(*) FILTER (WHERE event_type = '$p') AS \"$p\"")
+      .mkString(",\n  ")
+    s"""SELECT user_id,
+       |  $cols
+       |FROM events GROUP BY 1""".stripMargin
+  }
+
   // ---- #31 gap-based sessionization (30-min inactivity) ----------------
   // Second-floored timestamps on both engines so ns-vs-µs precision can't
   // skew the gap comparison.

@@ -109,6 +109,32 @@ class OperatorsSpec extends SparkTestBase {
     assert(u1(1)._3 == 1 && u1(1)._4 == 3000)
   }
 
+  test("asof join matches each purchase to the latest prior view") {
+    val d = java.nio.file.Files.createTempDirectory("graft-ev3").toString
+    val ns = 1000000000L
+    Seq(
+      (1L, 10L * ns, 1L, "view", 1.0, "{}"),
+      (2L, 20L * ns, 1L, "purchase", 9.0, "{}"), // → view 1
+      (3L, 30L * ns, 1L, "view", 1.0, "{}"),
+      (4L, 40L * ns, 1L, "purchase", 9.0, "{}"), // → view 3
+      (5L, 5L * ns, 2L, "purchase", 9.0, "{}"),  // no prior view → null
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val rows = Relational.asofJoin(spark, d).collect()
+      .map(r => r.getLong(1) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    assert(rows(2L).contains(1L))
+    assert(rows(4L).contains(3L))
+    assert(rows(5L).isEmpty)
+  }
+
+  test("event pivot produces one count column per type") {
+    val df = Relational.eventPivot(spark, "/root/testdata/sf0.001")
+    assert(df.columns.toSeq == Seq("user_id") ++ Relational.PivotTypes)
+    val total = Relational.PivotTypes
+      .map(c => df.agg(org.apache.spark.sql.functions.sum(c)).collect().head.getLong(0)).sum
+    assert(total == 1000) // all sf0.001 events accounted for
+  }
+
   test("events_window_agg buckets by hour") {
     val d = java.nio.file.Files.createTempDirectory("graft-ev2").toString
     val ns = 1000000000L
