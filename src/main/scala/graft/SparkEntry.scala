@@ -38,6 +38,7 @@ object SparkEntry {
     "ann_topk" -> Similarity.annTopk _,
     "ann_lsh" -> Similarity.annLsh _,
     "ann_ivf" -> Similarity.annIvf _,
+    "embedding_clusters" -> Similarity.embeddingClusters _,
     // text analysis (§2 #22-25)
     "lang_id" -> TextAnalysis.langId _,
     "quality_score" -> TextAnalysis.qualityScore _,
@@ -85,6 +86,7 @@ object SparkEntry {
     "ann_topk" -> Similarity.annTopkSql,
     "ann_lsh" -> Similarity.annLshSql,
     "ann_ivf" -> Similarity.annIvfSql,
+    "embedding_clusters" -> Similarity.embeddingClustersSql,
     "lang_id" -> TextAnalysis.langIdSql,
     "quality_score" -> TextAnalysis.qualityScoreSql,
     "token_count" -> TextAnalysis.tokenCountSql,

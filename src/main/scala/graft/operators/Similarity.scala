@@ -186,6 +186,33 @@ object Similarity {
       .withColumn("rk", row_number().over(wr)).where(col("rk") <= TopK)
       .select(col("vec_id"), round(col("cos"), 4).as("cos"), col("rk").cast("long").as("rk"))
   }
+  /** Corpus clustering via the same learned coarse quantizer: cluster
+    * sizes + mean cosine of members to their centroid (training-data
+    * diversity diagnostics). */
+  def embeddingClusters(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cents = ivfCentroids(spark, dir)
+    val wa = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("dist", l2sq("embedding", "c"))
+      .withColumn("rn", row_number().over(wa)).where(col("rn") === 1)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"),
+        round(avg(cosExpr("embedding", "c")), 4).as("avg_cos_to_centroid"))
+  }
+  val embeddingClustersSql: String =
+    s"""WITH $ivfCentroidsCte, assigned AS (
+       |  SELECT vec_id, embedding, cid, c FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid, c.c,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqlL2sq("e.embedding", "c.c")}, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cents c
+       |  ) WHERE rn = 1
+       |)
+       |SELECT cid, count(*) AS n_members,
+       |  round(avg(${sqlCos("embedding", "c")}), 4) AS avg_cos_to_centroid
+       |FROM assigned GROUP BY 1""".stripMargin
+
   val annIvfSql: String =
     s"""WITH $ivfCentroidsCte, q AS (
        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
