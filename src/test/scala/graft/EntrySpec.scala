@@ -1,0 +1,23 @@
+package graft
+
+/** Guards the driver contract: the flagship must return rows and every
+  * queries key must have either an oracle or a documented rows-only check. */
+class EntrySpec extends SparkTestBase {
+
+  test("entry flagship returns rows at sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query key has an oracle except documented rows-only ops") {
+    val rowsOnly = Set("partition_stats")
+    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == rowsOnly)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("all queries run at the smoke scale factor sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, "/root/testdata/sf0.001").count()
+      assert(n >= 0, s"$name failed")
+    }
+  }
+}
