@@ -187,16 +187,36 @@ object Dedup {
   // ---- #17 exact n-gram Jaccard on LSH candidates -----------------------
   val JaccardThreshold = 0.35
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // Per-doc shingle sets aggregated once (both join sides shuffle by
-    // doc_id → the exchange is reused); intersection via array_intersect
-    // on the candidate pairs only. Candidates are the LSH output, so the
-    // expensive part never sees all-pairs.
-    val shSets = shingleHashes(spark, dir)
-      .groupBy("doc_id").agg(collect_set(col("h")).as("hs"))
+    // ONE aggregation computes the minhash signature AND the shingle set
+    // per doc; its shuffle is shared by the band explode and both pair
+    // joins (identical subplan → exchange reuse), so the corpus-sized
+    // shingle explode executes once. Candidates are the LSH output, so
+    // the exact intersection never sees all-pairs.
+    val sigsets = shingleHashes(spark, dir).groupBy("doc_id")
+      .agg(collect_set(col("h")).as("hs"),
+        (0 until K).map(i =>
+          min((col("h") * CoefA(i) + CoefB(i)) % P).as(s"s$i")): _*)
+    val bandStructs = (0 until Bands).map { j =>
+      struct(lit(j).as("band"),
+        concat_ws(",", (0 until Rows).map(r => col(s"s${j * Rows + r}")): _*).as("key"))
+    }
+    val banded = sigsets
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val kept = banded.groupBy("band", "key")
+      .agg(count(lit(1)).as("bn")).where(col("bn").between(2, BucketCap))
+      .select("band", "key")
+    val bk = banded.join(kept, Seq("band", "key"))
+    val cand = bk.as("x").join(bk.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val shSets = sigsets.select(col("doc_id"), col("hs"))
     val inter = size(array_intersect(col("a.hs"), col("b.hs")))
     val jac = inter.cast("double") /
       (size(col("a.hs")) + size(col("b.hs")) - inter)
-    candidatePairs(spark, dir)
+    cand
       .join(shSets.as("a"), col("doc_a") === col("a.doc_id"))
       .join(shSets.as("b"), col("doc_b") === col("b.doc_id"))
       .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
