@@ -34,6 +34,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccard _,
     "dedup_simhash" -> Dedup.dedupSimhash _,
     "dedup_embedding" -> Dedup.dedupEmbedding _,
+    "dedup_components" -> Dedup.dedupComponents _,
     // similarity search (§2 #20-21)
     "ann_topk" -> Similarity.annTopk _,
     "ann_lsh" -> Similarity.annLsh _,
@@ -83,6 +84,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
     "dedup_simhash" -> Dedup.dedupSimhashSql,
     "dedup_embedding" -> Dedup.dedupEmbeddingSql,
+    "dedup_components" -> Dedup.dedupComponentsSql,
     "ann_topk" -> Similarity.annTopkSql,
     "ann_lsh" -> Similarity.annLshSql,
     "ann_ivf" -> Similarity.annIvfSql,

@@ -239,7 +239,67 @@ object Dedup {
        |JOIN sizes nb ON doc_b = nb.doc_id
        |WHERE round(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 4) >= $JaccardThreshold""".stripMargin
 
-  // ---- #18 SimHash near-dup ---------------------------------------------
+  // ---- dedup clusters: connected components over the near-dup graph -----
+  /** Near-dup pairs are only half the dedup story: transitive duplicates
+    * (A~B, B~C) must land in one cluster so a single representative (the
+    * min doc_id) survives. Iterative min-label propagation — each round is
+    * a distributed join+agg, converging in O(component diameter) rounds
+    * (tiny for dup clusters). The oracle reaches the same unique fixpoint
+    * through a recursive CTE. */
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhash(spark, dir).select("doc_a", "doc_b")
+      // materialize the small pair set once; the iteration re-reads it
+      .persist()
+    try {
+      val edges = pairs
+        .union(pairs.select(col("doc_b"), col("doc_a")))
+        .toDF("src", "dst")
+      // localCheckpoint each round: labels is referenced 3× per round, so
+      // without lineage truncation the logical plan grows ~3^rounds and
+      // planning time explodes (measured 111 s at sf0.1; ~5 s with it)
+      var labels = edges.select(col("src").as("doc")).distinct()
+        .withColumn("lbl", col("doc"))
+        .localCheckpoint(true)
+      var changed = 1L
+      var rounds = 0
+      // neighbor-min + pointer jumping (lbl := lbl of my lbl) converges in
+      // O(log n) rounds even on long chains; one action per round
+      while (changed > 0 && rounds < 50) {
+        val nbrMin = edges
+          .join(labels.withColumnRenamed("doc", "dst2"), col("dst") === col("dst2"))
+          .groupBy(col("src").as("doc"))
+          .agg(min(col("lbl")).as("nlbl"))
+        val stepped = labels.join(nbrMin, Seq("doc"), "left")
+          .select(col("doc"), col("lbl").as("old"),
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("mid"))
+        val jumped = stepped
+          .join(labels.select(col("doc").as("j_doc"), col("lbl").as("j_lbl")),
+            col("mid") === col("j_doc"), "left")
+          .select(col("doc"), col("old"),
+            least(col("mid"), coalesce(col("j_lbl"), col("mid"))).as("lbl"))
+          .localCheckpoint(true)
+        val t0 = System.nanoTime()
+        changed = jumped.where(col("lbl") =!= col("old")).count()
+        if (sys.env.contains("GRAFT_DEBUG_CC"))
+          System.err.println(s"[cc] round=$rounds changed=$changed ms=${(System.nanoTime() - t0) / 1000000}")
+        labels = jumped.select("doc", "lbl")
+        rounds += 1
+      }
+      labels.select(col("doc").as("doc_id"), col("lbl").as("component"))
+    } finally pairs.unpersist()
+  }
+  val dedupComponentsSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  ${dedupMinhashSql.linesIterator.mkString("\n  ")}
+       |), e AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs
+       |), r(doc, lbl) AS (
+       |  SELECT src, src FROM e
+       |  UNION
+       |  SELECT e.src, r.lbl FROM e JOIN r ON e.dst = r.doc
+       |)
+       |SELECT doc AS doc_id, min(lbl) AS component FROM r GROUP BY 1""".stripMargin
   /** 60-bit simhash over distinct lowercase tokens; 4×15-bit chunk blocking
     * guarantees recall for hamming ≤ 3 (pigeonhole). */
   val SimhashBits = 60

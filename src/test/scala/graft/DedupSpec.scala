@@ -50,6 +50,15 @@ class DedupSpec extends SparkTestBase {
     assert(!rows.contains((1L, 4L)))
   }
 
+  test("connected components group transitive near-duplicates") {
+    // A~B (identical), B~C (near) → one cluster {1,2,3} labeled by min id;
+    // doc 4 unrelated → absent from the pair graph entirely
+    val comps = Dedup.dedupComponents(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(1L) == 1L && comps(2L) == 1L && comps(3L) == 1L)
+    assert(!comps.contains(4L))
+  }
+
   test("signatures are one row per doc with K components") {
     val sig = Dedup.signatures(spark, dir)
     assert(sig.count() == 4)
