@@ -35,6 +35,7 @@ object SparkEntry {
     "dedup_simhash" -> Dedup.dedupSimhash _,
     "dedup_embedding" -> Dedup.dedupEmbedding _,
     "dedup_components" -> Dedup.dedupComponents _,
+    "dedup_survivors" -> Dedup.dedupSurvivors _,
     // similarity search (§2 #20-21)
     "ann_topk" -> Similarity.annTopk _,
     "ann_lsh" -> Similarity.annLsh _,
@@ -85,6 +86,7 @@ object SparkEntry {
     "dedup_simhash" -> Dedup.dedupSimhashSql,
     "dedup_embedding" -> Dedup.dedupEmbeddingSql,
     "dedup_components" -> Dedup.dedupComponentsSql,
+    "dedup_survivors" -> Dedup.dedupSurvivorsSql,
     "ann_topk" -> Similarity.annTopkSql,
     "ann_lsh" -> Similarity.annLshSql,
     "ann_ivf" -> Similarity.annIvfSql,

@@ -300,6 +300,24 @@ object Dedup {
        |  SELECT e.src, r.lbl FROM e JOIN r ON e.dst = r.doc
        |)
        |SELECT doc AS doc_id, min(lbl) AS component FROM r GROUP BY 1""".stripMargin
+
+  /** The end product of near-dedup: every doc_id that survives — cluster
+    * representatives (min id per component) plus all docs outside the
+    * near-dup graph. This is the frame a training pipeline feeds onward. */
+  def dedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val dropped = dedupComponents(spark, dir)
+      .where(col("doc_id") =!= col("component"))
+      .select("doc_id")
+    docs(spark, dir).select("doc_id")
+      .join(dropped, Seq("doc_id"), "left_anti")
+  }
+  val dedupSurvivorsSql: String =
+    s"""WITH comp AS (
+       |  ${dedupComponentsSql.linesIterator.mkString("\n  ")}
+       |)
+       |SELECT doc_id FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)""".stripMargin
+
   /** 60-bit simhash over distinct lowercase tokens; 4×15-bit chunk blocking
     * guarantees recall for hamming ≤ 3 (pigeonhole). */
   val SimhashBits = 60

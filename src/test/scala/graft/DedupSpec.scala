@@ -59,6 +59,11 @@ class DedupSpec extends SparkTestBase {
     assert(!comps.contains(4L))
   }
 
+  test("survivors keep one representative per cluster plus unrelated docs") {
+    val s = Dedup.dedupSurvivors(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(s == Set(1L, 4L)) // 1 represents {1,2,3}; 4 untouched
+  }
+
   test("signatures are one row per doc with K components") {
     val sig = Dedup.signatures(spark, dir)
     assert(sig.count() == 4)
