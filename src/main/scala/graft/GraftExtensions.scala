@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.FloatDotProduct
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.graft.{FloatDotProduct, NormalizeNfc, ShinglePolyHash}
 
 /** SparkSessionExtensions entry point: registers graft's custom Catalyst
   * expressions as SQL functions. Activate with
@@ -14,5 +15,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot"),
       (exprs: Seq[Expression]) => FloatDotProduct(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NormalizeNfc].getName, "nfc_normalize"),
+      (exprs: Seq[Expression]) => NormalizeNfc(exprs.head)))
+    def longOf(e: Expression): Long = e.asInstanceOf[Literal].value match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case other => throw new IllegalArgumentException(s"expected int literal, got $other")
+    }
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_poly_hash"),
+      new ExpressionInfo(classOf[ShinglePolyHash].getName, "shingle_poly_hash"),
+      (exprs: Seq[Expression]) => ShinglePolyHash(exprs.head,
+        longOf(exprs(1)).toInt, longOf(exprs(2)), longOf(exprs(3)))))
   }
 }

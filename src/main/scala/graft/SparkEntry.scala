@@ -17,6 +17,7 @@ object SparkEntry {
     // reference pipeline (§2 #1-14)
     "ingest_documents" -> Anagrams.ingestDocuments _,
     "utf8_normalize" -> Anagrams.utf8Normalize _,
+    "normalize_unicode" -> Anagrams.normalizeUnicode _,
     "strip_gutenberg" -> Anagrams.stripGutenbergQ _,
     "tokenize" -> Anagrams.tokenize _,
     "doc_unique_words" -> Anagrams.docUniqueWords _,
@@ -70,6 +71,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "ingest_documents" -> Anagrams.ingestDocumentsSql,
     "utf8_normalize" -> Anagrams.utf8NormalizeSql,
+    "normalize_unicode" -> Anagrams.normalizeUnicodeSql,
     "strip_gutenberg" -> Anagrams.stripGutenbergSql,
     "tokenize" -> Anagrams.tokenizeSql,
     "doc_unique_words" -> Anagrams.docUniqueWordsSql,

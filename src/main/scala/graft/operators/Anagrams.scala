@@ -94,6 +94,18 @@ object Anagrams {
     )
   val utf8NormalizeSql = "SELECT doc_id, md5(text) AS text_md5 FROM documents"
 
+  // ---- #2b Unicode NFC normalization (custom expression; DuckDB twin is
+  // the native nfc_normalize) ---------------------------------------------
+  def normalizeUnicode(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      md5(org.apache.spark.sql.graft.NormalizeNfc(col("text"))).as("nfc_md5"),
+      length(org.apache.spark.sql.graft.NormalizeNfc(col("text"))).cast("long").as("nfc_len"))
+  val normalizeUnicodeSql =
+    """SELECT doc_id, md5(nfc_normalize(text)) AS nfc_md5,
+      |  CAST(length(nfc_normalize(text)) AS BIGINT) AS nfc_len
+      |FROM documents""".stripMargin
+
   // ---- #3 Gutenberg header/footer strip (mapphase/split.go:90-116) ------
   def stripGutenbergQ(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(

@@ -94,6 +94,28 @@ class SourcesAndStreamingSpec extends SparkTestBase {
     assert(ids.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("nfc_normalize collapses combining characters to composed form") {
+    // U+0065 U+0301 (e + combining acute) -> U+00E9
+    val decomposed = "cafe\u0301"
+    val composed = "caf\u00e9"
+    assert(decomposed != composed && decomposed.length == 5)
+    val rows = Seq(decomposed).toDF("t")
+      .select(org.apache.spark.sql.graft.NormalizeNfc($"t").as("n")).as[String].collect()
+    assert(rows.head == composed)
+    // SQL-callable via extensions too
+    val viaSql = spark.sql(s"SELECT nfc_normalize('$decomposed')").collect().head.getString(0)
+    assert(viaSql == composed)
+  }
+
+  test("shingle_poly_hash is SQL-callable and matches the column API") {
+    val viaSql = spark.sql("SELECT shingle_poly_hash('abcdef', 5, 131, 2147483647)")
+      .collect().head.getSeq[Long](0)
+    val viaCol = Seq("abcdef").toDF("t")
+      .select(org.apache.spark.sql.graft.ShinglePolyHash($"t", 5, 131L, 2147483647L))
+      .collect().head.getSeq[Long](0)
+    assert(viaSql == viaCol && viaSql.length == 2)
+  }
+
   test("float_dot is SQL-callable via GraftExtensions") {
     val v = spark.sql(
       "SELECT float_dot(array(CAST(1.5 AS FLOAT), CAST(2 AS FLOAT)), array(CAST(2 AS FLOAT), CAST(3 AS FLOAT)))")
