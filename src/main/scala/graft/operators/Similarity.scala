@@ -52,17 +52,28 @@ object Similarity {
   private def sqlCos(a: String, b: String) =
     s"(${sqlDotExpr(a, b)}) / (sqrt(${sqlDotExpr(a, a)}) * sqrt(${sqlDotExpr(b, b)}))"
 
+  /** Global top-k WITHOUT a single-partition window: orderBy+limit compiles
+    * to TakeOrderedAndProject (per-partition partial top-k, k-row merge —
+    * the plan that survives 100 TB); ranks are then recovered by sorting
+    * the ≤k survivors inside one array (constant-size work, one row).
+    * The previous row_number() over an unpartitioned Window moved every
+    * scored row into a single partition. */
+  private def topkRanked(scored: DataFrame): DataFrame =
+    scored.orderBy(col("cos").desc, col("vec_id")).limit(TopK)
+      .select(struct(negate(col("cos")).as("nc"), col("vec_id").as("vec_id"),
+        col("cos").as("cos")).as("s"))
+      .agg(array_sort(collect_list(col("s"))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("pos", "s")))
+      .select(col("s.vec_id").as("vec_id"), round(col("s.cos"), 4).as("cos"),
+        (col("pos") + 1).cast("long").as("rk"))
+
   // ---- #20 brute-force cosine top-k ------------------------------------
   def annTopk(spark: SparkSession, dir: String): DataFrame = {
     val q = emb(spark, dir).orderBy("vec_id").limit(1)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val w = Window.orderBy(col("cos").desc, col("vec_id"))
-    emb(spark, dir).crossJoin(broadcast(q))
+    topkRanked(emb(spark, dir).crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("qid"))
-      .select(col("vec_id"), cosExpr("embedding", "qv").as("cos"))
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= TopK)
-      .select(col("vec_id"), round(col("cos"), 4).as("cos"), col("rk").cast("long").as("rk"))
+      .select(col("vec_id"), cosExpr("embedding", "qv").as("cos")))
   }
   val annTopkSql: String =
     s"""WITH q AS (
@@ -84,14 +95,10 @@ object Similarity {
     val q = e.orderBy("vec_id").limit(1)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         col("bucket").as("qbucket"))
-    val w = Window.orderBy(col("cos").desc, col("vec_id"))
-    e.crossJoin(broadcast(q))
+    topkRanked(e.crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("qid")
         && bit_count(col("bucket").bitwiseXOR(col("qbucket"))) <= 1)
-      .select(col("vec_id"), cosExpr("embedding", "qv").as("cos"))
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= TopK)
-      .select(col("vec_id"), round(col("cos"), 4).as("cos"), col("rk").cast("long").as("rk"))
+      .select(col("vec_id"), cosExpr("embedding", "qv").as("cos")))
   }
   val annLshSql: String =
     s"""WITH e AS (
@@ -179,12 +186,9 @@ object Similarity {
       .withColumn("dist", l2sq("embedding", "c"))
       .withColumn("rn", row_number().over(wa)).where(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("cid"))
-    val wr = Window.orderBy(col("cos").desc, col("vec_id"))
-    assigned.join(probes, "cid")
+    topkRanked(assigned.join(probes, "cid")
       .where(col("vec_id") =!= col("qid"))
-      .select(col("vec_id"), cosExpr("embedding", "qv").as("cos"))
-      .withColumn("rk", row_number().over(wr)).where(col("rk") <= TopK)
-      .select(col("vec_id"), round(col("cos"), 4).as("cos"), col("rk").cast("long").as("rk"))
+      .select(col("vec_id"), cosExpr("embedding", "qv").as("cos")))
   }
   /** Corpus clustering via the same learned coarse quantizer: cluster
     * sizes + mean cosine of members to their centroid (training-data

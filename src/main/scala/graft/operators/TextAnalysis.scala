@@ -190,9 +190,7 @@ object TextAnalysis {
 
   // ---- word bigram counts (corpus n-gram statistics) --------------------
   val BigramTopN = 50
-  def wordBigrams(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("n").desc, col("bigram"))
+  def wordBigrams(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(filter(transform(split(col("text"), WsTokenRe), t => lower(t)),
         t => t =!= "").as("toks"))
@@ -201,9 +199,17 @@ object TextAnalysis {
         "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))"))
         .as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("n"))
-      .withColumn("rk", row_number().over(w)).where(col("rk") <= BigramTopN)
-      .select(col("bigram"), col("n"), col("rk").cast("long").as("rk"))
-  }
+      // top-N via orderBy+limit → TakeOrderedAndProject (per-partition
+      // partial top-N, N-row merge), NOT an unpartitioned window that would
+      // single-partition the billion-row distinct-bigram table at 100 TB;
+      // ranks recovered by sorting the ≤N survivors inside one array.
+      .orderBy(col("n").desc, col("bigram")).limit(BigramTopN)
+      .select(struct(negate(col("n")).as("nn"), col("bigram").as("bigram"),
+        col("n").as("n")).as("s"))
+      .agg(array_sort(collect_list(col("s"))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("pos", "s")))
+      .select(col("s.bigram").as("bigram"), col("s.n").as("n"),
+        (col("pos") + 1).cast("long").as("rk"))
   val wordBigramsSql: String =
     s"""WITH toks AS (
        |  SELECT list_filter(list_transform(
