@@ -2,21 +2,36 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.functions.TextFns._
 
 /** LLM-pipeline deduplication (SURVEY.md §2 #15-19).
   *
   * Scale design (100 TB): every near-dup variant generates candidate pairs
-  * through bucketed joins (LSH bands / simhash chunks), never all-pairs.
-  * Signature aggregation is map-side partial (min/sum are commutative), so
-  * the only corpus-sized shuffle is the shingle explode feeding it; band
-  * buckets are capped implicitly by the s-curve (non-discriminative buckets
-  * can be dropped by a count-filter without changing recall materially).
+  * through bucketed joins (LSH bands / simhash chunks / hyperplane buckets),
+  * never all-pairs. Signature aggregation is map-side partial (min/sum are
+  * commutative), so the only corpus-sized shuffle is the shingle explode
+  * feeding it — and that explode runs ONCE per corpus: the per-doc
+  * signature+shingle-set frame is materialized (persist locally; a columnar
+  * table at cluster scale) and shared by the minhash, jaccard, components
+  * and survivors queries instead of being recomputed from raw text by each.
   */
 object Dedup {
 
   private def docs(spark: SparkSession, dir: String) =
     spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Per-(session, corpus) materialized intermediates. Local analog of
+    * writing the signature table to parquet once and reading it from every
+    * downstream job — the four LSH-family queries share one shingle pass. */
+  private val sigSetCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private val compCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private def cacheKey(spark: SparkSession, dir: String) =
+    (spark.sparkContext.applicationId, dir)
 
   // ---- #15 exact dedup --------------------------------------------------
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -76,13 +91,25 @@ object Dedup {
        |  WHERE length(d.text) >= $ShingleK
        |)""".stripMargin
 
-  /** One row per doc: s0..s{K-1} minhash signature (single map-side-partial agg). */
+  /** The materialized LSH intermediate: one row per doc carrying BOTH the
+    * K-component minhash signature (s0..s{K-1}) and the distinct shingle-hash
+    * set (hs). Computed with a single map-side-partial aggregation over ONE
+    * shingle explode, then persisted per (session, corpus) — minhash reads
+    * the signatures, jaccard reads signatures+sets, components/survivors
+    * read the pair graph derived from it. At 100 TB this is the signature
+    * table you write to parquet once per corpus snapshot. */
+  def sigSets(spark: SparkSession, dir: String): DataFrame =
+    sigSetCache.getOrElseUpdate(cacheKey(spark, dir),
+      shingleHashes(spark, dir).groupBy("doc_id")
+        .agg(collect_set(col("h")).as("hs"),
+          (0 until K).map(i =>
+            min((col("h") * CoefA(i) + CoefB(i)) % P).as(s"s$i")): _*)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+
+  /** One row per doc: s0..s{K-1} minhash signature (pruned read of the
+    * materialized intermediate). */
   def signatures(spark: SparkSession, dir: String): DataFrame =
-    shingleHashes(spark, dir).groupBy("doc_id")
-      .agg(
-        min((col("h") * CoefA(0) + CoefB(0)) % P).as("s0"),
-        (1 until K).map(i =>
-          min((col("h") * CoefA(i) + CoefB(i)) % P).as(s"s$i")): _*)
+    sigSets(spark, dir).drop("hs")
 
   private val signaturesCte: String = {
     val aggs = (0 until K)
@@ -93,16 +120,6 @@ object Dedup {
        |    $aggs
        |  FROM sh GROUP BY doc_id
        |)""".stripMargin
-  }
-
-  /** doc_id → (band, key) exploded; key = concat of the band's sig rows. */
-  private def bandedDf(sig: DataFrame): DataFrame = {
-    val bandStructs = (0 until Bands).map { j =>
-      struct(lit(j).as("band"),
-        concat_ws(",", (0 until Rows).map(r => col(s"s${j * Rows + r}")): _*).as("key"))
-    }
-    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
   private val bandedCte: String = {
@@ -126,21 +143,26 @@ object Dedup {
        |)""".stripMargin
   }
 
-  /** Candidate pairs from LSH band buckets (never all-pairs), carrying both
-    * docs' signature arrays so no join back to the signatures is needed
-    * (one shingle pass for the whole minhash query). Buckets larger than
-    * BucketCap are dropped before the self-join, bounding its output to
-    * |buckets|·cap² regardless of corpus size. */
-  def candidatePairsWithSigs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = signatures(spark, dir)
-      .withColumn("sa", array((0 until K).map(i => col(s"s$i")): _*))
+  /** doc_id → (band, key) exploded from a signature frame. */
+  private def bandedOf(sig: DataFrame, extraCols: Seq[String] = Nil): DataFrame = {
     val bandStructs = (0 until Bands).map { j =>
       struct(lit(j).as("band"),
         concat_ws(",", (0 until Rows).map(r => col(s"s${j * Rows + r}")): _*).as("key"))
     }
-    val banded = sig
-      .select(col("doc_id"), col("sa"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("sa"), col("bk.band").as("band"), col("bk.key").as("key"))
+    sig.select(col("doc_id") +: extraCols.map(col) :+
+        explode(array(bandStructs: _*)).as("bk"): _*)
+      .select(col("doc_id") +: extraCols.map(col) :+
+        col("bk.band").as("band") :+ col("bk.key").as("key"): _*)
+  }
+
+  /** Candidate pairs from LSH band buckets (never all-pairs), carrying both
+    * docs' signature arrays so no join back to the signatures is needed.
+    * Buckets larger than BucketCap are dropped before the self-join,
+    * bounding its output to |buckets|·cap² regardless of corpus size. */
+  def candidatePairsWithSigs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = signatures(spark, dir)
+      .withColumn("sa", array((0 until K).map(i => col(s"s$i")): _*))
+    val banded = bandedOf(sig, Seq("sa"))
     val kept = banded.groupBy("band", "key")
       .agg(count(lit(1)).as("bn"))
       .where(col("bn").between(2, BucketCap))
@@ -160,8 +182,8 @@ object Dedup {
   // ---- #16 MinHash near-dup: signature-estimated similarity -------------
   val MinhashSimThreshold = 0.5
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    // matching components counted from the carried arrays — one shingle
-    // pass total, no joins back to the signature table
+    // matching components counted from the carried arrays — no joins back
+    // to the signature table
     val matches = (0 until K)
       .map(i => when(element_at(col("sig_a"), i + 1) === element_at(col("sig_b"), i + 1), 1)
         .otherwise(0))
@@ -184,25 +206,22 @@ object Dedup {
        |WHERE round(CAST($matches AS DOUBLE) / $K, 4) >= $MinhashSimThreshold""".stripMargin
   }
 
+  /** The near-dup pair graph, materialized once per (session, corpus):
+    * components and survivors iterate over it without re-running LSH. */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    pairsCache.getOrElseUpdate(cacheKey(spark, dir),
+      dedupMinhash(spark, dir).select("doc_a", "doc_b")
+        .persist(StorageLevel.MEMORY_AND_DISK))
+
   // ---- #17 exact n-gram Jaccard on LSH candidates -----------------------
   val JaccardThreshold = 0.35
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // ONE aggregation computes the minhash signature AND the shingle set
-    // per doc; its shuffle is shared by the band explode and both pair
-    // joins (identical subplan → exchange reuse), so the corpus-sized
-    // shingle explode executes once. Candidates are the LSH output, so
-    // the exact intersection never sees all-pairs.
-    val sigsets = shingleHashes(spark, dir).groupBy("doc_id")
-      .agg(collect_set(col("h")).as("hs"),
-        (0 until K).map(i =>
-          min((col("h") * CoefA(i) + CoefB(i)) % P).as(s"s$i")): _*)
-    val bandStructs = (0 until Bands).map { j =>
-      struct(lit(j).as("band"),
-        concat_ws(",", (0 until Rows).map(r => col(s"s${j * Rows + r}")): _*).as("key"))
-    }
-    val banded = sigsets
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    // Signatures AND shingle sets come from the one materialized sigSets
+    // frame, so the corpus-sized shingle explode does not re-execute here.
+    // Candidates are the LSH output, so the exact intersection never sees
+    // all-pairs.
+    val ss = sigSets(spark, dir)
+    val banded = bandedOf(ss.drop("hs"))
     val kept = banded.groupBy("band", "key")
       .agg(count(lit(1)).as("bn")).where(col("bn").between(2, BucketCap))
       .select("band", "key")
@@ -212,7 +231,7 @@ object Dedup {
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val shSets = sigsets.select(col("doc_id"), col("hs"))
+    val shSets = ss.select(col("doc_id"), col("hs"))
     val inter = size(array_intersect(col("a.hs"), col("b.hs")))
     val jac = inter.cast("double") /
       (size(col("a.hs")) + size(col("b.hs")) - inter)
@@ -245,12 +264,12 @@ object Dedup {
     * min doc_id) survives. Iterative min-label propagation — each round is
     * a distributed join+agg, converging in O(component diameter) rounds
     * (tiny for dup clusters). The oracle reaches the same unique fixpoint
-    * through a recursive CTE. */
-  def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = dedupMinhash(spark, dir).select("doc_a", "doc_b")
-      // materialize the small pair set once; the iteration re-reads it
-      .persist()
-    try {
+    * through a recursive CTE. The result (a tiny doc→component frame) is
+    * itself cached per (session, corpus) so survivors reads it for free. */
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame =
+    compCache.getOrElseUpdate(cacheKey(spark, dir), {
+      // The pair graph comes pre-materialized — no LSH re-execution here.
+      val pairs = minhashPairs(spark, dir)
       val edges = pairs
         .union(pairs.select(col("doc_b"), col("doc_a")))
         .toDF("src", "dst")
@@ -285,9 +304,14 @@ object Dedup {
         labels = jumped.select("doc", "lbl")
         rounds += 1
       }
+      // Practically unreachable with pointer jumping (O(log n) rounds), but
+      // a silent non-converged exit would hand wrong components downstream —
+      // fail loudly instead (ADVICE r2).
+      if (changed > 0)
+        throw new IllegalStateException(
+          s"dedupComponents did not converge after $rounds rounds (changed=$changed)")
       labels.select(col("doc").as("doc_id"), col("lbl").as("component"))
-    } finally pairs.unpersist()
-  }
+    })
   val dedupComponentsSql: String =
     s"""WITH RECURSIVE pairs AS (
        |  ${dedupMinhashSql.linesIterator.mkString("\n  ")}
@@ -324,6 +348,12 @@ object Dedup {
   val SimhashChunks = 4
   val ChunkBits = SimhashBits / SimhashChunks
   val HammingMax = 3
+  /** Same guard as the LSH BucketCap: a 15-bit chunk value shared by more
+    * than this many docs is non-discriminative (e.g. near-empty docs whose
+    * chunk is all zeros) and would emit O(n²) pairs from one hot key. The
+    * pigeonhole recall guarantee is sacrificed only for those degenerate
+    * buckets — standard blocking practice at corpus scale. */
+  val ChunkCap = 64
 
   def simhashes(spark: SparkSession, dir: String): DataFrame = {
     val toks = docs(spark, dir)
@@ -372,7 +402,13 @@ object Dedup {
       .select(col("doc_id"), col("simhash"), explode(array(chunkStructs: _*)).as("ck"))
       .select(col("doc_id"), col("simhash"),
         col("ck.cidx").as("cidx"), col("ck.chunk").as("chunk"))
-    chunked.as("x").join(chunked.as("y"),
+    // Cap chunk buckets before the self-join (mirrors the LSH BucketCap):
+    // bounds candidate output to |buckets|·cap² regardless of corpus size.
+    val kept = chunked.groupBy("cidx", "chunk")
+      .agg(count(lit(1)).as("cn")).where(col("cn").between(2, ChunkCap))
+      .select("cidx", "chunk")
+    val ck = chunked.join(kept, Seq("cidx", "chunk"))
+    ck.as("x").join(ck.as("y"),
         col("x.cidx") === col("y.cidx") && col("x.chunk") === col("y.chunk")
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
@@ -386,17 +422,21 @@ object Dedup {
     }.mkString("\n  UNION ALL\n  ")
     s"""$simhashCte, chunked AS (
        |  $chunkRows
+       |), ckept AS (
+       |  SELECT cidx, chunk FROM chunked GROUP BY 1, 2
+       |  HAVING count(*) BETWEEN 2 AND $ChunkCap
+       |), ck AS (
+       |  SELECT c.doc_id, c.simhash, c.cidx, c.chunk FROM chunked c
+       |  JOIN ckept k ON c.cidx = k.cidx AND c.chunk = k.chunk
        |)
        |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
        |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
-       |FROM chunked x JOIN chunked y
+       |FROM ck x JOIN ck y
        |  ON x.cidx = y.cidx AND x.chunk = y.chunk AND x.doc_id < y.doc_id
        |WHERE bit_count(xor(x.simhash, y.simhash)) <= $HammingMax""".stripMargin
   }
 
   // ---- #19 embedding-cosine near-dup ------------------------------------
-  // Correctness shape: all-pairs at tiny SF. Scale path: the ann_lsh bucket
-  // join (Similarity.scala) replaces the cross join at 100 TB.
   val CosineThreshold = 0.4 // tuned to the synthetic embeddings (max pairwise cos ~0.51)
   val Dim = 64
 
@@ -410,26 +450,44 @@ object Dedup {
       s"CAST($a[${i + 1}] AS DOUBLE) * CAST($b[${i + 1}] AS DOUBLE)")
       .mkString(" + ")
 
+  /** Blocked by the same signed-random-hyperplane bucket the ANN path uses
+    * (Similarity.bucketCol): each vector joins only vectors whose 8-bit
+    * bucket is within hamming 1 of its own (side b is exploded to its 9
+    * probe buckets, side a keeps its home bucket — an equi-join, never a
+    * cartesian). Recall is traded at the blocking boundary exactly as in
+    * the ANN query; the oracle mirrors the same blocking so both engines
+    * see identical pairs. */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     // Norms once per vector (not per pair): 3× less math in the pair loop.
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"),
-        sqrt(dotExpr("embedding", "embedding")).as("nrm"))
+        sqrt(dotExpr("embedding", "embedding")).as("nrm"),
+        Similarity.bucketCol("embedding").as("bucket"))
+    val probeMasks = 0L +: (0 until Similarity.NumPlanes).map(j => 1L << j)
+    val probed = emb.select(col("vec_id"), col("embedding"), col("nrm"),
+      explode(array(probeMasks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("pb"))
     val cos = dotExpr("a.embedding", "b.embedding") / (col("a.nrm") * col("b.nrm"))
-    emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+    emb.as("a").join(probed.as("b"),
+        col("a.bucket") === col("b.pb") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(cos, 4).as("cos"))
       .where(col("cos") >= CosineThreshold)
   }
   val dedupEmbeddingSql: String = {
     val cos = s"(${sqlDotExpr("a.embedding", "b.embedding")}) / (a.nrm * b.nrm)"
+    val masks = (0L +: (0 until Similarity.NumPlanes).map(j => 1L << j))
+      .mkString("[", ", ", "]")
     s"""WITH e AS (
        |  SELECT vec_id, embedding,
-       |    sqrt(${sqlDotExpr("embedding", "embedding")}) AS nrm
+       |    sqrt(${sqlDotExpr("embedding", "embedding")}) AS nrm,
+       |    ${Similarity.sqlBucket("embedding")} AS bucket
        |  FROM embeddings
+       |), p AS (
+       |  SELECT vec_id, embedding, nrm, xor(bucket, m.m) AS pb
+       |  FROM e, unnest($masks) AS m(m)
        |)
        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round($cos, 4) AS cos
-       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |FROM e a JOIN p b ON a.bucket = b.pb AND a.vec_id < b.vec_id
        |WHERE round($cos, 4) >= $CosineThreshold""".stripMargin
   }
 }

@@ -38,11 +38,13 @@ object Similarity {
       s"CAST($vecExpr[${i + 1}] AS DOUBLE) * ${Planes(j)(i)}")
       .mkString(" + ")
 
-  private def bucketCol(vecCol: String) =
+  /** 8-bit signed-hyperplane bucket — shared with Dedup.dedupEmbedding's
+    * blocking join, so ANN probes and near-dup blocking agree. */
+  def bucketCol(vecCol: String): org.apache.spark.sql.Column =
     (0 until NumPlanes).map(j =>
       when(planeDot(vecCol, j) > 0.0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
-  private def sqlBucket(vecExpr: String) =
+  def sqlBucket(vecExpr: String): String =
     (0 until NumPlanes).map(j =>
       s"CASE WHEN ${sqlPlaneDot(vecExpr, j)} > 0.0 THEN ${1L << j} ELSE 0 END")
       .mkString(" + ")
