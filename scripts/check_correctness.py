@@ -75,6 +75,10 @@ def main(sf_dir, out_dir):
     n_ok = sum(1 for r in results.values() if r.get("ok"))
     print(json.dumps(results, indent=1, default=str))
     print(f"== {n_ok}/{len(results)} ok", file=sys.stderr)
+    if not results:
+        # an empty Verify output dir must not read as a vacuous pass
+        print("== FAIL: no result directories found", file=sys.stderr)
+        return 1
     return 0 if n_ok == len(results) else 1
 
 if __name__ == "__main__":

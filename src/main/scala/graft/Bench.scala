@@ -15,19 +15,26 @@ object Bench {
     // JVM/codegen warmup so the first measured query doesn't absorb
     // session startup (~5s of JIT + classloading).
     spark.range(1000000).selectExpr("sum(id * 2)").collect()
-    // best of 2 runs per query: measures the plan, not first-run JIT noise
+    // best of 2 runs per query: measures the plan, not first-run JIT noise.
+    // A query that throws is recorded as -1 (never as its time-to-failure)
+    // and listed in "errors" so a broken query cannot masquerade as fast.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
+        (ok, (System.nanoTime() - t0) / 1e9)
       }
-      name -> times.min
+      name -> (if (runs.forall(_._1)) runs.map(_._2).min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -28,6 +28,7 @@ object SparkEntry {
     "shuffle_assignment" -> Anagrams.shuffleAssignment _,
     "anagram_groups" -> Anagrams.anagramGroups _,
     "anagrams" -> Anagrams.anagrams _,
+    "anagrams_seeded" -> Anagrams.anagramsSeeded _,
     "anagram_output_lines" -> Anagrams.anagramOutputLines _,
     // LLM dedup (§2 #15-19)
     "dedup_exact" -> Dedup.dedupExact _,
@@ -81,6 +82,7 @@ object SparkEntry {
     "shuffle_assignment" -> Anagrams.shuffleAssignmentSql,
     "anagram_groups" -> Anagrams.anagramGroupsSql,
     "anagrams" -> Anagrams.anagramsSql,
+    "anagrams_seeded" -> Anagrams.anagramsSeededSql,
     "anagram_output_lines" -> Anagrams.anagramOutputLinesSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_minhash" -> Dedup.dedupMinhashSql,

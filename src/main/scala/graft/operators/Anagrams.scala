@@ -219,6 +219,44 @@ object Anagrams {
        |  FROM clean GROUP BY 1
        |) WHERE n > 1""".stripMargin
 
+  /** Sentinel docs with known anagram families. The sf0.01 oracle corpus
+    * happens to contain no >1-member anagram group, so the `anagrams` row
+    * passes vacuously (0 = 0). This variant unions deterministic sentinel
+    * texts with the corpus and runs the SAME reduce, making the keep->1
+    * filter (reducephase/reduce.go:88-97) verifiable with rows > 0 at any
+    * SF. The product query (`anagrams`) stays unseeded. */
+  val SentinelTexts: Seq[String] = Seq(
+    "listen silent enlist inlets",
+    "stone tones notes onset seton",
+    "dusty study parse spare spear reaps pares")
+
+  def anagramsSeeded(spark: SparkSession, dir: String): DataFrame = {
+    val sentinels = spark.createDataFrame(
+      SentinelTexts.map(Tuple1.apply)).toDF("text")
+    val seeded = docs(spark, dir).select("text").union(sentinels)
+    anagramGroupsOf(seeded).where(col("n_words") > 1).select("sig", "anagrams")
+  }
+  val anagramsSeededSql: String = {
+    val sentinelValues = SentinelTexts.map(sqlLit).map(v => s"($v)").mkString(", ")
+    s"""WITH srcdocs AS (
+       |  SELECT text FROM documents
+       |  UNION ALL SELECT * FROM (VALUES $sentinelValues) v(text)
+       |), toks AS (
+       |  SELECT DISTINCT lower(t.w) AS word
+       |  FROM srcdocs d, unnest(string_split_regex(d.text, '\\s+')) AS t(w)
+       |  WHERE t.w <> ''
+       |), clean AS (
+       |  SELECT DISTINCT ${sqlTrim("word")} AS word FROM toks
+       |  WHERE ${sqlIsCleanWord(sqlTrim("word"))}
+       |)
+       |SELECT sig, anagrams FROM (
+       |  SELECT ${sqlSignature("word")} AS sig,
+       |    list_aggr(list_sort(list(DISTINCT word)), 'string_agg', ' ') AS anagrams,
+       |    count(*) AS n
+       |  FROM clean GROUP BY 1
+       |) WHERE n > 1""".stripMargin
+  }
+
   // ---- #12 formatted output lines (reducephase/reduce.go:36-52) ---------
   def anagramOutputLines(spark: SparkSession, dir: String): DataFrame =
     anagramGroups(spark, dir)

@@ -69,6 +69,11 @@ object Multimodal {
       .mapPartitions(_.flatMap(frameSample))
       .toDF()
   }
+  /** Oracle twin. NOTE: frames by CHARACTER positions (length/substr on
+    * text) while the Spark side slices UTF-8 BYTES of the encoded blob —
+    * identical only because the synthetic corpus is pure ASCII (one byte
+    * per char; same assumption ShinglePolyHash documents). A non-ASCII
+    * corpus would need octet_length + byte slicing here. */
   val multimodalFramesSql: String =
     s"""SELECT doc_id, g.i AS frame_idx, g.i * $FrameStride AS frame_off,
        |  md5(substr(text, CAST(g.i * $FrameStride + 1 AS INTEGER), $FrameLen)) AS frame_md5

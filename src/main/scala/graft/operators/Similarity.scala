@@ -136,40 +136,58 @@ object Similarity {
   private def sqlL2sq(a: String, c: String) =
     s"(${sqlDotExpr(a, a)}) + (${sqlDotExpr(c, c)}) - 2 * (${sqlDotExpr(a, c)})"
 
-  /** Refined float centroids: (cid, c array<float>). */
-  def ivfCentroids(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-    val seeds = e.orderBy("vec_id").limit(IvfK)
-      .select(col("vec_id").as("cid"), col("embedding").as("c"))
+  /** One Lloyd refinement: assign every vector to its nearest centroid,
+    * recompute per-dimension means. Means are rounded to 6 decimals BEFORE
+    * the float cast on both engines, so the quantizer is insensitive to
+    * partition-order summation drift in avg() (ADVICE r2). */
+  private def lloydRound(e: DataFrame, cents: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
-    val assign1 = e.crossJoin(broadcast(seeds))
+    e.crossJoin(broadcast(cents))
       .withColumn("dist", l2sq("embedding", "c"))
       .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-      .select(col("cid"), col("embedding"))
-    assign1
       .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy("cid", "pos").agg(avg(col("v").cast("double")).as("m"))
+      .groupBy("cid", "pos").agg(round(avg(col("v").cast("double")), 6).as("m"))
       .groupBy("cid")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m").cast("float")).as("c"))
   }
-  private val ivfCentroidsCte: String =
-    s"""seeds AS (
-       |  SELECT vec_id AS cid, embedding AS c FROM embeddings
-       |  ORDER BY vec_id LIMIT $IvfK
-       |), a1 AS (
+
+  /** Refined float centroids: (cid, c array<float>).
+    * Seeding is k-means++-style spread via a deterministic hash shuffle:
+    * ordering by md5(vec_id) picks IvfK pseudo-random well-spread vectors.
+    * (The previous `first IvfK by vec_id` seeds would, at 100 TB, all come
+    * from one shard and could be near-identical.) Two Lloyd rounds refine
+    * them — measured recall@10 vs the exact ann_topk is in BASELINE.md. */
+  def ivfCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val seeds = e
+      .orderBy(graft.functions.TextFns.md5Long(col("vec_id").cast("string")),
+        col("vec_id"))
+      .limit(IvfK)
+      .select(col("vec_id").as("cid"), col("embedding").as("c"))
+    lloydRound(e, lloydRound(e, seeds))
+  }
+  private def sqlLloyd(src: String, aN: String, rN: String, outN: String): String =
+    s"""$aN AS (
        |  SELECT vec_id, embedding, cid,
        |    row_number() OVER (PARTITION BY vec_id
        |      ORDER BY ${sqlL2sq("embedding", "c")}, cid) AS rn
-       |  FROM embeddings CROSS JOIN seeds
-       |), ref AS (
+       |  FROM embeddings CROSS JOIN $src
+       |), $rN AS (
        |  SELECT cid, g.i,
-       |    CAST(avg(CAST(embedding[g.i] AS DOUBLE)) AS FLOAT) AS m
-       |  FROM a1, unnest(range(1, ${Dedup.Dim} + 1)) AS g(i)
+       |    CAST(round(avg(CAST(embedding[g.i] AS DOUBLE)), 6) AS FLOAT) AS m
+       |  FROM $aN, unnest(range(1, ${Dedup.Dim} + 1)) AS g(i)
        |  WHERE rn = 1 GROUP BY 1, 2
-       |), cents AS (
-       |  SELECT cid, list(m ORDER BY i) AS c FROM ref GROUP BY cid
+       |), $outN AS (
+       |  SELECT cid, list(m ORDER BY i) AS c FROM $rN GROUP BY cid
        |)""".stripMargin
+  private val ivfCentroidsCte: String =
+    s"""seeds AS (
+       |  SELECT vec_id AS cid, embedding AS c FROM embeddings
+       |  ORDER BY ${graft.functions.TextFns.sqlMd5Long("CAST(vec_id AS VARCHAR)")}, vec_id
+       |  LIMIT $IvfK
+       |), ${sqlLloyd("seeds", "a1", "r1", "c1")},
+       |${sqlLloyd("c1", "a2", "r2", "cents")}""".stripMargin
 
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
