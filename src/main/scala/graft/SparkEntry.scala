@@ -43,6 +43,7 @@ object SparkEntry {
     "ann_lsh" -> Similarity.annLsh _,
     "ann_ivf" -> Similarity.annIvf _,
     "embedding_clusters" -> Similarity.embeddingClusters _,
+    "cluster_purity" -> Similarity.clusterPurity _,
     // text analysis (§2 #22-25)
     "lang_id" -> TextAnalysis.langId _,
     "quality_score" -> TextAnalysis.qualityScore _,
@@ -52,6 +53,9 @@ object SparkEntry {
     "sample_deterministic" -> TextAnalysis.sampleDeterministic _,
     "redact_pii" -> TextAnalysis.redactPii _,
     "word_bigrams" -> TextAnalysis.wordBigrams _,
+    "repetition_stats" -> TextAnalysis.repetitionStats _,
+    "boilerplate_ngrams" -> TextAnalysis.boilerplateNgrams _,
+    "corpus_mix" -> TextAnalysis.corpusMix _,
     // multimodal (§2 #26)
     "multimodal_meta" -> Multimodal.multimodalMeta _,
     "multimodal_frames" -> Multimodal.multimodalFrames _,
@@ -95,6 +99,7 @@ object SparkEntry {
     "ann_lsh" -> Similarity.annLshSql,
     "ann_ivf" -> Similarity.annIvfSql,
     "embedding_clusters" -> Similarity.embeddingClustersSql,
+    "cluster_purity" -> Similarity.clusterPuritySql,
     "lang_id" -> TextAnalysis.langIdSql,
     "quality_score" -> TextAnalysis.qualityScoreSql,
     "token_count" -> TextAnalysis.tokenCountSql,
@@ -103,6 +108,9 @@ object SparkEntry {
     "sample_deterministic" -> TextAnalysis.sampleDeterministicSql,
     "redact_pii" -> TextAnalysis.redactPiiSql,
     "word_bigrams" -> TextAnalysis.wordBigramsSql,
+    "repetition_stats" -> TextAnalysis.repetitionStatsSql,
+    "boilerplate_ngrams" -> TextAnalysis.boilerplateNgramsSql,
+    "corpus_mix" -> TextAnalysis.corpusMixSql,
     "multimodal_meta" -> Multimodal.multimodalMetaSql,
     "multimodal_frames" -> Multimodal.multimodalFramesSql,
     "q1_agg" -> Relational.q1AggSql,

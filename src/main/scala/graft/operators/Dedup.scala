@@ -26,6 +26,8 @@ object Dedup {
     * downstream job — the four LSH-family queries share one shingle pass. */
   private val sigSetCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private val candCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
   private val pairsCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
   private val compCache =
@@ -144,51 +146,49 @@ object Dedup {
   }
 
   /** doc_id → (band, key) exploded from a signature frame. */
-  private def bandedOf(sig: DataFrame, extraCols: Seq[String] = Nil): DataFrame = {
+  private def bandedOf(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until Bands).map { j =>
       struct(lit(j).as("band"),
         concat_ws(",", (0 until Rows).map(r => col(s"s${j * Rows + r}")): _*).as("key"))
     }
-    sig.select(col("doc_id") +: extraCols.map(col) :+
-        explode(array(bandStructs: _*)).as("bk"): _*)
-      .select(col("doc_id") +: extraCols.map(col) :+
-        col("bk.band").as("band") :+ col("bk.key").as("key"): _*)
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
-  /** Candidate pairs from LSH band buckets (never all-pairs), carrying both
-    * docs' signature arrays so no join back to the signatures is needed.
-    * Buckets larger than BucketCap are dropped before the self-join,
-    * bounding its output to |buckets|·cap² regardless of corpus size. */
-  def candidatePairsWithSigs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = signatures(spark, dir)
-      .withColumn("sa", array((0 until K).map(i => col(s"s$i")): _*))
-    val banded = bandedOf(sig, Seq("sa"))
-    val kept = banded.groupBy("band", "key")
-      .agg(count(lit(1)).as("bn"))
-      .where(col("bn").between(2, BucketCap))
-      .select("band", "key")
-    val bk = banded.join(kept, Seq("band", "key"))
-    bk.as("x").join(bk.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key")
-          && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.sa").as("sig_a"), col("y.sa").as("sig_b"))
-      .dropDuplicates("doc_a", "doc_b")
-  }
-
+  /** Bare LSH candidate pairs from band buckets (never all-pairs),
+    * materialized once per (session, corpus): minhash estimation AND
+    * jaccard verification consume it, so the band explode + capped
+    * self-join execute once. Buckets larger than BucketCap are dropped
+    * before the self-join, bounding its output to |buckets|·cap²
+    * regardless of corpus size. */
   def candidatePairs(spark: SparkSession, dir: String): DataFrame =
-    candidatePairsWithSigs(spark, dir).select("doc_a", "doc_b")
+    candCache.getOrElseUpdate(cacheKey(spark, dir), {
+      val banded = bandedOf(signatures(spark, dir))
+      val kept = banded.groupBy("band", "key")
+        .agg(count(lit(1)).as("bn"))
+        .where(col("bn").between(2, BucketCap))
+        .select("band", "key")
+      val bk = banded.join(kept, Seq("band", "key"))
+      bk.as("x").join(bk.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    })
 
   // ---- #16 MinHash near-dup: signature-estimated similarity -------------
   val MinhashSimThreshold = 0.5
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    // matching components counted from the carried arrays — no joins back
-    // to the signature table
+    // tiny cached pair set joined back to the persisted signature table
+    // (both sides materialized — no shingle or band work re-executes)
+    val sig = sigSets(spark, dir)
     val matches = (0 until K)
-      .map(i => when(element_at(col("sig_a"), i + 1) === element_at(col("sig_b"), i + 1), 1)
-        .otherwise(0))
+      .map(i => when(col(s"a.s$i") === col(s"b.s$i"), 1).otherwise(0))
       .reduce(_ + _)
-    candidatePairsWithSigs(spark, dir)
+    candidatePairs(spark, dir)
+      .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         round(matches.cast("double") / K, 4).as("sim_hat"))
       .where(col("sim_hat") >= MinhashSimThreshold)
@@ -216,22 +216,11 @@ object Dedup {
   // ---- #17 exact n-gram Jaccard on LSH candidates -----------------------
   val JaccardThreshold = 0.35
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // Signatures AND shingle sets come from the one materialized sigSets
-    // frame, so the corpus-sized shingle explode does not re-execute here.
-    // Candidates are the LSH output, so the exact intersection never sees
-    // all-pairs.
-    val ss = sigSets(spark, dir)
-    val banded = bandedOf(ss.drop("hs"))
-    val kept = banded.groupBy("band", "key")
-      .agg(count(lit(1)).as("bn")).where(col("bn").between(2, BucketCap))
-      .select("band", "key")
-    val bk = banded.join(kept, Seq("band", "key"))
-    val cand = bk.as("x").join(bk.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key")
-          && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    val shSets = ss.select(col("doc_id"), col("hs"))
+    // Candidates AND shingle sets come from the materialized intermediates,
+    // so neither the corpus-sized shingle explode nor the band join
+    // re-executes here; the exact intersection never sees all-pairs.
+    val cand = candidatePairs(spark, dir)
+    val shSets = sigSets(spark, dir).select(col("doc_id"), col("hs"))
     val inter = size(array_intersect(col("a.hs"), col("b.hs")))
     val jac = inter.cast("double") /
       (size(col("a.hs")) + size(col("b.hs")) - inter)

@@ -19,20 +19,26 @@ object Similarity {
   val NumPlanes = 8
 
   /** Deterministic pseudo-random hyperplanes (fixed seed, embedded as
-    * literals in both engines — SURVEY.md §6). */
+    * literals in both engines — SURVEY.md §6). Quantized to float so the
+    * coefficients are exactly representable inside the codegen'd float
+    * dot product AND round-trip exactly as SQL double literals. */
   val Planes: IndexedSeq[IndexedSeq[Double]] = {
     val rng = new scala.util.Random(42)
-    IndexedSeq.fill(NumPlanes)(IndexedSeq.fill(Dedup.Dim)(rng.nextGaussian()))
+    IndexedSeq.fill(NumPlanes)(
+      IndexedSeq.fill(Dedup.Dim)(rng.nextGaussian().toFloat.toDouble))
   }
+  private val planeLits: IndexedSeq[org.apache.spark.sql.Column] =
+    Planes.map(p => lit(p.map(_.toFloat).toArray))
 
   private def emb(spark: SparkSession, dir: String) =
     spark.read.parquet(s"$dir/embeddings.parquet").select(col("vec_id"), col("embedding"))
 
-  /** Left-assoc literal dot with plane j — bit-identical across engines. */
+  /** Dot with plane j via the codegen'd FloatDotProduct (same left-fold IEEE
+    * order as the SQL chain). An inline 64-term element_at chain — times 8
+    * planes in one projection — blows the JIT method budget and runs
+    * interpreted, the exact failure mode FloatDotProduct exists for. */
   private def planeDot(vecCol: String, j: Int) =
-    (0 until Dedup.Dim).map(i =>
-      element_at(col(vecCol), i + 1).cast("double") * lit(Planes(j)(i)))
-      .reduce(_ + _)
+    org.apache.spark.sql.graft.FloatDotProduct(col(vecCol), planeLits(j))
   private def sqlPlaneDot(vecExpr: String, j: Int) =
     (0 until Dedup.Dim).map(i =>
       s"CAST($vecExpr[${i + 1}] AS DOUBLE) * ${Planes(j)(i)}")
@@ -236,6 +242,42 @@ object Similarity {
        |SELECT cid, count(*) AS n_members,
        |  round(avg(${sqlCos("embedding", "c")}), 4) AS avg_cos_to_centroid
        |FROM assigned GROUP BY 1""".stripMargin
+
+  /** Cluster purity against the embeddings' ground-truth labels: per cell,
+    * member count and the majority-label fraction under the same learned
+    * quantizer — the diagnostic that tells a curation pipeline whether the
+    * coarse cells align with semantic groups. Same assignment join as
+    * embeddingClusters (broadcast centroids), plus two label-keyed
+    * aggregations (≤ |cells|·|labels| intermediate rows). */
+  def clusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val cents = ivfCentroids(spark, dir)
+    val wa = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("dist", l2sq("embedding", "c"))
+      .withColumn("rn", row_number().over(wa)).where(col("rn") === 1)
+      .groupBy(col("cid"), col("label")).agg(count(lit(1)).as("cl"))
+      .groupBy("cid")
+      .agg(sum(col("cl")).as("n_members"), max(col("cl")).as("n_majority"))
+      .select(col("cid"), col("n_members"), col("n_majority"),
+        round(col("n_majority").cast("double") / col("n_members"), 4).as("purity"))
+  }
+  val clusterPuritySql: String =
+    s"""WITH $ivfCentroidsCte, assigned AS (
+       |  SELECT vec_id, label, cid FROM (
+       |    SELECT e.vec_id, e.label, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqlL2sq("e.embedding", "c.c")}, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cents c
+       |  ) WHERE rn = 1
+       |), cl AS (
+       |  SELECT cid, label, count(*) AS cl FROM assigned GROUP BY 1, 2
+       |)
+       |SELECT cid, CAST(sum(cl) AS BIGINT) AS n_members,
+       |  CAST(max(cl) AS BIGINT) AS n_majority,
+       |  round(CAST(max(cl) AS DOUBLE) / CAST(sum(cl) AS DOUBLE), 4) AS purity
+       |FROM cl GROUP BY 1""".stripMargin
 
   val annIvfSql: String =
     s"""WITH $ivfCentroidsCte, q AS (

@@ -228,6 +228,93 @@ object TextAnalysis {
        |SELECT bigram, n, CAST(rk AS BIGINT) AS rk
        |FROM ranked WHERE rk <= $BigramTopN""".stripMargin
 
+  // ---- token-repetition stats (Gopher-style repetition signal) ----------
+  // Repetitious documents (boilerplate, keyword stuffing, generation loops)
+  // are a standard filter target for training corpora: dup_frac is the
+  // fraction of tokens that are repeats, top_token_frac the mass of the
+  // single most frequent token. Two map-side-partial aggregations — the
+  // first keyed by (doc, token), vocabulary-bounded per doc.
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), WsTokenRe)).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy(col("doc_id"), lower(col("tok")).as("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("topc"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 4)
+          .as("dup_frac"),
+        round(col("topc").cast("double") / col("n_tokens"), 4)
+          .as("top_token_frac"))
+  val repetitionStatsSql: String =
+    s"""WITH toks AS (
+       |  SELECT d.doc_id, lower(t.w) AS tok
+       |  FROM documents d, unnest(string_split_regex(d.text, '\\s+')) AS t(w)
+       |  WHERE t.w <> ''
+       |), cnt AS (
+       |  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2
+       |)
+       |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |  count(*) AS n_distinct,
+       |  round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4) AS dup_frac,
+       |  round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4) AS top_token_frac
+       |FROM cnt GROUP BY 1""".stripMargin
+
+  // ---- boilerplate n-gram detection (decontamination shape) -------------
+  // The corpus's most frequent word 5-grams are boilerplate (or, when the
+  // probe set is an eval benchmark instead, contamination); docs containing
+  // them get flagged with a count. Top-N via orderBy+limit
+  // (TakeOrderedAndProject) and a broadcast join back — the gram table
+  // shuffles once, the probe set never exceeds N rows.
+  val BoilerK = 5
+  val BoilerTopN = 20
+  def boilerplateNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val grams = docs(spark, dir)
+      .select(col("doc_id"),
+        filter(transform(split(col("text"), WsTokenRe), t => lower(t)),
+          t => t =!= "").as("toks"))
+      .where(size(col("toks")) >= BoilerK) // sequence(1,0) would descend
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${BoilerK - 1}), " +
+          s"i -> concat_ws(' ', slice(toks, i, $BoilerK)))")).as("gram"))
+    val top = grams.groupBy("gram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram")).limit(BoilerTopN)
+    grams.join(broadcast(top.select("gram")), "gram")
+      .groupBy("doc_id").agg(countDistinct(col("gram")).as("n_boiler_grams"))
+  }
+  val boilerplateNgramsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(list_transform(
+       |    string_split_regex(text, '\\s+'), t -> lower(t)), t -> t <> '') AS t
+       |  FROM documents
+       |), grams AS (
+       |  SELECT doc_id, g.gm AS gram
+       |  FROM toks, unnest(list_transform(range(1, len(t) - ${BoilerK - 2}),
+       |    i -> list_aggr(t[i:i+${BoilerK - 1}], 'string_agg', ' '))) AS g(gm)
+       |  WHERE len(t) >= $BoilerK
+       |), top AS (
+       |  SELECT gram, count(*) AS n FROM grams GROUP BY 1
+       |  ORDER BY n DESC, gram LIMIT $BoilerTopN
+       |)
+       |SELECT doc_id, count(DISTINCT gram) AS n_boiler_grams
+       |FROM grams JOIN top USING (gram) GROUP BY 1""".stripMargin
+
+  // ---- corpus mixing report ---------------------------------------------
+  // The per-(language, source) composition a data-mixing stage feeds on:
+  // one map-side-partial aggregation over a pruned 3-column scan.
+  def corpusMix(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        round(avg(col("n_chars")), 2).as("avg_chars"))
+  val corpusMixSql: String =
+    """SELECT lang, source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  round(avg(n_chars), 2) AS avg_chars
+      |FROM documents GROUP BY 1, 2""".stripMargin
+
   // ---- #25 winnowing fingerprints (k=5 char-grams, window w=4) ----------
   val FpK = 5
   val FpW = 4

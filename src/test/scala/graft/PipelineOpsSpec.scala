@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.{Similarity, TextAnalysis}
+
+/** Specs for the round-3 pipeline operators: repetition stats, boilerplate
+  * n-gram detection, corpus mixing report, cluster purity. */
+class PipelineOpsSpec extends SparkTestBase {
+
+  private lazy val dir = writeDocsFixture(Seq(
+    1L -> "spam spam spam spam spam spam eggs",         // heavy repetition
+    2L -> "one two three four five six seven eight",    // all distinct
+    3L -> "please subscribe to our newsletter today and also please subscribe to our newsletter today",
+    4L -> "completely unrelated prose about rivers and stones and morning light",
+    5L -> "please subscribe to our newsletter today thanks",
+  ))
+
+  test("repetition_stats flags the repetitious doc, not the distinct one") {
+    val rows = TextAnalysis.repetitionStats(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    val (n1, d1, dup1, top1) = rows(1L)
+    assert(n1 == 7 && d1 == 2)          // 7 tokens, {spam, eggs}
+    assert(dup1 > 0.7 && top1 == 0.8571) // spam = 6/7
+    val (_, _, dup2, top2) = rows(2L)
+    assert(dup2 == 0.0 && top2 == 0.125) // all distinct, 1/8 each
+  }
+
+  test("boilerplate_ngrams flags docs sharing the corpus's top 5-grams") {
+    val rows = TextAnalysis.boilerplateNgrams(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // "please subscribe to our newsletter (today)" grams repeat across
+    // docs 3 and 5 → both flagged; doc 4 shares no top gram with anyone
+    assert(rows.contains(3L) && rows.contains(5L))
+    assert(rows(3L) >= rows(5L)) // doc 3 contains the repeated grams twice
+  }
+
+  test("corpus_mix reports per-(lang, source) composition") {
+    val rows = TextAnalysis.corpusMix(spark, dir).collect()
+    assert(rows.length == 1) // fixture is all (en, src0)
+    val r = rows.head
+    assert(r.getString(0) == "en" && r.getString(1) == "src0")
+    assert(r.getLong(2) == 5)
+  }
+
+  test("cluster_purity is 1.0 when cells align with labels") {
+    import spark.implicits._
+    // two well-separated label groups on distinct axes
+    val embDir = java.nio.file.Files.createTempDirectory("graft-emb").toString
+    val dim = graft.operators.Dedup.Dim
+    def vec(axis: Int, eps: Float): Array[Float] = {
+      val a = Array.fill(dim)(0.0f); a(axis) = 1.0f; a(axis + 2) = eps; a
+    }
+    val rows = (0 until 8).map { i =>
+      val label = i % 2
+      (i.toLong, vec(label, 0.01f * (i / 2)), label)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$embDir/embeddings.parquet")
+    val purity = Similarity.clusterPurity(spark, embDir).collect()
+    assert(purity.nonEmpty)
+    // every cell must be label-pure: members of one cell share one label
+    assert(purity.forall(r => r.getDouble(3) == 1.0))
+  }
+}
