@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.operators.Anagrams
 import graft.sources.GutenbergSource
 import graft.streaming.EventsStream
 import graft.streaming.EventsStream.Ev
@@ -42,6 +43,21 @@ class SourcesAndStreamingSpec extends SparkTestBase {
     val text = GutenbergSource.readBooks(spark, dir.toString)
       .collect().head.getString(1)
     assert(text == "façade")
+  }
+
+  test("jsonl source round-trips the documents table losslessly") {
+    val src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Files.createTempDirectory("graft-jsonl").toString + "/docs"
+    graft.sources.JsonlSource.writeJsonl(src, out, parts = 4)
+    val back = graft.sources.JsonlSource.readJsonl(spark, out)
+    assert(back.schema == graft.sources.JsonlSource.DocumentSchema)
+    assert(collectSet(back.select("doc_id", "text", "lang", "source", "n_chars"))
+      == collectSet(src.select("doc_id", "text", "lang", "source", "n_chars")))
+    // operators are source-agnostic: the anagram reduce runs on the
+    // jsonl-read frame exactly as on the parquet one
+    val viaJsonl = collectSet(Anagrams.anagramGroupsOf(back))
+    val viaParquet = collectSet(Anagrams.anagramGroupsOf(src))
+    assert(viaJsonl == viaParquet && viaJsonl.nonEmpty)
   }
 
   test("streaming windowed counts with watermark") {
