@@ -66,6 +66,7 @@ object SparkEntry {
     "events_window_agg" -> Relational.eventsWindowAgg _,
     "sessionize" -> Relational.sessionize _,
     "asof_join" -> Relational.asofJoin _,
+    "range_join_counts" -> Relational.rangeJoinCounts _,
     "value_quantiles" -> Relational.valueQuantiles _,
     "event_pivot" -> Relational.eventPivot _,
   )
@@ -119,6 +120,7 @@ object SparkEntry {
     "events_window_agg" -> Relational.eventsWindowAggSql,
     "sessionize" -> Relational.sessionizeSql,
     "asof_join" -> Relational.asofJoinSql,
+    "range_join_counts" -> Relational.rangeJoinCountsSql,
     "value_quantiles" -> Relational.valueQuantilesSql,
     "event_pivot" -> Relational.eventPivotSql,
   )

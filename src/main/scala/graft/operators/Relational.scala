@@ -142,6 +142,51 @@ object Relational {
       |FROM p ASOF LEFT JOIN v
       |  ON p.user_id = v.user_id AND p.sec >= v.sec""".stripMargin
 
+  // ---- range join via time-bin bucketing --------------------------------
+  // "How many views (platform-wide) in the 60 s before each purchase" has
+  // no equi-key, so a naive join is a cartesian — the plan Spark would pick
+  // for a bare inequality condition. The scalable shape: bucket both sides
+  // by the window width (views probe buckets b and b+1, purchases keep
+  // their home bucket), equi-join on bucket, filter the exact range. Pair
+  // volume is bounded by per-bucket density, never |purchases|×|views|.
+  // The oracle runs DuckDB's native inequality join (IEJoin) — two
+  // independent implementations agreeing, as with asof_join.
+  val RangeWindowSec = 60L
+  def rangeJoinCounts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        expr("ts DIV 1000000000").as("sec"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("sec").as("psec"),
+        expr(s"sec DIV $RangeWindowSec").as("bucket"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("sec").as("vsec"),
+        explode(array(expr(s"sec DIV $RangeWindowSec"),
+          expr(s"sec DIV $RangeWindowSec + 1"))).as("bucket"))
+    purchases.join(views, Seq("bucket"), "left")
+      .withColumn("hit",
+        when(col("vsec").isNotNull
+          && col("vsec") <= col("psec")
+          && col("vsec") > col("psec") - RangeWindowSec, 1L).otherwise(0L))
+      .groupBy("purchase_id", "psec")
+      .agg(sum(col("hit")).as("n_recent_views"))
+  }
+  val rangeJoinCountsSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_id, event_type,
+       |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+       |  FROM events
+       |), p AS (
+       |  SELECT event_id AS purchase_id, sec AS psec FROM ev
+       |  WHERE event_type = 'purchase'
+       |), v AS (
+       |  SELECT sec AS vsec FROM ev WHERE event_type = 'view'
+       |)
+       |SELECT p.purchase_id, p.psec, CAST(count(v.vsec) AS BIGINT) AS n_recent_views
+       |FROM p LEFT JOIN v
+       |  ON v.vsec <= p.psec AND v.vsec > p.psec - $RangeWindowSec
+       |GROUP BY 1, 2""".stripMargin
+
   // ---- exact per-group quantiles ---------------------------------------
   def valueQuantiles(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")

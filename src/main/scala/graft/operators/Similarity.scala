@@ -164,15 +164,23 @@ object Similarity {
     * (The previous `first IvfK by vec_id` seeds would, at 100 TB, all come
     * from one shard and could be near-identical.) Two Lloyd rounds refine
     * them — measured recall@10 vs the exact ann_topk is in BASELINE.md. */
-  def ivfCentroids(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-    val seeds = e
-      .orderBy(graft.functions.TextFns.md5Long(col("vec_id").cast("string")),
-        col("vec_id"))
-      .limit(IvfK)
-      .select(col("vec_id").as("cid"), col("embedding").as("c"))
-    lloydRound(e, lloydRound(e, seeds))
-  }
+  private val centCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  def ivfCentroids(spark: SparkSession, dir: String): DataFrame =
+    // trained once per (session, corpus) — ann_ivf, embedding_clusters and
+    // cluster_purity all quantize against the same 16-row frame (at scale:
+    // train once, broadcast everywhere)
+    centCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val e = emb(spark, dir)
+      val seeds = e
+        .orderBy(graft.functions.TextFns.md5Long(col("vec_id").cast("string")),
+          col("vec_id"))
+        .limit(IvfK)
+        .select(col("vec_id").as("cid"), col("embedding").as("c"))
+      lloydRound(e, lloydRound(e, seeds))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
   private def sqlLloyd(src: String, aN: String, rN: String, outN: String): String =
     s"""$aN AS (
        |  SELECT vec_id, embedding, cid,

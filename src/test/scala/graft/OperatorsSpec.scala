@@ -127,6 +127,24 @@ class OperatorsSpec extends SparkTestBase {
     assert(rows(5L).isEmpty)
   }
 
+  test("range join counts views in the 60s window before each purchase") {
+    val d = java.nio.file.Files.createTempDirectory("graft-ev4").toString
+    val ns = 1000000000L
+    Seq(
+      (1L, 100L * ns, 1L, "view", 1.0, "{}"),     // 100: in window of p@130
+      (2L, 130L * ns, 1L, "purchase", 9.0, "{}"), // views in (70,130] → {100,130}
+      (3L, 130L * ns, 2L, "view", 1.0, "{}"),     // same second as purchase
+      (4L, 70L * ns, 2L, "view", 1.0, "{}"),      // exactly 60s before → excluded
+      (5L, 300L * ns, 2L, "purchase", 9.0, "{}"), // no views in (240,300] → 0
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val rows = Relational.rangeJoinCounts(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rows(2L) == 2L) // views at 100 and 130 (window is platform-wide)
+    assert(rows(5L) == 0L) // zero-match purchases still appear
+    assert(rows.size == 2)
+  }
+
   test("event pivot produces one count column per type") {
     val df = Relational.eventPivot(spark, "/root/testdata/sf0.001")
     assert(df.columns.toSeq == Seq("user_id") ++ Relational.PivotTypes)
