@@ -15,10 +15,15 @@ object BenchBooks {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id * 2)").collect() // JVM warmup
-    val t0 = System.nanoTime()
-    val n = graft.sources.GutenbergSource.anagramsFromBooks(spark, booksDir).count()
-    val sec = (System.nanoTime() - t0) / 1e9
-    println(f"""{"metric":"anagrams_from_books","groups":$n,"value":$sec%.3f,"unit":"sec"}""")
+    // best of 2 in one JVM (same methodology as graft.Bench): the first run
+    // carries codegen/classload for this plan, the second measures the plan
+    var n = 0L
+    val times = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      n = graft.sources.GutenbergSource.anagramsFromBooks(spark, booksDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"""{"metric":"anagrams_from_books","groups":$n,"value":${times.min}%.3f,"first_run":${times.head}%.3f,"unit":"sec"}""")
     spark.stop()
   }
 }
