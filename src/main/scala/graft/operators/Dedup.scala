@@ -462,7 +462,11 @@ object Dedup {
         round(cos, 4).as("cos"))
       .where(col("cos") >= CosineThreshold)
   }
-  val dedupEmbeddingSql: String = {
+  // lazy: referencing Similarity at Dedup's own <clinit> would close an
+  // initialization cycle (Similarity.Planes reads Dedup.Dim during ITS
+  // <clinit>; if that triggers Dedup's, this val must not call back into
+  // the half-initialized Similarity). Forced at first oracle render.
+  lazy val dedupEmbeddingSql: String = {
     val cos = s"(${sqlDotExpr("a.embedding", "b.embedding")}) / (a.nrm * b.nrm)"
     val masks = (0L +: (0 until Similarity.NumPlanes).map(j => 1L << j))
       .mkString("[", ", ", "]")

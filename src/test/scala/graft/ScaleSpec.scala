@@ -48,6 +48,16 @@ class ScaleSpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("minhash and jaccard read the materialized LSH intermediate") {
+    // both plans must scan the persisted signature/candidate frames instead
+    // of re-running the corpus-sized shingle explode from raw text
+    Seq("dedup_minhash", "dedup_ngram_jaccard").foreach { q =>
+      val plan = planOf(q)
+      assert(plan.contains("InMemoryTableScan"),
+        s"$q lost the shared intermediate:\n$plan")
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
