@@ -344,21 +344,31 @@ object Dedup {
     * buckets — standard blocking practice at corpus scale. */
   val ChunkCap = 64
 
-  def simhashes(spark: SparkSession, dir: String): DataFrame = {
-    val toks = docs(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), WsTokenRe)).as("tok"))
-      .where(col("tok") =!= "")
-      .select(col("doc_id"), lower(col("tok")).as("tok")).distinct()
-      .select(col("doc_id"), md5Long(col("tok")).as("th"))
-    val bitSums = toks.groupBy("doc_id").agg(
-      sum(when(shiftright(col("th"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("c0"),
-      (1 until SimhashBits).map(i =>
-        sum(when(shiftright(col("th"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"c$i")): _*)
-    val value = (0 until SimhashBits)
-      .map(i => when(col(s"c$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    bitSums.select(col("doc_id"), value.as("simhash"))
-  }
+  private val simhashCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  /** One row per doc, materialized per (session, corpus): both sides of the
+    * chunk-blocked self-join consume it, so the corpus explode + 60-sum
+    * aggregation runs once instead of once per join side (the two subtrees
+    * don't canonicalize equal after the bucket-cap join, so exchange reuse
+    * alone doesn't deduplicate them). */
+  def simhashes(spark: SparkSession, dir: String): DataFrame =
+    simhashCache.getOrElseUpdate(cacheKey(spark, dir), {
+      val toks = docs(spark, dir)
+        .select(col("doc_id"), explode(split(col("text"), WsTokenRe)).as("tok"))
+        .where(col("tok") =!= "")
+        .select(col("doc_id"), lower(col("tok")).as("tok")).distinct()
+        .select(col("doc_id"), md5Long(col("tok")).as("th"))
+      val bitSums = toks.groupBy("doc_id").agg(
+        sum(when(shiftright(col("th"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("c0"),
+        (1 until SimhashBits).map(i =>
+          sum(when(shiftright(col("th"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"c$i")): _*)
+      val value = (0 until SimhashBits)
+        .map(i => when(col(s"c$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      bitSums.select(col("doc_id"), value.as("simhash"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    })
 
   private val simhashCte: String = {
     val sums = (0 until SimhashBits)

@@ -65,6 +65,59 @@ class PropertiesSpec extends SparkTestBase {
     a.foreach(h => assert(h >= 0 && h < (1L << 60)))
   }
 
+  test("property: repetition stats are bounded and consistent") {
+    // generated docs with controlled repetition: invariants hold for all
+    val docGen: Gen[String] = for {
+      vocab <- Gen.chooseNum(1, 8)
+      n <- Gen.chooseNum(1, 40)
+      ws <- Gen.listOfN(n, Gen.chooseNum(0, vocab - 1).map(i => s"w$i"))
+    } yield ws.mkString(" ")
+    val docs = draw(docGen, 50)
+    val dir = writeDocsFixture(docs.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    val rows = graft.operators.TextAnalysis.repetitionStats(spark, dir).collect()
+    assert(rows.length == docs.length)
+    rows.foreach { r =>
+      val (n, d, dup, top) = (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(d >= 1 && d <= n)
+      assert(dup >= 0.0 && dup < 1.0, s"dup_frac out of range: $dup")
+      assert(top >= 1.0 / d / 1.0001 && top <= 1.0, s"top_token_frac: $top")
+      // dup_frac and n_distinct must agree: dup = 1 - d/n (rounded)
+      assert(math.abs(dup - (1.0 - d.toDouble / n)) < 1e-3)
+    }
+  }
+
+  test("property: embedding-dedup blocking finds all pairs within hamming<=1 buckets") {
+    // brute-force check on random float vectors: every pair above the
+    // cosine threshold whose hyperplane buckets differ by <=1 bit must be
+    // emitted by the blocked join (the blocking predicate, exactly)
+    import graft.operators.{Dedup, Similarity}
+    val rng = new scala.util.Random(7)
+    val dim = Dedup.Dim
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.fill(dim)((rng.nextGaussian() * 0.3).toFloat), 0))
+    val d = java.nio.file.Files.createTempDirectory("graft-embp").toString
+    vecs.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val got = Dedup.dedupEmbedding(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def bucket(v: Array[Float]): Long =
+      (0 until Similarity.NumPlanes).map { j =>
+        val dot = (0 until dim).foldLeft(0.0)((a, i) => a + v(i).toDouble * Similarity.Planes(j)(i))
+        if (dot > 0.0) 1L << j else 0L
+      }.sum
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        (0 until dim).foldLeft(0.0)((s, i) => s + x(i).toDouble * y(i).toDouble)
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val expect = (for {
+      (ia, va, _) <- vecs; (ib, vb, _) <- vecs if ia < ib
+      if java.lang.Long.bitCount(bucket(va) ^ bucket(vb)) <= 1
+      if BigDecimal(cos(va, vb)).setScale(4, BigDecimal.RoundingMode.HALF_UP) >= Dedup.CosineThreshold
+    } yield (ia, ib)).toSet
+    assert(got == expect)
+  }
+
   test("property: minhash sim_hat tracks true Jaccard on synthetic overlaps") {
     // doc pairs sharing a controlled fraction of shingles: sim_hat must
     // correlate (loose statistical bound, K=32 → σ≈0.09)
