@@ -69,6 +69,7 @@ object SparkEntry {
     "range_join_counts" -> Relational.rangeJoinCounts _,
     "value_quantiles" -> Relational.valueQuantiles _,
     "event_pivot" -> Relational.eventPivot _,
+    "salted_event_counts" -> Relational.saltedEventCounts _,
   )
 
   /** DuckDB-equivalent SQL per query (same math, shared constants).
@@ -123,5 +124,6 @@ object SparkEntry {
     "range_join_counts" -> Relational.rangeJoinCountsSql,
     "value_quantiles" -> Relational.valueQuantilesSql,
     "event_pivot" -> Relational.eventPivotSql,
+    "salted_event_counts" -> Relational.saltedEventCountsSql,
   )
 }

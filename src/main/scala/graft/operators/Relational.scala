@@ -187,6 +187,25 @@ object Relational {
        |  ON v.vsec <= p.psec AND v.vsec > p.psec - $RangeWindowSec
        |GROUP BY 1, 2""".stripMargin
 
+  // ---- salted aggregation (skew path) -----------------------------------
+  // event_type has 5 values over ~100k rows — the pathological-skew shape
+  // where one reducer would take a whole hot key. Scale.saltedAgg spreads
+  // each key over 16 reducers (phase 1 on (key, salt), phase 2 merges
+  // partials). The oracle is the PLAIN group-by: the salt must be
+  // observationally invisible, which the hash comparison proves. Decimal
+  // sums make the two-phase merge order-insensitive.
+  def saltedEventCounts(spark: SparkSession, dir: String): DataFrame =
+    Scale.saltedAgg(
+      t(spark, dir, "events")
+        .select(col("event_type"), col("value").cast("decimal(18,6)").as("v")),
+      "event_type", "v", 16)
+      .select(col("event_type"), col("n"),
+        col("sum_value").cast("double").as("sum_value"))
+  val saltedEventCountsSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1""".stripMargin
+
   // ---- exact per-group quantiles ---------------------------------------
   def valueQuantiles(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
