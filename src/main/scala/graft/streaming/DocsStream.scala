@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns._
+
+/** Structured Streaming twins of the batch text-pipeline operators: the
+  * curation stages an ingest-time pipeline applies to an unbounded document
+  * feed. Input is any streaming DataFrame with (doc_id, text, ingest_ts as
+  * TIMESTAMP event time).
+  *
+  * The column expressions are the SAME codegen'd projections the batch
+  * operators use (quality ratios from TextAnalysis, sha-256 exact-dup key
+  * from Dedup) — batch/stream unification is the point: one definition of
+  * "quality" and "duplicate", two execution modes. State: dedup state is
+  * bounded by the watermark horizon; the filter is stateless.
+  */
+object DocsStream {
+
+  val MinTokens = 5
+  val MaxStopwordRatio = 0.7
+
+  /** Stateless quality gate: the streaming twin of
+    * TextAnalysis.qualityScore's ratios, applied as an ingest filter. */
+  def qualityFilter(docs: DataFrame): DataFrame = {
+    val nTokens = regexp_count(col("text"), lit("\\S+")).cast("long")
+    val nStop = size(filter(
+      transform(split(col("text"), WsTokenRe), t => lower(t)),
+      t => t =!= "" && t.isin(Stopwords: _*))).cast("long")
+    docs
+      .withColumn("n_tokens", nTokens)
+      .withColumn("stopword_ratio",
+        round(nStop.cast("double") / greatest(nTokens, lit(1L)), 4))
+      .where(col("n_tokens") >= MinTokens
+        && col("stopword_ratio") <= MaxStopwordRatio)
+  }
+
+  /** Streaming exact dedup on the content hash (Dedup.dedupExact's key):
+    * a re-ingested identical document within the watermark horizon is
+    * dropped. State is keyed by the 32-byte hash, expired by watermark. */
+  def dedupByContent(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("text_hash", sha2(col("text"), 256))
+      .withWatermark("ingest_ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("text_hash")
+
+  /** The composed ingest pipeline: quality gate → content dedup — what a
+    * training-data feed runs before documents reach the corpus store. */
+  def ingestPipeline(docs: DataFrame): DataFrame =
+    dedupByContent(qualityFilter(docs))
+}

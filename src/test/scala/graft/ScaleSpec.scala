@@ -48,6 +48,12 @@ class ScaleSpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("range join is an equi-join on time bins, not a nested loop") {
+    val plan = planOf("range_join_counts")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("minhash and jaccard read the materialized LSH intermediate") {
     // both plans must scan the persisted signature/candidate frames instead
     // of re-running the corpus-sized shingle explode from raw text

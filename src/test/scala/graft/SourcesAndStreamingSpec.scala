@@ -110,6 +110,26 @@ class SourcesAndStreamingSpec extends SparkTestBase {
     assert(ids.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("streaming ingest pipeline gates quality and dedups content") {
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val df = input.toDF().toDF("doc_id", "text", "ingest_ts")
+    val q = graft.streaming.DocsStream.ingestPipeline(df)
+      .writeStream.format("memory").queryName("docs_ingest")
+      .outputMode("append").start()
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val good = "winter rivers carry bright morning stones beyond quiet villages"
+    input.addData(
+      (1L, good, t(10)),
+      (2L, "too short", t(11)),                        // < MinTokens → gated
+      (3L, "the and of to a in is it you that", t(12)), // all stopwords → gated
+      (4L, good, t(13)),                               // exact dup of 1 → dropped
+      (5L, good + " extra", t(14)))                    // near-dup but different hash → kept
+    q.processAllAvailable()
+    val ids = spark.table("docs_ingest").collect().map(_.getLong(0)).sorted
+    q.stop()
+    assert(ids.toSeq == Seq(1L, 5L))
+  }
+
   test("nfc_normalize collapses combining characters to composed form") {
     // U+0065 U+0301 (e + combining acute) -> U+00E9
     val decomposed = "cafe\u0301"
