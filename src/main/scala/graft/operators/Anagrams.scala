@@ -185,7 +185,10 @@ object Anagrams {
       .where(col("tok") =!= "")
       .select(col("doc_id"), trimNonAlpha(lower(col("tok"))).as("word"))
       .where(isCleanWord(col("word")))
-      // no pre-distinct: collect_set dedups, map-side first → one shuffle
+      // two-stage like anagramGroupsOf: dedup (doc, word) first so the
+      // signature sort runs once per distinct word per doc, not per token
+      // occurrence (measured 1.7 → 1.3 s at sf0.1; same set-valued result)
+      .distinct()
       .groupBy(col("doc_id"), signature(col("word")).as("sig"))
       .agg(array_join(sort_array(collect_set(col("word"))), " ").as("words"))
   val combinePerDocSql =

@@ -270,15 +270,28 @@ object TextAnalysis {
   // shuffles once, the probe set never exceeds N rows.
   val BoilerK = 5
   val BoilerTopN = 20
+
+  private val gramCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), org.apache.spark.sql.DataFrame]
+
+  /** (doc_id, word 5-gram) frame, materialized per (session, corpus): the
+    * top-N aggregation and the per-doc membership join both consume it, so
+    * the tokenize + gram explode runs once (and future probe sets — e.g. an
+    * eval-benchmark contamination check — reuse the same frame). */
+  private def docGrams(spark: SparkSession, dir: String): DataFrame =
+    gramCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
+      docs(spark, dir)
+        .select(col("doc_id"),
+          filter(transform(split(col("text"), WsTokenRe), t => lower(t)),
+            t => t =!= "").as("toks"))
+        .where(size(col("toks")) >= BoilerK) // sequence(1,0) would descend
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, size(toks) - ${BoilerK - 1}), " +
+            s"i -> concat_ws(' ', slice(toks, i, $BoilerK)))")).as("gram"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   def boilerplateNgrams(spark: SparkSession, dir: String): DataFrame = {
-    val grams = docs(spark, dir)
-      .select(col("doc_id"),
-        filter(transform(split(col("text"), WsTokenRe), t => lower(t)),
-          t => t =!= "").as("toks"))
-      .where(size(col("toks")) >= BoilerK) // sequence(1,0) would descend
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(toks) - ${BoilerK - 1}), " +
-          s"i -> concat_ws(' ', slice(toks, i, $BoilerK)))")).as("gram"))
+    val grams = docGrams(spark, dir)
     val top = grams.groupBy("gram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("gram")).limit(BoilerTopN)
     grams.join(broadcast(top.select("gram")), "gram")
