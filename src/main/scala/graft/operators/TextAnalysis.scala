@@ -125,8 +125,9 @@ object TextAnalysis {
     val tf = toksDf.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .withColumn("doc_len", sum(col("tf")).over(
         org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
-    val df_ = toksDf.select("doc_id", "term").distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    // tf already has exactly one row per (doc, term), so document frequency
+    // is a row count over it — no second corpus explode + distinct shuffle
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
     tf.join(df_, "term").crossJoin(broadcast(nDocs))
