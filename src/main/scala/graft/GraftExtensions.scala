@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.graft.{FloatDotProduct, NormalizeNfc, ShinglePolyHash}
+import org.apache.spark.sql.graft.{FloatDotProduct, NormalizeNfc, ShinglePolyHash, SortChars}
 
 /** SparkSessionExtensions entry point: registers graft's custom Catalyst
   * expressions as SQL functions. Activate with
@@ -19,6 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NormalizeNfc].getName, "nfc_normalize"),
       (exprs: Seq[Expression]) => NormalizeNfc(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("sort_chars"),
+      new ExpressionInfo(classOf[SortChars].getName, "sort_chars"),
+      (exprs: Seq[Expression]) => SortChars(exprs.head)))
     def longOf(e: Expression): Long = e.asInstanceOf[Literal].value match {
       case i: Int => i.toLong
       case l: Long => l

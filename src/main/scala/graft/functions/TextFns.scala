@@ -65,8 +65,11 @@ object TextFns {
   def isCleanWord(c: Column): Column =
     c.rlike(LettersRe) && !c.isin(Stopwords: _*)
 
-  /** mapphase/map.go:66-71 — sorted-letter anagram signature. */
-  def signature(c: Column): Column = array_join(array_sort(split(c, "")), "")
+  /** mapphase/map.go:66-71 — sorted-letter anagram signature. One
+    * codegen'd code-point sort (SortChars) ≡ the built-in
+    * `array_join(array_sort(split(c, '')), '')` chain, minus the per-word
+    * single-char-array allocation and per-element byte comparisons. */
+  def signature(c: Column): Column = org.apache.spark.sql.graft.SortChars(c)
 
   /** mapphase/split.go:90-116 — header strip then footer1-else-footer2. */
   def stripGutenberg(c: Column): Column = {

@@ -152,6 +152,14 @@ class SourcesAndStreamingSpec extends SparkTestBase {
     assert(viaSql == viaCol && viaSql.length == 2)
   }
 
+  test("sort_chars equals the built-in split/sort/join chain incl. non-ASCII") {
+    val words = Seq("listen", "zyxwv", "", "a", "über", "Łódź", "banana", "a𝄞b")
+    val rows = words.toDF("w").selectExpr(
+      "sort_chars(w) AS a",
+      "array_join(array_sort(split(w, '')), '') AS b").collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
+
   test("float_dot is SQL-callable via GraftExtensions") {
     val v = spark.sql(
       "SELECT float_dot(array(CAST(1.5 AS FLOAT), CAST(2 AS FLOAT)), array(CAST(2 AS FLOAT), CAST(3 AS FLOAT)))")
