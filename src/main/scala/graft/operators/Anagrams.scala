@@ -50,8 +50,8 @@ object Anagrams {
   def cleanWordsOf(docsDf: DataFrame): DataFrame =
     cleanWordsRawOf(docsDf).distinct()
 
-  private val vocabCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private val vocabCache = Materialized.register(
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
 
   /** The distinct clean-word vocabulary, materialized once per (session,
     * corpus) and shared by every anagram-family query — vocabulary-sized

@@ -24,14 +24,14 @@ object Dedup {
   /** Per-(session, corpus) materialized intermediates. Local analog of
     * writing the signature table to parquet once and reading it from every
     * downstream job — the four LSH-family queries share one shingle pass. */
-  private val sigSetCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
-  private val candCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
-  private val pairsCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
-  private val compCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private val sigSetCache = Materialized.register(
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
+  private val candCache = Materialized.register(
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
+  private val pairsCache = Materialized.register(
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
+  private val compCache = Materialized.register(
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
   private def cacheKey(spark: SparkSession, dir: String) =
     (spark.sparkContext.applicationId, dir)
 
@@ -344,8 +344,8 @@ object Dedup {
     * buckets — standard blocking practice at corpus scale. */
   val ChunkCap = 64
 
-  private val simhashCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private val simhashCache = Materialized.register(
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
 
   /** One row per doc, materialized per (session, corpus): both sides of the
     * chunk-blocked self-join consume it, so the corpus explode + 60-sum

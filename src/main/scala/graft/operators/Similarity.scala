@@ -164,8 +164,8 @@ object Similarity {
     * (The previous `first IvfK by vec_id` seeds would, at 100 TB, all come
     * from one shard and could be near-identical.) Two Lloyd rounds refine
     * them — measured recall@10 vs the exact ann_topk is in BASELINE.md. */
-  private val centCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private val centCache = Materialized.register(
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
 
   def ivfCentroids(spark: SparkSession, dir: String): DataFrame =
     // trained once per (session, corpus) — ann_ivf, embedding_clusters and

@@ -272,8 +272,8 @@ object TextAnalysis {
   val BoilerK = 5
   val BoilerTopN = 20
 
-  private val gramCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), org.apache.spark.sql.DataFrame]
+  private val gramCache = Materialized.register(
+    scala.collection.concurrent.TrieMap.empty[(String, String), org.apache.spark.sql.DataFrame])
 
   /** (doc_id, word 5-gram) frame, materialized per (session, corpus): the
     * top-N aggregation and the per-doc membership join both consume it, so

@@ -69,4 +69,15 @@ class DedupSpec extends SparkTestBase {
     assert(sig.count() == 4)
     assert(sig.columns.length == 1 + Dedup.K)
   }
+
+  test("Materialized.clearAll releases intermediates; queries re-materialize") {
+    Dedup.dedupMinhash(spark, dir).count() // populate sig/cand caches
+    assert(graft.operators.Materialized.size > 0)
+    graft.operators.Materialized.clearAll()
+    assert(graft.operators.Materialized.size == 0)
+    // same results after re-materialization
+    val pairs = Dedup.dedupMinhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
 }
