@@ -449,27 +449,34 @@ object Dedup {
       s"CAST($a[${i + 1}] AS DOUBLE) * CAST($b[${i + 1}] AS DOUBLE)")
       .mkString(" + ")
 
-  /** Blocked by the same signed-random-hyperplane bucket the ANN path uses
-    * (Similarity.bucketCol): each vector joins only vectors whose 8-bit
-    * bucket is within hamming 1 of its own (side b is exploded to its 9
-    * probe buckets, side a keeps its home bucket — an equi-join, never a
-    * cartesian). Recall is traded at the blocking boundary exactly as in
-    * the ANN query; the oracle mirrors the same blocking so both engines
-    * see identical pairs. */
+  /** Blocked by multi-table signed-random-hyperplane LSH (the shape
+    * production near-dup dedup uses at scale): per table t, each vector
+    * equi-joins only vectors whose 8-bit bucket_t is within hamming 1 of
+    * its own (side b exploded to its 9 probe buckets, side a keeps its
+    * home bucket — never a cartesian); candidates are the UNION over
+    * NumTables independent tables, so a pair kept with probability p per
+    * table survives with 1-(1-p)^L overall (recall math in BASELINE.md).
+    * The oracle mirrors the same blocking — identical pairs both engines. */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     // Norms once per vector (not per pair): 3× less math in the pair loop.
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-      .select(col("vec_id"), col("embedding"),
-        sqrt(dotExpr("embedding", "embedding")).as("nrm"),
-        Similarity.bucketCol("embedding").as("bucket"))
+      .select(col("vec_id") +: col("embedding") +:
+        sqrt(dotExpr("embedding", "embedding")).as("nrm") +:
+        (0 until Similarity.NumTables).map(t =>
+          Similarity.bucketColT("embedding", t).as(s"bucket$t")): _*)
     val probeMasks = 0L +: (0 until Similarity.NumPlanes).map(j => 1L << j)
-    val probed = emb.select(col("vec_id"), col("embedding"), col("nrm"),
-      explode(array(probeMasks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("pb"))
     val cos = dotExpr("a.embedding", "b.embedding") / (col("a.nrm") * col("b.nrm"))
-    emb.as("a").join(probed.as("b"),
-        col("a.bucket") === col("b.pb") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(cos, 4).as("cos"))
+    def tablePairs(t: Int): DataFrame = {
+      val probed = emb.select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(array(probeMasks.map(m =>
+          col(s"bucket$t").bitwiseXOR(lit(m))): _*)).as("pb"))
+      emb.as("a").join(probed.as("b"),
+          col(s"a.bucket$t") === col("b.pb") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          round(cos, 4).as("cos"))
+    }
+    (0 until Similarity.NumTables).map(tablePairs).reduce(_ union _)
+      .dropDuplicates("vec_a", "vec_b")
       .where(col("cos") >= CosineThreshold)
   }
   // lazy: referencing Similarity at Dedup's own <clinit> would close an
@@ -480,17 +487,25 @@ object Dedup {
     val cos = s"(${sqlDotExpr("a.embedding", "b.embedding")}) / (a.nrm * b.nrm)"
     val masks = (0L +: (0 until Similarity.NumPlanes).map(j => 1L << j))
       .mkString("[", ", ", "]")
+    val bucketCols = (0 until Similarity.NumTables)
+      .map(t => s"${Similarity.sqlBucketT("embedding", t)} AS bucket$t")
+      .mkString(",\n    ")
+    val tableSelects = (0 until Similarity.NumTables).map { t =>
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round($cos, 4) AS cos
+         |  FROM e a JOIN (
+         |    SELECT vec_id, embedding, nrm, xor(bucket$t, m.m) AS pb
+         |    FROM e, unnest($masks) AS m(m)
+         |  ) b ON a.bucket$t = b.pb AND a.vec_id < b.vec_id""".stripMargin
+    }.mkString("\n  UNION\n  ")
     s"""WITH e AS (
        |  SELECT vec_id, embedding,
        |    sqrt(${sqlDotExpr("embedding", "embedding")}) AS nrm,
-       |    ${Similarity.sqlBucket("embedding")} AS bucket
+       |    $bucketCols
        |  FROM embeddings
-       |), p AS (
-       |  SELECT vec_id, embedding, nrm, xor(bucket, m.m) AS pb
-       |  FROM e, unnest($masks) AS m(m)
+       |), cand AS (
+       |  $tableSelects
        |)
-       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round($cos, 4) AS cos
-       |FROM e a JOIN p b ON a.bucket = b.pb AND a.vec_id < b.vec_id
-       |WHERE round($cos, 4) >= $CosineThreshold""".stripMargin
+       |SELECT vec_a, vec_b, cos FROM cand
+       |WHERE cos >= $CosineThreshold""".stripMargin
   }
 }

@@ -17,14 +17,20 @@ object Similarity {
 
   val TopK = 10
   val NumPlanes = 8
+  /** Independent 8-plane tables for multi-table LSH blocking (union of
+    * candidates): per-table keep probability p becomes 1-(1-p)^L. Table 0
+    * is the ANN probe table; table 1 exists for dedup recall. */
+  val NumTables = 2
 
   /** Deterministic pseudo-random hyperplanes (fixed seed, embedded as
     * literals in both engines — SURVEY.md §6). Quantized to float so the
     * coefficients are exactly representable inside the codegen'd float
-    * dot product AND round-trip exactly as SQL double literals. */
+    * dot product AND round-trip exactly as SQL double literals. The first
+    * NumPlanes rows are table 0 (drawing more planes from the same stream
+    * leaves them unchanged). */
   val Planes: IndexedSeq[IndexedSeq[Double]] = {
     val rng = new scala.util.Random(42)
-    IndexedSeq.fill(NumPlanes)(
+    IndexedSeq.fill(NumPlanes * NumTables)(
       IndexedSeq.fill(Dedup.Dim)(rng.nextGaussian().toFloat.toDouble))
   }
   private val planeLits: IndexedSeq[org.apache.spark.sql.Column] =
@@ -44,16 +50,18 @@ object Similarity {
       s"CAST($vecExpr[${i + 1}] AS DOUBLE) * ${Planes(j)(i)}")
       .mkString(" + ")
 
-  /** 8-bit signed-hyperplane bucket — shared with Dedup.dedupEmbedding's
-    * blocking join, so ANN probes and near-dup blocking agree. */
-  def bucketCol(vecCol: String): org.apache.spark.sql.Column =
+  /** 8-bit signed-hyperplane bucket for table `t` — t=0 is the ANN probe
+    * table, shared with Dedup.dedupEmbedding's blocking join. */
+  def bucketColT(vecCol: String, t: Int): org.apache.spark.sql.Column =
     (0 until NumPlanes).map(j =>
-      when(planeDot(vecCol, j) > 0.0, lit(1L << j)).otherwise(lit(0L)))
+      when(planeDot(vecCol, t * NumPlanes + j) > 0.0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
-  def sqlBucket(vecExpr: String): String =
+  def sqlBucketT(vecExpr: String, t: Int): String =
     (0 until NumPlanes).map(j =>
-      s"CASE WHEN ${sqlPlaneDot(vecExpr, j)} > 0.0 THEN ${1L << j} ELSE 0 END")
+      s"CASE WHEN ${sqlPlaneDot(vecExpr, t * NumPlanes + j)} > 0.0 THEN ${1L << j} ELSE 0 END")
       .mkString(" + ")
+  def bucketCol(vecCol: String): org.apache.spark.sql.Column = bucketColT(vecCol, 0)
+  def sqlBucket(vecExpr: String): String = sqlBucketT(vecExpr, 0)
 
   private def cosExpr(a: String, b: String) =
     dotExpr(a, b) / (sqrt(dotExpr(a, a)) * sqrt(dotExpr(b, b)))

@@ -100,9 +100,10 @@ class PropertiesSpec extends SparkTestBase {
       .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
     val got = Dedup.dedupEmbedding(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    def bucket(v: Array[Float]): Long =
+    def bucket(v: Array[Float], t: Int): Long =
       (0 until Similarity.NumPlanes).map { j =>
-        val dot = (0 until dim).foldLeft(0.0)((a, i) => a + v(i).toDouble * Similarity.Planes(j)(i))
+        val dot = (0 until dim).foldLeft(0.0)((a, i) =>
+          a + v(i).toDouble * Similarity.Planes(t * Similarity.NumPlanes + j)(i))
         if (dot > 0.0) 1L << j else 0L
       }.sum
     def cos(a: Array[Float], b: Array[Float]): Double = {
@@ -112,7 +113,8 @@ class PropertiesSpec extends SparkTestBase {
     }
     val expect = (for {
       (ia, va, _) <- vecs; (ib, vb, _) <- vecs if ia < ib
-      if java.lang.Long.bitCount(bucket(va) ^ bucket(vb)) <= 1
+      if (0 until Similarity.NumTables).exists(t =>
+        java.lang.Long.bitCount(bucket(va, t) ^ bucket(vb, t)) <= 1)
       if BigDecimal(cos(va, vb)).setScale(4, BigDecimal.RoundingMode.HALF_UP) >= Dedup.CosineThreshold
     } yield (ia, ib)).toSet
     assert(got == expect)
