@@ -70,6 +70,7 @@ object SparkEntry {
     "value_quantiles" -> Relational.valueQuantiles _,
     "event_pivot" -> Relational.eventPivot _,
     "salted_event_counts" -> Relational.saltedEventCounts _,
+    "approx_stats" -> Relational.approxStats _, // rows-only: sketches are engine-specific
   )
 
   /** DuckDB-equivalent SQL per query (same math, shared constants).

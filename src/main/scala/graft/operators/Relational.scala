@@ -187,6 +187,21 @@ object Relational {
        |  ON v.vsec <= p.psec AND v.vsec > p.psec - $RangeWindowSec
        |GROUP BY 1, 2""".stripMargin
 
+  // ---- sketch-based stats (rows-only: sketches are engine-specific) -----
+  // The 100 TB answer to COUNT(DISTINCT) and exact percentiles: HLL++ and
+  // a bounded-error quantile sketch, both single-pass, map-side partial,
+  // constant memory per group — next to their exact twins (join on
+  // event_type with value_quantiles to see the error). No DuckDB oracle:
+  // sketch estimates are engine-specific by construction, so the driver
+  // records the weaker rows-only check (like partition_stats).
+  def approxStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        round(expr("approx_percentile(value, 0.5, 1000)"), 4).as("approx_p50"),
+        round(expr("approx_percentile(value, 0.95, 1000)"), 4).as("approx_p95"))
+
   // ---- salted aggregation (skew path) -----------------------------------
   // event_type has 5 values over ~100k rows — the pathological-skew shape
   // where one reducer would take a whole hot key. Scale.saltedAgg spreads

@@ -9,7 +9,7 @@ class EntrySpec extends SparkTestBase {
   }
 
   test("every query key has an oracle except documented rows-only ops") {
-    val rowsOnly = Set("partition_stats")
+    val rowsOnly = Set("partition_stats", "approx_stats")
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == rowsOnly)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
