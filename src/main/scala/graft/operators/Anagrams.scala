@@ -59,7 +59,7 @@ object Anagrams {
     * natural columnar intermediate: the corpus tokenize+explode runs once,
     * and six downstream queries read a frame that fits in one executor. */
   def cleanWords(spark: SparkSession, dir: String): DataFrame =
-    vocabCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
+    Materialized.cached(vocabCache, spark, dir)(
       cleanWordsOf(docs(spark, dir)).persist(StorageLevel.MEMORY_AND_DISK))
 
   /** Signature → sorted distinct word set. Two-stage: dedup words first

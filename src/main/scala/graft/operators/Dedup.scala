@@ -32,8 +32,6 @@ object Dedup {
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
   private val compCache = Materialized.register(
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
-  private def cacheKey(spark: SparkSession, dir: String) =
-    (spark.sparkContext.applicationId, dir)
 
   // ---- #15 exact dedup --------------------------------------------------
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -101,7 +99,7 @@ object Dedup {
     * read the pair graph derived from it. At 100 TB this is the signature
     * table you write to parquet once per corpus snapshot. */
   def sigSets(spark: SparkSession, dir: String): DataFrame =
-    sigSetCache.getOrElseUpdate(cacheKey(spark, dir),
+    Materialized.cached(sigSetCache, spark, dir)(
       shingleHashes(spark, dir).groupBy("doc_id")
         .agg(collect_set(col("h")).as("hs"),
           (0 until K).map(i =>
@@ -162,7 +160,7 @@ object Dedup {
     * before the self-join, bounding its output to |buckets|·cap²
     * regardless of corpus size. */
   def candidatePairs(spark: SparkSession, dir: String): DataFrame =
-    candCache.getOrElseUpdate(cacheKey(spark, dir), {
+    Materialized.cached(candCache, spark, dir) {
       val banded = bandedOf(signatures(spark, dir))
       val kept = banded.groupBy("band", "key")
         .agg(count(lit(1)).as("bn"))
@@ -175,7 +173,7 @@ object Dedup {
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
-    })
+    }
 
   // ---- #16 MinHash near-dup: signature-estimated similarity -------------
   val MinhashSimThreshold = 0.5
@@ -209,7 +207,7 @@ object Dedup {
   /** The near-dup pair graph, materialized once per (session, corpus):
     * components and survivors iterate over it without re-running LSH. */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =
-    pairsCache.getOrElseUpdate(cacheKey(spark, dir),
+    Materialized.cached(pairsCache, spark, dir)(
       dedupMinhash(spark, dir).select("doc_a", "doc_b")
         .persist(StorageLevel.MEMORY_AND_DISK))
 
@@ -255,19 +253,30 @@ object Dedup {
     * (tiny for dup clusters). The oracle reaches the same unique fixpoint
     * through a recursive CTE. The result (a tiny doc→component frame) is
     * itself cached per (session, corpus) so survivors reads it for free. */
+  /** The persisted RDD behind a localCheckpoint'd frame (a LogicalRDD
+    * leaf) — tracked so per-round checkpoint blocks can be released once
+    * the final labels are persisted (ADVICE r3: clearAll on the final
+    * frame alone left every round's blocks pinned in the block manager). */
+  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectLeaves().collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+
   def dedupComponents(spark: SparkSession, dir: String): DataFrame =
-    compCache.getOrElseUpdate(cacheKey(spark, dir), {
+    Materialized.cached(compCache, spark, dir) {
       // The pair graph comes pre-materialized — no LSH re-execution here.
       val pairs = minhashPairs(spark, dir)
       val edges = pairs
         .union(pairs.select(col("doc_b"), col("doc_a")))
         .toDF("src", "dst")
+      val ckpts = scala.collection.mutable.ListBuffer.empty[org.apache.spark.rdd.RDD[_]]
       // localCheckpoint each round: labels is referenced 3× per round, so
       // without lineage truncation the logical plan grows ~3^rounds and
       // planning time explodes (measured 111 s at sf0.1; ~5 s with it)
       var labels = edges.select(col("src").as("doc")).distinct()
         .withColumn("lbl", col("doc"))
         .localCheckpoint(true)
+      checkpointRdd(labels).foreach(ckpts += _)
       var changed = 1L
       var rounds = 0
       // neighbor-min + pointer jumping (lbl := lbl of my lbl) converges in
@@ -286,6 +295,7 @@ object Dedup {
           .select(col("doc"), col("old"),
             least(col("mid"), coalesce(col("j_lbl"), col("mid"))).as("lbl"))
           .localCheckpoint(true)
+        checkpointRdd(jumped).foreach(ckpts += _)
         val t0 = System.nanoTime()
         changed = jumped.where(col("lbl") =!= col("old")).count()
         if (sys.env.contains("GRAFT_DEBUG_CC"))
@@ -299,8 +309,19 @@ object Dedup {
       if (changed > 0)
         throw new IllegalStateException(
           s"dedupComponents did not converge after $rounds rounds (changed=$changed)")
-      labels.select(col("doc").as("doc_id"), col("lbl").as("component"))
-    })
+      // Persist the final (tiny) labels frame and only then drop every
+      // round's checkpoint blocks — including the last round's, which the
+      // persisted copy replaces. localCheckpoint is already unrecoverable
+      // on executor loss, so freeing its blocks after materializing the
+      // persisted result does not change the failure model; it does return
+      // O(rounds × |graph|) of block-manager storage that clearAll() could
+      // never reach (the final frame's own unpersist frees the rest).
+      val result = labels.select(col("doc").as("doc_id"), col("lbl").as("component"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      result.count()
+      ckpts.foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
+      result
+    }
   val dedupComponentsSql: String =
     s"""WITH RECURSIVE pairs AS (
        |  ${dedupMinhashSql.linesIterator.mkString("\n  ")}
@@ -353,7 +374,7 @@ object Dedup {
     * don't canonicalize equal after the bucket-cap join, so exchange reuse
     * alone doesn't deduplicate them). */
   def simhashes(spark: SparkSession, dir: String): DataFrame =
-    simhashCache.getOrElseUpdate(cacheKey(spark, dir), {
+    Materialized.cached(simhashCache, spark, dir) {
       val toks = docs(spark, dir)
         .select(col("doc_id"), explode(split(col("text"), WsTokenRe)).as("tok"))
         .where(col("tok") =!= "")
@@ -368,7 +389,7 @@ object Dedup {
         .reduce(_ + _)
       bitSums.select(col("doc_id"), value.as("simhash"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-    })
+    }
 
   private val simhashCte: String = {
     val sums = (0 until SimhashBits)

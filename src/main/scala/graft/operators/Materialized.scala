@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import scala.collection.concurrent.TrieMap
 
 /** Registry of the per-(session, corpus) materialized intermediates
@@ -19,16 +19,60 @@ object Materialized {
       c: TrieMap[(String, String), DataFrame]): TrieMap[(String, String), DataFrame] =
     caches.synchronized { caches += c; c }
 
+  /** Cache key scoped to the SparkSession INSTANCE, not just the
+    * application: `SparkSession.newSession()` clones share an applicationId
+    * but carry independent conf/UDF state, so a frame resolved under one
+    * session must not be served to another (ADVICE r3). The identity hash
+    * disambiguates sessions within the app; applicationId separates
+    * distinct local test apps that could reuse identity hashes after GC. */
+  private[operators] def sessionKey(spark: SparkSession, dir: String): (String, String) =
+    (spark.sparkContext.applicationId + ":" +
+      java.lang.System.identityHashCode(spark).toHexString, dir)
+
+  /** Race-safe get-or-materialize: TrieMap.getOrElseUpdate may evaluate the
+    * by-name default concurrently in two threads, and the loser's persisted
+    * frame would leak storage with no owner (ADVICE r3). putIfAbsent
+    * resolves the race and the loser is explicitly unpersisted. `build`
+    * must return an already-persisted frame. */
+  private[operators] def cached(cache: TrieMap[(String, String), DataFrame],
+      spark: SparkSession, dir: String)(build: => DataFrame): DataFrame = {
+    val key = sessionKey(spark, dir)
+    cache.get(key) match {
+      case Some(df) => df
+      case None =>
+        val built = build
+        cache.putIfAbsent(key, built) match {
+          case Some(winner) =>
+            try built.unpersist() catch { case _: Throwable => () }
+            winner
+          case None => built
+        }
+    }
+  }
+
   /** Number of live materialized frames (diagnostics/tests). */
   def size: Int = caches.synchronized(caches.map(_.size).sum)
 
+  /** Extra cleanup actions tied to a cached frame's lifecycle (e.g. the
+    * localCheckpoint RDD blocks behind dedupComponents' final labels). */
+  private val cleanups = scala.collection.mutable.ListBuffer.empty[() => Unit]
+  private[operators] def onClear(f: () => Unit): Unit =
+    cleanups.synchronized { cleanups += f }
+
   /** Unpersist and forget every materialized intermediate, in every
-    * registered cache. Safe to call with stopped sessions (unpersist
-    * failures are swallowed); subsequent queries re-materialize. */
-  def clearAll(): Unit = caches.synchronized {
-    caches.foreach { c =>
-      c.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
-      c.clear()
+    * registered cache, plus any registered auxiliary cleanup. Safe to call
+    * with stopped sessions (unpersist failures are swallowed); subsequent
+    * queries re-materialize. */
+  def clearAll(): Unit = {
+    caches.synchronized {
+      caches.foreach { c =>
+        c.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
+        c.clear()
+      }
+    }
+    cleanups.synchronized {
+      cleanups.foreach(f => try f() catch { case _: Throwable => () })
+      cleanups.clear()
     }
   }
 }

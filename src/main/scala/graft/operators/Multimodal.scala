@@ -63,17 +63,26 @@ object Multimodal {
 
   def multimodalFrames(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // The oracle frames by CHARACTER positions (substr on text) while this
+    // side slices UTF-8 BYTES of the encoded blob — identical only when
+    // every doc is pure ASCII (one byte per char). That assumption is
+    // ENFORCED here, not assumed (ADVICE r3): a non-ASCII doc fails the
+    // query loudly instead of silently producing divergent frame hashes.
+    // (DuckDB v1.0.0 has no BLOB substring/md5, so the oracle cannot be
+    // switched to byte slicing instead.)
     spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .select(col("doc_id"),
+        when(octet_length(col("text")) === length(col("text")),
+          encode(col("text"), "UTF-8"))
+          .otherwise(raise_error(concat(
+            lit("multimodal_frames: non-ASCII text in doc_id="), col("doc_id"),
+            lit(" — byte-offset frames would diverge from character-offset oracle"))))
+          .as("blob"))
       .as[DocBlob]
       .mapPartitions(_.flatMap(frameSample))
       .toDF()
   }
-  /** Oracle twin. NOTE: frames by CHARACTER positions (length/substr on
-    * text) while the Spark side slices UTF-8 BYTES of the encoded blob —
-    * identical only because the synthetic corpus is pure ASCII (one byte
-    * per char; same assumption ShinglePolyHash documents). A non-ASCII
-    * corpus would need octet_length + byte slicing here. */
+  /** Oracle twin (character offsets; ASCII equality enforced engine-side). */
   val multimodalFramesSql: String =
     s"""SELECT doc_id, g.i AS frame_idx, g.i * $FrameStride AS frame_off,
        |  md5(substr(text, CAST(g.i * $FrameStride + 1 AS INTEGER), $FrameLen)) AS frame_md5

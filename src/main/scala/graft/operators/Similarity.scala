@@ -179,7 +179,7 @@ object Similarity {
     // trained once per (session, corpus) — ann_ivf, embedding_clusters and
     // cluster_purity all quantize against the same 16-row frame (at scale:
     // train once, broadcast everywhere)
-    centCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+    Materialized.cached(centCache, spark, dir) {
       val e = emb(spark, dir)
       val seeds = e
         .orderBy(graft.functions.TextFns.md5Long(col("vec_id").cast("string")),
@@ -188,7 +188,7 @@ object Similarity {
         .select(col("vec_id").as("cid"), col("embedding").as("c"))
       lloydRound(e, lloydRound(e, seeds))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    }
   private def sqlLloyd(src: String, aN: String, rN: String, outN: String): String =
     s"""$aN AS (
        |  SELECT vec_id, embedding, cid,
