@@ -369,25 +369,23 @@ object Dedup {
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
 
   /** One row per doc, materialized per (session, corpus): both sides of the
-    * chunk-blocked self-join consume it, so the corpus explode + 60-sum
-    * aggregation runs once instead of once per join side (the two subtrees
-    * don't canonicalize equal after the bucket-cap join, so exchange reuse
-    * alone doesn't deduplicate them). */
+    * chunk-blocked self-join consume it without re-reading the corpus.
+    *
+    * The whole hash is ONE codegen'd projection (Simhash60): tokenize +
+    * dedup inside the row with array built-ins, then a single-pass md5
+    * bit-vote — a map-only stage with zero shuffles. The previous shape
+    * (explode → (doc, token)-distinct shuffle → 60-conditional-sum
+    * aggregation shuffle) moved the tokenized corpus through two exchanges
+    * to compute a value that never needed to leave its row. Bit-identical
+    * to the oracle's explode+sum formulation because the vote sums commute
+    * over any token order. */
   def simhashes(spark: SparkSession, dir: String): DataFrame =
     Materialized.cached(simhashCache, spark, dir) {
-      val toks = docs(spark, dir)
-        .select(col("doc_id"), explode(split(col("text"), WsTokenRe)).as("tok"))
-        .where(col("tok") =!= "")
-        .select(col("doc_id"), lower(col("tok")).as("tok")).distinct()
-        .select(col("doc_id"), md5Long(col("tok")).as("th"))
-      val bitSums = toks.groupBy("doc_id").agg(
-        sum(when(shiftright(col("th"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("c0"),
-        (1 until SimhashBits).map(i =>
-          sum(when(shiftright(col("th"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"c$i")): _*)
-      val value = (0 until SimhashBits)
-        .map(i => when(col(s"c$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-        .reduce(_ + _)
-      bitSums.select(col("doc_id"), value.as("simhash"))
+      val toks = array_distinct(filter(
+        transform(split(col("text"), WsTokenRe), t => lower(t)), t => t =!= ""))
+      docs(spark, dir)
+        .select(col("doc_id"),
+          org.apache.spark.sql.graft.Simhash60(toks).as("simhash"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
 

@@ -150,21 +150,33 @@ object Similarity {
   private def sqlL2sq(a: String, c: String) =
     s"(${sqlDotExpr(a, a)}) + (${sqlDotExpr(c, c)}) - 2 * (${sqlDotExpr(a, c)})"
 
+  /** Nearest-centroid assignment WITHOUT a per-vec window: min_by over
+    * (dist, cid) is a partial-aggregating argmin, so the 16×-replicated
+    * crossJoin output collapses map-side and only one row per vector
+    * reaches the exchange. The window variant shuffled AND sorted all 16
+    * candidate rows per vector — 16× the corpus through the exchange at
+    * 100 TB. Tie-break (dist, then cid) matches the oracle's
+    * `ORDER BY dist, cid` exactly; `payload` rides along untouched. */
+  private def argminCid(e: DataFrame, cents: DataFrame, payload: Seq[String]): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .withColumn("dist", l2sq("embedding", "c"))
+      .groupBy("vec_id")
+      .agg(min_by(struct(col("cid") +: payload.map(col): _*),
+        struct(col("dist"), col("cid"))).as("a"))
+      .select(col("vec_id") +: col("a.cid").as("cid") +:
+        payload.map(p => col(s"a.$p").as(p)): _*)
+
   /** One Lloyd refinement: assign every vector to its nearest centroid,
     * recompute per-dimension means. Means are rounded to 6 decimals BEFORE
     * the float cast on both engines, so the quantizer is insensitive to
     * partition-order summation drift in avg() (ADVICE r2). */
-  private def lloydRound(e: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
-    e.crossJoin(broadcast(cents))
-      .withColumn("dist", l2sq("embedding", "c"))
-      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+  private def lloydRound(e: DataFrame, cents: DataFrame): DataFrame =
+    argminCid(e, cents, Seq("embedding"))
       .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy("cid", "pos").agg(round(avg(col("v").cast("double")), 6).as("m"))
       .groupBy("cid")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m").cast("float")).as("c"))
-  }
 
   /** Refined float centroids: (cid, c array<float>).
     * Seeding is k-means++-style spread via a deterministic hash shuffle:
@@ -223,11 +235,7 @@ object Similarity {
       .withColumn("qrn", row_number().over(wq)).where(col("qrn") <= IvfProbes)
       .select(col("cid"), col("qid"), col("qv"))
     // assign every vector to its cell, keep only probed cells
-    val wa = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("dist", l2sq("embedding", "c"))
-      .withColumn("rn", row_number().over(wa)).where(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid"))
+    val assigned = argminCid(e, cents, Seq("embedding"))
     topkRanked(assigned.join(probes, "cid")
       .where(col("vec_id") =!= col("qid"))
       .select(col("vec_id"), cosExpr("embedding", "qv").as("cos")))
@@ -238,10 +246,7 @@ object Similarity {
   def embeddingClusters(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val cents = ivfCentroids(spark, dir)
-    val wa = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
-    e.crossJoin(broadcast(cents))
-      .withColumn("dist", l2sq("embedding", "c"))
-      .withColumn("rn", row_number().over(wa)).where(col("rn") === 1)
+    argminCid(e, cents, Seq("embedding", "c"))
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n_members"),
         round(avg(cosExpr("embedding", "c")), 4).as("avg_cos_to_centroid"))
@@ -269,10 +274,7 @@ object Similarity {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"), col("label"))
     val cents = ivfCentroids(spark, dir)
-    val wa = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
-    e.crossJoin(broadcast(cents))
-      .withColumn("dist", l2sq("embedding", "c"))
-      .withColumn("rn", row_number().over(wa)).where(col("rn") === 1)
+    argminCid(e, cents, Seq("label"))
       .groupBy(col("cid"), col("label")).agg(count(lit(1)).as("cl"))
       .groupBy("cid")
       .agg(sum(col("cl")).as("n_members"), max(col("cl")).as("n_majority"))
