@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.graft.{FloatDotProduct, NormalizeNfc, ShinglePolyHash, Simhash60, SortChars}
+import org.apache.spark.sql.graft.{CharEntropy, FloatDotProduct, NormalizeNfc, ShinglePolyHash, Simhash60, SortChars}
 
 /** SparkSessionExtensions entry point: registers graft's custom Catalyst
   * expressions as SQL functions. Activate with
@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("sort_chars"),
       new ExpressionInfo(classOf[SortChars].getName, "sort_chars"),
       (exprs: Seq[Expression]) => SortChars(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("char_entropy"),
+      new ExpressionInfo(classOf[CharEntropy].getName, "char_entropy"),
+      (exprs: Seq[Expression]) => CharEntropy(exprs.head)))
     ext.injectFunction((
       new FunctionIdentifier("simhash60"),
       new ExpressionInfo(classOf[Simhash60].getName, "simhash60"),

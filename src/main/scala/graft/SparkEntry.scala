@@ -56,6 +56,10 @@ object SparkEntry {
     "repetition_stats" -> TextAnalysis.repetitionStats _,
     "boilerplate_ngrams" -> TextAnalysis.boilerplateNgrams _,
     "corpus_mix" -> TextAnalysis.corpusMix _,
+    // curation (§2 #25i-25k)
+    "dedup_segments" -> Curation.dedupSegments _,
+    "decontaminate" -> Curation.decontaminate _,
+    "char_stats" -> Curation.charStats _,
     // multimodal (§2 #26)
     "multimodal_meta" -> Multimodal.multimodalMeta _,
     "multimodal_frames" -> Multimodal.multimodalFrames _,
@@ -70,6 +74,8 @@ object SparkEntry {
     "value_quantiles" -> Relational.valueQuantiles _,
     "event_pivot" -> Relational.eventPivot _,
     "salted_event_counts" -> Relational.saltedEventCounts _,
+    "salted_join_enrich" -> Relational.saltedJoinEnrich _,
+    "brand_revenue" -> Relational.brandRevenue _,
     "approx_stats" -> Relational.approxStats _, // rows-only: sketches are engine-specific
   )
 
@@ -114,6 +120,9 @@ object SparkEntry {
     "repetition_stats" -> TextAnalysis.repetitionStatsSql,
     "boilerplate_ngrams" -> TextAnalysis.boilerplateNgramsSql,
     "corpus_mix" -> TextAnalysis.corpusMixSql,
+    "dedup_segments" -> Curation.dedupSegmentsSql,
+    "decontaminate" -> Curation.decontaminateSql,
+    "char_stats" -> Curation.charStatsSql,
     "multimodal_meta" -> Multimodal.multimodalMetaSql,
     "multimodal_frames" -> Multimodal.multimodalFramesSql,
     "q1_agg" -> Relational.q1AggSql,
@@ -126,5 +135,7 @@ object SparkEntry {
     "value_quantiles" -> Relational.valueQuantilesSql,
     "event_pivot" -> Relational.eventPivotSql,
     "salted_event_counts" -> Relational.saltedEventCountsSql,
+    "salted_join_enrich" -> Relational.saltedJoinEnrichSql,
+    "brand_revenue" -> Relational.brandRevenueSql,
   )
 }

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between raw ingest and training (SURVEY.md §2 #25i-25k): segment-level
+  * dedup (the CCNet/MassiveText paragraph-dedup shape), benchmark
+  * decontamination (probe-set n-gram overlap), and char-level entropy
+  * quality signals.
+  *
+  * Scale notes: segment dedup shuffles on a uniform md5 segment key and
+  * joins back on the same key (one shuffle each side); decontamination
+  * broadcasts the probe-gram set (bounded by benchmark size, never corpus
+  * size) against the shared materialized gram frame; char stats is a
+  * map-only projection (custom codegen'd CharEntropy — the per-doc value
+  * never leaves its row).
+  */
+object Curation {
+
+  private def docs(spark: SparkSession, dir: String) =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  private def toks = filter(
+    transform(split(col("text"), WsTokenRe), t => lower(t)), t => t =!= "")
+
+  // ---- #25i segment-level dedup (CCNet/MassiveText paragraph shape) -----
+  /** The corpus has no newline structure, so "paragraphs" are deterministic
+    * fixed-width token windows: SegLen-token chunks (trailing partial chunk
+    * included). Real pipelines segment on '\n\n'; the dedup shape —
+    * segment → hash → corpus-wide count → per-doc dup stats — is identical
+    * and is what this operator demonstrates. */
+  val SegLen = 20
+
+  private def segments(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .where(size(col("toks")) >= 1)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, ((size(toks) - 1) div $SegLen) + 1), " +
+          s"i -> concat_ws(' ', slice(toks, (i - 1) * $SegLen + 1, $SegLen)))"))
+        .as("seg"))
+      // join/count key is the shared 60-bit md5, not the segment text:
+      // shuffle bytes per row are 8, not ~SegLen words
+      .select(col("doc_id"), md5Long(col("seg")).as("sh"))
+
+  /** Per-doc duplication profile: how many of the doc's segments also occur
+    * elsewhere in the corpus (counting every occurrence of a segment whose
+    * corpus-wide count exceeds 1). The aggregate a curation pipeline
+    * thresholds on before dropping or trimming documents. */
+  def dedupSegments(spark: SparkSession, dir: String): DataFrame = {
+    val segs = segments(spark, dir)
+    val counts = segs.groupBy("sh").agg(count(lit(1)).as("n"))
+    segs.join(counts, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_segments"))
+      .select(col("doc_id"), col("n_segments"), col("n_dup_segments"),
+        round(col("n_dup_segments").cast("double") / col("n_segments"), 4)
+          .as("dup_seg_frac"))
+  }
+  val dedupSegmentsSql: String =
+    s"""WITH toksx AS (
+       |  SELECT doc_id, list_filter(list_transform(
+       |    string_split_regex(text, '\\s+'), t -> lower(t)), t -> t <> '') AS t
+       |  FROM documents
+       |), segs AS (
+       |  SELECT doc_id,
+       |    ${sqlMd5Long("g.s")} AS sh
+       |  FROM toksx, unnest(list_transform(range(1, ((len(t) - 1) // $SegLen) + 2),
+       |    i -> list_aggr(t[(i - 1) * $SegLen + 1 : (i - 1) * $SegLen + $SegLen],
+       |      'string_agg', ' '))) AS g(s)
+       |  WHERE len(t) >= 1
+       |), cnt AS (
+       |  SELECT sh, count(*) AS n FROM segs GROUP BY 1
+       |)
+       |SELECT doc_id, count(*) AS n_segments,
+       |  sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_segments,
+       |  round(CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 4) AS dup_seg_frac
+       |FROM segs JOIN cnt USING (sh) GROUP BY 1""".stripMargin
+
+  // ---- #25j benchmark decontamination (probe-set n-gram overlap) --------
+  /** Decontamination proper: flag corpus documents sharing any word
+    * ContamK-gram with a probe set (in production, the eval benchmark; here
+    * the first ContamProbeDocs documents stand in as the "benchmark" so the
+    * check is deterministic at every SF). The probe-gram side is bounded by
+    * benchmark size and broadcasts; the corpus side reads the shared
+    * materialized gram frame (TextAnalysis.docGrams) at k=ContamK. */
+  val ContamK = 3
+  val ContamProbeDocs = 3
+
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val grams = TextAnalysis.docGrams(spark, dir, ContamK)
+    val probes = grams.where(col("doc_id") < ContamProbeDocs)
+      .select("gram").distinct()
+    grams.where(col("doc_id") >= ContamProbeDocs)
+      .join(broadcast(probes), "gram")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_contam_grams"),
+        count(lit(1)).as("n_gram_hits"))
+  }
+  val decontaminateSql: String =
+    s"""${TextAnalysis.sqlGramsCte(ContamK)}, probes AS (
+       |  SELECT DISTINCT gram FROM grams WHERE doc_id < $ContamProbeDocs
+       |)
+       |SELECT doc_id, count(DISTINCT gram) AS n_contam_grams,
+       |  count(*) AS n_gram_hits
+       |FROM grams JOIN probes USING (gram)
+       |WHERE doc_id >= $ContamProbeDocs GROUP BY 1""".stripMargin
+
+  // ---- #25k char-level entropy quality signal ---------------------------
+  /** Per-doc character-distribution stats: length, distinct chars, Shannon
+    * entropy (bits/char, codegen'd single-pass CharEntropy). Low entropy ⇒
+    * repetitive/padded text; a standard Gopher-style filter input. Map-only
+    * at any scale — the relational formulation would explode the corpus
+    * into characters through two shuffles to compute a row-local value. */
+  def charStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(array_distinct(filter(split(col("text"), ""), c => c =!= "")))
+        .cast("long").as("n_distinct_chars"),
+      round(org.apache.spark.sql.graft.CharEntropy(col("text")), 4)
+        .as("char_entropy"))
+  val charStatsSql: String =
+    """WITH chars AS (
+      |  SELECT doc_id, substr(text, CAST(g.i AS INTEGER), 1) AS ch
+      |  FROM documents, unnest(range(1, length(text) + 1)) AS g(i)
+      |), cnt AS (
+      |  SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2
+      |)
+      |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+      |  count(*) AS n_distinct_chars,
+      |  round((length(d.text) * log2(length(d.text))
+      |    - sum(c * log2(c))) / length(d.text), 4) AS char_entropy
+      |FROM documents d JOIN cnt ON d.doc_id = cnt.doc_id
+      |GROUP BY d.doc_id, d.text""".stripMargin
+}

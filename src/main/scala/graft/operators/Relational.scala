@@ -221,6 +221,66 @@ object Relational {
       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1""".stripMargin
 
+  // ---- salted fact-fact join (join-skew path) ---------------------------
+  // Each event is enriched with its user's corpus-wide activity totals —
+  // a fact-to-derived-fact join on user_id, the shape where one hot user
+  // would pin a reducer. Scale.saltedJoin replicates the build side 8× and
+  // scatters probe rows by a deterministic salt, so hot keys spread over 8
+  // tasks. The oracle is the PLAIN join: the salt must be observationally
+  // invisible. Decimal sums keep the merge order-insensitive.
+  val JoinSaltBuckets = 8
+  def saltedJoinEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val userTotals = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("user_events"),
+        sum(col("value").cast("decimal(18,6)")).as("user_value"))
+    Scale.saltedJoin(
+        ev.select(col("event_type"), col("user_id"), col("event_id")),
+        userTotals, "user_id",
+        pmod(col("event_id"), lit(JoinSaltBuckets)), JoinSaltBuckets)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("user_events")).as("sum_user_events"),
+        sum(col("user_value")).cast("double").as("sum_user_value"))
+  }
+  val saltedJoinEnrichSql: String =
+    """WITH ut AS (
+      |  SELECT user_id, count(*) AS user_events,
+      |    sum(CAST(value AS DECIMAL(18,6))) AS user_value
+      |  FROM events GROUP BY 1
+      |)
+      |SELECT event_type, count(*) AS n,
+      |  CAST(sum(user_events) AS BIGINT) AS sum_user_events,
+      |  CAST(sum(user_value) AS DOUBLE) AS sum_user_value
+      |FROM events JOIN ut USING (user_id) GROUP BY 1""".stripMargin
+
+  // ---- TPC-H Q9-style multi-dim profit rollup ---------------------------
+  // lineitem ⋈ part ⋈ supplier ⋈ nation, revenue per (nation, brand).
+  // part/supplier/nation are dimension-sized at TPC-H ratios → broadcast
+  // onto the fact scan (no fact shuffle before the final rollup agg; at
+  // extreme part-table scale this becomes a shuffle join AQE handles).
+  def brandRevenue(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), col("p_brand").as("brand"))
+      .agg(
+        sum((col("l_extendedprice").cast("decimal(18,4)")
+          * (lit(BigDecimal(1)).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  val brandRevenueSql: String =
+    """SELECT n_name AS nation, p_brand AS brand,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+      |    * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY 1, 2""".stripMargin
+
   // ---- exact per-group quantiles ---------------------------------------
   def valueQuantiles(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")

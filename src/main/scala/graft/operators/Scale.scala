@@ -23,6 +23,22 @@ object Scale {
       .groupBy(col(key))
       .agg(sum(col("__n")).as("n"), sum(col("__s")).as("sum_value"))
 
+  /** Salted replicated-build join for skewed join keys — the manual form of
+    * what AQE's skew-join does with runtime stats: the build side is
+    * replicated `buckets`× (one copy per salt value) and the probe side
+    * scatters each hot key over `buckets` reducers via a deterministic
+    * per-row salt, so no single task takes a whole hot key. Result ≡
+    * `probe.join(build, key)` for any salt expression. Build-side cost is
+    * |build| × buckets rows — use for build sides too big to broadcast but
+    * far smaller than the probe side. */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+      saltCol: org.apache.spark.sql.Column, buckets: Int): DataFrame =
+    probe
+      .withColumn("__salt", pmod(saltCol, lit(buckets)))
+      .join(build.withColumn("__salt",
+        explode(array((0 until buckets).map(lit): _*))), Seq(key, "__salt"))
+      .drop("__salt")
+
   /** Write both sides bucketed+sorted by the join key so subsequent joins
     * need no exchange (bucket-pruned SortMergeJoin over co-located files).
     * The returned names are registered tables; join them with

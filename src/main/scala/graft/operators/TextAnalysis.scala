@@ -275,21 +275,35 @@ object TextAnalysis {
   private val gramCache = Materialized.register(
     scala.collection.concurrent.TrieMap.empty[(String, String), org.apache.spark.sql.DataFrame])
 
-  /** (doc_id, word 5-gram) frame, materialized per (session, corpus): the
-    * top-N aggregation and the per-doc membership join both consume it, so
-    * the tokenize + gram explode runs once (and future probe sets — e.g. an
-    * eval-benchmark contamination check — reuse the same frame). */
-  private[operators] def docGrams(spark: SparkSession, dir: String): DataFrame =
-    Materialized.cached(gramCache, spark, dir)(
+  /** (doc_id, word k-gram) frame, materialized per (session, corpus, k):
+    * the top-N aggregation and the per-doc membership join both consume it,
+    * so the tokenize + gram explode runs once per gram size (the
+    * decontamination query reuses the same frame at its own k). */
+  private[operators] def docGrams(spark: SparkSession, dir: String,
+      k: Int = BoilerK): DataFrame =
+    Materialized.cached(gramCache, spark, s"$dir#k=$k")(
       docs(spark, dir)
         .select(col("doc_id"),
           filter(transform(split(col("text"), WsTokenRe), t => lower(t)),
             t => t =!= "").as("toks"))
-        .where(size(col("toks")) >= BoilerK) // sequence(1,0) would descend
+        .where(size(col("toks")) >= k) // sequence(1,0) would descend
         .select(col("doc_id"), explode(expr(
-          s"transform(sequence(1, size(toks) - ${BoilerK - 1}), " +
-            s"i -> concat_ws(' ', slice(toks, i, $BoilerK)))")).as("gram"))
+          s"transform(sequence(1, size(toks) - ${k - 1}), " +
+            s"i -> concat_ws(' ', slice(toks, i, $k)))")).as("gram"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** The k-gram CTE shared by the boilerplate and decontamination oracles. */
+  private[operators] def sqlGramsCte(k: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(list_transform(
+       |    string_split_regex(text, '\\s+'), t -> lower(t)), t -> t <> '') AS t
+       |  FROM documents
+       |), grams AS (
+       |  SELECT doc_id, g.gm AS gram
+       |  FROM toks, unnest(list_transform(range(1, len(t) - ${k - 2}),
+       |    i -> list_aggr(t[i:i+${k - 1}], 'string_agg', ' '))) AS g(gm)
+       |  WHERE len(t) >= $k
+       |)""".stripMargin
 
   def boilerplateNgrams(spark: SparkSession, dir: String): DataFrame = {
     val grams = docGrams(spark, dir)
@@ -299,16 +313,7 @@ object TextAnalysis {
       .groupBy("doc_id").agg(countDistinct(col("gram")).as("n_boiler_grams"))
   }
   val boilerplateNgramsSql: String =
-    s"""WITH toks AS (
-       |  SELECT doc_id, list_filter(list_transform(
-       |    string_split_regex(text, '\\s+'), t -> lower(t)), t -> t <> '') AS t
-       |  FROM documents
-       |), grams AS (
-       |  SELECT doc_id, g.gm AS gram
-       |  FROM toks, unnest(list_transform(range(1, len(t) - ${BoilerK - 2}),
-       |    i -> list_aggr(t[i:i+${BoilerK - 1}], 'string_agg', ' '))) AS g(gm)
-       |  WHERE len(t) >= $BoilerK
-       |), top AS (
+    s"""${sqlGramsCte(BoilerK)}, top AS (
        |  SELECT gram, count(*) AS n FROM grams GROUP BY 1
        |  ORDER BY n DESC, gram LIMIT $BoilerTopN
        |)

@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.graft.{CharEntropy, Simhash60}
+import org.apache.spark.unsafe.types.UTF8String
+
+class CurationSpec extends SparkTestBase {
+
+  // 25 tokens → 2 segments of SegLen=20 (one full + one 5-token tail)
+  private val para = (1 to 25).map(i => s"w$i").mkString(" ")
+  private lazy val dir = writeDocsFixture(Seq(
+    1L -> para,
+    2L -> para, // both of doc 2's segments duplicate doc 1's
+    3L -> ((1 to 20).map(i => s"w$i").mkString(" ") + " unique tail words here now"),
+    4L -> "totally different short text",
+  ))
+
+  test("segment dedup counts corpus-duplicated segments per doc") {
+    val rows = Curation.dedupSegments(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows(1L) == ((2L, 2L))) // both segments shared with docs 2/3
+    assert(rows(2L) == ((2L, 2L)))
+    assert(rows(3L) == ((2L, 1L))) // first 20 tokens shared, tail unique
+    assert(rows(4L) == ((1L, 0L))) // nothing duplicated
+  }
+
+  test("decontaminate flags docs sharing k-grams with the probe docs") {
+    // probe docs are doc_id < 3 → docs 1,2 (and the absent 0); doc 3 shares
+    // the w1..w20 3-grams with them, doc 4 shares none
+    val rows = Curation.decontaminate(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.contains(3L) && rows(3L) >= 18L)
+    assert(!rows.contains(4L))
+  }
+
+  test("char entropy: zero for uniform text, 1 bit for 50/50, matches formula") {
+    assert(CharEntropy.compute(UTF8String.fromString("aaaa")) == 0.0)
+    assert(math.abs(CharEntropy.compute(UTF8String.fromString("abab")) - 1.0) < 1e-12)
+    // direct formula check on a known mix: "aab" → H = log2(3) - (2*1)/3
+    val h = CharEntropy.compute(UTF8String.fromString("aab"))
+    val expected = (3 * (math.log(3) / math.log(2)) - 2 * 1.0) / 3
+    assert(math.abs(h - expected) < 1e-12)
+  }
+
+  test("char_stats query returns per-doc stats with plausible entropy") {
+    val rows = Curation.charStats(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val (n, d, e) = rows(4L) // "totally different short text"
+    assert(n == 28L && d > 10L && e > 3.0 && e < 5.0)
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("simhash60 expression equals the relational md5 bit-vote") {
+    // independent relational recomputation of the same tokens' simhash
+    import spark.implicits._
+    val toks = Seq("alpha", "beta", "gamma", "delta")
+    val viaExpr = Seq(toks).toDF("toks")
+      .select(Simhash60(org.apache.spark.sql.functions.col("toks")))
+      .head().getLong(0)
+    val viaSql = spark.sql(
+      toks.map(t => s"SELECT CAST(conv(substring(md5('$t'), 1, 15), 16, 10) AS BIGINT) AS th")
+        .mkString(" UNION ALL ")).selectExpr(
+        (0 until 60).map(i =>
+          s"sum(CASE WHEN (th >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS c$i"): _*)
+      .selectExpr((0 until 60).map(i =>
+        s"CASE WHEN c$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+        .mkString("(", " + ", ") AS sh")).head().getLong(0)
+    assert(viaExpr == viaSql)
+  }
+}

@@ -21,6 +21,19 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("salted join equals direct join") {
+    val probe = (1 to 4000)
+      .map(i => (if (i % 3 == 0) 7L else (i % 23).toLong, i.toLong))
+      .toDF("k", "pv")
+    val build = (0 to 22).map(i => (i.toLong, s"u$i")).toDF("k", "bv")
+    val salted = Scale.saltedJoin(probe, build, "k",
+        org.apache.spark.sql.functions.pmod($"pv", org.apache.spark.sql.functions.lit(8)), 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val direct = probe.join(build, "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(salted == direct && salted.nonEmpty)
+  }
+
   // ---- plan-shape assertions: pin the scale properties VERDICT r2 named
   // so a regression reintroducing a scale-killer fails CI, not the judge.
 
@@ -62,6 +75,23 @@ class ScaleSpec extends SparkTestBase {
       assert(plan.contains("InMemoryTableScan"),
         s"$q lost the shared intermediate:\n$plan")
     }
+  }
+
+  test("per-row curation signals are map-only — no exchange in the plan") {
+    // simhash + char stats never need a shuffle: the value is row-local
+    Seq(
+      graft.operators.Dedup.simhashes(spark, sf),
+      graft.operators.Curation.charStats(spark, sf)
+    ).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"map-only op gained a shuffle:\n$plan")
+    }
+  }
+
+  test("brand revenue broadcasts every dimension — no fact-side shuffle join") {
+    val plan = planOf("brand_revenue")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
   }
 
   test("bucketed tables join without a shuffle exchange") {
