@@ -60,6 +60,7 @@ object SparkEntry {
     "dedup_segments" -> Curation.dedupSegments _,
     "decontaminate" -> Curation.decontaminate _,
     "char_stats" -> Curation.charStats _,
+    "curated_corpus" -> Curation.curatedCorpus _,
     // multimodal (§2 #26)
     "multimodal_meta" -> Multimodal.multimodalMeta _,
     "multimodal_frames" -> Multimodal.multimodalFrames _,
@@ -123,6 +124,7 @@ object SparkEntry {
     "dedup_segments" -> Curation.dedupSegmentsSql,
     "decontaminate" -> Curation.decontaminateSql,
     "char_stats" -> Curation.charStatsSql,
+    "curated_corpus" -> Curation.curatedCorpusSql,
     "multimodal_meta" -> Multimodal.multimodalMetaSql,
     "multimodal_frames" -> Multimodal.multimodalFramesSql,
     "q1_agg" -> Relational.q1AggSql,

@@ -110,6 +110,55 @@ object Curation {
        |FROM grams JOIN probes USING (gram)
        |WHERE doc_id >= $ContamProbeDocs GROUP BY 1""".stripMargin
 
+  // ---- #25l the end product: a curated training corpus ------------------
+  /** The composed curation pipeline every stage above feeds: keep documents
+    * that (1) clear the quality threshold, (2) language-ID as English,
+    * (3) survive near-dup dedup, and (4) are not benchmark-contaminated
+    * (probe docs themselves excluded — they ARE the benchmark).
+    *
+    * Plan shape at 100 TB: quality and language are row-local expressions
+    * on ONE corpus scan (no joins between per-doc signal frames); the
+    * dedup drop-list and the contamination list are bounded by the pair
+    * graph / benchmark size respectively and anti-join as broadcasts. */
+  val CuratedQualityMin = 0.5
+
+  def curatedCorpus(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .where(col("doc_id") >= ContamProbeDocs)
+      .select(col("doc_id") +: col("lang") +: col("source") +: col("n_chars") +:
+        TextAnalysis.qualityExpr.as("quality") +: TextAnalysis.langHitCols: _*)
+      .withColumn("pred_lang", TextAnalysis.predLangFromHits)
+      .where(col("quality") >= CuratedQualityMin && col("pred_lang") === "en")
+      .join(broadcast(Dedup.droppedDocs(spark, dir)), Seq("doc_id"), "left_anti")
+      .join(broadcast(decontaminate(spark, dir).select("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars", "quality")
+  lazy val curatedCorpusSql: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang, source, n_chars,
+       |    ${TextAnalysis.sqlQualityExpr} AS quality,
+       |    ${TextAnalysis.sqlLangHitCols.linesIterator.mkString("\n    ")}
+       |  FROM documents
+       |  WHERE doc_id >= $ContamProbeDocs
+       |), kept AS (
+       |  SELECT doc_id, lang, source, n_chars, quality,
+       |    ${TextAnalysis.sqlPredLangFromHits} AS pred_lang
+       |  FROM scored
+       |  WHERE quality >= $CuratedQualityMin
+       |), dropped AS (
+       |  SELECT doc_id FROM (
+       |    ${Dedup.dedupComponentsSql.linesIterator.mkString("\n    ")}
+       |  ) WHERE doc_id <> component
+       |), contaminated AS (
+       |  SELECT doc_id FROM (
+       |    ${decontaminateSql.linesIterator.mkString("\n    ")}
+       |  )
+       |)
+       |SELECT doc_id, lang, source, n_chars, quality FROM kept
+       |WHERE pred_lang = 'en'
+       |  AND doc_id NOT IN (SELECT doc_id FROM dropped)
+       |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin
+
   // ---- #25k char-level entropy quality signal ---------------------------
   /** Per-doc character-distribution stats: length, distinct chars, Shannon
     * entropy (bits/char, codegen'd single-pass CharEntropy). Low entropy ⇒

@@ -335,16 +335,20 @@ object Dedup {
        |)
        |SELECT doc AS doc_id, min(lbl) AS component FROM r GROUP BY 1""".stripMargin
 
+  /** Non-representative members of near-dup clusters — the docs a dedup
+    * pass REMOVES. Tiny (bounded by the pair graph, not the corpus), so
+    * downstream anti-joins broadcast it. */
+  def droppedDocs(spark: SparkSession, dir: String): DataFrame =
+    dedupComponents(spark, dir)
+      .where(col("doc_id") =!= col("component"))
+      .select("doc_id")
+
   /** The end product of near-dedup: every doc_id that survives — cluster
     * representatives (min id per component) plus all docs outside the
     * near-dup graph. This is the frame a training pipeline feeds onward. */
-  def dedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
-    val dropped = dedupComponents(spark, dir)
-      .where(col("doc_id") =!= col("component"))
-      .select("doc_id")
+  def dedupSurvivors(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select("doc_id")
-      .join(dropped, Seq("doc_id"), "left_anti")
-  }
+      .join(droppedDocs(spark, dir), Seq("doc_id"), "left_anti")
   val dedupSurvivorsSql: String =
     s"""WITH comp AS (
        |  ${dedupComponentsSql.linesIterator.mkString("\n  ")}

@@ -37,38 +37,58 @@ object TextAnalysis {
   }
 
   // ---- #22 language ID --------------------------------------------------
-  def langId(spark: SparkSession, dir: String): DataFrame = {
-    val scored = docs(spark, dir).select(
-      col("doc_id") +: col("lang").as("labeled_lang") +:
-        LangProfiles.map { case (l, ws) => hits(col("text"), ws).as(s"hits_$l") }: _*)
+  /** Per-language stopword-hit columns over `text` (one array pass each). */
+  private[operators] def langHitCols: Seq[Column] =
+    LangProfiles.map { case (l, ws) => hits(col("text"), ws).as(s"hits_$l") }
+
+  /** Argmax over the hit columns with fixed priority order (earlier
+    * language wins ties) — shared by langId and curatedCorpus. */
+  private[operators] def predLangFromHits: Column = {
     val langs = LangProfiles.map(_._1)
-    // argmax with fixed priority order (earlier language wins ties)
-    val pred = langs.init.zipWithIndex.foldRight(lit(langs.last)) {
+    langs.init.zipWithIndex.foldRight(lit(langs.last)) {
       case ((l, i), rest) =>
         val geAll = langs.drop(i + 1)
           .map(o => col(s"hits_$l") >= col(s"hits_$o")).reduce(_ && _)
         when(geAll, lit(l)).otherwise(rest)
     }
-    scored.withColumn("pred_lang", pred)
   }
-  val langIdSql: String = {
+
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id") +: col("lang").as("labeled_lang") +: langHitCols: _*)
+      .withColumn("pred_lang", predLangFromHits)
+  private[operators] val sqlLangHitCols: String = LangProfiles
+    .map { case (l, ws) => s"${sqlHits("text", ws)} AS hits_$l" }.mkString(",\n  ")
+  private[operators] val sqlPredLangFromHits: String = {
     val langs = LangProfiles.map(_._1)
-    val hitCols = LangProfiles
-      .map { case (l, ws) => s"${sqlHits("text", ws)} AS hits_$l" }.mkString(",\n  ")
-    val pred = langs.init.zipWithIndex.foldRight(s"'${langs.last}'") {
+    langs.init.zipWithIndex.foldRight(s"'${langs.last}'") {
       case ((l, i), rest) =>
         val geAll = langs.drop(i + 1).map(o => s"hits_$l >= hits_$o").mkString(" AND ")
         s"CASE WHEN $geAll THEN '$l' ELSE $rest END"
     }
+  }
+  val langIdSql: String =
     s"""WITH scored AS (
        |  SELECT doc_id, lang AS labeled_lang,
-       |  $hitCols
+       |  $sqlLangHitCols
        |  FROM documents
        |)
-       |SELECT *, $pred AS pred_lang FROM scored""".stripMargin
-  }
+       |SELECT *, $sqlPredLangFromHits AS pred_lang FROM scored""".stripMargin
 
   // ---- #23 quality scoring ---------------------------------------------
+  /** The quality score as one inline expression over `text` — identical
+    * math to qualityScore's staged columns; used where quality is a filter
+    * input on an existing scan (curatedCorpus) rather than the output. */
+  private[operators] def qualityExpr: Column = {
+    val nTokens = regexp_count(col("text"), lit("\\S+")).cast("double")
+    val nStop = hits(col("text"), Stopwords).cast("double")
+    round(least(nTokens / lit(50.0), lit(1.0)) * (lit(1.0) - nStop / nTokens), 4)
+  }
+  private[operators] val sqlQualityExpr: String = {
+    val nTokens = "CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE)"
+    s"round(least($nTokens / 50.0, 1.0) * (1.0 - CAST(${sqlHits("text", Stopwords)} AS DOUBLE) / $nTokens), 4)"
+  }
+
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
       col("doc_id"),

@@ -31,6 +31,21 @@ object EventsStream {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment: join each streaming event to a static
+    * dimension (user → tier here), then the windowed rollup per (tier,
+    * event_type). The static side is planned per micro-batch as an
+    * ordinary broadcast hash join — the standard way a 100 TB pipeline
+    * attaches slowly-changing reference data to a live stream without
+    * stream-stream join state. */
+  def enrichedWindowedCounts(events: DataFrame, userDim: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .join(broadcast(userDim), Seq("user_id"))
+      .groupBy(window(col("ts"), "1 hour"), col("tier"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("tier"),
+        col("event_type"), col("n"))
+
   case class Ev(user_id: Long, ts: java.sql.Timestamp)
   case class SessionState(start: Long, end: Long, n: Long)
   case class SessionOut(user_id: Long, start_epoch: Long, end_epoch: Long, n_events: Long)

@@ -50,6 +50,20 @@ class CurationSpec extends SparkTestBase {
     assert(rows.keySet == Set(1L, 2L, 3L, 4L))
   }
 
+  test("curated corpus composes quality, lang, dedup and contamination gates") {
+    // fixture docs: 1,2 are probe docs (doc_id < 3) → excluded up front;
+    // doc 3 is contaminated (shares grams with probes); doc 4 is clean but
+    // only 4 tokens → quality = min(4/50, 1)·(1 − 0/4) = 0.08 < 0.5 → cut.
+    val out = Curation.curatedCorpus(spark, dir).collect()
+    assert(out.isEmpty)
+    // a clean, long, stopword-light doc survives
+    val dir2 = writeDocsFixture(Seq(
+      1L -> "p1", 2L -> "p2", 3L -> "p3",
+      10L -> ((1 to 60).map(i => s"the word$i is here").mkString(" "))))
+    val out2 = Curation.curatedCorpus(spark, dir2).collect()
+    assert(out2.map(_.getLong(0)).toSet == Set(10L))
+  }
+
   test("simhash60 expression equals the relational md5 bit-vote") {
     // independent relational recomputation of the same tokens' simhash
     import spark.implicits._

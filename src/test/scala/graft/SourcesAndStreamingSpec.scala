@@ -76,6 +76,24 @@ class SourcesAndStreamingSpec extends SparkTestBase {
     assert(rows == Set((0L, "click", 2L, 3.0), (3600L, "view", 1L, 5.0)))
   }
 
+  test("stream-static join enriches events with a broadcast dimension") {
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)](spark)
+    val df = input.toDF().toDF("ts", "user_id", "event_type")
+    val userDim = Seq((1L, "gold"), (2L, "free")).toDF("user_id", "tier")
+    val q = EventsStream.enrichedWindowedCounts(df, userDim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("complete").start()
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    input.addData((t(10), 1L, "click"), (t(20), 1L, "click"), (t(30), 2L, "view"),
+      (t(40), 3L, "click")) // user 3 has no dim row → dropped by inner join
+    q.processAllAvailable()
+    val rows = spark.table("enriched").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSet
+    q.stop()
+    assert(rows == Set(("gold", "click", 2L), ("free", "view", 1L)))
+  }
+
   test("streaming sessionization closes sessions via event-time timeout") {
     val input = MemoryStream[Ev](spark)
     val q = EventsStream.sessionize(input.toDS())
