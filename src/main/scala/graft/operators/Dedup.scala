@@ -65,17 +65,6 @@ object Dedup {
   /** Rolling-hash base for shingles (see ShinglePolyHash). */
   val ShingleB = 131L
 
-  /** Char-k-gram shingle hashes via the codegen'd one-pass rolling hash.
-    * NOT deduped: both consumers (min-signatures, collect_set) are
-    * dedup-insensitive, so a pre-distinct would only add a corpus-sized
-    * shuffle. The oracle keeps DISTINCT for clarity — semantically
-    * identical. */
-  def shingleHashes(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .select(col("doc_id"),
-        explode(org.apache.spark.sql.graft.ShinglePolyHash(
-          col("text"), ShingleK, ShingleB, P)).as("h"))
-
   /** The same fold as ShinglePolyHash, unrolled: ((…*B + ord_j) % P)… */
   private def sqlShingleHash(textExpr: String, posExpr: String): String =
     (0 until ShingleK).foldLeft("CAST(0 AS BIGINT)") { (acc, j) =>
@@ -93,17 +82,26 @@ object Dedup {
 
   /** The materialized LSH intermediate: one row per doc carrying BOTH the
     * K-component minhash signature (s0..s{K-1}) and the distinct shingle-hash
-    * set (hs). Computed with a single map-side-partial aggregation over ONE
-    * shingle explode, then persisted per (session, corpus) — minhash reads
-    * the signatures, jaccard reads signatures+sets, components/survivors
-    * read the pair graph derived from it. At 100 TB this is the signature
-    * table you write to parquet once per corpus snapshot. */
+    * set (hs). ENTIRELY map-only: the rolling-hash array and the K fused
+    * minima (MinhashSig) are row-local projections, so no shingle ever
+    * leaves its document's row — the previous aggregation formulation
+    * exploded the corpus into shingles and shuffled them to compute values
+    * that never needed the exchange. Persisted per (session, corpus) —
+    * minhash reads the signatures, jaccard reads signatures+sets,
+    * components/survivors read the pair graph derived from it. At 100 TB
+    * this is the signature table you write to parquet once per corpus
+    * snapshot, and writing it is a map-only job. */
   def sigSets(spark: SparkSession, dir: String): DataFrame =
     Materialized.cached(sigSetCache, spark, dir)(
-      shingleHashes(spark, dir).groupBy("doc_id")
-        .agg(collect_set(col("h")).as("hs"),
-          (0 until K).map(i =>
-            min((col("h") * CoefA(i) + CoefB(i)) % P).as(s"s$i")): _*)
+      docs(spark, dir)
+        // same population as the explode formulation: ≥1 shingle
+        .where(length(col("text")) >= ShingleK)
+        .select(col("doc_id"), org.apache.spark.sql.graft.ShinglePolyHash(
+          col("text"), ShingleK, ShingleB, P).as("raw"))
+        .select(col("doc_id"), array_distinct(col("raw")).as("hs"),
+          org.apache.spark.sql.graft.MinhashSig(col("raw"), CoefA, CoefB, P).as("sig"))
+        .select(col("doc_id") +: col("hs") +:
+          (0 until K).map(i => col("sig").getItem(i).as(s"s$i")): _*)
         .persist(StorageLevel.MEMORY_AND_DISK))
 
   /** One row per doc: s0..s{K-1} minhash signature (pruned read of the
@@ -178,13 +176,18 @@ object Dedup {
   // ---- #16 MinHash near-dup: signature-estimated similarity -------------
   val MinhashSimThreshold = 0.5
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    // tiny cached pair set joined back to the persisted signature table
-    // (both sides materialized — no shingle or band work re-executes)
+    // Cached pair set joined back to the persisted signature table (both
+    // sides materialized — no shingle or band work re-executes). The pair
+    // side carries a shuffle_hash hint: since sigSets became a map-only
+    // projection its size estimate comes from the parquet scan, and the
+    // planner would otherwise BROADCAST the signature table (corpus-sized
+    // at scale — the one frame that must never broadcast) instead of
+    // hash-joining on the uniform doc_id key.
     val sig = sigSets(spark, dir)
     val matches = (0 until K)
       .map(i => when(col(s"a.s$i") === col(s"b.s$i"), 1).otherwise(0))
       .reduce(_ + _)
-    candidatePairs(spark, dir)
+    candidatePairs(spark, dir).hint("shuffle_hash")
       .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
       .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
       .select(col("doc_a"), col("doc_b"),
@@ -217,7 +220,9 @@ object Dedup {
     // Candidates AND shingle sets come from the materialized intermediates,
     // so neither the corpus-sized shingle explode nor the band join
     // re-executes here; the exact intersection never sees all-pairs.
-    val cand = candidatePairs(spark, dir)
+    // shuffle_hash for the same reason as dedupMinhash: never broadcast
+    // the corpus-sized shingle-set table.
+    val cand = candidatePairs(spark, dir).hint("shuffle_hash")
     val shSets = sigSets(spark, dir).select(col("doc_id"), col("hs"))
     val inter = size(array_intersect(col("a.hs"), col("b.hs")))
     val jac = inter.cast("double") /

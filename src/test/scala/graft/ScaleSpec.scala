@@ -78,13 +78,25 @@ class ScaleSpec extends SparkTestBase {
   }
 
   test("per-row curation signals are map-only — no exchange in the plan") {
-    // simhash + char stats never need a shuffle: the value is row-local
+    // simhash, minhash signatures + char stats never need a shuffle: the
+    // values are row-local
     Seq(
       graft.operators.Dedup.simhashes(spark, sf),
+      graft.operators.Dedup.sigSets(spark, sf),
       graft.operators.Curation.charStats(spark, sf)
     ).foreach { df =>
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), s"map-only op gained a shuffle:\n$plan")
+    }
+  }
+
+  test("minhash/jaccard hash-join the signature table — never broadcast it") {
+    // the signature table is corpus-sized at scale; the pair side carries
+    // a shuffle_hash hint so the planner's small-scan estimate can't turn
+    // it into a broadcast build
+    Seq("dedup_minhash", "dedup_ngram_jaccard").foreach { q =>
+      val plan = planOf(q)
+      assert(plan.contains("ShuffledHashJoin"), s"$q lost the hash join:\n$plan")
     }
   }
 
