@@ -69,6 +69,8 @@ object SparkEntry {
     "join_enrich" -> Relational.joinEnrich _,
     "top_customers_window" -> Relational.topCustomersWindow _,
     "events_window_agg" -> Relational.eventsWindowAgg _,
+    "events_sliding_agg" -> Relational.eventsSlidingAgg _,
+    "mix_rollup" -> Relational.mixRollup _,
     "sessionize" -> Relational.sessionize _,
     "asof_join" -> Relational.asofJoin _,
     "range_join_counts" -> Relational.rangeJoinCounts _,
@@ -131,6 +133,8 @@ object SparkEntry {
     "join_enrich" -> Relational.joinEnrichSql,
     "top_customers_window" -> Relational.topCustomersWindowSql,
     "events_window_agg" -> Relational.eventsWindowAggSql,
+    "events_sliding_agg" -> Relational.eventsSlidingAggSql,
+    "mix_rollup" -> Relational.mixRollupSql,
     "sessionize" -> Relational.sessionizeSql,
     "asof_join" -> Relational.asofJoinSql,
     "range_join_counts" -> Relational.rangeJoinCountsSql,

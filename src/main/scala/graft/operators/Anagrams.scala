@@ -179,18 +179,17 @@ object Anagrams {
     s"$cleanWordsCte SELECT word, ${sqlSignature("word")} AS sig FROM clean"
 
   // ---- #9 combiner semantics per doc (mapphase/combine.go:13-47) --------
+  // The whole per-doc combine (preprocess → signature → group → set-union)
+  // is a pure function of the document, exactly as the reference computes
+  // it in memory per split — SigGroups runs it as ONE row-local pass, so
+  // the query is a map-only projection (the relational form needed a
+  // (doc, word)-distinct exchange plus a (doc, sig) aggregation exchange).
   def combinePerDoc(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), WsTokenRe)).as("tok"))
-      .where(col("tok") =!= "")
-      .select(col("doc_id"), trimNonAlpha(lower(col("tok"))).as("word"))
-      .where(isCleanWord(col("word")))
-      // two-stage like anagramGroupsOf: dedup (doc, word) first so the
-      // signature sort runs once per distinct word per doc, not per token
-      // occurrence (measured 1.7 → 1.3 s at sf0.1; same set-valued result)
-      .distinct()
-      .groupBy(col("doc_id"), signature(col("word")).as("sig"))
-      .agg(array_join(sort_array(collect_set(col("word"))), " ").as("words"))
+      .select(col("doc_id"),
+        explode(org.apache.spark.sql.graft.SigGroups(
+          split(col("text"), WsTokenRe), Stopwords)).as("g"))
+      .select(col("doc_id"), col("g.sig").as("sig"), col("g.words").as("words"))
   val combinePerDocSql =
     s"""WITH toks AS (
        |  SELECT DISTINCT d.doc_id, lower(t.w) AS word

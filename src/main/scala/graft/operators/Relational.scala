@@ -97,6 +97,46 @@ object Relational {
       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  // ---- #30b sliding (hopping) windows: 1-hour width, 15-minute slide ----
+  // Each event belongs to exactly width/slide = 4 overlapping windows;
+  // the explode-to-window-starts formulation is the batch equivalent of
+  // `window(ts, '1 hour', '15 minutes')`, expressed in epoch math shared
+  // with the oracle. Scale: 4× row amplification into a map-side-partial
+  // aggregation on a time-bounded key space — no extra shuffle vs tumbling.
+  val SlideSec = 900
+  val SlideWidthSec = 3600
+  private val SlideN = SlideWidthSec / SlideSec // windows per event
+  def eventsSlidingAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(expr("ts DIV 1000000000").as("sec"), col("event_type"), col("value"))
+      .select(col("event_type"), col("value"),
+        explode(expr(
+          s"transform(sequence(0, ${SlideN - 1}), j -> (sec DIV $SlideSec - j) * $SlideSec)"))
+          .as("win_start"))
+      .groupBy("win_start", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+  val eventsSlidingAggSql: String =
+    s"""SELECT (CAST(epoch(date_trunc('second', ts)) AS BIGINT) // $SlideSec - g.j)
+       |    * $SlideSec AS win_start,
+       |  event_type, count(*) AS n,
+       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       |FROM events, unnest(range(0, $SlideN)) AS g(j)
+       |GROUP BY 1, 2""".stripMargin
+
+  // ---- #34f ROLLUP grouping sets over the corpus composition ------------
+  // (lang, source) → (lang) → () subtotals in one pass — Spark's rollup
+  // and DuckDB's GROUP BY ROLLUP produce identical NULL-marked subtotal
+  // rows. One aggregation, map-side partial per grouping set.
+  def mixRollup(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .rollup("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+  val mixRollupSql: String =
+    """SELECT lang, source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin
+
   // ---- as-of join: each purchase matched to the user's latest prior view
   // Spark lacks a native as-of join; the union+window pattern composes
   // existing operators (preference (a) of the custom-operator ladder): tag

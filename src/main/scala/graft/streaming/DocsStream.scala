@@ -44,8 +44,35 @@ object DocsStream {
       .withWatermark("ingest_ts", "10 minutes")
       .dropDuplicatesWithinWatermark("text_hash")
 
+  /** Ingest-time decontamination: drop any streamed document sharing a
+    * word k-gram with the probe set (the eval benchmark). The probe set is
+    * bounded by benchmark size, so it ships to executors as a literal
+    * array and the gate is a stateless row-local filter — each doc builds
+    * its own grams in-row and tests overlap; nothing joins, nothing
+    * shuffles. The k and gram construction are Curation.decontaminate's,
+    * so batch audits and the ingest gate cannot disagree on what
+    * "contaminated" means. */
+  def decontaminationGate(docs: DataFrame, probeGrams: Seq[String]): DataFrame = {
+    val k = graft.operators.Curation.ContamK
+    // guard: sequence(1, 0) runs DESCENDING, so short docs get an explicit
+    // empty gram array instead
+    val grams = when(size(col("toks")) >= k, expr(
+      s"transform(sequence(1, size(toks) - ${k - 1}), " +
+        s"i -> concat_ws(' ', slice(toks, i, $k)))"))
+      .otherwise(array().cast("array<string>"))
+    docs
+      .withColumn("toks", filter(
+        transform(split(col("text"), WsTokenRe), t => lower(t)), t => t =!= ""))
+      .where(!arrays_overlap(grams, lit(probeGrams.toArray)))
+      .drop("toks")
+  }
+
   /** The composed ingest pipeline: quality gate → content dedup — what a
-    * training-data feed runs before documents reach the corpus store. */
+    * training-data feed runs before documents reach the corpus store.
+    * With a probe set, decontamination runs between the two. */
   def ingestPipeline(docs: DataFrame): DataFrame =
     dedupByContent(qualityFilter(docs))
+
+  def ingestPipeline(docs: DataFrame, probeGrams: Seq[String]): DataFrame =
+    dedupByContent(decontaminationGate(qualityFilter(docs), probeGrams))
 }

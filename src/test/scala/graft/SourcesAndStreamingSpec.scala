@@ -148,6 +148,24 @@ class SourcesAndStreamingSpec extends SparkTestBase {
     assert(ids.toSeq == Seq(1L, 5L))
   }
 
+  test("streaming ingest pipeline with probe set also gates contamination") {
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val df = input.toDF().toDF("doc_id", "text", "ingest_ts")
+    val probes = Seq("bright morning stones") // a 3-gram from the benchmark
+    val q = graft.streaming.DocsStream.ingestPipeline(df, probes)
+      .writeStream.format("memory").queryName("docs_ingest_decon")
+      .outputMode("append").start()
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    input.addData(
+      (1L, "winter rivers carry bright morning stones beyond quiet villages", t(10)), // contaminated
+      (2L, "winter rivers carry calm morning stones beyond quiet villages", t(11)),   // clean → kept
+      (3L, "ok", t(12)))                                                              // short → gated
+    q.processAllAvailable()
+    val ids = spark.table("docs_ingest_decon").collect().map(_.getLong(0)).sorted
+    q.stop()
+    assert(ids.toSeq == Seq(2L))
+  }
+
   test("nfc_normalize collapses combining characters to composed form") {
     // U+0065 U+0301 (e + combining acute) -> U+00E9
     val decomposed = "cafe\u0301"
