@@ -35,8 +35,12 @@ object Scale {
       saltCol: org.apache.spark.sql.Column, buckets: Int): DataFrame =
     probe
       .withColumn("__salt", pmod(saltCol, lit(buckets)))
+      // shuffle_hash pins the shuffled join the salt exists for — a build
+      // side small enough for the planner to broadcast wouldn't need
+      // salting in the first place
       .join(build.withColumn("__salt",
-        explode(array((0 until buckets).map(lit): _*))), Seq(key, "__salt"))
+          explode(array((0 until buckets).map(lit): _*))).hint("shuffle_hash"),
+        Seq(key, "__salt"))
       .drop("__salt")
 
   /** Write both sides bucketed+sorted by the join key so subsequent joins
