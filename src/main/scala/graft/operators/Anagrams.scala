@@ -150,10 +150,18 @@ object Anagrams {
        |WHERE t.w <> ''""".stripMargin
 
   // ---- #5 per-doc lowercase+dedup (mapphase/split.go:119-133) -----------
+  // Map-only: the per-doc word set is row-local (exactly the reference's
+  // in-memory map per split), so sort-distinct happens inside the row —
+  // no (doc, word) exchange. Population guard (≥1 token) matches the
+  // explode+groupBy form.
   def docUniqueWords(spark: SparkSession, dir: String): DataFrame =
-    docWords(spark, dir)
-      .groupBy("doc_id")
-      .agg(array_join(sort_array(collect_set(col("word"))), " ").as("words"))
+    docs(spark, dir)
+      .select(col("doc_id"), filter(
+        transform(split(col("text"), WsTokenRe), t => lower(t)),
+        t => t =!= "").as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        array_join(array_sort(array_distinct(col("toks"))), " ").as("words"))
   val docUniqueWordsSql =
     s"""SELECT doc_id,
        |  list_aggr(list_sort(list(DISTINCT lower(t.w))), 'string_agg', ' ') AS words

@@ -65,8 +65,9 @@ object Dedup {
   /** Rolling-hash base for shingles (see ShinglePolyHash). */
   val ShingleB = 131L
 
-  /** The same fold as ShinglePolyHash, unrolled: ((…*B + ord_j) % P)… */
-  private def sqlShingleHash(textExpr: String, posExpr: String): String =
+  /** The same fold as ShinglePolyHash, unrolled: ((…*B + ord_j) % P)…
+    * Shared with the winnowing-fingerprint oracle (same k=5 hash space). */
+  private[operators] def sqlShingleHash(textExpr: String, posExpr: String): String =
     (0 until ShingleK).foldLeft("CAST(0 AS BIGINT)") { (acc, j) =>
       s"(($acc * $ShingleB + ord(substr($textExpr, CAST($posExpr AS INTEGER) + $j, 1))) % $P)"
     }

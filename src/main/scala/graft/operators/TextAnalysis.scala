@@ -255,19 +255,21 @@ object TextAnalysis {
   // fraction of tokens that are repeats, top_token_frac the mass of the
   // single most frequent token. Two map-side-partial aggregations — the
   // first keyed by (doc, token), vocabulary-bounded per doc.
+  // Map-only: the stats are a pure function of the document, computed by
+  // TokenStats in one in-row pass — the previous formulation shuffled the
+  // tokenized corpus through (doc, token) and per-doc aggregation
+  // exchanges. Population guard (≥1 token) matches the explode form.
   def repetitionStats(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), WsTokenRe)).as("tok"))
-      .where(col("tok") =!= "")
-      .groupBy(col("doc_id"), lower(col("tok")).as("tok"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
-        max(col("c")).as("topc"))
-      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
-        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 4)
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.TokenStats(toks(col("text"))).as("s"))
+      .where(col("s.n_tokens") > 0)
+      .select(col("doc_id"),
+        col("s.n_tokens").as("n_tokens"),
+        col("s.n_distinct").as("n_distinct"),
+        round(lit(1.0) - col("s.n_distinct").cast("double") / col("s.n_tokens"), 4)
           .as("dup_frac"),
-        round(col("topc").cast("double") / col("n_tokens"), 4)
+        round(col("s.top_count").cast("double") / col("s.n_tokens"), 4)
           .as("top_token_frac"))
   val repetitionStatsSql: String =
     s"""WITH toks AS (
@@ -355,31 +357,32 @@ object TextAnalysis {
       |FROM documents GROUP BY 1, 2""".stripMargin
 
   // ---- #25 winnowing fingerprints (k=5 char-grams, window w=4) ----------
+  // Map-only: ShinglePolyHash emits the k-gram hash array in-row and
+  // WinnowMins takes the sorted distinct sliding-window minima in one
+  // deque pass — the fingerprint never leaves its document's row. The
+  // previous formulation exploded every char position and pushed the
+  // corpus-of-grams through a per-doc window sort plus an aggregation
+  // exchange. The oracle keeps the windowed formulation over the same
+  // rolling hash — two independent implementations of winnowing agreeing.
   val FpK = 5
   val FpW = 4
-  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val grams = docs(spark, dir)
-      .where(length(col("text")) >= FpK)
-      .select(col("doc_id"), length(col("text")).as("len"), col("text"),
-        explode(sequence(lit(1), length(col("text")) - (FpK - 1))).as("pos"))
-      .select(col("doc_id"), col("len"), col("pos"),
-        md5Long(col("text").substr(col("pos"), lit(FpK))).as("h"))
-    val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, FpW - 1)
-    grams
-      .withColumn("wmin", min(col("h")).over(win))
-      .where(col("pos") <= col("len") - (FpK - 1) - (FpW - 1))
-      .groupBy("doc_id")
-      .agg(
-        countDistinct(col("wmin")).as("n_fp"),
-        array_join(transform(sort_array(collect_set(col("wmin"))),
-          _.cast("string")), " ").as("fp"))
-  }
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      // same population as the explode form: at least one full window
+      .where(length(col("text")) >= FpK + FpW - 1)
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.WinnowMins(
+          org.apache.spark.sql.graft.ShinglePolyHash(
+            col("text"), FpK, Dedup.ShingleB, Dedup.P), FpW).as("wm"))
+      .select(col("doc_id"),
+        size(col("wm")).cast("long").as("n_fp"),
+        array_join(transform(col("wm"), _.cast("string")), " ").as("fp"))
   val fingerprintSql: String =
     s"""WITH grams AS (
        |  SELECT d.doc_id, length(d.text) AS len, g.pos,
-       |    ${sqlMd5Long(s"substr(d.text, CAST(g.pos AS INTEGER), $FpK)")} AS h
+       |    ${Dedup.sqlShingleHash("d.text", "g.pos")} AS h
        |  FROM documents d, unnest(range(1, length(d.text) - ${FpK - 1} + 1)) AS g(pos)
-       |  WHERE length(d.text) >= $FpK
+       |  WHERE length(d.text) >= ${FpK + FpW - 1}
        |), wins AS (
        |  SELECT doc_id, len, pos,
        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos

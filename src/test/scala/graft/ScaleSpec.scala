@@ -78,12 +78,17 @@ class ScaleSpec extends SparkTestBase {
   }
 
   test("per-row curation signals are map-only — no exchange in the plan") {
-    // simhash, minhash signatures + char stats never need a shuffle: the
+    // simhash, minhash signatures, char stats, winnowing fingerprints,
+    // repetition stats, per-doc combine/dedup never need a shuffle: the
     // values are row-local
     Seq(
       graft.operators.Dedup.simhashes(spark, sf),
       graft.operators.Dedup.sigSets(spark, sf),
-      graft.operators.Curation.charStats(spark, sf)
+      graft.operators.Curation.charStats(spark, sf),
+      SparkEntry.queries("fingerprint")(spark, sf),
+      SparkEntry.queries("repetition_stats")(spark, sf),
+      SparkEntry.queries("combine_per_doc")(spark, sf),
+      SparkEntry.queries("doc_unique_words")(spark, sf)
     ).foreach { df =>
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), s"map-only op gained a shuffle:\n$plan")
