@@ -278,10 +278,14 @@ object Dedup {
       val ckpts = scala.collection.mutable.ListBuffer.empty[org.apache.spark.rdd.RDD[_]]
       // localCheckpoint each round: labels is referenced 3× per round, so
       // without lineage truncation the logical plan grows ~3^rounds and
-      // planning time explodes (measured 111 s at sf0.1; ~5 s with it)
+      // planning time explodes (measured 111 s at sf0.1; ~5 s with it).
+      // LAZY checkpoints: the convergence count is the materializing
+      // action, so each round runs ONE job instead of two (eager
+      // checkpoint + count measured 7.4 s for 11 rounds on a 926-edge
+      // graph — per-round fixed cost dominates on small graphs)
       var labels = edges.select(col("src").as("doc")).distinct()
         .withColumn("lbl", col("doc"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       checkpointRdd(labels).foreach(ckpts += _)
       var changed = 1L
       var rounds = 0
@@ -300,7 +304,7 @@ object Dedup {
             col("mid") === col("j_doc"), "left")
           .select(col("doc"), col("old"),
             least(col("mid"), coalesce(col("j_lbl"), col("mid"))).as("lbl"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         checkpointRdd(jumped).foreach(ckpts += _)
         val t0 = System.nanoTime()
         changed = jumped.where(col("lbl") =!= col("old")).count()

@@ -86,6 +86,69 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("property: WinnowMins equals brute-force sliding-window minima") {
+    val gen = Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, 1000L)))
+    draw(gen, 200).foreach { xs =>
+      val w = 4
+      val expected = xs.sliding(w).filter(_.size == w).map(_.min).toSeq.distinct.sorted
+      val got = org.apache.spark.sql.graft.WinnowMins.compute(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(xs.toArray), w)
+        .toLongArray().toSeq
+      assert(got == expected, s"xs=$xs")
+    }
+  }
+
+  test("property: TokenStats equals brute-force counting") {
+    val gen = Gen.listOf(Gen.oneOf("a", "b", "ab", "ba", "ccc"))
+    draw(gen, 200).foreach { toks =>
+      val row = org.apache.spark.sql.graft.TokenStats.compute(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          toks.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray))
+      val byTok = toks.groupBy(identity).view.mapValues(_.size)
+      assert(row.getLong(0) == toks.size)
+      assert(row.getLong(1) == byTok.size)
+      assert(row.getLong(2) == (if (toks.isEmpty) 0L else byTok.values.max.toLong))
+    }
+  }
+
+  test("property: MinhashSig equals per-coefficient brute-force minima") {
+    import graft.operators.Dedup.{CoefA, CoefB, P}
+    val gen = Gen.chooseNum(1, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, P - 1)))
+    draw(gen, 100).foreach { hs =>
+      val got = org.apache.spark.sql.graft.MinhashSig.compute(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(hs.toArray),
+        CoefA.toArray, CoefB.toArray, P).toLongArray().toSeq
+      val expected = (0 until graft.operators.Dedup.K)
+        .map(i => hs.map(h => (h * CoefA(i) + CoefB(i)) % P).min)
+      assert(got == expected)
+    }
+  }
+
+  test("property: SigGroups equals the relational combine on random tokens") {
+    val tokGen = Gen.oneOf(word, messy, Gen.oneOf(Stopwords), Gen.const(""))
+    val docGen = Gen.chooseNum(0, 25).flatMap(n => Gen.listOfN(n, tokGen))
+    val docsSeq = draw(docGen, 60).zipWithIndex
+      .map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+    val df = docsSeq.toDF("doc_id", "text")
+    val viaExpr = df.select(col("doc_id"),
+        explode(org.apache.spark.sql.graft.SigGroups(
+          split(col("text"), WsTokenRe), Stopwords)).as("g"))
+      .select(col("doc_id"), col("g.sig"), col("g.words"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val viaRel = df
+      .select(col("doc_id"), explode(split(col("text"), WsTokenRe)).as("tok"))
+      .where(col("tok") =!= "")
+      .select(col("doc_id"), trimNonAlpha(lower(col("tok"))).as("word"))
+      .where(isCleanWord(col("word")))
+      .distinct()
+      .groupBy(col("doc_id"), signature(col("word")).as("sig"))
+      .agg(array_join(sort_array(collect_set(col("word"))), " ").as("words"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(viaExpr == viaRel)
+  }
+
   test("property: embedding-dedup blocking finds all pairs within hamming<=1 buckets") {
     // brute-force check on random float vectors: every pair above the
     // cosine threshold whose hyperplane buckets differ by <=1 bit must be
