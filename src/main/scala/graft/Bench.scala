@@ -13,8 +13,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup so the first measured query doesn't absorb
-    // session startup (~5s of JIT + classloading).
+    // session startup: exercise the machinery every query shares (parquet
+    // reader, shuffle, regex/split/explode codegen, md5) on a 64-row
+    // sample. First-run numbers then measure each query's OWN work —
+    // notably the one-time materialization of shared intermediates —
+    // instead of whichever query happened to run first paying global JIT.
     spark.range(1000000).selectExpr("sum(id * 2)").collect()
+    spark.read.parquet(s"$sfDir/documents.parquet").limit(64)
+      .selectExpr("doc_id", "explode(split(text, '\\\\s+')) AS tok")
+      .where("tok != '' AND tok RLIKE '^[a-z]+$'")
+      .groupBy("tok").count()
+      .selectExpr("md5(tok) AS h", "count").orderBy("h").limit(5).collect()
     // Two runs per query; BOTH are reported (ADVICE r3). The min measures
     // the steady-state plan; the first run additionally pays one-time costs
     // — JIT, codegen, and crucially the materialization of any shared

@@ -51,4 +51,12 @@ object Scale {
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
+
+  /** Hive-style partitioned layout (`out/col=value/part-*.parquet`): the
+    * standard way a 100 TB corpus store is laid out so per-partition
+    * queries (one language, one source, one dump date) read only matching
+    * directories — the scan's PartitionFilters prune everything else
+    * without touching file footers. */
+  def writePartitioned(df: DataFrame, out: String, cols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(cols: _*).parquet(out)
 }

@@ -111,6 +111,23 @@ class ScaleSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("partitioned corpus layout prunes partitions at the scan") {
+    val out = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Scale.writePartitioned(
+      spark.read.parquet(s"$sf/documents.parquet"), out, "lang")
+    // hive-style dirs exist
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.exists(_.startsWith("lang=")), dirs.mkString(","))
+    val back = spark.read.parquet(out).where($"lang" === "en")
+    // the filter lands in PartitionFilters (directory pruning), and only
+    // the en partition's rows are read
+    val scan = back.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(lang"), scan)
+    val direct = spark.read.parquet(s"$sf/documents.parquet")
+      .where($"lang" === "en").count()
+    assert(back.count() == direct && direct > 0)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
