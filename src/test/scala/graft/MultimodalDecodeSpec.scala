@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.Multimodal
+import graft.operators.Multimodal.DocBlob
+
+/** Real-decoder specs over synthesized media fixtures: the JDK's own
+  * codecs (javax.imageio, javax.sound.sampled) make image/WAV decode
+  * genuinely executable in this container — no external libraries. */
+class MultimodalDecodeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  private def wavBytes(sampleRate: Float, nFrames: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val pcm = new Array[Byte](nFrames * 2)
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(in,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("decodeImages reads real PNG bytes: dimensions and luma") {
+    val blobs = Seq(
+      DocBlob(1L, pngBytes(8, 4, 0xffffff)), // white → luma 255
+      DocBlob(2L, pngBytes(3, 5, 0x000000)), // black → luma 0
+      DocBlob(3L, "not an image".getBytes)   // undecodable → dropped
+    ).toDS()
+    val metas = Multimodal.decodeImages(blobs).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(metas.keySet == Set(1L, 2L))
+    assert(metas(1L).width == 8 && metas(1L).height == 4 && metas(1L).n_pixels == 32)
+    assert(metas(1L).avg_luma == 255.0)
+    assert(metas(2L).width == 3 && metas(2L).height == 5 && metas(2L).avg_luma == 0.0)
+  }
+
+  test("decodeAudio reads real WAV bytes: format and duration") {
+    val blobs = Seq(
+      DocBlob(1L, wavBytes(8000f, 4000)), // 0.5 s mono @ 8 kHz
+      DocBlob(2L, "not audio".getBytes)   // undecodable → dropped
+    ).toDS()
+    val metas = Multimodal.decodeAudio(blobs).collect()
+    assert(metas.length == 1)
+    val m = metas.head
+    assert(m.doc_id == 1L && m.sample_rate == 8000L && m.channels == 1L)
+    assert(m.n_frames == 4000L && m.duration_ms == 500L)
+  }
+}
