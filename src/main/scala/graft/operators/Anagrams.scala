@@ -20,19 +20,6 @@ object Anagrams {
   def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
-  /** #4+#5 on any (doc_id, text) frame: whitespace tokens (strings.Fields ≡
-    * split \s+ minus empties), lowercased, deduped per document
-    * (mapphase/split.go:68,119-133). */
-  def docWordsOf(docsDf: DataFrame): DataFrame =
-    docsDf
-      .select(col("doc_id"), explode(split(col("text"), WsTokenRe)).as("tok"))
-      .where(col("tok") =!= "")
-      .select(col("doc_id"), lower(col("tok")).as("word"))
-      .distinct()
-
-  def docWords(spark: SparkSession, dir: String): DataFrame =
-    docWordsOf(docs(spark, dir))
-
   /** Clean words WITHOUT any distinct: the downstream `collect_set` dedups
     * (map-side partially, then globally), so the anagram plan needs exactly
     * ONE shuffle. The reference's per-doc dedup (split.go:119-133) and

@@ -53,26 +53,17 @@ object Materialized {
   /** Number of live materialized frames (diagnostics/tests). */
   def size: Int = caches.synchronized(caches.map(_.size).sum)
 
-  /** Extra cleanup actions tied to a cached frame's lifecycle (e.g. the
-    * localCheckpoint RDD blocks behind dedupComponents' final labels). */
-  private val cleanups = scala.collection.mutable.ListBuffer.empty[() => Unit]
-  private[operators] def onClear(f: () => Unit): Unit =
-    cleanups.synchronized { cleanups += f }
-
   /** Unpersist and forget every materialized intermediate, in every
-    * registered cache, plus any registered auxiliary cleanup. Safe to call
-    * with stopped sessions (unpersist failures are swallowed); subsequent
-    * queries re-materialize. */
-  def clearAll(): Unit = {
+    * registered cache. (dedupComponents releases its per-round checkpoint
+    * blocks inline once the final labels are persisted, so the cached
+    * frames are the only pinned storage.) Safe to call with stopped
+    * sessions (unpersist failures are swallowed); subsequent queries
+    * re-materialize. */
+  def clearAll(): Unit =
     caches.synchronized {
       caches.foreach { c =>
         c.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
         c.clear()
       }
     }
-    cleanups.synchronized {
-      cleanups.foreach(f => try f() catch { case _: Throwable => () })
-      cleanups.clear()
-    }
-  }
 }
