@@ -125,8 +125,13 @@ object Curation {
   def curatedCorpus(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .where(col("doc_id") >= ContamProbeDocs)
+      // tokenize ONCE per row; quality and all five language profiles
+      // score the shared array
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        TextAnalysis.toksCol.as("__toks"))
       .select(col("doc_id") +: col("lang") +: col("source") +: col("n_chars") +:
-        TextAnalysis.qualityExpr.as("quality") +: TextAnalysis.langHitCols: _*)
+        TextAnalysis.qualityExprIn(col("__toks")).as("quality") +:
+        TextAnalysis.langHitCols: _*)
       .withColumn("pred_lang", TextAnalysis.predLangFromHits)
       .where(col("quality") >= CuratedQualityMin && col("pred_lang") === "en")
       .join(broadcast(Dedup.droppedDocs(spark, dir)), Seq("doc_id"), "left_anti")

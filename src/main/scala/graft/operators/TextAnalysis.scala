@@ -28,8 +28,15 @@ object TextAnalysis {
   private def toks(c: Column): Column =
     filter(transform(split(c, WsTokenRe), t => lower(t)), t => t =!= "")
 
+  /** Stopword hits over an ALREADY-TOKENIZED array column — callers
+    * project the token array once per row and score every profile from it
+    * (tokenizing inside each profile's expression would re-split the text
+    * per profile). */
+  private def hitsIn(toksCol: Column, words: Seq[String]): Column =
+    size(filter(toksCol, t => t.isin(words: _*))).cast("long")
+
   private def hits(c: Column, words: Seq[String]): Column =
-    size(filter(toks(c), t => t.isin(words: _*))).cast("long")
+    hitsIn(toks(c), words)
 
   private def sqlHits(expr: String, words: Seq[String]): String = {
     val lst = words.map(sqlLit).mkString("(", ", ", ")")
@@ -37,9 +44,12 @@ object TextAnalysis {
   }
 
   // ---- #22 language ID --------------------------------------------------
-  /** Per-language stopword-hit columns over `text` (one array pass each). */
+  /** Per-language stopword-hit columns over a shared `__toks` array column
+    * (project `toksCol` once; each profile is one array pass). */
   private[operators] def langHitCols: Seq[Column] =
-    LangProfiles.map { case (l, ws) => hits(col("text"), ws).as(s"hits_$l") }
+    LangProfiles.map { case (l, ws) => hitsIn(col("__toks"), ws).as(s"hits_$l") }
+
+  private[operators] def toksCol: Column = toks(col("text"))
 
   /** Argmax over the hit columns with fixed priority order (earlier
     * language wins ties) — shared by langId and curatedCorpus. */
@@ -55,7 +65,8 @@ object TextAnalysis {
 
   def langId(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .select(col("doc_id") +: col("lang").as("labeled_lang") +: langHitCols: _*)
+      .select(col("doc_id"), col("lang").as("labeled_lang"), toksCol.as("__toks"))
+      .select(col("doc_id") +: col("labeled_lang") +: langHitCols: _*)
       .withColumn("pred_lang", predLangFromHits)
   private[operators] val sqlLangHitCols: String = LangProfiles
     .map { case (l, ws) => s"${sqlHits("text", ws)} AS hits_$l" }.mkString(",\n  ")
@@ -76,12 +87,13 @@ object TextAnalysis {
        |SELECT *, $sqlPredLangFromHits AS pred_lang FROM scored""".stripMargin
 
   // ---- #23 quality scoring ---------------------------------------------
-  /** The quality score as one inline expression over `text` — identical
-    * math to qualityScore's staged columns; used where quality is a filter
-    * input on an existing scan (curatedCorpus) rather than the output. */
-  private[operators] def qualityExpr: Column = {
-    val nTokens = regexp_count(col("text"), lit("\\S+")).cast("double")
-    val nStop = hits(col("text"), Stopwords).cast("double")
+  /** The quality score over a shared token-array column — identical math
+    * to qualityScore's staged columns (`size(toks)` ≡ the \S+ count); used
+    * where quality is a filter input on an existing scan (curatedCorpus)
+    * rather than the output. */
+  private[operators] def qualityExprIn(toksCol: Column): Column = {
+    val nTokens = size(toksCol).cast("double")
+    val nStop = hitsIn(toksCol, Stopwords).cast("double")
     round(least(nTokens / lit(50.0), lit(1.0)) * (lit(1.0) - nStop / nTokens), 4)
   }
   private[operators] val sqlQualityExpr: String = {
