@@ -42,6 +42,7 @@ object SparkEntry {
     "ann_topk" -> Similarity.annTopk _,
     "ann_lsh" -> Similarity.annLsh _,
     "ann_ivf" -> Similarity.annIvf _,
+    "ann_join" -> Similarity.annJoin _,
     "embedding_clusters" -> Similarity.embeddingClusters _,
     "cluster_purity" -> Similarity.clusterPurity _,
     // text analysis (§2 #22-25)
@@ -110,6 +111,7 @@ object SparkEntry {
     "ann_topk" -> Similarity.annTopkSql,
     "ann_lsh" -> Similarity.annLshSql,
     "ann_ivf" -> Similarity.annIvfSql,
+    "ann_join" -> Similarity.annJoinSql,
     "embedding_clusters" -> Similarity.embeddingClustersSql,
     "cluster_purity" -> Similarity.clusterPuritySql,
     "lang_id" -> TextAnalysis.langIdSql,

@@ -134,6 +134,55 @@ object Similarity {
        |SELECT vec_id, round(cos, 4) AS cos, CAST(rk AS BIGINT) AS rk
        |FROM ranked WHERE rk <= $TopK""".stripMargin
 
+  // ---- #21e batch ANN join: top-k neighbors for MANY queries at once ----
+  /** The retrieval shape production uses: a probe set (QueryN vectors)
+    * joined against the corpus through the hyperplane buckets (hamming ≤ 1
+    * probes), then a per-query top-k. The probe side is exploded to its 9
+    * probe buckets and BROADCAST (bounded by the query batch, never the
+    * corpus); ranking is a window PARTITIONED by query id — per-query
+    * state, never a global sort. At 100 TB the bucket is the corpus
+    * partitioning key, so each query batch touches matching partitions. */
+  val QueryN = 10
+  val JoinK = 3
+  def annJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).withColumn("bucket", bucketCol("embedding"))
+    val probeMasks = 0L +: (0 until NumPlanes).map(j => 1L << j)
+    val q = e.orderBy("vec_id").limit(QueryN)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("bucket").as("qbucket"))
+      .select(col("qid"), col("qv"),
+        explode(array(probeMasks.map(m => col("qbucket").bitwiseXOR(lit(m))): _*))
+          .as("pb"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    e.join(broadcast(q), col("bucket") === col("pb") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cosExpr("embedding", "qv").as("cos"))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= JoinK)
+      .select(col("qid"), col("vec_id"), round(col("cos"), 4).as("cos"),
+        col("rk").cast("long").as("rk"))
+  }
+  val annJoinSql: String = {
+    val masks = (0L +: (0 until NumPlanes).map(j => 1L << j))
+      .mkString("[", ", ", "]")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, ${sqlBucket("embedding")} AS bucket
+       |  FROM embeddings
+       |), q AS (
+       |  SELECT qid, qv, xor(qbucket, m.m) AS pb FROM (
+       |    SELECT vec_id AS qid, embedding AS qv, bucket AS qbucket FROM e
+       |    ORDER BY vec_id LIMIT $QueryN
+       |  ), unnest($masks) AS m(m)
+       |), scored AS (
+       |  SELECT q.qid, e.vec_id, ${sqlCos("e.embedding", "q.qv")} AS cos
+       |  FROM e JOIN q ON e.bucket = q.pb AND e.vec_id <> q.qid
+       |), ranked AS (
+       |  SELECT qid, vec_id, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+       |  FROM scored
+       |)
+       |SELECT qid, vec_id, round(cos, 4) AS cos, CAST(rk AS BIGINT) AS rk
+       |FROM ranked WHERE rk <= $JoinK""".stripMargin
+  }
+
   // ---- #21b IVF ANN: learned centroids (one Lloyd pass) -----------------
   /** Coarse quantizer: seed centroids = first IvfK vectors (deterministic
     * training sample), one relational Lloyd refinement (assign → per-dim

@@ -38,6 +38,23 @@ class SimilaritySpec extends SparkTestBase {
     assert(!rows.contains(4L) || true) // opposite may fall out of probe range
   }
 
+  test("batch ANN join returns per-query ranked neighbors from probed buckets") {
+    // QueryN=10 > fixture size → every vector is a query; each finds its
+    // same-direction partners (0,1,2 share the bucket)
+    val rows = Similarity.annJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val byQuery = rows.groupBy(_._1)
+    // query 0's best in-bucket neighbor is vec 1 (cos 1.0) at rank 1
+    assert(byQuery(0L).minBy(_._4)._2 == 1L)
+    assert(byQuery(0L).minBy(_._4)._3 == 1.0)
+    // ranks within each query are 1..k without gaps
+    byQuery.values.foreach { qs =>
+      assert(qs.map(_._4).sorted.toSeq == (1L to qs.length).toSeq)
+    }
+    // no self-matches
+    assert(!rows.exists(r => r._1 == r._2))
+  }
+
   test("IVF ANN probes nearest cells only (partial recall by design)") {
     val rows = Similarity.annIvf(spark, dir).collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toMap
