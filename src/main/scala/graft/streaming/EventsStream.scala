@@ -46,6 +46,29 @@ object EventsStream {
       .select(col("window.start").as("window_start"), col("tier"),
         col("event_type"), col("n"))
 
+  /** Stream-stream interval join — the streaming twin of the batch range
+    * join (`Relational.rangeJoinCounts`): each purchase matched to the
+    * same user's views from the preceding `windowSec`. Both sides carry
+    * watermarks and the join condition bounds the event-time range, so
+    * each side's buffered state is the watermark horizon + window — never
+    * unbounded. (Batch buckets time to make the range an equi-join; a
+    * streaming join instead bounds retention with the same inequality.) */
+  def viewPurchaseJoin(views: DataFrame, purchases: DataFrame,
+      windowSec: Long = 60): DataFrame = {
+    val v = views.select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", "2 minutes")
+    val p = purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "2 minutes")
+    p.join(v,
+      col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $windowSec seconds") &&
+        col("v_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("view_id"), col("p_user").as("user_id"),
+        col("p_ts"), col("v_ts"))
+  }
+
   case class Ev(user_id: Long, ts: java.sql.Timestamp)
   case class SessionState(start: Long, end: Long, n: Long)
   case class SessionOut(user_id: Long, start_epoch: Long, end_epoch: Long, n_events: Long)

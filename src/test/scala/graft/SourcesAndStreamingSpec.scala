@@ -94,6 +94,33 @@ class SourcesAndStreamingSpec extends SparkTestBase {
     assert(rows == Set(("gold", "click", 2L), ("free", "view", 1L)))
   }
 
+  test("stream-stream interval join matches purchases to recent views") {
+    import spark.implicits._
+    val vIn = MemoryStream[(Long, java.sql.Timestamp, Long)](spark)
+    val pIn = MemoryStream[(Long, java.sql.Timestamp, Long)](spark)
+    val views = vIn.toDF().toDF("user_id", "ts", "event_id")
+    val purchases = pIn.toDF().toDF("user_id", "ts", "event_id")
+    val q = EventsStream.viewPurchaseJoin(views, purchases)
+      .writeStream.format("memory").queryName("vp_join")
+      .outputMode("append").start()
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    vIn.addData((1L, t(100), 10L), (1L, t(150), 11L), (2L, t(100), 12L),
+      (1L, t(10), 13L)) // view too old for the 60s window
+    pIn.addData((1L, t(160), 20L), (2L, t(300), 21L)) // user 2 purchase far after view
+    q.processAllAvailable()
+    // advance both watermarks so joined rows emit in append mode
+    // (distinct users so the sentinels can't join each other)
+    vIn.addData((8L, t(1000), 98L))
+    pIn.addData((9L, t(1000), 99L))
+    q.processAllAvailable()
+    val pairs = spark.table("vp_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    // purchase 20 (user 1 @160) matches views @100 and @150, not @10;
+    // purchase 21 (user 2 @300) has no view within 60s
+    assert(pairs == Set((20L, 10L), (20L, 11L)))
+  }
+
   test("streaming sessionization closes sessions via event-time timeout") {
     val input = MemoryStream[Ev](spark)
     val q = EventsStream.sessionize(input.toDS())
