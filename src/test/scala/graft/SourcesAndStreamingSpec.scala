@@ -193,6 +193,28 @@ class SourcesAndStreamingSpec extends SparkTestBase {
     assert(ids.toSeq == Seq(2L))
   }
 
+  test("registered views + injected functions make the library SQL-usable") {
+    val registered = graft.sources.Tables.register(spark, "/root/testdata/sf0.001")
+    assert(registered.contains("documents") && registered.contains("lineitem"))
+    // a pure-SQL anagram reduce through the registered sort_chars
+    val viaSql = spark.sql(
+      """SELECT sort_chars(word) AS sig, count(DISTINCT word) AS n FROM (
+        |  SELECT lower(t.tok) AS word
+        |  FROM documents LATERAL VIEW explode(split(text, '\\s+')) t AS tok
+        |  WHERE t.tok != ''
+        |) GROUP BY 1 ORDER BY n DESC, sig LIMIT 5""".stripMargin).collect()
+    assert(viaSql.nonEmpty && viaSql.forall(_.getLong(1) >= 1))
+    // simhash60 via SQL equals the operator's materialized frame
+    val viaSqlSim = spark.sql(
+      """SELECT doc_id, simhash60(array_distinct(filter(
+        |  transform(split(text, '\\s+'), t -> lower(t)), t -> t != ''))) AS sh
+        |FROM documents""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaOp = graft.operators.Dedup.simhashes(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSqlSim == viaOp)
+  }
+
   test("nfc_normalize collapses combining characters to composed form") {
     // U+0065 U+0301 (e + combining acute) -> U+00E9
     val decomposed = "cafe\u0301"
