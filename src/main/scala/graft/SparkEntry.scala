@@ -32,6 +32,7 @@ object SparkEntry {
     "anagram_output_lines" -> Anagrams.anagramOutputLines _,
     // LLM dedup (§2 #15-19)
     "dedup_exact" -> Dedup.dedupExact _,
+    "dedup_canonical" -> Dedup.dedupCanonical _,
     "dedup_minhash" -> Dedup.dedupMinhash _,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccard _,
     "dedup_simhash" -> Dedup.dedupSimhash _,
@@ -59,6 +60,7 @@ object SparkEntry {
     "corpus_mix" -> TextAnalysis.corpusMix _,
     // curation (§2 #25i-25k)
     "dedup_segments" -> Curation.dedupSegments _,
+    "sample_stratified" -> Curation.sampleStratified _,
     "decontaminate" -> Curation.decontaminate _,
     "char_stats" -> Curation.charStats _,
     "curated_corpus" -> Curation.curatedCorpus _,
@@ -102,6 +104,7 @@ object SparkEntry {
     "anagrams_seeded" -> Anagrams.anagramsSeededSql,
     "anagram_output_lines" -> Anagrams.anagramOutputLinesSql,
     "dedup_exact" -> Dedup.dedupExactSql,
+    "dedup_canonical" -> Dedup.dedupCanonicalSql,
     "dedup_minhash" -> Dedup.dedupMinhashSql,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
     "dedup_simhash" -> Dedup.dedupSimhashSql,
@@ -126,6 +129,7 @@ object SparkEntry {
     "boilerplate_ngrams" -> TextAnalysis.boilerplateNgramsSql,
     "corpus_mix" -> TextAnalysis.corpusMixSql,
     "dedup_segments" -> Curation.dedupSegmentsSql,
+    "sample_stratified" -> Curation.sampleStratifiedSql,
     "decontaminate" -> Curation.decontaminateSql,
     "char_stats" -> Curation.charStatsSql,
     "curated_corpus" -> Curation.curatedCorpusSql,

@@ -164,6 +164,69 @@ object Curation {
        |  AND doc_id NOT IN (SELECT doc_id FROM dropped)
        |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin
 
+  // ---- #25m stratified deterministic sampling (corpus mixing) -----------
+  /** Equalize the language mix: sample each language down to the size of the
+    * smallest one, deterministically. Per-lang keep-rate = min_count/n_lang,
+    * applied as an integer md5 threshold so both engines make bit-identical
+    * keep decisions and re-runs are reproducible (no RNG state — the same
+    * property `sample_deterministic` has, extended to per-stratum rates).
+    *
+    * Scale: the rate table is |langs| rows (a broadcast); the corpus side is
+    * one scan with a row-local hash filter. The only shuffle is the tiny
+    * lang-count agg (map-side partial on a ~5-key column). */
+  val StratModulus = 1000000L
+
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val counts = d.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val minc = counts.agg(min(col("n_lang")).as("min_lang"))
+    // long/long division is integral in both engines (`/` here, `//` there)
+    val rates = counts.crossJoin(broadcast(minc)).select(col("lang"),
+      ((col("min_lang") * StratModulus) / col("n_lang")).as("keep_below"))
+    d.join(broadcast(rates), "lang")
+      .where(pmod(md5Long(col("doc_id").cast("string")), lit(StratModulus))
+        < col("keep_below"))
+      .select("doc_id", "lang", "source")
+  }
+  val sampleStratifiedSql: String =
+    s"""WITH cnt AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+       |mn AS (SELECT min(n_lang) AS min_lang FROM cnt),
+       |rates AS (SELECT lang, (min_lang * $StratModulus) // n_lang AS keep_below
+       |  FROM cnt CROSS JOIN mn)
+       |SELECT doc_id, d.lang, source
+       |FROM documents d JOIN rates USING (lang)
+       |WHERE ${sqlMd5Long("CAST(doc_id AS VARCHAR)")} % $StratModulus
+       |  < keep_below""".stripMargin
+
+  // ---- decontamination against an EXTERNAL benchmark --------------------
+  /** K-grams of any (doc_id, text) frame — the generic form of
+    * `TextAnalysis.docGrams`, for corpora that are not the canonical
+    * `documents` table (e.g. a benchmark file read via `JsonlSource`). */
+  def gramsOf(df: DataFrame, k: Int): DataFrame =
+    df.select(col("doc_id"), filter(
+        transform(split(col("text"), WsTokenRe), t => lower(t)),
+        t => t =!= "").as("toks"))
+      .where(size(col("toks")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${k - 1}), " +
+          s"i -> concat_ws(' ', slice(toks, i, $k)))")).as("gram"))
+
+  /** `decontaminate` with the probe set supplied by the caller — the
+    * production shape, where the benchmark arrives as a file (see
+    * `CurationSpec`: a committed JSONL fixture drives this). `probes` needs
+    * a `text` column; it is benchmark-sized, so its gram set broadcasts. */
+  def decontaminateAgainst(corpus: DataFrame, probes: DataFrame,
+      k: Int = ContamK): DataFrame = {
+    val probeGrams = gramsOf(
+      probes.select(monotonically_increasing_id().as("doc_id"), col("text")), k)
+      .select("gram").distinct()
+    gramsOf(corpus, k)
+      .join(broadcast(probeGrams), "gram")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_contam_grams"),
+        count(lit(1)).as("n_gram_hits"))
+  }
+
   // ---- #25k char-level entropy quality signal ---------------------------
   /** Per-doc character-distribution stats: length, distinct chars, Shannon
     * entropy (bits/char, codegen'd single-pass CharEntropy). Low entropy ⇒

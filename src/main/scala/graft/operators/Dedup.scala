@@ -43,6 +43,23 @@ object Dedup {
       |  count(*) AS n_copies
       |FROM documents GROUP BY 1""".stripMargin
 
+  // ---- #15b exact dedup after canonicalization --------------------------
+  /** CCNet-shape canonical dedup: lowercase, collapse every non-alnum run
+    * to one space, trim — THEN hash. Catches near-copies that differ only
+    * in case/punctuation/whitespace, which raw-byte hashing (#15) misses.
+    * Same scale shape as #15: row-local canonicalization, one shuffle on a
+    * uniform 16-byte key. */
+  def dedupCanonical(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+        .as("canon_hash"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+  val dedupCanonicalSql: String =
+    """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+      |  AS canon_hash,
+      |  min(doc_id) AS keep_doc_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin
+
   // ---- MinHash machinery (shared by #16 and #17) ------------------------
   /** Mersenne prime 2^31-1; a*h stays under 2^62 → no BIGINT overflow in
     * either engine. Coefficients are fixed constants shared with the oracle. */

@@ -64,6 +64,58 @@ class CurationSpec extends SparkTestBase {
     assert(out2.map(_.getLong(0)).toSet == Set(10L))
   }
 
+  test("decontaminateAgainst flags overlap with an external benchmark file") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // the committed fixture stands in for a real eval benchmark: JSONL,
+    // explicit schema (no inference pass — see JsonlSource's scale notes)
+    val probePath = getClass.getResource("/benchmarks/probes.jsonl").getPath
+    val probes = spark.read.schema(StructType(Seq(
+      StructField("qid", LongType), StructField("text", StringType))))
+      .json(probePath)
+    val corpus = Seq(
+      (100L, "the capital of France is Paris obviously"), // shares 3-grams with qid 1
+      (101L, "alpha beta gamma words continue here"),     // shares one with qid 2
+      (102L, "nothing shared at all in this document"))
+      .toDF("doc_id", "text")
+    val flagged = Curation.decontaminateAgainst(corpus, probes).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged(100L) >= 2L) // "the capital of", "capital of france"
+    assert(flagged(101L) == 1L) // "alpha beta gamma"
+    assert(!flagged.contains(102L))
+  }
+
+  test("stratified sampling equalizes the language mix deterministically") {
+    import spark.implicits._
+    // 40 en docs vs 5 de docs; expected keep-rate: de 100%, en 1/8
+    val fixDir = java.nio.file.Files.createTempDirectory("graft-strat").toString
+    val rows = (0 until 40).map(i => (i.toLong, s"english document number $i", "en")) ++
+      (100 until 105).map(i => (i.toLong, s"deutsches dokument nummer $i", "de"))
+    rows.toDF("doc_id", "text", "lang")
+      .selectExpr("doc_id", "text", "lang", "'src0' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/documents.parquet")
+    val kept = Curation.sampleStratified(spark, fixDir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // the minority stratum's keep-threshold is the full modulus → all kept
+    assert(kept.filter(_._2 == "de").map(_._1) == (100L until 105L).toSet)
+    // the majority stratum is genuinely subsampled, never emptied or kept whole
+    val en = kept.count(_._2 == "en")
+    assert(en > 0 && en < 40)
+    // deterministic: a second run keeps the identical set (no RNG state)
+    val again = Curation.sampleStratified(spark, fixDir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again == kept)
+    // independent recomputation of the rate logic: every kept en doc's hash
+    // is below floor(5*M/40), every dropped one's is above
+    val m = Curation.StratModulus
+    val hashes = spark.sql(
+      "SELECT CAST(conv(substring(md5(CAST(id AS STRING)), 1, 15), 16, 10) AS BIGINT) % " +
+        m + " AS h, id FROM range(40)").collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    val expectEn = (0L until 40L).filter(i => hashes(i) < (5 * m) / 40).toSet
+    assert(kept.filter(_._2 == "en").map(_._1) == expectEn)
+  }
+
   test("simhash60 expression equals the relational md5 bit-vote") {
     // independent relational recomputation of the same tokens' simhash
     import spark.implicits._

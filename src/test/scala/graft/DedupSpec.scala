@@ -21,6 +21,20 @@ class DedupSpec extends SparkTestBase {
     assert(dupGroup._2 == 1L) // min doc_id survives
   }
 
+  test("canonical dedup merges case/punctuation/whitespace variants") {
+    val cdir = writeDocsFixture(Seq(
+      1L -> "Hello, World!",
+      2L -> "hello   world",  // same after canonicalization
+      3L -> "hello worlds"))  // genuinely different
+    val rows = Dedup.dedupCanonical(spark, cdir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 2)
+    val merged = rows.find(_._3 == 2L).get
+    assert(merged._2 == 1L) // min doc_id survives the merged group
+    // raw exact dedup does NOT merge them — the two operators differ
+    assert(Dedup.dedupExact(spark, cdir).collect().length == 3)
+  }
+
   test("minhash LSH pairs near-duplicates but not unrelated docs") {
     val pairs = Dedup.dedupMinhash(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
