@@ -7,10 +7,11 @@ import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.graft.{CharEntropy, FloatDotProduct, NormalizeNfc, ShinglePolyHash, Simhash60, SortChars}
 
 /** SparkSessionExtensions entry point: registers graft's custom Catalyst
-  * expressions as SQL functions. Activate with
-  * `spark.sql.extensions=graft.GraftExtensions`. */
+  * expressions as SQL functions and the native as-of join planner strategy.
+  * Activate with `spark.sql.extensions=graft.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.AsOfJoinStrategy)
     ext.injectFunction((
       new FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot"),

@@ -76,6 +76,7 @@ object SparkEntry {
     "mix_rollup" -> Relational.mixRollup _,
     "sessionize" -> Relational.sessionize _,
     "asof_join" -> Relational.asofJoin _,
+    "asof_join_native" -> Relational.asofJoinNative _,
     "range_join_counts" -> Relational.rangeJoinCounts _,
     "value_quantiles" -> Relational.valueQuantiles _,
     "event_pivot" -> Relational.eventPivot _,
@@ -143,6 +144,7 @@ object SparkEntry {
     "mix_rollup" -> Relational.mixRollupSql,
     "sessionize" -> Relational.sessionizeSql,
     "asof_join" -> Relational.asofJoinSql,
+    "asof_join_native" -> Relational.asofJoinSql, // same semantic, same oracle
     "range_join_counts" -> Relational.rangeJoinCountsSql,
     "value_quantiles" -> Relational.valueQuantilesSql,
     "event_pivot" -> Relational.eventPivotSql,

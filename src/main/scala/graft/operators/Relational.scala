@@ -166,6 +166,33 @@ object Relational {
       .select(col("user_id"), col("event_id").as("purchase_id"),
         col("sec").as("purchase_sec"), col("last_view").as("matched_view_id"))
   }
+  /** The same as-of semantics through the NATIVE operator
+    * (`org.apache.spark.sql.graft.AsOfJoinNative` — logical node + strategy
+    * + physical plan, ladder tier (c)): one clustering shuffle per side,
+    * per-partition binary search, no union/window/row replication. Three
+    * independent implementations of one semantic now agree: this plan, the
+    * union+window composition above, and DuckDB's ASOF JOIN oracle. */
+  def asofJoinNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts DIV 1000000000").as("sec"))
+    // right side renamed: both sides scan the same table, and the native
+    // operator rejects duplicate attribute ids across sides
+    val views = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id"), col("sec"))
+      .agg(max(col("event_id")).as("view_id"))
+      .select(col("user_id").as("v_user"), col("sec").as("v_sec"),
+        col("view_id"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("sec"), col("event_id"))
+    org.apache.spark.sql.graft.AsOfJoinNative.join(
+        purchases, views,
+        Seq(purchases("user_id")), Seq(views("v_user")),
+        purchases("sec"), views("v_sec"))
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("sec").as("purchase_sec"), col("view_id").as("matched_view_id"))
+  }
+
   val asofJoinSql: String =
     """WITH ev AS (
       |  SELECT user_id, event_id, event_type,
