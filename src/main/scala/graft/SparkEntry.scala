@@ -55,6 +55,7 @@ object SparkEntry {
     "sample_deterministic" -> TextAnalysis.sampleDeterministic _,
     "redact_pii" -> TextAnalysis.redactPii _,
     "word_bigrams" -> TextAnalysis.wordBigrams _,
+    "lm_perplexity" -> TextAnalysis.lmPerplexity _,
     "repetition_stats" -> TextAnalysis.repetitionStats _,
     "boilerplate_ngrams" -> TextAnalysis.boilerplateNgrams _,
     "corpus_mix" -> TextAnalysis.corpusMix _,
@@ -126,6 +127,7 @@ object SparkEntry {
     "sample_deterministic" -> TextAnalysis.sampleDeterministicSql,
     "redact_pii" -> TextAnalysis.redactPiiSql,
     "word_bigrams" -> TextAnalysis.wordBigramsSql,
+    "lm_perplexity" -> TextAnalysis.lmPerplexitySql,
     "repetition_stats" -> TextAnalysis.repetitionStatsSql,
     "boilerplate_ngrams" -> TextAnalysis.boilerplateNgramsSql,
     "corpus_mix" -> TextAnalysis.corpusMixSql,

@@ -203,6 +203,75 @@ object TextAnalysis {
     s"""SELECT doc_id, source, n_chars FROM documents
        |WHERE ${sqlMd5Long("text")} % 100 < $SamplePct""".stripMargin
 
+  // ---- #25n bigram-LM self-perplexity (CCNet-style quality signal) ------
+  /** Score each document under the corpus's own MLE bigram model:
+    * P(w2|w1) = C(w1 w2) / C(w1 ·), avg_logp = mean ln P over the doc's
+    * bigrams, ppl = exp(-avg_logp). Low perplexity ⇒ the doc is made of
+    * corpus-typical word transitions (boilerplate, templates); high ⇒
+    * unusual text. The production shape of CCNet's KenLM filter with the
+    * corpus itself as the LM — every doc bigram exists in the counts, so
+    * no smoothing term is needed.
+    *
+    * Scale: one corpus tokenize+explode; the bigram-count agg and both
+    * joins key on bigram/first-word — Zipf-skewed keys, but the build side
+    * is ONE row per key (a count), so skew costs partition imbalance only
+    * (AQE splits), never row amplification. ln values are rounded then
+    * summed as DECIMAL so the per-doc sum is exact and order-insensitive
+    * across engines (§6 float policy). */
+  def lmPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val bg = docs(spark, dir)
+      .select(col("doc_id"),
+        filter(transform(split(col("text"), WsTokenRe), t => lower(t)),
+          t => t =!= "").as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))"))
+        .as("bigram"))
+    val c2 = bg.groupBy("bigram").agg(count(lit(1)).as("n2"))
+    // C(w1 ·) derived from the bigram counts — no second corpus pass
+    val c1 = c2.select(substring_index(col("bigram"), " ", 1).as("w1"), col("n2"))
+      .groupBy("w1").agg(sum(col("n2")).as("n1"))
+    val p = c2.withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .join(c1, "w1")
+      .select(col("bigram"),
+        round(log(col("n2").cast("double") / col("n1")), 4)
+          .cast("decimal(18,4)").as("lp"))
+    // sum_lp is emitted as the exact decimal sum, not a rounded average:
+    // round(sum/n, 4) straddles representability boundaries the two
+    // engines' round() break differently (seen at sf0.01: doc avg
+    // -3.35054999…97 → one engine -3.3505, the other -3.3506)
+    bg.join(p, "bigram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("lp")).cast("decimal(38,4)").as("sum_lp"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_lp"),
+        round(exp(-col("sum_lp").cast("double") / col("n_bigrams")), 3).as("ppl"))
+  }
+  val lmPerplexitySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(list_transform(
+      |    string_split_regex(text, '\s+'), t -> lower(t)), t -> t <> '') AS t
+      |  FROM documents
+      |), bg AS (
+      |  SELECT doc_id, g.b AS bigram
+      |  FROM toks, unnest(list_transform(range(1, len(t)),
+      |    i -> t[i] || ' ' || t[i + 1])) AS g(b)
+      |  WHERE len(t) >= 2
+      |), c2 AS (
+      |  SELECT bigram, count(*) AS n2 FROM bg GROUP BY 1
+      |), c1 AS (
+      |  SELECT split_part(bigram, ' ', 1) AS w1, sum(n2) AS n1
+      |  FROM c2 GROUP BY 1
+      |), p AS (
+      |  SELECT bigram,
+      |    CAST(round(ln(CAST(n2 AS DOUBLE) / n1), 4) AS DECIMAL(18,4)) AS lp
+      |  FROM c2 JOIN c1 ON split_part(c2.bigram, ' ', 1) = c1.w1
+      |)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(lp) AS DECIMAL(38,4)) AS sum_lp,
+      |  round(exp(-CAST(sum(lp) AS DOUBLE) / count(*)), 3) AS ppl
+      |FROM bg JOIN p USING (bigram) GROUP BY 1""".stripMargin
+
   // ---- PII-style redaction ----------------------------------------------
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val LongDigitsRe = "[0-9]{7,}"

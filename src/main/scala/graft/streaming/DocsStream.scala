@@ -67,6 +67,30 @@ object DocsStream {
       .drop("toks")
   }
 
+  /** Ingest-time stratified mix gate: the streaming twin of
+    * `Curation.sampleStratified`. Per-stratum keep-rates are learned from a
+    * reference corpus (a batch job — rates can't be computed on an unbounded
+    * stream) and applied as the SAME deterministic md5 threshold, so the
+    * batch sampler and the ingest gate keep exactly the same documents.
+    * The rate table is |strata| rows: a stream-static broadcast join, then
+    * a stateless row-local filter — no state, no shuffle. */
+  def mixGate(docs: DataFrame, rates: DataFrame): DataFrame = {
+    val m = graft.operators.Curation.StratModulus
+    docs.join(broadcast(rates), "lang")
+      .where(pmod(md5Long(col("doc_id").cast("string")), lit(m))
+        < col("keep_below"))
+  }
+
+  /** The per-lang keep-rate table `mixGate` consumes, derived from a static
+    * reference corpus with the batch sampler's arithmetic. */
+  def mixRates(reference: DataFrame): DataFrame = {
+    val m = graft.operators.Curation.StratModulus
+    val counts = reference.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val minc = counts.agg(min(col("n_lang")).as("min_lang"))
+    counts.crossJoin(broadcast(minc)).select(col("lang"),
+      ((col("min_lang") * m) / col("n_lang")).as("keep_below"))
+  }
+
   /** The composed ingest pipeline: quality gate → content dedup — what a
     * training-data feed runs before documents reach the corpus store.
     * With a probe set, decontamination runs between the two. */

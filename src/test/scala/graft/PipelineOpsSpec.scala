@@ -34,6 +34,25 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(rows(3L) >= rows(5L)) // doc 3 contains the repeated grams twice
   }
 
+  test("lm_perplexity scores docs under the corpus's own bigram model") {
+    // corpus: "a b a b" + "c d" + "a c" → C(a b)=2, C(b a)=1, C(a c)=1,
+    // C(c d)=1; contexts: a·=3, b·=1, c·=1
+    val pdir = writeDocsFixture(Seq(
+      1L -> "a b a b", 2L -> "c d", 3L -> "a c"))
+    val rows = TextAnalysis.lmPerplexity(spark, pdir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDecimal(2).doubleValue(), r.getDouble(3))))
+      .toMap
+    // doc 2's only bigram has P=1 → sum_lp 0, ppl 1 (maximally "typical")
+    assert(rows(2L) == ((1L, 0.0, 1.0)))
+    // doc 1: ln(2/3), ln(1), ln(2/3) with per-bigram 4-decimal rounding
+    val lp23 = BigDecimal(math.log(2.0 / 3.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows(1L)._1 == 3L && math.abs(rows(1L)._2 - 2 * lp23) < 1e-9)
+    // doc 3's single bigram is rarest given its context → highest ppl
+    assert(rows(3L)._3 > rows(1L)._3 && rows(1L)._3 > rows(2L)._3)
+  }
+
   test("corpus_mix reports per-(lang, source) composition") {
     val rows = TextAnalysis.corpusMix(spark, dir).collect()
     assert(rows.length == 1) // fixture is all (en, src0)

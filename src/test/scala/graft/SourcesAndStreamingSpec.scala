@@ -193,6 +193,36 @@ class SourcesAndStreamingSpec extends SparkTestBase {
     assert(ids.toSeq == Seq(2L))
   }
 
+  test("streaming mix gate keeps exactly the batch sampler's documents") {
+    import spark.implicits._
+    // 12 en vs 3 de docs; rates learned from the corpus as a static table
+    val rows = (0 until 12).map(i => (i.toLong, s"english text $i", "en")) ++
+      (100 until 103).map(i => (i.toLong, s"deutscher text $i", "de"))
+    val fixDir = java.nio.file.Files.createTempDirectory("graft-mix").toString
+    rows.toDF("doc_id", "text", "lang")
+      .selectExpr("doc_id", "text", "lang", "'src0' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/documents.parquet")
+    val batchKept = graft.operators.Curation.sampleStratified(spark, fixDir)
+      .collect().map(_.getLong(0)).toSet
+    val rates = graft.streaming.DocsStream.mixRates(
+      spark.read.parquet(s"$fixDir/documents.parquet"))
+    val input = MemoryStream[(Long, String, String)](spark)
+    val df = input.toDF().toDF("doc_id", "text", "lang")
+    val q = graft.streaming.DocsStream.mixGate(df, rates)
+      .writeStream.format("memory").queryName("mix_gate")
+      .outputMode("append").start()
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    val streamKept = spark.table("mix_gate").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    q.stop()
+    // one keep decision, two execution modes
+    assert(streamKept == batchKept)
+    assert(streamKept.nonEmpty && streamKept.size < rows.size)
+    assert((100L until 103L).forall(streamKept)) // minority stratum all kept
+  }
+
   test("registered views + injected functions make the library SQL-usable") {
     val registered = graft.sources.Tables.register(spark, "/root/testdata/sf0.001")
     assert(registered.contains("documents") && registered.contains("lineitem"))
