@@ -219,28 +219,26 @@ object TextAnalysis {
     * summed as DECIMAL so the per-doc sum is exact and order-insensitive
     * across engines (§6 float policy). */
   def lmPerplexity(spark: SparkSession, dir: String): DataFrame = {
-    val bg = docs(spark, dir)
-      .select(col("doc_id"),
-        filter(transform(split(col("text"), WsTokenRe), t => lower(t)),
-          t => t =!= "").as("toks"))
-      .where(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))"))
-        .as("bigram"))
-    val c2 = bg.groupBy("bigram").agg(count(lit(1)).as("n2"))
-    // C(w1 ·) derived from the bigram counts — no second corpus pass
-    val c1 = c2.select(substring_index(col("bigram"), " ", 1).as("w1"), col("n2"))
-      .groupBy("w1").agg(sum(col("n2")).as("n1"))
+    val bg = docBigrams(spark, dir)
+    // counts come from the shared materialized table; C(w1 ·) derives from
+    // it, so the corpus explode behind the model runs zero extra times
+    val c2 = bigramCounts(spark, dir)
+    val c1 = c2.select(substring_index(col("bigram"), " ", 1).as("w1"), col("n"))
+      .groupBy("w1").agg(sum(col("n")).as("n1"))
     val p = c2.withColumn("w1", substring_index(col("bigram"), " ", 1))
       .join(c1, "w1")
       .select(col("bigram"),
-        round(log(col("n2").cast("double") / col("n1")), 4)
+        round(log(col("n").cast("double") / col("n1")), 4)
           .cast("decimal(18,4)").as("lp"))
     // sum_lp is emitted as the exact decimal sum, not a rounded average:
     // round(sum/n, 4) straddles representability boundaries the two
     // engines' round() break differently (seen at sf0.01: doc avg
-    // -3.35054999…97 → one engine -3.3505, the other -3.3506)
-    bg.join(p, "bigram")
+    // -3.35054999…97 → one engine -3.3505, the other -3.3506).
+    // shuffle_hash on the model side: the planner must never broadcast
+    // either side here — bg is corpus-sized however small its local
+    // stats look (the cached-map-only-frame pitfall), and p is
+    // vocabulary-bounded but still too big to ship at 100 TB.
+    bg.join(p.hint("shuffle_hash"), "bigram")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("lp")).cast("decimal(38,4)").as("sum_lp"))
@@ -292,15 +290,34 @@ object TextAnalysis {
 
   // ---- word bigram counts (corpus n-gram statistics) --------------------
   val BigramTopN = 50
-  def wordBigrams(spark: SparkSession, dir: String): DataFrame =
+
+  /** Per-doc consecutive word pairs — the corpus-sized explode behind
+    * `word_bigrams` and `lm_perplexity`. */
+  private def docBigrams(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .select(filter(transform(split(col("text"), WsTokenRe), t => lower(t)),
-        t => t =!= "").as("toks"))
+      .select(col("doc_id"),
+        filter(transform(split(col("text"), WsTokenRe), t => lower(t)),
+          t => t =!= "").as("toks"))
       .where(size(col("toks")) >= 2) // sequence(1,0) would run descending
-      .select(explode(expr(
+      .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))"))
         .as("bigram"))
-      .groupBy("bigram").agg(count(lit(1)).as("n"))
+
+  private val bigramCache = Materialized.register(
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
+
+  /** Corpus bigram counts, materialized once per (session, corpus) and
+    * shared by `word_bigrams` and `lm_perplexity` — vocabulary-bounded
+    * (a columnar intermediate at cluster scale), so the corpus explode
+    * behind it runs once, not once per consumer. */
+  private[operators] def bigramCounts(spark: SparkSession, dir: String): DataFrame =
+    Materialized.cached(bigramCache, spark, dir)(
+      docBigrams(spark, dir)
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  def wordBigrams(spark: SparkSession, dir: String): DataFrame =
+    bigramCounts(spark, dir)
       // top-N via orderBy+limit → TakeOrderedAndProject (per-partition
       // partial top-N, N-row merge), NOT an unpartitioned window that would
       // single-partition the billion-row distinct-bigram table at 100 TB;
