@@ -45,6 +45,7 @@ object SparkEntry {
     "ann_ivf" -> Similarity.annIvf _,
     "ann_join" -> Similarity.annJoin _,
     "embedding_clusters" -> Similarity.embeddingClusters _,
+    "embedding_quantize" -> Similarity.embeddingQuantize _,
     "cluster_purity" -> Similarity.clusterPurity _,
     // text analysis (§2 #22-25)
     "lang_id" -> TextAnalysis.langId _,
@@ -118,6 +119,7 @@ object SparkEntry {
     "ann_ivf" -> Similarity.annIvfSql,
     "ann_join" -> Similarity.annJoinSql,
     "embedding_clusters" -> Similarity.embeddingClustersSql,
+    "embedding_quantize" -> Similarity.embeddingQuantizeSql,
     "cluster_purity" -> Similarity.clusterPuritySql,
     "lang_id" -> TextAnalysis.langIdSql,
     "quality_score" -> TextAnalysis.qualityScoreSql,

@@ -374,4 +374,62 @@ object Similarity {
        |)
        |SELECT vec_id, round(cos, 4) AS cos, CAST(rk AS BIGINT) AS rk
        |FROM ranked WHERE rk <= $TopK""".stripMargin
+
+  // ---- #21f int8 symmetric quantization (embedding storage path) --------
+  /** Quantize each embedding to int8: s = max|v|/127 per vector,
+    * q_i = clamp(round(v_i/s), ±127). The 4× storage compression a 100 TB
+    * embedding store runs before anything else touches the vectors —
+    * map-only at any scale (one projection, zero shuffles).
+    *
+    * Oracle robustness: the emitted aggregates of q are exact integers,
+    * and the reconstruction cosine needs no float scale at all — dequant
+    * is q·s, and s > 0 cancels from cos(q·s, v), so recon_cos =
+    * dot(q,v)/(√Σq²·√Σv²) with Σq² exact and the double chains in the
+    * same left-fold order on both engines. */
+  def embeddingQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val s = (array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+      / 127.0).as("s")
+    val qv = transform(col("embedding"), x =>
+      least(greatest(round(x.cast("double") / col("s")), lit(-127.0)), lit(127.0))
+        .cast("long"))
+    emb(spark, dir)
+      .select(col("vec_id"), col("embedding"), s)
+      .where(col("s") > 0.0)
+      .select(col("vec_id"), col("embedding"), qv.as("qv"))
+      .select(col("vec_id"),
+        size(col("qv")).cast("long").as("n_dims"),
+        aggregate(transform(col("qv"), x => abs(x)), lit(0L), (a, x) => a + x)
+          .as("q_l1"),
+        aggregate(col("qv"), lit(0L), (a, x) => a + x).as("q_sum"),
+        round(
+          aggregate(zip_with(col("qv"), col("embedding"),
+            (q, v) => q.cast("double") * v.cast("double")), lit(0.0), (a, x) => a + x)
+          / (sqrt(aggregate(transform(col("qv"), x => x * x), lit(0L), (a, x) => a + x)
+              .cast("double"))
+            * sqrt(aggregate(transform(col("embedding"),
+                v => v.cast("double") * v.cast("double")), lit(0.0), (a, x) => a + x))),
+          4).as("recon_cos"))
+  }
+  val embeddingQuantizeSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, embedding AS v,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
+      |  FROM embeddings
+      |), q AS (
+      |  SELECT vec_id, v,
+      |    list_transform(v, x -> CAST(least(greatest(
+      |      round(CAST(x AS DOUBLE) / s), -127.0), 127.0) AS BIGINT)) AS qv
+      |  FROM base WHERE s > 0.0
+      |)
+      |SELECT vec_id, CAST(len(qv) AS BIGINT) AS n_dims,
+      |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+      |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+      |  round(
+      |    list_aggregate(list_transform(range(1, len(qv) + 1),
+      |      i -> CAST(qv[i] AS DOUBLE) * CAST(v[i] AS DOUBLE)), 'sum')
+      |    / (sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE))
+      |      * sqrt(list_aggregate(list_transform(range(1, len(v) + 1),
+      |          i -> CAST(v[i] AS DOUBLE) * CAST(v[i] AS DOUBLE)), 'sum'))),
+      |  4) AS recon_cos
+      |FROM q""".stripMargin
 }

@@ -74,4 +74,22 @@ class SimilaritySpec extends SparkTestBase {
     assert(!pairs.contains((0L, 3L))) // orthogonal
     assert(!pairs.contains((0L, 4L))) // opposite
   }
+
+  test("int8 quantization: exact integer aggregates and near-1 recon cosine") {
+    // dedicated fixture with a non-trivial spread: v = [1, -0.5, 0.25, 0…]
+    // → s = 1/127, q = [127, -64, 32, 0…] (round half away from zero)
+    val d = java.nio.file.Files.createTempDirectory("graft-quant").toString
+    val v = Array.tabulate(Dedup.Dim)(i =>
+      if (i == 0) 1f else if (i == 1) -0.5f else if (i == 2) 0.25f else 0f)
+    Seq((0L, v, 0)).toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val r = Similarity.embeddingQuantize(spark, d).collect().head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 64L)
+    assert(r.getLong(2) == 127L + 64L + 32L)   // q_l1
+    assert(r.getLong(3) == 127L - 64L + 32L)   // q_sum
+    assert(r.getDouble(4) > 0.9999)            // int8 recon of a 3-nonzero vec
+    // the main fixture's 5 vectors all quantize losslessly in direction
+    val all = Similarity.embeddingQuantize(spark, dir).collect()
+    assert(all.length == 5 && all.forall(_.getDouble(4) >= 0.999))
+  }
 }
