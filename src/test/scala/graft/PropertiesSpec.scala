@@ -183,6 +183,31 @@ class PropertiesSpec extends SparkTestBase {
     assert(got == expect)
   }
 
+  test("property: int8 quantization matches a direct model on random vectors") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.fill(graft.operators.Dedup.Dim)(
+        (rnd.nextFloat() * 2f - 1f) * (1 + rnd.nextInt(5))), 0))
+    val d = java.nio.file.Files.createTempDirectory("graft-quantprop").toString
+    vecs.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    // direct model: the operator's arithmetic in plain Scala
+    def model(v: Array[Float]): (Long, Long) = {
+      val s = v.map(x => math.abs(x.toDouble)).max / 127.0
+      val q = v.map(x => math.max(-127.0, math.min(127.0,
+        BigDecimal(x.toDouble / s).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)).toLong)
+      (q.map(math.abs).sum, q.sum)
+    }
+    val got = graft.operators.Similarity.embeddingQuantize(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    vecs.foreach { case (id, v, _) =>
+      val (l1, sm) = model(v)
+      assert(got(id)._1 == l1 && got(id)._2 == sm, s"vec $id")
+      assert(got(id)._3 > 0.995, s"recon cos for vec $id") // int8 on 64 dims
+    }
+  }
+
   test("property: minhash sim_hat tracks true Jaccard on synthetic overlaps") {
     // doc pairs sharing a controlled fraction of shingles: sim_hat must
     // correlate (loose statistical bound, K=32 → σ≈0.09)
