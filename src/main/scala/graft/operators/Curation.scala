@@ -180,9 +180,12 @@ object Curation {
     val d = docs(spark, dir)
     val counts = d.groupBy("lang").agg(count(lit(1)).as("n_lang"))
     val minc = counts.agg(min(col("n_lang")).as("min_lang"))
-    // long/long division is integral in both engines (`/` here, `//` there)
+    // integral division on BOTH engines: `div` here, `//` in the oracle.
+    // Column./ is always DOUBLE division — with it, a hash equal to
+    // floor(rate) would be kept here and dropped there (caught by the
+    // plan-lint sweep, not the oracle: no sf0.01 hash sat on a boundary)
     val rates = counts.crossJoin(broadcast(minc)).select(col("lang"),
-      ((col("min_lang") * StratModulus) / col("n_lang")).as("keep_below"))
+      expr(s"(min_lang * $StratModulus) div n_lang").as("keep_below"))
     d.join(broadcast(rates), "lang")
       .where(pmod(md5Long(col("doc_id").cast("string")), lit(StratModulus))
         < col("keep_below"))

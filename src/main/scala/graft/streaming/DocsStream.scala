@@ -87,8 +87,9 @@ object DocsStream {
     val m = graft.operators.Curation.StratModulus
     val counts = reference.groupBy("lang").agg(count(lit(1)).as("n_lang"))
     val minc = counts.agg(min(col("n_lang")).as("min_lang"))
+    // `div`, not `/`: integral, matching the batch sampler and its oracle
     counts.crossJoin(broadcast(minc)).select(col("lang"),
-      ((col("min_lang") * m) / col("n_lang")).as("keep_below"))
+      expr(s"(min_lang * $m) div n_lang").as("keep_below"))
   }
 
   /** The composed ingest pipeline: quality gate → content dedup — what a
