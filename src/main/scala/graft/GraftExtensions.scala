@@ -12,6 +12,7 @@ import org.apache.spark.sql.graft.{CharEntropy, FloatDotProduct, NormalizeNfc, S
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.AsOfJoinPushDown)
     ext.injectFunction((
       new FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot"),

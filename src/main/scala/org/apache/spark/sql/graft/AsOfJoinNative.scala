@@ -55,6 +55,33 @@ case class AsOfJoin(
     copy(left = newLeft, right = newRight)
 }
 
+/** Predicate pushdown through the custom node: Catalyst's own
+  * PushDownPredicates cannot see through an unknown logical operator, so a
+  * `WHERE` above an as-of join would otherwise stall there instead of
+  * reaching the probe-side scan. Probe-side(left) predicates are
+  * semantics-preserving to push — each left row's match depends only on
+  * the right side — and then the datasource strategy carries them into the
+  * parquet scan's PushedFilters. Right-side predicates must NOT move:
+  * filtering the right side pre-join changes which "latest prior" row
+  * wins. Injected via `SparkSessionExtensions.injectOptimizerRule`. */
+object AsOfJoinPushDown
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.And
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, j: AsOfJoin) =>
+      val (pushable, kept) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic && p.references.subsetOf(j.left.outputSet))
+      if (pushable.isEmpty) f
+      else {
+        val pushed = j.copy(left = Filter(pushable.reduce(And), j.left))
+        kept.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 /** Plans the logical `AsOfJoin` into `AsOfJoinExec` (injected via
   * `SparkSessionExtensions.injectPlannerStrategy`). */
 object AsOfJoinStrategy extends SparkStrategy {

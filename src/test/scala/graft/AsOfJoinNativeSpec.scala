@@ -53,6 +53,29 @@ class AsOfJoinNativeSpec extends SparkTestBase {
     assert(composed.exceptAll(native).isEmpty && native.exceptAll(composed).isEmpty)
   }
 
+  test("probe-side predicates push through the custom node to the scan") {
+    val dir = "/root/testdata/sf0.001"
+    val filtered = graft.operators.Relational.asofJoinNative(spark, dir)
+      .where(col("user_id") < 100L)
+    // the optimizer rule moves the probe filter below AsOfJoin, and the
+    // datasource strategy carries it into the purchases parquet scan
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("LessThan(user_id,100)"),
+      s"probe predicate did not reach the scan:\n$plan")
+    // semantics unchanged: filter-after equals filter-before
+    val expect = graft.operators.Relational.asofJoin(spark, dir)
+      .where(col("user_id") < 100L)
+    assert(filtered.exceptAll(expect).isEmpty && expect.exceptAll(filtered).isEmpty)
+    // right-side-referencing predicates must not be pushed (pre-join
+    // filtering would change which "latest prior" row wins) — semantics
+    // pinned against the composed implementation
+    val keep = graft.operators.Relational.asofJoinNative(spark, dir)
+      .where(col("matched_view_id").isNotNull)
+    val keepExpect = graft.operators.Relational.asofJoin(spark, dir)
+      .where(col("matched_view_id").isNotNull)
+    assert(keep.exceptAll(keepExpect).isEmpty && keepExpect.exceptAll(keep).isEmpty)
+  }
+
   test("agrees with a brute-force model on random data") {
     val rnd = new scala.util.Random(7)
     val ls = Seq.fill(300)((rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong))
