@@ -60,6 +60,7 @@ object SparkEntry {
     "repetition_stats" -> TextAnalysis.repetitionStats _,
     "boilerplate_ngrams" -> TextAnalysis.boilerplateNgrams _,
     "corpus_mix" -> TextAnalysis.corpusMix _,
+    "length_histogram" -> TextAnalysis.lengthHistogram _,
     // curation (§2 #25i-25k)
     "dedup_segments" -> Curation.dedupSegments _,
     "sample_stratified" -> Curation.sampleStratified _,
@@ -133,6 +134,7 @@ object SparkEntry {
     "repetition_stats" -> TextAnalysis.repetitionStatsSql,
     "boilerplate_ngrams" -> TextAnalysis.boilerplateNgramsSql,
     "corpus_mix" -> TextAnalysis.corpusMixSql,
+    "length_histogram" -> TextAnalysis.lengthHistogramSql,
     "dedup_segments" -> Curation.dedupSegmentsSql,
     "sample_stratified" -> Curation.sampleStratifiedSql,
     "decontaminate" -> Curation.decontaminateSql,

@@ -454,6 +454,27 @@ object TextAnalysis {
       |  round(avg(n_chars), 2) AS avg_chars
       |FROM documents GROUP BY 1, 2""".stripMargin
 
+  // ---- #25o document-length histogram (power-of-two buckets) ------------
+  /** Corpus length distribution in log2 buckets — the diagnostic a
+    * curation run reads before choosing chunking/length-filter thresholds.
+    * Bucket = number of binary digits of n_chars (⌊log2⌋+1), computed with
+    * INTEGER string arithmetic (`length(bin(n))`) rather than
+    * `floor(log2(...))` so no float sits near a bucket boundary. One
+    * map-side-partial agg on ≤64 keys. */
+  def lengthHistogram(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(length(bin(col("n_chars"))).cast("long").as("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+  val lengthHistogramSql: String =
+    """SELECT CAST(length(bin(n_chars)) AS BIGINT) AS len_bucket,
+      |  count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      |FROM documents GROUP BY 1""".stripMargin
+
   // ---- #25 winnowing fingerprints (k=5 char-grams, window w=4) ----------
   // Map-only: ShinglePolyHash emits the k-gram hash array in-row and
   // WinnowMins takes the sorted distinct sliding-window minima in one

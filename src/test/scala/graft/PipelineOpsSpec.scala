@@ -53,6 +53,22 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(rows(3L)._3 > rows(1L)._3 && rows(1L)._3 > rows(2L)._3)
   }
 
+  test("length_histogram buckets by binary magnitude with exact integers") {
+    // fixture text lengths: known chars → known log2 buckets
+    val hdir = writeDocsFixture(Seq(
+      1L -> "a" * 7,    // 7 chars  → bin length 3
+      2L -> "b" * 8,    // 8 chars  → bin length 4 (boundary: exactly 2^3)
+      3L -> "c" * 15,   // 15 chars → bin length 4
+      4L -> "d" * 100)) // 100 chars → bin length 7
+    val rows = TextAnalysis.lengthHistogram(spark, hdir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(rows.keySet == Set(3L, 4L, 7L))
+    assert(rows(3L) == ((1L, 7L, 7L, 7L)))
+    assert(rows(4L) == ((2L, 23L, 8L, 15L)))
+    assert(rows(7L) == ((1L, 100L, 100L, 100L)))
+  }
+
   test("corpus_mix reports per-(lang, source) composition") {
     val rows = TextAnalysis.corpusMix(spark, dir).collect()
     assert(rows.length == 1) // fixture is all (en, src0)
