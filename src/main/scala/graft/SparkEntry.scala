@@ -44,6 +44,7 @@ object SparkEntry {
     "ann_lsh" -> Similarity.annLsh _,
     "ann_ivf" -> Similarity.annIvf _,
     "ann_join" -> Similarity.annJoin _,
+    "ann_range_search" -> Similarity.annRangeSearch _,
     "embedding_clusters" -> Similarity.embeddingClusters _,
     "embedding_quantize" -> Similarity.embeddingQuantize _,
     "cluster_purity" -> Similarity.clusterPurity _,
@@ -61,8 +62,11 @@ object SparkEntry {
     "boilerplate_ngrams" -> TextAnalysis.boilerplateNgrams _,
     "corpus_mix" -> TextAnalysis.corpusMix _,
     "length_histogram" -> TextAnalysis.lengthHistogram _,
+    "zipf_stats" -> TextAnalysis.zipfStats _,
     // curation (§2 #25i-25k)
     "dedup_segments" -> Curation.dedupSegments _,
+    "gopher_filters" -> Curation.gopherFilters _,
+    "dup_ngram_stats" -> Curation.dupNgramStats _,
     "sample_stratified" -> Curation.sampleStratified _,
     "decontaminate" -> Curation.decontaminate _,
     "char_stats" -> Curation.charStats _,
@@ -119,6 +123,7 @@ object SparkEntry {
     "ann_lsh" -> Similarity.annLshSql,
     "ann_ivf" -> Similarity.annIvfSql,
     "ann_join" -> Similarity.annJoinSql,
+    "ann_range_search" -> Similarity.annRangeSearchSql,
     "embedding_clusters" -> Similarity.embeddingClustersSql,
     "embedding_quantize" -> Similarity.embeddingQuantizeSql,
     "cluster_purity" -> Similarity.clusterPuritySql,
@@ -135,7 +140,10 @@ object SparkEntry {
     "boilerplate_ngrams" -> TextAnalysis.boilerplateNgramsSql,
     "corpus_mix" -> TextAnalysis.corpusMixSql,
     "length_histogram" -> TextAnalysis.lengthHistogramSql,
+    "zipf_stats" -> TextAnalysis.zipfStatsSql,
     "dedup_segments" -> Curation.dedupSegmentsSql,
+    "gopher_filters" -> Curation.gopherFiltersSql,
+    "dup_ngram_stats" -> Curation.dupNgramStatsSql,
     "sample_stratified" -> Curation.sampleStratifiedSql,
     "decontaminate" -> Curation.decontaminateSql,
     "char_stats" -> Curation.charStatsSql,

@@ -230,6 +230,105 @@ object Curation {
         count(lit(1)).as("n_gram_hits"))
   }
 
+  // ---- #25p Gopher-style rule gate ---------------------------------------
+  /** The Gopher/MassiveText heuristic document filter as one map-only
+    * projection: token count bounds, mean word length bounds, fraction of
+    * tokens containing a letter, and required-stopword presence. Every
+    * signal is a pure function of the row's token array (projected once),
+    * so at 100 TB this is a single scan with zero shuffles; `keep` is
+    * computed from the raw (unrounded) signals with identical integer/
+    * double math on both engines. */
+  val GopherMinTokens = 50L
+  val GopherMaxTokens = 100000L
+  val GopherMinAvgLen = 3.0
+  val GopherMaxAvgLen = 10.0
+  val GopherMinAlphaFrac = 0.8
+  val GopherMinStopHits = 2L
+  /** Gopher's required-stopword list (Rae et al. 2021 §A1.1). */
+  val GopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def gopherFilters(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), toks.as("t"))
+      .where(size(col("t")) > 0)
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        aggregate(transform(col("t"), w => length(w).cast("long")),
+          lit(0L), (a, x) => a + x).as("sum_len"),
+        size(filter(col("t"), w => w.rlike("\\p{L}"))).cast("long").as("n_alpha"),
+        size(filter(col("t"), w => w.isin(GopherStops: _*))).cast("long")
+          .as("stop_hits"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("sum_len").cast("double") / col("n_tokens"), 4)
+          .as("mean_word_len"),
+        round(col("n_alpha").cast("double") / col("n_tokens"), 4).as("alpha_frac"),
+        col("stop_hits"),
+        (col("n_tokens").between(GopherMinTokens, GopherMaxTokens)
+          && (col("sum_len").cast("double") / col("n_tokens"))
+            .between(GopherMinAvgLen, GopherMaxAvgLen)
+          && col("n_alpha").cast("double") / col("n_tokens") > GopherMinAlphaFrac
+          && col("stop_hits") >= GopherMinStopHits).cast("long").as("keep"))
+  val gopherFiltersSql: String = {
+    val stops = GopherStops.map(sqlLit).mkString("(", ", ", ")")
+    s"""WITH toksx AS (
+       |  SELECT doc_id, list_filter(list_transform(
+       |    string_split_regex(text, '\\s+'), t -> lower(t)), t -> t <> '') AS t
+       |  FROM documents
+       |), base AS (
+       |  SELECT doc_id, len(t) AS n_tokens,
+       |    list_sum(list_transform(t, w -> length(w))) AS sum_len,
+       |    len(list_filter(t, w -> regexp_matches(w, '\\p{L}'))) AS n_alpha,
+       |    len(list_filter(t, w -> w IN $stops)) AS stop_hits
+       |  FROM toksx WHERE len(t) > 0
+       |)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  round(CAST(sum_len AS DOUBLE) / n_tokens, 4) AS mean_word_len,
+       |  round(CAST(n_alpha AS DOUBLE) / n_tokens, 4) AS alpha_frac,
+       |  CAST(stop_hits AS BIGINT) AS stop_hits,
+       |  CAST(CASE WHEN n_tokens BETWEEN $GopherMinTokens AND $GopherMaxTokens
+       |    AND CAST(sum_len AS DOUBLE) / n_tokens
+       |      BETWEEN $GopherMinAvgLen AND $GopherMaxAvgLen
+       |    AND CAST(n_alpha AS DOUBLE) / n_tokens > $GopherMinAlphaFrac
+       |    AND stop_hits >= $GopherMinStopHits
+       |  THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM base""".stripMargin
+  }
+
+  // ---- #25q dup-n-gram fraction (MassiveText repetition-across-corpus) ---
+  /** Per-doc fraction of its word 5-grams that occur anywhere else in the
+    * corpus — the overlapping-window sibling of `dedup_segments` and the
+    * signal MassiveText thresholds ("fraction of characters in duplicated
+    * n-grams"). Reads the SAME materialized gram frame as
+    * `boilerplate_ngrams`/`decontaminate` (the tokenize+explode runs once
+    * per corpus); join/count key is the 60-bit md5 of the gram, so shuffle
+    * bytes per row are 8, not ~5 words. The count side has ONE row per key,
+    * so Zipf-skewed grams cost partition imbalance only (AQE splits) —
+    * pinned shuffle_hash so the planner can never broadcast the
+    * corpus-sized count table. */
+  def dupNgramStats(spark: SparkSession, dir: String): DataFrame = {
+    val grams = TextAnalysis.docGrams(spark, dir)
+      .select(col("doc_id"), md5Long(col("gram")).as("gh"))
+    val counts = grams.groupBy("gh").agg(count(lit(1)).as("n"))
+    grams.join(counts.hint("shuffle_hash"), "gh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
+        round(col("n_dup_grams").cast("double") / col("n_grams"), 4)
+          .as("dup_gram_frac"))
+  }
+  val dupNgramStatsSql: String =
+    s"""${TextAnalysis.sqlGramsCte(TextAnalysis.BoilerK)}, gh AS (
+       |  SELECT doc_id, ${sqlMd5Long("gram")} AS gh FROM grams
+       |), cnt AS (
+       |  SELECT gh, count(*) AS n FROM gh GROUP BY 1
+       |)
+       |SELECT doc_id, count(*) AS n_grams,
+       |  sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_grams,
+       |  round(CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 4) AS dup_gram_frac
+       |FROM gh JOIN cnt USING (gh) GROUP BY 1""".stripMargin
+
   // ---- #25k char-level entropy quality signal ---------------------------
   /** Per-doc character-distribution stats: length, distinct chars, Shannon
     * entropy (bits/char, codegen'd single-pass CharEntropy). Low entropy ⇒

@@ -375,6 +375,46 @@ object Similarity {
        |SELECT vec_id, round(cos, 4) AS cos, CAST(rk AS BIGINT) AS rk
        |FROM ranked WHERE rk <= $TopK""".stripMargin
 
+  // ---- #21g cosine range search (threshold query) ------------------------
+  /** The other half of the retrieval API: not "the k nearest" but "everything
+    * within a similarity radius" (FAISS range_search). Same hyperplane-bucket
+    * pruning as `ann_lsh` (hamming ≤ 1 probes — at 100 TB the bucket is the
+    * partitioning key, so the probe touches ~9/256 of the corpus), then an
+    * exact cosine filter at the threshold. Pure filter — no top-k sort, no
+    * window, output bounded by the radius. The oracle mirrors the bucket
+    * predicate, so both engines search the identical candidate set. */
+  /** Radius chosen so the oracle row is non-vacuous at every test SF (the
+    * synthetic embeddings are near-orthogonal; 0.05 keeps a handful of
+    * genuine near-neighbors at sf0.01 rather than verifying 0 = 0). */
+  val RangeTau = 0.05
+
+  def annRangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).withColumn("bucket", bucketCol("embedding"))
+    val q = e.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("bucket").as("qbucket"))
+    e.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid")
+        && bit_count(col("bucket").bitwiseXOR(col("qbucket"))) <= 1)
+      .select(col("vec_id"), cosExpr("embedding", "qv").as("cos"))
+      .where(col("cos") >= RangeTau)
+      .select(col("vec_id"), round(col("cos"), 4).as("cos"))
+  }
+  val annRangeSearchSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, ${sqlBucket("embedding")} AS bucket
+       |  FROM embeddings
+       |), q AS (
+       |  SELECT vec_id AS qid, embedding AS qv, bucket AS qbucket FROM e
+       |  ORDER BY vec_id LIMIT 1
+       |), scored AS (
+       |  SELECT e.vec_id, ${sqlCos("e.embedding", "q.qv")} AS cos
+       |  FROM e, q
+       |  WHERE e.vec_id <> q.qid AND bit_count(xor(e.bucket, q.qbucket)) <= 1
+       |)
+       |SELECT vec_id, round(cos, 4) AS cos FROM scored
+       |WHERE cos >= $RangeTau""".stripMargin
+
   // ---- #21f int8 symmetric quantization (embedding storage path) --------
   /** Quantize each embedding to int8: s = max|v|/127 per vector,
     * q_i = clamp(round(v_i/s), ±127). The 4× storage compression a 100 TB

@@ -347,6 +347,93 @@ object TextAnalysis {
        |SELECT bigram, n, CAST(rk AS BIGINT) AS rk
        |FROM ranked WHERE rk <= $BigramTopN""".stripMargin
 
+  // ---- #25r corpus token-distribution diagnostics (Zipf fit) -------------
+  /** One-row corpus report: vocabulary size, total tokens, head mass
+    * (top-1 / top-N token share), and the Zipf slope — the least-squares
+    * slope of ln(count) vs ln(rank) over the top ZipfN tokens. A natural-
+    * language corpus sits near −1; a templated/synthetic one doesn't, which
+    * is why mixing stages run exactly this diagnostic.
+    *
+    * Scale: the count table is vocabulary-bounded; top-N is
+    * TakeOrderedAndProject (per-partition partial top-N, N-row merge, never
+    * a global sort); the regression runs over ≤ ZipfN rows. Float policy:
+    * ln values are rounded→DECIMAL so all five regression sums are exact
+    * and order-insensitive; the slope arithmetic then runs in double from
+    * identical inputs on both engines (§6). */
+  val ZipfTopN = 100
+
+  def zipfStats(spark: SparkSession, dir: String): DataFrame = {
+    val counts = docs(spark, dir)
+      .select(explode(toks(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    val totals = counts.agg(
+      count(lit(1)).as("vocab_size"),
+      sum(col("n")).as("total_tokens"),
+      max(col("n")).as("top1_n"))
+    // ranks recovered from the ≤ ZipfN survivors inside one array — the
+    // same TakeOrderedAndProject-then-rank shape as wordBigrams
+    val top = counts.orderBy(col("n").desc, col("term")).limit(ZipfTopN)
+      .select(struct(negate(col("n")).as("nn"), col("term").as("term"),
+        col("n").as("n")).as("s"))
+      .agg(array_sort(collect_list(col("s"))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("pos", "s")))
+      .select((col("pos") + 1).cast("long").as("rk"), col("s.n").as("n"))
+    val fit = top
+      .select(col("n"),
+        round(log(col("rk").cast("double")), 6).cast("decimal(12,6)").as("x"),
+        round(log(col("n").cast("double")), 6).cast("decimal(12,6)").as("y"))
+      .agg(count(lit(1)).as("np"),
+        sum(col("n")).as("topn_sum"),
+        sum(col("x")).cast("decimal(38,12)").as("sx"),
+        sum(col("y")).cast("decimal(38,12)").as("sy"),
+        sum(col("x") * col("y")).cast("decimal(38,12)").as("sxy"),
+        sum(col("x") * col("x")).cast("decimal(38,12)").as("sxx"))
+    totals.crossJoin(fit).select(
+      col("vocab_size"), col("total_tokens"),
+      round(col("top1_n").cast("double") / col("total_tokens"), 4).as("top1_frac"),
+      round(col("topn_sum").cast("double") / col("total_tokens"), 4).as("topn_frac"),
+      round((col("np").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+        / (col("np").cast("double") * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double")), 4)
+        .as("zipf_slope"))
+  }
+  val zipfStatsSql: String =
+    s"""WITH toks AS (
+       |  SELECT lower(t.w) AS term
+       |  FROM documents d, unnest(string_split_regex(d.text, '\\s+')) AS t(w)
+       |  WHERE t.w <> ''
+       |), cnt AS (
+       |  SELECT term, count(*) AS n FROM toks GROUP BY 1
+       |), tot AS (
+       |  SELECT count(*) AS vocab_size, sum(n) AS total_tokens,
+       |    max(n) AS top1_n FROM cnt
+       |), top AS (
+       |  SELECT n, row_number() OVER (ORDER BY n DESC, term) AS rk
+       |  FROM cnt ORDER BY n DESC, term LIMIT $ZipfTopN
+       |), xy AS (
+       |  SELECT n,
+       |    CAST(round(ln(CAST(rk AS DOUBLE)), 6) AS DECIMAL(12,6)) AS x,
+       |    CAST(round(ln(CAST(n AS DOUBLE)), 6) AS DECIMAL(12,6)) AS y
+       |  FROM top
+       |), fit AS (
+       |  SELECT count(*) AS np, sum(n) AS topn_sum,
+       |    CAST(sum(x) AS DECIMAL(38,12)) AS sx,
+       |    CAST(sum(y) AS DECIMAL(38,12)) AS sy,
+       |    CAST(sum(x * y) AS DECIMAL(38,12)) AS sxy,
+       |    CAST(sum(x * x) AS DECIMAL(38,12)) AS sxx
+       |  FROM xy
+       |)
+       |SELECT CAST(vocab_size AS BIGINT) AS vocab_size,
+       |  CAST(total_tokens AS BIGINT) AS total_tokens,
+       |  round(CAST(top1_n AS DOUBLE) / total_tokens, 4) AS top1_frac,
+       |  round(CAST(topn_sum AS DOUBLE) / total_tokens, 4) AS topn_frac,
+       |  round((CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |    / (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4) AS zipf_slope
+       |FROM tot CROSS JOIN fit""".stripMargin
+
   // ---- token-repetition stats (Gopher-style repetition signal) ----------
   // Repetitious documents (boilerplate, keyword stuffing, generation loops)
   // are a standard filter target for training corpora: dup_frac is the

@@ -33,6 +33,37 @@ class CurationSpec extends SparkTestBase {
     assert(!rows.contains(4L))
   }
 
+  test("gopher filters: token/length/alpha/stopword gates compose into keep") {
+    val good = "the and " + Seq.fill(58)("word").mkString(" ") // 60 toks, 2 stops
+    val short = "the and word"                                  // 3 toks
+    val numeric = Seq.fill(60)("12345").mkString(" ")           // no letters
+    val d = writeDocsFixture(Seq(1L -> good, 2L -> short, 3L -> numeric))
+    val rows = Curation.gopherFilters(spark, d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val (n1, ml1, af1, sh1, keep1) = rows(1L)
+    assert(n1 == 60L && ml1 > 3.0 && ml1 < 10.0 && af1 == 1.0 && sh1 == 2L
+      && keep1 == 1L)
+    assert(rows(2L)._5 == 0L) // below the token floor
+    val (_, _, af3, _, keep3) = rows(3L)
+    assert(af3 == 0.0 && keep3 == 0L) // no alphabetic tokens
+  }
+
+  test("dup-ngram fraction counts corpus-duplicated 5-grams per doc") {
+    val rows = Curation.dupNgramStats(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // docs 1 and 2 are identical 25-token texts: all 21 of each one's
+    // 5-grams occur in the other
+    assert(rows(1L) == ((21L, 21L)))
+    assert(rows(2L) == ((21L, 21L)))
+    // doc 3 shares w1..w20 with them: its grams at positions 1..16 sit
+    // fully inside that prefix; the 5 tail grams are unique
+    assert(rows(3L) == ((21L, 16L)))
+    // doc 4 has 4 tokens — below the gram width, absent from the frame
+    assert(!rows.contains(4L))
+  }
+
   test("char entropy: zero for uniform text, 1 bit for 50/50, matches formula") {
     assert(CharEntropy.compute(UTF8String.fromString("aaaa")) == 0.0)
     assert(math.abs(CharEntropy.compute(UTF8String.fromString("abab")) - 1.0) < 1e-12)

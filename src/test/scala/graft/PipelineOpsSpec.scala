@@ -69,6 +69,22 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(rows(7L) == ((1L, 100L, 100L, 100L)))
   }
 
+  test("zipf_stats: exact head-mass integers and the hand-computed slope") {
+    val d = writeDocsFixture(Seq(1L -> "a a a a b b c"))
+    val r = TextAnalysis.zipfStats(spark, d).collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 7L) // vocab, total
+    assert(r.getDouble(2) == math.rint(4.0 / 7.0 * 1e4) / 1e4) // top1_frac
+    assert(r.getDouble(3) == 1.0) // ≤ ZipfTopN distinct tokens → full mass
+    // least squares over (ln rk, ln n) for counts 4, 2, 1 — same rounding
+    val x = Seq(1, 2, 3).map(k => math.rint(math.log(k) * 1e6) / 1e6)
+    val y = Seq(4, 2, 1).map(n => math.rint(math.log(n) * 1e6) / 1e6)
+    val (sx, sy) = (x.sum, y.sum)
+    val sxy = x.zip(y).map { case (a, b) => a * b }.sum
+    val sxx = x.map(a => a * a).sum
+    val slope = (3 * sxy - sx * sy) / (3 * sxx - sx * sx)
+    assert(math.abs(r.getDouble(4) - slope) < 1e-3)
+  }
+
   test("corpus_mix reports per-(lang, source) composition") {
     val rows = TextAnalysis.corpusMix(spark, dir).collect()
     assert(rows.length == 1) // fixture is all (en, src0)

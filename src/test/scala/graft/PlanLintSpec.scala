@@ -23,7 +23,7 @@ class PlanLintSpec extends SparkTestBase {
     * |langs|-row rate table whose null-guard gets pushed into the join.
     * Anything not listed that plans a conditioned BNLJ fails the lint. */
   private val TinyBroadcastBnl =
-    Set("ann_topk", "ann_lsh", "sample_stratified")
+    Set("ann_topk", "ann_lsh", "ann_range_search", "sample_stratified")
 
   test("no query plans a cartesian, a conditioned nested loop, or a global window") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -55,6 +55,17 @@ class SimilaritySpec extends SparkTestBase {
     assert(!rows.exists(r => r._1 == r._2))
   }
 
+  test("range search returns everything within the cosine radius, nothing below") {
+    val rows = Similarity.annRangeSearch(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // vec 1 (cos 1.0) and vec 2 (cos ≈ 0.98) are inside the radius and
+    // share the query's bucket; 3 (orthogonal) and 4 (opposite) are below τ
+    assert(rows.contains(1L) && rows(1L) == 1.0)
+    assert(rows.contains(2L) && rows(2L) > 0.9)
+    assert(!rows.contains(3L) && !rows.contains(4L))
+    assert(rows.values.forall(_ >= Similarity.RangeTau))
+  }
+
   test("IVF ANN probes nearest cells only (partial recall by design)") {
     val rows = Similarity.annIvf(spark, dir).collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toMap
