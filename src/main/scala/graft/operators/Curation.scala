@@ -230,6 +230,52 @@ object Curation {
         count(lit(1)).as("n_gram_hits"))
   }
 
+  // ---- #25s sliding-window document chunking -----------------------------
+  /** The chunking stage that turns curated documents into training-window
+    * rows: overlapping ChunkLen-token windows every ChunkStride tokens
+    * (overlap = ChunkLen − ChunkStride tokens preserves context across
+    * boundaries). Chunk count = 1 + ⌈(n − len)/stride⌉, all integer
+    * arithmetic on both engines. Map-only — one tokenize + bounded explode
+    * per row, amplification ≤ len/stride ≈ 1.33×; at 100 TB this is one
+    * scan writing the chunk table, zero shuffles. Chunk text is emitted as
+    * md5 (rows stay narrow; the real pipeline writes the text column). */
+  val ChunkLen = 32
+  val ChunkStride = 24
+
+  def chunkDocuments(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), toks.as("t"))
+      .where(size(col("t")) >= 1)
+      .select(col("doc_id"), col("t"), size(col("t")).as("n"))
+      .select(col("doc_id"), col("t"),
+        explode(expr(s"sequence(0, CASE WHEN n > $ChunkLen THEN " +
+          s"((n - $ChunkLen + $ChunkStride - 1) div $ChunkStride) ELSE 0 END)"))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        expr(s"slice(t, chunk_idx * $ChunkStride + 1, $ChunkLen)").as("ct"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("ct")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("ct"))).as("chunk_md5"))
+  val chunkDocumentsSql: String =
+    s"""WITH toksx AS (
+       |  SELECT doc_id, list_filter(list_transform(
+       |    string_split_regex(text, '\\s+'), t -> lower(t)), t -> t <> '') AS t
+       |  FROM documents
+       |), sized AS (
+       |  SELECT doc_id, t, len(t) AS n FROM toksx WHERE len(t) >= 1
+       |), chunks AS (
+       |  SELECT doc_id,
+       |    g.k AS chunk_idx,
+       |    t[g.k * $ChunkStride + 1 : g.k * $ChunkStride + $ChunkLen] AS ct
+       |  FROM sized, unnest(range(0, CASE WHEN n > $ChunkLen
+       |    THEN ((n - $ChunkLen + $ChunkStride - 1) // $ChunkStride) + 1
+       |    ELSE 1 END)) AS g(k)
+       |)
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |  CAST(len(ct) AS BIGINT) AS n_tokens,
+       |  md5(list_aggr(ct, 'string_agg', ' ')) AS chunk_md5
+       |FROM chunks""".stripMargin
+
   // ---- #25p Gopher-style rule gate ---------------------------------------
   /** The Gopher/MassiveText heuristic document filter as one map-only
     * projection: token count bounds, mean word length bounds, fraction of

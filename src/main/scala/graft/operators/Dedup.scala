@@ -89,7 +89,7 @@ object Dedup {
       s"(($acc * $ShingleB + ord(substr($textExpr, CAST($posExpr AS INTEGER) + $j, 1))) % $P)"
     }
 
-  private val shinglesCte =
+  private[operators] val shinglesCte =
     s"""WITH sh AS (
        |  SELECT DISTINCT d.doc_id,
        |    ${sqlShingleHash("d.text", "g.pos")} AS h
@@ -267,6 +267,47 @@ object Dedup {
        |JOIN sizes na ON doc_a = na.doc_id
        |JOIN sizes nb ON doc_b = nb.doc_id
        |WHERE round(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 4) >= $JaccardThreshold""".stripMargin
+
+  // ---- #17b asymmetric containment on LSH candidates --------------------
+  /** Jaccard containment C(A→B) = |A∩B|/|A|: the asymmetric signal that
+    * catches a document EMBEDDED in a larger one (quote farms, wrapper
+    * pages), which symmetric Jaccard dilutes below threshold as the host
+    * grows. Same scale shape as #17 — materialized candidate pairs joined
+    * to the materialized shingle sets, exact intersection only on the
+    * LSH-blocked pair set, never all-pairs. A pair is reported when EITHER
+    * direction's containment clears the threshold. */
+  val ContainmentThreshold = 0.5
+  def minhashContainment(spark: SparkSession, dir: String): DataFrame = {
+    val cand = candidatePairs(spark, dir).hint("shuffle_hash")
+    val shSets = sigSets(spark, dir).select(col("doc_id"), col("hs"))
+    val inter = size(array_intersect(col("a.hs"), col("b.hs"))).cast("double")
+    cand
+      .join(shSets.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(shSets.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(inter / size(col("a.hs")), 4).as("contain_a"),
+        round(inter / size(col("b.hs")), 4).as("contain_b"))
+      .where(col("contain_a") >= ContainmentThreshold
+        || col("contain_b") >= ContainmentThreshold)
+  }
+  val minhashContainmentSql: String =
+    s"""$bandedCte, sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+       |), inter AS (
+       |  SELECT doc_a, doc_b, count(*) AS inter
+       |  FROM cand
+       |  JOIN sh sa ON doc_a = sa.doc_id
+       |  JOIN sh sb ON doc_b = sb.doc_id AND sa.h = sb.h
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(inter AS DOUBLE) / na.n, 4) AS contain_a,
+       |  round(CAST(inter AS DOUBLE) / nb.n, 4) AS contain_b
+       |FROM inter
+       |JOIN sizes na ON doc_a = na.doc_id
+       |JOIN sizes nb ON doc_b = nb.doc_id
+       |WHERE round(CAST(inter AS DOUBLE) / na.n, 4) >= $ContainmentThreshold
+       |   OR round(CAST(inter AS DOUBLE) / nb.n, 4) >= $ContainmentThreshold""".stripMargin
 
   // ---- dedup clusters: connected components over the near-dup graph -----
   /** Near-dup pairs are only half the dedup story: transitive duplicates
@@ -529,6 +570,51 @@ object Dedup {
       .dropDuplicates("vec_a", "vec_b")
       .where(col("cos") >= CosineThreshold)
   }
+  // ---- #19d semantic ↔ lexical dedup agreement ---------------------------
+  /** The audit a curation pipeline runs on its semantic dedup: for every
+    * embedding near-dup pair, the exact n-gram Jaccard of the two linked
+    * documents (vec_id ≡ doc_id in this corpus). High cosine + low Jaccard
+    * = paraphrase-level duplication only embeddings catch; high both =
+    * lexical copy the cheaper pipeline would have caught. The pair side is
+    * bounded by the near-dup graph and BROADCASTS; the shingle sets come
+    * from the shared materialized frame, so no corpus-scale work runs
+    * beyond the two bounded joins. */
+  def semanticLexicalAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupEmbedding(spark, dir)
+    val shSets = sigSets(spark, dir).select(col("doc_id"), col("hs"))
+    val inter = size(array_intersect(col("a.hs"), col("b.hs")))
+    val jac = inter.cast("double") /
+      (size(col("a.hs")) + size(col("b.hs")) - inter)
+    shSets.as("a").join(broadcast(pairs), col("vec_a") === col("a.doc_id"))
+      .join(shSets.as("b"), col("vec_b") === col("b.doc_id"))
+      .select(col("vec_a"), col("vec_b"), col("cos"),
+        round(jac, 4).as("jaccard"))
+  }
+  lazy val semanticLexicalAgreementSql: String = {
+    val body = dedupEmbeddingSql
+    // splice the embedding-pair CTEs and the shingle CTE into one WITH
+    val embWith = body.stripPrefix("WITH ")
+    val cteEnd = embWith.lastIndexOf(")\nSELECT")
+    val embCtes = embWith.substring(0, cteEnd + 1)
+    val shCte = shinglesCte.stripPrefix("WITH ")
+    s"""WITH $embCtes, pairs AS (
+       |  SELECT vec_a, vec_b, cos FROM cand WHERE cos >= $CosineThreshold
+       |), $shCte, sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+       |), inter AS (
+       |  SELECT vec_a, vec_b, cos, count(*) AS inter
+       |  FROM pairs
+       |  JOIN sh sa ON vec_a = sa.doc_id
+       |  JOIN sh sb ON vec_b = sb.doc_id AND sa.h = sb.h
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT vec_a, vec_b, cos,
+       |  round(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 4) AS jaccard
+       |FROM inter
+       |JOIN sizes na ON vec_a = na.doc_id
+       |JOIN sizes nb ON vec_b = nb.doc_id""".stripMargin
+  }
+
   // lazy: referencing Similarity at Dedup's own <clinit> would close an
   // initialization cycle (Similarity.Planes reads Dedup.Dim during ITS
   // <clinit>; if that triggers Dedup's, this val must not call back into

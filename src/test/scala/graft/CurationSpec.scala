@@ -33,6 +33,19 @@ class CurationSpec extends SparkTestBase {
     assert(!rows.contains(4L))
   }
 
+  test("chunking emits overlapping ChunkLen windows every ChunkStride tokens") {
+    // 40 tokens: 40 > 32 → 1 + ceil(8/24) = 2 chunks; second starts at 25
+    val forty = (1 to 40).map(i => s"t$i").mkString(" ")
+    val short = (1 to 10).map(i => s"s$i").mkString(" ")
+    val d = writeDocsFixture(Seq(1L -> forty, 2L -> short))
+    val rows = Curation.chunkDocuments(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows((1L, 0L)) == Curation.ChunkLen.toLong) // full first window
+    assert(rows((1L, 1L)) == 16L) // tokens 25..40
+    assert(rows((2L, 0L)) == 10L) // short doc: one partial chunk
+    assert(rows.size == 3)
+  }
+
   test("gopher filters: token/length/alpha/stopword gates compose into keep") {
     val good = "the and " + Seq.fill(58)("word").mkString(" ") // 60 toks, 2 stops
     val short = "the and word"                                  // 3 toks

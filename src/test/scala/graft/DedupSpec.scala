@@ -56,6 +56,50 @@ class DedupSpec extends SparkTestBase {
     assert(rows((1L, 3L)) > 0.5 && rows((1L, 3L)) < 1.0)
   }
 
+  test("containment is 1.0 for identical docs and catches embedded text") {
+    val rows = Dedup.minhashContainment(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(rows((1L, 2L)) == ((1.0, 1.0))) // identical: both directions full
+    // doc-inside-doc: a doc whose text is a strict prefix of a larger one
+    // has containment 1.0 into the host while Jaccard sits below 1
+    val cdir = writeDocsFixture(Seq(
+      1L -> base,
+      2L -> (base + " and then the evening settles over the quiet garden")))
+    val c = Dedup.minhashContainment(spark, cdir).collect()
+      .find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get
+    assert(c.getDouble(2) == 1.0) // all of doc 1's shingles are in doc 2
+    assert(c.getDouble(3) < 1.0)  // doc 2 has extra shingles
+    val j = Dedup.dedupNgramJaccard(spark, cdir).collect()
+      .find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get.getDouble(2)
+    assert(j < 1.0) // symmetric jaccard dilutes what containment catches
+  }
+
+  test("semantic-lexical agreement joins embedding pairs to text jaccard") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-agree").toString
+    def v(f: Int => Float): Array[Float] = Array.tabulate(Dedup.Dim)(f)
+    // vecs 0,1 same direction (cos 1); 2 orthogonal
+    Seq((0L, v(i => if (i == 0) 1f else 0f), 0),
+        (1L, v(i => if (i == 0) 2f else 0f), 0),
+        (2L, v(i => if (i == 1) 1f else 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    // docs 0,1 identical text; 2 different
+    Seq(0L -> base, 1L -> base, 2L -> "entirely unrelated words here")
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'src0' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = Dedup.semanticLexicalAgreement(spark, d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(rows.contains((0L, 1L)))
+    val (cos, jac) = rows((0L, 1L))
+    assert(cos == 1.0 && jac == 1.0) // same direction AND same text
+    assert(!rows.keySet.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
   test("simhash hamming is 0 for identical, small for near-dup") {
     val rows = Dedup.dedupSimhash(spark, dir).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
