@@ -293,6 +293,20 @@ object Curation {
   /** Gopher's required-stopword list (Rae et al. 2021 §A1.1). */
   val GopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** The keep predicate over a token-array column — shared verbatim by the
+    * batch query and `DocsStream.gopherGate` so the two cannot drift. */
+  private[graft] def gopherKeepIn(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val n = size(t).cast("long")
+    val sumLen = aggregate(transform(t, w => length(w).cast("long")),
+      lit(0L), (a, x) => a + x)
+    val nAlpha = size(filter(t, w => w.rlike("\\p{L}"))).cast("long")
+    val stops = size(filter(t, w => w.isin(GopherStops: _*))).cast("long")
+    n.between(GopherMinTokens, GopherMaxTokens) &&
+      (sumLen.cast("double") / n).between(GopherMinAvgLen, GopherMaxAvgLen) &&
+      nAlpha.cast("double") / n > GopherMinAlphaFrac &&
+      stops >= GopherMinStopHits
+  }
+
   def gopherFilters(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(col("doc_id"), toks.as("t"))

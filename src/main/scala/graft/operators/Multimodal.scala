@@ -49,6 +49,24 @@ object Multimodal {
   case class ImageMeta(doc_id: Long, width: Long, height: Long,
                        n_pixels: Long, avg_luma: Double)
 
+  /** (width, height, avg BT.601 luma rounded to 2dp) of a decoded image. */
+  private def lumaOf(img: java.awt.image.BufferedImage): (Int, Int, Double) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    var luma = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        luma += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, math.round(luma / (w.toLong * h) * 100) / 100.0)
+  }
+
   /** Real image decode via javax.imageio (PNG/JPEG/BMP/GIF readers ship in
     * the JDK): dimensions + average ITU-R BT.601 luma. One decoder call per
     * blob, per partition, no driver involvement — the shape a 100 TB image
@@ -59,21 +77,62 @@ object Multimodal {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.blob))
       if (img == null) Iterator.empty // not an image this JDK can decode
       else {
-        val (w, h) = (img.getWidth, img.getHeight)
-        var luma = 0.0
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            luma += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
-              0.114 * (rgb & 0xff)
-            x += 1
-          }
-          y += 1
-        }
+        val (w, h, avg) = lumaOf(img)
         Iterator.single(ImageMeta(r.doc_id, w.toLong, h.toLong,
-          w.toLong * h, math.round(luma / (w.toLong * h) * 100) / 100.0))
+          w.toLong * h, avg))
+      }
+    })
+  }
+
+  // ---- REAL video demux: MJPEG-in-AVI -------------------------------------
+  case class VideoFrame(doc_id: Long, frame_idx: Long, width: Long,
+                        height: Long, avg_luma: Double)
+
+  /** The video stream chunks of an AVI container: a RIFF walk (32-bit LE
+    * sizes, word-aligned chunks, LISTs recursed) collecting `##dc`/`##db`
+    * payloads in stream order. Pure byte-format parsing — the AVI RIFF
+    * layout is a public spec and needs no codec. */
+  private[graft] def aviVideoChunks(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    def u32(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    def fourcc(off: Int): String =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val id = fourcc(off)
+        val size = u32(off + 4).toInt
+        val dataStart = off + 8
+        val dataEnd = math.min(dataStart.toLong + size, end.toLong).toInt
+        if (id == "LIST" && dataEnd >= dataStart + 4)
+          walk(dataStart + 4, dataEnd) // skip the list-type fourcc
+        else if (id.matches("\\d\\d(dc|db)"))
+          out += java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
+        off = dataStart + size + (size & 1) // chunks are word-aligned
+      }
+    }
+    if (bytes.length >= 12 && fourcc(0) == "RIFF" && fourcc(8) == "AVI ")
+      walk(12, math.min(12L + u32(4) - 4, bytes.length.toLong).toInt)
+    out.toSeq
+  }
+
+  /** Real video demux + per-frame decode for MJPEG AVI (each `##dc` chunk
+    * is a complete JPEG, decoded by the JDK's reader): one row per frame
+    * with dimensions and average luma — the genuine one-to-many decode
+    * `multimodalFrames` stubs for codec-bearing formats. Same plumbing:
+    * typed flatMap, executor-side, fixed schema. */
+  def demuxVideo(blobs: org.apache.spark.sql.Dataset[DocBlob]): org.apache.spark.sql.Dataset[VideoFrame] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.flatMap { r =>
+      aviVideoChunks(r.blob).iterator.zipWithIndex.flatMap { case (chunk, i) =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(chunk))
+        if (img == null) Iterator.empty
+        else {
+          val (w, h, avg) = lumaOf(img)
+          Iterator.single(VideoFrame(r.doc_id, i.toLong, w.toLong, h.toLong, avg))
+        }
       }
     })
   }

@@ -67,6 +67,19 @@ object DocsStream {
       .drop("toks")
   }
 
+  /** Stateless Gopher-rule gate: the streaming twin of
+    * `Curation.gopherFilters`'s keep flag, applied as an ingest filter.
+    * The predicate is the SAME Column expression the batch query derives
+    * its signals from (`Curation.gopherKeepIn`) — one definition of the
+    * heuristic gate, two execution modes; no state, no shuffle. */
+  def gopherGate(docs: DataFrame): DataFrame = {
+    val t = filter(
+      transform(split(col("text"), WsTokenRe), x => lower(x)), x => x =!= "")
+    docs.withColumn("__t", t)
+      .where(size(col("__t")) > 0 && graft.operators.Curation.gopherKeepIn(col("__t")))
+      .drop("__t")
+  }
+
   /** Ingest-time stratified mix gate: the streaming twin of
     * `Curation.sampleStratified`. Per-stratum keep-rates are learned from a
     * reference corpus (a batch job — rates can't be computed on an unbounded

@@ -54,4 +54,57 @@ class MultimodalDecodeSpec extends SparkTestBase {
     assert(m.doc_id == 1L && m.sample_rate == 8000L && m.channels == 1L)
     assert(m.n_frames == 4000L && m.duration_ms == 500L)
   }
+
+  private def jpegBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  /** A minimal MJPEG AVI: RIFF('AVI ') wrapping LIST('movi') with one
+    * `00dc` chunk per JPEG frame (word-aligned) — the layout the RIFF spec
+    * defines; no header list needed for demux. */
+  private def aviBytes(frames: Seq[Array[Byte]]): Array[Byte] = {
+    def u32(v: Int): Array[Byte] =
+      Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val chunks = frames.flatMap { f =>
+      val pad = if (f.length % 2 == 1) Array[Byte](0) else Array.empty[Byte]
+      "00dc".getBytes("US-ASCII") ++ u32(f.length) ++ f ++ pad
+    }.toArray
+    val movi = "movi".getBytes("US-ASCII") ++ chunks
+    val list = "LIST".getBytes("US-ASCII") ++ u32(movi.length) ++ movi
+    val body = "AVI ".getBytes("US-ASCII") ++ list
+    "RIFF".getBytes("US-ASCII") ++ u32(body.length) ++ body
+  }
+
+  test("demuxVideo walks a real AVI container and decodes each MJPEG frame") {
+    // three 16×8 frames: white, black, mid-gray
+    val avi = aviBytes(Seq(
+      jpegBytes(16, 8, 0xffffff), jpegBytes(16, 8, 0x000000),
+      jpegBytes(16, 8, 0x808080)))
+    val blobs = Seq(
+      DocBlob(1L, avi),
+      DocBlob(2L, "not a video container".getBytes) // non-RIFF → no frames
+    ).toDS()
+    val frames = Multimodal.demuxVideo(blobs).collect().sortBy(_.frame_idx)
+    assert(frames.forall(_.doc_id == 1L) && frames.length == 3)
+    assert(frames.forall(f => f.width == 16L && f.height == 8L))
+    // JPEG is lossy; solid-color frames decode within a few luma units
+    assert(frames(0).frame_idx == 0L && frames(0).avg_luma > 250.0)
+    assert(frames(1).avg_luma < 5.0)
+    assert(frames(2).avg_luma > 100.0 && frames(2).avg_luma < 160.0)
+  }
+
+  test("aviVideoChunks ignores truncated trailing chunks and non-video ids") {
+    val good = jpegBytes(4, 4, 0xffffff)
+    val avi = aviBytes(Seq(good))
+    // append a dangling chunk header claiming more bytes than exist
+    val truncated = avi ++ "00dc".getBytes("US-ASCII") ++
+      Array[Byte](-1, -1, 0, 0) ++ Array[Byte](1, 2, 3)
+    val chunks = Multimodal.aviVideoChunks(truncated)
+    assert(chunks.length == 1 && chunks.head.sameElements(good))
+  }
 }

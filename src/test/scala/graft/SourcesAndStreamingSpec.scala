@@ -223,6 +223,30 @@ class SourcesAndStreamingSpec extends SparkTestBase {
     assert((100L until 103L).forall(streamKept)) // minority stratum all kept
   }
 
+  test("streaming gopher gate keeps exactly the batch filter's keep set") {
+    import spark.implicits._
+    val good = "the and " + Seq.fill(58)("word").mkString(" ")
+    val rows = Seq(
+      (1L, good), (2L, "the and word"), // 2: below the token floor
+      (3L, Seq.fill(60)("12345").mkString(" ")), // 3: no alphabetic tokens
+      (4L, good + " extra trailing tokens of text"))
+    val fixDir = writeDocsFixture(rows)
+    val batchKept = graft.operators.Curation.gopherFilters(spark, fixDir)
+      .where($"keep" === 1L).collect().map(_.getLong(0)).toSet
+    val input = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.DocsStream.gopherGate(
+        input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("gopher_gate")
+      .outputMode("append").start()
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    val streamKept = spark.table("gopher_gate").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    q.stop()
+    assert(streamKept == batchKept)
+    assert(streamKept == Set(1L, 4L))
+  }
+
   test("registered views + injected functions make the library SQL-usable") {
     val registered = graft.sources.Tables.register(spark, "/root/testdata/sf0.001")
     assert(registered.contains("documents") && registered.contains("lineitem"))
