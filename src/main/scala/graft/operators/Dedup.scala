@@ -424,6 +424,99 @@ object Dedup {
        |SELECT doc_id FROM documents
        |WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)""".stripMargin
 
+  // ---- #16b cross-source duplication report ------------------------------
+  /** Where does duplication come from? Near-dup pair counts per unordered
+    * source pair — the diagnostic that tells a curation run which feeds
+    * overlap (mirror sites, scrape overlap) before it decides what to
+    * drop. The pair graph is bounded and BROADCASTS into two joins against
+    * a pruned (doc_id, source) scan; the agg runs on ≤|sources|² keys. */
+  def dedupReport(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(spark, dir)
+    val src = docs(spark, dir).select(col("doc_id"), col("source"))
+    src.as("a").join(broadcast(pairs), col("doc_a") === col("a.doc_id"))
+      .join(src.as("b"), col("doc_b") === col("b.doc_id"))
+      .groupBy(
+        least(col("a.source"), col("b.source")).as("source_x"),
+        greatest(col("a.source"), col("b.source")).as("source_y"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_a")).as("n_docs_a"),
+        countDistinct(col("doc_b")).as("n_docs_b"))
+  }
+  val dedupReportSql: String =
+    s"""WITH pairs AS (
+       |  ${dedupMinhashSql.linesIterator.mkString("\n  ")}
+       |)
+       |SELECT least(da.source, db.source) AS source_x,
+       |  greatest(da.source, db.source) AS source_y,
+       |  count(*) AS n_pairs,
+       |  count(DISTINCT doc_a) AS n_docs_a,
+       |  count(DISTINCT doc_b) AS n_docs_b
+       |FROM pairs
+       |JOIN documents da ON doc_a = da.doc_id
+       |JOIN documents db ON doc_b = db.doc_id
+       |GROUP BY 1, 2""".stripMargin
+
+  // ---- #16c incremental dedup (new batch vs existing corpus) -------------
+  /** The production daily-increment shape: dedup the fresh batch AGAINST
+    * the standing corpus without re-pairing the corpus with itself. Here
+    * odd doc_ids stand in for the increment and even ids for the corpus
+    * (deterministic at every SF). Both sides read the SAME materialized
+    * signature frame; only bands are exploded, the join is new×existing on
+    * (band, key) — never corpus×corpus — and existing-side buckets above
+    * BucketCap are dropped exactly like the self-join case. At 100 TB the
+    * existing side is the signature table on disk, bucketed by band key,
+    * and the increment probes matching buckets only. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val sig = sigSets(spark, dir)
+    val existing = bandedOf(signatures(spark, dir).where(col("doc_id") % 2 === 0))
+    val fresh = bandedOf(signatures(spark, dir).where(col("doc_id") % 2 === 1))
+    val keptOld = existing.groupBy("band", "key")
+      .agg(count(lit(1)).as("bn")).where(col("bn") <= BucketCap)
+      .select("band", "key")
+    val cand = fresh.as("f")
+      .join(existing.join(keptOld, Seq("band", "key")).as("e"), Seq("band", "key"))
+      .select(col("f.doc_id").as("new_doc"), col("e.doc_id").as("old_doc"))
+      .distinct()
+    val matches = (0 until K)
+      .map(i => when(col(s"a.s$i") === col(s"b.s$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.hint("shuffle_hash")
+      .join(sig.as("a"), col("new_doc") === col("a.doc_id"))
+      .join(sig.as("b"), col("old_doc") === col("b.doc_id"))
+      .select(col("new_doc"), col("old_doc"),
+        round(matches.cast("double") / K, 4).as("sim_hat"))
+      .where(col("sim_hat") >= MinhashSimThreshold)
+  }
+  val dedupIncrementalSql: String = {
+    val matches = (0 until K)
+      .map(i => s"CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val bandRows = (j: String) => (0 until Bands).map { b =>
+      val key = (0 until Rows).map(r => s"CAST(s${b * Rows + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sig WHERE doc_id % 2 = $j"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""$signaturesCte, banded_old AS (
+       |  ${bandRows("0")}
+       |), banded_new AS (
+       |  ${bandRows("1")}
+       |), kept_old AS (
+       |  SELECT band, key FROM banded_old GROUP BY 1, 2
+       |  HAVING count(*) <= $BucketCap
+       |), cand AS (
+       |  SELECT DISTINCT f.doc_id AS new_doc, e.doc_id AS old_doc
+       |  FROM banded_new f
+       |  JOIN banded_old e ON f.band = e.band AND f.key = e.key
+       |  JOIN kept_old k ON e.band = k.band AND e.key = k.key
+       |)
+       |SELECT new_doc, old_doc,
+       |  round(CAST($matches AS DOUBLE) / $K, 4) AS sim_hat
+       |FROM cand
+       |JOIN sig a ON new_doc = a.doc_id
+       |JOIN sig b ON old_doc = b.doc_id
+       |WHERE round(CAST($matches AS DOUBLE) / $K, 4) >= $MinhashSimThreshold""".stripMargin
+  }
+
   /** 60-bit simhash over distinct lowercase tokens; 4×15-bit chunk blocking
     * guarantees recall for hamming ≤ 3 (pigeonhole). */
   val SimhashBits = 60

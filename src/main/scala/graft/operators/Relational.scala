@@ -348,6 +348,47 @@ object Relational {
       |JOIN nation ON s_nationkey = n_nationkey
       |GROUP BY 1, 2""".stripMargin
 
+  // ---- #34g funnel conversion (event-path analytics) ---------------------
+  /** View→purchase funnel over the events stream: per user, the first view
+    * and first purchase timestamps; converted = first purchase strictly
+    * after first view. One (user-keyed, map-side-partial) aggregation plus
+    * a one-row rollup — no self-join of events against events, which is
+    * the naive funnel formulation and corpus² at scale. */
+  def funnelConversion(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("first_view").isNotNull, 1L).otherwise(0L)).as("n_viewers"),
+        sum(when(col("first_purchase").isNotNull, 1L).otherwise(0L)).as("n_purchasers"),
+        sum(when(col("first_view").isNotNull
+          && col("first_purchase") > col("first_view"), 1L).otherwise(0L))
+          .as("n_converted"))
+      .select(col("n_users"), col("n_viewers"), col("n_purchasers"),
+        col("n_converted"),
+        round(col("n_converted").cast("double") / col("n_viewers"), 4)
+          .as("view_to_purchase_rate"))
+  val funnelConversionSql: String =
+    """WITH per_user AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+      |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      |  FROM events GROUP BY 1
+      |)
+      |SELECT count(*) AS n_users,
+      |  sum(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS n_viewers,
+      |  sum(CASE WHEN first_purchase IS NOT NULL THEN 1 ELSE 0 END) AS n_purchasers,
+      |  sum(CASE WHEN first_view IS NOT NULL AND first_purchase > first_view
+      |    THEN 1 ELSE 0 END) AS n_converted,
+      |  round(CAST(sum(CASE WHEN first_view IS NOT NULL AND first_purchase > first_view
+      |    THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / sum(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END), 4)
+      |    AS view_to_purchase_rate
+      |FROM per_user""".stripMargin
+
   // ---- exact per-group quantiles ---------------------------------------
   def valueQuantiles(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")

@@ -75,6 +75,30 @@ class DedupSpec extends SparkTestBase {
     assert(j < 1.0) // symmetric jaccard dilutes what containment catches
   }
 
+  test("dedup report groups near-dup pairs by unordered source pair") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-rep").toString
+    // 1 (srcA) duplicates 2 (srcB); 3 (srcA) duplicates no one
+    Seq((1L, base, "srcA"), (2L, base, "srcB"),
+        (3L, "completely different content about catalyst rules", "srcA"))
+      .toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'en' AS lang", "source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = Dedup.dedupReport(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rows == Map(("srcA", "srcB") -> 1L)) // cross-source dup, ordered
+  }
+
+  test("incremental dedup pairs new (odd) docs only against existing (even)") {
+    val rows = Dedup.dedupIncremental(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // new docs are 1 and 3; existing are 2 and 4
+    assert(rows((1L, 2L)) == 1.0)  // doc 1 is an exact dup of existing doc 2
+    assert(rows.contains((3L, 2L))) // near-dup of existing doc 2
+    assert(rows.keySet.forall { case (n, o) => n % 2 == 1 && o % 2 == 0 })
+  }
+
   test("semantic-lexical agreement joins embedding pairs to text jaccard") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("graft-agree").toString

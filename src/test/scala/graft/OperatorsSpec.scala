@@ -166,4 +166,25 @@ class OperatorsSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).sortBy(_._1)
     assert(rows.toSeq == Seq((0L, 2L, 5.0), (3600L, 1L, 5.0)))
   }
+
+  test("funnel counts conversions only when first purchase follows first view") {
+    val d = java.nio.file.Files.createTempDirectory("graft-fun").toString
+    val ns = 1000000000L
+    Seq(
+      // user 1: view then purchase → converted
+      (1L, 10L * ns, 1L, "view", 1.0, "{}"),
+      (2L, 20L * ns, 1L, "purchase", 9.0, "{}"),
+      // user 2: purchase BEFORE first view → not converted
+      (3L, 10L * ns, 2L, "purchase", 9.0, "{}"),
+      (4L, 20L * ns, 2L, "view", 1.0, "{}"),
+      // user 3: view only; user 4: clicks only
+      (5L, 10L * ns, 3L, "view", 1.0, "{}"),
+      (6L, 10L * ns, 4L, "click", 1.0, "{}"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val r = Relational.funnelConversion(spark, d).collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 3L) // users, viewers
+    assert(r.getLong(2) == 2L && r.getLong(3) == 1L) // purchasers, converted
+    assert(r.getDouble(4) == math.rint(1.0 / 3.0 * 1e4) / 1e4)
+  }
 }
