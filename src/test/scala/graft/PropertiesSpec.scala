@@ -183,6 +183,86 @@ class PropertiesSpec extends SparkTestBase {
     assert(got == expect)
   }
 
+  test("property: containment values match brute-forced shingle sets") {
+    import graft.operators.Dedup
+    // random word-soup docs with shared vocabulary → real LSH candidates
+    val rng = new scala.util.Random(13)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val docsSeq = (1 to 20).map { i =>
+      i.toLong -> (0 until 30).map(_ => vocab(rng.nextInt(3 + rng.nextInt(3))))
+        .mkString(" ")
+    }
+    val d = writeDocsFixture(docsSeq)
+    // the operator's own rolling hash, in plain Scala
+    def shingles(text: String): Set[Long] =
+      (0 to text.length - Dedup.ShingleK).map { p =>
+        (0 until Dedup.ShingleK).foldLeft(0L)((acc, j) =>
+          (acc * Dedup.ShingleB + text.charAt(p + j).toLong) % Dedup.P)
+      }.toSet
+    val byId = docsSeq.toMap
+    val rows = Dedup.minhashContainment(spark, d).collect()
+    assert(rows.nonEmpty) // shared vocabulary must produce candidates
+    rows.foreach { r =>
+      val (a, b) = (shingles(byId(r.getLong(0))), shingles(byId(r.getLong(1))))
+      val inter = (a intersect b).size.toDouble
+      def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(2) == r4(inter / a.size))
+      assert(r.getDouble(3) == r4(inter / b.size))
+    }
+  }
+
+  test("property: incremental dedup equals the full pair set restricted to odd-even") {
+    import graft.operators.Dedup
+    val rng = new scala.util.Random(17)
+    val vocab = Vector("red", "green", "blue", "cyan")
+    val docsSeq = (1 to 24).map { i =>
+      // near-dup groups: docs i and i+1 share a seeded prefix
+      val seed = (0 until 25).map(_ => vocab((i / 2) % vocab.size match {
+        case k => (k + rng.nextInt(2)) % vocab.size
+      })).mkString(" ")
+      i.toLong -> seed
+    }
+    val d = writeDocsFixture(docsSeq)
+    val full = Dedup.dedupMinhash(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc = Dedup.dedupIncremental(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // orient full pairs as (odd, even); parities equal → not incremental's job
+    val expect = full.collect {
+      case (a, b) if a % 2 == 1 && b % 2 == 0 => (a, b)
+      case (a, b) if a % 2 == 0 && b % 2 == 1 => (b, a)
+    }
+    assert(inc == expect)
+    assert(inc.nonEmpty) // the seeded groups must cross the parity boundary
+  }
+
+  test("property: chunks tile the token array at stride with bounded windows") {
+    import graft.operators.Curation
+    val (len, stride) = (Curation.ChunkLen, Curation.ChunkStride)
+    val sizes = draw(Gen.chooseNum(1, 150), 40)
+    val docsSeq = sizes.zipWithIndex.map { case (n, i) =>
+      (i + 1).toLong -> (1 to n).map(k => s"t$k").mkString(" ")
+    }
+    val d = writeDocsFixture(docsSeq)
+    val byDoc = Curation.chunkDocuments(spark, d).collect()
+      .groupBy(_.getLong(0))
+    val nByDoc = docsSeq.toMap.map { case (id, t) => id -> t.split(" ").length }
+    byDoc.foreach { case (id, rows) =>
+      val n = nByDoc(id)
+      val m = if (n > len) (n - len + stride - 1) / stride else 0
+      val chunks = rows.map(r => r.getLong(1) -> r.getLong(2)).toMap
+      assert(chunks.keySet == (0L to m.toLong).toSet) // contiguous indices
+      chunks.foreach { case (idx, sz) =>
+        val start = idx * stride // 0-based
+        assert(sz == math.min(len.toLong, n - start)) // clamped window
+        assert(sz >= 1)
+      }
+      // final chunk reaches the last token
+      assert(m.toLong * stride + chunks(m.toLong) == n.toLong || n <= len)
+    }
+    assert(byDoc.keySet == nByDoc.keySet)
+  }
+
   test("property: int8 quantization matches a direct model on random vectors") {
     val rnd = new scala.util.Random(11)
     val vecs = (0 until 40).map(i =>
