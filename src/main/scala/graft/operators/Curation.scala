@@ -354,6 +354,43 @@ object Curation {
        |FROM base""".stripMargin
   }
 
+  // ---- #25u learned-threshold quality gate -------------------------------
+  /** The adaptive sibling of the fixed-rule gates: learn the corpus's own
+    * quality distribution and keep documents at or above its QualityPct-th
+    * percentile. Two passes — an exact-percentile aggregation whose 1-row
+    * result broadcasts, then a row-local filter on the same scan shape.
+    * Threshold and scores are rounded to 4dp on both engines before the
+    * comparison, so keep decisions are bit-identical (§6 float policy).
+    * At 100 TB the exact percentile would be replaced by approx_percentile
+    * (see `approx_stats`) — the plan shape (tiny broadcast + map-only
+    * filter) is unchanged. */
+  val QualityPct = 0.25
+
+  def qualityPercentileGate(spark: SparkSession, dir: String): DataFrame = {
+    val scored = docs(spark, dir)
+      .select(col("doc_id"), toks.as("__toks"))
+      .where(size(col("__toks")) > 0)
+      .select(col("doc_id"),
+        TextAnalysis.qualityExprIn(col("__toks")).as("quality"))
+    val thr = scored.agg(
+      round(expr(s"percentile(quality, $QualityPct)"), 4).as("q_threshold"))
+    scored.crossJoin(broadcast(thr))
+      .where(col("quality") >= col("q_threshold"))
+  }
+  val qualityPercentileGateSql: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, ${TextAnalysis.sqlQualityExpr} AS quality
+       |  FROM documents
+       |  WHERE len(list_filter(list_transform(
+       |    string_split_regex(text, '\\s+'), t -> lower(t)), t -> t <> '')) > 0
+       |), thr AS (
+       |  SELECT round(quantile_cont(quality, $QualityPct), 4) AS q_threshold
+       |  FROM scored
+       |)
+       |SELECT doc_id, quality, q_threshold
+       |FROM scored CROSS JOIN thr
+       |WHERE quality >= q_threshold""".stripMargin
+
   // ---- #25q dup-n-gram fraction (MassiveText repetition-across-corpus) ---
   /** Per-doc fraction of its word 5-grams that occur anywhere else in the
     * corpus — the overlapping-window sibling of `dedup_segments` and the

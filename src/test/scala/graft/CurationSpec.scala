@@ -46,6 +46,21 @@ class CurationSpec extends SparkTestBase {
     assert(rows.size == 3)
   }
 
+  test("percentile gate keeps docs at or above the learned threshold") {
+    // qualities: long stopword-free docs score 1.0; a tiny doc scores low
+    val d = writeDocsFixture(Seq(
+      1L -> Seq.fill(60)("alpha").mkString(" "),
+      2L -> Seq.fill(55)("beta").mkString(" "),
+      3L -> Seq.fill(50)("gamma").mkString(" "),
+      4L -> "tiny"))
+    val rows = Curation.qualityPercentileGate(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    // p25 of (1.0, 1.0, 1.0, 0.02) = 0.265 → doc 4 is cut, 1-3 kept
+    assert(rows.keySet == Set(1L, 2L, 3L))
+    assert(rows.values.forall { case (q, t) => q >= t })
+    assert(rows(1L)._1 == 1.0)
+  }
+
   test("gopher filters: token/length/alpha/stopword gates compose into keep") {
     val good = "the and " + Seq.fill(58)("word").mkString(" ") // 60 toks, 2 stops
     val short = "the and word"                                  // 3 toks

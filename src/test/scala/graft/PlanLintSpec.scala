@@ -19,11 +19,14 @@ class PlanLintSpec extends SparkTestBase {
 
   /** Queries whose conditioned BNLJ is a filter against a PROVABLY tiny
     * broadcast (audited by hand): the ann probes broadcast the one query
-    * vector (`vec_id = QueryVecId`), and the sampler broadcasts the
-    * |langs|-row rate table whose null-guard gets pushed into the join.
-    * Anything not listed that plans a conditioned BNLJ fails the lint. */
+    * vector (`vec_id = QueryVecId`), the sampler broadcasts the
+    * |langs|-row rate table whose null-guard gets pushed into the join,
+    * and the percentile gate broadcasts its 1-row learned threshold with
+    * the keep filter pushed into the join. Anything not listed that plans
+    * a conditioned BNLJ fails the lint. */
   private val TinyBroadcastBnl =
-    Set("ann_topk", "ann_lsh", "ann_range_search", "sample_stratified")
+    Set("ann_topk", "ann_lsh", "ann_range_search", "sample_stratified",
+      "quality_percentile_gate")
 
   test("no query plans a cartesian, a conditioned nested loop, or a global window") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
