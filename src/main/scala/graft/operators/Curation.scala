@@ -354,6 +354,79 @@ object Curation {
        |FROM base""".stripMargin
   }
 
+  // ---- #25v exact-substring duplication spans ----------------------------
+  /** The EXACTSUBSTR signal (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better"): per document, how much of it lies in
+    * character spans duplicated ANYWHERE in the corpus, and the longest
+    * such span. The suffix-array formulation is approximated at window
+    * resolution with SpanK-char rolling hashes: a position is "duplicated"
+    * when its window hash occurs more than once corpus-wide, and maximal
+    * runs of consecutive duplicated positions are spans (length = run +
+    * SpanK − 1; hash collisions are deterministic and identical on both
+    * engines).
+    *
+    * Scale: the position explode is the corpus at char resolution — the
+    * operator's inherent cost, exactly one scan's worth; the count table is
+    * one row per distinct window hash (shuffle_hash-pinned join — never
+    * broadcast); the run/span windows partition by doc_id. */
+  val SpanK = 20
+
+  def dupSpanStats(spark: SparkSession, dir: String): DataFrame = {
+    val pos = docs(spark, dir)
+      .where(length(col("text")) >= SpanK)
+      .select(col("doc_id"),
+        posexplode(org.apache.spark.sql.graft.ShinglePolyHash(
+          col("text"), SpanK, Dedup.ShingleB, Dedup.P)).as(Seq("pos0", "h")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
+    val counts = pos.groupBy("h").agg(count(lit(1)).as("n"))
+    val dup = pos.join(counts.hint("shuffle_hash"), "h").where(col("n") > 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val runs = dup
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "grp").agg(count(lit(1)).as("run"))
+      .groupBy("doc_id")
+      .agg(max(col("run")).as("max_run"), sum(col("run")).as("n_dup_positions"))
+    docs(spark, dir)
+      .where(length(col("text")) >= SpanK)
+      .select(col("doc_id"),
+        (length(col("text")) - SpanK + 1).cast("long").as("n_positions"))
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_positions"),
+        coalesce(col("n_dup_positions"), lit(0L)).as("n_dup_positions"),
+        when(col("max_run").isNull, 0L)
+          .otherwise(col("max_run") + (SpanK - 1)).cast("long")
+          .as("longest_dup_span"))
+  }
+  val dupSpanStatsSql: String =
+    s"""WITH posx AS (
+       |  SELECT d.doc_id, g.pos,
+       |    ${Dedup.sqlShingleHashK("d.text", "g.pos", SpanK)} AS h
+       |  FROM documents d,
+       |    unnest(range(1, length(d.text) - ${SpanK - 1} + 1)) AS g(pos)
+       |  WHERE length(d.text) >= $SpanK
+       |), cnt AS (
+       |  SELECT h, count(*) AS n FROM posx GROUP BY 1
+       |), dup AS (
+       |  SELECT doc_id, pos FROM posx JOIN cnt USING (h) WHERE n > 1
+       |), runs AS (
+       |  SELECT doc_id,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM dup
+       |), rstat AS (
+       |  SELECT doc_id, count(*) AS run FROM runs GROUP BY doc_id, grp
+       |), agg AS (
+       |  SELECT doc_id, max(run) AS max_run, sum(run) AS n_dup FROM rstat
+       |  GROUP BY 1
+       |)
+       |SELECT d.doc_id,
+       |  CAST(length(d.text) - $SpanK + 1 AS BIGINT) AS n_positions,
+       |  CAST(coalesce(a.n_dup, 0) AS BIGINT) AS n_dup_positions,
+       |  CAST(CASE WHEN a.max_run IS NULL THEN 0
+       |    ELSE a.max_run + ${SpanK - 1} END AS BIGINT) AS longest_dup_span
+       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+       |WHERE length(d.text) >= $SpanK""".stripMargin
+
   // ---- #25u learned-threshold quality gate -------------------------------
   /** The adaptive sibling of the fixed-rule gates: learn the corpus's own
     * quality distribution and keep documents at or above its QualityPct-th

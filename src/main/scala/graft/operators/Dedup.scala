@@ -85,7 +85,12 @@ object Dedup {
   /** The same fold as ShinglePolyHash, unrolled: ((…*B + ord_j) % P)…
     * Shared with the winnowing-fingerprint oracle (same k=5 hash space). */
   private[operators] def sqlShingleHash(textExpr: String, posExpr: String): String =
-    (0 until ShingleK).foldLeft("CAST(0 AS BIGINT)") { (acc, j) =>
+    sqlShingleHashK(textExpr, posExpr, ShingleK)
+
+  /** k-parameterized form — the dup-span oracle hashes longer windows. */
+  private[operators] def sqlShingleHashK(textExpr: String, posExpr: String,
+      k: Int): String =
+    (0 until k).foldLeft("CAST(0 AS BIGINT)") { (acc, j) =>
       s"(($acc * $ShingleB + ord(substr($textExpr, CAST($posExpr AS INTEGER) + $j, 1))) % $P)"
     }
 
@@ -234,20 +239,37 @@ object Dedup {
 
   // ---- #17 exact n-gram Jaccard on LSH candidates -----------------------
   val JaccardThreshold = 0.35
+
+  private val overlapCache = Materialized.register(
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
+
+  /** Per-candidate-pair overlap counts (doc_a, doc_b, inter, na, nb),
+    * materialized once per (session, corpus): the expensive part of exact
+    * verification — one array_intersect over every LSH candidate pair,
+    * joined through the corpus-sized shingle-set table — runs ONCE, and
+    * Jaccard (#17) and containment (#17b) are row-local arithmetic over
+    * this pair-bounded frame. shuffle_hash for the same reason as
+    * dedupMinhash: never broadcast the corpus-sized shingle-set table. */
+  def pairOverlaps(spark: SparkSession, dir: String): DataFrame =
+    Materialized.cached(overlapCache, spark, dir) {
+      val cand = candidatePairs(spark, dir).hint("shuffle_hash")
+      val shSets = sigSets(spark, dir).select(col("doc_id"), col("hs"))
+      cand
+        .join(shSets.as("a"), col("doc_a") === col("a.doc_id"))
+        .join(shSets.as("b"), col("doc_b") === col("b.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("a.hs"), col("b.hs"))).as("inter"),
+          size(col("a.hs")).as("na"), size(col("b.hs")).as("nb"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // Candidates AND shingle sets come from the materialized intermediates,
-    // so neither the corpus-sized shingle explode nor the band join
-    // re-executes here; the exact intersection never sees all-pairs.
-    // shuffle_hash for the same reason as dedupMinhash: never broadcast
-    // the corpus-sized shingle-set table.
-    val cand = candidatePairs(spark, dir).hint("shuffle_hash")
-    val shSets = sigSets(spark, dir).select(col("doc_id"), col("hs"))
-    val inter = size(array_intersect(col("a.hs"), col("b.hs")))
-    val jac = inter.cast("double") /
-      (size(col("a.hs")) + size(col("b.hs")) - inter)
-    cand
-      .join(shSets.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(shSets.as("b"), col("doc_b") === col("b.doc_id"))
+    // Candidates, shingle sets AND the per-pair intersection counts come
+    // from materialized intermediates — this query is row-local arithmetic
+    // over the pair-bounded overlap frame.
+    val jac = col("inter").cast("double") /
+      (col("na") + col("nb") - col("inter"))
+    pairOverlaps(spark, dir)
       .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
       .where(col("jaccard") >= JaccardThreshold)
   }
@@ -277,19 +299,13 @@ object Dedup {
     * LSH-blocked pair set, never all-pairs. A pair is reported when EITHER
     * direction's containment clears the threshold. */
   val ContainmentThreshold = 0.5
-  def minhashContainment(spark: SparkSession, dir: String): DataFrame = {
-    val cand = candidatePairs(spark, dir).hint("shuffle_hash")
-    val shSets = sigSets(spark, dir).select(col("doc_id"), col("hs"))
-    val inter = size(array_intersect(col("a.hs"), col("b.hs"))).cast("double")
-    cand
-      .join(shSets.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(shSets.as("b"), col("doc_b") === col("b.doc_id"))
+  def minhashContainment(spark: SparkSession, dir: String): DataFrame =
+    pairOverlaps(spark, dir)
       .select(col("doc_a"), col("doc_b"),
-        round(inter / size(col("a.hs")), 4).as("contain_a"),
-        round(inter / size(col("b.hs")), 4).as("contain_b"))
+        round(col("inter").cast("double") / col("na"), 4).as("contain_a"),
+        round(col("inter").cast("double") / col("nb"), 4).as("contain_b"))
       .where(col("contain_a") >= ContainmentThreshold
         || col("contain_b") >= ContainmentThreshold)
-  }
   val minhashContainmentSql: String =
     s"""$bandedCte, sizes AS (
        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1

@@ -46,6 +46,23 @@ class CurationSpec extends SparkTestBase {
     assert(rows.size == 3)
   }
 
+  test("dup spans find the shared substring and its exact length") {
+    val shared = "this exact sentence appears verbatim in two documents"
+    val d = writeDocsFixture(Seq(
+      1L -> (shared + " plus unique suffix alpha beta gamma delta epsilon"),
+      2L -> ("totally different prefix material here and then " + shared),
+      3L -> "no duplicated content in this one at all whatsoever truly"))
+    val rows = Curation.dupSpanStats(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // the shared span is |shared| chars: runs of dup positions recover it
+    // exactly (run = |shared| - SpanK + 1 → span = |shared|)
+    assert(rows(1L)._3 == shared.length.toLong)
+    assert(rows(2L)._3 == shared.length.toLong)
+    assert(rows(3L) == ((rows(3L)._1, 0L, 0L))) // nothing duplicated
+    assert(rows(1L)._2 == (shared.length - Curation.SpanK + 1).toLong)
+  }
+
   test("percentile gate keeps docs at or above the learned threshold") {
     // qualities: long stopword-free docs score 1.0; a tiny doc scores low
     val d = writeDocsFixture(Seq(
