@@ -387,10 +387,13 @@ object Curation {
       .groupBy("doc_id", "grp").agg(count(lit(1)).as("run"))
       .groupBy("doc_id")
       .agg(max(col("run")).as("max_run"), sum(col("run")).as("n_dup_positions"))
+    // totals side reads the 2-integer-column projection (n_chars ≡
+    // length(text) in this schema), not the text column — the third
+    // corpus-text scan the first plan audit showed is gone
     docs(spark, dir)
-      .where(length(col("text")) >= SpanK)
+      .where(col("n_chars") >= SpanK)
       .select(col("doc_id"),
-        (length(col("text")) - SpanK + 1).cast("long").as("n_positions"))
+        (col("n_chars") - SpanK + 1).cast("long").as("n_positions"))
       .join(runs, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_positions"),
         coalesce(col("n_dup_positions"), lit(0L)).as("n_dup_positions"),
@@ -420,12 +423,12 @@ object Curation {
        |  GROUP BY 1
        |)
        |SELECT d.doc_id,
-       |  CAST(length(d.text) - $SpanK + 1 AS BIGINT) AS n_positions,
+       |  CAST(d.n_chars - $SpanK + 1 AS BIGINT) AS n_positions,
        |  CAST(coalesce(a.n_dup, 0) AS BIGINT) AS n_dup_positions,
        |  CAST(CASE WHEN a.max_run IS NULL THEN 0
        |    ELSE a.max_run + ${SpanK - 1} END AS BIGINT) AS longest_dup_span
        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
-       |WHERE length(d.text) >= $SpanK""".stripMargin
+       |WHERE d.n_chars >= $SpanK""".stripMargin
 
   // ---- #25u learned-threshold quality gate -------------------------------
   /** The adaptive sibling of the fixed-rule gates: learn the corpus's own

@@ -362,10 +362,23 @@ object TextAnalysis {
     * identical inputs on both engines (§6). */
   val ZipfTopN = 100
 
+  private val termCountCache = Materialized.register(
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
+
+  /** Corpus term counts, materialized per (session, corpus): zipfStats
+    * consumes this frame from two branches (global totals + top-N fit),
+    * and without the cache each branch re-runs the corpus tokenize+explode
+    * (the first plan audit showed two full text scans). Vocabulary-bounded
+    * — a columnar intermediate at cluster scale. */
+  private[operators] def termCounts(spark: SparkSession, dir: String): DataFrame =
+    Materialized.cached(termCountCache, spark, dir)(
+      docs(spark, dir)
+        .select(explode(toks(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   def zipfStats(spark: SparkSession, dir: String): DataFrame = {
-    val counts = docs(spark, dir)
-      .select(explode(toks(col("text"))).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("n"))
+    val counts = termCounts(spark, dir)
     val totals = counts.agg(
       count(lit(1)).as("vocab_size"),
       sum(col("n")).as("total_tokens"),

@@ -105,6 +105,30 @@ object DocsStream {
       expr(s"(min_lang * $m) div n_lang").as("keep_below"))
   }
 
+  /** Stateless chunk stage: the streaming twin of
+    * `Curation.chunkDocuments` — surviving documents fan out into the
+    * overlapping training windows downstream consumers read. Constants and
+    * arithmetic are the batch operator's, so a document chunks identically
+    * whether it arrived in a batch or on the feed. Row-local flatMap shape
+    * (explode), no state, no shuffle. */
+  def chunkStage(docs: DataFrame): DataFrame = {
+    val (len, stride) =
+      (graft.operators.Curation.ChunkLen, graft.operators.Curation.ChunkStride)
+    docs
+      .withColumn("__t", filter(
+        transform(split(col("text"), WsTokenRe), t => lower(t)), t => t =!= ""))
+      .where(size(col("__t")) >= 1)
+      .withColumn("__n", size(col("__t")))
+      .withColumn("chunk_idx",
+        explode(expr(s"sequence(0, CASE WHEN __n > $len THEN " +
+          s"((__n - $len + $stride - 1) div $stride) ELSE 0 END)")))
+      .withColumn("chunk_idx", col("chunk_idx").cast("long"))
+      .withColumn("__ct", expr(s"slice(__t, chunk_idx * $stride + 1, $len)"))
+      .withColumn("n_tokens", size(col("__ct")).cast("long"))
+      .withColumn("chunk_md5", md5(concat_ws(" ", col("__ct"))))
+      .drop("__t", "__n", "__ct")
+  }
+
   /** The composed ingest pipeline: quality gate → content dedup — what a
     * training-data feed runs before documents reach the corpus store.
     * With a probe set, decontamination runs between the two. */

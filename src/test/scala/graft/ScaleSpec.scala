@@ -77,6 +77,21 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("jaccard and containment are projections of the shared overlap frame") {
+    // the one array_intersect pass over LSH candidates is materialized
+    // (Dedup.pairOverlaps); both verifiers must read it, not re-intersect
+    Seq("dedup_ngram_jaccard", "minhash_containment").foreach { q =>
+      val plan = planOf(q)
+      val cacheAt = plan.indexOf("InMemoryTableScan")
+      assert(cacheAt >= 0, s"$q lost the shared overlap frame:\n$plan")
+      // the intersection may appear only INSIDE the cached frame's own
+      // build plan (rendered under the InMemoryTableScan), never in the
+      // query plan above it
+      assert(!plan.substring(0, cacheAt).contains("array_intersect"),
+        s"$q re-runs the intersection instead of reading the frame:\n$plan")
+    }
+  }
+
   test("per-row curation signals are map-only — no exchange in the plan") {
     // simhash, minhash signatures, char stats, winnowing fingerprints,
     // repetition stats, per-doc combine/dedup never need a shuffle: the

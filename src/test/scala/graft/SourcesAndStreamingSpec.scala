@@ -247,6 +247,29 @@ class SourcesAndStreamingSpec extends SparkTestBase {
     assert(streamKept == Set(1L, 4L))
   }
 
+  test("streaming chunk stage emits exactly the batch chunker's windows") {
+    import spark.implicits._
+    val rows = Seq(
+      1L -> (1 to 40).map(i => s"t$i").mkString(" "), // 2 chunks
+      2L -> (1 to 10).map(i => s"s$i").mkString(" ")) // 1 partial chunk
+    val fixDir = writeDocsFixture(rows)
+    val batch = graft.operators.Curation.chunkDocuments(spark, fixDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    val input = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.DocsStream.chunkStage(
+        input.toDF().toDF("doc_id", "text"))
+      .select("doc_id", "chunk_idx", "n_tokens", "chunk_md5")
+      .writeStream.format("memory").queryName("chunk_stage")
+      .outputMode("append").start()
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("chunk_stage").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    q.stop()
+    assert(streamed == batch && batch.size == 3)
+  }
+
   test("registered views + injected functions make the library SQL-usable") {
     val registered = graft.sources.Tables.register(spark, "/root/testdata/sf0.001")
     assert(registered.contains("documents") && registered.contains("lineitem"))
