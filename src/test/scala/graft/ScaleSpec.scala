@@ -77,6 +77,24 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("hot-key corpus: bucket caps bound candidates, exact dedup still groups") {
+    // 200 identical docs — the degenerate bucket every cap exists for. The
+    // LSH bands and simhash chunks all collide into single buckets of 200 >
+    // cap, which are dropped (documented recall sacrifice on degenerate
+    // keys), so the pair joins stay bounded instead of emitting ~20k pairs.
+    // Exact dedup, which needs no blocking, still collapses them to one.
+    import org.apache.spark.sql.functions._
+    val hot = writeDocsFixture((1L to 200L).map(i =>
+      i -> "the very same sentence repeated in every single document"))
+    assert(graft.operators.Dedup.candidatePairs(spark, hot).count() == 0L)
+    assert(graft.operators.Dedup.dedupSimhash(spark, hot).count() == 0L)
+    val exact = graft.operators.Dedup.dedupExact(spark, hot).collect()
+    assert(exact.length == 1 && exact.head.getLong(2) == 200L)
+    // survivors: with no near-dup pairs, everyone survives (exact dedup is
+    // a separate, unblocked operator)
+    assert(graft.operators.Dedup.dedupSurvivors(spark, hot).count() == 200L)
+  }
+
   test("jaccard and containment are projections of the shared overlap frame") {
     // the one array_intersect pass over LSH candidates is materialized
     // (Dedup.pairOverlaps); both verifiers must read it, not re-intersect
