@@ -354,6 +354,62 @@ object Curation {
        |FROM base""".stripMargin
   }
 
+  // ---- #25w the per-document feature store -------------------------------
+  /** Every row-local curation signal as one wide row — the feature table a
+    * pipeline writes next to the corpus so downstream jobs (filtering,
+    * mixing, analysis) never re-tokenize. The point is the plan: ALL of
+    * token counts, quality, language ID, char entropy, simhash and the
+    * canonical dedup key are functions of the row, computed on ONE scan
+    * with ZERO exchanges (plan-asserted in ScaleSpec) — the fused
+    * expressions exist precisely so this projection stays map-only. */
+  def docFeatures(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("text"), TextAnalysis.toksCol.as("__toks"))
+      .select(Seq(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit(BpeTokenRe)).cast("long").as("bpe_tokens"),
+        TextAnalysis.qualityExprIn(col("__toks")).as("quality"),
+        round(org.apache.spark.sql.graft.CharEntropy(col("text")), 4)
+          .as("char_entropy"),
+        org.apache.spark.sql.graft.Simhash60(array_distinct(col("__toks")))
+          .as("simhash"),
+        md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+          .as("canon_hash")) ++ TextAnalysis.langHitCols: _*)
+      .withColumn("pred_lang", TextAnalysis.predLangFromHits)
+      .drop(TextAnalysis.LangProfiles.map { case (l, _) => s"hits_$l" }: _*)
+  val docFeaturesSql: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang, source, n_chars,
+       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ws_tokens,
+       |    CAST(len(regexp_extract_all(text,
+       |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens,
+       |    ${TextAnalysis.sqlQualityExpr} AS quality,
+       |    round((length(text) * log2(length(text)) - ce.sumclog)
+       |      / length(text), 4) AS char_entropy,
+       |    sim.simhash,
+       |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+       |      AS canon_hash,
+       |    ${TextAnalysis.sqlLangHitCols.linesIterator.mkString("\n    ")}
+       |  FROM documents d
+       |  JOIN (
+       |    SELECT doc_id, sum(c * log2(c)) AS sumclog FROM (
+       |      SELECT doc_id, ch, count(*) AS c FROM (
+       |        SELECT doc_id, substr(text, CAST(g.i AS INTEGER), 1) AS ch
+       |        FROM documents, unnest(range(1, length(text) + 1)) AS g(i)
+       |      ) GROUP BY 1, 2
+       |    ) GROUP BY 1
+       |  ) ce USING (doc_id)
+       |  JOIN (
+       |    ${Dedup.simhashCte.linesIterator.mkString("\n    ")}
+       |    SELECT doc_id, simhash FROM sim
+       |  ) sim USING (doc_id)
+       |)
+       |SELECT doc_id, lang, source, n_chars, ws_tokens, bpe_tokens, quality,
+       |  char_entropy, simhash, canon_hash,
+       |  ${TextAnalysis.sqlPredLangFromHits} AS pred_lang
+       |FROM scored""".stripMargin
+
   // ---- #25v exact-substring duplication spans ----------------------------
   /** The EXACTSUBSTR signal (Lee et al. 2022, "Deduplicating Training Data
     * Makes Language Models Better"): per document, how much of it lies in

@@ -570,7 +570,7 @@ object Dedup {
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
 
-  private val simhashCte: String = {
+  private[operators] val simhashCte: String = {
     val sums = (0 until SimhashBits)
       .map(i => s"sum(CASE WHEN (th >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS c$i")
       .mkString(",\n    ")

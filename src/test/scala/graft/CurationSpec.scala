@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Curation
+import graft.operators.{Curation, TextAnalysis}
 import org.apache.spark.sql.graft.{CharEntropy, Simhash60}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -44,6 +44,26 @@ class CurationSpec extends SparkTestBase {
     assert(rows((1L, 1L)) == 16L) // tokens 25..40
     assert(rows((2L, 0L)) == 10L) // short doc: one partial chunk
     assert(rows.size == 3)
+  }
+
+  test("doc_features agrees with the individual signal queries") {
+    val d = writeDocsFixture(Seq(
+      1L -> ("the and of to a in is it you that " + Seq.fill(45)("word").mkString(" ")),
+      2L -> "le la les de et un une que est pour"))
+    val feat = Curation.docFeatures(spark, d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // signals match the standalone operators they fuse
+    val q = TextAnalysis.qualityScore(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("quality")).toMap
+    val lid = TextAnalysis.langId(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("pred_lang")).toMap
+    Seq(1L, 2L).foreach { id =>
+      assert(feat(id).getAs[Double]("quality") == q(id))
+      assert(feat(id).getAs[String]("pred_lang") == lid(id))
+    }
+    assert(feat(1L).getAs[String]("pred_lang") == "en")
+    assert(feat(2L).getAs[String]("pred_lang") == "fr")
+    assert(feat(1L).getAs[Long]("ws_tokens") == 55L)
   }
 
   test("dup spans find the shared substring and its exact length") {

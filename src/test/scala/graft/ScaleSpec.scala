@@ -121,7 +121,8 @@ class ScaleSpec extends SparkTestBase {
       SparkEntry.queries("fingerprint")(spark, sf),
       SparkEntry.queries("repetition_stats")(spark, sf),
       SparkEntry.queries("combine_per_doc")(spark, sf),
-      SparkEntry.queries("doc_unique_words")(spark, sf)
+      SparkEntry.queries("doc_unique_words")(spark, sf),
+      SparkEntry.queries("doc_features")(spark, sf)
     ).foreach { df =>
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), s"map-only op gained a shuffle:\n$plan")
