@@ -389,6 +389,42 @@ object Relational {
       |    AS view_to_purchase_rate
       |FROM per_user""".stripMargin
 
+  // ---- #34h retention cohorts --------------------------------------------
+  /** Weekly retention: cohort = the user's first-activity week; one row per
+    * (cohort_week, week_offset) counting users active that many weeks
+    * later. Two aggregations — per-user first ts (map-side partial), then
+    * distinct users per (cohort, offset) over a user-week-deduped frame —
+    * all keyed on bounded (user, week) combinations; no events×events
+    * self-join. Weeks are integer epoch-week indices from the nano
+    * timestamps, identical arithmetic both engines. */
+  val WeekSec = 7L * 24 * 3600
+
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"),
+        expr(s"ts DIV 1000000000 DIV $WeekSec").as("week"))
+    val firsts = ev.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    ev.join(firsts, "user_id")
+      .select(col("user_id"), col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .distinct()
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
+  val retentionCohortsSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id,
+       |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) // $WeekSec AS week
+       |  FROM events
+       |), firsts AS (
+       |  SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY 1
+       |), uw AS (
+       |  SELECT DISTINCT ev.user_id, cohort_week, week - cohort_week AS week_offset
+       |  FROM ev JOIN firsts USING (user_id)
+       |)
+       |SELECT cohort_week, week_offset, count(*) AS n_users
+       |FROM uw GROUP BY 1, 2""".stripMargin
+
   // ---- exact per-group quantiles ---------------------------------------
   def valueQuantiles(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")

@@ -167,6 +167,23 @@ class OperatorsSpec extends SparkTestBase {
     assert(rows.toSeq == Seq((0L, 2L, 5.0), (3600L, 1L, 5.0)))
   }
 
+  test("retention cohorts count users by first-week cohort and offset") {
+    val d = java.nio.file.Files.createTempDirectory("graft-ret").toString
+    val wk = 7L * 24 * 3600 * 1000000000L
+    Seq(
+      // user 1: active week 0 and week 1; user 2: week 0 only;
+      // user 3: first seen week 1
+      (1L, 1L * wk / 7, 1L, "click", 1.0, "{}"),      // week 0
+      (2L, wk + 1000L, 1L, "click", 1.0, "{}"),        // week 1
+      (3L, 2L * wk / 7, 2L, "view", 1.0, "{}"),        // week 0
+      (4L, wk + 5000L, 3L, "click", 1.0, "{}"),        // week 1
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val rows = Relational.retentionCohorts(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (1L, 0L) -> 1L))
+  }
+
   test("funnel counts conversions only when first purchase follows first view") {
     val d = java.nio.file.Files.createTempDirectory("graft-fun").toString
     val ns = 1000000000L
