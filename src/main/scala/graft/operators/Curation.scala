@@ -410,6 +410,68 @@ object Curation {
        |  ${TextAnalysis.sqlPredLangFromHits} AS pred_lang
        |FROM scored""".stripMargin
 
+  // ---- #25x per-source corpus health report ------------------------------
+  /** The health dashboard a curation run reads per feed: document count,
+    * mean quality, mean char entropy, and how many of the source's docs sit
+    * in the near-dup graph. Signals are row-local on ONE scan; quality and
+    * entropy average through DECIMAL sums (order-insensitive, §6); the
+    * dup-membership list is bounded by the pair graph and broadcasts. */
+  def sourceQualityReport(spark: SparkSession, dir: String): DataFrame = {
+    val scored = docs(spark, dir)
+      .select(col("source"), col("doc_id"), toks.as("__toks"), col("text"))
+      .where(size(col("__toks")) > 0)
+      .select(col("source"), col("doc_id"),
+        TextAnalysis.qualityExprIn(col("__toks")).cast("decimal(8,4)").as("q"),
+        round(org.apache.spark.sql.graft.CharEntropy(col("text")), 4)
+          .cast("decimal(8,4)").as("e"))
+    val pairs = Dedup.minhashPairs(spark, dir)
+    val dupDocs = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .distinct().withColumn("is_dup", lit(1L))
+    scored.join(broadcast(dupDocs), Seq("doc_id"), "left")
+      .groupBy("source")
+      // exact decimal sums → double BEFORE dividing: decimal division
+      // scales differ between engines, IEEE double division does not
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("q")).cast("double") / count(lit(1)), 4).as("avg_quality"),
+        round(sum(col("e")).cast("double") / count(lit(1)), 4).as("avg_entropy"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_in_dup_pairs"))
+  }
+  val sourceQualityReportSql: String =
+    s"""WITH ent AS (
+       |  SELECT doc_id, round((length(t2.text) * log2(length(t2.text))
+       |    - sumclog) / length(t2.text), 4) AS e
+       |  FROM (
+       |    SELECT doc_id, sum(c * log2(c)) AS sumclog FROM (
+       |      SELECT doc_id, ch, count(*) AS c FROM (
+       |        SELECT doc_id, substr(text, CAST(g.i AS INTEGER), 1) AS ch
+       |        FROM documents, unnest(range(1, length(text) + 1)) AS g(i)
+       |      ) GROUP BY 1, 2
+       |    ) GROUP BY 1
+       |  ) s JOIN documents t2 USING (doc_id)
+       |), scored AS (
+       |  SELECT source, doc_id,
+       |    CAST(${TextAnalysis.sqlQualityExpr} AS DECIMAL(8,4)) AS q,
+       |    CAST(e AS DECIMAL(8,4)) AS e
+       |  FROM documents JOIN ent USING (doc_id)
+       |  WHERE len(list_filter(list_transform(
+       |    string_split_regex(text, '\\s+'), t -> lower(t)), t -> t <> '')) > 0
+       |), pairs AS (
+       |  ${Dedup.dedupMinhashSql.linesIterator.mkString("\n  ")}
+       |), dup AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_a AS doc_id FROM pairs
+       |    UNION ALL SELECT doc_b FROM pairs
+       |  )
+       |)
+       |SELECT source, count(*) AS n_docs,
+       |  round(CAST(sum(q) AS DOUBLE) / count(*), 4) AS avg_quality,
+       |  round(CAST(sum(e) AS DOUBLE) / count(*), 4) AS avg_entropy,
+       |  sum(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS n_in_dup_pairs
+       |FROM scored LEFT JOIN dup USING (doc_id)
+       |GROUP BY 1""".stripMargin
+
   // ---- #25v exact-substring duplication spans ----------------------------
   /** The EXACTSUBSTR signal (Lee et al. 2022, "Deduplicating Training Data
     * Makes Language Models Better"): per document, how much of it lies in

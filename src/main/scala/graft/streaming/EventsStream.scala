@@ -115,4 +115,39 @@ object EventsStream {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
+
+  case class TypedEv(user_id: Long, event_type: String, ts: java.sql.Timestamp)
+  case class FunnelState(first_view: Long, first_purchase: Long)
+  case class FunnelOut(user_id: Long, first_view_sec: Long,
+                       first_purchase_sec: Long, converted: Boolean)
+
+  /** Streaming funnel: per-user first-view/first-purchase tracking with
+    * mapGroupsWithState — the stream twin of `Relational.funnelConversion`'s
+    * per-user stage, emitting each user's CURRENT funnel position on every
+    * update (Update mode; the batch query's rollup is a downstream agg over
+    * the latest row per user). State is two longs per user — bounded by the
+    * user population, not the event volume. -1 marks "not yet seen", and
+    * conversion uses the SAME strict first_purchase > first_view rule. */
+  def funnelStates(events: Dataset[TypedEv]): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+
+    def fn(userId: Long, evs: Iterator[TypedEv],
+           state: GroupState[FunnelState]): FunnelOut = {
+      var s = state.getOption.getOrElse(FunnelState(-1L, -1L))
+      evs.foreach { e =>
+        val sec = e.ts.getTime / 1000
+        if (e.event_type == "view" && (s.first_view < 0 || sec < s.first_view))
+          s = s.copy(first_view = sec)
+        if (e.event_type == "purchase" && (s.first_purchase < 0 || sec < s.first_purchase))
+          s = s.copy(first_purchase = sec)
+      }
+      state.update(s)
+      FunnelOut(userId, s.first_view, s.first_purchase,
+        s.first_view >= 0 && s.first_purchase > s.first_view)
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+  }
 }

@@ -46,6 +46,25 @@ class CurationSpec extends SparkTestBase {
     assert(rows.size == 3)
   }
 
+  test("source report aggregates quality/entropy and dup membership per feed") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-srcq").toString
+    val dupText = "the very same long sentence shared across two feeds entirely verbatim"
+    Seq((1L, dupText, "srcA"), (2L, dupText, "srcB"),
+        (3L, "unique words in this quiet source only here", "srcA"))
+      .toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'en' AS lang", "source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = Curation.sourceQualityReport(spark, d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(rows("srcA")._1 == 2L && rows("srcB")._1 == 1L)
+    assert(rows("srcA")._4 == 1L) // doc 1 is in the near-dup graph
+    assert(rows("srcB")._4 == 1L) // doc 2 is its partner
+    assert(rows.values.forall { case (_, q, e, _) => q > 0 && e > 0 })
+  }
+
   test("doc_features agrees with the individual signal queries") {
     val d = writeDocsFixture(Seq(
       1L -> ("the and of to a in is it you that " + Seq.fill(45)("word").mkString(" ")),

@@ -121,6 +121,34 @@ class SourcesAndStreamingSpec extends SparkTestBase {
     assert(pairs == Set((20L, 10L), (20L, 11L)))
   }
 
+  test("streaming funnel state tracks first view/purchase and conversion") {
+    import spark.implicits._
+    val input = MemoryStream[EventsStream.TypedEv](spark)
+    val q = EventsStream.funnelStates(input.toDS())
+      .writeStream.format("memory").queryName("funnel_states")
+      .outputMode("update").start()
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    // batch 1: user 1 views; user 2 purchases (no view yet)
+    input.addData(
+      EventsStream.TypedEv(1L, "view", t(100)),
+      EventsStream.TypedEv(2L, "purchase", t(100)))
+    q.processAllAvailable()
+    // batch 2: user 1 purchases (→ converted); user 2 views AFTER its
+    // purchase (→ not converted, same strict rule as the batch query)
+    input.addData(
+      EventsStream.TypedEv(1L, "purchase", t(200)),
+      EventsStream.TypedEv(2L, "view", t(150)))
+    q.processAllAvailable()
+    // every per-batch update, order-independent
+    val updates = spark.table("funnel_states").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    q.stop()
+    assert(updates == Set(
+      (1L, 100L, -1L, false), (1L, 100L, 200L, true),   // view → converted
+      (2L, -1L, 100L, false), (2L, 150L, 100L, false))) // purchase-first: never
+  }
+
   test("streaming sessionization closes sessions via event-time timeout") {
     val input = MemoryStream[Ev](spark)
     val q = EventsStream.sessionize(input.toDS())
