@@ -298,6 +298,47 @@ class SourcesAndStreamingSpec extends SparkTestBase {
     assert(streamed == batch && batch.size == 3)
   }
 
+  test("content-dedup state survives a restart from checkpoint") {
+    import spark.implicits._
+    // real operational property: the dropDuplicatesWithinWatermark state
+    // must come back from the checkpoint on restart, so a duplicate
+    // arriving in run 2 of a resumed pipeline is still suppressed
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-ckpt-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-ckpt-out").toString
+    val schema = "doc_id LONG, text STRING, ingest_ts TIMESTAMP"
+    def runOnce(): Unit = {
+      val q = graft.streaming.DocsStream.dedupByContent(
+          spark.readStream.schema(schema).json(srcDir))
+        .select("doc_id", "text_hash")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def t(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    // run 1: two distinct docs plus an in-batch duplicate of doc 1
+    Seq((1L, "alpha text", t(100)), (2L, "beta text", t(110)),
+        (3L, "alpha text", t(120)))
+      .toDF("doc_id", "text", "ingest_ts")
+      .coalesce(1).write.mode("append").json(srcDir)
+    runOnce()
+    // run 2 (fresh query, same checkpoint): a late duplicate of doc 1
+    // within the watermark horizon, and one genuinely new doc
+    Seq((4L, "alpha text", t(130)), (5L, "gamma text", t(140)))
+      .toDF("doc_id", "text", "ingest_ts")
+      .coalesce(1).write.mode("append").json(srcDir)
+    runOnce()
+    val out = spark.read.parquet(outDir).collect()
+      .map(r => r.getLong(0)).toSet
+    // exactly one survivor per distinct text across BOTH runs: the run-2
+    // duplicate (doc 4) was suppressed by restored state
+    assert(out.intersect(Set(1L, 3L, 4L)).size == 1)
+    assert(out.contains(2L) && out.contains(5L) && out.size == 3)
+  }
+
   test("registered views + injected functions make the library SQL-usable") {
     val registered = graft.sources.Tables.register(spark, "/root/testdata/sf0.001")
     assert(registered.contains("documents") && registered.contains("lineitem"))
