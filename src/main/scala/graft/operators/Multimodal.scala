@@ -84,6 +84,39 @@ object Multimodal {
     })
   }
 
+  case class ResizedImage(doc_id: Long, width: Long, height: Long,
+                          resized: Array[Byte], avg_luma: Double)
+
+  /** Real image RESIZE, executor-side: decode (JDK reader), scale to
+    * targetW×targetH (bilinear Graphics2D — deterministic for a given JDK),
+    * re-encode as PNG (lossless, so the emitted bytes round-trip exactly),
+    * and report the resized frame's luma. This is the normalize-resolution
+    * step an image-training pipeline runs between decode and feature
+    * extraction; same typed mapPartitions plumbing as the other decoders —
+    * at 100 TB it is one map-only pass rewriting the blob column. */
+  def resizeImages(blobs: org.apache.spark.sql.Dataset[DocBlob],
+      targetW: Int, targetH: Int): org.apache.spark.sql.Dataset[ResizedImage] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.flatMap { r =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.blob))
+      if (img == null) Iterator.empty
+      else {
+        val out = new java.awt.image.BufferedImage(targetW, targetH,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, targetW, targetH, null)
+        g.dispose()
+        val bytes = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bytes)
+        val (_, _, avg) = lumaOf(out)
+        Iterator.single(ResizedImage(r.doc_id, targetW.toLong, targetH.toLong,
+          bytes.toByteArray, avg))
+      }
+    })
+  }
+
   // ---- REAL video demux: MJPEG-in-AVI -------------------------------------
   case class VideoFrame(doc_id: Long, frame_idx: Long, width: Long,
                         height: Long, avg_luma: Double)

@@ -80,6 +80,25 @@ class MultimodalDecodeSpec extends SparkTestBase {
     "RIFF".getBytes("US-ASCII") ++ u32(body.length) ++ body
   }
 
+  test("resizeImages rescales real PNGs and re-encodes losslessly") {
+    val blobs = Seq(
+      DocBlob(1L, pngBytes(16, 16, 0xffffff)), // white stays white at any size
+      DocBlob(2L, pngBytes(9, 3, 0x000000)),
+      DocBlob(3L, "not an image".getBytes)
+    ).toDS()
+    val out = Multimodal.resizeImages(blobs, 4, 4).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out.values.forall(r => r.width == 4L && r.height == 4L))
+    // solid colors survive bilinear scaling exactly
+    assert(out(1L).avg_luma == 255.0 && out(2L).avg_luma == 0.0)
+    // the emitted PNG bytes decode back to the reported dimensions
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1L).resized))
+    assert(back.getWidth == 4 && back.getHeight == 4)
+    assert((back.getRGB(0, 0) & 0xffffff) == 0xffffff)
+  }
+
   test("demuxVideo walks a real AVI container and decodes each MJPEG frame") {
     // three 16×8 frames: white, black, mid-gray
     val avi = aviBytes(Seq(
