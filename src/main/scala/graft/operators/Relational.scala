@@ -20,18 +20,26 @@ object Relational {
     t(spark, dir, "lineitem")
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("sum_base_price"),
+        sum(col("l_quantity").cast("decimal(18,4)"))
+          .cast("decimal(18,4)").cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,4)"))
+          .cast("decimal(18,4)").cast("double").as("sum_base_price"),
+        // the scale-8 product sum narrows to DECIMAL(18,4) BEFORE the
+        // double cast: DuckDB 1.0's wide-decimal→double conversion goes
+        // through the raw hugeint (5e17 here, above 2^53) and drifts ~5e-7,
+        // while Spark's BigDecimal cast is correctly rounded — seen as a
+        // q1_agg hash mismatch at sf0.1 only. At scale 4 the raw value
+        // fits in 2^53 and both conversions are exact.
         sum((col("l_extendedprice").cast("decimal(18,4)")
           * (lit(BigDecimal(1)).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))))
-          .cast("double").as("sum_disc_price"),
+          .cast("decimal(18,4)").cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
   val q1AggSql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-      |    * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_base_price,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+      |    * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
       |  count(*) AS count_order
       |FROM lineitem GROUP BY 1, 2""".stripMargin
 
@@ -333,14 +341,16 @@ object Relational {
       .join(broadcast(t(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"), col("p_brand").as("brand"))
       .agg(
+        // same DECIMAL(18,4) narrowing as q1_agg before the double cast
+        // (DuckDB wide-decimal→double hugeint drift at raw > 2^53)
         sum((col("l_extendedprice").cast("decimal(18,4)")
           * (lit(BigDecimal(1)).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))))
-          .cast("double").as("revenue"),
+          .cast("decimal(18,4)").cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
   val brandRevenueSql: String =
     """SELECT n_name AS nation, p_brand AS brand,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-      |    * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+      |    * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
       |  count(*) AS n_items
       |FROM lineitem
       |JOIN part ON l_partkey = p_partkey
