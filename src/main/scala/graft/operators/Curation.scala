@@ -317,17 +317,15 @@ object Curation {
           lit(0L), (a, x) => a + x).as("sum_len"),
         size(filter(col("t"), w => w.rlike("\\p{L}"))).cast("long").as("n_alpha"),
         size(filter(col("t"), w => w.isin(GopherStops: _*))).cast("long")
-          .as("stop_hits"))
+          .as("stop_hits"),
+        // keep comes from the SAME predicate the stream gate applies —
+        // the batch query cannot drift from DocsStream.gopherGate
+        gopherKeepIn(col("t")).cast("long").as("keep"))
       .select(col("doc_id"), col("n_tokens"),
         round(col("sum_len").cast("double") / col("n_tokens"), 4)
           .as("mean_word_len"),
         round(col("n_alpha").cast("double") / col("n_tokens"), 4).as("alpha_frac"),
-        col("stop_hits"),
-        (col("n_tokens").between(GopherMinTokens, GopherMaxTokens)
-          && (col("sum_len").cast("double") / col("n_tokens"))
-            .between(GopherMinAvgLen, GopherMaxAvgLen)
-          && col("n_alpha").cast("double") / col("n_tokens") > GopherMinAlphaFrac
-          && col("stop_hits") >= GopherMinStopHits).cast("long").as("keep"))
+        col("stop_hits"), col("keep"))
   val gopherFiltersSql: String = {
     val stops = GopherStops.map(sqlLit).mkString("(", ", ", ")")
     s"""WITH toksx AS (
