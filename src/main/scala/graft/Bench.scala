@@ -32,10 +32,18 @@ object Bench {
     // totals. A query that throws is recorded as -1 (never as its
     // time-to-failure) and listed in "errors" so a broken query cannot
     // masquerade as fast.
+    //
+    // Evaluation is a noop-datasource WRITE, not count(): under count()
+    // Catalyst prunes every column (the scan reads struct<> and the
+    // projections vanish from the plan), so a map-only query would bench
+    // an empty row-count scan instead of its real work. The noop sink
+    // evaluates every output row fully and discards it.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
+        val ok = try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true
+        }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
