@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.graft.{CharEntropy, FloatDotProduct, NormalizeNfc, ShinglePolyHash, Simhash60, SortChars}
+import org.apache.spark.sql.graft.{CharEntropy, FloatDotProduct, MinhashSig, NormalizeNfc, ShinglePolyHash, SigGroups, Simhash60, SortChars, TokenStats, WinnowMins}
 
 /** SparkSessionExtensions entry point: registers graft's custom Catalyst
   * expressions as SQL functions and the native as-of join planner strategy.
@@ -43,5 +43,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ShinglePolyHash].getName, "shingle_poly_hash"),
       (exprs: Seq[Expression]) => ShinglePolyHash(exprs.head,
         longOf(exprs(1)).toInt, longOf(exprs(2)), longOf(exprs(3)))))
+    // convenience forms bound to graft's published constants, so the full
+    // LSH/winnowing/combiner machinery is reachable from plain SQL
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) => MinhashSig(exprs.head,
+        graft.operators.Dedup.CoefA, graft.operators.Dedup.CoefB,
+        graft.operators.Dedup.P)))
+    ext.injectFunction((
+      new FunctionIdentifier("winnow_mins"),
+      new ExpressionInfo(classOf[WinnowMins].getName, "winnow_mins"),
+      (exprs: Seq[Expression]) => WinnowMins(exprs.head, longOf(exprs(1)).toInt)))
+    ext.injectFunction((
+      new FunctionIdentifier("token_stats"),
+      new ExpressionInfo(classOf[TokenStats].getName, "token_stats"),
+      (exprs: Seq[Expression]) => TokenStats(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("sig_groups"),
+      new ExpressionInfo(classOf[SigGroups].getName, "sig_groups"),
+      (exprs: Seq[Expression]) => SigGroups(exprs.head,
+        graft.functions.TextFns.Stopwords)))
   }
 }

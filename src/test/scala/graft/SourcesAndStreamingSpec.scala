@@ -397,4 +397,33 @@ class SourcesAndStreamingSpec extends SparkTestBase {
       .collect().head.getDouble(0)
     assert(v == 9.0)
   }
+
+  test("minhash_sig/winnow_mins/token_stats/sig_groups are SQL-callable") {
+    import graft.operators.Dedup
+    // minhash_sig over a known hash array equals the column-API expression
+    val viaSql = spark.sql("SELECT minhash_sig(array(5L, 17L, 999L))")
+      .collect().head.getSeq[Long](0)
+    val viaApi = Seq(Seq(5L, 17L, 999L)).toDF("h")
+      .select(org.apache.spark.sql.graft.MinhashSig(
+        org.apache.spark.sql.functions.col("h"),
+        Dedup.CoefA, Dedup.CoefB, Dedup.P))
+      .collect().head.getSeq[Long](0)
+    assert(viaSql == viaApi && viaSql.length == Dedup.K)
+    // winnow_mins: window minima of [9,2,7,5] with w=2 → distinct sorted
+    val wm = spark.sql("SELECT winnow_mins(array(9L, 2L, 7L, 5L), 2)")
+      .collect().head.getSeq[Long](0)
+    assert(wm == Seq(2L, 5L))
+    // token_stats struct fields
+    val ts = spark.sql(
+      "SELECT token_stats(array('a', 'b', 'a')).n_tokens, " +
+      "token_stats(array('a', 'b', 'a')).n_distinct").collect().head
+    assert(ts.getLong(0) == 3L && ts.getLong(1) == 2L)
+    // sig_groups: the whole per-doc combiner from SQL (stopword dropped,
+    // anagram family grouped under its sorted-letter signature)
+    val sg = spark.sql(
+      "SELECT inline(sig_groups(array('listen', 'silent', 'the')))")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sg.keySet == Set("eilnst"))
+    assert(sg("eilnst").split(" ").toSet == Set("listen", "silent"))
+  }
 }
