@@ -82,6 +82,15 @@ object TextFns {
   def md5Long(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** §6 float policy: exact fixed-point ratio in basis points — floor of
+    * `num/den × 10⁴` as BIGINT via integral division. Pure integer math, so
+    * the value is bit-identical in every engine, unlike `round(DOUBLE, 4)`
+    * whose boundary behavior is engine/libm-specific. Non-negative operands
+    * only (Spark `div` truncates toward zero, DuckDB `//` floors — identical
+    * for non-negatives). */
+  def bp(num: Column, den: Column): Column =
+    org.apache.spark.sql.graft.ExactMath.intDiv(num.cast("long") * lit(10000L), den)
+
   // ---------------- SQL (DuckDB oracle) side ----------------
 
   def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
@@ -103,6 +112,10 @@ object TextFns {
 
   def sqlMd5Long(expr: String): String =
     s"CAST(concat('0x', substr(md5($expr), 1, 15)) AS BIGINT)"
+
+  /** DuckDB twin of [[bp]]: `//` on BIGINTs is exact integral division. */
+  def sqlBp(num: String, den: String): String =
+    s"(CAST($num AS BIGINT) * 10000) // CAST($den AS BIGINT)"
 
   def sqlStripGutenberg(expr: String): String = {
     val noHeader =

@@ -57,8 +57,9 @@ object Curation {
       .agg(count(lit(1)).as("n_segments"),
         sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_segments"))
       .select(col("doc_id"), col("n_segments"), col("n_dup_segments"),
-        round(col("n_dup_segments").cast("double") / col("n_segments"), 4)
-          .as("dup_seg_frac"))
+        // §6: exact basis points, not round(DOUBLE) — the r4 driver oracle
+        // rounded boundary quotients differently than Spark
+        bp(col("n_dup_segments"), col("n_segments")).as("dup_seg_bp"))
   }
   val dedupSegmentsSql: String =
     s"""WITH toksx AS (
@@ -77,8 +78,8 @@ object Curation {
        |)
        |SELECT doc_id, count(*) AS n_segments,
        |  sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_segments,
-       |  round(CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
-       |    / count(*), 4) AS dup_seg_frac
+       |  ${sqlBp("sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)", "count(*)")}
+       |    AS dup_seg_bp
        |FROM segs JOIN cnt USING (sh) GROUP BY 1""".stripMargin
 
   // ---- #25j benchmark decontamination (probe-set n-gram overlap) --------
@@ -120,7 +121,9 @@ object Curation {
     * on ONE corpus scan (no joins between per-doc signal frames); the
     * dedup drop-list and the contamination list are bounded by the pair
     * graph / benchmark size respectively and anti-join as broadcasts. */
-  val CuratedQualityMin = 0.5
+  /** Quality gate in exact basis points (= 0.5; §6 float policy — the
+    * threshold must never read a round(DOUBLE) value). */
+  val CuratedQualityMinBp = 5000L
 
   def curatedCorpus(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
@@ -130,26 +133,26 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         TextAnalysis.toksCol.as("__toks"))
       .select(col("doc_id") +: col("lang") +: col("source") +: col("n_chars") +:
-        TextAnalysis.qualityExprIn(col("__toks")).as("quality") +:
+        TextAnalysis.qualityBpIn(col("__toks")).as("quality_bp") +:
         TextAnalysis.langHitCols: _*)
       .withColumn("pred_lang", TextAnalysis.predLangFromHits)
-      .where(col("quality") >= CuratedQualityMin && col("pred_lang") === "en")
+      .where(col("quality_bp") >= CuratedQualityMinBp && col("pred_lang") === "en")
       .join(broadcast(Dedup.droppedDocs(spark, dir)), Seq("doc_id"), "left_anti")
       .join(broadcast(decontaminate(spark, dir).select("doc_id")),
         Seq("doc_id"), "left_anti")
-      .select("doc_id", "lang", "source", "n_chars", "quality")
+      .select("doc_id", "lang", "source", "n_chars", "quality_bp")
   lazy val curatedCorpusSql: String =
     s"""WITH scored AS (
        |  SELECT doc_id, lang, source, n_chars,
-       |    ${TextAnalysis.sqlQualityExpr} AS quality,
+       |    ${TextAnalysis.sqlQualityBpExpr} AS quality_bp,
        |    ${TextAnalysis.sqlLangHitCols.linesIterator.mkString("\n    ")}
        |  FROM documents
        |  WHERE doc_id >= $ContamProbeDocs
        |), kept AS (
-       |  SELECT doc_id, lang, source, n_chars, quality,
+       |  SELECT doc_id, lang, source, n_chars, quality_bp,
        |    ${TextAnalysis.sqlPredLangFromHits} AS pred_lang
        |  FROM scored
-       |  WHERE quality >= $CuratedQualityMin
+       |  WHERE quality_bp >= $CuratedQualityMinBp
        |), dropped AS (
        |  SELECT doc_id FROM (
        |    ${Dedup.dedupComponentsSql.linesIterator.mkString("\n    ")}
@@ -159,7 +162,7 @@ object Curation {
        |    ${decontaminateSql.linesIterator.mkString("\n    ")}
        |  )
        |)
-       |SELECT doc_id, lang, source, n_chars, quality FROM kept
+       |SELECT doc_id, lang, source, n_chars, quality_bp FROM kept
        |WHERE pred_lang = 'en'
        |  AND doc_id NOT IN (SELECT doc_id FROM dropped)
        |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin
@@ -322,9 +325,9 @@ object Curation {
         // the batch query cannot drift from DocsStream.gopherGate
         gopherKeepIn(col("t")).cast("long").as("keep"))
       .select(col("doc_id"), col("n_tokens"),
-        round(col("sum_len").cast("double") / col("n_tokens"), 4)
-          .as("mean_word_len"),
-        round(col("n_alpha").cast("double") / col("n_tokens"), 4).as("alpha_frac"),
+        // §6: exact ×10⁴ fixed point (mean word length / alpha fraction)
+        bp(col("sum_len"), col("n_tokens")).as("mean_word_len_e4"),
+        bp(col("n_alpha"), col("n_tokens")).as("alpha_bp"),
         col("stop_hits"), col("keep"))
   val gopherFiltersSql: String = {
     val stops = GopherStops.map(sqlLit).mkString("(", ", ", ")")
@@ -340,8 +343,8 @@ object Curation {
        |  FROM toksx WHERE len(t) > 0
        |)
        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-       |  round(CAST(sum_len AS DOUBLE) / n_tokens, 4) AS mean_word_len,
-       |  round(CAST(n_alpha AS DOUBLE) / n_tokens, 4) AS alpha_frac,
+       |  ${sqlBp("sum_len", "n_tokens")} AS mean_word_len_e4,
+       |  ${sqlBp("n_alpha", "n_tokens")} AS alpha_bp,
        |  CAST(stop_hits AS BIGINT) AS stop_hits,
        |  CAST(CASE WHEN n_tokens BETWEEN $GopherMinTokens AND $GopherMaxTokens
        |    AND CAST(sum_len AS DOUBLE) / n_tokens
@@ -364,12 +367,16 @@ object Curation {
     docs(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         col("text"), TextAnalysis.toksCol.as("__toks"))
+      // token-less (empty/whitespace-only) docs carry no signals, and the
+      // oracle's entropy/simhash subqueries produce no row for them — the
+      // explicit filter keeps both engines' row sets identical (ADVICE r4)
+      .where(size(col("__toks")) > 0)
       .select(Seq(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         regexp_count(col("text"), lit("\\S+")).cast("long").as("ws_tokens"),
         regexp_count(col("text"), lit(BpeTokenRe)).cast("long").as("bpe_tokens"),
-        TextAnalysis.qualityExprIn(col("__toks")).as("quality"),
+        TextAnalysis.qualityBpIn(col("__toks")).as("quality_bp"),
         round(org.apache.spark.sql.graft.CharEntropy(col("text")), 4)
-          .as("char_entropy"),
+          .cast("decimal(14,4)").as("char_entropy"),
         org.apache.spark.sql.graft.Simhash60(array_distinct(col("__toks")))
           .as("simhash"),
         md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
@@ -382,9 +389,9 @@ object Curation {
        |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ws_tokens,
        |    CAST(len(regexp_extract_all(text,
        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens,
-       |    ${TextAnalysis.sqlQualityExpr} AS quality,
-       |    round((length(text) * log2(length(text)) - ce.sumclog)
-       |      / length(text), 4) AS char_entropy,
+       |    ${TextAnalysis.sqlQualityBpExpr} AS quality_bp,
+       |    CAST(round((length(text) * log2(length(text)) - ce.sumclog)
+       |      / length(text), 4) AS DECIMAL(14,4)) AS char_entropy,
        |    sim.simhash,
        |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
        |      AS canon_hash,
@@ -402,8 +409,10 @@ object Curation {
        |    ${Dedup.simhashCte.linesIterator.mkString("\n    ")}
        |    SELECT doc_id, simhash FROM sim
        |  ) sim USING (doc_id)
+       |  WHERE len(list_filter(list_transform(
+       |    string_split_regex(text, '\\s+'), t -> lower(t)), t -> t <> '')) > 0
        |)
-       |SELECT doc_id, lang, source, n_chars, ws_tokens, bpe_tokens, quality,
+       |SELECT doc_id, lang, source, n_chars, ws_tokens, bpe_tokens, quality_bp,
        |  char_entropy, simhash, canon_hash,
        |  ${TextAnalysis.sqlPredLangFromHits} AS pred_lang
        |FROM scored""".stripMargin
@@ -419,7 +428,7 @@ object Curation {
       .select(col("source"), col("doc_id"), toks.as("__toks"), col("text"))
       .where(size(col("__toks")) > 0)
       .select(col("source"), col("doc_id"),
-        TextAnalysis.qualityExprIn(col("__toks")).cast("decimal(8,4)").as("q"),
+        TextAnalysis.qualityBpIn(col("__toks")).as("q"),
         round(org.apache.spark.sql.graft.CharEntropy(col("text")), 4)
           .cast("decimal(8,4)").as("e"))
     val pairs = Dedup.minhashPairs(spark, dir)
@@ -428,11 +437,16 @@ object Curation {
       .distinct().withColumn("is_dup", lit(1L))
     scored.join(broadcast(dupDocs), Seq("doc_id"), "left")
       .groupBy("source")
-      // exact decimal sums → double BEFORE dividing: decimal division
-      // scales differ between engines, IEEE double division does not
+      // §6: the means are exact fixed-point integers over exact sums (q is
+      // already integer basis points; e is a scale-4 decimal shifted to an
+      // integer before the integral division) — round(DOUBLE) averages were
+      // the r4 driver hash-FAIL
       .agg(count(lit(1)).as("n_docs"),
-        round(sum(col("q")).cast("double") / count(lit(1)), 4).as("avg_quality"),
-        round(sum(col("e")).cast("double") / count(lit(1)), 4).as("avg_entropy"),
+        org.apache.spark.sql.graft.ExactMath.intDiv(sum(col("q")), count(lit(1)))
+          .as("avg_quality_bp"),
+        org.apache.spark.sql.graft.ExactMath.intDiv(
+          (sum(col("e")) * lit(10000)).cast("decimal(38,0)"), count(lit(1)))
+          .as("avg_entropy_bp"),
         sum(coalesce(col("is_dup"), lit(0L))).as("n_in_dup_pairs"))
   }
   val sourceQualityReportSql: String =
@@ -449,7 +463,7 @@ object Curation {
        |  ) s JOIN documents t2 USING (doc_id)
        |), scored AS (
        |  SELECT source, doc_id,
-       |    CAST(${TextAnalysis.sqlQualityExpr} AS DECIMAL(8,4)) AS q,
+       |    ${TextAnalysis.sqlQualityBpExpr} AS q,
        |    CAST(e AS DECIMAL(8,4)) AS e
        |  FROM documents JOIN ent USING (doc_id)
        |  WHERE len(list_filter(list_transform(
@@ -463,8 +477,8 @@ object Curation {
        |  )
        |)
        |SELECT source, count(*) AS n_docs,
-       |  round(CAST(sum(q) AS DOUBLE) / count(*), 4) AS avg_quality,
-       |  round(CAST(sum(e) AS DOUBLE) / count(*), 4) AS avg_entropy,
+       |  CAST(sum(q) AS BIGINT) // count(*) AS avg_quality_bp,
+       |  CAST(sum(e) * 10000 AS BIGINT) // count(*) AS avg_entropy_bp,
        |  sum(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END)
        |    AS n_in_dup_pairs
        |FROM scored LEFT JOIN dup USING (doc_id)
@@ -551,8 +565,10 @@ object Curation {
     * quality distribution and keep documents at or above its QualityPct-th
     * percentile. Two passes — an exact-percentile aggregation whose 1-row
     * result broadcasts, then a row-local filter on the same scan shape.
-    * Threshold and scores are rounded to 4dp on both engines before the
-    * comparison, so keep decisions are bit-identical (§6 float policy).
+    * §6 float policy: scores are exact integer basis points, and the
+    * p=0.25 interpolated percentile of integers is exactly representable
+    * (the interpolation fraction is a multiple of 1/4), so threshold,
+    * comparison and output are bit-identical across engines.
     * At 100 TB the exact percentile would be replaced by approx_percentile
     * (see `approx_stats`) — the plan shape (tiny broadcast + map-only
     * filter) is unchanged. */
@@ -563,25 +579,27 @@ object Curation {
       .select(col("doc_id"), toks.as("__toks"))
       .where(size(col("__toks")) > 0)
       .select(col("doc_id"),
-        TextAnalysis.qualityExprIn(col("__toks")).as("quality"))
+        TextAnalysis.qualityBpIn(col("__toks")).as("quality_bp"))
     val thr = scored.agg(
-      round(expr(s"percentile(quality, $QualityPct)"), 4).as("q_threshold"))
+      expr(s"percentile(quality_bp, $QualityPct)")
+        .cast("decimal(14,4)").as("q_threshold"))
     scored.crossJoin(broadcast(thr))
-      .where(col("quality") >= col("q_threshold"))
+      .where(col("quality_bp") >= col("q_threshold"))
   }
   val qualityPercentileGateSql: String =
     s"""WITH scored AS (
-       |  SELECT doc_id, ${TextAnalysis.sqlQualityExpr} AS quality
+       |  SELECT doc_id, ${TextAnalysis.sqlQualityBpExpr} AS quality_bp
        |  FROM documents
        |  WHERE len(list_filter(list_transform(
        |    string_split_regex(text, '\\s+'), t -> lower(t)), t -> t <> '')) > 0
        |), thr AS (
-       |  SELECT round(quantile_cont(quality, $QualityPct), 4) AS q_threshold
+       |  SELECT CAST(quantile_cont(quality_bp, $QualityPct) AS DECIMAL(14,4))
+       |    AS q_threshold
        |  FROM scored
        |)
-       |SELECT doc_id, quality, q_threshold
+       |SELECT doc_id, quality_bp, q_threshold
        |FROM scored CROSS JOIN thr
-       |WHERE quality >= q_threshold""".stripMargin
+       |WHERE quality_bp >= q_threshold""".stripMargin
 
   // ---- #25q dup-n-gram fraction (MassiveText repetition-across-corpus) ---
   /** Per-doc fraction of its word 5-grams that occur anywhere else in the
@@ -603,8 +621,8 @@ object Curation {
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_grams"))
       .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
-        round(col("n_dup_grams").cast("double") / col("n_grams"), 4)
-          .as("dup_gram_frac"))
+        // §6: exact basis points (see dedupSegments)
+        bp(col("n_dup_grams"), col("n_grams")).as("dup_gram_bp"))
   }
   val dupNgramStatsSql: String =
     s"""${TextAnalysis.sqlGramsCte(TextAnalysis.BoilerK)}, gh AS (
@@ -614,8 +632,8 @@ object Curation {
        |)
        |SELECT doc_id, count(*) AS n_grams,
        |  sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_grams,
-       |  round(CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
-       |    / count(*), 4) AS dup_gram_frac
+       |  ${sqlBp("sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)", "count(*)")}
+       |    AS dup_gram_bp
        |FROM gh JOIN cnt USING (gh) GROUP BY 1""".stripMargin
 
   // ---- #25k char-level entropy quality signal ---------------------------
@@ -630,8 +648,11 @@ object Curation {
       length(col("text")).cast("long").as("n_chars"),
       size(array_distinct(filter(split(col("text"), ""), c => c =!= "")))
         .cast("long").as("n_distinct_chars"),
+      // §6: entropy is transcendental (log2) so it can't be exact integer
+      // math; rounding then pinning to a decimal at least guarantees the
+      // compare never hashes engine-formatted doubles
       round(org.apache.spark.sql.graft.CharEntropy(col("text")), 4)
-        .as("char_entropy"))
+        .cast("decimal(14,4)").as("char_entropy"))
   val charStatsSql: String =
     """WITH chars AS (
       |  SELECT doc_id, substr(text, CAST(g.i AS INTEGER), 1) AS ch
@@ -641,8 +662,9 @@ object Curation {
       |)
       |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
       |  count(*) AS n_distinct_chars,
-      |  round((length(d.text) * log2(length(d.text))
-      |    - sum(c * log2(c))) / length(d.text), 4) AS char_entropy
+      |  CAST(round((length(d.text) * log2(length(d.text))
+      |    - sum(c * log2(c))) / length(d.text), 4) AS DECIMAL(14,4))
+      |    AS char_entropy
       |FROM documents d JOIN cnt ON d.doc_id = cnt.doc_id
       |GROUP BY d.doc_id, d.text""".stripMargin
 }

@@ -197,7 +197,10 @@ object Dedup {
     }
 
   // ---- #16 MinHash near-dup: signature-estimated similarity -------------
-  val MinhashSimThreshold = 0.5
+  /** 0.5 in exact basis points: sim_hat is matches/K, an integer ratio, so
+    * both the emitted value and the threshold stay in pure integer math
+    * (§6 float policy — a threshold must never read a round(DOUBLE)). */
+  val MinhashSimBp = 5000L
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     // Cached pair set joined back to the persisted signature table (both
     // sides materialized — no shingle or band work re-executes). The pair
@@ -214,8 +217,8 @@ object Dedup {
       .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
       .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        round(matches.cast("double") / K, 4).as("sim_hat"))
-      .where(col("sim_hat") >= MinhashSimThreshold)
+        bp(matches, lit(K)).as("sim_hat_bp"))
+      .where(col("sim_hat_bp") >= MinhashSimBp)
   }
   val dedupMinhashSql: String = {
     val matches = (0 until K)
@@ -223,11 +226,11 @@ object Dedup {
       .mkString(" + ")
     s"""$bandedCte
        |SELECT doc_a, doc_b,
-       |  round(CAST($matches AS DOUBLE) / $K, 4) AS sim_hat
+       |  ${sqlBp(s"($matches)", K.toString)} AS sim_hat_bp
        |FROM cand
        |JOIN sig a ON doc_a = a.doc_id
        |JOIN sig b ON doc_b = b.doc_id
-       |WHERE round(CAST($matches AS DOUBLE) / $K, 4) >= $MinhashSimThreshold""".stripMargin
+       |WHERE ${sqlBp(s"($matches)", K.toString)} >= $MinhashSimBp""".stripMargin
   }
 
   /** The near-dup pair graph, materialized once per (session, corpus):
@@ -238,7 +241,10 @@ object Dedup {
         .persist(StorageLevel.MEMORY_AND_DISK))
 
   // ---- #17 exact n-gram Jaccard on LSH candidates -----------------------
-  val JaccardThreshold = 0.35
+  /** 0.35 in exact basis points (§6: Jaccard is |∩|/|∪|, an integer ratio —
+    * the r4 verdict flagged thresholding on round(DOUBLE) as the
+    * highest-risk fragility in the repo). */
+  val JaccardBp = 3500L
 
   private val overlapCache = Materialized.register(
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
@@ -266,12 +272,12 @@ object Dedup {
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     // Candidates, shingle sets AND the per-pair intersection counts come
     // from materialized intermediates — this query is row-local arithmetic
-    // over the pair-bounded overlap frame.
-    val jac = col("inter").cast("double") /
-      (col("na") + col("nb") - col("inter"))
+    // over the pair-bounded overlap frame. Exact basis points: floor
+    // monotonicity makes `jaccard_bp >= 3500` ≡ `inter/union >= 0.35`.
     pairOverlaps(spark, dir)
-      .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
-      .where(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"),
+        bp(col("inter"), col("na") + col("nb") - col("inter")).as("jaccard_bp"))
+      .where(col("jaccard_bp") >= JaccardBp)
   }
   val dedupNgramJaccardSql: String =
     s"""$bandedCte, sizes AS (
@@ -284,11 +290,11 @@ object Dedup {
        |  GROUP BY 1, 2
        |)
        |SELECT doc_a, doc_b,
-       |  round(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 4) AS jaccard
+       |  ${sqlBp("inter", "(na.n + nb.n - inter)")} AS jaccard_bp
        |FROM inter
        |JOIN sizes na ON doc_a = na.doc_id
        |JOIN sizes nb ON doc_b = nb.doc_id
-       |WHERE round(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 4) >= $JaccardThreshold""".stripMargin
+       |WHERE ${sqlBp("inter", "(na.n + nb.n - inter)")} >= $JaccardBp""".stripMargin
 
   // ---- #17b asymmetric containment on LSH candidates --------------------
   /** Jaccard containment C(A→B) = |A∩B|/|A|: the asymmetric signal that
@@ -298,14 +304,15 @@ object Dedup {
     * to the materialized shingle sets, exact intersection only on the
     * LSH-blocked pair set, never all-pairs. A pair is reported when EITHER
     * direction's containment clears the threshold. */
-  val ContainmentThreshold = 0.5
+  /** 0.5 in exact basis points (§6). */
+  val ContainmentBp = 5000L
   def minhashContainment(spark: SparkSession, dir: String): DataFrame =
     pairOverlaps(spark, dir)
       .select(col("doc_a"), col("doc_b"),
-        round(col("inter").cast("double") / col("na"), 4).as("contain_a"),
-        round(col("inter").cast("double") / col("nb"), 4).as("contain_b"))
-      .where(col("contain_a") >= ContainmentThreshold
-        || col("contain_b") >= ContainmentThreshold)
+        bp(col("inter"), col("na")).as("contain_a_bp"),
+        bp(col("inter"), col("nb")).as("contain_b_bp"))
+      .where(col("contain_a_bp") >= ContainmentBp
+        || col("contain_b_bp") >= ContainmentBp)
   val minhashContainmentSql: String =
     s"""$bandedCte, sizes AS (
        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
@@ -317,13 +324,13 @@ object Dedup {
        |  GROUP BY 1, 2
        |)
        |SELECT doc_a, doc_b,
-       |  round(CAST(inter AS DOUBLE) / na.n, 4) AS contain_a,
-       |  round(CAST(inter AS DOUBLE) / nb.n, 4) AS contain_b
+       |  ${sqlBp("inter", "na.n")} AS contain_a_bp,
+       |  ${sqlBp("inter", "nb.n")} AS contain_b_bp
        |FROM inter
        |JOIN sizes na ON doc_a = na.doc_id
        |JOIN sizes nb ON doc_b = nb.doc_id
-       |WHERE round(CAST(inter AS DOUBLE) / na.n, 4) >= $ContainmentThreshold
-       |   OR round(CAST(inter AS DOUBLE) / nb.n, 4) >= $ContainmentThreshold""".stripMargin
+       |WHERE ${sqlBp("inter", "na.n")} >= $ContainmentBp
+       |   OR ${sqlBp("inter", "nb.n")} >= $ContainmentBp""".stripMargin
 
   // ---- dedup clusters: connected components over the near-dup graph -----
   /** Near-dup pairs are only half the dedup story: transitive duplicates
@@ -500,8 +507,8 @@ object Dedup {
       .join(sig.as("a"), col("new_doc") === col("a.doc_id"))
       .join(sig.as("b"), col("old_doc") === col("b.doc_id"))
       .select(col("new_doc"), col("old_doc"),
-        round(matches.cast("double") / K, 4).as("sim_hat"))
-      .where(col("sim_hat") >= MinhashSimThreshold)
+        bp(matches, lit(K)).as("sim_hat_bp"))
+      .where(col("sim_hat_bp") >= MinhashSimBp)
   }
   val dedupIncrementalSql: String = {
     val matches = (0 until K)
@@ -526,11 +533,11 @@ object Dedup {
        |  JOIN kept_old k ON e.band = k.band AND e.key = k.key
        |)
        |SELECT new_doc, old_doc,
-       |  round(CAST($matches AS DOUBLE) / $K, 4) AS sim_hat
+       |  ${sqlBp(s"($matches)", K.toString)} AS sim_hat_bp
        |FROM cand
        |JOIN sig a ON new_doc = a.doc_id
        |JOIN sig b ON old_doc = b.doc_id
-       |WHERE round(CAST($matches AS DOUBLE) / $K, 4) >= $MinhashSimThreshold""".stripMargin
+       |WHERE ${sqlBp(s"($matches)", K.toString)} >= $MinhashSimBp""".stripMargin
   }
 
   /** 60-bit simhash over distinct lowercase tokens; 4×15-bit chunk blocking
@@ -673,11 +680,18 @@ object Dedup {
       emb.as("a").join(probed.as("b"),
           col(s"a.bucket$t") === col("b.pb") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          round(cos, 4).as("cos"))
+          cos.as("cos_raw"))
     }
+    // §6: the threshold reads the RAW cosine — dot/sqrt/divide are
+    // exact-rounded IEEE ops evaluated in the same order by both engines,
+    // so the unrounded doubles (and hence the kept row set) are
+    // bit-identical; only the EMITTED value is rounded, to a pinned
+    // decimal so the compare never hashes engine-formatted doubles.
     (0 until Similarity.NumTables).map(tablePairs).reduce(_ union _)
       .dropDuplicates("vec_a", "vec_b")
-      .where(col("cos") >= CosineThreshold)
+      .where(col("cos_raw") >= CosineThreshold)
+      .select(col("vec_a"), col("vec_b"),
+        round(col("cos_raw"), 4).cast("decimal(14,4)").as("cos"))
   }
   // ---- #19d semantic ↔ lexical dedup agreement ---------------------------
   /** The audit a curation pipeline runs on its semantic dedup: for every
@@ -692,12 +706,10 @@ object Dedup {
     val pairs = dedupEmbedding(spark, dir)
     val shSets = sigSets(spark, dir).select(col("doc_id"), col("hs"))
     val inter = size(array_intersect(col("a.hs"), col("b.hs")))
-    val jac = inter.cast("double") /
-      (size(col("a.hs")) + size(col("b.hs")) - inter)
     shSets.as("a").join(broadcast(pairs), col("vec_a") === col("a.doc_id"))
       .join(shSets.as("b"), col("vec_b") === col("b.doc_id"))
       .select(col("vec_a"), col("vec_b"), col("cos"),
-        round(jac, 4).as("jaccard"))
+        bp(inter, size(col("a.hs")) + size(col("b.hs")) - inter).as("jaccard_bp"))
   }
   lazy val semanticLexicalAgreementSql: String = {
     val body = dedupEmbeddingSql
@@ -706,22 +718,28 @@ object Dedup {
     val cteEnd = embWith.lastIndexOf(")\nSELECT")
     val embCtes = embWith.substring(0, cteEnd + 1)
     val shCte = shinglesCte.stripPrefix("WITH ")
+    // inter LEFT-joins to pairs (ADVICE r4): a zero-overlap pair — exactly
+    // the paraphrase-only signal this audit exists to surface — must emit
+    // jaccard_bp = 0 in both engines, not vanish from the oracle side.
     s"""WITH $embCtes, pairs AS (
-       |  SELECT vec_a, vec_b, cos FROM cand WHERE cos >= $CosineThreshold
+       |  SELECT vec_a, vec_b, CAST(round(cos_raw, 4) AS DECIMAL(14,4)) AS cos
+       |  FROM cand WHERE cos_raw >= $CosineThreshold
        |), $shCte, sizes AS (
        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
        |), inter AS (
-       |  SELECT vec_a, vec_b, cos, count(*) AS inter
+       |  SELECT vec_a, vec_b, count(*) AS inter
        |  FROM pairs
        |  JOIN sh sa ON vec_a = sa.doc_id
        |  JOIN sh sb ON vec_b = sb.doc_id AND sa.h = sb.h
-       |  GROUP BY 1, 2, 3
+       |  GROUP BY 1, 2
        |)
-       |SELECT vec_a, vec_b, cos,
-       |  round(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 4) AS jaccard
-       |FROM inter
-       |JOIN sizes na ON vec_a = na.doc_id
-       |JOIN sizes nb ON vec_b = nb.doc_id""".stripMargin
+       |SELECT p.vec_a, p.vec_b, p.cos,
+       |  ${sqlBp("coalesce(i.inter, 0)",
+                  "(na.n + nb.n - coalesce(i.inter, 0))")} AS jaccard_bp
+       |FROM pairs p
+       |LEFT JOIN inter i ON p.vec_a = i.vec_a AND p.vec_b = i.vec_b
+       |JOIN sizes na ON p.vec_a = na.doc_id
+       |JOIN sizes nb ON p.vec_b = nb.doc_id""".stripMargin
   }
 
   // lazy: referencing Similarity at Dedup's own <clinit> would close an
@@ -736,7 +754,7 @@ object Dedup {
       .map(t => s"${Similarity.sqlBucketT("embedding", t)} AS bucket$t")
       .mkString(",\n    ")
     val tableSelects = (0 until Similarity.NumTables).map { t =>
-      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round($cos, 4) AS cos
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $cos AS cos_raw
          |  FROM e a JOIN (
          |    SELECT vec_id, embedding, nrm, xor(bucket$t, m.m) AS pb
          |    FROM e, unnest($masks) AS m(m)
@@ -750,7 +768,8 @@ object Dedup {
        |), cand AS (
        |  $tableSelects
        |)
-       |SELECT vec_a, vec_b, cos FROM cand
-       |WHERE cos >= $CosineThreshold""".stripMargin
+       |SELECT vec_a, vec_b, CAST(round(cos_raw, 4) AS DECIMAL(14,4)) AS cos
+       |FROM cand
+       |WHERE cos_raw >= $CosineThreshold""".stripMargin
   }
 }

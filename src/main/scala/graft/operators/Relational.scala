@@ -30,6 +30,11 @@ object Relational {
         // while Spark's BigDecimal cast is correctly rounded — seen as a
         // q1_agg hash mismatch at sf0.1 only. At scale 4 the raw value
         // fits in 2^53 and both conversions are exact.
+        // BOUND (ADVICE r4): DECIMAL(18,4) caps the sum at 10^14; in
+        // non-ANSI Spark an overflowing cast returns NULL silently. sum_qty
+        // grows ~6e8 per SF unit here, so the cap holds to SF ~10^5 (far
+        // past 100 TB ≈ SF 10^2-10^3); past it, widen to DECIMAL(24,4) and
+        // accept the documented ~1-ulp double drift instead.
         sum((col("l_extendedprice").cast("decimal(18,4)")
           * (lit(BigDecimal(1)).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))))
           .cast("decimal(18,4)").cast("double").as("sum_disc_price"),
@@ -274,8 +279,10 @@ object Relational {
       .groupBy("event_type")
       .agg(
         approx_count_distinct(col("user_id")).as("approx_users"),
-        round(expr("approx_percentile(value, 0.5, 1000)"), 4).as("approx_p50"),
-        round(expr("approx_percentile(value, 0.95, 1000)"), 4).as("approx_p95"))
+        round(expr("approx_percentile(value, 0.5, 1000)"), 4)
+          .cast("decimal(14,4)").as("approx_p50"),
+        round(expr("approx_percentile(value, 0.95, 1000)"), 4)
+          .cast("decimal(14,4)").as("approx_p95"))
 
   // ---- salted aggregation (skew path) -----------------------------------
   // event_type has 5 values over ~100k rows — the pathological-skew shape
@@ -379,8 +386,9 @@ object Relational {
           .as("n_converted"))
       .select(col("n_users"), col("n_viewers"), col("n_purchasers"),
         col("n_converted"),
-        round(col("n_converted").cast("double") / col("n_viewers"), 4)
-          .as("view_to_purchase_rate"))
+        // §6: exact basis points, not round(DOUBLE) — r4 driver hash-FAIL
+        graft.functions.TextFns.bp(col("n_converted"), col("n_viewers"))
+          .as("view_to_purchase_bp"))
   val funnelConversionSql: String =
     """WITH per_user AS (
       |  SELECT user_id,
@@ -393,10 +401,10 @@ object Relational {
       |  sum(CASE WHEN first_purchase IS NOT NULL THEN 1 ELSE 0 END) AS n_purchasers,
       |  sum(CASE WHEN first_view IS NOT NULL AND first_purchase > first_view
       |    THEN 1 ELSE 0 END) AS n_converted,
-      |  round(CAST(sum(CASE WHEN first_view IS NOT NULL AND first_purchase > first_view
-      |    THEN 1 ELSE 0 END) AS DOUBLE)
-      |    / sum(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END), 4)
-      |    AS view_to_purchase_rate
+      |  (CAST(sum(CASE WHEN first_view IS NOT NULL AND first_purchase > first_view
+      |    THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+      |    // CAST(sum(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS view_to_purchase_bp
       |FROM per_user""".stripMargin
 
   // ---- #34h retention cohorts --------------------------------------------
@@ -440,12 +448,13 @@ object Relational {
     t(spark, dir, "events")
       .groupBy("event_type")
       .agg(
-        round(expr("percentile(value, 0.5)"), 4).as("p50"),
-        round(expr("percentile(value, 0.95)"), 4).as("p95"))
+        // §6: pinned decimals — never emit engine-formatted doubles
+        round(expr("percentile(value, 0.5)"), 4).cast("decimal(14,4)").as("p50"),
+        round(expr("percentile(value, 0.95)"), 4).cast("decimal(14,4)").as("p95"))
   val valueQuantilesSql: String =
     """SELECT event_type,
-      |  round(quantile_cont(value, 0.5), 4) AS p50,
-      |  round(quantile_cont(value, 0.95), 4) AS p95
+      |  CAST(round(quantile_cont(value, 0.5), 4) AS DECIMAL(14,4)) AS p50,
+      |  CAST(round(quantile_cont(value, 0.95), 4) AS DECIMAL(14,4)) AS p95
       |FROM events GROUP BY 1""".stripMargin
 
   // ---- pivot: event counts per user across types -----------------------

@@ -80,7 +80,10 @@ object Similarity {
         col("cos").as("cos")).as("s"))
       .agg(array_sort(collect_list(col("s"))).as("arr"))
       .select(posexplode(col("arr")).as(Seq("pos", "s")))
-      .select(col("s.vec_id").as("vec_id"), round(col("s.cos"), 4).as("cos"),
+      .select(col("s.vec_id").as("vec_id"),
+        // §6: rank/filter on the raw cosine (bit-identical IEEE math both
+        // engines); the emitted value is a pinned decimal, never a DOUBLE
+        round(col("s.cos"), 4).cast("decimal(14,4)").as("cos"),
         (col("pos") + 1).cast("long").as("rk"))
 
   // ---- #20 brute-force cosine top-k ------------------------------------
@@ -102,7 +105,7 @@ object Similarity {
        |  SELECT vec_id, cos, row_number() OVER (ORDER BY cos DESC, vec_id) AS rk
        |  FROM scored
        |)
-       |SELECT vec_id, round(cos, 4) AS cos, CAST(rk AS BIGINT) AS rk
+       |SELECT vec_id, CAST(round(cos, 4) AS DECIMAL(14,4)) AS cos, CAST(rk AS BIGINT) AS rk
        |FROM ranked WHERE rk <= $TopK""".stripMargin
 
   // ---- #21 LSH-bucketed ANN (scale path) -------------------------------
@@ -131,7 +134,7 @@ object Similarity {
        |  SELECT vec_id, cos, row_number() OVER (ORDER BY cos DESC, vec_id) AS rk
        |  FROM scored
        |)
-       |SELECT vec_id, round(cos, 4) AS cos, CAST(rk AS BIGINT) AS rk
+       |SELECT vec_id, CAST(round(cos, 4) AS DECIMAL(14,4)) AS cos, CAST(rk AS BIGINT) AS rk
        |FROM ranked WHERE rk <= $TopK""".stripMargin
 
   // ---- #21e batch ANN join: top-k neighbors for MANY queries at once ----
@@ -157,7 +160,8 @@ object Similarity {
     e.join(broadcast(q), col("bucket") === col("pb") && col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), cosExpr("embedding", "qv").as("cos"))
       .withColumn("rk", row_number().over(w)).where(col("rk") <= JoinK)
-      .select(col("qid"), col("vec_id"), round(col("cos"), 4).as("cos"),
+      .select(col("qid"), col("vec_id"),
+        round(col("cos"), 4).cast("decimal(14,4)").as("cos"),
         col("rk").cast("long").as("rk"))
   }
   val annJoinSql: String = {
@@ -179,7 +183,7 @@ object Similarity {
        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
        |  FROM scored
        |)
-       |SELECT qid, vec_id, round(cos, 4) AS cos, CAST(rk AS BIGINT) AS rk
+       |SELECT qid, vec_id, CAST(round(cos, 4) AS DECIMAL(14,4)) AS cos, CAST(rk AS BIGINT) AS rk
        |FROM ranked WHERE rk <= $JoinK""".stripMargin
   }
 
@@ -298,7 +302,8 @@ object Similarity {
     argminCid(e, cents, Seq("embedding", "c"))
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n_members"),
-        round(avg(cosExpr("embedding", "c")), 4).as("avg_cos_to_centroid"))
+        round(avg(cosExpr("embedding", "c")), 4)
+          .cast("decimal(14,4)").as("avg_cos_to_centroid"))
   }
   val embeddingClustersSql: String =
     s"""WITH $ivfCentroidsCte, assigned AS (
@@ -310,7 +315,8 @@ object Similarity {
        |  ) WHERE rn = 1
        |)
        |SELECT cid, count(*) AS n_members,
-       |  round(avg(${sqlCos("embedding", "c")}), 4) AS avg_cos_to_centroid
+       |  CAST(round(avg(${sqlCos("embedding", "c")}), 4) AS DECIMAL(14,4))
+       |    AS avg_cos_to_centroid
        |FROM assigned GROUP BY 1""".stripMargin
 
   /** Cluster purity against the embeddings' ground-truth labels: per cell,
@@ -328,7 +334,9 @@ object Similarity {
       .groupBy("cid")
       .agg(sum(col("cl")).as("n_members"), max(col("cl")).as("n_majority"))
       .select(col("cid"), col("n_members"), col("n_majority"),
-        round(col("n_majority").cast("double") / col("n_members"), 4).as("purity"))
+        // §6: exact basis points, not round(DOUBLE)
+        graft.functions.TextFns.bp(col("n_majority"), col("n_members"))
+          .as("purity_bp"))
   }
   val clusterPuritySql: String =
     s"""WITH $ivfCentroidsCte, assigned AS (
@@ -343,7 +351,7 @@ object Similarity {
        |)
        |SELECT cid, CAST(sum(cl) AS BIGINT) AS n_members,
        |  CAST(max(cl) AS BIGINT) AS n_majority,
-       |  round(CAST(max(cl) AS DOUBLE) / CAST(sum(cl) AS DOUBLE), 4) AS purity
+       |  ${graft.functions.TextFns.sqlBp("max(cl)", "sum(cl)")} AS purity_bp
        |FROM cl GROUP BY 1""".stripMargin
 
   val annIvfSql: String =
@@ -372,7 +380,7 @@ object Similarity {
        |  SELECT vec_id, cos, row_number() OVER (ORDER BY cos DESC, vec_id) AS rk
        |  FROM scored
        |)
-       |SELECT vec_id, round(cos, 4) AS cos, CAST(rk AS BIGINT) AS rk
+       |SELECT vec_id, CAST(round(cos, 4) AS DECIMAL(14,4)) AS cos, CAST(rk AS BIGINT) AS rk
        |FROM ranked WHERE rk <= $TopK""".stripMargin
 
   // ---- #21g cosine range search (threshold query) ------------------------
@@ -398,7 +406,7 @@ object Similarity {
         && bit_count(col("bucket").bitwiseXOR(col("qbucket"))) <= 1)
       .select(col("vec_id"), cosExpr("embedding", "qv").as("cos"))
       .where(col("cos") >= RangeTau)
-      .select(col("vec_id"), round(col("cos"), 4).as("cos"))
+      .select(col("vec_id"), round(col("cos"), 4).cast("decimal(14,4)").as("cos"))
   }
   val annRangeSearchSql: String =
     s"""WITH e AS (
@@ -412,7 +420,7 @@ object Similarity {
        |  FROM e, q
        |  WHERE e.vec_id <> q.qid AND bit_count(xor(e.bucket, q.qbucket)) <= 1
        |)
-       |SELECT vec_id, round(cos, 4) AS cos FROM scored
+       |SELECT vec_id, CAST(round(cos, 4) AS DECIMAL(14,4)) AS cos FROM scored
        |WHERE cos >= $RangeTau""".stripMargin
 
   // ---- #21f int8 symmetric quantization (embedding storage path) --------
@@ -448,7 +456,7 @@ object Similarity {
               .cast("double"))
             * sqrt(aggregate(transform(col("embedding"),
                 v => v.cast("double") * v.cast("double")), lit(0.0), (a, x) => a + x))),
-          4).as("recon_cos"))
+          4).cast("decimal(14,4)").as("recon_cos"))
   }
   val embeddingQuantizeSql: String =
     """WITH base AS (
@@ -464,12 +472,12 @@ object Similarity {
       |SELECT vec_id, CAST(len(qv) AS BIGINT) AS n_dims,
       |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
       |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
-      |  round(
+      |  CAST(round(
       |    list_aggregate(list_transform(range(1, len(qv) + 1),
       |      i -> CAST(qv[i] AS DOUBLE) * CAST(v[i] AS DOUBLE)), 'sum')
       |    / (sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE))
       |      * sqrt(list_aggregate(list_transform(range(1, len(v) + 1),
       |          i -> CAST(v[i] AS DOUBLE) * CAST(v[i] AS DOUBLE)), 'sum'))),
-      |  4) AS recon_cos
+      |  4) AS DECIMAL(14,4)) AS recon_cos
       |FROM q""".stripMargin
 }

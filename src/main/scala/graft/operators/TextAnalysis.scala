@@ -90,15 +90,22 @@ object TextAnalysis {
   /** The quality score over a shared token-array column — identical math
     * to qualityScore's staged columns (`size(toks)` ≡ the \S+ count); used
     * where quality is a filter input on an existing scan (curatedCorpus)
-    * rather than the output. */
-  private[operators] def qualityExprIn(toksCol: Column): Column = {
-    val nTokens = size(toksCol).cast("double")
-    val nStop = hitsIn(toksCol, Stopwords).cast("double")
-    round(least(nTokens / lit(50.0), lit(1.0)) * (lit(1.0) - nStop / nTokens), 4)
+    * rather than the output.
+    *
+    * §6: exact integer basis points, never round(DOUBLE). The score
+    * min(n/50, 1)·(1 − stop/n) is the rational min(n,50)·(n−stop)/(50n),
+    * so floor(·×10⁴) is pure integer arithmetic — bit-identical in every
+    * engine, and safe to THRESHOLD on (curatedCorpus, the stream gate). */
+  private[operators] def qualityBpIn(toksCol: Column): Column = {
+    val n = size(toksCol).cast("long")
+    val nStop = hitsIn(toksCol, Stopwords).cast("long")
+    org.apache.spark.sql.graft.ExactMath.intDiv(
+      least(n, lit(50L)) * (n - nStop) * lit(10000L), n * lit(50L))
   }
-  private[operators] val sqlQualityExpr: String = {
-    val nTokens = "CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE)"
-    s"round(least($nTokens / 50.0, 1.0) * (1.0 - CAST(${sqlHits("text", Stopwords)} AS DOUBLE) / $nTokens), 4)"
+  private[operators] val sqlQualityBpExpr: String = {
+    val n = "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)"
+    val stop = s"CAST(${sqlHits("text", Stopwords)} AS BIGINT)"
+    s"(least($n, 50) * ($n - $stop) * 10000) // ($n * 50)"
   }
 
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
@@ -108,13 +115,13 @@ object TextAnalysis {
       regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tokens"),
       hits(col("text"), Stopwords).as("n_stopwords"),
       regexp_count(col("text"), lit(PunctRe)).cast("long").as("n_punct"),
-    ).withColumn("stopword_ratio",
-        round(col("n_stopwords").cast("double") / col("n_tokens"), 4))
-      .withColumn("punct_ratio",
-        round(col("n_punct").cast("double") / col("len_chars"), 4))
-      .withColumn("quality",
-        round(least(col("n_tokens").cast("double") / lit(50.0), lit(1.0))
-          * (lit(1.0) - col("n_stopwords").cast("double") / col("n_tokens")), 4))
+    ).withColumn("stopword_bp", bp(col("n_stopwords"), col("n_tokens")))
+      .withColumn("punct_bp", bp(col("n_punct"), col("len_chars")))
+      .withColumn("quality_bp",
+        org.apache.spark.sql.graft.ExactMath.intDiv(
+          least(col("n_tokens"), lit(50L)) * (col("n_tokens") - col("n_stopwords"))
+            * lit(10000L),
+          col("n_tokens") * lit(50L)))
   val qualityScoreSql: String =
     s"""WITH base AS (
        |  SELECT doc_id,
@@ -125,10 +132,10 @@ object TextAnalysis {
        |  FROM documents
        |)
        |SELECT *,
-       |  round(CAST(n_stopwords AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
-       |  round(CAST(n_punct AS DOUBLE) / len_chars, 4) AS punct_ratio,
-       |  round(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
-       |    * (1.0 - CAST(n_stopwords AS DOUBLE) / n_tokens), 4) AS quality
+       |  ${sqlBp("n_stopwords", "n_tokens")} AS stopword_bp,
+       |  ${sqlBp("n_punct", "len_chars")} AS punct_bp,
+       |  (least(n_tokens, 50) * (n_tokens - n_stopwords) * 10000)
+       |    // (n_tokens * 50) AS quality_bp
        |FROM base""".stripMargin
 
   // ---- #24 token counting ----------------------------------------------
@@ -165,7 +172,8 @@ object TextAnalysis {
     tf.join(df_, "term").crossJoin(broadcast(nDocs))
       .withColumn("score",
         round((col("tf").cast("double") / col("doc_len"))
-          * log((col("nd").cast("double") + 1.0) / (col("df").cast("double") + 1.0)), 4))
+          * log((col("nd").cast("double") + 1.0) / (col("df").cast("double") + 1.0)), 4)
+          .cast("decimal(14,4)"))
       .withColumn("rk", row_number().over(w)).where(col("rk") <= TfIdfTopN)
       .select(col("doc_id"), col("term"), col("score"), col("rk").cast("long").as("rk"))
   }
@@ -183,8 +191,9 @@ object TextAnalysis {
        |), nd AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
        |scored AS (
        |  SELECT tl.doc_id, tl.term,
-       |    round((CAST(tf AS DOUBLE) / doc_len)
-       |      * ln((CAST(nd AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)), 4) AS score
+       |    CAST(round((CAST(tf AS DOUBLE) / doc_len)
+       |      * ln((CAST(nd AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)), 4)
+       |      AS DECIMAL(14,4)) AS score
        |  FROM tl JOIN dfq USING (term) CROSS JOIN nd
        |), ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY doc_id
@@ -230,10 +239,13 @@ object TextAnalysis {
       .select(col("bigram"),
         round(log(col("n").cast("double") / col("n1")), 4)
           .cast("decimal(18,4)").as("lp"))
-    // sum_lp is emitted as the exact decimal sum, not a rounded average:
-    // round(sum/n, 4) straddles representability boundaries the two
-    // engines' round() break differently (seen at sf0.01: doc avg
-    // -3.35054999…97 → one engine -3.3505, the other -3.3506).
+    // sum_lp is emitted as the exact decimal sum, not a rounded average or
+    // a perplexity: round(sum/n, 4) straddles representability boundaries
+    // the two engines' round() break differently (seen at sf0.01: doc avg
+    // -3.35054999…97 → one engine -3.3505, the other -3.3506), and
+    // exp() on top imports libm variance (the r4 driver hash-FAIL).
+    // ppl = exp(-sum_lp/n_bigrams) is derivable by any consumer; the two
+    // exact columns carry all the information.
     // shuffle_hash on the model side: the planner must never broadcast
     // either side here — bg is corpus-sized however small its local
     // stats look (the cached-map-only-frame pitfall), and p is
@@ -242,8 +254,6 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("lp")).cast("decimal(38,4)").as("sum_lp"))
-      .select(col("doc_id"), col("n_bigrams"), col("sum_lp"),
-        round(exp(-col("sum_lp").cast("double") / col("n_bigrams")), 3).as("ppl"))
   }
   val lmPerplexitySql: String =
     """WITH toks AS (
@@ -266,8 +276,7 @@ object TextAnalysis {
       |  FROM c2 JOIN c1 ON split_part(c2.bigram, ' ', 1) = c1.w1
       |)
       |SELECT doc_id, count(*) AS n_bigrams,
-      |  CAST(sum(lp) AS DECIMAL(38,4)) AS sum_lp,
-      |  round(exp(-CAST(sum(lp) AS DOUBLE) / count(*)), 3) AS ppl
+      |  CAST(sum(lp) AS DECIMAL(38,4)) AS sum_lp
       |FROM bg JOIN p USING (bigram) GROUP BY 1""".stripMargin
 
   // ---- PII-style redaction ----------------------------------------------
@@ -403,13 +412,16 @@ object TextAnalysis {
         sum(col("x") * col("x")).cast("decimal(38,12)").as("sxx"))
     totals.crossJoin(fit).select(
       col("vocab_size"), col("total_tokens"),
-      round(col("top1_n").cast("double") / col("total_tokens"), 4).as("top1_frac"),
-      round(col("topn_sum").cast("double") / col("total_tokens"), 4).as("topn_frac"),
+      // §6: integer ratios as exact basis points; the slope (a genuinely
+      // transcendental value) is rounded then pinned to a decimal so the
+      // compare never hashes engine-formatted doubles
+      bp(col("top1_n"), col("total_tokens")).as("top1_bp"),
+      bp(col("topn_sum"), col("total_tokens")).as("topn_bp"),
       round((col("np").cast("double") * col("sxy").cast("double")
           - col("sx").cast("double") * col("sy").cast("double"))
         / (col("np").cast("double") * col("sxx").cast("double")
           - col("sx").cast("double") * col("sx").cast("double")), 4)
-        .as("zipf_slope"))
+        .cast("decimal(14,4)").as("zipf_slope"))
   }
   val zipfStatsSql: String =
     s"""WITH toks AS (
@@ -439,12 +451,13 @@ object TextAnalysis {
        |)
        |SELECT CAST(vocab_size AS BIGINT) AS vocab_size,
        |  CAST(total_tokens AS BIGINT) AS total_tokens,
-       |  round(CAST(top1_n AS DOUBLE) / total_tokens, 4) AS top1_frac,
-       |  round(CAST(topn_sum AS DOUBLE) / total_tokens, 4) AS topn_frac,
-       |  round((CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |  ${sqlBp("top1_n", "total_tokens")} AS top1_bp,
+       |  ${sqlBp("topn_sum", "total_tokens")} AS topn_bp,
+       |  CAST(round((CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)
        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
        |    / (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
-       |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4) AS zipf_slope
+       |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4) AS DECIMAL(14,4))
+       |    AS zipf_slope
        |FROM tot CROSS JOIN fit""".stripMargin
 
   // ---- token-repetition stats (Gopher-style repetition signal) ----------
@@ -465,10 +478,10 @@ object TextAnalysis {
       .select(col("doc_id"),
         col("s.n_tokens").as("n_tokens"),
         col("s.n_distinct").as("n_distinct"),
-        round(lit(1.0) - col("s.n_distinct").cast("double") / col("s.n_tokens"), 4)
-          .as("dup_frac"),
-        round(col("s.top_count").cast("double") / col("s.n_tokens"), 4)
-          .as("top_token_frac"))
+        // §6: 1 − d/n ≡ (n−d)/n — exact basis points
+        bp(col("s.n_tokens") - col("s.n_distinct"), col("s.n_tokens"))
+          .as("dup_bp"),
+        bp(col("s.top_count"), col("s.n_tokens")).as("top_token_bp"))
   val repetitionStatsSql: String =
     s"""WITH toks AS (
        |  SELECT d.doc_id, lower(t.w) AS tok
@@ -479,8 +492,8 @@ object TextAnalysis {
        |)
        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
        |  count(*) AS n_distinct,
-       |  round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4) AS dup_frac,
-       |  round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4) AS top_token_frac
+       |  ${sqlBp("sum(c) - count(*)", "sum(c)")} AS dup_bp,
+       |  ${sqlBp("max(c)", "sum(c)")} AS top_token_bp
        |FROM cnt GROUP BY 1""".stripMargin
 
   // ---- boilerplate n-gram detection (decontamination shape) -------------
@@ -547,11 +560,13 @@ object TextAnalysis {
     docs(spark, dir).groupBy("lang", "source")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"),
-        round(avg(col("n_chars")), 2).as("avg_chars"))
+        // §6: exact ×100 fixed point (mean chars to 2dp, floored)
+        org.apache.spark.sql.graft.ExactMath.intDiv(
+          sum(col("n_chars")) * lit(100L), count(lit(1))).as("avg_chars_e2"))
   val corpusMixSql: String =
     """SELECT lang, source, count(*) AS n_docs,
       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
-      |  round(avg(n_chars), 2) AS avg_chars
+      |  (CAST(sum(n_chars) AS BIGINT) * 100) // count(*) AS avg_chars_e2
       |FROM documents GROUP BY 1, 2""".stripMargin
 
   // ---- #25o document-length histogram (power-of-two buckets) ------------

@@ -18,7 +18,9 @@ import graft.functions.TextFns._
 object DocsStream {
 
   val MinTokens = 5
-  val MaxStopwordRatio = 0.7
+  /** 0.7 in exact basis points (§6 float policy — gates never read a
+    * round(DOUBLE) value). */
+  val MaxStopwordBp = 7000L
 
   /** Stateless quality gate: the streaming twin of
     * TextAnalysis.qualityScore's ratios, applied as an ingest filter. */
@@ -29,10 +31,9 @@ object DocsStream {
       t => t =!= "" && t.isin(Stopwords: _*))).cast("long")
     docs
       .withColumn("n_tokens", nTokens)
-      .withColumn("stopword_ratio",
-        round(nStop.cast("double") / greatest(nTokens, lit(1L)), 4))
+      .withColumn("stopword_bp", bp(nStop, greatest(nTokens, lit(1L))))
       .where(col("n_tokens") >= MinTokens
-        && col("stopword_ratio") <= MaxStopwordRatio)
+        && col("stopword_bp") <= MaxStopwordBp)
   }
 
   /** Streaming exact dedup on the content hash (Dedup.dedupExact's key):

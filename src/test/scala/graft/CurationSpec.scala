@@ -58,7 +58,7 @@ class CurationSpec extends SparkTestBase {
       .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
     val rows = Curation.sourceQualityReport(spark, d).collect()
       .map(r => r.getString(0) ->
-        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
     assert(rows("srcA")._1 == 2L && rows("srcB")._1 == 1L)
     assert(rows("srcA")._4 == 1L) // doc 1 is in the near-dup graph
     assert(rows("srcB")._4 == 1L) // doc 2 is its partner
@@ -73,11 +73,11 @@ class CurationSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r).toMap
     // signals match the standalone operators they fuse
     val q = TextAnalysis.qualityScore(spark, d).collect()
-      .map(r => r.getLong(0) -> r.getAs[Double]("quality")).toMap
+      .map(r => r.getLong(0) -> r.getAs[Long]("quality_bp")).toMap
     val lid = TextAnalysis.langId(spark, d).collect()
       .map(r => r.getLong(0) -> r.getAs[String]("pred_lang")).toMap
     Seq(1L, 2L).foreach { id =>
-      assert(feat(id).getAs[Double]("quality") == q(id))
+      assert(feat(id).getAs[Long]("quality_bp") == q(id))
       assert(feat(id).getAs[String]("pred_lang") == lid(id))
     }
     assert(feat(1L).getAs[String]("pred_lang") == "en")
@@ -110,11 +110,12 @@ class CurationSpec extends SparkTestBase {
       3L -> Seq.fill(50)("gamma").mkString(" "),
       4L -> "tiny"))
     val rows = Curation.qualityPercentileGate(spark, d).collect()
-      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
-    // p25 of (1.0, 1.0, 1.0, 0.02) = 0.265 → doc 4 is cut, 1-3 kept
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDecimal(2).doubleValue))).toMap
+    // p25 of (10000, 10000, 10000, 200) bp = 2650 → doc 4 is cut, 1-3 kept
     assert(rows.keySet == Set(1L, 2L, 3L))
     assert(rows.values.forall { case (q, t) => q >= t })
-    assert(rows(1L)._1 == 1.0)
+    assert(rows(1L)._1 == 10000L)
   }
 
   test("gopher filters: token/length/alpha/stopword gates compose into keep") {
@@ -124,14 +125,14 @@ class CurationSpec extends SparkTestBase {
     val d = writeDocsFixture(Seq(1L -> good, 2L -> short, 3L -> numeric))
     val rows = Curation.gopherFilters(spark, d).collect()
       .map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4), r.getLong(5))))
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
       .toMap
     val (n1, ml1, af1, sh1, keep1) = rows(1L)
-    assert(n1 == 60L && ml1 > 3.0 && ml1 < 10.0 && af1 == 1.0 && sh1 == 2L
-      && keep1 == 1L)
+    assert(n1 == 60L && ml1 > 30000L && ml1 < 100000L && af1 == 10000L
+      && sh1 == 2L && keep1 == 1L)
     assert(rows(2L)._5 == 0L) // below the token floor
     val (_, _, af3, _, keep3) = rows(3L)
-    assert(af3 == 0.0 && keep3 == 0L) // no alphabetic tokens
+    assert(af3 == 0L && keep3 == 0L) // no alphabetic tokens
   }
 
   test("dup-ngram fraction counts corpus-duplicated 5-grams per doc") {
@@ -159,7 +160,8 @@ class CurationSpec extends SparkTestBase {
 
   test("char_stats query returns per-doc stats with plausible entropy") {
     val rows = Curation.charStats(spark, dir).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDecimal(3).doubleValue))).toMap
     val (n, d, e) = rows(4L) // "totally different short text"
     assert(n == 28L && d > 10L && e > 3.0 && e < 5.0)
     assert(rows.keySet == Set(1L, 2L, 3L, 4L))

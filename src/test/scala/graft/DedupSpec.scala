@@ -45,22 +45,22 @@ class DedupSpec extends SparkTestBase {
 
   test("minhash sim_hat is 1.0 for identical docs") {
     val sim = Dedup.dedupMinhash(spark, dir).collect()
-      .find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get.getDouble(2)
-    assert(sim == 1.0)
+      .find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get.getLong(2)
+    assert(sim == 10000L) // exact basis points
   }
 
   test("ngram jaccard verifies candidates exactly") {
     val rows = Dedup.dedupNgramJaccard(spark, dir).collect()
-      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
-    assert(rows((1L, 2L)) == 1.0) // identical → jaccard exactly 1
-    assert(rows((1L, 3L)) > 0.5 && rows((1L, 3L)) < 1.0)
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(rows((1L, 2L)) == 10000L) // identical → jaccard exactly 1
+    assert(rows((1L, 3L)) > 5000L && rows((1L, 3L)) < 10000L)
   }
 
   test("containment is 1.0 for identical docs and catches embedded text") {
     val rows = Dedup.minhashContainment(spark, dir).collect()
-      .map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getDouble(3))))
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
       .toMap
-    assert(rows((1L, 2L)) == ((1.0, 1.0))) // identical: both directions full
+    assert(rows((1L, 2L)) == ((10000L, 10000L))) // identical: both directions full
     // doc-inside-doc: a doc whose text is a strict prefix of a larger one
     // has containment 1.0 into the host while Jaccard sits below 1
     val cdir = writeDocsFixture(Seq(
@@ -68,11 +68,11 @@ class DedupSpec extends SparkTestBase {
       2L -> (base + " and then the evening settles over the quiet garden")))
     val c = Dedup.minhashContainment(spark, cdir).collect()
       .find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get
-    assert(c.getDouble(2) == 1.0) // all of doc 1's shingles are in doc 2
-    assert(c.getDouble(3) < 1.0)  // doc 2 has extra shingles
+    assert(c.getLong(2) == 10000L) // all of doc 1's shingles are in doc 2
+    assert(c.getLong(3) < 10000L)  // doc 2 has extra shingles
     val j = Dedup.dedupNgramJaccard(spark, cdir).collect()
-      .find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get.getDouble(2)
-    assert(j < 1.0) // symmetric jaccard dilutes what containment catches
+      .find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get.getLong(2)
+    assert(j < 10000L) // symmetric jaccard dilutes what containment catches
   }
 
   test("dedup report groups near-dup pairs by unordered source pair") {
@@ -92,9 +92,9 @@ class DedupSpec extends SparkTestBase {
 
   test("incremental dedup pairs new (odd) docs only against existing (even)") {
     val rows = Dedup.dedupIncremental(spark, dir).collect()
-      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
     // new docs are 1 and 3; existing are 2 and 4
-    assert(rows((1L, 2L)) == 1.0)  // doc 1 is an exact dup of existing doc 2
+    assert(rows((1L, 2L)) == 10000L) // doc 1 is an exact dup of existing doc 2
     assert(rows.contains((3L, 2L))) // near-dup of existing doc 2
     assert(rows.keySet.forall { case (n, o) => n % 2 == 1 && o % 2 == 0 })
   }
@@ -116,11 +116,12 @@ class DedupSpec extends SparkTestBase {
         "CAST(length(text) AS BIGINT) AS n_chars")
       .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
     val rows = Dedup.semanticLexicalAgreement(spark, d).collect()
-      .map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getDouble(3))))
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDecimal(2).doubleValue, r.getLong(3))))
       .toMap
     assert(rows.contains((0L, 1L)))
     val (cos, jac) = rows((0L, 1L))
-    assert(cos == 1.0 && jac == 1.0) // same direction AND same text
+    assert(cos == 1.0 && jac == 10000L) // same direction AND same text
     assert(!rows.keySet.exists(p => p._1 == 2L || p._2 == 2L))
   }
 

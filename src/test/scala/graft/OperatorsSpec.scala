@@ -23,7 +23,7 @@ class OperatorsSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_tokens") == 8)
     assert(r.getAs[Long]("n_stopwords") == 3) // the, and, the
     assert(r.getAs[Long]("n_punct") == 1)
-    assert(r.getAs[Double]("stopword_ratio") == 0.375)
+    assert(r.getAs[Long]("stopword_bp") == 3750L) // 3/8 in basis points
   }
 
   test("lang_id predicts en for English stopword-heavy text") {
@@ -202,6 +202,6 @@ class OperatorsSpec extends SparkTestBase {
     val r = Relational.funnelConversion(spark, d).collect().head
     assert(r.getLong(0) == 4L && r.getLong(1) == 3L) // users, viewers
     assert(r.getLong(2) == 2L && r.getLong(3) == 1L) // purchasers, converted
-    assert(r.getDouble(4) == math.rint(1.0 / 3.0 * 1e4) / 1e4)
+    assert(r.getLong(4) == 10000L / 3L) // 1/3 in exact floor basis points
   }
 }

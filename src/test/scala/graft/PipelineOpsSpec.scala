@@ -17,12 +17,12 @@ class PipelineOpsSpec extends SparkTestBase {
   test("repetition_stats flags the repetitious doc, not the distinct one") {
     val rows = TextAnalysis.repetitionStats(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
-        r.getDouble(3), r.getDouble(4))).toMap
+        r.getLong(3), r.getLong(4))).toMap
     val (n1, d1, dup1, top1) = rows(1L)
-    assert(n1 == 7 && d1 == 2)          // 7 tokens, {spam, eggs}
-    assert(dup1 > 0.7 && top1 == 0.8571) // spam = 6/7
+    assert(n1 == 7 && d1 == 2)                 // 7 tokens, {spam, eggs}
+    assert(dup1 > 7000L && top1 == 8571L)      // spam = 6/7, exact floor bp
     val (_, _, dup2, top2) = rows(2L)
-    assert(dup2 == 0.0 && top2 == 0.125) // all distinct, 1/8 each
+    assert(dup2 == 0L && top2 == 1250L)        // all distinct, 1/8 each
   }
 
   test("boilerplate_ngrams flags docs sharing the corpus's top 5-grams") {
@@ -41,16 +41,18 @@ class PipelineOpsSpec extends SparkTestBase {
       1L -> "a b a b", 2L -> "c d", 3L -> "a c"))
     val rows = TextAnalysis.lmPerplexity(spark, pdir).collect()
       .map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getDecimal(2).doubleValue(), r.getDouble(3))))
+        ((r.getLong(1), r.getDecimal(2).doubleValue())))
       .toMap
-    // doc 2's only bigram has P=1 → sum_lp 0, ppl 1 (maximally "typical")
-    assert(rows(2L) == ((1L, 0.0, 1.0)))
+    // doc 2's only bigram has P=1 → sum_lp 0 (maximally "typical")
+    assert(rows(2L) == ((1L, 0.0)))
     // doc 1: ln(2/3), ln(1), ln(2/3) with per-bigram 4-decimal rounding
     val lp23 = BigDecimal(math.log(2.0 / 3.0))
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(rows(1L)._1 == 3L && math.abs(rows(1L)._2 - 2 * lp23) < 1e-9)
-    // doc 3's single bigram is rarest given its context → highest ppl
-    assert(rows(3L)._3 > rows(1L)._3 && rows(1L)._3 > rows(2L)._3)
+    // doc 3's single bigram is rarest given its context → lowest mean
+    // log-prob (≡ highest ppl = exp(-sum_lp/n), derivable by the consumer)
+    def meanLp(id: Long) = rows(id)._2 / rows(id)._1
+    assert(meanLp(3L) < meanLp(1L) && meanLp(1L) < meanLp(2L))
   }
 
   test("length_histogram buckets by binary magnitude with exact integers") {
@@ -73,8 +75,8 @@ class PipelineOpsSpec extends SparkTestBase {
     val d = writeDocsFixture(Seq(1L -> "a a a a b b c"))
     val r = TextAnalysis.zipfStats(spark, d).collect().head
     assert(r.getLong(0) == 3L && r.getLong(1) == 7L) // vocab, total
-    assert(r.getDouble(2) == math.rint(4.0 / 7.0 * 1e4) / 1e4) // top1_frac
-    assert(r.getDouble(3) == 1.0) // ≤ ZipfTopN distinct tokens → full mass
+    assert(r.getLong(2) == 4L * 10000 / 7) // top1_bp, exact floor
+    assert(r.getLong(3) == 10000L) // ≤ ZipfTopN distinct tokens → full mass
     // least squares over (ln rk, ln n) for counts 4, 2, 1 — same rounding
     val x = Seq(1, 2, 3).map(k => math.rint(math.log(k) * 1e6) / 1e6)
     val y = Seq(4, 2, 1).map(n => math.rint(math.log(n) * 1e6) / 1e6)
@@ -82,7 +84,7 @@ class PipelineOpsSpec extends SparkTestBase {
     val sxy = x.zip(y).map { case (a, b) => a * b }.sum
     val sxx = x.map(a => a * a).sum
     val slope = (3 * sxy - sx * sy) / (3 * sxx - sx * sx)
-    assert(math.abs(r.getDouble(4) - slope) < 1e-3)
+    assert(math.abs(r.getDecimal(4).doubleValue - slope) < 1e-3)
   }
 
   test("corpus_mix reports per-(lang, source) composition") {
@@ -110,6 +112,6 @@ class PipelineOpsSpec extends SparkTestBase {
     val purity = Similarity.clusterPurity(spark, embDir).collect()
     assert(purity.nonEmpty)
     // every cell must be label-pure: members of one cell share one label
-    assert(purity.forall(r => r.getDouble(3) == 1.0))
+    assert(purity.forall(r => r.getLong(3) == 10000L))
   }
 }

@@ -49,4 +49,32 @@ class PlanLintSpec extends SparkTestBase {
     assert(offenders.isEmpty,
       s"scale-fatal plan shapes:\n${offenders.mkString("\n")}")
   }
+
+  test("no query emits an output column produced by round() as DOUBLE (§6)") {
+    // The r4 driver oracle rounded boundary quotients differently than
+    // Spark: a rounded double is neither hash-stable across engines nor
+    // safe to threshold on. Exact integer ratios must be basis points;
+    // transcendental values must be rounded THEN cast to a pinned DECIMAL.
+    // This lint walks every query's analyzed plan and fails if any FINAL
+    // output attribute of DoubleType is defined by an expression
+    // containing Round (a Round under a Cast-to-decimal alias is fine —
+    // the alias dataType is DecimalType).
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Round}
+    import org.apache.spark.sql.types.DoubleType
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val analyzed = fn(spark, sf).queryExecution.analyzed
+        val outIds = analyzed.output.map(_.exprId).toSet
+        analyzed.collect { case node =>
+          node.expressions.flatMap(_.collect {
+            case a: Alias
+                if outIds.contains(a.exprId) && a.dataType == DoubleType &&
+                  a.child.exists(_.isInstanceOf[Round]) =>
+              s"$name: ${a.name} is round(...) emitted as DOUBLE"
+          })
+        }.flatten
+    }
+    assert(offenders.isEmpty,
+      s"§6 float-policy violations:\n${offenders.distinct.mkString("\n")}")
+  }
 }

@@ -77,12 +77,12 @@ class PropertiesSpec extends SparkTestBase {
     val rows = graft.operators.TextAnalysis.repetitionStats(spark, dir).collect()
     assert(rows.length == docs.length)
     rows.foreach { r =>
-      val (n, d, dup, top) = (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      val (n, d, dup, top) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
       assert(d >= 1 && d <= n)
-      assert(dup >= 0.0 && dup < 1.0, s"dup_frac out of range: $dup")
-      assert(top >= 1.0 / d / 1.0001 && top <= 1.0, s"top_token_frac: $top")
-      // dup_frac and n_distinct must agree: dup = 1 - d/n (rounded)
-      assert(math.abs(dup - (1.0 - d.toDouble / n)) < 1e-3)
+      assert(dup >= 0L && dup < 10000L, s"dup_bp out of range: $dup")
+      assert(top >= 10000L / d - 1 && top <= 10000L, s"top_token_bp: $top")
+      // dup_bp and n_distinct must agree exactly: dup = floor((n-d)·10⁴/n)
+      assert(dup == (n - d) * 10000L / n)
     }
   }
 
@@ -178,7 +178,9 @@ class PropertiesSpec extends SparkTestBase {
       (ia, va, _) <- vecs; (ib, vb, _) <- vecs if ia < ib
       if (0 until Similarity.NumTables).exists(t =>
         java.lang.Long.bitCount(bucket(va, t) ^ bucket(vb, t)) <= 1)
-      if BigDecimal(cos(va, vb)).setScale(4, BigDecimal.RoundingMode.HALF_UP) >= Dedup.CosineThreshold
+      // §6: the operator thresholds on the RAW cosine (bit-identical IEEE
+      // math), not the rounded one
+      if cos(va, vb) >= Dedup.CosineThreshold
     } yield (ia, ib)).toSet
     assert(got == expect)
   }
@@ -204,10 +206,9 @@ class PropertiesSpec extends SparkTestBase {
     assert(rows.nonEmpty) // shared vocabulary must produce candidates
     rows.foreach { r =>
       val (a, b) = (shingles(byId(r.getLong(0))), shingles(byId(r.getLong(1))))
-      val inter = (a intersect b).size.toDouble
-      def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-      assert(r.getDouble(2) == r4(inter / a.size))
-      assert(r.getDouble(3) == r4(inter / b.size))
+      val inter = (a intersect b).size.toLong
+      assert(r.getLong(2) == inter * 10000L / a.size)
+      assert(r.getLong(3) == inter * 10000L / b.size)
     }
   }
 
@@ -280,7 +281,8 @@ class PropertiesSpec extends SparkTestBase {
       (q.map(math.abs).sum, q.sum)
     }
     val got = graft.operators.Similarity.embeddingQuantize(spark, d).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getDecimal(4).doubleValue))).toMap
     vecs.foreach { case (id, v, _) =>
       val (l1, sm) = model(v)
       assert(got(id)._1 == l1 && got(id)._2 == sm, s"vec $id")
