@@ -59,7 +59,10 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.values.map(_._1).filter(_ >= 0).sum
     val firstTotal = results.values.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(_._1)},"first_total":$firstTotal,"queries_first":${jsonMap(_._2)},"errors":$errors,"sf":"$sfDir"}""")
+    // every headline scalar FIRST, the two long per-query maps LAST: the
+    // driver's capture truncated BENCH_r04's tail, losing 16 timings AND
+    // the totals — a clipped line now still carries every summary field
+    println(s"""{"metric":"total","value":$total,"unit":"sec","first_total":$firstTotal,"n_queries":${results.size},"errors":$errors,"sf":"$sfDir","queries":${jsonMap(_._1)},"queries_first":${jsonMap(_._2)}}""")
     spark.stop()
   }
 }

@@ -120,13 +120,36 @@ object Curation {
     * Plan shape at 100 TB: quality and language are row-local expressions
     * on ONE corpus scan (no joins between per-doc signal frames); the
     * dedup drop-list and the contamination list are bounded by the pair
-    * graph / benchmark size respectively and anti-join as broadcasts. */
+    * graph / benchmark size respectively and anti-join as broadcasts —
+    * but each broadcast is GUARDED (ADVICE r4): "benchmark-bounded" is an
+    * assumption about the input, so the list is cheaply probed (LIMIT
+    * cap+1 count, early-exit scan of an already-materialized frame) and a
+    * list that outgrows the cap anti-joins through a shuffle instead of
+    * shipping an unbounded frame to every executor. */
   /** Quality gate in exact basis points (= 0.5; §6 float policy — the
     * threshold must never read a round(DOUBLE) value). */
   val CuratedQualityMinBp = 5000L
 
-  def curatedCorpus(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
+  /** Max rows a drop/contamination list may have and still broadcast.
+    * Overridable per session via spark.graft.broadcastDocCap (the fallback
+    * spec exercises the shuffle path with a cap of 0). */
+  val BroadcastDocCap = 5000000L
+
+  private def broadcastDocCap(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.broadcastDocCap")
+      .map(_.toLong).getOrElse(BroadcastDocCap)
+
+  /** Left-anti join that broadcasts only a provably small right side. */
+  private[operators] def antiJoinBounded(left: DataFrame, right: DataFrame,
+      cap: Long): DataFrame =
+    if (right.limit(math.min(cap + 1, Int.MaxValue.toLong).toInt).count() <= cap)
+      left.join(broadcast(right), Seq("doc_id"), "left_anti")
+    else
+      left.join(right.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+
+  def curatedCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val cap = broadcastDocCap(spark)
+    val kept = docs(spark, dir)
       .where(col("doc_id") >= ContamProbeDocs)
       // tokenize ONCE per row; quality and all five language profiles
       // score the shared array
@@ -137,10 +160,11 @@ object Curation {
         TextAnalysis.langHitCols: _*)
       .withColumn("pred_lang", TextAnalysis.predLangFromHits)
       .where(col("quality_bp") >= CuratedQualityMinBp && col("pred_lang") === "en")
-      .join(broadcast(Dedup.droppedDocs(spark, dir)), Seq("doc_id"), "left_anti")
-      .join(broadcast(decontaminate(spark, dir).select("doc_id")),
-        Seq("doc_id"), "left_anti")
+    antiJoinBounded(
+      antiJoinBounded(kept, Dedup.droppedDocs(spark, dir), cap),
+      decontaminate(spark, dir).select("doc_id"), cap)
       .select("doc_id", "lang", "source", "n_chars", "quality_bp")
+  }
   lazy val curatedCorpusSql: String =
     s"""WITH scored AS (
        |  SELECT doc_id, lang, source, n_chars,

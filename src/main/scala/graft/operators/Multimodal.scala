@@ -134,16 +134,27 @@ object Multimodal {
     val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     def walk(start: Int, end: Int): Unit = {
       var off = start
-      while (off + 8 <= end) {
+      var ok = true
+      while (ok && off + 8 <= end) {
         val id = fourcc(off)
-        val size = u32(off + 4).toInt
-        val dataStart = off + 8
-        val dataEnd = math.min(dataStart.toLong + size, end.toLong).toInt
-        if (id == "LIST" && dataEnd >= dataStart + 4)
-          walk(dataStart + 4, dataEnd) // skip the list-type fourcc
-        else if (id.matches("\\d\\d(dc|db)"))
-          out += java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
-        off = dataStart + size + (size & 1) // chunks are word-aligned
+        // size stays a Long: a crafted u32 ≥ 2^31 narrowed to Int would go
+        // negative, making the offset fail to advance (executor-hanging
+        // infinite loop) or dataEnd < dataStart (copyOfRange throws).
+        // Such sizes can never be honest in a byte[]-bounded blob, so the
+        // walk stops at the malformed chunk instead (ADVICE r4).
+        val size = u32(off + 4)
+        if (size >= Int.MaxValue.toLong) ok = false
+        else {
+          val dataStart = off + 8
+          val dataEnd = math.min(dataStart.toLong + size, end.toLong).toInt
+          if (id == "LIST" && dataEnd >= dataStart + 4)
+            walk(dataStart + 4, dataEnd) // skip the list-type fourcc
+          else if (id.matches("\\d\\d(dc|db)"))
+            out += java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
+          val next = dataStart.toLong + size + (size & 1L) // word-aligned
+          if (next <= off) ok = false // must strictly advance
+          else off = math.min(next, end.toLong + 8).toInt
+        }
       }
     }
     if (bytes.length >= 12 && fourcc(0) == "RIFF" && fourcc(8) == "AVI ")

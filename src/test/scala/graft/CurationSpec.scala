@@ -167,6 +167,28 @@ class CurationSpec extends SparkTestBase {
     assert(rows.keySet == Set(1L, 2L, 3L, 4L))
   }
 
+  test("curated corpus falls back to shuffle anti-joins above the broadcast cap") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val d = writeDocsFixture(Seq(
+      1L -> "p1", 2L -> "p2", 3L -> "p3",
+      10L -> ((1 to 60).map(i => s"the word$i is here").mkString(" "))))
+    val viaBroadcast = Curation.curatedCorpus(spark, d).collect()
+      .map(_.getLong(0)).toSet
+    // cap -1: even an empty list is "over the cap", forcing both anti-joins
+    // onto the shuffle path
+    spark.conf.set("spark.graft.broadcastDocCap", "-1")
+    try {
+      val df = Curation.curatedCorpus(spark, d)
+      val leftAntiBroadcasts = df.queryExecution.sparkPlan.collect {
+        case j: BroadcastHashJoinExec
+            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+      }
+      assert(leftAntiBroadcasts.isEmpty, "anti-join must take the shuffle path")
+      // same survivors either way
+      assert(df.collect().map(_.getLong(0)).toSet == viaBroadcast)
+    } finally spark.conf.unset("spark.graft.broadcastDocCap")
+  }
+
   test("curated corpus composes quality, lang, dedup and contamination gates") {
     // fixture docs: 1,2 are probe docs (doc_id < 3) → excluded up front;
     // doc 3 is contaminated (shares grams with probes); doc 4 is clean but

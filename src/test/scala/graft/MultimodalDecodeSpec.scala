@@ -126,4 +126,25 @@ class MultimodalDecodeSpec extends SparkTestBase {
     val chunks = Multimodal.aviVideoChunks(truncated)
     assert(chunks.length == 1 && chunks.head.sameElements(good))
   }
+
+  test("aviVideoChunks survives crafted u32 sizes >= 2^31 (no hang, no throw)") {
+    // ADVICE r4: a chunk size with the high bit set narrowed to Int becomes
+    // negative — the offset could fail to advance (infinite loop on the
+    // executor) or produce dataEnd < dataStart (copyOfRange throws). The
+    // walk must stop on the malformed chunk and keep what it parsed before.
+    val good = jpegBytes(4, 4, 0xffffff)
+    def u32(v: Long): Array[Byte] = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    val goodChunk = "00dc".getBytes("US-ASCII") ++ u32(good.length) ++ good ++
+      (if (good.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    // size = 0xFFFFFFF8 → -8 as Int: old code looped forever at this offset
+    val evil = "00db".getBytes("US-ASCII") ++ u32(0xFFFFFFF8L) ++
+      Array[Byte](9, 9, 9, 9)
+    val movi = "movi".getBytes("US-ASCII") ++ goodChunk ++ evil
+    val list = "LIST".getBytes("US-ASCII") ++ u32(movi.length) ++ movi
+    val body = "AVI ".getBytes("US-ASCII") ++ list
+    val avi = "RIFF".getBytes("US-ASCII") ++ u32(body.length) ++ body
+    val chunks = Multimodal.aviVideoChunks(avi)
+    assert(chunks.length == 1 && chunks.head.sameElements(good))
+  }
 }
