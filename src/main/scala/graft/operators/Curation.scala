@@ -584,6 +584,96 @@ object Curation {
        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
        |WHERE d.n_chars >= $SpanK""".stripMargin
 
+  // ---- #25v-b EXACT exact-substring duplication spans --------------------
+  /** The Lee et al. EXACTSUBSTR signal with the approximation removed
+    * (VERDICT r4 stretch #8): `dup_span_stats` calls a position duplicated
+    * when its SpanK-char rolling HASH repeats corpus-wide, accepting hash
+    * collisions as false positives. This operator verifies every candidate
+    * against the actual characters, so a position is duplicated iff its
+    * SpanK-char SUBSTRING occurs ≥ 2 times in the corpus — exactly the
+    * suffix-array definition restricted to the ≥ SpanK threshold (a char
+    * lies in a duplicated span of length ≥ SpanK iff some duplicated
+    * SpanK-window covers it; runs of window starts recover span extents,
+    * identical to the suffix-array dup-char count).
+    *
+    * Scale shape — why this beats shipping substrings for every position:
+    *  1. hash pass (8-byte keys) counts ALL positions — same cost as the
+    *     approximate operator;
+    *  2. only positions whose hash repeats (true duplicates + rare
+    *     collisions, i.e. the duplicated fraction of the corpus — single-
+    *     digit percent in web corpora) rejoin the text and shuffle their
+    *     20-char window for exact recount. A true duplicate always shares
+    *     its hash, so the prefilter can never drop one: the result is
+    *     exact, and the expensive byte shuffle is proportional to the
+    *     duplicated text, not the corpus. A distributed suffix array would
+    *     sort the full corpus bytes — strictly more traffic for this
+    *     fixed-threshold query. */
+  def dupSpanExact(spark: SparkSession, dir: String): DataFrame = {
+    val pos = docs(spark, dir)
+      .where(length(col("text")) >= SpanK)
+      .select(col("doc_id"),
+        posexplode(org.apache.spark.sql.graft.ShinglePolyHash(
+          col("text"), SpanK, Dedup.ShingleB, Dedup.P)).as(Seq("pos0", "h")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
+    val candHashes = pos.groupBy("h").agg(count(lit(1)).as("nh"))
+      .where(col("nh") > 1).select("h")
+    // candidates (hash-duplicated positions) pull their real window chars
+    val cand = pos.join(candHashes.hint("shuffle_hash"), "h")
+      .join(docs(spark, dir).select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("pos"),
+        expr(s"substring(text, pos, $SpanK)").as("s"))
+    val sCounts = cand.groupBy("s").agg(count(lit(1)).as("ns"))
+    val dup = cand.join(sCounts.hint("shuffle_hash"), "s").where(col("ns") > 1)
+      .select("doc_id", "pos")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val runs = dup
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "grp").agg(count(lit(1)).as("run"))
+      .groupBy("doc_id")
+      .agg(max(col("run")).as("max_run"), sum(col("run")).as("n_dup_positions"))
+    docs(spark, dir)
+      .where(col("n_chars") >= SpanK)
+      .select(col("doc_id"),
+        (col("n_chars") - SpanK + 1).cast("long").as("n_positions"))
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_positions"),
+        coalesce(col("n_dup_positions"), lit(0L)).as("n_dup_positions"),
+        when(col("max_run").isNull, 0L)
+          .otherwise(col("max_run") + (SpanK - 1)).cast("long")
+          .as("longest_dup_span"))
+  }
+  /** Oracle counts the actual substrings directly (no hash prefilter —
+    * DuckDB's corpus fits; the RESULT is definitionally identical). */
+  val dupSpanExactSql: String =
+    s"""WITH posx AS (
+       |  SELECT d.doc_id, g.pos,
+       |    substr(d.text, CAST(g.pos AS INTEGER), $SpanK) AS s
+       |  FROM documents d,
+       |    unnest(range(1, length(d.text) - ${SpanK - 1} + 1)) AS g(pos)
+       |  WHERE length(d.text) >= $SpanK
+       |), cnt AS (
+       |  SELECT s, count(*) AS n FROM posx GROUP BY 1
+       |), dup AS (
+       |  SELECT doc_id, pos FROM posx JOIN cnt USING (s) WHERE n > 1
+       |), runs AS (
+       |  SELECT doc_id,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM dup
+       |), rstat AS (
+       |  SELECT doc_id, count(*) AS run FROM runs GROUP BY doc_id, grp
+       |), agg AS (
+       |  SELECT doc_id, max(run) AS max_run, sum(run) AS n_dup FROM rstat
+       |  GROUP BY 1
+       |)
+       |SELECT d.doc_id,
+       |  CAST(d.n_chars - $SpanK + 1 AS BIGINT) AS n_positions,
+       |  CAST(coalesce(a.n_dup, 0) AS BIGINT) AS n_dup_positions,
+       |  CAST(CASE WHEN a.max_run IS NULL THEN 0
+       |    ELSE a.max_run + ${SpanK - 1} END AS BIGINT) AS longest_dup_span
+       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+       |WHERE d.n_chars >= $SpanK""".stripMargin
+
   // ---- #25u learned-threshold quality gate -------------------------------
   /** The adaptive sibling of the fixed-rule gates: learn the corpus's own
     * quality distribution and keep documents at or above its QualityPct-th

@@ -102,6 +102,28 @@ class CurationSpec extends SparkTestBase {
     assert(rows(1L)._2 == (shared.length - Curation.SpanK + 1).toLong)
   }
 
+  test("exact dup spans verify candidates by substring, matching the spans") {
+    val shared = "this exact sentence appears verbatim in two documents"
+    val d = writeDocsFixture(Seq(
+      1L -> (shared + " plus unique suffix alpha beta gamma delta epsilon"),
+      2L -> ("totally different prefix material here and then " + shared),
+      3L -> "no duplicated content in this one at all whatsoever truly"))
+    val rows = Curation.dupSpanExact(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // same exact-span recovery as the hash operator on collision-free input
+    assert(rows(1L)._3 == shared.length.toLong)
+    assert(rows(2L)._3 == shared.length.toLong)
+    assert(rows(3L) == ((rows(3L)._1, 0L, 0L)))
+    assert(rows(1L)._2 == (shared.length - Curation.SpanK + 1).toLong)
+    // and row-for-row agreement with the approximate operator here (the
+    // two differ ONLY on a 60-bit hash collision)
+    val approx = Curation.dupSpanStats(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(rows == approx)
+  }
+
   test("percentile gate keeps docs at or above the learned threshold") {
     // qualities: long stopword-free docs score 1.0; a tiny doc scores low
     val d = writeDocsFixture(Seq(
