@@ -617,8 +617,13 @@ object Curation {
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
     val candHashes = pos.groupBy("h").agg(count(lit(1)).as("nh"))
       .where(col("nh") > 1).select("h")
-    // candidates (hash-duplicated positions) pull their real window chars
+    // candidates (hash-duplicated positions) pull their real window chars.
+    // shuffle_hash pins on BOTH joins: at a small SF the planner would
+    // broadcast the candidate-position frame into the text join (its stats
+    // look tiny), but candidates are the duplicated fraction of the corpus
+    // — corpus-scale at 100 TB and never broadcastable.
     val cand = pos.join(candHashes.hint("shuffle_hash"), "h")
+      .hint("shuffle_hash")
       .join(docs(spark, dir).select(col("doc_id"), col("text")), Seq("doc_id"))
       .select(col("doc_id"), col("pos"),
         expr(s"substring(text, pos, $SpanK)").as("s"))

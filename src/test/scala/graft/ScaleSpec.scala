@@ -139,6 +139,17 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("dup_span_exact never broadcasts its corpus-derived frames") {
+    // the candidate-position frame is the duplicated fraction of the
+    // corpus — tiny at test SF (so the planner WOULD broadcast it into the
+    // text join) but corpus-scale at 100 TB; every join is pinned to the
+    // shuffle path
+    val plan = planOf("dup_span_exact")
+    assert(!plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastExchange"),
+      s"dup_span_exact broadcast a corpus-derived frame:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"), plan)
+  }
+
   test("brand revenue broadcasts every dimension — no fact-side shuffle join") {
     val plan = planOf("brand_revenue")
     assert(plan.contains("BroadcastHashJoin"), plan)
