@@ -92,16 +92,24 @@ object Curation {
   val ContamK = 3
   val ContamProbeDocs = 3
 
-  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val grams = TextAnalysis.docGrams(spark, dir, ContamK)
-    val probes = grams.where(col("doc_id") < ContamProbeDocs)
-      .select("gram").distinct()
-    grams.where(col("doc_id") >= ContamProbeDocs)
-      .join(broadcast(probes), "gram")
-      .groupBy("doc_id")
-      .agg(countDistinct(col("gram")).as("n_contam_grams"),
-        count(lit(1)).as("n_gram_hits"))
-  }
+  private val contamCache = Materialized.register(
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
+
+  /** Materialized per (session, corpus): curatedCorpus reads it twice per
+    * evaluation (the broadcast-cap probe count + the anti-join), and the
+    * standalone query shares the same frame. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame =
+    Materialized.cached(contamCache, spark, dir) {
+      val grams = TextAnalysis.docGrams(spark, dir, ContamK)
+      val probes = grams.where(col("doc_id") < ContamProbeDocs)
+        .select("gram").distinct()
+      grams.where(col("doc_id") >= ContamProbeDocs)
+        .join(broadcast(probes), "gram")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("gram")).as("n_contam_grams"),
+          count(lit(1)).as("n_gram_hits"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
   val decontaminateSql: String =
     s"""${TextAnalysis.sqlGramsCte(ContamK)}, probes AS (
        |  SELECT DISTINCT gram FROM grams WHERE doc_id < $ContamProbeDocs
