@@ -93,6 +93,15 @@ class ScaleSpec extends SparkTestBase {
     // survivors: with no near-dup pairs, everyone survives (exact dedup is
     // a separate, unblocked operator)
     assert(graft.operators.Dedup.dedupSurvivors(spark, hot).count() == 200L)
+    // dup_span_exact's worst case is exactly this corpus: EVERY position is
+    // hash-duplicated, so the whole corpus reships its windows for the
+    // substring recount — it must still complete and call every position
+    // duplicated (each doc is one fully-duplicated span)
+    val spans = graft.operators.Curation.dupSpanExact(spark, hot).collect()
+    assert(spans.length == 200)
+    assert(spans.forall(r => r.getLong(2) == r.getLong(1))) // all positions dup
+    val spanLen = "the very same sentence repeated in every single document".length
+    assert(spans.forall(_.getLong(3) == spanLen.toLong))
   }
 
   test("jaccard and containment are projections of the shared overlap frame") {
