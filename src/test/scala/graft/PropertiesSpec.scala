@@ -57,6 +57,22 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("property: bp is exact floor(num·10⁴/den), matching BigInt math") {
+    // the §6 float-policy foundation: basis points must be pure integer
+    // arithmetic with zero rounding surface, including near Long-scale
+    // numerators where a double-division detour would be off by ulps
+    val gen = for {
+      n <- Gen.chooseNum(0L, 1L << 44)
+      d <- Gen.chooseNum(1L, 1L << 44)
+    } yield (n, d)
+    val cases = draw(gen, 300)
+    val got = cases.toDF("n", "d")
+      .select(bp(col("n"), col("d")).as("bp")).as[Long].collect()
+    cases.zip(got).foreach { case ((n, d), g) =>
+      assert(g == (BigInt(n) * 10000 / BigInt(d)).toLong, s"n=$n d=$d")
+    }
+  }
+
   test("property: md5Long is within [0, 2^60) and deterministic") {
     val ws = draw(word, 200)
     val a = ws.toDF("w").select(md5Long(col("w")).as("h")).as[Long].collect()
