@@ -24,6 +24,19 @@ object EventsStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Sliding (hopping) 1-hour windows every 15 minutes per event_type —
+    * the streaming twin of `Relational.eventsSlidingAgg` (each event lands
+    * in width/slide = 4 open windows; state bounded by watermark horizon ×
+    * 4 × |event_type|). Batch≡stream equality is replay-spec-asserted on
+    * the real events parquet. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
   /** Streaming exact dedup (the LLM-pipeline dedup op on an unbounded
     * source): state bounded by the watermark horizon, keyed by event_id. */
   def dedupEvents(events: DataFrame): DataFrame =

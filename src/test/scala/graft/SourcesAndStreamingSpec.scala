@@ -113,6 +113,36 @@ class SourcesAndStreamingSpec extends SparkTestBase {
     }
   }
 
+  test("replay: streaming sliding counts equal batch events_sliding_agg") {
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.operators.Relational.eventsSlidingAgg(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    val replayRows = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("CAST(ts DIV 1000000000 AS TIMESTAMP) AS ts",
+        "event_type", "value")
+      .as[(java.sql.Timestamp, String, Double)].collect().toSeq
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
+    val q = EventsStream.slidingCounts(
+        input.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("replay_slide")
+      .outputMode("complete").start()
+    input.addData(replayRows)
+    q.processAllAvailable()
+    val stream = spark.table("replay_slide").collect()
+      .map(r => (r.getTimestamp(0).getTime / 1000, r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    q.stop()
+    assert(stream.keySet == batch.keySet)
+    stream.foreach { case (k, (n, sv)) =>
+      val (bn, bsv) = batch(k)
+      assert(n == bn, s"count mismatch at $k: stream $n vs batch $bn")
+      assert(math.abs(sv - bsv) <= 1e-6 * math.max(1.0, math.abs(bsv)),
+        s"sum mismatch at $k: stream $sv vs batch $bsv")
+    }
+  }
+
   test("stream-static join enriches events with a broadcast dimension") {
     import spark.implicits._
     val input = MemoryStream[(java.sql.Timestamp, Long, String)](spark)
