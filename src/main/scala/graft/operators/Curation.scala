@@ -687,6 +687,62 @@ object Curation {
        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
        |WHERE d.n_chars >= $SpanK""".stripMargin
 
+  // ---- #25y sequence packing (pretraining batch preparation) -------------
+  /** The final physical step before pretraining: concatenate documents (in
+    * a deterministic order) and chunk the token stream into fixed-length
+    * training sequences — GPT-style "packing", which wastes zero tokens on
+    * padding. This operator computes each document's placement: which
+    * packed sequence its first token lands in (`seq_first`), where it ends
+    * (`seq_last` — long docs span sequences), and its offset inside the
+    * first one. Pure integer math over a running token count (§6-exact).
+    *
+    * Scale: a single global concatenation order would be one giant window
+    * partition. Packing instead runs independently inside PackBuckets
+    * deterministic md5 buckets — each bucket is one window partition and
+    * one output shard, and the bucket count scales with the cluster (a
+    * 1000-executor run uses thousands of buckets; sequences never cross
+    * shard boundaries in production packing either). Per-bucket stream
+    * order is doc_id — deterministic and reproducible across runs. */
+  val PackLen = 256L
+  val PackBuckets = 32L
+
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tokens"))
+      .where(col("n_tokens") > 0)
+      .withColumn("bucket",
+        pmod(md5Long(col("doc_id").cast("string")), lit(PackBuckets)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val iDiv = org.apache.spark.sql.graft.ExactMath.intDiv _
+    d.withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("bucket"), col("n_tokens"),
+        iDiv(col("cum") - col("n_tokens"), lit(PackLen)).as("seq_first"),
+        iDiv(col("cum") - 1, lit(PackLen)).as("seq_last"),
+        ((col("cum") - col("n_tokens")) % PackLen).as("tok_offset"))
+  }
+  val packSequencesSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+       |    ${sqlMd5Long("CAST(doc_id AS VARCHAR)")} % $PackBuckets AS bucket
+       |  FROM documents
+       |  WHERE len(regexp_extract_all(text, '\\S+')) > 0
+       |), c AS (
+       |  SELECT doc_id, bucket, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM d
+       |)
+       |SELECT doc_id, bucket, n_tokens,
+       |  (CAST(cum AS BIGINT) - n_tokens) // $PackLen AS seq_first,
+       |  (CAST(cum AS BIGINT) - 1) // $PackLen AS seq_last,
+       |  (CAST(cum AS BIGINT) - n_tokens) % $PackLen AS tok_offset
+       |FROM c""".stripMargin
+
   // ---- #25u learned-threshold quality gate -------------------------------
   /** The adaptive sibling of the fixed-rule gates: learn the corpus's own
     * quality distribution and keep documents at or above its QualityPct-th

@@ -124,6 +124,32 @@ class CurationSpec extends SparkTestBase {
     assert(rows == approx)
   }
 
+  test("sequence packing tiles each bucket's token stream without gaps") {
+    // docs sized to span sequences: 300 tokens crosses the 256 boundary
+    val d = writeDocsFixture(Seq(
+      1L -> (1 to 300).map(i => s"t$i").mkString(" "),
+      2L -> (1 to 100).map(i => s"u$i").mkString(" "),
+      3L -> (1 to 10).map(i => s"v$i").mkString(" ")))
+    val rows = Curation.packSequences(spark, d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(rows.keySet == Set(1L, 2L, 3L))
+    val L = Curation.PackLen
+    // per-bucket, docs tile the token stream contiguously in doc_id order
+    rows.groupBy(_._2._1).foreach { case (_, docs) =>
+      var cum = 0L
+      docs.toSeq.sortBy(_._1).foreach { case (_, (_, n, sf, sl, off)) =>
+        assert(sf == cum / L && off == cum % L) // starts where the prev ended
+        cum += n
+        assert(sl == (cum - 1) / L) // last token's sequence
+      }
+    }
+    // the 300-token doc spans ≥ 2 sequences wherever it lands
+    val (_, _, sf1, sl1, _) = rows(1L)
+    assert(sl1 > sf1)
+  }
+
   test("percentile gate keeps docs at or above the learned threshold") {
     // qualities: long stopword-free docs score 1.0; a tiny doc scores low
     val d = writeDocsFixture(Seq(
