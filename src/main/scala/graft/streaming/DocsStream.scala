@@ -130,6 +130,44 @@ object DocsStream {
       .drop("__t", "__n", "__ct")
   }
 
+  case class PackOut(doc_id: Long, bucket: Long, n_tokens: Long,
+                     seq_first: Long, seq_last: Long, tok_offset: Long)
+
+  /** Ingest-time sequence packing: the streaming twin of
+    * `Curation.packSequences` — each arriving document is appended to its
+    * md5 bucket's token stream and assigned its packed-sequence placement
+    * with the SAME integer arithmetic as the batch operator. State is ONE
+    * running token count per bucket (PackBuckets longs total — bounded by
+    * configuration, not traffic). Docs are ordered by doc_id within each
+    * micro-batch, so a single-batch replay is bit-identical to the batch
+    * query (replay-spec-asserted); across micro-batches the stream packs
+    * in arrival order, which is what continuous training-data prep does. */
+  def packStage(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.Dataset[PackOut] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val L = graft.operators.Curation.PackLen
+    val withTok = docs
+      .withColumn("n_tokens", regexp_count(col("text"), lit("\\S+")).cast("long"))
+      .where(col("n_tokens") > 0)
+      .withColumn("bucket", pmod(md5Long(col("doc_id").cast("string")),
+        lit(graft.operators.Curation.PackBuckets)))
+      .select(col("doc_id").cast("long"), col("bucket"), col("n_tokens"))
+      .as[(Long, Long, Long)]
+    def fn(bucket: Long, it: Iterator[(Long, Long, Long)],
+           state: org.apache.spark.sql.streaming.GroupState[Long]): Iterator[PackOut] = {
+      var cum = state.getOption.getOrElse(0L)
+      val out = it.toSeq.sortBy(_._1).map { case (id, _, n) =>
+        val o = PackOut(id, bucket, n, cum / L, (cum + n - 1) / L, cum % L)
+        cum += n
+        o
+      }
+      state.update(cum)
+      out.iterator
+    }
+    withTok.groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** The composed ingest pipeline: quality gate → content dedup — what a
     * training-data feed runs before documents reach the corpus store.
     * With a probe set, decontamination runs between the two. */

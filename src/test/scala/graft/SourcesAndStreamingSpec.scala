@@ -365,6 +365,53 @@ class SourcesAndStreamingSpec extends SparkTestBase {
     assert(streamed == batch && batch.size == 3)
   }
 
+  test("replay: streaming pack stage equals batch pack_sequences") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.operators.Curation.packSequences(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    val replayRows = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val input = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.DocsStream.packStage(
+        input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("pack_stage")
+      .outputMode("append").start()
+    input.addData(replayRows) // one micro-batch ⇒ doc_id order per bucket
+    q.processAllAvailable()
+    val streamed = spark.table("pack_stage").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    q.stop()
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
+  test("streaming pack stage continues each bucket's stream across batches") {
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.DocsStream.packStage(
+        input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("pack_stage2")
+      .outputMode("append").start()
+    val doc = (1 to 200).map(i => s"w$i").mkString(" ") // 200 tokens
+    input.addData(Seq(1L -> doc)); q.processAllAvailable()
+    input.addData(Seq(2L -> doc)); q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("pack_stage2").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // same bucket iff same placement continuation; different buckets both
+    // start at 0. Either way doc 1 starts the stream.
+    assert(rows(1L) == ((0L, 0L, 0L)))
+    val sameBucket = spark.table("pack_stage2").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    if (sameBucket(1L) == sameBucket(2L))
+      assert(rows(2L) == ((0L, 1L, 200L))) // continues at token 200 of seq 0
+    else
+      assert(rows(2L) == ((0L, 0L, 0L)))
+  }
+
   test("content-dedup state survives a restart from checkpoint") {
     import spark.implicits._
     // real operational property: the dropDuplicatesWithinWatermark state
