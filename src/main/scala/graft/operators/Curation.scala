@@ -687,6 +687,43 @@ object Curation {
        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
        |WHERE d.n_chars >= $SpanK""".stripMargin
 
+  // ---- #25z character-class profile (RefinedWeb-style symbol ratios) ----
+  /** Per-doc character-class composition: the fraction of letters, digits,
+    * whitespace, punctuation/symbols and uppercase letters — the signal
+    * family behind RefinedWeb/C4-style "symbol-to-word ratio" and
+    * ALL-CAPS/shouting filters, and the cheapest mojibake tripwire (a
+    * sudden drop in the letter fraction flags encoding damage). Map-only
+    * single scan; counts come from shared Java-regex/RE2 character
+    * classes and every emitted ratio is exact basis points (§6). */
+  def charClassStats(spark: SparkSession, dir: String): DataFrame = {
+    def cnt(re: String) = regexp_count(col("text"), lit(re)).cast("long")
+    docs(spark, dir)
+      .where(length(col("text")) > 0)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        cnt("\\p{L}").as("n_letters"),
+        cnt("\\p{N}").as("n_digits"),
+        cnt("\\s").as("n_ws"),
+        cnt("[^\\p{L}\\p{N}\\s]").as("n_symbols"),
+        cnt("\\p{Lu}").as("n_upper"))
+      .select(col("doc_id"), col("n_chars"),
+        bp(col("n_letters"), col("n_chars")).as("letters_bp"),
+        bp(col("n_digits"), col("n_chars")).as("digits_bp"),
+        bp(col("n_ws"), col("n_chars")).as("ws_bp"),
+        bp(col("n_symbols"), col("n_chars")).as("symbols_bp"),
+        bp(col("n_upper"), col("n_chars")).as("upper_bp"))
+  }
+  val charClassStatsSql: String = {
+    def cnt(re: String) = s"CAST(len(regexp_extract_all(text, '$re')) AS BIGINT)"
+    s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+       |  ${sqlBp(cnt("\\p{L}"), "length(text)")} AS letters_bp,
+       |  ${sqlBp(cnt("\\p{N}"), "length(text)")} AS digits_bp,
+       |  ${sqlBp(cnt("\\s"), "length(text)")} AS ws_bp,
+       |  ${sqlBp(cnt("[^\\p{L}\\p{N}\\s]"), "length(text)")} AS symbols_bp,
+       |  ${sqlBp(cnt("\\p{Lu}"), "length(text)")} AS upper_bp
+       |FROM documents WHERE length(text) > 0""".stripMargin
+  }
+
   // ---- #25y sequence packing (pretraining batch preparation) -------------
   /** The final physical step before pretraining: concatenate documents (in
     * a deterministic order) and chunk the token stream into fixed-length

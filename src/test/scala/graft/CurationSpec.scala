@@ -124,6 +124,23 @@ class CurationSpec extends SparkTestBase {
     assert(rows == approx)
   }
 
+  test("char-class profile counts letters/digits/ws/symbols/upper exactly") {
+    val d = writeDocsFixture(Seq(
+      1L -> "AbC 12!", // 7 chars: 3 letters (1 upper... A,C upper=2), 2 digits, 1 ws, 1 symbol
+      2L -> "aaaa"))
+    val rows = Curation.charClassStats(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val (n, lb, db, wb, sb, ub) = rows(1L)
+    assert(n == 7L)
+    assert(lb == 3L * 10000 / 7) // A b C
+    assert(db == 2L * 10000 / 7) // 1 2
+    assert(wb == 1L * 10000 / 7) // the space
+    assert(sb == 1L * 10000 / 7) // !
+    assert(ub == 2L * 10000 / 7) // A C
+    assert(rows(2L) == ((4L, 10000L, 0L, 0L, 0L, 0L)))
+  }
+
   test("sequence packing tiles each bucket's token stream without gaps") {
     // docs sized to span sequences: 300 tokens crosses the 256 boundary
     val d = writeDocsFixture(Seq(
