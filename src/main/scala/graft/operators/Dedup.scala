@@ -642,6 +642,38 @@ object Dedup {
        |WHERE bit_count(xor(x.simhash, y.simhash)) <= $HammingMax""".stripMargin
   }
 
+  // ---- corpus dedup dashboard (one-row composition over shared frames) --
+  /** The summary row a curation run logs after dedup: corpus size, exact
+    * groups, near-dup pair/cluster counts, survivors. Every input is an
+    * aggregate of an ALREADY-MATERIALIZED frame (pair graph, component
+    * labels) or a single count — five 1-row frames broadcast-joined, so
+    * the dashboard costs five tiny aggregations, never re-running LSH. */
+  def dedupSummary(spark: SparkSession, dir: String): DataFrame = {
+    def one(df: DataFrame, as: String) = df.agg(count(lit(1)).as(as))
+    val docsN = one(spark.read.parquet(s"$dir/documents.parquet"), "n_docs")
+    val exactN = one(dedupExact(spark, dir), "n_exact_groups")
+    val pairsN = one(minhashPairs(spark, dir), "n_neardup_pairs")
+    val compN = one(dedupComponents(spark, dir), "n_clustered_docs")
+    val survN = one(dedupSurvivors(spark, dir), "n_survivors")
+    docsN.crossJoin(broadcast(exactN)).crossJoin(broadcast(pairsN))
+      .crossJoin(broadcast(compN)).crossJoin(broadcast(survN))
+  }
+  lazy val dedupSummarySql: String =
+    s"""SELECT
+       |  (SELECT count(*) FROM documents) AS n_docs,
+       |  (SELECT count(*) FROM (
+       |    ${dedupExactSql.linesIterator.mkString("\n    ")}
+       |  )) AS n_exact_groups,
+       |  (SELECT count(*) FROM (
+       |    ${dedupMinhashSql.linesIterator.mkString("\n    ")}
+       |  )) AS n_neardup_pairs,
+       |  (SELECT count(*) FROM (
+       |    ${dedupComponentsSql.linesIterator.mkString("\n    ")}
+       |  )) AS n_clustered_docs,
+       |  (SELECT count(*) FROM (
+       |    ${dedupSurvivorsSql.linesIterator.mkString("\n    ")}
+       |  )) AS n_survivors""".stripMargin
+
   // ---- #19 embedding-cosine near-dup ------------------------------------
   val CosineThreshold = 0.4 // tuned to the synthetic embeddings (max pairwise cos ~0.51)
   val Dim = 64

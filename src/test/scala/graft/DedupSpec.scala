@@ -153,6 +153,15 @@ class DedupSpec extends SparkTestBase {
     assert(sig.columns.length == 1 + Dedup.K)
   }
 
+  test("dedup summary composes the shared frames into one dashboard row") {
+    val r = Dedup.dedupSummary(spark, dir).collect().head
+    assert(r.getLong(0) == 4L) // n_docs
+    assert(r.getLong(1) == 3L) // exact groups: {1,2}, 3, 4
+    assert(r.getLong(2) == 3L) // near-dup pairs: (1,2) (1,3) (2,3)
+    assert(r.getLong(3) == 3L) // docs 1,2,3 carry component labels
+    assert(r.getLong(4) == 2L) // survivors: 1 (represents {1,2,3}) and 4
+  }
+
   test("Materialized.clearAll releases intermediates; queries re-materialize") {
     Dedup.dedupMinhash(spark, dir).count() // populate sig/cand caches
     assert(graft.operators.Materialized.size > 0)
