@@ -780,6 +780,45 @@ object Curation {
        |  (CAST(cum AS BIGINT) - n_tokens) % $PackLen AS tok_offset
        |FROM c""".stripMargin
 
+  // ---- #25y-b reproducible training order (epoch shuffle) ----------------
+  /** The data-ordering step between curation and packing: give every
+    * document a reproducible pseudo-random position for the training run.
+    * Position = (shard, pos_in_shard) where both derive from a salted md5 of
+    * the doc id — no RNG state, so any worker (or a re-run after preemption)
+    * recomputes the same order, and changing the salt ("epoch-1", …) is a
+    * full reshuffle between epochs.
+    *
+    * Scale: a single global ORDER BY md5 would be one total sort. Shards cut
+    * it into ShuffleShards independent window partitions (shard count scales
+    * with the cluster; readers consume shards in shard order, rows in
+    * pos_in_shard order — the standard sharded-shuffle contract). */
+  val ShuffleShards = 32L
+  val ShuffleSalt = "epoch-0"
+
+  def trainingOrder(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = docs(spark, dir).select(
+      col("doc_id"),
+      md5Long(concat(col("doc_id").cast("string"), lit(":" + ShuffleSalt)))
+        .as("shuffle_key"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("shuffle_key"), col("doc_id"))
+    keyed
+      .withColumn("shard", pmod(col("shuffle_key"), lit(ShuffleShards)))
+      .select(col("doc_id"), col("shard"),
+        row_number().over(w).cast("long").as("pos_in_shard"))
+  }
+  val trainingOrderSql: String =
+    s"""WITH keyed AS (
+       |  SELECT doc_id,
+       |    ${sqlMd5Long(s"concat(CAST(doc_id AS VARCHAR), ':$ShuffleSalt')")}
+       |      AS shuffle_key
+       |  FROM documents
+       |)
+       |SELECT doc_id, shuffle_key % $ShuffleShards AS shard,
+       |  CAST(row_number() OVER (PARTITION BY shuffle_key % $ShuffleShards
+       |    ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos_in_shard
+       |FROM keyed""".stripMargin
+
   // ---- #25u learned-threshold quality gate -------------------------------
   /** The adaptive sibling of the fixed-rule gates: learn the corpus's own
     * quality distribution and keep documents at or above its QualityPct-th

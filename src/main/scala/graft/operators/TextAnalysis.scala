@@ -569,6 +569,99 @@ object TextAnalysis {
       |  (CAST(sum(n_chars) AS BIGINT) * 100) // count(*) AS avg_chars_e2
       |FROM documents GROUP BY 1, 2""".stripMargin
 
+  // ---- #25t-b tokenizer-training pair statistics (first BPE merge) ------
+  /** The first iteration of BPE tokenizer training: the corpus-frequency-
+    * weighted counts of adjacent character pairs inside words — the
+    * statistic each merge round maximizes. Restricted to ASCII-letter words
+    * so character indexing is engine-neutral (both engines index code
+    * points, but staying in ASCII removes any normalization ambiguity).
+    *
+    * Scale: pair space is vocabulary-bounded (≤26² here), so the plan is
+    * explode→two partial-agg shuffles on bounded keys, and the top-N is
+    * TakeOrderedAndProject (per-partition heap + driver merge of N rows),
+    * never a global sort. Working over DISTINCT words with a freq weight —
+    * not raw tokens — shrinks the pair explode from corpus-token size to
+    * vocabulary size, the same trick the anagram reduce uses. */
+  val BpePairTopN = 20
+
+  def bpePairCounts(spark: SparkSession, dir: String): DataFrame = {
+    val wordFreq = docs(spark, dir)
+      .select(explode(toks(col("text"))).as("word"))
+      .where(col("word").rlike("^[a-z]+$") && length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    wordFreq
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum(col("freq")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(BpePairTopN)
+  }
+  val bpePairCountsSql: String =
+    s"""WITH w AS (
+       |  SELECT lower(t.w) AS word
+       |  FROM documents d, unnest(string_split_regex(d.text, '\\s+')) AS t(w)
+       |  WHERE t.w <> ''
+       |), wf AS (
+       |  SELECT word, count(*) AS freq FROM w
+       |  WHERE regexp_matches(word, '^[a-z]+$$') AND length(word) >= 2
+       |  GROUP BY 1
+       |), p AS (
+       |  SELECT substr(word, CAST(g.i AS INTEGER), 2) AS pair, freq
+       |  FROM wf, unnest(range(1, length(word))) AS g(i)
+       |)
+       |SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
+       |FROM p GROUP BY 1
+       |ORDER BY pair_count DESC, pair LIMIT $BpePairTopN""".stripMargin
+
+  // ---- #24b vocabulary coverage / out-of-vocabulary rate -----------------
+  /** Token-coverage audit against the corpus's own top-VocabK vocabulary:
+    * per document, how many tokens fall outside the vocabulary (the signal
+    * behind fertility/coverage checks when fitting a tokenizer to a new
+    * corpus — high OOV rate means the vocab under-serves the document).
+    *
+    * Scale: the vocabulary is top-K by construction, so it always
+    * broadcasts; selection is TakeOrderedAndProject with a deterministic
+    * (freq DESC, term) tie-break at the K boundary. The corpus-sized token
+    * explode is scanned once and aggregated straight back to doc grain. */
+  val VocabK = 1000
+
+  def oovStats(spark: SparkSession, dir: String): DataFrame =
+    oovStatsK(spark, dir, VocabK)
+
+  private[graft] def oovStatsK(spark: SparkSession, dir: String,
+      k: Int): DataFrame = {
+    val tok = docs(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+    val vocab = tok.groupBy("term").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term")).limit(k)
+      .select(col("term"), lit(1L).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        bp(col("n_oov"), col("n_tokens")).as("oov_bp"))
+  }
+  val oovStatsSql: String =
+    s"""WITH tok AS (
+       |  SELECT d.doc_id, lower(t.w) AS term
+       |  FROM documents d, unnest(string_split_regex(d.text, '\\s+')) AS t(w)
+       |  WHERE t.w <> ''
+       |), vocab AS (
+       |  SELECT term FROM (
+       |    SELECT term, count(*) AS freq FROM tok GROUP BY 1
+       |    ORDER BY freq DESC, term LIMIT $VocabK)
+       |), agg AS (
+       |  SELECT tok.doc_id, count(*) AS n_tokens,
+       |    sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS n_oov
+       |  FROM tok LEFT JOIN vocab v ON tok.term = v.term
+       |  GROUP BY 1
+       |)
+       |SELECT doc_id, n_tokens, CAST(n_oov AS BIGINT) AS n_oov,
+       |  ${sqlBp("n_oov", "n_tokens")} AS oov_bp
+       |FROM agg""".stripMargin
+
   // ---- #25o document-length histogram (power-of-two buckets) ------------
   /** Corpus length distribution in log2 buckets — the diagnostic a
     * curation run reads before choosing chunking/length-filter thresholds.

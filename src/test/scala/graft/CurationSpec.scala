@@ -167,6 +167,23 @@ class CurationSpec extends SparkTestBase {
     assert(sl1 > sf1)
   }
 
+  test("training order is a reproducible permutation with contiguous shard positions") {
+    val d = writeDocsFixture((1L to 40L).map(i => i -> s"doc number $i"))
+    val run1 = Curation.trainingOrder(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(run1.map(_._1).sorted.toSeq == (1L to 40L)) // every doc exactly once
+    assert(run1.forall(t => t._2 >= 0 && t._2 < Curation.ShuffleShards))
+    run1.groupBy(_._2).foreach { case (_, rows) =>      // 1..n inside each shard
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length))
+    }
+    val run2 = Curation.trainingOrder(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(run1.toSet == run2.toSet)                    // no RNG state: re-runs agree
+    // salted md5 actually permutes: doc_id order and shard order differ
+    val byPos = run1.sortBy(t => (t._2, t._3)).map(_._1).toSeq
+    assert(byPos != byPos.sorted)
+  }
+
   test("percentile gate keeps docs at or above the learned threshold") {
     // qualities: long stopword-free docs score 1.0; a tiny doc scores low
     val d = writeDocsFixture(Seq(

@@ -87,6 +87,28 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(math.abs(r.getDecimal(4).doubleValue - slope) < 1e-3)
   }
 
+  test("bpe_pair_counts weights char pairs by corpus word frequency") {
+    val d = writeDocsFixture(Seq(
+      1L -> "aaab aaab cd",
+      2L -> "x1 !!"))           // non-[a-z]+ tokens are excluded
+    val rows = TextAnalysis.bpePairCounts(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // "aaab" (freq 2): pairs aa,aa,ab → aa=4, ab=2; "cd" (freq 1): cd=1
+    assert(rows == Map("aa" -> 4L, "ab" -> 2L, "cd" -> 1L))
+  }
+
+  test("oov_stats counts tokens outside the top-k vocabulary") {
+    val d = writeDocsFixture(Seq(
+      1L -> "x x x y",
+      2L -> "x y y"))
+    // corpus freq: x=4, y=3 → k=1 vocab = {x}
+    val rows = TextAnalysis.oovStatsK(spark, d, 1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(rows(1L) == ((4L, 1L, 2500L)))   // y is OOV: 1/4 = 2500 bp
+    assert(rows(2L) == ((3L, 2L, 6666L)))   // 2/3 floors to 6666 bp
+  }
+
   test("corpus_mix reports per-(lang, source) composition") {
     val rows = TextAnalysis.corpusMix(spark, dir).collect()
     assert(rows.length == 1) // fixture is all (en, src0)
