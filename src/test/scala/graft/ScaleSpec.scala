@@ -55,6 +55,23 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("tokenizer-prep queries keep their scale shapes") {
+    // bpe_pair_counts: top-N is a partial heap, not a global window/sort
+    val bpe = planOf("bpe_pair_counts")
+    assert(bpe.contains("TakeOrderedAndProject"), s"bpe lost partial top-k:\n$bpe")
+    assert(!bpe.contains("Window"), s"bpe reintroduced a window:\n$bpe")
+    // oov_stats: the top-K vocabulary must broadcast — a shuffle join here
+    // would reshuffle the corpus-token explode against a 1000-row frame
+    val oov = planOf("oov_stats")
+    assert(oov.contains("BroadcastHashJoin"), s"oov vocab not broadcast:\n$oov")
+    // training_order: windows are shard-partitioned; a plain Sort outside
+    // a window partition would be a global total order
+    val ord = planOf("training_order")
+    assert(ord.contains("Window"), ord)
+    assert(!ord.contains("CartesianProduct") && !ord.contains("Sort [shuffle_key"),
+      s"training_order picked up a global sort:\n$ord")
+  }
+
   test("embedding dedup joins on buckets — no cartesian/nested-loop join") {
     val plan = planOf("dedup_embedding")
     assert(!plan.contains("CartesianProduct"), plan)
