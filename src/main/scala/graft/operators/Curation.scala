@@ -780,6 +780,50 @@ object Curation {
        |  (CAST(cum AS BIGINT) - n_tokens) % $PackLen AS tok_offset
        |FROM c""".stripMargin
 
+  // ---- #25y-c packing efficiency report ----------------------------------
+  /** The metric a packing run logs: per shard, how many PackLen sequences
+    * the token stream fills and how much of the final sequence is padding —
+    * the padding-efficiency number batch-prep pipelines track (packing
+    * exists to drive pad_bp toward 0). Same doc→bucket assignment as
+    * [[packSequences]]; pure integer math (§6-exact). One bounded agg:
+    * PackBuckets output rows regardless of corpus size. */
+  def packStats(spark: SparkSession, dir: String): DataFrame = {
+    val iDiv = org.apache.spark.sql.graft.ExactMath.intDiv _
+    docs(spark, dir)
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tokens"))
+      .where(col("n_tokens") > 0)
+      .groupBy(pmod(md5Long(col("doc_id").cast("string")), lit(PackBuckets))
+        .as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .withColumn("n_sequences",
+        iDiv(col("total_tokens") + lit(PackLen - 1), lit(PackLen)))
+      .withColumn("pad_tokens",
+        col("n_sequences") * PackLen - col("total_tokens"))
+      .withColumn("pad_bp",
+        bp(col("pad_tokens"), col("n_sequences") * PackLen))
+  }
+  val packStatsSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+       |    ${sqlMd5Long("CAST(doc_id AS VARCHAR)")} % $PackBuckets AS bucket
+       |  FROM documents
+       |  WHERE len(regexp_extract_all(text, '\\S+')) > 0
+       |), g AS (
+       |  SELECT bucket, count(*) AS n_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+       |  FROM d GROUP BY 1
+       |)
+       |SELECT bucket, n_docs, total_tokens,
+       |  (total_tokens + ${PackLen - 1}) // $PackLen AS n_sequences,
+       |  ((total_tokens + ${PackLen - 1}) // $PackLen) * $PackLen
+       |    - total_tokens AS pad_tokens,
+       |  ${sqlBp(
+      s"((total_tokens + ${PackLen - 1}) // $PackLen) * $PackLen - total_tokens",
+      s"((total_tokens + ${PackLen - 1}) // $PackLen) * $PackLen")} AS pad_bp
+       |FROM g""".stripMargin
+
   // ---- #25y-b reproducible training order (epoch shuffle) ----------------
   /** The data-ordering step between curation and packing: give every
     * document a reproducible pseudo-random position for the training run.

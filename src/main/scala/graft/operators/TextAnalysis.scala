@@ -633,8 +633,10 @@ object TextAnalysis {
       k: Int): DataFrame = {
     val tok = docs(spark, dir)
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
-    val vocab = tok.groupBy("term").agg(count(lit(1)).as("freq"))
-      .orderBy(col("freq").desc, col("term")).limit(k)
+    // vocabulary from the shared materialized term-count frame (zipfStats,
+    // vocabGrowth) — no second corpus tokenize for the vocab branch
+    val vocab = termCounts(spark, dir)
+      .orderBy(col("n").desc, col("term")).limit(k)
       .select(col("term"), lit(1L).as("in_vocab"))
     tok.join(broadcast(vocab), Seq("term"), "left")
       .groupBy("doc_id")
@@ -661,6 +663,62 @@ object TextAnalysis {
        |SELECT doc_id, n_tokens, CAST(n_oov AS BIGINT) AS n_oov,
        |  ${sqlBp("n_oov", "n_tokens")} AS oov_bp
        |FROM agg""".stripMargin
+
+  // ---- #24c vocabulary-growth curve (tokenizer sizing diagnostic) -------
+  /** How much of the corpus's token mass the top-K term types cover, for a
+    * ladder of K — the Zipf/Heaps curve read before choosing a tokenizer
+    * vocabulary size. One row: total mass, type count, covered basis
+    * points per K.
+    *
+    * Scale: each top-K is TakeOrderedAndProject over the term-frequency
+    * frame (never a global rank window — ranking the full vocabulary would
+    * be a single-partition sort of ~10⁸ types at 100 TB), and each summed
+    * top-K is a 1-row broadcast. The term-frequency aggregation itself is
+    * computed once and reused by every rung. */
+  val VocabGrowthKs: Seq[Int] = Seq(10, 100, 1000)
+
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    // reuses the per-(session, corpus) materialized term-count frame shared
+    // with zipfStats/oovStats — the corpus is tokenized once per session
+    val tf = termCounts(spark, dir).withColumnRenamed("n", "freq")
+    val base = tf.agg(count(lit(1)).as("n_terms"),
+      sum(col("freq")).as("total_tokens"))
+    val out = VocabGrowthKs.foldLeft(base) { (acc, k) =>
+      val topK = tf.orderBy(col("freq").desc, col("term")).limit(k)
+        .agg(sum(col("freq")).as(s"__top$k"))
+      acc.crossJoin(broadcast(topK))
+    }
+    VocabGrowthKs.foldLeft(out) { (acc, k) =>
+      acc.withColumn(s"covered_${k}_bp",
+        bp(col(s"__top$k"), col("total_tokens")))
+    }.select(col("n_terms") +: col("total_tokens") +:
+      VocabGrowthKs.map(k => col(s"covered_${k}_bp")): _*)
+  }
+  val vocabGrowthSql: String = {
+    val rungs = VocabGrowthKs.map { k =>
+      s"""k$k AS (
+         |  SELECT CAST(sum(freq) AS BIGINT) AS s
+         |  FROM (SELECT freq FROM tf ORDER BY freq DESC, term LIMIT $k))"""
+        .stripMargin
+    }.mkString(",\n")
+    val cols = VocabGrowthKs.map { k =>
+      s"  ${sqlBp(s"k$k.s", "t.total_tokens")} AS covered_${k}_bp"
+    }.mkString(",\n")
+    s"""WITH tok AS (
+       |  SELECT lower(t.w) AS term
+       |  FROM documents d, unnest(string_split_regex(d.text, '\\s+')) AS t(w)
+       |  WHERE t.w <> ''
+       |), tf AS (
+       |  SELECT term, count(*) AS freq FROM tok GROUP BY 1
+       |), t AS (
+       |  SELECT count(*) AS n_terms, CAST(sum(freq) AS BIGINT) AS total_tokens
+       |  FROM tf
+       |),
+       |$rungs
+       |SELECT t.n_terms, t.total_tokens,
+       |$cols
+       |FROM t, ${VocabGrowthKs.map(k => s"k$k").mkString(", ")}""".stripMargin
+  }
 
   // ---- #25o document-length histogram (power-of-two buckets) ------------
   /** Corpus length distribution in log2 buckets — the diagnostic a

@@ -167,6 +167,30 @@ class CurationSpec extends SparkTestBase {
     assert(sl1 > sf1)
   }
 
+  test("pack_stats reports exact sequence and padding counts per shard") {
+    val d = writeDocsFixture(Seq(
+      1L -> (1 to 300).map(i => s"t$i").mkString(" "),
+      2L -> (1 to 100).map(i => s"u$i").mkString(" "),
+      3L -> (1 to 10).map(i => s"v$i").mkString(" ")))
+    val L = Curation.PackLen
+    val rows = Curation.packStats(spark, d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // shards agree with packSequences' assignment; totals tile exactly
+    val packed = Curation.packSequences(spark, d).collect()
+      .map(r => (r.getLong(1), r.getLong(2))) // (bucket, n_tokens)
+    val byBucket = packed.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+    assert(rows.keySet == byBucket.keySet.toSet)
+    rows.foreach { case (b, (nDocs, total, nSeq, pad, padBp)) =>
+      assert(total == byBucket(b))
+      assert(nSeq == (total + L - 1) / L)
+      assert(pad == nSeq * L - total)
+      assert(padBp == pad * 10000 / (nSeq * L))
+      assert(nDocs > 0)
+    }
+  }
+
   test("training order is a reproducible permutation with contiguous shard positions") {
     val d = writeDocsFixture((1L to 40L).map(i => i -> s"doc number $i"))
     val run1 = Curation.trainingOrder(spark, d).collect()

@@ -109,6 +109,20 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(rows(2L) == ((3L, 2L, 6666L)))   // 2/3 floors to 6666 bp
   }
 
+  test("vocab_growth covers more token mass at each vocabulary rung") {
+    // zipf-ish fixture: "a" dominates, then "b", then a long tail
+    val d = writeDocsFixture(Seq(
+      1L -> (Seq.fill(50)("a") ++ Seq.fill(20)("b") ++
+        (1 to 30).map(i => s"tail$i")).mkString(" ")))
+    val r = TextAnalysis.vocabGrowth(spark, d).collect().head
+    val (nTerms, total) = (r.getLong(0), r.getLong(1))
+    assert(nTerms == 32 && total == 100)
+    val Seq(c10, c100, c1000) = (2 to 4).map(r.getLong)
+    // top-10 = a(50) + b(20) + 8 tail singletons = 78% of mass
+    assert(c10 == 7800L)
+    assert(c100 == 10000L && c1000 == 10000L) // 32 types: full coverage
+  }
+
   test("corpus_mix reports per-(lang, source) composition") {
     val rows = TextAnalysis.corpusMix(spark, dir).collect()
     assert(rows.length == 1) // fixture is all (en, src0)
