@@ -35,12 +35,16 @@ object ClusterSmoke {
       // LSH family: corpus-sized frames, persisted intermediates,
       // shuffle_hash-pinned joins — the serialization-heavy path
       val minhash = SparkEntry.queries("dedup_minhash")(spark, sfDir).count()
+      // batch prep: shard-partitioned windows + salted-md5 shard assignment
+      // (row_number over a real multi-executor exchange)
+      val order = SparkEntry.queries("training_order")(spark, sfDir).count()
       // sanity: the work genuinely ran on >1 executor JVM
       val executors = spark.sparkContext.statusTracker.getExecutorInfos
         .map(_.host()).length
-      println(s"""{"smoke":"local-cluster[2,4,2048]","anagram_groups":$anagrams,"dedup_minhash":$minhash,"executors":$executors}""")
+      println(s"""{"smoke":"local-cluster[2,4,2048]","anagram_groups":$anagrams,"dedup_minhash":$minhash,"training_order":$order,"executors":$executors}""")
       require(anagrams > 0, "anagram_groups returned no rows on local-cluster")
       require(minhash > 0, "dedup_minhash returned no rows on local-cluster")
+      require(order > 0, "training_order returned no rows on local-cluster")
     } finally spark.stop()
   }
 }
