@@ -306,6 +306,65 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("property: bpe_pair_counts equals brute-force weighted pair counting") {
+    val docGen = Gen.chooseNum(3, 12)
+      .flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val texts = draw(docGen, 12)
+    val dir = writeDocsFixture(texts.zipWithIndex.map { case (t, i) => (i + 1L) -> t })
+    // brute force: distinct-word freq over [a-z]{2,} tokens, adjacent pairs
+    val freq = texts.flatMap(_.split("\\s+")).filter(_.nonEmpty).map(_.toLowerCase)
+      .filter(w => w.matches("^[a-z]+$") && w.length >= 2)
+      .groupBy(identity).view.mapValues(_.size.toLong)
+    val expect = freq.toSeq
+      .flatMap { case (w, f) => w.sliding(2).map(p => p -> f) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy { case (p, c) => (-c, p) }
+      .take(graft.operators.TextAnalysis.BpePairTopN)
+    val got = graft.operators.TextAnalysis.bpePairCounts(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+      .sortBy { case (p, c) => (-c, p) }
+    assert(got == expect)
+  }
+
+  test("property: oov_stats equals brute-force coverage at any k") {
+    val docGen = Gen.chooseNum(2, 10)
+      .flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val texts = draw(docGen, 15)
+    val dir = writeDocsFixture(texts.zipWithIndex.map { case (t, i) => (i + 1L) -> t })
+    val toks = texts.map(_.split("\\s+").filter(_.nonEmpty).map(_.toLowerCase).toSeq)
+    val freq = toks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    for (k <- Seq(1, 5, 50)) {
+      val vocab = freq.sortBy { case (t, f) => (-f, t) }.take(k).map(_._1).toSet
+      val got = graft.operators.TextAnalysis.oovStatsK(spark, dir, k).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      toks.zipWithIndex.foreach { case (ts, i) =>
+        val oov = ts.count(!vocab(_)).toLong
+        assert(got(i + 1L) == ((ts.size.toLong, oov, oov * 10000 / ts.size)),
+          s"doc ${i + 1} k=$k")
+      }
+    }
+  }
+
+  test("property: vocab_growth rungs are monotone and match brute force") {
+    val docGen = Gen.chooseNum(2, 10)
+      .flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val texts = draw(docGen, 15)
+    val dir = writeDocsFixture(texts.zipWithIndex.map { case (t, i) => (i + 1L) -> t })
+    val all = texts.flatMap(_.split("\\s+").filter(_.nonEmpty).map(_.toLowerCase))
+    val freq = all.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    val total = all.size.toLong
+    val r = graft.operators.TextAnalysis.vocabGrowth(spark, dir).collect().head
+    assert(r.getLong(0) == freq.size && r.getLong(1) == total)
+    val rungs = graft.operators.TextAnalysis.VocabGrowthKs.zipWithIndex.map {
+      case (k, i) =>
+        val covered = freq.sortBy { case (t, f) => (-f, t) }.take(k).map(_._2).sum
+        val bp = r.getLong(2 + i)
+        assert(bp == covered * 10000 / total, s"k=$k")
+        bp
+    }
+    assert(rungs == rungs.sorted) // more vocab never covers less
+  }
+
   test("property: minhash sim_hat tracks true Jaccard on synthetic overlaps") {
     // doc pairs sharing a controlled fraction of shingles: sim_hat must
     // correlate (loose statistical bound, K=32 → σ≈0.09)
