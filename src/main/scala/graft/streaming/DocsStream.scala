@@ -106,6 +106,45 @@ object DocsStream {
       expr(s"(min_lang * $m) div n_lang").as("keep_below"))
   }
 
+  /** Keep documents whose out-of-vocabulary rate is at most 20% (exact
+    * basis points — §6). */
+  val OovGateMaxBp = 2000L
+
+  /** The trained vocabulary the OOV gate applies: top-k terms of a static
+    * reference corpus by (freq DESC, term) — the same selection arithmetic
+    * as `TextAnalysis.oovStats`, collected to a driver-side list because it
+    * is a bounded trained artifact (k rows), exactly like the mix-rate
+    * table above. */
+  def oovVocab(reference: DataFrame, k: Int): Seq[String] =
+    reference
+      .select(explode(filter(
+        transform(split(col("text"), WsTokenRe), t => lower(t)),
+        t => t =!= "")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(k)
+      .select("term").collect().map(_.getString(0)).toSeq
+
+  /** Stateless OOV gate: the streaming twin of `TextAnalysis.oovStats` as
+    * an ingest filter — documents the trained vocabulary under-serves
+    * (high out-of-vocabulary rate) are dropped at the feed. The vocabulary
+    * ships as a literal array (bounded, trained offline); membership is a
+    * row-local array scan, so the stage has no state and no shuffle. Same
+    * integer basis-point arithmetic as the batch operator. */
+  def oovGate(docs: DataFrame, vocab: Seq[String],
+      maxOovBp: Long = OovGateMaxBp): DataFrame = {
+    val vocabArr = typedLit(vocab)
+    docs
+      .withColumn("__t", filter(
+        transform(split(col("text"), WsTokenRe), t => lower(t)), t => t =!= ""))
+      .where(size(col("__t")) >= 1)
+      .withColumn("n_tokens", size(col("__t")).cast("long"))
+      .withColumn("n_oov", size(filter(col("__t"),
+        t => !array_contains(vocabArr, t))).cast("long"))
+      .withColumn("oov_bp", bp(col("n_oov"), col("n_tokens")))
+      .where(col("oov_bp") <= maxOovBp)
+      .drop("__t")
+  }
+
   /** Stateless chunk stage: the streaming twin of
     * `Curation.chunkDocuments` — surviving documents fan out into the
     * overlapping training windows downstream consumers read. Constants and

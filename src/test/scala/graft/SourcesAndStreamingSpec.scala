@@ -365,6 +365,35 @@ class SourcesAndStreamingSpec extends SparkTestBase {
     assert(streamed == batch && batch.size == 3)
   }
 
+  test("streaming oov gate keeps exactly the batch coverage filter's keep set") {
+    import spark.implicits._
+    val common = "alpha beta gamma delta alpha beta"
+    val rows = Seq(
+      1L -> s"$common alpha",                  // fully in-vocab
+      2L -> s"$common zzq wvx qqj xxk yyw",    // ~45% OOV
+      3L -> "zzq wvx qqj xxk yyw zzv")         // all OOV
+    val fixDir = writeDocsFixture(rows)
+    val k = 4
+    val batchKept = graft.operators.TextAnalysis.oovStatsK(spark, fixDir, k)
+      .where($"oov_bp" <= graft.streaming.DocsStream.OovGateMaxBp)
+      .collect().map(_.getLong(0)).toSet
+    val vocab = graft.streaming.DocsStream.oovVocab(
+      spark.read.parquet(s"$fixDir/documents.parquet"), k)
+    assert(vocab.toSet == Set("alpha", "beta", "gamma", "delta"))
+    val input = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.DocsStream.oovGate(
+        input.toDF().toDF("doc_id", "text"), vocab)
+      .writeStream.format("memory").queryName("oov_gate")
+      .outputMode("append").start()
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    val streamKept = spark.table("oov_gate").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    q.stop()
+    assert(streamKept == batchKept)
+    assert(streamKept == Set(1L)) // doc 2 at 4545 bp and doc 3 at 10000 bp are cut
+  }
+
   test("replay: streaming pack stage equals batch pack_sequences") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"
