@@ -585,10 +585,12 @@ object TextAnalysis {
   val BpePairTopN = 20
 
   def bpePairCounts(spark: SparkSession, dir: String): DataFrame = {
-    val wordFreq = docs(spark, dir)
-      .select(explode(toks(col("text"))).as("word"))
-      .where(col("word").rlike("^[a-z]+$") && length(col("word")) >= 2)
-      .groupBy("word").agg(count(lit(1)).as("freq"))
+    // the [a-z]{2,} word-frequency table is a filter of the shared
+    // materialized term-count frame (same tokenization) — no second
+    // corpus tokenize
+    val wordFreq = termCounts(spark, dir)
+      .where(col("term").rlike("^[a-z]+$") && length(col("term")) >= 2)
+      .select(col("term").as("word"), col("n").as("freq"))
     wordFreq
       .select(col("freq"), explode(expr(
         "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
