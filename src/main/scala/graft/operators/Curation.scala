@@ -50,9 +50,13 @@ object Curation {
     * corpus-wide count exceeds 1). The aggregate a curation pipeline
     * thresholds on before dropping or trimming documents. */
   def dedupSegments(spark: SparkSession, dir: String): DataFrame = {
-    val segs = segments(spark, dir)
-    val counts = segs.groupBy("sh").agg(count(lit(1)).as("n"))
-    segs.join(counts, "sh")
+    // count-over-window on the 8-byte segment hash: one exchange both
+    // counts and filters, and the tokenize+segment explode runs once —
+    // the groupBy-then-join-back shape ran it once per branch (see
+    // dupSpanStats for the same restructure)
+    segments(spark, dir)
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("sh")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_segments"),
         sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_segments"))
@@ -934,10 +938,12 @@ object Curation {
     * pinned shuffle_hash so the planner can never broadcast the
     * corpus-sized count table. */
   def dupNgramStats(spark: SparkSession, dir: String): DataFrame = {
-    val grams = TextAnalysis.docGrams(spark, dir)
+    // count-over-window (see dupSpanStats): one exchange of the 8-byte
+    // gram hashes instead of a count shuffle plus a join-back shuffle
+    TextAnalysis.docGrams(spark, dir)
       .select(col("doc_id"), md5Long(col("gram")).as("gh"))
-    val counts = grams.groupBy("gh").agg(count(lit(1)).as("n"))
-    grams.join(counts.hint("shuffle_hash"), "gh")
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("gh")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_grams"))
