@@ -434,6 +434,144 @@ object Similarity {
     * is q·s, and s > 0 cancels from cos(q·s, v), so recon_cos =
     * dot(q,v)/(√Σq²·√Σv²) with Σq² exact and the double chains in the
     * same left-fold order on both engines. */
+  // ---- #21h product quantization (PQ codes, per-subspace codebooks) -----
+  /** FAISS-style product quantizer: the embedding splits into PqM
+    * contiguous PqSubDim-dim subvectors; each subspace learns PqK
+    * centroids (same md5-spread seeding + two Lloyd rounds as the IVF
+    * coarse quantizer, run over ALL subspaces in one exploded frame), and
+    * a vector's code is its per-subspace nearest-centroid ids — 64 floats
+    * compress to PqM small ints, the standard memory layout ANN serving
+    * tiers hold in RAM. Emits each vector's code word plus its exact
+    * quantization error (sum of per-subspace squared distances, folded in
+    * subspace order so both engines add the same doubles in the same
+    * sequence).
+    *
+    * Scale: codebooks are PqM×PqK rows (always broadcast); training and
+    * encoding are one exploded scan each with a partial-agg argmin
+    * (min_by) — the corpus never shuffles more than one row per
+    * (vector, subspace). */
+  val PqM = 8
+  val PqSubDim = Dedup.Dim / PqM
+  val PqK = 16
+
+  private def subDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+  private def subL2sq(a: String, b: String) =
+    subDot(col(a), col(a)) + subDot(col(b), col(b)) -
+      lit(2.0) * subDot(col(a), col(b))
+  private def sqlSubDot(a: String, b: String) =
+    s"list_aggregate(list_transform(range(1, $PqSubDim + 1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), 'sum')"
+  private def sqlSubL2sq(a: String, b: String) =
+    s"(${sqlSubDot(a, a)}) + (${sqlSubDot(b, b)}) - 2 * (${sqlSubDot(a, b)})"
+
+  /** (vec_id, m, sv): every vector's PqM subvector slices. */
+  private def subVecs(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), explode(expr(
+      s"transform(sequence(0, ${PqM - 1}), m -> " +
+        s"struct(CAST(m AS BIGINT) AS m, slice(embedding, m * $PqSubDim + 1, $PqSubDim) AS sv))"))
+      .as("x"))
+      .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
+
+  /** Per-(vec, subspace) nearest codebook entry; same partial-agg argmin
+    * shape as [[argminCid]], keyed by (vec_id, m) with the codebooks
+    * broadcast and pre-joined on m. */
+  private def pqAssign(sv: DataFrame, books: DataFrame): DataFrame =
+    sv.join(broadcast(books), "m")
+      .withColumn("dist", subL2sq("sv", "c"))
+      .groupBy("vec_id", "m")
+      .agg(min_by(struct(col("cid"), col("dist")), struct(col("dist"), col("cid"))).as("a"))
+      .select(col("vec_id"), col("m"), col("a.cid").as("cid"), col("a.dist").as("dist"))
+
+  /** One Lloyd refinement over every subspace at once (assign → per-dim
+    * means, rounded to 6 decimals before the float cast — see lloydRound). */
+  private def pqLloyd(sv: DataFrame, books: DataFrame): DataFrame =
+    pqAssign(sv, books)
+      .join(sv, Seq("vec_id", "m"))
+      .select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
+      .groupBy("m", "cid", "pos").agg(round(avg(col("v").cast("double")), 6).as("mn"))
+      .groupBy("m", "cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
+        s => s.getField("mn").cast("float")).as("c"))
+
+  /** Trained codebooks (m, cid, c), cached per (session, corpus). */
+  private val pqCache = Materialized.register(
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
+  def pqCodebooks(spark: SparkSession, dir: String): DataFrame =
+    Materialized.cached(pqCache, spark, dir) {
+      val e = emb(spark, dir)
+      val seeds = e
+        .orderBy(graft.functions.TextFns.md5Long(col("vec_id").cast("string")),
+          col("vec_id"))
+        .limit(PqK)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      val seedBooks = subVecs(seeds.withColumnRenamed("cid", "vec_id"))
+        .select(col("m"), col("vec_id").as("cid"), col("sv").as("c"))
+      val sv = subVecs(e)
+      pqLloyd(sv, pqLloyd(sv, seedBooks))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  def pqQuantize(spark: SparkSession, dir: String): DataFrame =
+    pqAssign(subVecs(emb(spark, dir)), pqCodebooks(spark, dir))
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("m"), col("cid"), col("dist"))))
+        .as("arr"))
+      .select(col("vec_id"),
+        concat_ws(" ", expr("transform(arr, x -> CAST(x.cid AS STRING))"))
+          .as("codes"),
+        // fold the per-subspace errors in m-order: both engines add the
+        // same doubles in the same sequence (orderless SUM could differ
+        // in the last ulp and flip the rounded boundary)
+        round(aggregate(col("arr"), lit(0.0), (a, x) => a + x.getField("dist")), 4)
+          .cast("decimal(14,4)").as("pq_err"))
+
+  private def sqlPqLloyd(svSrc: String, bookSrc: String, aN: String,
+      rN: String, outN: String): String =
+    s"""$aN AS (
+       |  SELECT s.vec_id, s.m, s.sv, b.cid,
+       |    ${sqlSubL2sq("s.sv", "b.c")} AS dist,
+       |    row_number() OVER (PARTITION BY s.vec_id, s.m
+       |      ORDER BY ${sqlSubL2sq("s.sv", "b.c")}, b.cid) AS rn
+       |  FROM $svSrc s JOIN $bookSrc b ON s.m = b.m
+       |), $rN AS (
+       |  SELECT m, cid, g.i,
+       |    CAST(round(avg(CAST(sv[g.i] AS DOUBLE)), 6) AS FLOAT) AS mn
+       |  FROM $aN, unnest(range(1, $PqSubDim + 1)) AS g(i)
+       |  WHERE rn = 1 GROUP BY 1, 2, 3
+       |), $outN AS (
+       |  SELECT m, cid, list(mn ORDER BY i) AS c FROM $rN GROUP BY 1, 2
+       |)""".stripMargin
+  val pqQuantizeSql: String =
+    s"""WITH sv AS (
+       |  SELECT vec_id, CAST(g.m AS BIGINT) AS m,
+       |    embedding[g.m * $PqSubDim + 1 : (g.m + 1) * $PqSubDim] AS sv
+       |  FROM embeddings, unnest(range(0, $PqM)) AS g(m)
+       |), seeds AS (
+       |  SELECT vec_id AS cid, embedding FROM embeddings
+       |  ORDER BY ${graft.functions.TextFns.sqlMd5Long("CAST(vec_id AS VARCHAR)")}, vec_id
+       |  LIMIT $PqK
+       |), seedbooks AS (
+       |  SELECT CAST(g.m AS BIGINT) AS m, cid,
+       |    embedding[g.m * $PqSubDim + 1 : (g.m + 1) * $PqSubDim] AS c
+       |  FROM seeds, unnest(range(0, $PqM)) AS g(m)
+       |), ${sqlPqLloyd("sv", "seedbooks", "a1", "r1", "b1")},
+       |${sqlPqLloyd("sv", "b1", "a2", "r2", "b2")},
+       |assign AS (
+       |  SELECT s.vec_id, s.m, b.cid,
+       |    ${sqlSubL2sq("s.sv", "b.c")} AS dist,
+       |    row_number() OVER (PARTITION BY s.vec_id, s.m
+       |      ORDER BY ${sqlSubL2sq("s.sv", "b.c")}, b.cid) AS rn
+       |  FROM sv s JOIN b2 b ON s.m = b.m
+       |)
+       |SELECT vec_id,
+       |  list_aggr(list_transform(list(cid ORDER BY m),
+       |    x -> CAST(x AS VARCHAR)), 'string_agg', ' ') AS codes,
+       |  CAST(round(list_aggregate(list(dist ORDER BY m), 'sum'), 4)
+       |    AS DECIMAL(14,4)) AS pq_err
+       |FROM assign WHERE rn = 1 GROUP BY vec_id""".stripMargin
+
   def embeddingQuantize(spark: SparkSession, dir: String): DataFrame = {
     val s = (array_max(transform(col("embedding"), x => abs(x.cast("double"))))
       / 127.0).as("s")

@@ -87,6 +87,27 @@ class SimilaritySpec extends SparkTestBase {
     assert(!pairs.contains((0L, 4L))) // opposite
   }
 
+  test("pq codes: 8 per vector, identical vectors share codes, exact-seed err 0") {
+    val rows = Similarity.pqQuantize(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDecimal(2).doubleValue))
+    assert(rows.length == 5)
+    rows.foreach { case (_, codes, err) =>
+      assert(codes.split(" ").length == Similarity.PqM)
+      assert(err >= 0.0)
+    }
+    // with 5 vectors and K=16, every vector seeds its own centroid chain:
+    // each quantizes to (a refinement of) itself → zero error
+    assert(rows.forall(_._3 == 0.0))
+    // codebooks are deterministic: a second run yields identical codes
+    val again = Similarity.pqQuantize(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    rows.foreach { case (id, codes, _) => assert(again(id) == codes) }
+    // subspace 0 separates the x-axis family from the y-axis vector: vec 3
+    // (y-only) must differ from vec 0 (x-only) in at least one code
+    val byId = rows.map(r => r._1 -> r._2).toMap
+    assert(byId(0L) != byId(3L))
+  }
+
   test("int8 quantization: exact integer aggregates and near-1 recon cosine") {
     // dedicated fixture with a non-trivial spread: v = [1, -0.5, 0.25, 0…]
     // → s = 1/127, q = [127, -64, 32, 0…] (round half away from zero)
