@@ -572,6 +572,88 @@ object Similarity {
        |    AS DECIMAL(14,4)) AS pq_err
        |FROM assign WHERE rn = 1 GROUP BY vec_id""".stripMargin
 
+  // ---- #21i PQ ANN search (asymmetric distance computation) -------------
+  /** The PQ serving path: the query's per-subspace distances to every
+    * codebook entry form a PqM×PqK lookup table (always tiny, always
+    * broadcast); a database vector's approximate distance is the sum of
+    * its codes' table entries — the vectors themselves are never touched
+    * after encoding. Distances fold in subspace order (§6-deterministic);
+    * top-k is TakeOrderedAndProject with rank recovery, same shape as
+    * every other top-k here.
+    *
+    * Scale: the scan side is the CODES table (PqM small ints per vector,
+    * ~16× smaller than the float vectors — the reason serving tiers use
+    * PQ); per vector it shuffles one row into the argmin-style fold. */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val qSub = subVecs(q.select(col("qid").as("vec_id"), col("qv").as("embedding")))
+      .select(col("vec_id").as("qid"), col("m"), col("sv").as("qsv"))
+    val dtab = qSub.join(pqCodebooks(spark, dir), "m")
+      .select(col("qid"), col("m"), col("cid"), subL2sq("qsv", "c").as("qd"))
+    val codes = pqAssign(subVecs(e), pqCodebooks(spark, dir))
+      .select(col("vec_id"), col("m"), col("cid"))
+    val scored = codes.join(broadcast(dtab), Seq("m", "cid"))
+      .where(col("vec_id") =!= col("qid"))
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("m"), col("qd")))).as("arr"))
+      .select(col("vec_id"),
+        aggregate(col("arr"), lit(0.0), (a, x) => a + x.getField("qd")).as("adist"))
+    scored.orderBy(col("adist"), col("vec_id")).limit(TopK)
+      .select(struct(col("adist").as("adist"), col("vec_id").as("vec_id")).as("s"))
+      .agg(array_sort(collect_list(col("s"))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("pos", "s")))
+      .select(col("s.vec_id").as("vec_id"),
+        round(col("s.adist"), 4).cast("decimal(14,4)").as("adist"),
+        (col("pos") + 1).cast("long").as("rk"))
+  }
+  val annPqSql: String =
+    s"""WITH sv AS (
+       |  SELECT vec_id, CAST(g.m AS BIGINT) AS m,
+       |    embedding[g.m * $PqSubDim + 1 : (g.m + 1) * $PqSubDim] AS sv
+       |  FROM embeddings, unnest(range(0, $PqM)) AS g(m)
+       |), seeds AS (
+       |  SELECT vec_id AS cid, embedding FROM embeddings
+       |  ORDER BY ${graft.functions.TextFns.sqlMd5Long("CAST(vec_id AS VARCHAR)")}, vec_id
+       |  LIMIT $PqK
+       |), seedbooks AS (
+       |  SELECT CAST(g.m AS BIGINT) AS m, cid,
+       |    embedding[g.m * $PqSubDim + 1 : (g.m + 1) * $PqSubDim] AS c
+       |  FROM seeds, unnest(range(0, $PqM)) AS g(m)
+       |), ${sqlPqLloyd("sv", "seedbooks", "a1", "r1", "b1")},
+       |${sqlPqLloyd("sv", "b1", "a2", "r2", "b2")},
+       |codes AS (
+       |  SELECT vec_id, m, cid FROM (
+       |    SELECT s.vec_id, s.m, b.cid,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY ${sqlSubL2sq("s.sv", "b.c")}, b.cid) AS rn
+       |    FROM sv s JOIN b2 b ON s.m = b.m) WHERE rn = 1
+       |), q AS (
+       |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |  ORDER BY vec_id LIMIT 1
+       |), qsub AS (
+       |  SELECT q.qid, CAST(g.m AS BIGINT) AS m,
+       |    qv[g.m * $PqSubDim + 1 : (g.m + 1) * $PqSubDim] AS qsv
+       |  FROM q, unnest(range(0, $PqM)) AS g(m)
+       |), dtab AS (
+       |  SELECT qsub.qid, qsub.m, b.cid, ${sqlSubL2sq("qsub.qsv", "b.c")} AS qd
+       |  FROM qsub JOIN b2 b ON qsub.m = b.m
+       |), scored AS (
+       |  SELECT c.vec_id,
+       |    list_aggregate(list(d.qd ORDER BY c.m), 'sum') AS adist
+       |  FROM codes c JOIN dtab d ON c.m = d.m AND c.cid = d.cid
+       |  WHERE c.vec_id <> d.qid
+       |  GROUP BY c.vec_id
+       |), ranked AS (
+       |  SELECT vec_id, adist,
+       |    row_number() OVER (ORDER BY adist, vec_id) AS rk
+       |  FROM scored
+       |)
+       |SELECT vec_id, CAST(round(adist, 4) AS DECIMAL(14,4)) AS adist,
+       |  CAST(rk AS BIGINT) AS rk
+       |FROM ranked WHERE rk <= $TopK""".stripMargin
+
   def embeddingQuantize(spark: SparkSession, dir: String): DataFrame = {
     val s = (array_max(transform(col("embedding"), x => abs(x.cast("double"))))
       / 127.0).as("s")

@@ -108,6 +108,18 @@ class SimilaritySpec extends SparkTestBase {
     assert(byId(0L) != byId(3L))
   }
 
+  test("pq ANN ranks by summed code-table distances; nearest family first") {
+    val rows = Similarity.annPq(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDecimal(1).doubleValue, r.getLong(2)))
+    assert(rows.length == 4) // everything but the query
+    val byRank = rows.sortBy(_._3)
+    assert(byRank.map(_._2).toSeq == byRank.map(_._2).sorted.toSeq) // adist ascending
+    // with per-vector centroids (5 vecs < K) ADC is exact: same-direction
+    // magnitude-1 neighbours beat the orthogonal and opposite vectors
+    assert(byRank.head._1 == 2L || byRank.head._1 == 1L)
+    assert(byRank.last._1 == 1L || byRank.last._1 == 4L)
+  }
+
   test("int8 quantization: exact integer aggregates and near-1 recon cosine") {
     // dedicated fixture with a non-trivial spread: v = [1, -0.5, 0.25, 0…]
     // → s = 1/127, q = [127, -64, 32, 0…] (round half away from zero)
