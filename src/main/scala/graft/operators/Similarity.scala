@@ -654,6 +654,119 @@ object Similarity {
        |  CAST(rk AS BIGINT) AS rk
        |FROM ranked WHERE rk <= $TopK""".stripMargin
 
+  // ---- #21j IVF-PQ ANN (coarse pruning + compressed-domain scoring) -----
+  /** The full FAISS-style IVFPQ serving stack (non-residual variant,
+    * `by_residual=false`): the coarse quantizer prunes the search to the
+    * IvfProbes cells nearest the query, and within those cells the ADC
+    * distance table scores the PQ codes — the float vectors are touched by
+    * neither step. Reuses BOTH materialized artifacts: [[ivfCentroids]]
+    * (the cell quantizer) and [[pqCodebooks]] (the code quantizer).
+    *
+    * Scale: the (cell, codes) layout frame is the on-disk index — built
+    * once with one vec_id-keyed shuffle, then stored partitioned by cell
+    * so a probe is partition pruning; the probe list and the PqM×PqK
+    * distance table both broadcast. Per probed vector exactly one row
+    * reaches the fold exchange, carrying PqM small ints instead of the
+    * float vector. */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cents = ivfCentroids(spark, dir)
+    val q = e.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val wq = Window.partitionBy("qid").orderBy(col("qdist"), col("cid"))
+    val probes = cents.crossJoin(broadcast(q))
+      .withColumn("qdist", l2sq("qv", "c"))
+      .withColumn("qrn", row_number().over(wq)).where(col("qrn") <= IvfProbes)
+      .select(col("cid").as("cell"), col("qid"))
+    val qSub = subVecs(q.select(col("qid").as("vec_id"), col("qv").as("embedding")))
+      .select(col("vec_id").as("qid"), col("m"), col("sv").as("qsv"))
+    val dtab = qSub.join(pqCodebooks(spark, dir), "m")
+      .select(col("qid"), col("m"), col("cid"), subL2sq("qsv", "c").as("qd"))
+    // index layout: every vector's cell + its PQ codes (cell is the
+    // partition key at scale; the vec_id join happens once at index build)
+    val layout = pqAssign(subVecs(e), pqCodebooks(spark, dir))
+      .select(col("vec_id"), col("m"), col("cid"))
+      .join(argminCid(e, cents, Seq.empty).withColumnRenamed("cid", "cell"),
+        "vec_id")
+    val scored = layout.join(broadcast(probes), "cell")
+      .where(col("vec_id") =!= col("qid"))
+      .join(broadcast(dtab), Seq("qid", "m", "cid"))
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("m"), col("qd")))).as("arr"))
+      .select(col("vec_id"),
+        aggregate(col("arr"), lit(0.0), (a, x) => a + x.getField("qd")).as("adist"))
+    scored.orderBy(col("adist"), col("vec_id")).limit(TopK)
+      .select(struct(col("adist").as("adist"), col("vec_id").as("vec_id")).as("s"))
+      .agg(array_sort(collect_list(col("s"))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("pos", "s")))
+      .select(col("s.vec_id").as("vec_id"),
+        round(col("s.adist"), 4).cast("decimal(14,4)").as("adist"),
+        (col("pos") + 1).cast("long").as("rk"))
+  }
+  val annIvfPqSql: String =
+    s"""WITH $ivfCentroidsCte,
+       |assigned AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqlL2sq("e.embedding", "c.c")}, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cents c
+       |  ) WHERE rn = 1
+       |), q AS (
+       |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |  ORDER BY vec_id LIMIT 1
+       |), probes AS (
+       |  SELECT cid AS cell, qid FROM (
+       |    SELECT c.cid, q.qid,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY ${sqlL2sq("q.qv", "c.c")}, c.cid) AS qrn
+       |    FROM cents c CROSS JOIN q
+       |  ) WHERE qrn <= $IvfProbes
+       |), sv AS (
+       |  SELECT vec_id, CAST(g.m AS BIGINT) AS m,
+       |    embedding[g.m * $PqSubDim + 1 : (g.m + 1) * $PqSubDim] AS sv
+       |  FROM embeddings, unnest(range(0, $PqM)) AS g(m)
+       |), pseeds AS (
+       |  SELECT vec_id AS cid, embedding FROM embeddings
+       |  ORDER BY ${graft.functions.TextFns.sqlMd5Long("CAST(vec_id AS VARCHAR)")}, vec_id
+       |  LIMIT $PqK
+       |), pseedbooks AS (
+       |  SELECT CAST(g.m AS BIGINT) AS m, cid,
+       |    embedding[g.m * $PqSubDim + 1 : (g.m + 1) * $PqSubDim] AS c
+       |  FROM pseeds, unnest(range(0, $PqM)) AS g(m)
+       |), ${sqlPqLloyd("sv", "pseedbooks", "pa1", "pr1", "pb1")},
+       |${sqlPqLloyd("sv", "pb1", "pa2", "pr2", "pb2")},
+       |codes AS (
+       |  SELECT vec_id, m, cid FROM (
+       |    SELECT s.vec_id, s.m, b.cid,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY ${sqlSubL2sq("s.sv", "b.c")}, b.cid) AS rn
+       |    FROM sv s JOIN pb2 b ON s.m = b.m) WHERE rn = 1
+       |), qsub AS (
+       |  SELECT q.qid, CAST(g.m AS BIGINT) AS m,
+       |    qv[g.m * $PqSubDim + 1 : (g.m + 1) * $PqSubDim] AS qsv
+       |  FROM q, unnest(range(0, $PqM)) AS g(m)
+       |), dtab AS (
+       |  SELECT qsub.qid, qsub.m, b.cid, ${sqlSubL2sq("qsub.qsv", "b.c")} AS qd
+       |  FROM qsub JOIN pb2 b ON qsub.m = b.m
+       |), scored AS (
+       |  SELECT c.vec_id,
+       |    list_aggregate(list(d.qd ORDER BY c.m), 'sum') AS adist
+       |  FROM codes c
+       |  JOIN assigned a ON c.vec_id = a.vec_id
+       |  JOIN probes p ON a.cell = p.cell
+       |  JOIN dtab d ON d.qid = p.qid AND c.m = d.m AND c.cid = d.cid
+       |  WHERE c.vec_id <> p.qid
+       |  GROUP BY c.vec_id
+       |), ranked AS (
+       |  SELECT vec_id, adist,
+       |    row_number() OVER (ORDER BY adist, vec_id) AS rk
+       |  FROM scored
+       |)
+       |SELECT vec_id, CAST(round(adist, 4) AS DECIMAL(14,4)) AS adist,
+       |  CAST(rk AS BIGINT) AS rk
+       |FROM ranked WHERE rk <= $TopK""".stripMargin
+
   def embeddingQuantize(spark: SparkSession, dir: String): DataFrame = {
     val s = (array_max(transform(col("embedding"), x => abs(x.cast("double"))))
       / 127.0).as("s")

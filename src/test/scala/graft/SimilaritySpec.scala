@@ -120,6 +120,20 @@ class SimilaritySpec extends SparkTestBase {
     assert(byRank.last._1 == 1L || byRank.last._1 == 4L)
   }
 
+  test("ivf-pq ANN scores only vectors in probed cells via the code table") {
+    val rows = Similarity.annIvfPq(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDecimal(1).doubleValue, r.getLong(2)))
+    val ids = rows.map(_._1).toSet
+    // every fixture vector seeds its own IVF cell; 2 probes reach the
+    // query's cell and its nearest neighbour cell (vec 2, same as annIvf)
+    assert(ids.contains(2L))
+    assert(!ids.contains(4L)) // opposite-direction cell never probed
+    assert(rows.length < 4)   // strictly narrower than the un-pruned ann_pq
+    // within the probed subset, ADC distances still rank ascending
+    val byRank = rows.sortBy(_._3)
+    assert(byRank.map(_._2).toSeq == byRank.map(_._2).sorted.toSeq)
+  }
+
   test("int8 quantization: exact integer aggregates and near-1 recon cosine") {
     // dedicated fixture with a non-trivial spread: v = [1, -0.5, 0.25, 0…]
     // → s = 1/127, q = [127, -64, 32, 0…] (round half away from zero)
