@@ -33,7 +33,7 @@ object Curation {
     * and is what this operator demonstrates. */
   val SegLen = 20
 
-  private def segments(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def segments(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(col("doc_id"), toks.as("toks"))
       .where(size(col("toks")) >= 1)

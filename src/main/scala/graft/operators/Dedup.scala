@@ -540,6 +540,71 @@ object Dedup {
        |WHERE ${sqlBp(s"($matches)", K.toString)} >= $MinhashSimBp""".stripMargin
   }
 
+  // ---- #16d Bloom-probe incremental segment membership -------------------
+  /** The cheapest daily-increment membership test: a Bloom filter built
+    * over the standing corpus's segment hashes prefilters the fresh batch's
+    * segments MAP-ONLY (one filter blob evaluated per row, no join), and
+    * only the might-contain survivors — true repeats plus the filter's ~1%
+    * false positives — reach the exact confirm semi-join. Result semantics
+    * are EXACT (the confirm join removes every false positive; Bloom
+    * filters have no false negatives), so the oracle is a plain join.
+    * Segment-level (same SegLen windows as `dedup_segments`) rather than
+    * whole-document because that's where increment-time membership bites:
+    * boilerplate and quoted passages recur across batches even when no
+    * document is an exact copy.
+    *
+    * Scale: at 100 TB the standing corpus's segment-hash set is ~10^10
+    * keys → a sharded filter (or one ~12 GB blob at 1% fpp — size via
+    * [[BloomItems]]/[[BloomBits]]); built once, evaluated map-side, so the
+    * mostly-novel fresh batch shuffles only its survivor fraction into the
+    * confirm join instead of all of it. This is Catalyst's own injected
+    * runtime Bloom join filter (BloomFilterAggregate + might_contain) made
+    * explicit, because in the incremental pipeline the corpus-side scan
+    * lives in a different job than the probe. Same odd/even increment
+    * convention as [[dedupIncremental]]. */
+  val BloomItems = 1000000L
+  val BloomBits = 8388608L // 2^23 bits = 1 MiB ≈ 1% fpp at 1M items
+  def dedupBloom(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.Bloom
+    val segs = Curation.segments(spark, dir)
+    val old = segs.where(col("doc_id") % 2 === 0).select(col("sh"))
+    val fresh = segs.where(col("doc_id") % 2 === 1)
+    val bf = old.agg(Bloom.bloomAgg(col("sh"), BloomItems, BloomBits).as("bf"))
+    val seen = fresh.where(Bloom.mightContain(bf, col("sh")))
+      .join(old.distinct().hint("shuffle_hash"), Seq("sh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("ns"))
+    fresh.groupBy("doc_id").agg(count(lit(1)).as("n_segments"))
+      .join(seen, Seq("doc_id"), "left")
+      .select(col("doc_id").as("new_doc"), col("n_segments"),
+        coalesce(col("ns"), lit(0L)).as("n_seen_segments"),
+        bp(coalesce(col("ns"), lit(0L)), col("n_segments")).as("seen_bp"))
+  }
+  // lazy: references Curation.SegLen, and Curation's own init reads Dedup
+  // vals — eager init here would deadlock the two objects' <clinit>
+  lazy val dedupBloomSql: String =
+    s"""WITH toksx AS (
+       |  SELECT doc_id, list_filter(list_transform(
+       |    string_split_regex(text, '\\s+'), t -> lower(t)), t -> t <> '') AS t
+       |  FROM documents
+       |), segs AS (
+       |  SELECT doc_id,
+       |    ${sqlMd5Long("g.s")} AS sh
+       |  FROM toksx, unnest(list_transform(range(1, ((len(t) - 1) // ${Curation.SegLen}) + 2),
+       |    i -> list_aggr(t[(i - 1) * ${Curation.SegLen} + 1 : (i - 1) * ${Curation.SegLen} + ${Curation.SegLen}],
+       |      'string_agg', ' '))) AS g(s)
+       |  WHERE len(t) >= 1
+       |), old AS (
+       |  SELECT DISTINCT sh FROM segs WHERE doc_id % 2 = 0
+       |), fresh AS (
+       |  SELECT doc_id, sh FROM segs WHERE doc_id % 2 = 1
+       |)
+       |SELECT f.doc_id AS new_doc, count(*) AS n_segments,
+       |  sum(CASE WHEN o.sh IS NOT NULL THEN 1 ELSE 0 END) AS n_seen_segments,
+       |  ${sqlBp("sum(CASE WHEN o.sh IS NOT NULL THEN 1 ELSE 0 END)", "count(*)")}
+       |    AS seen_bp
+       |FROM fresh f LEFT JOIN old o ON f.sh = o.sh
+       |GROUP BY 1""".stripMargin
+
   /** 60-bit simhash over distinct lowercase tokens; 4×15-bit chunk blocking
     * guarantees recall for hamming ≤ 3 (pigeonhole). */
   val SimhashBits = 60

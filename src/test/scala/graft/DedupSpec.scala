@@ -99,6 +99,20 @@ class DedupSpec extends SparkTestBase {
     assert(rows.keySet.forall { case (n, o) => n % 2 == 1 && o % 2 == 0 })
   }
 
+  test("bloom-probe membership counts fresh segments already in the corpus") {
+    val df = Dedup.dedupBloom(spark, dir)
+    // the prefilter must actually be in the plan, not optimized away
+    assert(df.queryExecution.executedPlan.toString.contains("might_contain"))
+    val rows = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // fresh=odd {1,3}, corpus=even {2,4}; each fixture doc is 1 segment
+    // (18 words < SegLen). Doc 1's segment == doc 2's (exact copy) → seen;
+    // doc 3 differs by one word → exact membership must NOT match it
+    assert(rows(1L) == ((1L, 1L, 10000L)))
+    assert(rows(3L) == ((1L, 0L, 0L)))
+  }
+
   test("semantic-lexical agreement joins embedding pairs to text jaccard") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("graft-agree").toString
