@@ -187,6 +187,75 @@ object Similarity {
        |FROM ranked WHERE rk <= $JoinK""".stripMargin
   }
 
+  // ---- #21k ANN recall audit (approx vs exact, sampled) -----------------
+  /** Recall@k of the LSH-bucketed batch join against the exact brute-force
+    * top-k, per query — the offline audit every approximate index ships
+    * with (BASELINE.md's manually-measured recall numbers, promoted to an
+    * oracle-checked operator). Output is exact basis points (§6).
+    *
+    * Scale: the exact side is one corpus scan against the broadcast query
+    * batch — the inherent cost of ground truth, bounded by QueryN and run
+    * as a sampled audit, not per serving query. The approximate side is
+    * [[annJoin]] unchanged. One bounded join (QueryN×k rows each side)
+    * compares them. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.orderBy("vec_id").limit(QueryN)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    val exact = e.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cosExpr("embedding", "qv").as("cos"))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= JoinK)
+      .select(col("qid"), col("vec_id"))
+    val approx = annJoin(spark, dir)
+      .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("qid", "vec_id"), "left")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("qid"), col("n_exact"), col("n_hit"),
+        graft.functions.TextFns.bp(col("n_hit"), col("n_exact")).as("recall_bp"))
+  }
+  lazy val annRecallSql: String = {
+    val masks = (0L +: (0 until NumPlanes).map(j => 1L << j))
+      .mkString("[", ", ", "]")
+    s"""WITH eb AS (
+       |  SELECT vec_id, embedding, ${sqlBucket("embedding")} AS bucket
+       |  FROM embeddings
+       |), qb AS (
+       |  SELECT qid, qv, xor(qbucket, m.m) AS pb FROM (
+       |    SELECT vec_id AS qid, embedding AS qv, bucket AS qbucket FROM eb
+       |    ORDER BY vec_id LIMIT $QueryN
+       |  ), unnest($masks) AS m(m)
+       |), approx AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT q.qid, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY ${sqlCos("e.embedding", "q.qv")} DESC, e.vec_id) AS rk
+       |    FROM eb e JOIN qb q ON e.bucket = q.pb AND e.vec_id <> q.qid
+       |  ) WHERE rk <= $JoinK
+       |), q AS (
+       |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |  ORDER BY vec_id LIMIT $QueryN
+       |), exact AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT q.qid, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY ${sqlCos("e.embedding", "q.qv")} DESC, e.vec_id) AS rk
+       |    FROM embeddings e, q WHERE e.vec_id <> q.qid
+       |  ) WHERE rk <= $JoinK
+       |)
+       |SELECT x.qid, count(*) AS n_exact,
+       |  sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hit,
+       |  ${graft.functions.TextFns.sqlBp(
+            "sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)", "count(*)")}
+       |    AS recall_bp
+       |FROM exact x
+       |LEFT JOIN approx a ON x.qid = a.qid AND x.vec_id = a.vec_id
+       |GROUP BY 1""".stripMargin
+  }
+
   // ---- #21b IVF ANN: learned centroids (one Lloyd pass) -----------------
   /** Coarse quantizer: seed centroids = first IvfK vectors (deterministic
     * training sample), one relational Lloyd refinement (assign → per-dim

@@ -26,7 +26,9 @@ class PlanLintSpec extends SparkTestBase {
     * a conditioned BNLJ fails the lint. */
   private val TinyBroadcastBnl =
     Set("ann_topk", "ann_lsh", "ann_range_search", "sample_stratified",
-      "quality_percentile_gate")
+      "quality_percentile_gate",
+      // exact-baseline side of the recall audit: QueryN-bounded broadcast
+      "ann_recall")
 
   test("no query plans a cartesian, a conditioned nested loop, or a global window") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -42,7 +42,8 @@ class ScaleSpec extends SparkTestBase {
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
   test("top-k queries compile to TakeOrderedAndProject, not a global window") {
-    Seq("ann_topk", "ann_lsh", "ann_ivf", "word_bigrams").foreach { q =>
+    Seq("ann_topk", "ann_lsh", "ann_ivf", "ann_pq", "ann_ivfpq",
+        "word_bigrams").foreach { q =>
       val plan = planOf(q)
       assert(plan.contains("TakeOrderedAndProject"), s"$q lost its partial top-k:\n$plan")
     }

@@ -134,6 +134,19 @@ class SimilaritySpec extends SparkTestBase {
     assert(byRank.map(_._2).toSeq == byRank.map(_._2).sorted.toSeq)
   }
 
+  test("ann recall audit: per-query bp recall of LSH against brute force") {
+    val rows = Similarity.annRecall(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every fixture vector is a query (QueryN > corpus); each has a row
+    assert(rows.length == 5)
+    rows.foreach { case (_, nExact, nHit, bp) =>
+      assert(nExact >= 1 && nHit <= nExact)
+      assert(bp == nHit * 10000L / nExact)
+    }
+    // query 0's exact top-3 in-bucket partner vec 1 is found by LSH → >0
+    assert(rows.find(_._1 == 0L).get._3 >= 1L)
+  }
+
   test("int8 quantization: exact integer aggregates and near-1 recon cosine") {
     // dedicated fixture with a non-trivial spread: v = [1, -0.5, 0.25, 0…]
     // → s = 1/127, q = [127, -64, 32, 0…] (round half away from zero)
