@@ -33,17 +33,24 @@ object Curation {
     * and is what this operator demonstrates. */
   val SegLen = 20
 
+  /** Segment-hash array of a `toks`-named token-array column — the one
+    * definition of "segment" shared by the batch operators and the
+    * streaming ingest gate (DocsStream.segmentSeenGate), so batch audits
+    * and the feed cannot disagree on segment boundaries. */
+  private[graft] def segHashArr: org.apache.spark.sql.Column =
+    expr(
+      s"transform(transform(sequence(1, ((size(toks) - 1) div $SegLen) + 1), " +
+        s"i -> concat_ws(' ', slice(toks, (i - 1) * $SegLen + 1, $SegLen))), " +
+        // TextFns.md5Long as SQL text (lambda bodies can't splice Columns)
+        "s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT))")
+
   private[operators] def segments(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(col("doc_id"), toks.as("toks"))
       .where(size(col("toks")) >= 1)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, ((size(toks) - 1) div $SegLen) + 1), " +
-          s"i -> concat_ws(' ', slice(toks, (i - 1) * $SegLen + 1, $SegLen)))"))
-        .as("seg"))
       // join/count key is the shared 60-bit md5, not the segment text:
       // shuffle bytes per row are 8, not ~SegLen words
-      .select(col("doc_id"), md5Long(col("seg")).as("sh"))
+      .select(col("doc_id"), explode(segHashArr).as("sh"))
 
   /** Per-doc duplication profile: how many of the doc's segments also occur
     * elsewhere in the corpus (counting every occurrence of a segment whose

@@ -106,6 +106,57 @@ object DocsStream {
       expr(s"(min_lang * $m) div n_lang").as("keep_below"))
   }
 
+  /** Drop documents more than half of whose segments are already in the
+    * standing corpus (exact basis points — §6). */
+  val SeenGateMaxBp = 5000L
+
+  /** The trained Bloom blob `segmentSeenGate` applies: the standing
+    * corpus's segment hashes aggregated into one binary filter — the same
+    * BloomFilterAggregate the batch `dedup_bloom` probe builds, collected
+    * because it is a bounded trained artifact (one blob, size set by
+    * Dedup.BloomBits), exactly like the vocabulary and mix-rate tables. */
+  def segmentBloom(reference: DataFrame): Array[Byte] = {
+    import org.apache.spark.sql.graft.Bloom
+    val segs = reference
+      .withColumn("toks", filter(
+        transform(split(col("text"), WsTokenRe), t => lower(t)), t => t =!= ""))
+      .where(size(col("toks")) >= 1)
+      .select(explode(graft.operators.Curation.segHashArr).as("sh"))
+    segs.agg(Bloom.bloomAgg(col("sh"),
+      graft.operators.Dedup.BloomItems, graft.operators.Dedup.BloomBits)
+      .as("bf")).collect()(0).getAs[Array[Byte]](0)
+  }
+
+  /** Ingest-time near-duplicate gate: drop a streamed document when too
+    * many of its segments are already in the standing corpus's Bloom
+    * filter. Segment boundaries and hashing are `Curation.segHashArr` —
+    * the batch `dedup_bloom` audit and this gate cannot disagree on what a
+    * "seen segment" is. The blob ships as a literal (might_contain
+    * requires a constant filter side); membership is a row-local array
+    * scan, so the stage has no state and no shuffle.
+    *
+    * Honest semantics note: unlike the batch operator, the feed gate has
+    * no exact confirm join, so the filter's ~1% false-positive rate leaks
+    * into the seen-count — acceptable for a keep/drop threshold at 50%,
+    * and the price of a stateless one-pass gate; the batch audit stays
+    * exact. */
+  def segmentSeenGate(docs: DataFrame, bloomBlob: Array[Byte],
+      maxSeenBp: Long = SeenGateMaxBp): DataFrame = {
+    import org.apache.spark.sql.graft.Bloom
+    val blob = lit(bloomBlob)
+    docs
+      .withColumn("toks", filter(
+        transform(split(col("text"), WsTokenRe), t => lower(t)), t => t =!= ""))
+      .where(size(col("toks")) >= 1)
+      .withColumn("__sh", graft.operators.Curation.segHashArr)
+      .withColumn("n_segments", size(col("__sh")).cast("long"))
+      .withColumn("n_seen", size(filter(col("__sh"),
+        h => Bloom.mightContain(blob, h))).cast("long"))
+      .withColumn("seen_bp", bp(col("n_seen"), col("n_segments")))
+      .where(col("seen_bp") <= maxSeenBp)
+      .drop("toks", "__sh")
+  }
+
   /** Keep documents whose out-of-vocabulary rate is at most 20% (exact
     * basis points — §6). */
   val OovGateMaxBp = 2000L

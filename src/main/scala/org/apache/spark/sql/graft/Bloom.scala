@@ -34,4 +34,13 @@ object Bloom {
     ExpressionUtils.column(BloomFilterMightContain(
       ScalarSubquery(bloomDf.queryExecution.analyzed),
       ExpressionUtils.expression(hashed)))
+
+  /** Probe against a pre-trained filter blob shipped as a constant — the
+    * streaming-gate shape, where the filter is a bounded trained artifact
+    * like a vocabulary list (a literal satisfies might_contain's
+    * constant-filter-side requirement). */
+  def mightContain(bloomBlob: Column, hashed: Column): Column =
+    ExpressionUtils.column(BloomFilterMightContain(
+      ExpressionUtils.expression(bloomBlob),
+      ExpressionUtils.expression(hashed)))
 }

@@ -365,6 +365,31 @@ class SourcesAndStreamingSpec extends SparkTestBase {
     assert(streamed == batch && batch.size == 3)
   }
 
+  test("streaming segment-seen gate drops docs whose segments are in the corpus bloom") {
+    import spark.implicits._
+    // corpus doc is exactly one SegLen(=20)-token segment
+    val seg1 = (1 to 20).map(i => s"w$i").mkString(" ")
+    val novel = (1 to 20).map(i => s"n$i").mkString(" ")
+    val corpDir = writeDocsFixture(Seq(10L -> seg1))
+    val blob = graft.streaming.DocsStream.segmentBloom(
+      spark.read.parquet(s"$corpDir/documents.parquet"))
+    val input = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.DocsStream.segmentSeenGate(
+        input.toDF().toDF("doc_id", "text"), blob)
+      .writeStream.format("memory").queryName("seen_gate")
+      .outputMode("append").start()
+    input.addData(Seq(
+      1L -> seg1,              // 1/1 segments seen → 10000 bp, dropped
+      2L -> novel,             // 0/1 seen → kept
+      3L -> s"$seg1 $novel"    // 1/2 seen → 5000 bp, kept at the threshold
+    ): _*)
+    q.processAllAvailable()
+    val kept = spark.table("seen_gate").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    q.stop()
+    assert(kept == Set(2L, 3L))
+  }
+
   test("streaming oov gate keeps exactly the batch coverage filter's keep set") {
     import spark.implicits._
     val common = "alpha beta gamma delta alpha beta"
