@@ -38,13 +38,24 @@ object ClusterSmoke {
       // batch prep: shard-partitioned windows + salted-md5 shard assignment
       // (row_number over a real multi-executor exchange)
       val order = SparkEntry.queries("training_order")(spark, sfDir).count()
+      // bloom probe: the BloomFilterAggregate blob is built on executors,
+      // merged on the driver via a scalar subquery, and re-shipped to every
+      // executor for the might_contain scan — a round trip only a real
+      // multi-JVM cluster exercises
+      val bloom = SparkEntry.queries("dedup_bloom")(spark, sfDir).count()
+      // PQ serving path: two materialized quantizers (MEMORY_AND_DISK
+      // persisted frames) consumed across executor JVMs + broadcast ADC
+      // distance table
+      val ivfpq = SparkEntry.queries("ann_ivfpq")(spark, sfDir).count()
       // sanity: the work genuinely ran on >1 executor JVM
       val executors = spark.sparkContext.statusTracker.getExecutorInfos
         .map(_.host()).length
-      println(s"""{"smoke":"local-cluster[2,4,2048]","anagram_groups":$anagrams,"dedup_minhash":$minhash,"training_order":$order,"executors":$executors}""")
+      println(s"""{"smoke":"local-cluster[2,4,2048]","anagram_groups":$anagrams,"dedup_minhash":$minhash,"training_order":$order,"dedup_bloom":$bloom,"ann_ivfpq":$ivfpq,"executors":$executors}""")
       require(anagrams > 0, "anagram_groups returned no rows on local-cluster")
       require(minhash > 0, "dedup_minhash returned no rows on local-cluster")
       require(order > 0, "training_order returned no rows on local-cluster")
+      require(bloom > 0, "dedup_bloom returned no rows on local-cluster")
+      require(ivfpq > 0, "ann_ivfpq returned no rows on local-cluster")
     } finally spark.stop()
   }
 }
