@@ -582,8 +582,21 @@ object Similarity {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** Materialized codes table (vec_id, m, cid, dist): the PQ INDEX — at
+    * 100 TB this is the parquet artifact an encode job writes once and
+    * every serving query scans instead of the float vectors; locally it is
+    * encoded once per (session, corpus) and shared by `pq_quantize`,
+    * `ann_pq` and `ann_ivfpq`. */
+  private val pqCodesCache = Materialized.register(
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
+  def pqCodes(spark: SparkSession, dir: String): DataFrame =
+    Materialized.cached(pqCodesCache, spark, dir) {
+      pqAssign(subVecs(emb(spark, dir)), pqCodebooks(spark, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   def pqQuantize(spark: SparkSession, dir: String): DataFrame =
-    pqAssign(subVecs(emb(spark, dir)), pqCodebooks(spark, dir))
+    pqCodes(spark, dir)
       .groupBy("vec_id")
       .agg(array_sort(collect_list(struct(col("m"), col("cid"), col("dist"))))
         .as("arr"))
@@ -661,7 +674,7 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("m"), col("sv").as("qsv"))
     val dtab = qSub.join(pqCodebooks(spark, dir), "m")
       .select(col("qid"), col("m"), col("cid"), subL2sq("qsv", "c").as("qd"))
-    val codes = pqAssign(subVecs(e), pqCodebooks(spark, dir))
+    val codes = pqCodes(spark, dir)
       .select(col("vec_id"), col("m"), col("cid"))
     val scored = codes.join(broadcast(dtab), Seq("m", "cid"))
       .where(col("vec_id") =!= col("qid"))
@@ -737,6 +750,20 @@ object Similarity {
     * distance table both broadcast. Per probed vector exactly one row
     * reaches the fold exchange, carrying PqM small ints instead of the
     * float vector. */
+  /** Materialized IVF-PQ index layout (cell, vec_id, m, cid): the codes
+    * table joined to the coarse-cell assignment — the on-disk layout a
+    * build job writes partitioned by cell, so a probe is partition
+    * pruning. The vec_id-keyed join runs once per (session, corpus). */
+  private val ivfPqCache = Materialized.register(
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
+  def ivfPqLayout(spark: SparkSession, dir: String): DataFrame =
+    Materialized.cached(ivfPqCache, spark, dir) {
+      pqCodes(spark, dir).select(col("vec_id"), col("m"), col("cid"))
+        .join(argminCid(emb(spark, dir), ivfCentroids(spark, dir), Seq.empty)
+          .withColumnRenamed("cid", "cell"), "vec_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val cents = ivfCentroids(spark, dir)
@@ -753,10 +780,7 @@ object Similarity {
       .select(col("qid"), col("m"), col("cid"), subL2sq("qsv", "c").as("qd"))
     // index layout: every vector's cell + its PQ codes (cell is the
     // partition key at scale; the vec_id join happens once at index build)
-    val layout = pqAssign(subVecs(e), pqCodebooks(spark, dir))
-      .select(col("vec_id"), col("m"), col("cid"))
-      .join(argminCid(e, cents, Seq.empty).withColumnRenamed("cid", "cell"),
-        "vec_id")
+    val layout = ivfPqLayout(spark, dir)
     val scored = layout.join(broadcast(probes), "cell")
       .where(col("vec_id") =!= col("qid"))
       .join(broadcast(dtab), Seq("qid", "m", "cid"))
