@@ -52,6 +52,63 @@ object Curation {
       // shuffle bytes per row are 8, not ~SegLen words
       .select(col("doc_id"), explode(segHashArr).as("sh"))
 
+  // ---- #25y segment trimming (boilerplate removal end product) ----------
+  /** The trimming `dedup_segments` measures: rebuild every document WITHOUT
+    * its corpus-duplicated segments (the CCNet/RefinedWeb paragraph-dedup
+    * output — headers, licence blocks and quoted passages vanish while the
+    * unique prose survives). Same count-over-window shape as
+    * `dedup_segments` — one exchange keyed by the 8-byte segment hash both
+    * counts and marks; the doc-keyed aggregation then reassembles kept
+    * segments in position order. Exact integers + a string output (§6-safe).
+    *
+    * Scale: the sh-partitioned window carries the segment text as payload
+    * (unavoidable — the text is what survives), so the exchange moves ~the
+    * corpus once; the reassembly groupBy moves kept text once more. Both
+    * are uniform-hash keyed; the duplicated minority never skews (a hot
+    * segment's rows all land in one partition but are bounded by its
+    * corpus count, which trimming itself caps the damage of). */
+  def trimSegments(spark: SparkSession, dir: String): DataFrame = {
+    val segsP = docs(spark, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .where(size(col("toks")) >= 1)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, ((size(toks) - 1) div $SegLen) + 1), " +
+          s"i -> concat_ws(' ', slice(toks, (i - 1) * $SegLen + 1, $SegLen)))"))
+        .as(Seq("pos", "seg")))
+      .withColumn("sh", md5Long(col("seg")))
+    segsP
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dropped"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("n") <= 1,
+            struct(col("pos"), col("seg"))))),
+          s => s.getField("seg"))).as("trimmed_text"))
+  }
+  val trimSegmentsSql: String =
+    s"""WITH toksx AS (
+       |  SELECT doc_id, list_filter(list_transform(
+       |    string_split_regex(text, '\\s+'), t -> lower(t)), t -> t <> '') AS t
+       |  FROM documents
+       |), segs AS (
+       |  SELECT doc_id, CAST(g.i AS BIGINT) AS pos,
+       |    list_aggr(t[(g.i - 1) * $SegLen + 1 : (g.i - 1) * $SegLen + $SegLen],
+       |      'string_agg', ' ') AS seg
+       |  FROM toksx, unnest(range(1, ((len(t) - 1) // $SegLen) + 2)) AS g(i)
+       |  WHERE len(t) >= 1
+       |), marked AS (
+       |  SELECT doc_id, pos, seg,
+       |    count(*) OVER (PARTITION BY ${sqlMd5Long("seg")}) AS n
+       |  FROM segs
+       |)
+       |SELECT doc_id, count(*) AS n_segments,
+       |  sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dropped,
+       |  coalesce(string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE n <= 1), '')
+       |    AS trimmed_text
+       |FROM marked GROUP BY 1""".stripMargin
+
   /** Per-doc duplication profile: how many of the doc's segments also occur
     * elsewhere in the corpus (counting every occurrence of a segment whose
     * corpus-wide count exceeds 1). The aggregate a curation pipeline

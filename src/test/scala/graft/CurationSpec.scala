@@ -24,6 +24,16 @@ class CurationSpec extends SparkTestBase {
     assert(rows(4L) == ((1L, 0L))) // nothing duplicated
   }
 
+  test("segment trimming rebuilds docs without corpus-duplicated segments") {
+    val rows = Curation.trimSegments(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(rows(1L) == ((2L, 2L, ""))) // everything boilerplate → empty
+    assert(rows(2L) == ((2L, 2L, "")))
+    assert(rows(3L) == ((2L, 1L, "unique tail words here now")))
+    assert(rows(4L) == ((1L, 0L, "totally different short text")))
+  }
+
   test("decontaminate flags docs sharing k-grams with the probe docs") {
     // probe docs are doc_id < 3 → docs 1,2 (and the absent 0); doc 3 shares
     // the w1..w20 3-grams with them, doc 4 shares none
