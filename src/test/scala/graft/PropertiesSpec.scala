@@ -365,6 +365,57 @@ class PropertiesSpec extends SparkTestBase {
     assert(rungs == rungs.sorted) // more vocab never covers less
   }
 
+  /** Random corpus with natural segment repeats: a pool of SegLen-token
+    * "paragraphs"; each doc concatenates 1-4 pool draws plus an optional
+    * unique partial tail, so segments align to paragraphs and duplicate
+    * across docs exactly when the same paragraph was drawn twice. */
+  private def segCorpus(nDocs: Int, seed: Int): Seq[(Long, String)] = {
+    val sl = graft.operators.Curation.SegLen
+    val pool = (0 until 6).map(p =>
+      draw(word, sl * 2).distinct.take(sl).mkString(" "))
+    val rnd = new scala.util.Random(seed)
+    (1 to nDocs).map { i =>
+      val paras = (0 until 1 + rnd.nextInt(4)).map(_ => pool(rnd.nextInt(pool.size)))
+      val tail = if (rnd.nextBoolean()) draw(word, rnd.nextInt(sl - 1) + 1)
+        .mkString(" ") else ""
+      i.toLong -> (paras :+ tail).filter(_.nonEmpty).mkString(" ")
+    }
+  }
+  private def bruteSegs(text: String): Seq[String] =
+    text.toLowerCase.split("\\s+").filter(_.nonEmpty).grouped(
+      graft.operators.Curation.SegLen).map(_.mkString(" ")).toSeq
+
+  test("property: dedup_bloom equals brute-force segment membership") {
+    val corpus = segCorpus(24, seed = 7)
+    val dir = writeDocsFixture(corpus)
+    val oldSet = corpus.filter(_._1 % 2 == 0).flatMap(d => bruteSegs(d._2)).toSet
+    val expected = corpus.filter(_._1 % 2 == 1).map { case (id, text) =>
+      val segs = bruteSegs(text)
+      id -> ((segs.size.toLong, segs.count(oldSet.contains).toLong))
+    }.toMap
+    val rows = graft.operators.Dedup.dedupBloom(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // exactness both ways: the bloom prefilter loses nothing (no false
+    // negatives) and the confirm join admits nothing extra
+    assert(rows == expected)
+  }
+
+  test("property: trim_segments equals brute-force paragraph trimming") {
+    val corpus = segCorpus(24, seed = 11)
+    val dir = writeDocsFixture(corpus)
+    val counts = corpus.flatMap(d => bruteSegs(d._2))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val expected = corpus.map { case (id, text) =>
+      val segs = bruteSegs(text)
+      id -> ((segs.size.toLong, segs.count(counts(_) > 1).toLong,
+        segs.filter(counts(_) == 1).mkString(" ")))
+    }.toMap
+    val rows = graft.operators.Curation.trimSegments(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(rows == expected)
+  }
+
   test("property: minhash sim_hat tracks true Jaccard on synthetic overlaps") {
     // doc pairs sharing a controlled fraction of shingles: sim_hat must
     // correlate (loose statistical bound, K=32 → σ≈0.09)
