@@ -52,7 +52,7 @@ object Curation {
       // shuffle bytes per row are 8, not ~SegLen words
       .select(col("doc_id"), explode(segHashArr).as("sh"))
 
-  // ---- #25y segment trimming (boilerplate removal end product) ----------
+  // ---- #25z segment trimming (boilerplate removal end product) ----------
   /** The trimming `dedup_segments` measures: rebuild every document WITHOUT
     * its corpus-duplicated segments (the CCNet/RefinedWeb paragraph-dedup
     * output — headers, licence blocks and quoted passages vanish while the

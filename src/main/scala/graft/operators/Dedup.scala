@@ -540,7 +540,7 @@ object Dedup {
        |WHERE ${sqlBp(s"($matches)", K.toString)} >= $MinhashSimBp""".stripMargin
   }
 
-  // ---- #16d Bloom-probe incremental segment membership -------------------
+  // ---- #16e Bloom-probe incremental segment membership -------------------
   /** The cheapest daily-increment membership test: a Bloom filter built
     * over the standing corpus's segment hashes prefilters the fresh batch's
     * segments MAP-ONLY (one filter blob evaluated per row, no join), and
