@@ -33,16 +33,20 @@ object Curation {
     * and is what this operator demonstrates. */
   val SegLen = 20
 
-  /** Segment-hash array of a `toks`-named token-array column — the one
-    * definition of "segment" shared by the batch operators and the
-    * streaming ingest gate (DocsStream.segmentSeenGate), so batch audits
-    * and the feed cannot disagree on segment boundaries. */
-  private[graft] def segHashArr: org.apache.spark.sql.Column =
+  /** Segment-string array of a `toks`-named token-array column — THE
+    * definition of "segment boundaries", shared by every consumer
+    * (dedup_segments, trim_segments, dedup_bloom, the streaming gate) so
+    * they cannot disagree on where a segment starts. */
+  private[graft] def segStrArr: org.apache.spark.sql.Column =
     expr(
-      s"transform(transform(sequence(1, ((size(toks) - 1) div $SegLen) + 1), " +
-        s"i -> concat_ws(' ', slice(toks, (i - 1) * $SegLen + 1, $SegLen))), " +
-        // TextFns.md5Long as SQL text (lambda bodies can't splice Columns)
-        "s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT))")
+      s"transform(sequence(1, ((size(toks) - 1) div $SegLen) + 1), " +
+        s"i -> concat_ws(' ', slice(toks, (i - 1) * $SegLen + 1, $SegLen)))")
+
+  /** Segment-hash array: [[segStrArr]] under the shared 60-bit md5. */
+  private[graft] def segHashArr: org.apache.spark.sql.Column =
+    transform(segStrArr,
+      // TextFns.md5Long applied per element
+      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
 
   private[operators] def segments(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
@@ -51,6 +55,18 @@ object Curation {
       // join/count key is the shared 60-bit md5, not the segment text:
       // shuffle bytes per row are 8, not ~SegLen words
       .select(col("doc_id"), explode(segHashArr).as("sh"))
+
+  /** Materialized (doc_id, sh) segment-hash frame: compact (two longs per
+    * segment), tokenized once per (session, corpus) and shared by every
+    * consumer that needs hashes without text — dedup_bloom alone reads it
+    * from four plan branches. At 100 TB this is a parquet intermediate. */
+  private val segsCache = Materialized.register(
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
+  private[operators] def segmentsCached(spark: SparkSession, dir: String): DataFrame =
+    Materialized.cached(segsCache, spark, dir) {
+      segments(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   // ---- #25z segment trimming (boilerplate removal end product) ----------
   /** The trimming `dedup_segments` measures: rebuild every document WITHOUT
@@ -71,10 +87,7 @@ object Curation {
     val segsP = docs(spark, dir)
       .select(col("doc_id"), toks.as("toks"))
       .where(size(col("toks")) >= 1)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, ((size(toks) - 1) div $SegLen) + 1), " +
-          s"i -> concat_ws(' ', slice(toks, (i - 1) * $SegLen + 1, $SegLen)))"))
-        .as(Seq("pos", "seg")))
+      .select(col("doc_id"), posexplode(segStrArr).as(Seq("pos", "seg")))
       .withColumn("sh", md5Long(col("seg")))
     segsP
       .withColumn("n", count(lit(1)).over(
@@ -118,7 +131,7 @@ object Curation {
     // counts and filters, and the tokenize+segment explode runs once —
     // the groupBy-then-join-back shape ran it once per branch (see
     // dupSpanStats for the same restructure)
-    segments(spark, dir)
+    segmentsCached(spark, dir)
       .withColumn("n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("sh")))
       .groupBy("doc_id")

@@ -563,10 +563,12 @@ object Dedup {
     * lives in a different job than the probe. Same odd/even increment
     * convention as [[dedupIncremental]]. */
   val BloomItems = 1000000L
-  val BloomBits = 8388608L // 2^23 bits = 1 MiB ≈ 1% fpp at 1M items
+  val BloomBits = 8388608L // 2^23 bits = 1 MiB ≈ 2% fpp at 1M items (8.4 bits/key)
   def dedupBloom(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graft.Bloom
-    val segs = Curation.segments(spark, dir)
+    // materialized: this query reads the segment frame from four plan
+    // branches (bloom build, prefilter, confirm join, totals)
+    val segs = Curation.segmentsCached(spark, dir)
     val old = segs.where(col("doc_id") % 2 === 0).select(col("sh"))
     val fresh = segs.where(col("doc_id") % 2 === 1)
     val bf = old.agg(Bloom.bloomAgg(col("sh"), BloomItems, BloomBits).as("bf"))

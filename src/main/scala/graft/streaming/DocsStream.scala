@@ -113,17 +113,25 @@ object DocsStream {
   /** The trained Bloom blob `segmentSeenGate` applies: the standing
     * corpus's segment hashes aggregated into one binary filter — the same
     * BloomFilterAggregate the batch `dedup_bloom` probe builds, collected
-    * because it is a bounded trained artifact (one blob, size set by
-    * Dedup.BloomBits), exactly like the vocabulary and mix-rate tables. */
-  def segmentBloom(reference: DataFrame): Array[Byte] = {
+    * because it is a bounded trained artifact, exactly like the
+    * vocabulary and mix-rate tables.
+    *
+    * SIZE THE FILTER TO THE CORPUS: unlike the batch operator there is no
+    * exact confirm join downstream, so an undersized filter doesn't just
+    * cost extra work — its false positives inflate every seen-count and
+    * can silently drop novel documents. Defaults fit ≤ ~1M segment hashes
+    * at ~2% fpp (2^23 bits ≈ 8.4 bits/key); pass the corpus's measured
+    * segment cardinality (and ~10 bits/key) beyond that. */
+  def segmentBloom(reference: DataFrame,
+      expectedItems: Long = graft.operators.Dedup.BloomItems,
+      numBits: Long = graft.operators.Dedup.BloomBits): Array[Byte] = {
     import org.apache.spark.sql.graft.Bloom
     val segs = reference
       .withColumn("toks", filter(
         transform(split(col("text"), WsTokenRe), t => lower(t)), t => t =!= ""))
       .where(size(col("toks")) >= 1)
       .select(explode(graft.operators.Curation.segHashArr).as("sh"))
-    segs.agg(Bloom.bloomAgg(col("sh"),
-      graft.operators.Dedup.BloomItems, graft.operators.Dedup.BloomBits)
+    segs.agg(Bloom.bloomAgg(col("sh"), expectedItems, numBits)
       .as("bf")).collect()(0).getAs[Array[Byte]](0)
   }
 

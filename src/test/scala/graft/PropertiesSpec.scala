@@ -371,12 +371,15 @@ class PropertiesSpec extends SparkTestBase {
     * across docs exactly when the same paragraph was drawn twice. */
   private def segCorpus(nDocs: Int, seed: Int): Seq[(Long, String)] = {
     val sl = graft.operators.Curation.SegLen
-    val pool = (0 until 6).map(p =>
-      draw(word, sl * 2).distinct.take(sl).mkString(" "))
     val rnd = new scala.util.Random(seed)
+    def rw() = (0 until 1 + rnd.nextInt(8))
+      .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    // 6 genuinely distinct paragraphs (independent random words)
+    val pool = (0 until 6).map(_ => Seq.fill(sl)(rw()).mkString(" "))
+    assert(pool.distinct.size == pool.size)
     (1 to nDocs).map { i =>
       val paras = (0 until 1 + rnd.nextInt(4)).map(_ => pool(rnd.nextInt(pool.size)))
-      val tail = if (rnd.nextBoolean()) draw(word, rnd.nextInt(sl - 1) + 1)
+      val tail = if (rnd.nextBoolean()) Seq.fill(rnd.nextInt(sl - 1) + 1)(rw())
         .mkString(" ") else ""
       i.toLong -> (paras :+ tail).filter(_.nonEmpty).mkString(" ")
     }
