@@ -156,6 +156,29 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("bloom probe prefilters at the scan and hash-joins the confirm side") {
+    val plan = SparkEntry.queries("dedup_bloom")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the bloom prefilter reaches the scan (map-side, before any exchange)
+    assert(plan.contains("might_contain"), s"bloom prefilter lost:\n$plan")
+    // the exact confirm join is a semi join, never a corpus broadcast
+    assert(plan.contains("LeftSemi"), s"confirm semi-join lost:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin LeftSemi"),
+      s"confirm join broadcasts a corpus-sized side:\n$plan")
+  }
+
+  test("trim_segments is one scan through two uniform-key exchanges") {
+    val qe = SparkEntry.queries("trim_segments")(spark, sf).queryExecution
+    val scans = qe.executedPlan.toString
+      .linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"trim_segments re-scans the corpus ($scans scans)")
+    // window keyed by segment hash, aggregation keyed by doc — no
+    // unpartitioned window anywhere
+    assert(!qe.executedPlan.toString.contains("Window [")
+      || !qe.executedPlan.toString.contains("PARTITION BY ()"),
+      "trim_segments gained a global window")
+  }
+
   test("minhash/jaccard hash-join the signature table — never broadcast it") {
     // the signature table is corpus-sized at scale; the pair side carries
     // a shuffle_hash hint so the planner's small-scan estimate can't turn
