@@ -390,6 +390,35 @@ class SourcesAndStreamingSpec extends SparkTestBase {
     assert(kept == Set(2L, 3L))
   }
 
+  test("replay: segment-seen gate keep set equals the batch bloom audit's") {
+    import spark.implicits._
+    // same odd/even split as dedup_bloom: even docs are the corpus the
+    // blob is trained on, odd docs replay through the gate; at this scale
+    // the filter is effectively exact (fpp ~ 1e-18) and hashing is
+    // deterministic, so keep sets must agree exactly
+    val sf = "/root/testdata/sf0.001"
+    val docsDf = spark.read.parquet(s"$sf/documents.parquet")
+    val batchKept = graft.operators.Dedup.dedupBloom(spark, sf)
+      .where($"seen_bp" <= graft.streaming.DocsStream.SeenGateMaxBp)
+      .collect().map(_.getLong(0)).toSet
+    val blob = graft.streaming.DocsStream.segmentBloom(
+      docsDf.where($"doc_id" % 2 === 0))
+    val replayRows = docsDf.where($"doc_id" % 2 === 1)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val input = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.DocsStream.segmentSeenGate(
+        input.toDF().toDF("doc_id", "text"), blob)
+      .writeStream.format("memory").queryName("seen_replay")
+      .outputMode("append").start()
+    input.addData(replayRows: _*)
+    q.processAllAvailable()
+    val streamKept = spark.table("seen_replay").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    q.stop()
+    assert(streamKept == batchKept)
+    assert(streamKept.nonEmpty && streamKept.size < replayRows.size + 1)
+  }
+
   test("streaming oov gate keeps exactly the batch coverage filter's keep set") {
     import spark.implicits._
     val common = "alpha beta gamma delta alpha beta"
