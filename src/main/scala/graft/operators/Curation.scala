@@ -44,9 +44,7 @@ object Curation {
 
   /** Segment-hash array: [[segStrArr]] under the shared 60-bit md5. */
   private[graft] def segHashArr: org.apache.spark.sql.Column =
-    transform(segStrArr,
-      // TextFns.md5Long applied per element
-      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
+    transform(segStrArr, s => md5Long(s))
 
   private[operators] def segments(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)

@@ -19,108 +19,112 @@ import org.apache.spark.sql.functions._
   * split()) silently corrupts records; this is the genuine per-file
   * imperative-parse case, run as a flatMap over the binaryFile source.
   *
-  * Scale: the file index fans out exactly like [[GutenbergSource]]
-  * (one task per file group; `.warc.gz` members are read through the
-  * multi-member-aware JDK GZIPInputStream, so whole compressed files stay
-  * single-task — the same non-splittable-gzip rule every WARC consumer
-  * lives with; Common Crawl files are sized ~1 GB for this reason).
-  * Everything after the parse is an ordinary DataFrame.
+  * Scale: the file index fans out exactly like [[GutenbergSource]] (one
+  * task per file group). Parsing is STREAMING — records are yielded from
+  * an iterator over a (gzip) InputStream, so a ~1 GB `.warc.gz` that
+  * decompresses to several GB never materializes as one array and the
+  * task's memory high-water mark is one record, not one file (the
+  * compressed bytes themselves are held by the binaryFile column, whose
+  * 2 GB array cap matches Common Crawl's ~1 GB file sizing). `.warc.gz`
+  * members are read through the multi-member-aware JDK GZIPInputStream —
+  * whole compressed files stay single-task, the same non-splittable-gzip
+  * rule every WARC consumer lives with.
   */
 object WarcSource {
 
-  private val Gzip = Array[Byte](0x1f.toByte, 0x8b.toByte)
-
-  private def gunzip(bytes: Array[Byte]): Array[Byte] = {
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(bytes))
-    try in.readAllBytes() finally in.close()
-  }
-
-  /** Parse one WARC file's bytes into (url, date, warcType, block) records.
-    * Content-Length-framed; malformed trailing bytes end the walk rather
-    * than throwing (a truncated tail record is dropped, matching how WARC
-    * readers treat mid-record EOF). */
-  private[sources] def parseWarc(raw: Array[Byte]): Seq[(String, String, String, Array[Byte])] = {
-    val bytes =
-      if (raw.length >= 2 && raw(0) == Gzip(0) && raw(1) == Gzip(1)) gunzip(raw)
-      else raw
-    val out = Seq.newBuilder[(String, String, String, Array[Byte])]
-    var off = 0
-    def lineEnd(from: Int): Int = {
-      var i = from
-      while (i + 1 < bytes.length && !(bytes(i) == '\r' && bytes(i + 1) == '\n')) i += 1
-      i
+  /** Streaming record iterator: (recIx, url, date, warcType, block).
+    * Content-Length-framed; a truncated tail record ends the walk rather
+    * than throwing (matching how WARC readers treat mid-record EOF). */
+  private[sources] def parseWarc(raw: Array[Byte]): Iterator[(Long, String, String, String, Array[Byte])] = {
+    val base = new java.io.ByteArrayInputStream(raw)
+    val in = new java.io.BufferedInputStream(
+      if (raw.length >= 2 && raw(0) == 0x1f.toByte && raw(1) == 0x8b.toByte)
+        new java.util.zip.GZIPInputStream(base)
+      else base)
+    // one header line as ISO-8859-1 (headers are ASCII by spec): reads to
+    // LF, strips a trailing CR — tolerates both CRLF and bare-LF headers;
+    // null at EOF
+    def readLine(): String = {
+      var c = in.read()
+      if (c == -1) return null
+      val sb = new java.lang.StringBuilder
+      while (c != -1 && c != '\n') { sb.append(c.toChar); c = in.read() }
+      if (sb.length > 0 && sb.charAt(sb.length - 1) == '\r')
+        sb.deleteCharAt(sb.length - 1)
+      sb.toString
     }
-    while (off < bytes.length) {
-      // seek the version line (skips inter-record CRLFs)
-      val e0 = lineEnd(off)
-      if (e0 + 1 >= bytes.length) { off = bytes.length }
-      else {
-        val version = new String(bytes, off, e0 - off, java.nio.charset.StandardCharsets.ISO_8859_1)
-        if (!version.startsWith("WARC/")) { off = e0 + 2 }
-        else {
-          // header lines until the empty line
-          var p = e0 + 2
-          var url = ""; var date = ""; var wtype = ""; var clen = -1L
-          var done = false
-          while (!done && p < bytes.length) {
-            val e = lineEnd(p)
-            val line = new String(bytes, p, e - p, java.nio.charset.StandardCharsets.ISO_8859_1)
-            p = e + 2
-            if (line.isEmpty) done = true
-            else {
-              val i = line.indexOf(':')
-              if (i > 0) {
-                val k = line.substring(0, i).trim.toLowerCase
-                val v = line.substring(i + 1).trim
-                k match {
-                  case "warc-target-uri" => url = v
-                  case "warc-date" => date = v
-                  case "warc-type" => wtype = v
-                  case "content-length" =>
-                    clen = try v.toLong catch { case _: NumberFormatException => -1L }
-                  case _ =>
-                }
-              }
+    new Iterator[(Long, String, String, String, Array[Byte])] {
+      private var nextRec: (Long, String, String, String, Array[Byte]) = _
+      private var ix = 0L
+      private def advance(): Unit = {
+        nextRec = null
+        var line = readLine()
+        // seek the next version line (skips inter-record blank lines)
+        while (line != null && !line.startsWith("WARC/")) line = readLine()
+        if (line == null) return
+        var url = ""; var date = ""; var wtype = ""; var clen = -1L
+        var l = readLine()
+        while (l != null && l.nonEmpty) {
+          val i = l.indexOf(':')
+          if (i > 0) {
+            val k = l.substring(0, i).trim.toLowerCase
+            val v = l.substring(i + 1).trim
+            k match {
+              case "warc-target-uri" => url = v
+              case "warc-date" => date = v
+              case "warc-type" => wtype = v
+              case "content-length" =>
+                clen = try v.toLong catch { case _: NumberFormatException => -1L }
+              case _ =>
             }
           }
-          if (!done || clen < 0 || p + clen > bytes.length) { off = bytes.length } // truncated tail
-          else {
-            out += ((url, date, wtype,
-              java.util.Arrays.copyOfRange(bytes, p, (p + clen).toInt)))
-            off = (p + clen).toInt // the record-separating CRLFs are skipped above
-          }
+          l = readLine()
         }
+        if (l == null || clen < 0 || clen > Int.MaxValue - 8) return // truncated/absurd
+        val block = in.readNBytes(clen.toInt)
+        if (block.length < clen) return // truncated tail
+        nextRec = (ix, url, date, wtype, block)
+        ix += 1
+      }
+      advance()
+      override def hasNext: Boolean = nextRec != null
+      override def next(): (Long, String, String, String, Array[Byte]) = {
+        val r = nextRec; advance(); r
       }
     }
-    out.result()
   }
 
-  /** One row per WARC record: (path, url, warc_date, warc_type, block). */
+  /** One row per WARC record:
+    * (path, rec_ix, url, warc_date, warc_type, block). */
   def readWarc(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile").load(path)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (p, c) =>
-        parseWarc(c).map { case (u, d, t, b) => (p, u, d, t, b) }
+        parseWarc(c).map { case (ix, u, d, t, b) => (p, ix, u, d, t, b) }
       }
-      .toDF("path", "url", "warc_date", "warc_type", "block")
+      .toDF("path", "rec_ix", "url", "warc_date", "warc_type", "block")
   }
 
   /** Response records → a `documents`-shaped frame: the HTTP header block
-    * is dropped (everything through the first CRLFCRLF), the body decoded
-    * as UTF-8 with replacement, doc_id = the shared 60-bit md5 of the URL.
-    * From here the whole curation/dedup/analysis surface applies. */
+    * is dropped (terminated by CRLFCRLF or bare LFLF — crawls store server
+    * bytes verbatim, and LF-only servers exist), the body wrapped as a
+    * string WITHOUT charset validation (a cast, not decode(): Spark 4's
+    * decode raises MALFORMED_CHARACTER_CODING on the first malformed byte,
+    * which would kill a whole job on one latin-1 page; malformed sequences
+    * instead flow to the downstream quality/charset gates built for
+    * exactly that). doc_id = the shared 60-bit md5 of (file, record index,
+    * url) — re-crawls of the same URL are routine in real WARCs and must
+    * not collide. */
   def documentsFromWarc(spark: SparkSession, path: String): DataFrame =
     readWarc(spark, path)
       .where(col("warc_type") === "response")
       .select(
-        graft.functions.TextFns.md5Long(col("url")).as("doc_id"),
+        graft.functions.TextFns.md5Long(concat_ws("",
+          col("path"), col("rec_ix"), col("url"))).as("doc_id"),
         col("url"),
         col("warc_date"),
-        // body = block after the HTTP headers; decode() with a non-binary
-        // charset replaces malformed bytes rather than failing mid-corpus
-        regexp_replace(decode(col("block"), "UTF-8"),
-          "(?s)^.*?\r\n\r\n", "").as("text"))
+        regexp_replace(col("block").cast("string"),
+          "(?s)^.*?(\r?\n){2}", "").as("text"))
 }

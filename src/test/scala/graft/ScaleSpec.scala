@@ -161,10 +161,13 @@ class ScaleSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     // the bloom prefilter reaches the scan (map-side, before any exchange)
     assert(plan.contains("might_contain"), s"bloom prefilter lost:\n$plan")
-    // the exact confirm join is a semi join, never a corpus broadcast
-    assert(plan.contains("LeftSemi"), s"confirm semi-join lost:\n$plan")
-    assert(!plan.contains("BroadcastHashJoin LeftSemi"),
-      s"confirm join broadcasts a corpus-sized side:\n$plan")
+    // the exact confirm join is a semi join, never a corpus broadcast —
+    // inspect the semi-join LINE (plans print keys between name and type,
+    // so a naive contiguous-substring check can never fire)
+    val semiLines = plan.linesIterator.filter(_.contains("LeftSemi")).toSeq
+    assert(semiLines.nonEmpty, s"confirm semi-join lost:\n$plan")
+    semiLines.foreach(l => assert(!l.contains("Broadcast"),
+      s"confirm join broadcasts a corpus-sized side: $l"))
   }
 
   test("trim_segments is one scan through two uniform-key exchanges") {
@@ -173,10 +176,13 @@ class ScaleSpec extends SparkTestBase {
       .linesIterator.count(_.contains("Scan parquet"))
     assert(scans == 1, s"trim_segments re-scans the corpus ($scans scans)")
     // window keyed by segment hash, aggregation keyed by doc — no
-    // unpartitioned window anywhere
-    assert(!qe.executedPlan.toString.contains("Window [")
-      || !qe.executedPlan.toString.contains("PARTITION BY ()"),
-      "trim_segments gained a global window")
+    // unpartitioned window anywhere (typed check; the string form never
+    // prints 'PARTITION BY')
+    val globals = qe.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.isEmpty, "trim_segments gained a global window")
   }
 
   test("minhash/jaccard hash-join the signature table — never broadcast it") {

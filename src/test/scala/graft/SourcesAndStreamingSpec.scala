@@ -416,7 +416,9 @@ class SourcesAndStreamingSpec extends SparkTestBase {
       .map(_.getAs[Long]("doc_id")).toSet
     q.stop()
     assert(streamKept == batchKept)
-    assert(streamKept.nonEmpty && streamKept.size < replayRows.size + 1)
+    // non-vacuous both ways: the gate kept some docs AND dropped some
+    // (sf0.001 has docs above 5000 bp seen — verified in the batch audit)
+    assert(streamKept.nonEmpty && streamKept.size < replayRows.size)
   }
 
   test("streaming oov gate keeps exactly the batch coverage filter's keep set") {

@@ -24,9 +24,18 @@ class WarcSourceSpec extends SparkTestBase {
     val d = java.nio.file.Files.createTempDirectory("graft-warc")
     val warc = record("request", "http://a.example/x", "GET /x HTTP/1.1\r\n".getBytes("UTF-8")) ++
       record("response", "http://a.example/x", http("hello <b>world</b>")) ++
-      record("response", "http://a.example/trap", http(trapBody))
+      record("response", "http://a.example/trap", http(trapBody)) ++
+      // re-crawl: SAME url captured twice (routine in real WARCs)
+      record("response", "http://a.example/x", http("hello again")) ++
+      // LF-only HTTP headers (server bytes stored verbatim)
+      record("response", "http://a.example/lf",
+        "HTTP/1.1 200 OK\nContent-Type: text/plain\n\nbare lf body".getBytes("UTF-8")) ++
+      // malformed UTF-8 in the body must not kill the query
+      record("response", "http://a.example/bad",
+        "HTTP/1.1 200 OK\r\n\r\n".getBytes("UTF-8") ++
+          Array[Byte](0x68, 0xFF.toByte, 0xFE.toByte, 0x69))
     java.nio.file.Files.write(d.resolve("part1.warc"), warc)
-    // same records again, gzipped (multi-record single member)
+    // a gzipped file (streamed through GZIPInputStream, never one array)
     val bos = new java.io.ByteArrayOutputStream()
     val gz = new java.util.zip.GZIPOutputStream(bos)
     gz.write(record("response", "http://b.example/y", http("gzipped page")))
@@ -37,23 +46,29 @@ class WarcSourceSpec extends SparkTestBase {
 
   test("warc records are Content-Length framed, not marker split") {
     val rows = WarcSource.readWarc(spark, dir).collect()
-      .map(r => (r.getString(1), r.getString(3), new String(r.getAs[Array[Byte]](4), "UTF-8")))
-    assert(rows.length == 4) // 1 request + 3 responses; no phantom "fake" record
+      .map(r => (r.getString(2), r.getString(4), new String(r.getAs[Array[Byte]](5), "ISO-8859-1")))
+    assert(rows.length == 7) // 1 request + 6 responses; no phantom "fake" record
     assert(!rows.exists(_._2 == "fake"))
     val trap = rows.find(_._1 == "http://a.example/trap").get
     assert(trap._3.contains("WARC/1.0")) // the marker stayed INSIDE the body
-    assert(rows.count(_._2 == "response") == 3)
+    assert(rows.count(_._2 == "response") == 6)
     assert(rows.exists(_._1 == "http://b.example/y")) // the gzipped file parsed
   }
 
-  test("documentsFromWarc keeps responses, strips HTTP headers, hashes doc ids") {
+  test("documentsFromWarc keeps responses, strips headers, survives bad UTF-8") {
     val docs = WarcSource.documentsFromWarc(spark, dir).collect()
-      .map(r => r.getString(1) -> (r.getLong(0), r.getString(3))).toMap
-    assert(docs.size == 3)
-    assert(docs("http://a.example/x")._2 == "hello <b>world</b>")
-    assert(docs("http://b.example/y")._2 == "gzipped page")
-    assert(!docs("http://a.example/trap")._2.contains("HTTP/1.1")) // headers gone
-    // doc_id is the shared 60-bit md5 of the url — deterministic and distinct
-    assert(docs.values.map(_._1).toSet.size == 3)
+      .map(r => (r.getLong(0), r.getString(1), r.getString(3)))
+    assert(docs.length == 6)
+    // duplicate-URL captures get DISTINCT doc_ids (rec_ix in the hash)
+    assert(docs.map(_._1).distinct.length == 6)
+    val byText = docs.groupBy(_._2).view.mapValues(_.map(_._3).toSet).toMap
+    assert(byText("http://a.example/x") == Set("hello <b>world</b>", "hello again"))
+    assert(byText("http://b.example/y") == Set("gzipped page"))
+    // LF-only header block is stripped too
+    assert(byText("http://a.example/lf") == Set("bare lf body"))
+    // malformed UTF-8 flows through as data instead of failing the job
+    val bad = byText("http://a.example/bad").head
+    assert(bad.startsWith("h") && bad.endsWith("i"))
+    docs.foreach { case (_, _, text) => assert(!text.contains("HTTP/1.1")) }
   }
 }
