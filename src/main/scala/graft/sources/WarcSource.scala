@@ -127,4 +127,17 @@ object WarcSource {
         col("warc_date"),
         regexp_replace(col("block").cast("string"),
           "(?s)^.*?(\r?\n){2}", "").as("text"))
+
+  /** Per-host rollup of a [[documentsFromWarc]] frame — the host is the
+    * unit Common Crawl pipelines sample, cap and block by (domain-level
+    * spam/SEO farms dominate raw crawls). One uniform-key groupBy; host
+    * cardinality is millions, not billions, so the aggregate is small. */
+  def hostStats(docs: DataFrame): DataFrame =
+    docs
+      .select(lower(coalesce(parse_url(col("url"), lit("HOST")), lit("")))
+        .as("host"),
+        col("text"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("n_chars"))
 }

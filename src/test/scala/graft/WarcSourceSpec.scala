@@ -71,4 +71,11 @@ class WarcSourceSpec extends SparkTestBase {
     assert(bad.startsWith("h") && bad.endsWith("i"))
     docs.foreach { case (_, _, text) => assert(!text.contains("HTTP/1.1")) }
   }
+
+  test("hostStats rolls documents up by crawl host") {
+    val rows = WarcSource.hostStats(WarcSource.documentsFromWarc(spark, dir))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows("a.example")._1 == 5L)
+    assert(rows("b.example") == ((1L, "gzipped page".length.toLong)))
+  }
 }
