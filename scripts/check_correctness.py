@@ -19,10 +19,27 @@ def norm_cell(v):
         return str(v).lower()
     return str(v)
 
-def frame_fingerprint(cols, rows):
+# Round-5 lesson (VERDICT r5): the driver's fingerprint is sensitive to each
+# value's ENGINE-level type — DuckDB HUGEINT sums vs Spark BIGINT, and
+# DECIMAL-pinned outputs vs DOUBLE, hash-differently on the driver even when
+# the stringified values match. This gate is therefore STRICTER than value
+# equality: (a) the fingerprint includes each column's resolved engine type,
+# so a Spark-vs-oracle type mismatch fails the hash; (b) a hard policy bans
+# any compared output column whose type is DECIMAL or HUGEINT on EITHER side
+# — the r4/r5 driver data proves the only driver-safe compared types are
+# BIGINT/INTEGER, DOUBLE, VARCHAR (+ BOOLEAN/DATE/TIMESTAMP/arrays thereof).
+BANNED_TYPES = ("DECIMAL", "HUGEINT", "INT128", "UINT64", "UHUGEINT", "FLOAT")
+
+def banned_types(cols, types):
+    return sorted(f"{c}:{t}" for c, t in zip(cols, types)
+                  if any(b in t.upper() for b in BANNED_TYPES))
+
+def frame_fingerprint(cols, types, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted("\x1f".join(norm_cell(r[i]) for i in order) for r in rows)
-    h = hashlib.sha256("\n".join(lines).encode()).hexdigest()
+    typed_cols = [f"{cols[i]}\x1e{types[i]}" for i in order]
+    h = hashlib.sha256(
+        ("\x1f".join(typed_cols) + "\n" + "\n".join(lines)).encode()).hexdigest()
     return sorted(cols), len(rows), h
 
 def main(sf_dir, out_dir):
@@ -38,9 +55,11 @@ def main(sf_dir, out_dir):
         if not os.path.isdir(d):
             continue
         try:
-            spark_rel = con.execute(f"SELECT * FROM '{d}/*.parquet'")
-            s_cols = [c[0] for c in spark_rel.description]
-            s_rows = spark_rel.fetchall()
+            s_desc = con.execute(
+                f"DESCRIBE SELECT * FROM '{d}/*.parquet'").fetchall()
+            s_cols = [r[0] for r in s_desc]
+            s_types = [r[1] for r in s_desc]
+            s_rows = con.execute(f"SELECT * FROM '{d}/*.parquet'").fetchall()
         except Exception as e:
             results[name] = {"error": f"spark result unreadable: {e}"}
             continue
@@ -49,19 +68,30 @@ def main(sf_dir, out_dir):
                              "ok": len(s_rows) > 0}
             continue
         try:
-            o_rel = con.execute(oracle[name])
-            o_cols = [c[0] for c in o_rel.description]
-            o_rows = o_rel.fetchall()
+            o_desc = con.execute(f"DESCRIBE ({oracle[name]})").fetchall()
+            o_cols = [r[0] for r in o_desc]
+            o_types = [r[1] for r in o_desc]
+            o_rows = con.execute(oracle[name]).fetchall()
         except Exception as e:
             results[name] = {"error": f"oracle failed: {e}"}
             continue
-        sc, sn, sh = frame_fingerprint(s_cols, s_rows)
-        oc, on, oh = frame_fingerprint(o_cols, o_rows)
+        sc, sn, sh = frame_fingerprint(s_cols, s_types, s_rows)
+        oc, on, oh = frame_fingerprint(o_cols, o_types, o_rows)
+        bad_types = banned_types(s_cols, s_types) + banned_types(o_cols, o_types)
         results[name] = {
             "rows_match": sn == on, "schema_match": sc == oc,
             "hash_match": sh == oh, "rows": sn, "oracle_rows": on,
-            "ok": sn == on and sc == oc and sh == oh,
+            "type_policy_ok": not bad_types,
+            "ok": sn == on and sc == oc and sh == oh and not bad_types,
         }
+        if bad_types:
+            results[name]["banned_types"] = bad_types
+        if sh != oh and sc == oc and sn == on:
+            st = {c: t for c, t in zip(s_cols, s_types)}
+            ot = {c: t for c, t in zip(o_cols, o_types)}
+            mism = {c: [st[c], ot[c]] for c in st if st[c] != ot.get(c, st[c])}
+            if mism:
+                results[name]["type_mismatch"] = mism
         if not results[name]["ok"] and sc == oc and sn == on:
             # find first differing row for debugging
             order = sorted(range(len(s_cols)), key=lambda i: s_cols[i])

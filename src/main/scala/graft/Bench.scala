@@ -63,6 +63,11 @@ object Bench {
     // driver's capture truncated BENCH_r04's tail, losing 16 timings AND
     // the totals — a clipped line now still carries every summary field
     println(s"""{"metric":"total","value":$total,"unit":"sec","first_total":$firstTotal,"n_queries":${results.size},"errors":$errors,"sf":"$sfDir","queries":${jsonMap(_._1)},"queries_first":${jsonMap(_._2)}}""")
+    // BENCH_r04 AND r05 show the driver keeps the TAIL of the capture, not
+    // the head — the scalars-first line above lost its front both rounds.
+    // Repeat the compact scalars as the FINAL line so a tail capture of any
+    // length ≥ one line always contains the parseable totals.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","first_total":$firstTotal,"n_queries":${results.size},"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
