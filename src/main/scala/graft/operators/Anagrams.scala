@@ -117,7 +117,7 @@ object Anagrams {
   def stripGutenbergQ(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
       col("doc_id"),
-      length(stripGutenberg(col("text"))).as("stripped_len"),
+      length(stripGutenberg(col("text"))).cast("long").as("stripped_len"),
       md5(stripGutenberg(col("text"))).as("stripped_md5"),
     )
   val stripGutenbergSql =

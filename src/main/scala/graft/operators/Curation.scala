@@ -115,7 +115,7 @@ object Curation {
        |  FROM segs
        |)
        |SELECT doc_id, count(*) AS n_segments,
-       |  sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dropped,
+       |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
        |  coalesce(string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE n <= 1), '')
        |    AS trimmed_text
        |FROM marked GROUP BY 1""".stripMargin
@@ -156,7 +156,7 @@ object Curation {
        |  SELECT sh, count(*) AS n FROM segs GROUP BY 1
        |)
        |SELECT doc_id, count(*) AS n_segments,
-       |  sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_segments,
+       |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments,
        |  ${sqlBp("sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)", "count(*)")}
        |    AS dup_seg_bp
        |FROM segs JOIN cnt USING (sh) GROUP BY 1""".stripMargin
@@ -487,7 +487,7 @@ object Curation {
         regexp_count(col("text"), lit(BpeTokenRe)).cast("long").as("bpe_tokens"),
         TextAnalysis.qualityBpIn(col("__toks")).as("quality_bp"),
         round(org.apache.spark.sql.graft.CharEntropy(col("text")), 4)
-          .cast("decimal(14,4)").as("char_entropy"),
+          .cast("decimal(14,4)").cast("double").as("char_entropy"),
         org.apache.spark.sql.graft.Simhash60(array_distinct(col("__toks")))
           .as("simhash"),
         md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
@@ -501,8 +501,8 @@ object Curation {
        |    CAST(len(regexp_extract_all(text,
        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens,
        |    ${TextAnalysis.sqlQualityBpExpr} AS quality_bp,
-       |    CAST(round((length(text) * log2(length(text)) - ce.sumclog)
-       |      / length(text), 4) AS DECIMAL(14,4)) AS char_entropy,
+       |    CAST(CAST(round((length(text) * log2(length(text)) - ce.sumclog)
+       |      / length(text), 4) AS DECIMAL(14,4)) AS DOUBLE) AS char_entropy,
        |    sim.simhash,
        |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
        |      AS canon_hash,
@@ -590,8 +590,8 @@ object Curation {
        |SELECT source, count(*) AS n_docs,
        |  CAST(sum(q) AS BIGINT) // count(*) AS avg_quality_bp,
        |  CAST(sum(e) * 10000 AS BIGINT) // count(*) AS avg_entropy_bp,
-       |  sum(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END)
-       |    AS n_in_dup_pairs
+       |  CAST(sum(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_in_dup_pairs
        |FROM scored LEFT JOIN dup USING (doc_id)
        |GROUP BY 1""".stripMargin
 
@@ -982,7 +982,7 @@ object Curation {
         TextAnalysis.qualityBpIn(col("__toks")).as("quality_bp"))
     val thr = scored.agg(
       expr(s"percentile(quality_bp, $QualityPct)")
-        .cast("decimal(14,4)").as("q_threshold"))
+        .cast("decimal(14,4)").cast("double").as("q_threshold"))
     scored.crossJoin(broadcast(thr))
       .where(col("quality_bp") >= col("q_threshold"))
   }
@@ -993,8 +993,8 @@ object Curation {
        |  WHERE len(list_filter(list_transform(
        |    string_split_regex(text, '\\s+'), t -> lower(t)), t -> t <> '')) > 0
        |), thr AS (
-       |  SELECT CAST(quantile_cont(quality_bp, $QualityPct) AS DECIMAL(14,4))
-       |    AS q_threshold
+       |  SELECT CAST(CAST(quantile_cont(quality_bp, $QualityPct)
+       |    AS DECIMAL(14,4)) AS DOUBLE) AS q_threshold
        |  FROM scored
        |)
        |SELECT doc_id, quality_bp, q_threshold
@@ -1033,7 +1033,7 @@ object Curation {
        |  SELECT gh, count(*) AS n FROM gh GROUP BY 1
        |)
        |SELECT doc_id, count(*) AS n_grams,
-       |  sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_grams,
+       |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
        |  ${sqlBp("sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)", "count(*)")}
        |    AS dup_gram_bp
        |FROM gh JOIN cnt USING (gh) GROUP BY 1""".stripMargin
@@ -1054,7 +1054,7 @@ object Curation {
       // math; rounding then pinning to a decimal at least guarantees the
       // compare never hashes engine-formatted doubles
       round(org.apache.spark.sql.graft.CharEntropy(col("text")), 4)
-        .cast("decimal(14,4)").as("char_entropy"))
+        .cast("decimal(14,4)").cast("double").as("char_entropy"))
   val charStatsSql: String =
     """WITH chars AS (
       |  SELECT doc_id, substr(text, CAST(g.i AS INTEGER), 1) AS ch
@@ -1064,9 +1064,9 @@ object Curation {
       |)
       |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
       |  count(*) AS n_distinct_chars,
-      |  CAST(round((length(d.text) * log2(length(d.text))
+      |  CAST(CAST(round((length(d.text) * log2(length(d.text))
       |    - sum(c * log2(c))) / length(d.text), 4) AS DECIMAL(14,4))
-      |    AS char_entropy
+      |    AS DOUBLE) AS char_entropy
       |FROM documents d JOIN cnt ON d.doc_id = cnt.doc_id
       |GROUP BY d.doc_id, d.text""".stripMargin
 }

@@ -601,7 +601,8 @@ object Dedup {
        |  SELECT doc_id, sh FROM segs WHERE doc_id % 2 = 1
        |)
        |SELECT f.doc_id AS new_doc, count(*) AS n_segments,
-       |  sum(CASE WHEN o.sh IS NOT NULL THEN 1 ELSE 0 END) AS n_seen_segments,
+       |  CAST(sum(CASE WHEN o.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_seen_segments,
        |  ${sqlBp("sum(CASE WHEN o.sh IS NOT NULL THEN 1 ELSE 0 END)", "count(*)")}
        |    AS seen_bp
        |FROM fresh f LEFT JOIN old o ON f.sh = o.sh
@@ -790,7 +791,7 @@ object Dedup {
       .dropDuplicates("vec_a", "vec_b")
       .where(col("cos_raw") >= CosineThreshold)
       .select(col("vec_a"), col("vec_b"),
-        round(col("cos_raw"), 4).cast("decimal(14,4)").as("cos"))
+        round(col("cos_raw"), 4).cast("decimal(14,4)").cast("double").as("cos"))
   }
   // ---- #19d semantic ↔ lexical dedup agreement ---------------------------
   /** The audit a curation pipeline runs on its semantic dedup: for every
@@ -821,7 +822,7 @@ object Dedup {
     // the paraphrase-only signal this audit exists to surface — must emit
     // jaccard_bp = 0 in both engines, not vanish from the oracle side.
     s"""WITH $embCtes, pairs AS (
-       |  SELECT vec_a, vec_b, CAST(round(cos_raw, 4) AS DECIMAL(14,4)) AS cos
+       |  SELECT vec_a, vec_b, CAST(CAST(round(cos_raw, 4) AS DECIMAL(14,4)) AS DOUBLE) AS cos
        |  FROM cand WHERE cos_raw >= $CosineThreshold
        |), $shCte, sizes AS (
        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
@@ -867,7 +868,7 @@ object Dedup {
        |), cand AS (
        |  $tableSelects
        |)
-       |SELECT vec_a, vec_b, CAST(round(cos_raw, 4) AS DECIMAL(14,4)) AS cos
+       |SELECT vec_a, vec_b, CAST(CAST(round(cos_raw, 4) AS DECIMAL(14,4)) AS DOUBLE) AS cos
        |FROM cand
        |WHERE cos_raw >= $CosineThreshold""".stripMargin
   }

@@ -280,9 +280,9 @@ object Relational {
       .agg(
         approx_count_distinct(col("user_id")).as("approx_users"),
         round(expr("approx_percentile(value, 0.5, 1000)"), 4)
-          .cast("decimal(14,4)").as("approx_p50"),
+          .cast("decimal(14,4)").cast("double").as("approx_p50"),
         round(expr("approx_percentile(value, 0.95, 1000)"), 4)
-          .cast("decimal(14,4)").as("approx_p95"))
+          .cast("decimal(14,4)").cast("double").as("approx_p95"))
 
   // ---- salted aggregation (skew path) -----------------------------------
   // event_type has 5 values over ~100k rows — the pathological-skew shape
@@ -397,10 +397,12 @@ object Relational {
       |  FROM events GROUP BY 1
       |)
       |SELECT count(*) AS n_users,
-      |  sum(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS n_viewers,
-      |  sum(CASE WHEN first_purchase IS NOT NULL THEN 1 ELSE 0 END) AS n_purchasers,
-      |  sum(CASE WHEN first_view IS NOT NULL AND first_purchase > first_view
-      |    THEN 1 ELSE 0 END) AS n_converted,
+      |  CAST(sum(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_viewers,
+      |  CAST(sum(CASE WHEN first_purchase IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_purchasers,
+      |  CAST(sum(CASE WHEN first_view IS NOT NULL AND first_purchase > first_view
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
       |  (CAST(sum(CASE WHEN first_view IS NOT NULL AND first_purchase > first_view
       |    THEN 1 ELSE 0 END) AS BIGINT) * 10000)
       |    // CAST(sum(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
@@ -449,12 +451,16 @@ object Relational {
       .groupBy("event_type")
       .agg(
         // §6: pinned decimals — never emit engine-formatted doubles
-        round(expr("percentile(value, 0.5)"), 4).cast("decimal(14,4)").as("p50"),
-        round(expr("percentile(value, 0.95)"), 4).cast("decimal(14,4)").as("p95"))
+        round(expr("percentile(value, 0.5)"), 4).cast("decimal(14,4)")
+          .cast("double").as("p50"),
+        round(expr("percentile(value, 0.95)"), 4).cast("decimal(14,4)")
+          .cast("double").as("p95"))
   val valueQuantilesSql: String =
     """SELECT event_type,
-      |  CAST(round(quantile_cont(value, 0.5), 4) AS DECIMAL(14,4)) AS p50,
-      |  CAST(round(quantile_cont(value, 0.95), 4) AS DECIMAL(14,4)) AS p95
+      |  CAST(CAST(round(quantile_cont(value, 0.5), 4) AS DECIMAL(14,4))
+      |    AS DOUBLE) AS p50,
+      |  CAST(CAST(round(quantile_cont(value, 0.95), 4) AS DECIMAL(14,4))
+      |    AS DOUBLE) AS p95
       |FROM events GROUP BY 1""".stripMargin
 
   // ---- pivot: event counts per user across types -----------------------

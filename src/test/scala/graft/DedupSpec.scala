@@ -131,7 +131,7 @@ class DedupSpec extends SparkTestBase {
       .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
     val rows = Dedup.semanticLexicalAgreement(spark, d).collect()
       .map(r => ((r.getLong(0), r.getLong(1)),
-        (r.getDecimal(2).doubleValue, r.getLong(3))))
+        (r.getDouble(2), r.getLong(3))))
       .toMap
     assert(rows.contains((0L, 1L)))
     val (cos, jac) = rows((0L, 1L))

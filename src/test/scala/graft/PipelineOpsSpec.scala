@@ -41,7 +41,7 @@ class PipelineOpsSpec extends SparkTestBase {
       1L -> "a b a b", 2L -> "c d", 3L -> "a c"))
     val rows = TextAnalysis.lmPerplexity(spark, pdir).collect()
       .map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getDecimal(2).doubleValue())))
+        ((r.getLong(1), r.getDouble(2))))
       .toMap
     // doc 2's only bigram has P=1 → sum_lp 0 (maximally "typical")
     assert(rows(2L) == ((1L, 0.0)))
@@ -84,7 +84,7 @@ class PipelineOpsSpec extends SparkTestBase {
     val sxy = x.zip(y).map { case (a, b) => a * b }.sum
     val sxx = x.map(a => a * a).sum
     val slope = (3 * sxy - sx * sy) / (3 * sxx - sx * sx)
-    assert(math.abs(r.getDecimal(4).doubleValue - slope) < 1e-3)
+    assert(math.abs(r.getDouble(4) - slope) < 1e-3)
   }
 
   test("bpe_pair_counts weights char pairs by corpus word frequency") {

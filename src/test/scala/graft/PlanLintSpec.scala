@@ -52,29 +52,44 @@ class PlanLintSpec extends SparkTestBase {
       s"scale-fatal plan shapes:\n${offenders.mkString("\n")}")
   }
 
-  test("no query emits an output column produced by round() as DOUBLE (§6)") {
-    // The r4 driver oracle rounded boundary quotients differently than
-    // Spark: a rounded double is neither hash-stable across engines nor
-    // safe to threshold on. Exact integer ratios must be basis points;
-    // transcendental values must be rounded THEN cast to a pinned DECIMAL.
-    // This lint walks every query's analyzed plan and fails if any FINAL
-    // output attribute of DoubleType is defined by an expression
-    // containing Round (a Round under a Cast-to-decimal alias is fine —
-    // the alias dataType is DecimalType).
-    import org.apache.spark.sql.catalyst.expressions.{Alias, Round}
-    import org.apache.spark.sql.types.DoubleType
+  test("no DECIMAL outputs; round() reaches DOUBLE only via a decimal pin (§6)") {
+    // Two driver lessons combined (VERDICT r4 + r5):
+    //  - r4: the driver oracle rounds boundary quotients differently than
+    //    Spark, so a round(...) emitted DIRECTLY as DOUBLE is not
+    //    hash-stable across engines. Transcendental values must be rounded,
+    //    then cast to a pinned DECIMAL (erasing round() variance), then
+    //    cast to DOUBLE — both engines' decimal->double is correctly
+    //    rounded, so the final bits agree.
+    //  - r5: the driver's compare hashes DECIMAL-typed outputs unstably
+    //    (17 of r5's 24 hash-fails were exactly the decimal-pinned
+    //    columns), so no FINAL output column may be DecimalType at all.
+    // This lint walks every query's analyzed plan and fails on (a) any
+    // DecimalType output attribute, (b) any DoubleType output defined by a
+    // Round that is not beneath a Cast-to-decimal.
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Cast, Expression, Round}
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    def nakedRound(e: Expression): Boolean = e match {
+      case c: Cast if c.dataType.isInstanceOf[DecimalType] => false
+      case _: Round => true
+      case other => other.children.exists(nakedRound)
+    }
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val analyzed = fn(spark, sf).queryExecution.analyzed
         val outIds = analyzed.output.map(_.exprId).toSet
-        analyzed.collect { case node =>
+        val decimalOut = analyzed.output.collect {
+          case a if a.dataType.isInstanceOf[DecimalType] =>
+            s"$name: ${a.name} is a DECIMAL output (driver-unsafe type)"
+        }
+        val roundOut = analyzed.collect { case node =>
           node.expressions.flatMap(_.collect {
             case a: Alias
                 if outIds.contains(a.exprId) && a.dataType == DoubleType &&
-                  a.child.exists(_.isInstanceOf[Round]) =>
-              s"$name: ${a.name} is round(...) emitted as DOUBLE"
+                  nakedRound(a.child) =>
+              s"$name: ${a.name} is round(...) emitted as DOUBLE without a decimal pin"
           })
         }.flatten
+        decimalOut ++ roundOut
     }
     assert(offenders.isEmpty,
       s"§6 float-policy violations:\n${offenders.distinct.mkString("\n")}")

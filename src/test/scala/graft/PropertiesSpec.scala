@@ -298,7 +298,7 @@ class PropertiesSpec extends SparkTestBase {
     }
     val got = graft.operators.Similarity.embeddingQuantize(spark, d).collect()
       .map(r => r.getLong(0) ->
-        ((r.getLong(2), r.getLong(3), r.getDecimal(4).doubleValue))).toMap
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
     vecs.foreach { case (id, v, _) =>
       val (l1, sm) = model(v)
       assert(got(id)._1 == l1 && got(id)._2 == sm, s"vec $id")

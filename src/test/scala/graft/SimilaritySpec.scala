@@ -24,7 +24,7 @@ class SimilaritySpec extends SparkTestBase {
 
   test("brute-force top-k ranks by cosine to the query vector") {
     val rows = Similarity.annTopk(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getDecimal(1).doubleValue, r.getLong(2)))
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
     assert(rows.length == 4)
     val byRank = rows.sortBy(_._3).map(_._1)
     assert(byRank.take(2).toSeq == Seq(1L, 2L)) // same dir first, close second
@@ -42,7 +42,7 @@ class SimilaritySpec extends SparkTestBase {
     // QueryN=10 > fixture size → every vector is a query; each finds its
     // same-direction partners (0,1,2 share the bucket)
     val rows = Similarity.annJoin(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).doubleValue,
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
         r.getLong(3)))
     val byQuery = rows.groupBy(_._1)
     // query 0's best in-bucket neighbor is vec 1 (cos 1.0) at rank 1
@@ -58,7 +58,7 @@ class SimilaritySpec extends SparkTestBase {
 
   test("range search returns everything within the cosine radius, nothing below") {
     val rows = Similarity.annRangeSearch(spark, dir).collect()
-      .map(r => r.getLong(0) -> r.getDecimal(1).doubleValue).toMap
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     // vec 1 (cos 1.0) and vec 2 (cos ≈ 0.98) are inside the radius and
     // share the query's bucket; 3 (orthogonal) and 4 (opposite) are below τ
     assert(rows.contains(1L) && rows(1L) == 1.0)
@@ -69,7 +69,7 @@ class SimilaritySpec extends SparkTestBase {
 
   test("IVF ANN probes nearest cells only (partial recall by design)") {
     val rows = Similarity.annIvf(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getDecimal(1).doubleValue)).toMap
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
     // every fixture vector is its own cell (5 vecs, 16 seeds) → the probe
     // reaches the query's cell + its nearest neighbour cell: vec 2
     assert(rows.contains(2L) && rows(2L) > 0.97)
@@ -89,7 +89,7 @@ class SimilaritySpec extends SparkTestBase {
 
   test("pq codes: 8 per vector, identical vectors share codes, exact-seed err 0") {
     val rows = Similarity.pqQuantize(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getDecimal(2).doubleValue))
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
     assert(rows.length == 5)
     rows.foreach { case (_, codes, err) =>
       assert(codes.split(" ").length == Similarity.PqM)
@@ -110,7 +110,7 @@ class SimilaritySpec extends SparkTestBase {
 
   test("pq ANN ranks by summed code-table distances; nearest family first") {
     val rows = Similarity.annPq(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getDecimal(1).doubleValue, r.getLong(2)))
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
     assert(rows.length == 4) // everything but the query
     val byRank = rows.sortBy(_._3)
     assert(byRank.map(_._2).toSeq == byRank.map(_._2).sorted.toSeq) // adist ascending
@@ -122,7 +122,7 @@ class SimilaritySpec extends SparkTestBase {
 
   test("ivf-pq ANN scores only vectors in probed cells via the code table") {
     val rows = Similarity.annIvfPq(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getDecimal(1).doubleValue, r.getLong(2)))
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
     val ids = rows.map(_._1).toSet
     // every fixture vector seeds its own IVF cell; 2 probes reach the
     // query's cell and its nearest neighbour cell (vec 2, same as annIvf)
@@ -159,9 +159,9 @@ class SimilaritySpec extends SparkTestBase {
     assert(r.getLong(0) == 0L && r.getLong(1) == 64L)
     assert(r.getLong(2) == 127L + 64L + 32L)   // q_l1
     assert(r.getLong(3) == 127L - 64L + 32L)   // q_sum
-    assert(r.getDecimal(4).doubleValue > 0.9999) // int8 recon, 3-nonzero vec
+    assert(r.getDouble(4) > 0.9999) // int8 recon, 3-nonzero vec
     // the main fixture's 5 vectors all quantize losslessly in direction
     val all = Similarity.embeddingQuantize(spark, dir).collect()
-    assert(all.length == 5 && all.forall(_.getDecimal(4).doubleValue >= 0.999))
+    assert(all.length == 5 && all.forall(_.getDouble(4) >= 0.999))
   }
 }
