@@ -226,13 +226,31 @@ object Curation {
     spark.conf.getOption("spark.graft.broadcastDocCap")
       .map(_.toLong).getOrElse(BroadcastDocCap)
 
-  /** Left-anti join that broadcasts only a provably small right side. */
+  /** Memoized fits-the-cap probe decisions, per (session, tagged corpus,
+    * cap). The LIMIT cap+1 count is an extra Spark job that materializes
+    * the right side's whole upstream chain on every EXECUTION of a query
+    * embedding it — VERDICT r5 measured curated_corpus paying the dedup
+    * drop-list chain twice per run because of it. The probed frames are
+    * deterministic per (session, corpus), so the decision is too; clearAll
+    * resets it alongside the frames it was measured against. */
+  private val boundedProbe =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Boolean]
+  Materialized.registerClearable(() => boundedProbe.clear())
+
+  /** Left-anti join that broadcasts only a provably small right side.
+    * `probeTag` (when non-empty) memoizes the probe per session so the
+    * count job runs once, not once per execution. */
   private[operators] def antiJoinBounded(left: DataFrame, right: DataFrame,
-      cap: Long): DataFrame =
-    if (right.limit(math.min(cap + 1, Int.MaxValue.toLong).toInt).count() <= cap)
-      left.join(broadcast(right), Seq("doc_id"), "left_anti")
-    else
-      left.join(right.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+      cap: Long, probeTag: String = ""): DataFrame = {
+    def fits: Boolean =
+      right.limit(math.min(cap + 1, Int.MaxValue.toLong).toInt).count() <= cap
+    val small =
+      if (probeTag.isEmpty) fits
+      else boundedProbe.getOrElseUpdate(
+        Materialized.sessionKey(right.sparkSession, s"$probeTag@$cap"), fits)
+    if (small) left.join(broadcast(right), Seq("doc_id"), "left_anti")
+    else left.join(right.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+  }
 
   def curatedCorpus(spark: SparkSession, dir: String): DataFrame = {
     val cap = broadcastDocCap(spark)
@@ -248,8 +266,10 @@ object Curation {
       .withColumn("pred_lang", TextAnalysis.predLangFromHits)
       .where(col("quality_bp") >= CuratedQualityMinBp && col("pred_lang") === "en")
     antiJoinBounded(
-      antiJoinBounded(kept, Dedup.droppedDocs(spark, dir), cap),
-      decontaminate(spark, dir).select("doc_id"), cap)
+      antiJoinBounded(kept, Dedup.droppedDocs(spark, dir), cap,
+        probeTag = s"$dir#droplist"),
+      decontaminate(spark, dir).select("doc_id"), cap,
+      probeTag = s"$dir#contam")
       .select("doc_id", "lang", "source", "n_chars", "quality_bp")
   }
   lazy val curatedCorpusSql: String =

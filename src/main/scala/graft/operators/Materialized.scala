@@ -14,10 +14,17 @@ object Materialized {
   private val caches =
     scala.collection.mutable.ListBuffer.empty[TrieMap[(String, String), DataFrame]]
 
+  private val clearables = scala.collection.mutable.ListBuffer.empty[() => Unit]
+
   /** Called once per cache at object init; returns the cache for inline use. */
   private[operators] def register(
       c: TrieMap[(String, String), DataFrame]): TrieMap[(String, String), DataFrame] =
     caches.synchronized { caches += c; c }
+
+  /** Register a non-DataFrame cache's reset hook so clearAll() covers it
+    * (e.g. Curation's memoized broadcast-cap probe decisions). */
+  private[operators] def registerClearable(f: () => Unit): Unit =
+    caches.synchronized { clearables += f }
 
   /** Cache key scoped to the SparkSession INSTANCE, not just the
     * application: `SparkSession.newSession()` clones share an applicationId
@@ -65,5 +72,6 @@ object Materialized {
         c.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
         c.clear()
       }
+      clearables.foreach(f => try f() catch { case _: Throwable => () })
     }
 }

@@ -152,8 +152,12 @@ object Multimodal {
           else if (id.matches("\\d\\d(dc|db)"))
             out += java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
           val next = dataStart.toLong + size + (size & 1L) // word-aligned
-          if (next <= off) ok = false // must strictly advance
-          else off = math.min(next, end.toLong + 8).toInt
+          // stop unless next strictly advances AND stays within bounds:
+          // min(next, end+8).toInt could wrap negative for an end within
+          // 8 bytes of Int.MaxValue (a ~2 GB blob), re-entering the loop
+          // with a negative offset (ADVICE r5)
+          if (next <= off || next > end.toLong) ok = false
+          else off = next.toInt
         }
       }
     }

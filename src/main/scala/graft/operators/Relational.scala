@@ -386,9 +386,11 @@ object Relational {
           .as("n_converted"))
       .select(col("n_users"), col("n_viewers"), col("n_purchasers"),
         col("n_converted"),
-        // §6: exact basis points, not round(DOUBLE) — r4 driver hash-FAIL
-        graft.functions.TextFns.bp(col("n_converted"), col("n_viewers"))
-          .as("view_to_purchase_bp"))
+        // §6: exact basis points, not round(DOUBLE) — r4 driver hash-FAIL.
+        // greatest(…,1): zero viewers must yield 0 bp, not an ANSI
+        // DIVIDE_BY_ZERO (n_converted is 0 whenever n_viewers is)
+        graft.functions.TextFns.bp(col("n_converted"),
+          greatest(col("n_viewers"), lit(1L))).as("view_to_purchase_bp"))
   val funnelConversionSql: String =
     """WITH per_user AS (
       |  SELECT user_id,
@@ -405,7 +407,8 @@ object Relational {
       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
       |  (CAST(sum(CASE WHEN first_view IS NOT NULL AND first_purchase > first_view
       |    THEN 1 ELSE 0 END) AS BIGINT) * 10000)
-      |    // CAST(sum(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    // greatest(
+      |      CAST(sum(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT), 1)
       |    AS view_to_purchase_bp
       |FROM per_user""".stripMargin
 

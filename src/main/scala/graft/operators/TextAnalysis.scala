@@ -99,13 +99,19 @@ object TextAnalysis {
   private[operators] def qualityBpIn(toksCol: Column): Column = {
     val n = size(toksCol).cast("long")
     val nStop = hitsIn(toksCol, Stopwords).cast("long")
+    // greatest(n,1): an empty/whitespace-only doc must score 0, not throw —
+    // ANSI IntegralDivide raises DIVIDE_BY_ZERO (ADVICE r5; WARC ingestion
+    // emits text='' for header-only responses) and DuckDB // yields NULL.
+    // The numerator is 0 whenever n is, so the guarded quotient is 0 in
+    // both engines.
     org.apache.spark.sql.graft.ExactMath.intDiv(
-      least(n, lit(50L)) * (n - nStop) * lit(10000L), n * lit(50L))
+      least(n, lit(50L)) * (n - nStop) * lit(10000L),
+      greatest(n, lit(1L)) * lit(50L))
   }
   private[operators] val sqlQualityBpExpr: String = {
     val n = "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)"
     val stop = s"CAST(${sqlHits("text", Stopwords)} AS BIGINT)"
-    s"(least($n, 50) * ($n - $stop) * 10000) // ($n * 50)"
+    s"(least($n, 50) * ($n - $stop) * 10000) // (greatest($n, 1) * 50)"
   }
 
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
@@ -115,13 +121,16 @@ object TextAnalysis {
       regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tokens"),
       hits(col("text"), Stopwords).as("n_stopwords"),
       regexp_count(col("text"), lit(PunctRe)).cast("long").as("n_punct"),
-    ).withColumn("stopword_bp", bp(col("n_stopwords"), col("n_tokens")))
-      .withColumn("punct_bp", bp(col("n_punct"), col("len_chars")))
+      // greatest(…,1) guards: empty docs score 0 instead of throwing under
+      // ANSI IntegralDivide / going NULL under DuckDB // (ADVICE r5); every
+      // guarded numerator is 0 whenever its denominator is
+    ).withColumn("stopword_bp", bp(col("n_stopwords"), greatest(col("n_tokens"), lit(1L))))
+      .withColumn("punct_bp", bp(col("n_punct"), greatest(col("len_chars"), lit(1L))))
       .withColumn("quality_bp",
         org.apache.spark.sql.graft.ExactMath.intDiv(
           least(col("n_tokens"), lit(50L)) * (col("n_tokens") - col("n_stopwords"))
             * lit(10000L),
-          col("n_tokens") * lit(50L)))
+          greatest(col("n_tokens"), lit(1L)) * lit(50L)))
   val qualityScoreSql: String =
     s"""WITH base AS (
        |  SELECT doc_id,
@@ -132,10 +141,10 @@ object TextAnalysis {
        |  FROM documents
        |)
        |SELECT *,
-       |  ${sqlBp("n_stopwords", "n_tokens")} AS stopword_bp,
-       |  ${sqlBp("n_punct", "len_chars")} AS punct_bp,
+       |  ${sqlBp("n_stopwords", "greatest(n_tokens, 1)")} AS stopword_bp,
+       |  ${sqlBp("n_punct", "greatest(len_chars, 1)")} AS punct_bp,
        |  (least(n_tokens, 50) * (n_tokens - n_stopwords) * 10000)
-       |    // (n_tokens * 50) AS quality_bp
+       |    // (greatest(n_tokens, 1) * 50) AS quality_bp
        |FROM base""".stripMargin
 
   // ---- #24 token counting ----------------------------------------------

@@ -41,17 +41,28 @@ object WarcSource {
       if (raw.length >= 2 && raw(0) == 0x1f.toByte && raw(1) == 0x8b.toByte)
         new java.util.zip.GZIPInputStream(base)
       else base)
-    // one header line as ISO-8859-1 (headers are ASCII by spec): reads to
-    // LF, strips a trailing CR — tolerates both CRLF and bare-LF headers;
-    // null at EOF
+    // one header line: reads to LF, strips a trailing CR — tolerates both
+    // CRLF and bare-LF headers; null at EOF. Bytes decode as UTF-8 (WARC/1.1
+    // permits UTF-8 header values — IDN WARC-Target-URIs appear in real
+    // crawls; ADVICE r5) falling back to ISO-8859-1 for the stray raw-byte
+    // header a strict decode would reject.
     def readLine(): String = {
       var c = in.read()
       if (c == -1) return null
-      val sb = new java.lang.StringBuilder
-      while (c != -1 && c != '\n') { sb.append(c.toChar); c = in.read() }
-      if (sb.length > 0 && sb.charAt(sb.length - 1) == '\r')
-        sb.deleteCharAt(sb.length - 1)
-      sb.toString
+      val buf = new java.io.ByteArrayOutputStream(80)
+      while (c != -1 && c != '\n') { buf.write(c); c = in.read() }
+      var bytes = buf.toByteArray
+      if (bytes.nonEmpty && bytes(bytes.length - 1) == '\r')
+        bytes = java.util.Arrays.copyOf(bytes, bytes.length - 1)
+      try {
+        java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+          .decode(java.nio.ByteBuffer.wrap(bytes)).toString
+      } catch {
+        case _: java.nio.charset.CharacterCodingException =>
+          new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+      }
     }
     new Iterator[(Long, String, String, String, Array[Byte])] {
       private var nextRec: (Long, String, String, String, Array[Byte]) = _
@@ -59,32 +70,47 @@ object WarcSource {
       private def advance(): Unit = {
         nextRec = null
         var line = readLine()
-        // seek the next version line (skips inter-record blank lines)
-        while (line != null && !line.startsWith("WARC/")) line = readLine()
-        if (line == null) return
-        var url = ""; var date = ""; var wtype = ""; var clen = -1L
-        var l = readLine()
-        while (l != null && l.nonEmpty) {
-          val i = l.indexOf(':')
-          if (i > 0) {
-            val k = l.substring(0, i).trim.toLowerCase
-            val v = l.substring(i + 1).trim
-            k match {
-              case "warc-target-uri" => url = v
-              case "warc-date" => date = v
-              case "warc-type" => wtype = v
-              case "content-length" =>
-                clen = try v.toLong catch { case _: NumberFormatException => -1L }
-              case _ =>
+        // Outer loop = resync (ADVICE r5): a record with a missing or
+        // unparseable Content-Length can't be skipped by framing, but it
+        // must not silently drop every record AFTER it in the file — scan
+        // forward to the next "WARC/" version line and continue. (The scan
+        // can false-trigger on a payload line starting with "WARC/"; that
+        // risks re-parsing garbage headers, which just resyncs again —
+        // strictly better than truncating the file.) Only genuine EOF or a
+        // short block (truncated tail) ends the walk.
+        while (true) {
+          // seek the next version line (skips inter-record blank lines)
+          while (line != null && !line.startsWith("WARC/")) line = readLine()
+          if (line == null) return
+          var url = ""; var date = ""; var wtype = ""; var clen = -1L
+          var l = readLine()
+          while (l != null && l.nonEmpty && !l.startsWith("WARC/")) {
+            val i = l.indexOf(':')
+            if (i > 0) {
+              val k = l.substring(0, i).trim.toLowerCase
+              val v = l.substring(i + 1).trim
+              k match {
+                case "warc-target-uri" => url = v
+                case "warc-date" => date = v
+                case "warc-type" => wtype = v
+                case "content-length" =>
+                  clen = try v.toLong catch { case _: NumberFormatException => -1L }
+                case _ =>
+              }
             }
+            l = readLine()
           }
-          l = readLine()
+          if (l == null) return // EOF mid-headers
+          if (l.startsWith("WARC/") || clen < 0 || clen > Int.MaxValue - 8) {
+            line = l // bad framing: resync from here (l may itself be a version line)
+          } else {
+            val block = in.readNBytes(clen.toInt)
+            if (block.length < clen) return // truncated tail
+            nextRec = (ix, url, date, wtype, block)
+            ix += 1
+            return
+          }
         }
-        if (l == null || clen < 0 || clen > Int.MaxValue - 8) return // truncated/absurd
-        val block = in.readNBytes(clen.toInt)
-        if (block.length < clen) return // truncated tail
-        nextRec = (ix, url, date, wtype, block)
-        ix += 1
       }
       advance()
       override def hasNext: Boolean = nextRec != null

@@ -72,6 +72,48 @@ class WarcSourceSpec extends SparkTestBase {
     docs.foreach { case (_, _, text) => assert(!text.contains("HTTP/1.1")) }
   }
 
+  test("a record with a bad Content-Length resyncs; later records survive") {
+    // ADVICE r5: a missing/unparseable Content-Length used to end the whole
+    // file's walk, silently dropping every intact record after it. The
+    // parser now scans forward to the next version line instead.
+    val d = java.nio.file.Files.createTempDirectory("graft-warc-resync")
+    val bad = ("WARC/1.0\r\n" +
+      "WARC-Type: response\r\n" +
+      "WARC-Target-URI: http://c.example/broken\r\n" +
+      "Content-Length: not-a-number\r\n" +
+      "\r\n").getBytes("ISO-8859-1")
+    val missing = ("WARC/1.0\r\n" +
+      "WARC-Type: response\r\n" +
+      "WARC-Target-URI: http://c.example/headerless\r\n" +
+      "\r\n").getBytes("ISO-8859-1")
+    val warc = record("response", "http://c.example/first", http("first ok")) ++
+      bad ++
+      record("response", "http://c.example/mid", http("mid ok")) ++
+      missing ++
+      record("response", "http://c.example/last", http("last ok"))
+    java.nio.file.Files.write(d.resolve("resync.warc"), warc)
+    val urls = WarcSource.documentsFromWarc(spark, d.toString)
+      .collect().map(_.getString(1)).toSet
+    assert(urls == Set("http://c.example/first", "http://c.example/mid",
+      "http://c.example/last"))
+  }
+
+  test("utf-8 header values decode (IDN target URIs are not mojibake'd)") {
+    val d = java.nio.file.Files.createTempDirectory("graft-warc-utf8")
+    val url = "http://пример.example/ü"
+    val body = http("utf8 header page")
+    val head = ("WARC/1.0\r\n" +
+      "WARC-Type: response\r\n" +
+      s"WARC-Target-URI: $url\r\n" +
+      s"Content-Length: ${body.length}\r\n" +
+      "\r\n").getBytes("UTF-8")
+    java.nio.file.Files.write(d.resolve("utf8.warc"),
+      head ++ body ++ "\r\n\r\n".getBytes("ISO-8859-1"))
+    val urls = WarcSource.documentsFromWarc(spark, d.toString)
+      .collect().map(_.getString(1)).toSet
+    assert(urls == Set(url))
+  }
+
   test("hostStats rolls documents up by crawl host") {
     val rows = WarcSource.hostStats(WarcSource.documentsFromWarc(spark, dir))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
