@@ -166,4 +166,36 @@ object WarcSource {
       .groupBy("host")
       .agg(count(lit(1)).as("n_docs"),
         sum(length(col("text")).cast("long")).as("n_chars"))
+
+  /** Committed fixture corpus backing the driver-contract row (generated
+    * once by scripts/make_warc_fixture.py; two files, one gzipped). The
+    * relative path resolves when the JVM runs from the repo root (sbt,
+    * Verify, Bench); the absolute fallback covers driver invocations with
+    * another working directory. */
+  val FixtureDir: String = {
+    val local = new java.io.File("src/test/resources/warc")
+    if (local.isDirectory) local.getAbsolutePath
+    else "/root/repo/src/test/resources/warc"
+  }
+
+  /** Driver-contract query: per-host rollup of the committed WARC fixture.
+    * Ignores `dir` — WARC is a raw-file source, not an sfDir parquet table
+    * (the same end-to-end pattern as the Gutenberg raw-file path). */
+  def warcHostStats(spark: SparkSession, dir: String): DataFrame =
+    hostStats(documentsFromWarc(spark, FixtureDir))
+
+  /** Oracle: exact VALUES literal. The counts are derived in
+    * scripts/make_warc_fixture.py from the fixture's body strings —
+    * independently of parseWarc — so this row checks the whole streaming
+    * parse + header-strip + host-normalize chain against hand-counted
+    * integers (host '' is the record with no WARC-Target-URI; the
+    * gamma.example row is a header-only response whose text is empty). */
+  val warcHostStatsSql: String =
+    """SELECT host, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(n_chars AS BIGINT) AS n_chars
+      |FROM (VALUES
+      |  ('', 1, 13),
+      |  ('alpha.example', 3, 44),
+      |  ('beta.example', 2, 26),
+      |  ('gamma.example', 1, 0)) AS t(host, n_docs, n_chars)""".stripMargin
 }

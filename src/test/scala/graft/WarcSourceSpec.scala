@@ -114,6 +114,14 @@ class WarcSourceSpec extends SparkTestBase {
     assert(urls == Set(url))
   }
 
+  test("warc_host_stats matches the fixture's hand-counted oracle") {
+    // same integers as WarcSource.warcHostStatsSql / make_warc_fixture.py
+    val rows = WarcSource.warcHostStats(spark, "ignored")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set(("", 1L, 13L), ("alpha.example", 3L, 44L),
+      ("beta.example", 2L, 26L), ("gamma.example", 1L, 0L)))
+  }
+
   test("hostStats rolls documents up by crawl host") {
     val rows = WarcSource.hostStats(WarcSource.documentsFromWarc(spark, dir))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
