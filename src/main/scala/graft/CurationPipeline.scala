@@ -80,4 +80,29 @@ object CurationPipeline {
         .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}"))
     manifest
   }
+
+  /** WARC → documents → curate: ingest a raw crawl directory into the
+    * `documents` contract (source = crawl host, lang unknown — language is
+    * PREDICTED downstream by the curation gate), write it as a corpus
+    * directory, then run the standard pipeline unchanged over it. This is
+    * the full 100 TB shape end-to-end: raw WARC files in, packed training
+    * artifacts out, every intermediate a restartable columnar table.
+    *
+    * Note the contamination probe-set convention (doc_id < ContamProbeDocs
+    * marks probe docs) cannot trigger on WARC corpora: ids are 60-bit
+    * md5 hashes, so the probe set is empty and decontamination is a no-op
+    * — a real deployment would pass its benchmark table separately. */
+  def runFromWarc(spark: SparkSession, warcDir: String, outDir: String): Map[String, Long] = {
+    import org.apache.spark.sql.functions._
+    val rawDir = s"$outDir/raw"
+    graft.sources.WarcSource.documentsFromWarc(spark, warcDir)
+      .select(col("doc_id"),
+        lit("und").as("lang"),
+        lower(coalesce(parse_url(col("url"), lit("HOST")), lit("")))
+          .as("source"),
+        length(col("text")).cast("long").as("n_chars"),
+        col("text"))
+      .write.mode("overwrite").parquet(s"$rawDir/documents.parquet")
+    run(spark, rawDir, outDir)
+  }
 }

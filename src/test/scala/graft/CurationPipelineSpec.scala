@@ -38,4 +38,36 @@ class CurationPipelineSpec extends SparkTestBase {
       java.nio.file.Paths.get(s"$out/manifest.json"))
     manifest.foreach { case (k, v) => assert(txt.contains(s""""$k":$v""")) }
   }
+
+  test("warc -> documents -> curate runs the raw-crawl path end-to-end") {
+    // a tiny crawl: one long English page that clears the quality/lang
+    // gates, one short low-quality page, one header-only empty response
+    def record(wtype: String, url: String, block: Array[Byte]): Array[Byte] =
+      ((s"WARC/1.0\r\nWARC-Type: $wtype\r\nWARC-Target-URI: $url\r\n" +
+        s"Content-Length: ${block.length}\r\n\r\n").getBytes("ISO-8859-1")
+        ++ block ++ "\r\n\r\n".getBytes("ISO-8859-1"))
+    def http(body: String): Array[Byte] =
+      ("HTTP/1.1 200 OK\r\n\r\n" + body).getBytes("UTF-8")
+    val good = Iterator.tabulate(60)(i =>
+      s"the quick brown fox and word$i of it").mkString(" ")
+    val warcDir = java.nio.file.Files.createTempDirectory("graft-warc-e2e")
+    java.nio.file.Files.write(warcDir.resolve("crawl.warc"),
+      record("response", "http://good.example/page", http(good)) ++
+        record("response", "http://junk.example/x", http("zzz qqq")) ++
+        record("response", "http://empty.example/nil",
+          "HTTP/1.1 204 No Content\r\n\r\n".getBytes("UTF-8")))
+
+    val out = java.nio.file.Files.createTempDirectory("graft-pipe-warc").toString
+    val manifest = CurationPipeline.runFromWarc(spark, warcDir.toString, out)
+    assert(manifest("raw_docs") == 3)
+    assert(manifest("curated_docs") == 1) // only the long English page survives
+    // the artifact tree exists and covers the survivor
+    val corpus = spark.read.parquet(s"$out/corpus/documents.parquet").collect()
+    assert(corpus.map(_.getAs[String]("source")).toSet == Set("good.example"))
+    assert(spark.read.parquet(s"$out/order").count() == 1)
+    assert(spark.read.parquet(s"$out/chunks").count() >= 1)
+    val txt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/manifest.json"))
+    manifest.foreach { case (k, v) => assert(txt.contains(s""""$k":$v""")) }
+  }
 }
