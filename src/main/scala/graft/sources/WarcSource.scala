@@ -120,11 +120,12 @@ object WarcSource {
     }
   }
 
-  /** One row per WARC record:
-    * (path, rec_ix, url, warc_date, warc_type, block). */
-  def readWarc(spark: SparkSession, path: String): DataFrame = {
+  /** (path, content) binary frame → one row per WARC record. Shared by the
+    * batch and streaming readers so both paths run the identical parse. */
+  private def parsedRecords(files: DataFrame): DataFrame = {
+    val spark = files.sparkSession
     import spark.implicits._
-    spark.read.format("binaryFile").load(path)
+    files
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (p, c) =>
@@ -132,6 +133,27 @@ object WarcSource {
       }
       .toDF("path", "rec_ix", "url", "warc_date", "warc_type", "block")
   }
+
+  /** One row per WARC record:
+    * (path, rec_ix, url, warc_date, warc_type, block). */
+  def readWarc(spark: SparkSession, path: String): DataFrame =
+    parsedRecords(spark.read.format("binaryFile").load(path))
+
+  /** Streaming twin of [[readWarc]]: the binaryFile source is a streaming
+    * file source (fixed schema, so no schema inference needed), which makes
+    * a landing directory of `.warc[.gz]` files a continuous ingestion
+    * feed — exactly how crawl archives arrive in production (a fetcher
+    * drops finished WARCs; the stream picks each up once, tracked by the
+    * checkpoint's file index). maxFilesPerTrigger is the natural
+    * back-pressure knob at scale; record parsing itself is the same
+    * one-record-high-water-mark iterator as batch. */
+  def readWarcStream(spark: SparkSession, dir: String): DataFrame =
+    parsedRecords(spark.readStream.format("binaryFile")
+      // binaryFile's schema is FIXED by the format, but the streaming
+      // DataSource path still demands it be declared (no inference pass
+      // over a possibly-empty landing directory)
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(dir))
 
   /** Response records → a `documents`-shaped frame: the HTTP header block
     * is dropped (terminated by CRLFCRLF or bare LFLF — crawls store server
@@ -144,10 +166,20 @@ object WarcSource {
     * url) — re-crawls of the same URL are routine in real WARCs and must
     * not collide. */
   def documentsFromWarc(spark: SparkSession, path: String): DataFrame =
-    readWarc(spark, path)
+    toDocuments(readWarc(spark, path))
+
+  /** Streaming twin of [[documentsFromWarc]] — the identical projection
+    * over [[readWarcStream]], so stream output is replay-equal to batch by
+    * construction (asserted in WarcSourceSpec). Compose with the
+    * [[graft.streaming.DocsStream]] gates for a continuous curation feed. */
+  def documentsFromWarcStream(spark: SparkSession, dir: String): DataFrame =
+    toDocuments(readWarcStream(spark, dir))
+
+  private def toDocuments(recs: DataFrame): DataFrame =
+    recs
       .where(col("warc_type") === "response")
       .select(
-        graft.functions.TextFns.md5Long(concat_ws("",
+        graft.functions.TextFns.md5Long(concat_ws("\u0001",
           col("path"), col("rec_ix"), col("url"))).as("doc_id"),
         col("url"),
         col("warc_date"),

@@ -122,6 +122,40 @@ class WarcSourceSpec extends SparkTestBase {
       ("beta.example", 2L, 26L), ("gamma.example", 1L, 0L)))
   }
 
+  test("streaming warc ingestion replays equal to batch (docs and host rollup)") {
+    // The landing-directory shape: documentsFromWarcStream over the same
+    // files must yield byte-identical rows to the batch path (shared
+    // projection makes this true by construction; this asserts it E2E
+    // through the binaryFile STREAMING source + checkpointed file index),
+    // and the continuous per-host rollup must match the batch rollup.
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-warc-ckpt")
+    val q = WarcSource.documentsFromWarcStream(spark, dir)
+      .writeStream.format("memory").queryName("warc_docs_stream")
+      .option("checkpointLocation", ckpt.resolve("docs").toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("warc_docs_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(3))).sortBy(_._1)
+    val batch = WarcSource.documentsFromWarc(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(3))).sortBy(_._1)
+    assert(streamed.nonEmpty && streamed.sameElements(batch))
+
+    val q2 = WarcSource.hostStats(WarcSource.documentsFromWarcStream(spark, dir))
+      .writeStream.format("memory").queryName("warc_hosts_stream")
+      .option("checkpointLocation", ckpt.resolve("hosts").toString)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(60000)
+    val streamedHosts = spark.table("warc_hosts_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batchHosts = WarcSource.hostStats(WarcSource.documentsFromWarc(spark, dir))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamedHosts == batchHosts)
+  }
+
   test("hostStats rolls documents up by crawl host") {
     val rows = WarcSource.hostStats(WarcSource.documentsFromWarc(spark, dir))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
