@@ -92,7 +92,7 @@ def main(sf_dir, out_dir):
             mism = {c: [st[c], ot[c]] for c in st if st[c] != ot.get(c, st[c])}
             if mism:
                 results[name]["type_mismatch"] = mism
-        if not results[name]["ok"] and sc == oc and sn == on:
+        if sh != oh and sc == oc and sn == on:
             # find first differing row for debugging
             order = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
             oorder = sorted(range(len(o_cols)), key=lambda i: o_cols[i])

@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Generate the committed WARC fixture corpus under src/test/resources/warc/.
+"""Generate the committed WARC fixture corpus under src/main/resources/graft/warc/.
 
 The fixture backs the `warc_host_stats` driver-contract query: its oracle is
 a VALUES literal of exact per-host (n_docs, n_chars) counts derived HERE,
@@ -19,8 +19,8 @@ line; host = lowercased URL host, '' when the URL has none):
 import gzip
 import os
 
-OUT = os.path.join(os.path.dirname(__file__), "..", "src", "test",
-                   "resources", "warc")
+OUT = os.path.join(os.path.dirname(__file__), "..", "src", "main",
+                   "resources", "graft", "warc")
 
 
 def record(wtype, url, block):

@@ -67,7 +67,9 @@ object Bench {
     // the head — the scalars-first line above lost its front both rounds.
     // Repeat the compact scalars as the FINAL line so a tail capture of any
     // length ≥ one line always contains the parseable totals.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","first_total":$firstTotal,"n_queries":${results.size},"errors":$errors,"sf":"$sfDir"}""")
+    // "tail":true disambiguates this repeat from the full line above for
+    // any JSON-lines consumer that keys on metric=="total"
+    println(s"""{"metric":"total","tail":true,"value":$total,"unit":"sec","first_total":$firstTotal,"n_queries":${results.size},"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -98,8 +98,7 @@ object CurationPipeline {
     graft.sources.WarcSource.documentsFromWarc(spark, warcDir)
       .select(col("doc_id"),
         lit("und").as("lang"),
-        lower(coalesce(parse_url(col("url"), lit("HOST")), lit("")))
-          .as("source"),
+        graft.sources.WarcSource.hostCol(col("url")).as("source"),
         length(col("text")).cast("long").as("n_chars"),
         col("text"))
       .write.mode("overwrite").parquet(s"$rawDir/documents.parquet")

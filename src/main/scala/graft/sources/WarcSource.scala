@@ -50,7 +50,17 @@ object WarcSource {
       var c = in.read()
       if (c == -1) return null
       val buf = new java.io.ByteArrayOutputStream(80)
-      while (c != -1 && c != '\n') { buf.write(c); c = in.read() }
+      // Cap the accumulated line: header lines are tiny, but the resync
+      // path scans PAYLOAD bytes of a bad record, and a long LF-free run
+      // (base64 blobs, minified JS) must not buffer as one giant line —
+      // bytes past the cap are consumed but dropped, which preserves the
+      // line walk (and a truncated line can never match "WARC/" framing
+      // checks anyway). Keeps the documented one-record memory bound.
+      val MaxLine = 64 * 1024
+      while (c != -1 && c != '\n') {
+        if (buf.size < MaxLine) buf.write(c)
+        c = in.read()
+      }
       var bytes = buf.toByteArray
       if (bytes.nonEmpty && bytes(bytes.length - 1) == '\r')
         bytes = java.util.Arrays.copyOf(bytes, bytes.length - 1)
@@ -186,28 +196,41 @@ object WarcSource {
         regexp_replace(col("block").cast("string"),
           "(?s)^.*?(\r?\n){2}", "").as("text"))
 
+  /** Canonical host of a url column — THE definition of "host" for every
+    * per-host operation (rollup, sampling caps, blocklists), shared so a
+    * future normalization tweak (www-stripping, IDN mapping) cannot make
+    * curation and reporting disagree about what a host is. */
+  def hostCol(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    lower(coalesce(parse_url(url, lit("HOST")), lit("")))
+
   /** Per-host rollup of a [[documentsFromWarc]] frame — the host is the
     * unit Common Crawl pipelines sample, cap and block by (domain-level
     * spam/SEO farms dominate raw crawls). One uniform-key groupBy; host
     * cardinality is millions, not billions, so the aggregate is small. */
   def hostStats(docs: DataFrame): DataFrame =
     docs
-      .select(lower(coalesce(parse_url(col("url"), lit("HOST")), lit("")))
-        .as("host"),
-        col("text"))
+      .select(hostCol(col("url")).as("host"), col("text"))
       .groupBy("host")
       .agg(count(lit(1)).as("n_docs"),
         sum(length(col("text")).cast("long")).as("n_chars"))
 
   /** Committed fixture corpus backing the driver-contract row (generated
     * once by scripts/make_warc_fixture.py; two files, one gzipped). The
-    * relative path resolves when the JVM runs from the repo root (sbt,
-    * Verify, Bench); the absolute fallback covers driver invocations with
-    * another working directory. */
-  val FixtureDir: String = {
-    val local = new java.io.File("src/test/resources/warc")
-    if (local.isDirectory) local.getAbsolutePath
-    else "/root/repo/src/test/resources/warc"
+    * files live ON THE MAIN CLASSPATH (src/main/resources/graft/warc) so
+    * the query works from any working directory and from an assembled jar;
+    * binaryFile needs a filesystem path, so they are materialized once per
+    * JVM into a temp dir, byte-for-byte. */
+  private val FixtureFiles = Seq("cc-000.warc", "cc-001.warc.gz")
+  lazy val FixtureDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-warc-fixture")
+    d.toFile.deleteOnExit()
+    FixtureFiles.foreach { name =>
+      val in = getClass.getResourceAsStream(s"/graft/warc/$name")
+      require(in != null, s"classpath fixture /graft/warc/$name missing")
+      try java.nio.file.Files.copy(in, d.resolve(name))
+      finally in.close()
+    }
+    d.toString
   }
 
   /** Driver-contract query: per-host rollup of the committed WARC fixture.

@@ -135,7 +135,8 @@ class WarcSourceSpec extends SparkTestBase {
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(60000)
+    try assert(q.awaitTermination(120000), "docs stream did not drain in time")
+    finally q.stop()
     val streamed = spark.table("warc_docs_stream").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(3))).sortBy(_._1)
     val batch = WarcSource.documentsFromWarc(spark, dir).collect()
@@ -148,7 +149,8 @@ class WarcSourceSpec extends SparkTestBase {
       .outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q2.awaitTermination(60000)
+    try assert(q2.awaitTermination(120000), "host stream did not drain in time")
+    finally q2.stop()
     val streamedHosts = spark.table("warc_hosts_stream").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     val batchHosts = WarcSource.hostStats(WarcSource.documentsFromWarc(spark, dir))
