@@ -196,6 +196,18 @@ object WarcSource {
         regexp_replace(col("block").cast("string"),
           "(?s)^.*?(\r?\n){2}", "").as("text"))
 
+  /** Continuous crawl→curation feed: [[documentsFromWarcStream]] wired
+    * into [[graft.streaming.DocsStream.ingestPipeline]] (quality gate →
+    * watermarked content dedup), with the WARC capture timestamp as event
+    * time. This is the full production shape end-to-end: a fetcher drops
+    * `.warc.gz` files in a landing directory, and curated novel documents
+    * stream out the other side — no batch reprocessing of the whole
+    * corpus per increment. */
+  def warcIngestStream(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.DocsStream.ingestPipeline(
+      documentsFromWarcStream(spark, dir)
+        .withColumn("ingest_ts", to_timestamp(col("warc_date"))))
+
   /** Canonical host of a url column — THE definition of "host" for every
     * per-host operation (rollup, sampling caps, blocklists), shared so a
     * future normalization tweak (www-stripping, IDN mapping) cannot make

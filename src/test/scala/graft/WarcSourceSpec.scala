@@ -158,6 +158,34 @@ class WarcSourceSpec extends SparkTestBase {
     assert(streamedHosts == batchHosts)
   }
 
+  test("warc ingest stream gates quality and drops duplicate content") {
+    // the full crawl→curation feed: landing dir → parse → quality gate →
+    // watermarked content dedup. One record is under the token floor, two
+    // share identical body text — exactly one of those survives.
+    val d = java.nio.file.Files.createTempDirectory("graft-warc-ingest")
+    val longBody = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "a different long body with enough plain words to pass the gate"
+    val warc = record("response", "http://h1.example/a", http(longBody)) ++
+      record("response", "http://h1.example/b", http(longBody)) ++
+      record("response", "http://h2.example/c", http(other)) ++
+      record("response", "http://h2.example/tiny", http("too short"))
+    java.nio.file.Files.write(d.resolve("feed.warc"), warc)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-warc-ingest-ckpt")
+    val q = WarcSource.warcIngestStream(spark, d.toString)
+      .writeStream.format("memory").queryName("warc_ingest")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try assert(q.awaitTermination(120000), "ingest stream did not drain in time")
+    finally q.stop()
+    val urls = spark.table("warc_ingest").collect()
+      .map(_.getAs[String]("url"))
+    assert(urls.length == 2)
+    assert(urls.count(u => u == "http://h1.example/a" || u == "http://h1.example/b") == 1)
+    assert(urls.contains("http://h2.example/c"))
+  }
+
   test("hostStats rolls documents up by crawl host") {
     val rows = WarcSource.hostStats(WarcSource.documentsFromWarc(spark, dir))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
