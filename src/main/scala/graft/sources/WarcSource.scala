@@ -35,7 +35,7 @@ object WarcSource {
   /** Streaming record iterator: (recIx, url, date, warcType, block).
     * Content-Length-framed; a truncated tail record ends the walk rather
     * than throwing (matching how WARC readers treat mid-record EOF). */
-  private[sources] def parseWarc(raw: Array[Byte]): Iterator[(Long, String, String, String, Array[Byte])] = {
+  private[graft] def parseWarc(raw: Array[Byte]): Iterator[(Long, String, String, String, Array[Byte])] = {
     val base = new java.io.ByteArrayInputStream(raw)
     val in = new java.io.BufferedInputStream(
       if (raw.length >= 2 && raw(0) == 0x1f.toByte && raw(1) == 0x8b.toByte)

@@ -433,4 +433,42 @@ class PropertiesSpec extends SparkTestBase {
     assert(simIdentical == 1.0)
     assert(simPartial < 1.0 && simPartial > 0.05)
   }
+
+  test("property: WARC records round-trip through parseWarc for arbitrary payloads") {
+    // Content-Length framing must recover every record EXACTLY no matter
+    // what the payload contains — record markers, CRLF runs, raw binary,
+    // LF-free stretches. This is the property marker-splitting breaks.
+    import graft.sources.WarcSource
+    val payloadByte: Gen[Byte] = Gen.frequency(
+      8 -> Gen.chooseNum(0, 255).map(_.toByte),
+      1 -> Gen.const('\n'.toByte),
+      1 -> Gen.const('\r'.toByte))
+    val payload: Gen[Array[Byte]] = Gen.frequency(
+      // adversarial: a payload that embeds a whole fake record
+      1 -> Gen.const("WARC/1.0\r\nWARC-Type: fake\r\nContent-Length: 3\r\n\r\nxyz"
+        .getBytes("ISO-8859-1")),
+      1 -> Gen.const(Array.empty[Byte]),
+      6 -> Gen.chooseNum(0, 400).flatMap(n =>
+        Gen.listOfN(n, payloadByte).map(_.toArray)))
+    val rec: Gen[(String, String, Array[Byte])] = for {
+      t <- Gen.oneOf("response", "request", "metadata", "resource")
+      u <- Gen.listOfN(8, Gen.alphaNumChar).map(cs => s"http://x.example/${cs.mkString}")
+      b <- payload
+    } yield (t, u, b)
+    (0 until 20).foreach { trial =>
+      val recs = draw(Gen.chooseNum(1, 12).flatMap(Gen.listOfN(_, rec)), 1)
+        .head.zipWithIndex.map { case ((t, u, b), i) => (t, s"$u$trial$i", b) }
+      val file = recs.flatMap { case (t, u, b) =>
+        (s"WARC/1.0\r\nWARC-Type: $t\r\nWARC-Target-URI: $u\r\n" +
+          s"WARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: ${b.length}\r\n\r\n")
+          .getBytes("ISO-8859-1") ++ b ++ "\r\n\r\n".getBytes("ISO-8859-1")
+      }.toArray
+      val parsed = WarcSource.parseWarc(file).toSeq
+      assert(parsed.length == recs.length, s"trial $trial: record count")
+      parsed.zip(recs).foreach { case ((ix, url, _, wtype, block), (t, u, b)) =>
+        assert(wtype == t && url == u, s"trial $trial rec $ix: headers")
+        assert(java.util.Arrays.equals(block, b), s"trial $trial rec $ix: payload bytes")
+      }
+    }
+  }
 }
