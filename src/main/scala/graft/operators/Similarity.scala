@@ -861,6 +861,57 @@ object Similarity {
        |  CAST(rk AS BIGINT) AS rk
        |FROM ranked WHERE rk <= $TopK""".stripMargin
 
+  // ---- #21l IVF-PQ recall audit ----------------------------------------
+  /** How much does the ~16× compression + cell pruning cost in answer
+    * quality? Exact top-k by TRUE squared-L2 on the float vectors
+    * (ground truth, one corpus scan against the broadcast 1-row query)
+    * vs [[annIvfPq]]'s top-k from the compressed index — overlap count
+    * and exact-basis-point recall. The quality dial this turns at scale:
+    * recall too low → raise IvfProbes or PqM; both sides reuse the
+    * session-materialized layout/codebooks, so the audit is one extra
+    * corpus scan, run as a scheduled job, not per serving query.
+    *
+    * Outputs are pure BIGINT (set intersection + [[graft.functions.TextFns.bp]]):
+    * nothing float-compared, so the oracle row is exact by construction. */
+  def ivfpqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = e.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("vec_id"), l2sq("embedding", "qv").as("d"))
+      .orderBy(col("d"), col("vec_id")).limit(TopK)
+      .select(col("vec_id"))
+    val approx = annIvfPq(spark, dir)
+      .select(col("vec_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("vec_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("n_exact"), col("n_hit"),
+        graft.functions.TextFns.bp(col("n_hit"),
+          greatest(col("n_exact"), lit(1L))).as("recall_bp"))
+  }
+  lazy val ivfpqRecallSql: String =
+    s"""WITH approx AS (
+       |  SELECT vec_id FROM ($annIvfPqSql)
+       |), q AS (
+       |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |  ORDER BY vec_id LIMIT 1
+       |), exact AS (
+       |  SELECT e.vec_id
+       |  FROM embeddings e, q WHERE e.vec_id <> q.qid
+       |  ORDER BY ${sqlL2sq("e.embedding", "q.qv")}, e.vec_id
+       |  LIMIT $TopK
+       |)
+       |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       |  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_hit,
+       |  ${graft.functions.TextFns.sqlBp(
+            "sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)",
+            "greatest(count(*), 1)")}
+       |    AS recall_bp
+       |FROM exact x LEFT JOIN approx a ON x.vec_id = a.vec_id""".stripMargin
+
   def embeddingQuantize(spark: SparkSession, dir: String): DataFrame = {
     val s = (array_max(transform(col("embedding"), x => abs(x.cast("double"))))
       / 127.0).as("s")

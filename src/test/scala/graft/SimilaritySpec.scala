@@ -147,6 +147,20 @@ class SimilaritySpec extends SparkTestBase {
     assert(rows.find(_._1 == 0L).get._3 >= 1L)
   }
 
+  test("ivfpq recall audit: exact-L2 top-k overlap with the compressed search") {
+    val rows = Similarity.ivfpqRecall(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 1)
+    val (nExact, nHit, bp) = rows.head
+    // ground truth is everything but the query on the 5-vector fixture
+    assert(nExact == math.min(Similarity.TopK, 4))
+    assert(nHit >= 0 && nHit <= nExact)
+    assert(bp == nHit * 10000L / nExact)
+    // the query's identical-direction partner sits in its own probed cell
+    // and shares PQ codes, so compressed search can't miss everything
+    assert(nHit >= 1)
+  }
+
   test("int8 quantization: exact integer aggregates and near-1 recon cosine") {
     // dedicated fixture with a non-trivial spread: v = [1, -0.5, 0.25, 0…]
     // → s = 1/127, q = [127, -64, 32, 0…] (round half away from zero)
