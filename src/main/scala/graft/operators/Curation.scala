@@ -335,6 +335,40 @@ object Curation {
        |WHERE ${sqlMd5Long("CAST(doc_id AS VARCHAR)")} % $StratModulus
        |  < keep_below""".stripMargin
 
+  // ---- #25ab per-source document cap (domain cap) ------------------------
+  /** Cap every source at SourceCapN documents — the domain-cap step crawl
+    * pipelines run so SEO farms and mirror hosts can't dominate the mix
+    * (CCNet/Gopher both cap per-domain contributions). The kept set is the
+    * SourceCapN smallest doc-id hashes per source: deterministic,
+    * re-run-stable, and statistically a uniform random N-of-source sample
+    * (the hash is uniform), unlike "first N by crawl order" which biases
+    * toward a host's landing pages.
+    *
+    * Scale: one hash partition per source through a rank window. Hosts are
+    * bounded (even a megahost is millions of docs, not billions), so a
+    * single source always fits a partition's window state at 100 TB; the
+    * windowed frame is doc_id+source+hash only — text never rides through
+    * the shuffle, it joins back by doc_id afterwards if needed. */
+  val SourceCapN = 20L
+
+  def sourceCap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(md5Long(col("doc_id").cast("string")), col("doc_id"))
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= SourceCapN)
+  }
+  val sourceCapSql: String =
+    s"""SELECT doc_id, source, rk FROM (
+       |  SELECT doc_id, source,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY ${sqlMd5Long("CAST(doc_id AS VARCHAR)")}, doc_id)
+       |      AS BIGINT) AS rk
+       |  FROM documents)
+       |WHERE rk <= $SourceCapN""".stripMargin
+
   // ---- decontamination against an EXTERNAL benchmark --------------------
   /** K-grams of any (doc_id, text) frame — the generic form of
     * `TextAnalysis.docGrams`, for corpora that are not the canonical

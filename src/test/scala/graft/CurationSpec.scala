@@ -371,6 +371,39 @@ class CurationSpec extends SparkTestBase {
     assert(kept.filter(_._2 == "en").map(_._1) == expectEn)
   }
 
+  test("source cap keeps at most SourceCapN docs per source, deterministically") {
+    import spark.implicits._
+    val fixDir = java.nio.file.Files.createTempDirectory("graft-cap").toString
+    // one megasource (60 docs) and one small source (3 docs)
+    val rows = (0 until 60).map(i => (i.toLong, s"big source doc $i", "farm")) ++
+      (200 until 203).map(i => (i.toLong, s"small source doc $i", "niche"))
+    rows.toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'en' AS lang", "source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/documents.parquet")
+    val kept = Curation.sourceCap(spark, fixDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // the farm is capped at exactly SourceCapN, the niche keeps everything
+    assert(kept.count(_._2 == "farm") == Curation.SourceCapN)
+    assert(kept.filter(_._2 == "niche").map(_._1).toSet == (200L until 203L).toSet)
+    // ranks are contiguous 1..n per source and the whole result is re-run stable
+    kept.groupBy(_._2).foreach { case (_, g) =>
+      assert(g.map(_._3).sorted.toSeq == (1L to g.length).toSeq)
+    }
+    val again = Curation.sourceCap(spark, fixDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(again.toSet == kept.toSet)
+    // the kept farm set is the SourceCapN smallest doc-id hashes (uniform
+    // sample semantics), recomputed independently
+    val m = kept.filter(_._2 == "farm").map(_._1).toSet
+    val hashes = spark.sql(
+      "SELECT CAST(conv(substring(md5(CAST(id AS STRING)), 1, 15), 16, 10) AS BIGINT)" +
+        " AS h, id FROM range(60)").collect().map(r => r.getLong(1) -> r.getLong(0))
+    val expect = hashes.sortBy(p => (p._2, p._1)).take(Curation.SourceCapN.toInt)
+      .map(_._1).toSet
+    assert(m == expect)
+  }
+
   test("simhash60 expression equals the relational md5 bit-vote") {
     // independent relational recomputation of the same tokens' simhash
     import spark.implicits._
