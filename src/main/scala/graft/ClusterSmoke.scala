@@ -47,15 +47,25 @@ object ClusterSmoke {
       // persisted frames) consumed across executor JVMs + broadcast ADC
       // distance table
       val ivfpq = SparkEntry.queries("ann_ivfpq")(spark, sfDir).count()
+      // recall audit layered on the same quantizers + the brute-force
+      // broadcast baseline; and the WARC raw-file path end-to-end (the
+      // classpath fixture must resolve inside executor JVMs too)
+      val recall = SparkEntry.queries("ivfpq_recall")(spark, sfDir).count()
+      val warc = SparkEntry.queries("warc_host_stats")(spark, sfDir).count()
+      // domain cap: a source-partitioned rank window across executors
+      val cap = SparkEntry.queries("source_cap")(spark, sfDir).count()
       // sanity: the work genuinely ran on >1 executor JVM
       val executors = spark.sparkContext.statusTracker.getExecutorInfos
         .map(_.host()).length
-      println(s"""{"smoke":"local-cluster[2,4,2048]","anagram_groups":$anagrams,"dedup_minhash":$minhash,"training_order":$order,"dedup_bloom":$bloom,"ann_ivfpq":$ivfpq,"executors":$executors}""")
+      println(s"""{"smoke":"local-cluster[2,4,2048]","anagram_groups":$anagrams,"dedup_minhash":$minhash,"training_order":$order,"dedup_bloom":$bloom,"ann_ivfpq":$ivfpq,"ivfpq_recall":$recall,"warc_host_stats":$warc,"source_cap":$cap,"executors":$executors}""")
       require(anagrams > 0, "anagram_groups returned no rows on local-cluster")
       require(minhash > 0, "dedup_minhash returned no rows on local-cluster")
       require(order > 0, "training_order returned no rows on local-cluster")
       require(bloom > 0, "dedup_bloom returned no rows on local-cluster")
       require(ivfpq > 0, "ann_ivfpq returned no rows on local-cluster")
+      require(recall > 0, "ivfpq_recall returned no rows on local-cluster")
+      require(warc > 0, "warc_host_stats returned no rows on local-cluster")
+      require(cap > 0, "source_cap returned no rows on local-cluster")
     } finally spark.stop()
   }
 }

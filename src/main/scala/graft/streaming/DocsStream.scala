@@ -266,6 +266,38 @@ object DocsStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** Per-host admission cap — the streaming twin of
+    * [[graft.operators.Curation.sourceCap]]'s domain cap, applied at ingest:
+    * admit at most `capN` documents per host across the stream's LIFETIME
+    * (checkpointed `GroupState[Long]` = admitted-so-far; a restart resumes
+    * the count, so a crawler that keeps dropping WARCs from an SEO farm is
+    * cut off durably, not per-batch). Within a micro-batch admission is
+    * doc_id-ordered for determinism. State is one Long per host —
+    * millions of hosts ≈ megabytes of state, nothing like the corpus.
+    * Input needs (doc_id, host, text); pair with
+    * [[graft.sources.WarcSource.hostCol]] for WARC feeds. */
+  def hostCapGate(docs: DataFrame, capN: Long): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val keyed = docs
+      .select(col("doc_id").cast("long"), col("host").cast("string"),
+        col("text").cast("string"))
+      .as[(Long, String, String)]
+    def fn(host: String, it: Iterator[(Long, String, String)],
+           state: org.apache.spark.sql.streaming.GroupState[Long])
+        : Iterator[(Long, String, String)] = {
+      val admitted = state.getOption.getOrElse(0L)
+      val room = math.max(capN - admitted, 0L)
+      val out = it.toSeq.sortBy(_._1).take(
+        math.min(room, Int.MaxValue.toLong).toInt)
+      state.update(admitted + out.length)
+      out.iterator
+    }
+    keyed.groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .toDF("doc_id", "host", "text")
+  }
+
   /** The composed ingest pipeline: quality gate → content dedup — what a
     * training-data feed runs before documents reach the corpus store.
     * With a probe set, decontamination runs between the two. */

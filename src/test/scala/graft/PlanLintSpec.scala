@@ -27,8 +27,9 @@ class PlanLintSpec extends SparkTestBase {
   private val TinyBroadcastBnl =
     Set("ann_topk", "ann_lsh", "ann_range_search", "sample_stratified",
       "quality_percentile_gate",
-      // exact-baseline side of the recall audit: QueryN-bounded broadcast
-      "ann_recall")
+      // exact-baseline side of the recall audits: QueryN-bounded (LSH) /
+      // 1-row-query (IVF-PQ) broadcast with the self-pair filter pushed in
+      "ann_recall", "ivfpq_recall")
 
   test("no query plans a cartesian, a conditioned nested loop, or a global window") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -538,6 +538,42 @@ class SourcesAndStreamingSpec extends SparkTestBase {
     assert(out.contains(2L) && out.contains(5L) && out.size == 3)
   }
 
+  test("host-cap state survives a restart: a capped host stays capped") {
+    import spark.implicits._
+    // the domain cap must be durable across pipeline restarts — an SEO
+    // farm that keeps arriving in later WARC drops stays cut off at capN
+    // for the stream's lifetime, not per micro-batch
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-cap-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cap-ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-cap-out").toString
+    val schema = "doc_id LONG, host STRING, text STRING"
+    def runOnce(): Unit = {
+      val q = graft.streaming.DocsStream.hostCapGate(
+          spark.readStream.schema(schema).json(srcDir), 2L)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // run 1: three farm docs (cap 2 → doc 3 rejected) + one niche doc
+    Seq((1L, "farm.example", "a"), (2L, "farm.example", "b"),
+        (3L, "farm.example", "c"), (10L, "niche.example", "n"))
+      .toDF("doc_id", "host", "text")
+      .coalesce(1).write.mode("append").json(srcDir)
+    runOnce()
+    // run 2 (fresh query, same checkpoint): more farm docs — all rejected
+    // by the RESTORED count — plus a brand-new host
+    Seq((4L, "farm.example", "d"), (5L, "farm.example", "e"),
+        (11L, "other.example", "o"))
+      .toDF("doc_id", "host", "text")
+      .coalesce(1).write.mode("append").json(srcDir)
+    runOnce()
+    val out = spark.read.parquet(outDir).collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 2L, 10L, 11L))
+  }
+
   test("registered views + injected functions make the library SQL-usable") {
     val registered = graft.sources.Tables.register(spark, "/root/testdata/sf0.001")
     assert(registered.contains("documents") && registered.contains("lineitem"))
