@@ -15,6 +15,19 @@ object Relational {
   private def t(spark: SparkSession, dir: String, name: String) =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Epoch-seconds view of `events.ts`, robust to both schemas the driver
+    * has shipped: TIMESTAMP/TIMESTAMP_NTZ(µs) (NTZ→LTZ under the session
+    * zone — pinned UTC in every entry point — then cast to BIGINT, which
+    * floors to whole seconds: same value as DuckDB's
+    * `epoch(date_trunc('second', ts))` on a naive timestamp) and legacy
+    * epoch-nano BIGINT (read under `nanosAsLong`). Integer math throughout:
+    * a double round-trip would lose sub-second bits near 2^63. */
+  private def evSec(df: DataFrame) =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts DIV 1000000000")
+      case _ => col("ts").cast("timestamp").cast("long")
+    }
+
   // ---- #27 TPC-H Q1-style aggregate ------------------------------------
   def q1Agg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
@@ -95,15 +108,15 @@ object Relational {
       |FROM ranked WHERE rk <= 5""".stripMargin
 
   // ---- #30 tumbling event-time window (batch twin of the stream) -------
-  // events.ts arrives as epoch-NANO longs (nanosAsLong); integer math keeps
-  // full precision (a double round-trip would lose sub-second bits at 2^63).
-  def eventsWindowAgg(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
+  def eventsWindowAgg(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    ev.select(evSec(ev).as("sec"), col("event_type"), col("value"))
       .groupBy(
-        expr("ts DIV 1000000000 DIV 3600 * 3600").as("hour_epoch"),
+        expr("sec DIV 3600 * 3600").as("hour_epoch"),
         col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+  }
   val eventsWindowAggSql: String =
     """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
       |  event_type, count(*) AS n,
@@ -119,9 +132,9 @@ object Relational {
   val SlideSec = 900
   val SlideWidthSec = 3600
   private val SlideN = SlideWidthSec / SlideSec // windows per event
-  def eventsSlidingAgg(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
-      .select(expr("ts DIV 1000000000").as("sec"), col("event_type"), col("value"))
+  def eventsSlidingAgg(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    ev.select(evSec(ev).as("sec"), col("event_type"), col("value"))
       .select(col("event_type"), col("value"),
         explode(expr(
           s"transform(sequence(0, ${SlideN - 1}), j -> (sec DIV $SlideSec - j) * $SlideSec)"))
@@ -129,6 +142,7 @@ object Relational {
       .groupBy("win_start", "event_type")
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+  }
   val eventsSlidingAggSql: String =
     s"""SELECT (CAST(epoch(date_trunc('second', ts)) AS BIGINT) // $SlideSec - g.j)
        |    * $SlideSec AS win_start,
@@ -157,9 +171,10 @@ object Relational {
   // last_value(ignoreNulls). One shuffle on user_id. The oracle uses
   // DuckDB's native ASOF JOIN — two independent implementations agreeing.
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {
-    val ev = t(spark, dir, "events")
+    val raw = t(spark, dir, "events")
+    val ev = raw
       .select(col("user_id"), col("event_id"), col("event_type"),
-        expr("ts DIV 1000000000").as("sec"))
+        evSec(raw).as("sec"))
     // one view per (user, sec): ASOF tie-behavior on duplicate keys is
     // engine-unspecified, so both sides agree on max(event_id)
     val views = ev.where(col("event_type") === "view")
@@ -186,9 +201,10 @@ object Relational {
     * independent implementations of one semantic now agree: this plan, the
     * union+window composition above, and DuckDB's ASOF JOIN oracle. */
   def asofJoinNative(spark: SparkSession, dir: String): DataFrame = {
-    val ev = t(spark, dir, "events")
+    val raw = t(spark, dir, "events")
+    val ev = raw
       .select(col("user_id"), col("event_id"), col("event_type"),
-        expr("ts DIV 1000000000").as("sec"))
+        evSec(raw).as("sec"))
     // right side renamed: both sides scan the same table, and the native
     // operator rejects duplicate attribute ids across sides
     val views = ev.where(col("event_type") === "view")
@@ -233,9 +249,10 @@ object Relational {
   // independent implementations agreeing, as with asof_join.
   val RangeWindowSec = 60L
   def rangeJoinCounts(spark: SparkSession, dir: String): DataFrame = {
-    val ev = t(spark, dir, "events")
+    val raw = t(spark, dir, "events")
+    val ev = raw
       .select(col("event_id"), col("event_type"),
-        expr("ts DIV 1000000000").as("sec"))
+        evSec(raw).as("sec"))
     val purchases = ev.where(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("sec").as("psec"),
         expr(s"sec DIV $RangeWindowSec").as("bucket"))
@@ -423,9 +440,10 @@ object Relational {
   val WeekSec = 7L * 24 * 3600
 
   def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
-    val ev = t(spark, dir, "events")
-      .select(col("user_id"),
-        expr(s"ts DIV 1000000000 DIV $WeekSec").as("week"))
+    val raw = t(spark, dir, "events")
+    val ev = raw
+      .select(col("user_id"), evSec(raw).as("sec"))
+      .select(col("user_id"), expr(s"sec DIV $WeekSec").as("week"))
     val firsts = ev.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
     ev.join(firsts, "user_id")
       .select(col("user_id"), col("cohort_week"),
@@ -489,9 +507,10 @@ object Relational {
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t(spark, dir, "events")
+    val raw = t(spark, dir, "events")
+    raw
       .select(col("user_id"), col("event_id"), col("ts"),
-        expr("ts DIV 1000000000").as("sec"))
+        evSec(raw).as("sec"))
       .withColumn("prev_sec", lag(col("sec"), 1).over(w))
       .withColumn("is_new",
         when(col("prev_sec").isNull || col("sec") - col("prev_sec") > 1800, 1L)

@@ -10,6 +10,20 @@ import graft.streaming.EventsStream.Ev
 class SourcesAndStreamingSpec extends SparkTestBase {
   import spark.implicits._
 
+  /** Replay rows from the real events parquet as second-truncated
+    * TIMESTAMPs, robust to both ts schemas the driver has shipped
+    * (TIMESTAMP/TIMESTAMP_NTZ µs, or legacy epoch-nano BIGINT). */
+  private def replayEvents(sf: String): Seq[(java.sql.Timestamp, String, Double)] = {
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val tsExpr = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        "CAST(ts DIV 1000000000 AS TIMESTAMP)"
+      case _ => "DATE_TRUNC('second', CAST(ts AS TIMESTAMP))"
+    }
+    raw.selectExpr(s"$tsExpr AS ts", "event_type", "value")
+      .as[(java.sql.Timestamp, String, Double)].collect().toSeq
+  }
+
   test("gutenberg source: raw files with headers -> anagram lines") {
     val dir = Files.createTempDirectory("graft-books")
     Files.writeString(Paths.get(dir.toString, "book1.txt"),
@@ -84,12 +98,9 @@ class SourcesAndStreamingSpec extends SparkTestBase {
     val batch = graft.operators.Relational.eventsWindowAgg(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
       .toMap
-    val replayRows = spark.read.parquet(s"$sf/events.parquet")
-      // nano BIGINT → second-truncated TIMESTAMP: floors inside the hour,
-      // so 1h windows and counts are unaffected
-      .selectExpr("CAST(ts DIV 1000000000 AS TIMESTAMP) AS ts",
-        "event_type", "value")
-      .as[(java.sql.Timestamp, String, Double)].collect().toSeq
+    // second-truncated TIMESTAMP (either ts schema): floors inside the
+    // hour, so 1h windows and counts are unaffected
+    val replayRows = replayEvents(sf)
     val input = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
     val q = EventsStream.windowedCounts(
         input.toDF().toDF("ts", "event_type", "value"))
@@ -118,10 +129,7 @@ class SourcesAndStreamingSpec extends SparkTestBase {
     val batch = graft.operators.Relational.eventsSlidingAgg(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
       .toMap
-    val replayRows = spark.read.parquet(s"$sf/events.parquet")
-      .selectExpr("CAST(ts DIV 1000000000 AS TIMESTAMP) AS ts",
-        "event_type", "value")
-      .as[(java.sql.Timestamp, String, Double)].collect().toSeq
+    val replayRows = replayEvents(sf)
     val input = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
     val q = EventsStream.slidingCounts(
         input.toDF().toDF("ts", "event_type", "value"))
