@@ -28,6 +28,15 @@ object Relational {
       case _ => col("ts").cast("timestamp").cast("long")
     }
 
+  /** `events.ts` as a session-zone TIMESTAMP under either schema (see
+    * [[evSec]]); second precision suffices for every consumer. */
+  private def evTs(df: DataFrame) =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("CAST(ts DIV 1000000000 AS TIMESTAMP)")
+      case _ => col("ts").cast("timestamp")
+    }
+
   // ---- #27 TPC-H Q1-style aggregate ------------------------------------
   def q1Agg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
@@ -539,4 +548,54 @@ object Relational {
       |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
       |  count(*) AS n_events, min(sec) AS start_epoch, max(sec) AS end_epoch
       |FROM sessions GROUP BY 1, 2""".stripMargin
+
+  // ---- #34i daily active-user rollup (exact distinct aggregation) --------
+  /** Per-(day, event_type) event counts, EXACT distinct users, and value
+    * sums — the daily-series rollup behind every activity dashboard, and
+    * the engine's exact COUNT(DISTINCT) path (`approx_stats` is its sketch
+    * twin; join on event_type to see the HLL error). Spark plans the
+    * distinct as a two-phase partial aggregation: per-partition dedup of
+    * (day, type, user) then the final count — one shuffle keyed on the
+    * bounded day×type space plus the user expansion, never a global
+    * distinct over raw events. DECIMAL value sums keep the merge
+    * order-insensitive (§6). */
+  def eventDailyActive(spark: SparkSession, dir: String): DataFrame = {
+    val raw = t(spark, dir, "events")
+    raw.select(to_date(evTs(raw)).as("day"), col("event_type"),
+        col("user_id"), col("value"))
+      .groupBy("day", "event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+  }
+  val eventDailyActiveSql: String =
+    """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  // ---- #34j semi-structured props extraction (JSON columns) --------------
+  /** Typed extraction from the `events.props` JSON string + rollup on the
+    * extracted key — the semi-structured path every event pipeline needs
+    * (client payloads arrive as JSON long before they earn real columns).
+    * `from_json` with an explicit schema is Spark's native typed parse:
+    * codegen'd, map-side, malformed rows → NULL (PERMISSIVE), so the parse
+    * adds zero exchanges — the only shuffle is the ≤100-key rollup with
+    * map-side partials. At 100 TB the same projection feeds schema
+    * inference audits; the DuckDB oracle extracts via its JSON extension —
+    * two independent JSON parsers agreeing. */
+  def eventPropsAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))).getField("k").as("k"),
+        col("value"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+  val eventPropsAggSql: String =
+    """SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1""".stripMargin
 }

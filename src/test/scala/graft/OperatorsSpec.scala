@@ -204,4 +204,42 @@ class OperatorsSpec extends SparkTestBase {
     assert(r.getLong(2) == 2L && r.getLong(3) == 1L) // purchasers, converted
     assert(r.getLong(4) == 10000L / 3L) // 1/3 in exact floor basis points
   }
+
+  test("event_daily_active counts exact distinct users per (day, type)") {
+    // TIMESTAMP fixture: exercises the post-r6 events schema branch
+    // (the long-nanos fixtures above keep the legacy branch covered)
+    val d = java.nio.file.Files.createTempDirectory("graft-daily").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-01 11:30:00"), 1L, "click", 2.0, "{}"), // same user+day
+      (3L, ts("2024-01-01 23:59:59"), 2L, "click", 3.0, "{}"),
+      (4L, ts("2024-01-02 00:00:01"), 1L, "view", 4.0, "{}"),  // next day
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val rows = Relational.eventDailyActive(spark, d).collect()
+      .map(r => (r.getDate(0).toString, r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(rows(("2024-01-01", "click")) == ((3L, 2L, 6.0)))
+    assert(rows(("2024-01-02", "view")) == ((1L, 1L, 4.0)))
+    assert(rows.size == 2)
+  }
+
+  test("event_props_agg extracts the JSON key; malformed rows group as null") {
+    val d = java.nio.file.Files.createTempDirectory("graft-props").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0, """{"k": 7}"""),
+      (2L, ts("2024-01-01 11:00:00"), 2L, "click", 2.0, """{"k": 7}"""),
+      (3L, ts("2024-01-01 12:00:00"), 3L, "click", 5.0, """{"k": 9}"""),
+      (4L, ts("2024-01-01 13:00:00"), 4L, "click", 8.0, "not json"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val rows = Relational.eventPropsAgg(spark, d).collect()
+      .map(r => Option(r.get(0)).map(_.asInstanceOf[Long]) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(rows(Some(7L)) == ((2L, 3.0)))
+    assert(rows(Some(9L)) == ((1L, 5.0)))
+    assert(rows(None) == ((1L, 8.0))) // PERMISSIVE parse: malformed → null key
+  }
 }
