@@ -1,0 +1,187 @@
+package org.apache.spark.sql.graft
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+/** DataSource V2 WARC connector: `spark.read.format("warc").load(path)`.
+  *
+  * The ladder-tier-(c) SOURCE counterpart of [[AsOfJoinNative]] — a full
+  * `TableProvider`/`Scan`/`Batch` implementation rather than a composition
+  * over `binaryFile`. Two properties the binaryFile path cannot offer:
+  *
+  *  - **True streaming reads.** The partition reader feeds
+  *    [[graft.sources.WarcSource.parseWarcStream]] straight from the
+  *    (optionally gzipped) file stream: a file never materializes as one
+  *    byte array, so there is no 2 GB cap and the task's memory high-water
+  *    mark is one record — a multi-GB uncompressed WARC streams fine.
+  *  - **Column pruning pushed into the parse.** `SupportsPushDownRequiredColumns`
+  *    receives Catalyst's pruned schema; when `block` is not required
+  *    (host rollups, record counts, URL audits) payload bytes are moved
+  *    through a scratch page for Content-Length framing and never
+  *    buffered — the dominant byte volume of a crawl is allocated only
+  *    when a query actually reads it.
+  *
+  * Scale: one `InputPartition` per file, exactly the fan-out unit crawls
+  * arrive in (Common Crawl publishes ~1 GB `.warc.gz` members; gzip keeps
+  * whole files single-task — the same non-splittable rule every WARC
+  * consumer lives with). File enumeration accepts files, directories
+  * (non-recursive, hidden files skipped) and globs, resolved through the
+  * Hadoop filesystem API so any configured scheme (file://, hdfs://, s3a://)
+  * works unchanged.
+  */
+class WarcDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "warc"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WarcDataSource.Schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new WarcTable(WarcDataSource.resolvePaths(properties))
+}
+
+object WarcDataSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("rec_ix", LongType, nullable = false),
+    StructField("url", StringType),
+    StructField("warc_date", StringType),
+    StructField("warc_type", StringType),
+    StructField("block", BinaryType)))
+
+  /** `.load(p)` arrives as option "path"; `.load(p1, p2, …)` as option
+    * "paths", a JSON-encoded string array (the DSv2 path contract). */
+  private[graft] def resolvePaths(props: util.Map[String, String]): Seq[String] = {
+    val single = Option(props.get("path")).toSeq
+    val multi = Option(props.get("paths")).toSeq.flatMap { js =>
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readValue(js, classOf[Array[String]]).toSeq
+    }
+    val all = single ++ multi
+    require(all.nonEmpty, "warc source: no path given (use .load(path))")
+    all
+  }
+
+  /** Driver-side file enumeration: globs expand, directories list
+    * non-recursively, hidden (`_`/`.`) files drop — the same conventions
+    * as Spark's file sources. */
+  private[graft] def listFiles(paths: Seq[String], conf: Configuration): Seq[String] = {
+    val statuses: Seq[FileStatus] = paths.flatMap { p =>
+      val hp = new Path(p)
+      val fs = hp.getFileSystem(conf)
+      val matched = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
+      require(matched.nonEmpty, s"warc source: path matches no files: $p")
+      matched.flatMap { st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+        else Seq(st)
+      }
+    }
+    statuses
+      .filter { st =>
+        val n = st.getPath.getName
+        !(n.startsWith("_") || n.startsWith("."))
+      }
+      .map(_.getPath.toString)
+      .distinct
+      .sorted
+  }
+}
+
+private[graft] class WarcTable(paths: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"warc(${paths.mkString(",")})"
+  override def schema(): StructType = WarcDataSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new WarcScanBuilder(paths)
+}
+
+private[graft] class WarcScanBuilder(paths: Seq[String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = WarcDataSource.Schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new WarcScan(paths, required)
+}
+
+private[graft] class WarcScan(paths: Seq[String], required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"warc scan, columns [${required.fieldNames.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    WarcDataSource.listFiles(paths, conf)
+      .map(p => WarcInputPartition(p): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new SerializableConfiguration(
+      SparkSession.active.sessionState.newHadoopConf())
+    new WarcReaderFactory(required, conf)
+  }
+}
+
+private[graft] case class WarcInputPartition(path: String) extends InputPartition
+
+private[graft] class WarcReaderFactory(
+    required: StructType,
+    conf: SerializableConfiguration) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new WarcPartitionReader(
+      partition.asInstanceOf[WarcInputPartition].path, required, conf.value)
+}
+
+private[graft] class WarcPartitionReader(
+    path: String,
+    required: StructType,
+    conf: Configuration) extends PartitionReader[InternalRow] {
+
+  private val hPath = new Path(path)
+  private val in = hPath.getFileSystem(conf).open(hPath)
+  private val wantBlock = required.fieldNames.contains("block")
+  private val records = graft.sources.WarcSource.parseWarcStream(in, wantBlock)
+  // pruned-schema projection: required field -> full-tuple position
+  private val proj: Array[Int] =
+    required.fieldNames.map(WarcDataSource.Schema.fieldIndex)
+  private val pathUtf8 = UTF8String.fromString(hPath.toString)
+  private var cur: (Long, String, String, String, Array[Byte]) = _
+
+  override def next(): Boolean =
+    if (records.hasNext) { cur = records.next(); true } else false
+
+  override def get(): InternalRow = {
+    val values = new Array[Any](proj.length)
+    var i = 0
+    while (i < proj.length) {
+      values(i) = proj(i) match {
+        case 0 => pathUtf8
+        case 1 => cur._1
+        case 2 => UTF8String.fromString(cur._2)
+        case 3 => UTF8String.fromString(cur._3)
+        case 4 => UTF8String.fromString(cur._4)
+        case 5 => cur._5
+      }
+      i += 1
+    }
+    new GenericInternalRow(values)
+  }
+
+  override def close(): Unit = in.close()
+}

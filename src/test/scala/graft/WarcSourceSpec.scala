@@ -192,4 +192,37 @@ class WarcSourceSpec extends SparkTestBase {
     assert(rows("a.example")._1 == 5L)
     assert(rows("b.example") == ((1L, "gzipped page".length.toLong)))
   }
+
+  private def rowKeys(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+      r.getString(3), r.getString(4),
+      new String(r.getAs[Array[Byte]](5), "ISO-8859-1"))).toSet
+
+  test("v2 connector matches the binaryFile composition row-for-row") {
+    val v2 = WarcSource.readWarc(spark, dir)
+    val composed = WarcSource.readWarcBinaryFile(spark, dir)
+    assert(v2.schema == composed.schema)
+    val (a, b) = (rowKeys(v2), rowKeys(composed))
+    assert(a == b && a.size == 7) // two independent parsers, one answer
+  }
+
+  test("v2 pruning drops the payload from the read schema; values survive") {
+    val df = WarcSource.readWarc(spark, dir).select("url", "warc_type")
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val read = scans.head.scan.readSchema().fieldNames.toSeq
+    assert(!read.contains("block"), s"payload not pruned: $read")
+    val urls = df.where(org.apache.spark.sql.functions.col("warc_type") === "response")
+      .collect().map(_.getString(0))
+    assert(urls.length == 6 && urls.contains("http://b.example/y"))
+  }
+
+  test("v2 plans one partition per file; globs and dirs both resolve") {
+    assert(WarcSource.readWarc(spark, dir).rdd.getNumPartitions == 2)
+    val globbed = WarcSource.readWarc(spark, s"$dir/*.warc.gz")
+    assert(globbed.rdd.getNumPartitions == 1)
+    assert(globbed.count() == 1)
+  }
 }
