@@ -44,6 +44,12 @@ def frame_fingerprint(cols, types, rows):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # Pin a budget + spill dir: under concurrent JVM memory pressure DuckDB
+    # otherwise fails sporadically with "Out of Memory Error: Failed to
+    # allocate block" on the heavier oracle queries (seen flapping r7) —
+    # with a temp_directory those queries go out-of-core instead.
+    con.execute("SET memory_limit='6GB'")
+    con.execute("SET temp_directory='/tmp/graft_duckdb_spill'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
@@ -67,13 +73,25 @@ def main(sf_dir, out_dir):
             results[name] = {"rows": len(s_rows), "rows_only": True,
                              "ok": len(s_rows) > 0}
             continue
-        try:
-            o_desc = con.execute(f"DESCRIBE ({oracle[name]})").fetchall()
-            o_cols = [r[0] for r in o_desc]
-            o_types = [r[1] for r in o_desc]
-            o_rows = con.execute(oracle[name]).fetchall()
-        except Exception as e:
-            results[name] = {"error": f"oracle failed: {e}"}
+        # Transient OOM ("Failed to allocate block") is an infra condition,
+        # not a mismatch — retry before recording an error.
+        o_err = None
+        for attempt in range(3):
+            try:
+                o_desc = con.execute(f"DESCRIBE ({oracle[name]})").fetchall()
+                o_cols = [r[0] for r in o_desc]
+                o_types = [r[1] for r in o_desc]
+                o_rows = con.execute(oracle[name]).fetchall()
+                o_err = None
+                break
+            except Exception as e:
+                o_err = e
+                if "Out of Memory" not in str(e):
+                    break
+                import time
+                time.sleep(2)
+        if o_err is not None:
+            results[name] = {"error": f"oracle failed: {o_err}"}
             continue
         sc, sn, sh = frame_fingerprint(s_cols, s_types, s_rows)
         oc, on, oh = frame_fingerprint(o_cols, o_types, o_rows)

@@ -45,8 +45,15 @@ object WarcSource {
     * aware). With `wantBlock=false` (column pruning pushed the payload out
     * of the read schema) block bytes are consumed for framing but never
     * buffered — header-only scans move Content-Length bytes through a
-    * scratch page and allocate nothing per record. */
-  def parseWarcStream(rawIn: java.io.InputStream, wantBlock: Boolean = true): Iterator[(Long, String, String, String, Array[Byte])] = {
+    * scratch page and allocate nothing per record. With `keepType` set
+    * (a pushed `warc_type = v` filter), non-matching records are skipped
+    * the same zero-buffer way — but STILL counted by `rec_ix`, so record
+    * indices (and the doc_ids derived from them) are identical whether or
+    * not a filter was pushed. */
+  def parseWarcStream(
+      rawIn: java.io.InputStream,
+      wantBlock: Boolean = true,
+      keepType: String = null): Iterator[(Long, String, String, String, Array[Byte])] = {
     val base = new java.io.BufferedInputStream(rawIn)
     base.mark(2)
     val m1 = base.read(); val m2 = base.read()
@@ -87,7 +94,8 @@ object WarcSource {
           new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
       }
     }
-    val scratch = if (wantBlock) null else new Array[Byte](64 * 1024)
+    val scratch =
+      if (wantBlock && keepType == null) null else new Array[Byte](64 * 1024)
     new Iterator[(Long, String, String, String, Array[Byte])] {
       private var nextRec: (Long, String, String, String, Array[Byte]) = _
       private var ix = 0L
@@ -127,23 +135,29 @@ object WarcSource {
           if (l == null) return // EOF mid-headers
           if (l.startsWith("WARC/") || clen < 0 || clen > Int.MaxValue - 8) {
             line = l // bad framing: resync from here (l may itself be a version line)
-          } else if (wantBlock) {
-            val block = in.readNBytes(clen.toInt)
-            if (block.length < clen) return // truncated tail
-            nextRec = (ix, url, date, wtype, block)
-            ix += 1
-            return
           } else {
-            // pruned payload: move the bytes for framing, keep none
+            val keep = keepType == null || wtype == keepType
+            if (keep && wantBlock) {
+              val block = in.readNBytes(clen.toInt)
+              if (block.length < clen) return // truncated tail
+              nextRec = (ix, url, date, wtype, block)
+              ix += 1
+              return
+            }
+            // pruned payload or filtered-out record: move the bytes for
+            // framing through the scratch page, keep none
             var left = clen
             while (left > 0) {
               val n = in.read(scratch, 0, math.min(left, scratch.length).toInt)
               if (n < 0) return // truncated tail
               left -= n
             }
-            nextRec = (ix, url, date, wtype, Array.emptyByteArray)
-            ix += 1
-            return
+            ix += 1 // skipped records still advance rec_ix (stable doc_ids)
+            if (keep) {
+              nextRec = (ix - 1, url, date, wtype, Array.emptyByteArray)
+              return
+            }
+            line = readLine() // filtered out: walk on to the next record
           }
         }
       }

@@ -12,6 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -112,19 +113,40 @@ private[graft] class WarcTable(paths: Seq[String]) extends Table with SupportsRe
 }
 
 private[graft] class WarcScanBuilder(paths: Seq[String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = WarcDataSource.Schema
+  private var keepType: String = null
+  private var accepted: Array[sources.Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new WarcScan(paths, required)
+
+  /** The one filter worth pushing is `warc_type = v`: the reader then
+    * skips non-matching records' payload bytes entirely (zero buffering —
+    * request/metadata records are roughly half a real crawl). The accepted
+    * filter is ALSO returned as residual, so Catalyst re-checks it
+    * post-scan: pushdown here is a byte-skipping optimization, never a
+    * correctness dependency. */
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    filters.collectFirst {
+      case f @ sources.EqualTo("warc_type", v: String) => (f, v)
+    }.foreach { case (f, v) => keepType = v; accepted = Array(f) }
+    filters // everything stays residual (re-checked after the scan)
+  }
+  override def pushedFilters(): Array[sources.Filter] = accepted
+
+  override def build(): Scan = new WarcScan(paths, required, keepType)
 }
 
-private[graft] class WarcScan(paths: Seq[String], required: StructType)
+private[graft] class WarcScan(paths: Seq[String], required: StructType, keepType: String)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"warc scan, columns [${required.fieldNames.mkString(", ")}]"
+    s"warc scan, columns [${required.fieldNames.mkString(", ")}]" +
+      (if (keepType != null) s", pushed warc_type = $keepType" else "")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
@@ -134,7 +156,7 @@ private[graft] class WarcScan(paths: Seq[String], required: StructType)
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableConfiguration(
       SparkSession.active.sessionState.newHadoopConf())
-    new WarcReaderFactory(required, conf)
+    new WarcReaderFactory(required, keepType, conf)
   }
 }
 
@@ -142,21 +164,24 @@ private[graft] case class WarcInputPartition(path: String) extends InputPartitio
 
 private[graft] class WarcReaderFactory(
     required: StructType,
+    keepType: String,
     conf: SerializableConfiguration) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new WarcPartitionReader(
-      partition.asInstanceOf[WarcInputPartition].path, required, conf.value)
+      partition.asInstanceOf[WarcInputPartition].path, required, keepType, conf.value)
 }
 
 private[graft] class WarcPartitionReader(
     path: String,
     required: StructType,
+    keepType: String,
     conf: Configuration) extends PartitionReader[InternalRow] {
 
   private val hPath = new Path(path)
   private val in = hPath.getFileSystem(conf).open(hPath)
   private val wantBlock = required.fieldNames.contains("block")
-  private val records = graft.sources.WarcSource.parseWarcStream(in, wantBlock)
+  private val records =
+    graft.sources.WarcSource.parseWarcStream(in, wantBlock, keepType)
   // pruned-schema projection: required field -> full-tuple position
   private val proj: Array[Int] =
     required.fieldNames.map(WarcDataSource.Schema.fieldIndex)

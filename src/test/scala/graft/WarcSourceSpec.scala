@@ -225,4 +225,31 @@ class WarcSourceSpec extends SparkTestBase {
     assert(globbed.rdd.getNumPartitions == 1)
     assert(globbed.count() == 1)
   }
+
+  test("v2 pushes warc_type equality; rec_ix (and doc_ids) stay stable") {
+    import org.apache.spark.sql.functions.col
+    val filtered = WarcSource.readWarc(spark, dir)
+      .where(col("warc_type") === "response")
+    val scan = filtered.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }.head
+    assert(scan.scan.description().contains("pushed warc_type = response"))
+    // indices must match the UNfiltered walk: the request record at ix 0
+    // is skipped but still counted, so responses keep their original ix
+    val ixs = filtered.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val expect = WarcSource.readWarcBinaryFile(spark, dir)
+      .where(col("warc_type") === "response")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(ixs == expect && ixs.map(_._2).nonEmpty)
+    // and the derived doc_ids agree between the two read paths
+    import org.apache.spark.sql.functions.concat_ws
+    val v2Ids = WarcSource.documentsFromWarc(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val composedIds = WarcSource.readWarcBinaryFile(spark, dir)
+      .where(col("warc_type") === "response")
+      .select(graft.functions.TextFns.md5Long(concat_ws("\u0001",
+        col("path"), col("rec_ix"), col("url"))).as("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(v2Ids == composedIds && v2Ids.size == 6)
+  }
 }
