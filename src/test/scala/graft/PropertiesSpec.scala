@@ -469,6 +469,22 @@ class PropertiesSpec extends SparkTestBase {
         assert(wtype == t && url == u, s"trial $trial rec $ix: headers")
         assert(java.util.Arrays.equals(block, b), s"trial $trial rec $ix: payload bytes")
       }
+      // pushed-filter parse (keepType) ≡ full parse + post-filter, with
+      // rec_ix counting SKIPPED records too (stable doc_ids — r7 V2
+      // filter pushdown); and the pruned-payload walk keeps the indices
+      def stream(wantBlock: Boolean, keep: String) = WarcSource.parseWarcStream(
+        new java.io.ByteArrayInputStream(file), wantBlock, keep).toSeq
+      val full = parsed.filter(_._4 == "response")
+      val pushed = stream(wantBlock = true, keep = "response")
+      assert(pushed.map(r => (r._1, r._2, r._4)) == full.map(r => (r._1, r._2, r._4)),
+        s"trial $trial: pushed-filter indices/headers diverge")
+      pushed.zip(full).foreach { case (p, f) =>
+        assert(java.util.Arrays.equals(p._5, f._5), s"trial $trial: pushed blocks")
+      }
+      val prunedPushed = stream(wantBlock = false, keep = "response")
+      assert(prunedPushed.map(r => (r._1, r._2, r._4)) == full.map(r => (r._1, r._2, r._4)),
+        s"trial $trial: pruned+pushed indices diverge")
+      assert(prunedPushed.forall(_._5.isEmpty), s"trial $trial: pruned blocks not empty")
     }
   }
 }

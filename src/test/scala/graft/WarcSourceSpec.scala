@@ -252,4 +252,17 @@ class WarcSourceSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSet
     assert(v2Ids == composedIds && v2Ids.size == 6)
   }
+
+  test("the connector is SQL-usable via CREATE TABLE ... USING warc") {
+    spark.sql("DROP TABLE IF EXISTS warc_sql_smoke")
+    spark.sql(
+      s"CREATE TABLE warc_sql_smoke USING warc OPTIONS (path '$dir')")
+    try {
+      val rows = spark.sql(
+        """SELECT warc_type, count(*) AS n FROM warc_sql_smoke
+          |GROUP BY 1 ORDER BY 1""".stripMargin)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows == Map("request" -> 1L, "response" -> 6L))
+    } finally spark.sql("DROP TABLE IF EXISTS warc_sql_smoke")
+  }
 }
