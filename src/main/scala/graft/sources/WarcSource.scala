@@ -200,15 +200,22 @@ object WarcSource {
   def readWarcBinaryFile(spark: SparkSession, path: String): DataFrame =
     parsedRecords(spark.read.format("binaryFile").load(path))
 
-  /** Streaming twin of [[readWarc]]: the binaryFile source is a streaming
-    * file source (fixed schema, so no schema inference needed), which makes
-    * a landing directory of `.warc[.gz]` files a continuous ingestion
-    * feed — exactly how crawl archives arrive in production (a fetcher
-    * drops finished WARCs; the stream picks each up once, tracked by the
-    * checkpoint's file index). maxFilesPerTrigger is the natural
-    * back-pressure knob at scale; record parsing itself is the same
-    * one-record-high-water-mark iterator as batch. */
+  /** Streaming twin of [[readWarc]]: a landing directory of `.warc[.gz]`
+    * files as a continuous ingestion feed — exactly how crawl archives
+    * arrive in production (a fetcher drops finished WARCs; the stream
+    * picks each up once, tracked by checkpointed offsets). Rides the V2
+    * connector's `MicroBatchStream`, so the streaming path has the same
+    * record-streaming reader as batch — no whole-file byte array here
+    * either. [[readWarcStreamBinaryFile]] keeps the composed streaming
+    * path as the conformance twin. */
   def readWarcStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.format("warc").load(dir)
+
+  /** The original binaryFile-source streaming composition — retained as
+    * the independent implementation the V2 micro-batch stream is
+    * spec-checked against (each file buffers as one array here; the V2
+    * path streams records from the file handle). */
+  def readWarcStreamBinaryFile(spark: SparkSession, dir: String): DataFrame =
     parsedRecords(spark.readStream.format("binaryFile")
       // binaryFile's schema is FIXED by the format, but the streaming
       // DataSource path still demands it be declared (no inference pass

@@ -107,7 +107,7 @@ private[graft] class WarcTable(paths: Seq[String]) extends Table with SupportsRe
   override def name(): String = s"warc(${paths.mkString(",")})"
   override def schema(): StructType = WarcDataSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(paths)
 }
@@ -158,6 +158,71 @@ private[graft] class WarcScan(paths: Seq[String], required: StructType, keepType
       SparkSession.active.sessionState.newHadoopConf())
     new WarcReaderFactory(required, keepType, conf)
   }
+  override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
+    new WarcMicroBatchStream(paths, required, keepType)
+}
+
+/** Micro-batch stream over a WARC landing directory: each trigger lists
+  * the directory and processes exactly the files not covered by the start
+  * offset — the append-only drop-dir contract crawl fetchers follow
+  * (files are immutable once written). An offset is the sorted list of
+  * files seen so far, JSON-encoded: self-describing, so restart-from-
+  * checkpoint needs no side state. (Production-hardening note: a
+  * list-of-files offset is O(files seen); Spark's own FileStreamSource
+  * graduates to a compacted file log at the million-file mark — the
+  * natural upgrade path, orthogonal to the record-streaming reader this
+  * source shares with batch.) Readers stream records from the file handle
+  * exactly like the batch scan: no whole-file byte array in the streaming
+  * path either — the binaryFile-based twin buffers each file once. */
+private[graft] class WarcMicroBatchStream(
+    paths: Seq[String],
+    required: StructType,
+    keepType: String)
+    extends streaming.MicroBatchStream
+    with streaming.SupportsTriggerAvailableNow {
+
+  private val conf = new SerializableConfiguration(
+    SparkSession.active.sessionState.newHadoopConf())
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  // pinned by prepareForTriggerAvailableNow: AvailableNow must drain to the
+  // file set observed at query start, then stop
+  private var pinnedEnd: WarcStreamOffset = null
+
+  private def currentOffset(): WarcStreamOffset =
+    WarcStreamOffset(WarcDataSource.listFiles(paths, conf.value))
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    pinnedEnd = currentOffset()
+
+  override def initialOffset(): streaming.Offset = WarcStreamOffset(Seq.empty)
+  override def latestOffset(): streaming.Offset =
+    if (pinnedEnd != null) pinnedEnd else currentOffset()
+  override def latestOffset(
+      start: streaming.Offset, limit: streaming.ReadLimit): streaming.Offset =
+    latestOffset()
+  override def getDefaultReadLimit: streaming.ReadLimit =
+    streaming.ReadLimit.allAvailable()
+  override def deserializeOffset(json: String): streaming.Offset =
+    WarcStreamOffset(mapper.readValue(json, classOf[Array[String]]).toSeq)
+
+  override def planInputPartitions(
+      start: streaming.Offset, end: streaming.Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[WarcStreamOffset].files.toSet
+    end.asInstanceOf[WarcStreamOffset].files
+      .filterNot(seen)
+      .map(p => WarcInputPartition(p): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WarcReaderFactory(required, keepType, conf)
+  override def commit(end: streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[graft] case class WarcStreamOffset(files: Seq[String])
+    extends streaming.Offset {
+  override def json(): String =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(files.sorted.toArray)
 }
 
 private[graft] case class WarcInputPartition(path: String) extends InputPartition

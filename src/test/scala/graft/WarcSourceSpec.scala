@@ -253,6 +253,57 @@ class WarcSourceSpec extends SparkTestBase {
     assert(v2Ids == composedIds && v2Ids.size == 6)
   }
 
+  test("v2 micro-batch stream picks up arriving files exactly once; offsets survive restart") {
+    def rec(u: String, body: String) = record("response", u, http(body))
+    val land = java.nio.file.Files.createTempDirectory("graft-warc-land")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-warc-land-ckpt")
+    val out = java.nio.file.Files.createTempDirectory("graft-warc-land-out")
+    java.nio.file.Files.write(land.resolve("a.warc"), rec("http://s.example/a", "file a"))
+    // parquet sink: the memory sink forbids checkpoint recovery, and the
+    // restart leg is exactly what this test is about
+    def start() = WarcSource.readWarcStream(spark, land.toString)
+      .selectExpr("path", "rec_ix", "url") // parquet-friendly projection
+      .writeStream.format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    def urls() = spark.read.parquet(out.toString).collect().map(_.getString(2)).toSeq
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      assert(urls().toSet == Set("http://s.example/a"))
+      // a file arriving between triggers is a new offset range
+      java.nio.file.Files.write(land.resolve("b.warc"), rec("http://s.example/b", "file b"))
+      q1.processAllAvailable()
+      assert(urls().sorted == Seq("http://s.example/a", "http://s.example/b"))
+    } finally q1.stop()
+    // restart from the checkpoint: committed files must NOT reprocess —
+    // only the file dropped while stopped is new work
+    java.nio.file.Files.write(land.resolve("c.warc"), rec("http://s.example/c", "file c"))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(urls().sorted == Seq("http://s.example/a", "http://s.example/b",
+        "http://s.example/c")) // exactly once each, across the restart
+    } finally q2.stop()
+  }
+
+  test("v2 micro-batch stream matches the binaryFile streaming composition") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-warc-conf-ckpt")
+    def drain(df: org.apache.spark.sql.DataFrame, name: String) = {
+      val q = df.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt.resolve(name).toString)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try assert(q.awaitTermination(120000), s"$name did not drain")
+      finally q.stop()
+      rowKeys(spark.table(name))
+    }
+    val v2 = drain(WarcSource.readWarcStream(spark, dir), "warc_conf_v2")
+    val composed = drain(WarcSource.readWarcStreamBinaryFile(spark, dir), "warc_conf_bf")
+    assert(v2 == composed && v2.size == 7)
+  }
+
   test("the connector is SQL-usable via CREATE TABLE ... USING warc") {
     spark.sql("DROP TABLE IF EXISTS warc_sql_smoke")
     spark.sql(
