@@ -594,8 +594,13 @@ object Relational {
       .groupBy("k")
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+  // json_valid + TRY_CAST mirror from_json's PERMISSIVE malformed→NULL:
+  // a bare json_extract would ERROR the whole oracle query on one
+  // malformed props row that the engine (by documented design) tolerates
   val eventPropsAggSql: String =
-    """SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, count(*) AS n,
+    """SELECT CASE WHEN json_valid(props)
+      |    THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k,
+      |  count(*) AS n,
       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1""".stripMargin
 }

@@ -58,9 +58,12 @@ object WarcSource {
     base.mark(2)
     val m1 = base.read(); val m2 = base.read()
     base.reset()
-    val in = new java.io.BufferedInputStream(
-      if (m1 == 0x1f && m2 == 0x8b) new java.util.zip.GZIPInputStream(base)
-      else base)
+    // gzip output gets its own buffer (inflater reads are chunky); the
+    // plain path reuses `base` rather than double-buffering every byte
+    val in =
+      if (m1 == 0x1f && m2 == 0x8b)
+        new java.io.BufferedInputStream(new java.util.zip.GZIPInputStream(base))
+      else base
     // one header line: reads to LF, strips a trailing CR — tolerates both
     // CRLF and bare-LF headers; null at EOF. Bytes decode as UTF-8 (WARC/1.1
     // permits UTF-8 header values — IDN WARC-Target-URIs appear in real

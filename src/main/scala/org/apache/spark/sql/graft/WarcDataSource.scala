@@ -70,8 +70,7 @@ object WarcDataSource {
   private[graft] def resolvePaths(props: util.Map[String, String]): Seq[String] = {
     val single = Option(props.get("path")).toSeq
     val multi = Option(props.get("paths")).toSeq.flatMap { js =>
-      new com.fasterxml.jackson.databind.ObjectMapper()
-        .readValue(js, classOf[Array[String]]).toSeq
+      WarcStreamOffset.Mapper.readValue(js, classOf[Array[String]]).toSeq
     }
     val all = single ++ multi
     require(all.nonEmpty, "warc source: no path given (use .load(path))")
@@ -80,13 +79,18 @@ object WarcDataSource {
 
   /** Driver-side file enumeration: globs expand, directories list
     * non-recursively, hidden (`_`/`.`) files drop — the same conventions
-    * as Spark's file sources. */
-  private[graft] def listFiles(paths: Seq[String], conf: Configuration): Seq[String] = {
+    * as Spark's file sources. `strict` (batch) fails loudly on a path that
+    * matches nothing (almost always a typo); the streaming caller passes
+    * `strict=false`, because an empty landing directory/glob is the NORMAL
+    * initial state of a drop-dir and must mean "no data yet", not a crash
+    * inside latestOffset. */
+  private[graft] def listFiles(
+      paths: Seq[String], conf: Configuration, strict: Boolean = true): Seq[String] = {
     val statuses: Seq[FileStatus] = paths.flatMap { p =>
       val hp = new Path(p)
       val fs = hp.getFileSystem(conf)
       val matched = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
-      require(matched.nonEmpty, s"warc source: path matches no files: $p")
+      require(!strict || matched.nonEmpty, s"warc source: path matches no files: $p")
       matched.flatMap { st =>
         if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
         else Seq(st)
@@ -109,10 +113,11 @@ private[graft] class WarcTable(paths: Seq[String]) extends Table with SupportsRe
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new WarcScanBuilder(paths)
+    new WarcScanBuilder(paths,
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
 }
 
-private[graft] class WarcScanBuilder(paths: Seq[String])
+private[graft] class WarcScanBuilder(paths: Seq[String], maxFilesPerTrigger: Option[Int])
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
@@ -137,10 +142,15 @@ private[graft] class WarcScanBuilder(paths: Seq[String])
   }
   override def pushedFilters(): Array[sources.Filter] = accepted
 
-  override def build(): Scan = new WarcScan(paths, required, keepType)
+  override def build(): Scan =
+    new WarcScan(paths, required, keepType, maxFilesPerTrigger)
 }
 
-private[graft] class WarcScan(paths: Seq[String], required: StructType, keepType: String)
+private[graft] class WarcScan(
+    paths: Seq[String],
+    required: StructType,
+    keepType: String,
+    maxFilesPerTrigger: Option[Int])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -159,51 +169,69 @@ private[graft] class WarcScan(paths: Seq[String], required: StructType, keepType
     new WarcReaderFactory(required, keepType, conf)
   }
   override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
-    new WarcMicroBatchStream(paths, required, keepType)
+    new WarcMicroBatchStream(paths, required, keepType, maxFilesPerTrigger)
 }
 
 /** Micro-batch stream over a WARC landing directory: each trigger lists
   * the directory and processes exactly the files not covered by the start
   * offset — the append-only drop-dir contract crawl fetchers follow
   * (files are immutable once written). An offset is the sorted list of
-  * files seen so far, JSON-encoded: self-describing, so restart-from-
-  * checkpoint needs no side state. (Production-hardening note: a
-  * list-of-files offset is O(files seen); Spark's own FileStreamSource
-  * graduates to a compacted file log at the million-file mark — the
-  * natural upgrade path, orthogonal to the record-streaming reader this
-  * source shares with batch.) Readers stream records from the file handle
-  * exactly like the batch scan: no whole-file byte array in the streaming
-  * path either — the binaryFile-based twin buffers each file once. */
+  * files SEEN SO FAR — monotone: each new offset is the previous one plus
+  * newly arrived files, so retention deleting an already-processed file
+  * can never shrink the offset and a later re-created filename is not
+  * reprocessed. JSON-encoded and self-describing, so restart-from-
+  * checkpoint needs no side state. An empty landing dir is "no data yet",
+  * never an error. `maxFilesPerTrigger` bounds each micro-batch, so a
+  * large backlog commits incrementally instead of as one giant batch.
+  * (Production-hardening note: a list-of-files offset is O(files seen);
+  * Spark's own FileStreamSource graduates to a compacted file log at the
+  * million-file mark — the natural upgrade path, orthogonal to the
+  * record-streaming reader this source shares with batch.) Readers stream
+  * records from the file handle exactly like the batch scan: no
+  * whole-file byte array in the streaming path either — the
+  * binaryFile-based twin buffers each file once. */
 private[graft] class WarcMicroBatchStream(
     paths: Seq[String],
     required: StructType,
-    keepType: String)
+    keepType: String,
+    maxFilesPerTrigger: Option[Int])
     extends streaming.MicroBatchStream
     with streaming.SupportsTriggerAvailableNow {
 
   private val conf = new SerializableConfiguration(
     SparkSession.active.sessionState.newHadoopConf())
-  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
   // pinned by prepareForTriggerAvailableNow: AvailableNow must drain to the
   // file set observed at query start, then stop
-  private var pinnedEnd: WarcStreamOffset = null
+  private var pinnedTarget: Set[String] = null
 
-  private def currentOffset(): WarcStreamOffset =
-    WarcStreamOffset(WarcDataSource.listFiles(paths, conf.value))
+  private def listNow(): Seq[String] =
+    WarcDataSource.listFiles(paths, conf.value, strict = false)
 
   override def prepareForTriggerAvailableNow(): Unit =
-    pinnedEnd = currentOffset()
+    pinnedTarget = listNow().toSet
+
+  /** start ∪ (up to maxFilesPerTrigger newly arrived files). */
+  private def advance(start: WarcStreamOffset): WarcStreamOffset = {
+    val target = if (pinnedTarget != null) pinnedTarget else listNow().toSet
+    val seen = start.files.toSet
+    val fresh = (target -- seen).toSeq.sorted
+    WarcStreamOffset(
+      start.files ++ maxFilesPerTrigger.map(fresh.take).getOrElse(fresh))
+  }
 
   override def initialOffset(): streaming.Offset = WarcStreamOffset(Seq.empty)
   override def latestOffset(): streaming.Offset =
-    if (pinnedEnd != null) pinnedEnd else currentOffset()
+    advance(WarcStreamOffset(Seq.empty))
   override def latestOffset(
       start: streaming.Offset, limit: streaming.ReadLimit): streaming.Offset =
-    latestOffset()
+    advance(start.asInstanceOf[WarcStreamOffset])
   override def getDefaultReadLimit: streaming.ReadLimit =
-    streaming.ReadLimit.allAvailable()
+    maxFilesPerTrigger
+      .map(n => streaming.ReadLimit.maxFiles(n))
+      .getOrElse(streaming.ReadLimit.allAvailable())
   override def deserializeOffset(json: String): streaming.Offset =
-    WarcStreamOffset(mapper.readValue(json, classOf[Array[String]]).toSeq)
+    WarcStreamOffset(
+      WarcStreamOffset.Mapper.readValue(json, classOf[Array[String]]).toSeq)
 
   override def planInputPartitions(
       start: streaming.Offset, end: streaming.Offset): Array[InputPartition] = {
@@ -221,8 +249,13 @@ private[graft] class WarcMicroBatchStream(
 private[graft] case class WarcStreamOffset(files: Seq[String])
     extends streaming.Offset {
   override def json(): String =
-    new com.fasterxml.jackson.databind.ObjectMapper()
-      .writeValueAsString(files.sorted.toArray)
+    WarcStreamOffset.Mapper.writeValueAsString(files.sorted.toArray)
+}
+
+private[graft] object WarcStreamOffset {
+  // ObjectMapper is thread-safe after configuration; one instance serves
+  // every offset (de)serialization instead of one per call
+  val Mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 }
 
 private[graft] case class WarcInputPartition(path: String) extends InputPartition
@@ -245,7 +278,11 @@ private[graft] class WarcPartitionReader(
   private val hPath = new Path(path)
   private val in = hPath.getFileSystem(conf).open(hPath)
   private val wantBlock = required.fieldNames.contains("block")
-  private val records =
+  // lazy: parseWarcStream does I/O up front (gzip sniff + first record).
+  // If that throws during READER CONSTRUCTION, Spark never registers the
+  // close() hook and the stream above would leak; deferred to the first
+  // next(), the failure lands where close() is guaranteed to run.
+  private lazy val records =
     graft.sources.WarcSource.parseWarcStream(in, wantBlock, keepType)
   // pruned-schema projection: required field -> full-tuple position
   private val proj: Array[Int] =

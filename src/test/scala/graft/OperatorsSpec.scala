@@ -209,12 +209,15 @@ class OperatorsSpec extends SparkTestBase {
     // TIMESTAMP fixture: exercises the post-r6 events schema branch
     // (the long-nanos fixtures above keep the legacy branch covered)
     val d = java.nio.file.Files.createTempDirectory("graft-daily").toString
-    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // explicit UTC instants: Timestamp.valueOf would parse in the JVM
+    // default zone while to_date uses the pinned-UTC session zone, so the
+    // day-boundary rows would shift on a non-UTC box
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
     Seq(
-      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0, "{}"),
-      (2L, ts("2024-01-01 11:30:00"), 1L, "click", 2.0, "{}"), // same user+day
-      (3L, ts("2024-01-01 23:59:59"), 2L, "click", 3.0, "{}"),
-      (4L, ts("2024-01-02 00:00:01"), 1L, "view", 4.0, "{}"),  // next day
+      (1L, ts("2024-01-01T10:00:00Z"), 1L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-01T11:30:00Z"), 1L, "click", 2.0, "{}"), // same user+day
+      (3L, ts("2024-01-01T23:59:59Z"), 2L, "click", 3.0, "{}"),
+      (4L, ts("2024-01-02T00:00:01Z"), 1L, "view", 4.0, "{}"),  // next day
     ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
     val rows = Relational.eventDailyActive(spark, d).collect()

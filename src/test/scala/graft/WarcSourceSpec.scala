@@ -288,6 +288,28 @@ class WarcSourceSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("v2 stream tolerates an empty landing dir and honors maxFilesPerTrigger") {
+    val land = java.nio.file.Files.createTempDirectory("graft-warc-empty")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-warc-empty-ckpt")
+    val q = spark.readStream.format("warc")
+      .option("maxFilesPerTrigger", "1").load(land.toString)
+      .writeStream.format("memory").queryName("warc_v2_empty")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable() // empty dir = "no data yet", never a crash
+      assert(spark.table("warc_v2_empty").count() == 0)
+      (1 to 3).foreach { i =>
+        java.nio.file.Files.write(land.resolve(s"f$i.warc"),
+          record("response", s"http://m.example/$i", http(s"file $i")))
+      }
+      q.processAllAvailable()
+      assert(spark.table("warc_v2_empty").count() == 3)
+      // one file per micro-batch: the backlog committed incrementally
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
+    } finally q.stop()
+  }
+
   test("v2 micro-batch stream matches the binaryFile streaming composition") {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-warc-conf-ckpt")
     def drain(df: org.apache.spark.sql.DataFrame, name: String) = {
