@@ -574,6 +574,59 @@ object Relational {
       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  // ---- #34k existence-filtered rollup (TPC-H Q4 shape: semi-join agg) ----
+  /** Orders per priority class having at least one deep-discount line —
+    * the EXISTS/IN-subquery shape (TPC-H Q4). Spark plans the left SEMI
+    * join: the probe (orders) streams, the build side short-circuits on
+    * first match and ships only `l_orderkey` (the discount filter and the
+    * one-column projection are pushed to the lineitem scan — at 100 TB the
+    * build side is one pruned column of the filtered fact, never whole
+    * rows), and no row is ever duplicated by multi-match, so there is no
+    * DISTINCT anywhere. One shuffle per side on orderkey; AQE picks
+    * shuffled-hash vs sort-merge. Oracle = DuckDB's independent EXISTS
+    * decorrelation — two planners agreeing on the semi-join semantics. */
+  def orderPrioritySemi(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .join(
+        t(spark, dir, "lineitem")
+          .where(col("l_discount") > 0.05).select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+  val orderPrioritySemiSql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+      |GROUP BY 1""".stripMargin
+
+  // ---- #34l per-customer order-count distribution (TPC-H Q13 shape) ------
+  /** How many customers placed 0, 1, 2, … orders — the outer-join
+    * aggregation distribution (TPC-H Q13), the one classic shape where the
+    * unmatched side carries the answer (the 0-order customers exist only as
+    * LEFT JOIN nulls). Scale shape: orders pre-aggregate to one count per
+    * customer BEFORE the join (the fact table never rides the outer join —
+    * the join input is bounded by |customers|, not |orders|), then customer
+    * LEFT JOINs the count table and null→0. Two bounded-key shuffles plus
+    * the ≤|distinct counts| final rollup. */
+  def customerDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = t(spark, dir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("c_count"))
+    t(spark, dir, "customer").select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("c_count"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("n_custs"))
+  }
+  val customerDistributionSql: String =
+    """WITH oc AS (
+      |  SELECT o_custkey, count(*) AS c_count FROM orders GROUP BY 1
+      |)
+      |SELECT CAST(coalesce(c_count, 0) AS BIGINT) AS c_count,
+      |  count(*) AS n_custs
+      |FROM customer LEFT JOIN oc ON c_custkey = o_custkey
+      |GROUP BY 1""".stripMargin
+
   // ---- #34j semi-structured props extraction (JSON columns) --------------
   /** Typed extraction from the `events.props` JSON string + rollup on the
     * extracted key — the semi-structured path every event pipeline needs

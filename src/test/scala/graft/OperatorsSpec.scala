@@ -245,4 +245,50 @@ class OperatorsSpec extends SparkTestBase {
     assert(rows(Some(9L)) == ((1L, 5.0)))
     assert(rows(None) == ((1L, 8.0))) // PERMISSIVE parse: malformed → null key
   }
+
+  test("order_priority_semi counts each qualifying order once (semi-join)") {
+    val d = java.nio.file.Files.createTempDirectory("graft-semi").toString
+    Seq(
+      (1L, 1L, "O", 10.0, "1995-01-01", "1-URGENT"),
+      (2L, 1L, "O", 10.0, "1995-01-02", "1-URGENT"),
+      (3L, 2L, "O", 10.0, "1995-01-03", "2-HIGH"),
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/orders.parquet")
+    Seq(
+      // order 1: TWO deep-discount lines — must still count once
+      (1L, 1L, 1L, 1, 1.0, 100.0, 0.10, 0.0, "N", "O", "1995-01-01"),
+      (1L, 2L, 1L, 2, 1.0, 100.0, 0.08, 0.0, "N", "O", "1995-01-01"),
+      // order 2: only a shallow discount — excluded
+      (2L, 1L, 1L, 1, 1.0, 100.0, 0.01, 0.0, "N", "O", "1995-01-01"),
+      // order 3: one qualifying line
+      (3L, 1L, 1L, 1, 1.0, 100.0, 0.06, 0.0, "N", "O", "1995-01-01"),
+    ).toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val rows = Relational.orderPrioritySemi(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == Map("1-URGENT" -> 1L, "2-HIGH" -> 1L))
+  }
+
+  test("customer_distribution keeps 0-order customers via the outer join") {
+    val d = java.nio.file.Files.createTempDirectory("graft-q13").toString
+    Seq(
+      (1L, "a", 0L, 0.0, "BUILDING"),
+      (2L, "b", 0L, 0.0, "BUILDING"),
+      (3L, "c", 0L, 0.0, "BUILDING"), // no orders at all
+    ).toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/customer.parquet")
+    Seq(
+      (1L, 1L, "O", 10.0, "1995-01-01", "1-URGENT"),
+      (2L, 1L, "O", 10.0, "1995-01-02", "1-URGENT"),
+      (3L, 2L, "O", 10.0, "1995-01-03", "2-HIGH"),
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val rows = Relational.customerDistribution(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows == Map(2L -> 1L, 1L -> 1L, 0L -> 1L))
+  }
 }
