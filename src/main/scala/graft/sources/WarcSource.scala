@@ -269,6 +269,19 @@ object WarcSource {
       documentsFromWarcStream(spark, dir)
         .withColumn("ingest_ts", to_timestamp(col("warc_date"))))
 
+  /** Archival WRITE path — the sink half of the V2 connector
+    * (`org.apache.spark.sql.graft.WarcWriteBuilder`): a records frame
+    * (any schema carrying `warc_type`, `block`, optionally `url` /
+    * `warc_date`) appended to a directory of immutable spec-framed
+    * `part-*.warc[.gz]` members. Hidden-temp-then-job-commit-rename, so
+    * concurrent readers (batch scans or the landing-dir stream) only ever
+    * see whole files — writing INTO a watched landing directory is safe.
+    * Round-trip (write → [[readWarc]]) is byte-identical, spec-asserted. */
+  def writeWarc(records: DataFrame, dir: String, gzip: Boolean = false): Unit =
+    records.write.format("warc")
+      .option("compression", if (gzip) "gzip" else "none")
+      .mode("append").save(dir)
+
   /** Canonical host of a url column — THE definition of "host" for every
     * per-host operation (rollup, sampling caps, blocklists), shared so a
     * future normalization tweak (www-stripping, IDN mapping) cannot make

@@ -9,9 +9,10 @@ import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -49,11 +50,15 @@ class WarcDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "warc"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     WarcDataSource.Schema
+  // Writes hand the incoming frame's schema through getTable (the DSv2
+  // external-metadata contract); the writer maps its fields BY NAME, so a
+  // documents-shaped frame with extra columns still appends cleanly.
+  override def supportsExternalMetadata(): Boolean = true
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new WarcTable(WarcDataSource.resolvePaths(properties))
+    new WarcTable(WarcDataSource.resolvePaths(properties), schema)
 }
 
 object WarcDataSource {
@@ -107,14 +112,23 @@ object WarcDataSource {
   }
 }
 
-private[graft] class WarcTable(paths: Seq[String]) extends Table with SupportsRead {
+private[graft] class WarcTable(paths: Seq[String], tableSchema: StructType)
+    extends Table with SupportsRead with SupportsWrite {
+  def this(paths: Seq[String]) = this(paths, WarcDataSource.Schema)
   override def name(): String = s"warc(${paths.mkString(",")})"
-  override def schema(): StructType = WarcDataSource.Schema
+  override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(paths,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(paths.size == 1,
+      s"warc sink: exactly one output directory expected, got $paths")
+    new WarcWriteBuilder(paths.head, info.schema(),
+      Option(info.options.get("compression")))
+  }
 }
 
 private[graft] class WarcScanBuilder(paths: Seq[String], maxFilesPerTrigger: Option[Int])
@@ -256,6 +270,153 @@ private[graft] object WarcStreamOffset {
   // ObjectMapper is thread-safe after configuration; one instance serves
   // every offset (de)serialization instead of one per call
   val Mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+}
+
+/** Batch WARC WRITE path — the archival sink closing the connector's
+  * source↔sink loop (`df.write.format("warc").mode("append").save(dir)`).
+  *
+  * Semantics follow the crawl-archive contract the read path assumes:
+  * append-only immutable part files (no overwrite — re-curation writes a
+  * new directory, the same reason the stream offset is monotone). Each
+  * task streams its rows into ONE hidden temp file (`.uuid….tmp` — the
+  * reader's listing skips `.`/`_` names, so concurrent readers never see
+  * a half-written member); the driver's job commit renames every temp to
+  * its visible `part-NNNNN.warc[.gz]` name only after ALL tasks succeed —
+  * task failure/speculation leaves only hidden garbage, never a partial
+  * visible file. Records are spec-framed exactly as the parser expects
+  * (version line, headers, Content-Length, CRLF-CRLF trailer), so
+  * write→read round-trips byte-identically — asserted in WarcSourceSpec,
+  * including a payload containing the literal record marker.
+  *
+  * Scale: one file per task ≈ the ~1 GB member sizing crawls publish;
+  * `compression=gzip` emits `.warc.gz` members (whole-file gzip, the
+  * format's own non-splittable unit). No driver-side data movement —
+  * commit is |tasks| renames of already-written files. */
+private[graft] class WarcWriteBuilder(
+    dir: String, schema: StructType, compression: Option[String])
+    extends WriteBuilder {
+  // field positions resolved BY NAME once, driver-side; url/date may be
+  // absent (headers omitted), the payload column is required
+  private def ixOf(n: String) = schema.fieldNames.indexOf(n)
+  require(ixOf("block") >= 0 &&
+      schema(ixOf("block")).dataType == BinaryType,
+    s"warc sink needs a BINARY 'block' column; got ${schema.simpleString}")
+  require(ixOf("warc_type") >= 0,
+    s"warc sink needs a STRING 'warc_type' column; got ${schema.simpleString}")
+  private val gzip = compression.map(_.toLowerCase) match {
+    case None | Some("none") => false
+    case Some("gzip") => true
+    case Some(other) =>
+      throw new IllegalArgumentException(
+        s"warc sink: unsupported compression '$other' (gzip|none)")
+  }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new BatchWrite {
+      override def createBatchWriterFactory(
+          info: PhysicalWriteInfo): DataWriterFactory =
+        new WarcWriterFactory(dir, gzip,
+          ixOf("url"), ixOf("warc_date"), ixOf("warc_type"), ixOf("block"),
+          new SerializableConfiguration(
+            SparkSession.active.sessionState.newHadoopConf()))
+      override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        val conf = SparkSession.active.sessionState.newHadoopConf()
+        messages.foreach {
+          case WarcCommitMessage(tmp, fin) if tmp != null =>
+            val fs = new Path(tmp).getFileSystem(conf)
+            require(fs.rename(new Path(tmp), new Path(fin)),
+              s"warc sink: commit rename failed: $tmp -> $fin")
+          case _ => // empty partition: nothing written, nothing to publish
+        }
+      }
+      override def abort(messages: Array[WriterCommitMessage]): Unit = {
+        val conf = SparkSession.active.sessionState.newHadoopConf()
+        messages.foreach {
+          case WarcCommitMessage(tmp, _) if tmp != null =>
+            val p = new Path(tmp)
+            try p.getFileSystem(conf).delete(p, false)
+            catch { case _: java.io.IOException => } // best-effort cleanup
+          case _ =>
+        }
+      }
+    }
+  }
+}
+
+private[graft] case class WarcCommitMessage(tmpPath: String, finalPath: String)
+    extends WriterCommitMessage
+
+private[graft] class WarcWriterFactory(
+    dir: String, gzip: Boolean,
+    urlIx: Int, dateIx: Int, typeIx: Int, blockIx: Int,
+    conf: SerializableConfiguration) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new WarcDataWriter(dir, gzip, urlIx, dateIx, typeIx, blockIx,
+      partitionId, taskId, conf.value)
+}
+
+private[graft] class WarcDataWriter(
+    dir: String, gzip: Boolean,
+    urlIx: Int, dateIx: Int, typeIx: Int, blockIx: Int,
+    partitionId: Int, taskId: Long,
+    conf: Configuration) extends DataWriter[InternalRow] {
+
+  private val ext = if (gzip) ".warc.gz" else ".warc"
+  // taskId in BOTH names: a speculative/retried attempt writes its own
+  // temp AND its own visible name, so a late loser's rename can't clobber
+  // the winner (only one attempt's commit message reaches driver commit)
+  private val tmpPath = new Path(dir, f".part-$partitionId%05d-$taskId$ext.tmp")
+  private val finalPath = new Path(dir, f"part-$partitionId%05d-$taskId$ext")
+  private val fs = tmpPath.getFileSystem(conf)
+  private var out: java.io.OutputStream = null
+  private var nRecords = 0L
+  private val crlf = "\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  private def ensureOpen(): Unit = if (out == null) {
+    fs.mkdirs(new Path(dir))
+    val raw = fs.create(tmpPath, false)
+    out = if (gzip) new java.util.zip.GZIPOutputStream(raw, 64 * 1024)
+      else new java.io.BufferedOutputStream(raw, 64 * 1024)
+  }
+
+  private def utf8(s: String) =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  override def write(row: InternalRow): Unit = {
+    ensureOpen()
+    val block =
+      if (row.isNullAt(blockIx)) Array.emptyByteArray else row.getBinary(blockIx)
+    def strAt(ix: Int): String =
+      if (ix < 0 || row.isNullAt(ix)) null else row.getUTF8String(ix).toString
+    val headers = new StringBuilder("WARC/1.0\r\n")
+    // deterministic record id (md5 of position + url): re-running the same
+    // job writes byte-identical members — the repo-wide reproducibility rule
+    val idSeed = s"${partitionId}\u0001${nRecords}\u0001${Option(strAt(urlIx)).getOrElse("")}"
+    val md5 = java.security.MessageDigest.getInstance("MD5").digest(utf8(idSeed))
+    val hex = md5.map(b => f"$b%02x").mkString
+    headers.append(s"WARC-Record-ID: <urn:uuid:${hex.substring(0, 8)}-" +
+      s"${hex.substring(8, 12)}-${hex.substring(12, 16)}-" +
+      s"${hex.substring(16, 20)}-${hex.substring(20, 32)}>\r\n")
+    Option(strAt(typeIx)).foreach(v => headers.append(s"WARC-Type: $v\r\n"))
+    Option(strAt(urlIx)).foreach(v => headers.append(s"WARC-Target-URI: $v\r\n"))
+    Option(strAt(dateIx)).foreach(v => headers.append(s"WARC-Date: $v\r\n"))
+    headers.append(s"Content-Length: ${block.length}\r\n\r\n")
+    out.write(utf8(headers.toString))
+    out.write(block)
+    out.write(crlf); out.write(crlf) // record trailer
+    nRecords += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (out == null) WarcCommitMessage(null, null) // empty partition: no file
+    else { out.close(); out = null; WarcCommitMessage(tmpPath.toString, finalPath.toString) }
+  }
+  override def abort(): Unit = {
+    if (out != null) { try out.close() catch { case _: java.io.IOException => }; out = null }
+    try fs.delete(tmpPath, false) catch { case _: java.io.IOException => }
+  }
+  override def close(): Unit =
+    if (out != null) { out.close(); out = null }
 }
 
 private[graft] case class WarcInputPartition(path: String) extends InputPartition

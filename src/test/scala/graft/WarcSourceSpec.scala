@@ -338,4 +338,67 @@ class WarcSourceSpec extends SparkTestBase {
       assert(rows == Map("request" -> 1L, "response" -> 6L))
     } finally spark.sql("DROP TABLE IF EXISTS warc_sql_smoke")
   }
+
+  // records for the sink round-trips: a marker-bearing payload (only
+  // Content-Length framing survives it), an empty block, and a null url
+  // (header omitted on write, parsed back as "")
+  private def sinkRows = Seq(
+    ("http://w.example/a", "2024-02-01T00:00:00Z", "response",
+      http("written body one")),
+    ("http://w.example/trap", "2024-02-01T00:00:01Z", "response",
+      http(trapBody)),
+    (null.asInstanceOf[String], "2024-02-01T00:00:02Z", "metadata",
+      Array.emptyByteArray),
+  )
+  private def readBack(d: String) =
+    WarcSource.readWarc(spark, d).collect()
+      .map(r => (r.getString(2), r.getString(3), r.getString(4),
+        new String(r.getAs[Array[Byte]](5), "UTF-8"))).toSet
+  private def sinkExpected = sinkRows.map { case (u, d, t, b) =>
+    (Option(u).getOrElse(""), d, t, new String(b, "UTF-8"))
+  }.toSet
+
+  test("warc sink round-trips through the reader (plain and gzip)") {
+    import spark.implicits._
+    for (gz <- Seq(false, true)) {
+      val d = java.nio.file.Files.createTempDirectory("graft-warc-sink").toString
+      WarcSource.writeWarc(
+        sinkRows.toDF("url", "warc_date", "warc_type", "block"), d, gzip = gz)
+      assert(readBack(d) == sinkExpected)
+      // only visible committed members — no temps survive commit (hidden
+      // `.`-files are Hadoop's local-FS .crc sidecars, which every lister
+      // skips by the same dot-prefix rule)
+      val names = new java.io.File(d).listFiles().map(_.getName)
+        .filterNot(_.startsWith("."))
+      val ext = if (gz) ".warc.gz" else ".warc"
+      assert(names.nonEmpty && names.forall(n =>
+        n.startsWith("part-") && n.endsWith(ext)))
+      assert(names.forall(!_.endsWith(".tmp")))
+    }
+  }
+
+  test("warc sink appends immutable members; second write adds, never rewrites") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-warc-app").toString
+    WarcSource.writeWarc(
+      sinkRows.toDF("url", "warc_date", "warc_type", "block"), d)
+    val firstFiles = new java.io.File(d).listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    WarcSource.writeWarc(
+      Seq(("http://w.example/b", "2024-02-02T00:00:00Z", "response",
+        http("second batch")))
+        .toDF("url", "warc_date", "warc_type", "block"), d)
+    // first batch's members untouched (same names still present), both
+    // batches visible to the reader
+    val after = new java.io.File(d).listFiles().map(_.getName).toSet
+    assert(firstFiles.keySet.subsetOf(after))
+    val got = readBack(d)
+    assert(got == sinkExpected +
+      (("http://w.example/b", "2024-02-02T00:00:00Z", "response",
+        new String(http("second batch"), "UTF-8"))))
+    // and the written corpus composes into the documents pipeline
+    val docs = WarcSource.documentsFromWarc(spark, d).collect()
+    assert(docs.map(_.getAs[String]("text")).toSet
+      .contains("second batch"))
+  }
 }
