@@ -628,6 +628,82 @@ object TextAnalysis {
        |FROM p GROUP BY 1
        |ORDER BY pair_count DESC, pair LIMIT $BpePairTopN""".stripMargin
 
+  // ---- #25t-c full BPE tokenizer-training loop ---------------------------
+  /** The complete iterative BPE merge-training loop (`bpe_pair_counts` is
+    * its single-round statistic): `BpeMergeRounds` rounds of
+    * count-weighted-adjacent-pairs → argmax → apply-merge, producing the
+    * ordered merge table a tokenizer ships. Each round is one distributed
+    * aggregation over the VOCABULARY-sized symbol-sequence frame (the
+    * standard BPE-training reduction: train on the word-frequency table,
+    * never the corpus — the corpus-sized explode happened once, in the
+    * shared materialized term-count frame). The driver collects exactly ONE
+    * row per round (the argmax pair — the same bounded per-round collect as
+    * Lloyd centroid training); merges apply greedily left-to-right
+    * non-overlapping, the reference BPE semantics. Deterministic: argmax
+    * ties break on (count desc, left, right), no RNG anywhere.
+    *
+    * Scale: at 100 TB the word-frequency table is ~10⁷ rows (vocabulary,
+    * not corpus) — each round's pair explode/agg is a small job, and
+    * `localCheckpoint` every 4 rounds truncates the per-round `map`
+    * lineage exactly like the connected-components rounds. Rows-only
+    * driver check BY DESIGN: an iterative data-dependent argmax fixpoint
+    * (round N's aggregation input depends on round N-1's argmax result
+    * applied to every row) is not expressible in one SQL query — a
+    * recursive CTE cannot re-aggregate globally per step; the spec
+    * brute-forces the full merge table against an independent plain-Scala
+    * BPE on the collected word list instead. */
+  val BpeMergeRounds = 12
+
+  /** Greedy left-to-right non-overlapping single-pair merge — the
+    * reference semantics ("aaa" under a+a → "aa","a"). */
+  private[operators] def mergePairIn(
+      s: IndexedSeq[String], l: String, r: String): IndexedSeq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == l && s(i + 1) == r) { out += (l + r); i += 2 }
+      else { out += s(i); i += 1 }
+    }
+    out.toIndexedSeq
+  }
+
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    var syms = termCounts(spark, dir)
+      .where(col("term").rlike("^[a-z]+$") && length(col("term")) >= 2)
+      .select(col("n").as("freq"), split(col("term"), "").as("syms"))
+      .as[(Long, IndexedSeq[String])]
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= BpeMergeRounds && !exhausted) {
+      // single-symbol words guard: sequence(1, 0) is DESCENDING in Spark
+      // ([1,0] — not empty), which would fabricate null-symbol pairs
+      val best = syms.toDF("freq", "syms")
+        .where(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(syms[i-1] AS l, syms[i] AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) = (best.head.getString(0), best.head.getString(1),
+          best.head.getLong(2))
+        merges += ((round.toLong, l, r, cnt))
+        syms = syms.map { case (f, s) => (f, mergePairIn(s, l, r)) }
+        // truncate the growing per-round map lineage (components pattern)
+        if (round % 4 == 0) syms = syms.localCheckpoint(true)
+        round += 1
+      }
+    }
+    merges.toSeq.toDF("merge_ix", "left", "right", "pair_count")
+      .select(col("merge_ix"), col("left"), col("right"),
+        concat(col("left"), col("right")).as("merged"), col("pair_count"))
+  }
+
   // ---- #24b vocabulary coverage / out-of-vocabulary rate -----------------
   /** Token-coverage audit against the corpus's own top-VocabK vocabulary:
     * per document, how many tokens fall outside the vocabulary (the signal

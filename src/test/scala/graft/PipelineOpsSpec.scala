@@ -97,6 +97,54 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(rows == Map("aa" -> 4L, "ab" -> 2L, "cd" -> 1L))
   }
 
+  test("bpe_merges matches an independent plain-Scala BPE, round for round") {
+    val words = Seq("banana", "banana", "bandana", "banana", "anna", "nab")
+    val d = writeDocsFixture(Seq(
+      1L -> words.take(3).mkString(" "),
+      2L -> words.drop(3).mkString(" "),
+      3L -> "x1 !!")) // non-[a-z]+ tokens are excluded from training
+    val got = TextAnalysis.bpeMerges(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    // independent reference BPE (no shared code with the operator): count
+    // every adjacent symbol position weighted by word frequency, take the
+    // (count desc, left, right) argmax, merge greedily left-to-right
+    // non-overlapping, repeat
+    val wf = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var seqs: Map[Vector[String], Long] =
+      wf.map { case (w, f) => w.map(_.toString).toVector -> f }
+    val exp = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long)]
+    var round = 1L
+    var done = false
+    while (round <= TextAnalysis.BpeMergeRounds && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((s, f) <- seqs; i <- 0 until s.length - 1)
+        counts((s(i), s(i + 1))) = counts.getOrElse((s(i), s(i + 1)), 0L) + f
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), cnt) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        exp += ((round, l, r, l + r, cnt))
+        seqs = seqs.groupMapReduce { case (s, _) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < s.length) {
+            if (i + 1 < s.length && s(i) == l && s(i + 1) == r) {
+              out += (l + r); i += 2
+            } else { out += s(i); i += 1 }
+          }
+          out.result()
+        }(_._2)(_ + _)
+        round += 1
+      }
+    }
+    assert(got.nonEmpty && got == exp.toSeq)
+    // the run exercises BOTH branches: at least one merged symbol longer
+    // than 2 chars (a merge consumed a previous merge's output) and — on
+    // this tiny corpus — early exhaustion before the round cap
+    assert(got.exists(_._4.length > 2))
+  }
+
   test("oov_stats counts tokens outside the top-k vocabulary") {
     val d = writeDocsFixture(Seq(
       1L -> "x x x y",
