@@ -147,6 +147,54 @@ object TextAnalysis {
        |    // (greatest(n_tokens, 1) * 50) AS quality_bp
        |FROM base""".stripMargin
 
+  // ---- #23b model-based quality gate (hashed linear classifier) ----------
+  /** The fastText/CCNet-style TRAINED-classifier gate shape: per document,
+    * a linear score over hashed token features and a keep decision at the
+    * decision boundary. The Spark-side plumbing is the real serving path —
+    * hashed feature lookup, fixed-point dot product, row-local gate, all
+    * inside one map-only projection (zero exchanges, like doc_features);
+    * the WEIGHTS are a deterministic md5-derived placeholder (the training
+    * container isn't in scope), so serving a real model is swapping the
+    * hash expression for a broadcast weight-table lookup — the plan shape
+    * is unchanged. Fixed-point per §6: raw weights live in [0, 2000]
+    * (= centered weight ×10³ + 1000, kept NON-NEGATIVE so integral
+    * division floors identically in both engines), and only the final
+    * outputs re-center. */
+  val ClfSeed = "clf"
+  def classifierScore(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_toks"),
+        aggregate(
+          transform(col("tk"), t =>
+            pmod(md5Long(concat(lit(ClfSeed), lit("\u0001"), t)), lit(2001L))),
+          lit(0L), (a, x) => a + x).as("s"))
+      .select(col("doc_id"), col("n_toks"),
+        (col("s") - lit(1000L) * col("n_toks")).as("clf_sum"),
+        (org.apache.spark.sql.graft.ExactMath.intDiv(
+          col("s"), greatest(col("n_toks"), lit(1L))) - lit(1000L))
+          .as("clf_mean_e3"))
+      .withColumn("keep", col("clf_mean_e3") >= 0L)
+  val classifierScoreSql: String = {
+    val wgt = sqlMd5Long(s"concat('$ClfSeed', chr(1), tok)") + " % 2001"
+    s"""WITH tok AS (
+       |  SELECT doc_id, lower(t.w) AS tok
+       |  FROM documents d, unnest(string_split_regex(d.text, '\\s+')) AS t(w)
+       |  WHERE t.w <> ''
+       |), agg AS (
+       |  SELECT doc_id, count(*) AS n, sum($wgt) AS s
+       |  FROM tok GROUP BY 1
+       |)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(n, 0) AS BIGINT) AS n_toks,
+       |  CAST(coalesce(s, 0) - 1000 * coalesce(n, 0) AS BIGINT) AS clf_sum,
+       |  CAST(coalesce(s, 0) // greatest(coalesce(n, 0), 1) - 1000
+       |    AS BIGINT) AS clf_mean_e3,
+       |  (coalesce(s, 0) // greatest(coalesce(n, 0), 1) - 1000) >= 0 AS keep
+       |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin
+  }
+
   // ---- #24 token counting ----------------------------------------------
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(

@@ -97,6 +97,32 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(rows == Map("aa" -> 4L, "ab" -> 2L, "cd" -> 1L))
   }
 
+  test("classifier_score: hashed fixed-point gate matches a plain-Scala model") {
+    val texts = Seq(
+      1L -> "alpha beta gamma delta",
+      2L -> "epsilon zeta",
+      3L -> "")                         // empty doc: score -1000, keep=false
+    val d = writeDocsFixture(texts)
+    // independent reference: md5-hex → first 15 digits → long, mod 2001
+    def w(tok: String): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(("clf\u0001" + tok).getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(md5.take(15), 16) % 2001L
+    }
+    val exp = texts.map { case (id, t) =>
+      val tk = t.split("\\s+").filter(_.nonEmpty).map(_.toLowerCase)
+      val s = tk.map(w).sum
+      val n = tk.length.toLong
+      val mean = s / math.max(n, 1L) - 1000L
+      (id, n, s - 1000L * n, mean, mean >= 0L)
+    }.toSet
+    val got = graft.operators.TextAnalysis.classifierScore(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    assert(got == exp)
+  }
+
   test("bpe_merges matches an independent plain-Scala BPE, round for round") {
     val words = Seq("banana", "banana", "bandana", "banana", "anna", "nab")
     val d = writeDocsFixture(Seq(
