@@ -282,6 +282,20 @@ object WarcSource {
       .option("compression", if (gzip) "gzip" else "none")
       .mode("append").save(dir)
 
+  /** Streaming twin of [[writeWarc]] — the continuous archive side of the
+    * connector (curated/filtered records stream → immutable `.warc[.gz]`
+    * members). Each micro-batch epoch publishes its members at epoch
+    * commit with (epoch, partition) names, so a replayed epoch rewrites
+    * the same files byte-identically instead of duplicating records
+    * (effectively exactly-once; see WarcWriteBuilder). */
+  def writeWarcStream(
+      records: DataFrame, dir: String, checkpoint: String,
+      gzip: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
+    records.writeStream.format("warc")
+      .option("compression", if (gzip) "gzip" else "none")
+      .option("checkpointLocation", checkpoint)
+      .start(dir)
+
   /** Canonical host of a url column — THE definition of "host" for every
     * per-host operation (rollup, sampling caps, blocklists), shared so a
     * future normalization tweak (www-stripping, IDN mapping) cannot make

@@ -13,6 +13,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -119,7 +120,7 @@ private[graft] class WarcTable(paths: Seq[String], tableSchema: StructType)
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE).asJava
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(paths,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt))
@@ -312,33 +313,65 @@ private[graft] class WarcWriteBuilder(
   }
 
   override def build(): Write = new Write {
+    private def factory() =
+      new WarcWriterFactory(dir, gzip,
+        ixOf("url"), ixOf("warc_date"), ixOf("warc_type"), ixOf("block"),
+        new SerializableConfiguration(
+          SparkSession.active.sessionState.newHadoopConf()))
     override def toBatch: BatchWrite = new BatchWrite {
       override def createBatchWriterFactory(
-          info: PhysicalWriteInfo): DataWriterFactory =
-        new WarcWriterFactory(dir, gzip,
-          ixOf("url"), ixOf("warc_date"), ixOf("warc_type"), ixOf("block"),
-          new SerializableConfiguration(
-            SparkSession.active.sessionState.newHadoopConf()))
-      override def commit(messages: Array[WriterCommitMessage]): Unit = {
-        val conf = SparkSession.active.sessionState.newHadoopConf()
-        messages.foreach {
-          case WarcCommitMessage(tmp, fin) if tmp != null =>
-            val fs = new Path(tmp).getFileSystem(conf)
-            require(fs.rename(new Path(tmp), new Path(fin)),
-              s"warc sink: commit rename failed: $tmp -> $fin")
-          case _ => // empty partition: nothing written, nothing to publish
-        }
-      }
-      override def abort(messages: Array[WriterCommitMessage]): Unit = {
-        val conf = SparkSession.active.sessionState.newHadoopConf()
-        messages.foreach {
-          case WarcCommitMessage(tmp, _) if tmp != null =>
-            val p = new Path(tmp)
-            try p.getFileSystem(conf).delete(p, false)
-            catch { case _: java.io.IOException => } // best-effort cleanup
-          case _ =>
-        }
-      }
+          info: PhysicalWriteInfo): DataWriterFactory = factory()
+      override def commit(messages: Array[WriterCommitMessage]): Unit =
+        WarcWriteBuilder.publish(messages)
+      override def abort(messages: Array[WriterCommitMessage]): Unit =
+        WarcWriteBuilder.discard(messages)
+    }
+    /** Streaming half (`df.writeStream.format("warc").start(dir)`): each
+      * micro-batch epoch commits like a small batch job. Final member
+      * names carry (epoch, partition) but NOT the task attempt, and
+      * publish() replaces an existing member — so a restart that replays
+      * an epoch rewrites the SAME file with the SAME bytes (record ids
+      * are position-deterministic) instead of duplicating records: the
+      * visible member set is effectively exactly-once without a side
+      * file-log. */
+    override def toStreaming: StreamingWrite = new StreamingWrite {
+      override def createStreamingWriterFactory(
+          info: PhysicalWriteInfo): StreamingDataWriterFactory = factory()
+      override def commit(
+          epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+        WarcWriteBuilder.publish(messages)
+      override def abort(
+          epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+        WarcWriteBuilder.discard(messages)
+    }
+  }
+}
+
+private[graft] object WarcWriteBuilder {
+  /** Driver-side job/epoch commit: rename every task's hidden temp to its
+    * visible name. An existing member with the final name is replaced —
+    * that only happens on a replayed streaming epoch, whose bytes are
+    * identical by construction (deterministic record ids, same rows). */
+  def publish(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    messages.foreach {
+      case WarcCommitMessage(tmp, fin) if tmp != null =>
+        val fs = new Path(tmp).getFileSystem(conf)
+        val finP = new Path(fin)
+        if (fs.exists(finP)) fs.delete(finP, false)
+        require(fs.rename(new Path(tmp), finP),
+          s"warc sink: commit rename failed: $tmp -> $fin")
+      case _ => // empty partition: nothing written, nothing to publish
+    }
+  }
+  def discard(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    messages.foreach {
+      case WarcCommitMessage(tmp, _) if tmp != null =>
+        val p = new Path(tmp)
+        try p.getFileSystem(conf).delete(p, false)
+        catch { case _: java.io.IOException => } // best-effort cleanup
+      case _ =>
     }
   }
 }
@@ -349,24 +382,38 @@ private[graft] case class WarcCommitMessage(tmpPath: String, finalPath: String)
 private[graft] class WarcWriterFactory(
     dir: String, gzip: Boolean,
     urlIx: Int, dateIx: Int, typeIx: Int, blockIx: Int,
-    conf: SerializableConfiguration) extends DataWriterFactory {
+    conf: SerializableConfiguration)
+    extends DataWriterFactory with StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new WarcDataWriter(dir, gzip, urlIx, dateIx, typeIx, blockIx,
-      partitionId, taskId, conf.value)
+      partitionId, taskId, None, conf.value)
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new WarcDataWriter(dir, gzip, urlIx, dateIx, typeIx, blockIx,
+      partitionId, taskId, Some(epochId), conf.value)
 }
 
 private[graft] class WarcDataWriter(
     dir: String, gzip: Boolean,
     urlIx: Int, dateIx: Int, typeIx: Int, blockIx: Int,
-    partitionId: Int, taskId: Long,
+    partitionId: Int, taskId: Long, epoch: Option[Long],
     conf: Configuration) extends DataWriter[InternalRow] {
 
   private val ext = if (gzip) ".warc.gz" else ".warc"
-  // taskId in BOTH names: a speculative/retried attempt writes its own
-  // temp AND its own visible name, so a late loser's rename can't clobber
-  // the winner (only one attempt's commit message reaches driver commit)
-  private val tmpPath = new Path(dir, f".part-$partitionId%05d-$taskId$ext.tmp")
-  private val finalPath = new Path(dir, f"part-$partitionId%05d-$taskId$ext")
+  // Batch: taskId in BOTH names — a speculative/retried attempt writes its
+  // own temp AND its own visible name, so a late loser's rename can't
+  // clobber the winner (only one attempt's messages reach driver commit).
+  // Streaming: the visible name is (epoch, partition) WITHOUT the attempt —
+  // an epoch replayed after restart re-publishes the same member
+  // idempotently (publish() replaces; bytes identical by construction) —
+  // while the temp keeps the attempt id so concurrent attempts never
+  // collide mid-write.
+  private val stem = epoch match {
+    case Some(e) => f"part-e$e%05d-$partitionId%05d"
+    case None => f"part-$partitionId%05d-$taskId"
+  }
+  private val tmpPath = new Path(dir, f".$stem-$taskId$ext.tmp")
+  private val finalPath = new Path(dir, f"$stem$ext")
   private val fs = tmpPath.getFileSystem(conf)
   private var out: java.io.OutputStream = null
   private var nRecords = 0L

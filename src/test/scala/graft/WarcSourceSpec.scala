@@ -377,6 +377,35 @@ class WarcSourceSpec extends SparkTestBase {
     }
   }
 
+  test("warc streaming sink archives each micro-batch exactly once") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val d = java.nio.file.Files.createTempDirectory("graft-warc-ssink").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft-warc-ssink-cp").toString
+    val input = MemoryStream[(String, String, String, Array[Byte])](spark)
+    val q = WarcSource.writeWarcStream(
+      input.toDF.toDF("url", "warc_date", "warc_type", "block"), d, cp)
+    try {
+      input.addData(("http://s.example/1", "2024-03-01T00:00:00Z", "response",
+        http("stream one")))
+      q.processAllAvailable()
+      input.addData(("http://s.example/2", "2024-03-01T00:00:01Z", "response",
+        http("stream two")))
+      q.processAllAvailable()
+    } finally q.stop()
+    // two epochs → members named by (epoch, partition); both batches
+    // visible exactly once through the batch reader
+    val got = readBack(d)
+    assert(got == Set(
+      ("http://s.example/1", "2024-03-01T00:00:00Z", "response",
+        new String(http("stream one"), "UTF-8")),
+      ("http://s.example/2", "2024-03-01T00:00:01Z", "response",
+        new String(http("stream two"), "UTF-8"))))
+    val names = new java.io.File(d).listFiles().map(_.getName)
+      .filterNot(_.startsWith("."))
+    assert(names.forall(n => n.startsWith("part-e") && n.endsWith(".warc")))
+  }
+
   test("warc sink appends immutable members; second write adds, never rewrites") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("graft-warc-app").toString
