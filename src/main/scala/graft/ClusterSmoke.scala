@@ -16,6 +16,10 @@ import org.apache.spark.sql.SparkSession
   * Prints one JSON line with the row counts; exits non-zero on failure.
   */
 object ClusterSmoke {
+  private def warcDocCount(spark: SparkSession): Long =
+    graft.sources.WarcSource
+      .documentsFromWarc(spark, graft.sources.WarcSource.FixtureDir).count()
+
   def main(args: Array[String]): Unit = {
     val Array(appJar, sfDir) = args.take(2)
     val spark = SparkSession.builder()
@@ -54,10 +58,23 @@ object ClusterSmoke {
       val warc = SparkEntry.queries("warc_host_stats")(spark, sfDir).count()
       // domain cap: a source-partitioned rank window across executors
       val cap = SparkEntry.queries("source_cap")(spark, sfDir).count()
+      // WARC sink round-trip: the DSv2 WriteBuilder/WriterFactory must
+      // serialize to real executor JVMs, temps must publish via driver-side
+      // job commit, and the V2 reader must see exactly the written records
+      val sinkDir = java.nio.file.Files
+        .createTempDirectory("graft-cluster-warc").toString
+      graft.sources.WarcSource.writeWarc(
+        graft.sources.WarcSource.documentsFromWarc(
+            spark, graft.sources.WarcSource.FixtureDir)
+          .selectExpr("url", "warc_date", "'response' AS warc_type",
+            "CAST(concat('HTTP/1.1 200 OK\r\n\r\n', text) AS BINARY) AS block"),
+        sinkDir)
+      val sinkRt = graft.sources.WarcSource
+        .documentsFromWarc(spark, sinkDir).count()
       // sanity: the work genuinely ran on >1 executor JVM
       val executors = spark.sparkContext.statusTracker.getExecutorInfos
         .map(_.host()).length
-      println(s"""{"smoke":"local-cluster[2,4,2048]","anagram_groups":$anagrams,"dedup_minhash":$minhash,"training_order":$order,"dedup_bloom":$bloom,"ann_ivfpq":$ivfpq,"ivfpq_recall":$recall,"warc_host_stats":$warc,"source_cap":$cap,"executors":$executors}""")
+      println(s"""{"smoke":"local-cluster[2,4,2048]","anagram_groups":$anagrams,"dedup_minhash":$minhash,"training_order":$order,"dedup_bloom":$bloom,"ann_ivfpq":$ivfpq,"ivfpq_recall":$recall,"warc_host_stats":$warc,"source_cap":$cap,"warc_sink_roundtrip":$sinkRt,"executors":$executors}""")
       require(anagrams > 0, "anagram_groups returned no rows on local-cluster")
       require(minhash > 0, "dedup_minhash returned no rows on local-cluster")
       require(order > 0, "training_order returned no rows on local-cluster")
@@ -66,6 +83,8 @@ object ClusterSmoke {
       require(recall > 0, "ivfpq_recall returned no rows on local-cluster")
       require(warc > 0, "warc_host_stats returned no rows on local-cluster")
       require(cap > 0, "source_cap returned no rows on local-cluster")
+      require(sinkRt == warcDocCount(spark),
+        "warc sink round-trip lost records on local-cluster")
     } finally spark.stop()
   }
 }

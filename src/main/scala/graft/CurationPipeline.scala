@@ -75,11 +75,14 @@ object CurationPipeline {
       "raw_docs" -> spark.read.parquet(s"$sfDir/documents.parquet").count(),
       "curated_docs" -> spark.read.parquet(s"$corpusDir/documents.parquet").count())
       ++ stageCounts)
+    writeManifest(outDir, manifest)
+    manifest
+  }
+
+  private def writeManifest(outDir: String, manifest: Map[String, Long]): Unit =
     Files.writeString(Paths.get(s"$outDir/manifest.json"),
       manifest.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}"))
-    manifest
-  }
 
   /** WARC → documents → curate: ingest a raw crawl directory into the
     * `documents` contract (source = crawl host, lang unknown — language is
@@ -95,13 +98,35 @@ object CurationPipeline {
   def runFromWarc(spark: SparkSession, warcDir: String, outDir: String): Map[String, Long] = {
     import org.apache.spark.sql.functions._
     val rawDir = s"$outDir/raw"
-    graft.sources.WarcSource.documentsFromWarc(spark, warcDir)
+    val warcDocs = graft.sources.WarcSource.documentsFromWarc(spark, warcDir)
+    warcDocs
       .select(col("doc_id"),
         lit("und").as("lang"),
         graft.sources.WarcSource.hostCol(col("url")).as("source"),
         length(col("text")).cast("long").as("n_chars"),
         col("text"))
       .write.mode("overwrite").parquet(s"$rawDir/documents.parquet")
-    run(spark, rawDir, outDir)
+    val counts = run(spark, rawDir, outDir)
+    // archive-out: the curated survivors re-archived through the WARC
+    // SINK as `outDir/archive/part-*.warc` — crawl in, curated crawl out,
+    // both ends of the pipeline in the same immutable container format.
+    // warc_type `conversion` is the spec's type for re-processed content;
+    // the original capture url/date ride along from the source records.
+    val curatedIds = spark.read
+      .parquet(s"$outDir/corpus/documents.parquet").select("doc_id")
+    graft.sources.WarcSource.writeWarc(
+      warcDocs.join(curatedIds, "doc_id")
+        .select(col("url"), col("warc_date"),
+          lit("conversion").as("warc_type"),
+          encode(col("text"), "UTF-8").as("block")),
+      s"$outDir/archive")
+    // an all-dropped corpus writes no members at all — count 0, not a
+    // listing error on the empty/missing directory
+    val archived =
+      if (counts("curated_docs") == 0) 0L
+      else graft.sources.WarcSource.readWarc(spark, s"$outDir/archive").count()
+    val all = counts + ("archived_docs" -> archived)
+    writeManifest(outDir, all) // re-emit with the archive stage included
+    all
   }
 }

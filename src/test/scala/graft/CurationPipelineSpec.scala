@@ -69,5 +69,15 @@ class CurationPipelineSpec extends SparkTestBase {
     val txt = java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$out/manifest.json"))
     manifest.foreach { case (k, v) => assert(txt.contains(s""""$k":$v""")) }
+    // archive-out: exactly the survivor set, re-readable through the WARC
+    // reader, typed `conversion`, with the original capture url preserved
+    assert(manifest("archived_docs") == 1)
+    val arch = graft.sources.WarcSource.readWarc(spark, s"$out/archive")
+      .collect()
+    assert(arch.length == 1)
+    assert(arch.head.getAs[String]("warc_type") == "conversion")
+    assert(arch.head.getAs[String]("url").contains("good.example"))
+    assert(new String(arch.head.getAs[Array[Byte]]("block"), "UTF-8")
+      == corpus.head.getAs[String]("text"))
   }
 }
