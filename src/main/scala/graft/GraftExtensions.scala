@@ -64,5 +64,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SigGroups].getName, "sig_groups"),
       (exprs: Seq[Expression]) => SigGroups(exprs.head,
         graft.functions.TextFns.Stopwords)))
+    // the aggregate tier: the analyzer wraps a returned AggregateFunction
+    // in an AggregateExpression automatically, so plain SQL can
+    // `SELECT bottom_k(h, id, 8) ... GROUP BY g`
+    ext.injectFunction((
+      new FunctionIdentifier("bottom_k"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.BottomKHashes].getName, "bottom_k"),
+      (exprs: Seq[Expression]) => org.apache.spark.sql.graft.BottomKHashes(
+        exprs.head, exprs(1), longOf(exprs(2)).toInt)))
   }
 }

@@ -369,6 +369,72 @@ object Curation {
        |  FROM documents)
        |WHERE rk <= $SourceCapN""".stripMargin
 
+  // ---- #25ac KMV bottom-k sample + distinct sketch -----------------------
+  /** Deterministic per-source bottom-k sample via the custom `bottom_k`
+    * TypedImperativeAggregate (`BottomKHashes` — the AGGREGATE tier of the
+    * custom-operator ladder): one map-side-partial aggregation whose state
+    * is a bounded k-pair heap, so each map task ships AT MOST k rows per
+    * source — versus the `source_cap` window formulation, which shuffles
+    * every row to its group's reducer before ranking. Same deterministic
+    * md5 order, same output contract; the DuckDB oracle IS the window
+    * formulation, so the two shapes are proven equivalent on every run. */
+  val KmvK = 8
+  def kmvSample(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(col("source"))
+      .agg(org.apache.spark.sql.graft.BottomKHashes.column(
+        md5Long(col("doc_id").cast("string")), col("doc_id"), KmvK).as("bk"))
+      .select(col("source"), posexplode(col("bk")).as(Seq("pos", "p")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rk"),
+        col("p.id").as("doc_id"), col("p.h").as("h"))
+  val kmvSampleSql: String =
+    s"""SELECT source, rk, doc_id, h FROM (
+       |  SELECT source, doc_id, ${sqlMd5Long("CAST(doc_id AS VARCHAR)")} AS h,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY ${sqlMd5Long("CAST(doc_id AS VARCHAR)")}, doc_id)
+       |      AS BIGINT) AS rk
+       |  FROM documents)
+       |WHERE rk <= $KmvK""".stripMargin
+
+  /** KMV distinct estimate per source from the same bottom-k state: with
+    * fewer than k members the sample IS the population (exact count);
+    * otherwise n̂ = (k−1)·2⁶⁰ / h_k (the classic KMV estimator over the
+    * 60-bit md5 hash space), in exact integer math both engines share.
+    * This is the constant-memory DISTINCT the `approx_stats` HLL also
+    * answers — but KMV's state doubles as the sample above, and its
+    * estimate is reproducible integer arithmetic, so it gets a full
+    * oracle row instead of a rows-only sketch check. */
+  private val KmvSpace = 1L << 60
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(col("source"))
+      .agg(org.apache.spark.sql.graft.BottomKHashes.column(
+        md5Long(col("doc_id").cast("string")), col("doc_id"), KmvK).as("bk"))
+      .select(col("source"), size(col("bk")).cast("long").as("k_used"),
+        element_at(col("bk"), size(col("bk"))).getField("h").as("hk"))
+      .select(col("source"), col("k_used"),
+        when(col("k_used") < KmvK, col("k_used"))
+          .otherwise(org.apache.spark.sql.graft.ExactMath.intDiv(
+            lit((KmvK - 1) * KmvSpace), greatest(col("hk"), lit(1L))))
+          .as("est_distinct"))
+  val kmvDistinctSql: String =
+    s"""WITH r AS (
+       |  SELECT source, ${sqlMd5Long("CAST(doc_id AS VARCHAR)")} AS h,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY ${sqlMd5Long("CAST(doc_id AS VARCHAR)")}, doc_id)
+       |      AS BIGINT) AS rk
+       |  FROM documents
+       |), g AS (
+       |  SELECT source, count(*) AS k_used,
+       |    max(CASE WHEN rk = $KmvK THEN h END) AS hk
+       |  FROM r WHERE rk <= $KmvK GROUP BY 1
+       |)
+       |SELECT source, CAST(k_used AS BIGINT) AS k_used,
+       |  CAST(CASE WHEN k_used < $KmvK THEN k_used
+       |    ELSE ${(KmvK - 1) * (1L << 60)} // greatest(hk, 1) END
+       |    AS BIGINT) AS est_distinct
+       |FROM g""".stripMargin
+
   // ---- decontamination against an EXTERNAL benchmark --------------------
   /** K-grams of any (doc_id, text) frame — the generic form of
     * `TextAnalysis.docGrams`, for corpora that are not the canonical

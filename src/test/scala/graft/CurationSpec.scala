@@ -421,4 +421,42 @@ class CurationSpec extends SparkTestBase {
         .mkString("(", " + ", ") AS sh")).head().getLong(0)
     assert(viaExpr == viaSql)
   }
+
+  test("bottom_k aggregate equals the rank-window formulation across partitions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 3 groups × uneven sizes; one group smaller than k; duplicate rows
+    // must count once. repartition(7) forces genuine partial-state merges.
+    val rows = ((1 to 40).map(i => ("a", i.toLong)) ++
+      (1 to 11).map(i => ("b", 1000L + i)) ++
+      Seq(("c", 5L), ("c", 5L), ("c", 6L))) // duplicates in group c
+    val df = rows.toDF("g", "id").repartition(7)
+    val k = 4
+    val viaAgg = df.groupBy("g")
+      .agg(org.apache.spark.sql.graft.BottomKHashes.column(
+        graft.functions.TextFns.md5Long(col("id").cast("string")),
+        col("id"), k).as("bk"))
+      .select(col("g"), explode(col("bk")).as("p"))
+      .select(col("g"), col("p.h"), col("p.id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      .orderBy(graft.functions.TextFns.md5Long(col("id").cast("string")), col("id"))
+    val viaWindow = df.distinct()
+      .withColumn("h", graft.functions.TextFns.md5Long(col("id").cast("string")))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("g"), col("h"), col("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaAgg == viaWindow)
+    // group c has 2 distinct members < k → the whole group survives
+    assert(viaAgg.count(_._1 == "c") == 2)
+    // SQL registration (the aggregate tier is reachable from plain SQL)
+    df.createOrReplaceTempView("bk_input")
+    val viaSql = spark.sql(
+      s"""SELECT g, size(bottom_k(
+         |  CAST(conv(substring(md5(CAST(id AS STRING)), 1, 15), 16, 10) AS BIGINT),
+         |  id, $k)) AS n FROM bk_input GROUP BY g""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(viaSql == Map("a" -> 4, "b" -> 4, "c" -> 2))
+  }
 }
