@@ -48,7 +48,10 @@ def main(sf_dir, out_dir):
     # otherwise fails sporadically with "Out of Memory Error: Failed to
     # allocate block" on the heavier oracle queries (seen flapping r7) —
     # with a temp_directory those queries go out-of-core instead.
-    con.execute("SET memory_limit='6GB'")
+    # 6GB default keeps concurrent-JVM sf0.01 gating stable; the manual
+    # sf0.1 sweep should raise it (GRAFT_DUCKDB_MEM=48GB) — at sf0.1 the
+    # heavy gram/span oracles spill hundreds of GB under the 6GB pin.
+    con.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '6GB')}'")
     con.execute("SET temp_directory='/tmp/graft_duckdb_spill'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
