@@ -72,5 +72,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[org.apache.spark.sql.graft.BottomKHashes].getName, "bottom_k"),
       (exprs: Seq[Expression]) => org.apache.spark.sql.graft.BottomKHashes(
         exprs.head, exprs(1), longOf(exprs(2)).toInt)))
+    ext.injectFunction((
+      new FunctionIdentifier("freq_sketch"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.FreqSketch].getName, "freq_sketch"),
+      (exprs: Seq[Expression]) => org.apache.spark.sql.graft.FreqSketch(
+        exprs.head, longOf(exprs(1)).toInt)))
   }
 }

@@ -917,4 +917,54 @@ object TextAnalysis {
        |    x -> CAST(x AS VARCHAR)), 'string_agg', ' ') AS fp
        |FROM wins WHERE pos <= len - ${FpK - 1} - ${FpW - 1}
        |GROUP BY doc_id""".stripMargin
+
+  // ---- #25ad heavy hitters: sketch candidates + exact confirm ------------
+  /** Per-source top-[[HhTopN]] tokens by the canonical two-pass
+    * heavy-hitters shape: pass 1 aggregates a Misra–Gries
+    * [[org.apache.spark.sql.graft.FreqSketch]] per source (constant memory,
+    * ≤[[HhCapacity]] rows shipped per map task per source — a full
+    * `GROUP BY (source, term)` would shuffle every distinct pair), pass 2
+    * re-scans the token stream and exact-counts ONLY the broadcast
+    * candidate set, so the published counts are exact and the final rank
+    * window runs over ≤capacity rows per source, never the corpus.
+    *
+    * MG guarantee: any term with frequency > N/(capacity+1) of its source's
+    * N tokens is in the candidate set (order- and partitioning-free), so
+    * the confirmed top-N is the TRUE top-N whenever the N-th count clears
+    * that bound — trivially true here (corpus vocabulary ≪ capacity, so the
+    * sketch never decrements and holds the exact count table), asserted
+    * under forced decrements in the spec. At 100 TB this two-pass shape is
+    * how you top-k a multi-billion-key stream without materializing it. */
+  val HhCapacity = 64
+  val HhTopN = 5
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = docs(spark, dir)
+      .select(col("source"), explode(toks(col("text"))).as("term"))
+    val cand = tokens.groupBy(col("source"))
+      .agg(org.apache.spark.sql.graft.FreqSketch.column(
+        col("term"), HhCapacity).as("sk"))
+      .select(col("source"), explode(col("sk.key")).as("term"))
+    val w = Window.partitionBy("source").orderBy(col("n").desc, col("term"))
+    tokens
+      .join(broadcast(cand), Seq("source", "term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= HhTopN)
+  }
+  val heavyHittersSql: String =
+    s"""WITH tk AS (
+       |  SELECT source, g.t AS term
+       |  FROM (SELECT source, list_filter(list_transform(
+       |    string_split_regex(text, '\\s+'), t -> lower(t)), t -> t <> '') AS ts
+       |    FROM documents),
+       |  unnest(ts) AS g(t)
+       |), c AS (
+       |  SELECT source, term, count(*) AS n FROM tk GROUP BY 1, 2
+       |)
+       |SELECT source, term, n, rk FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY source
+       |    ORDER BY n DESC, term) AS BIGINT) AS rk
+       |  FROM c)
+       |WHERE rk <= $HhTopN""".stripMargin
 }

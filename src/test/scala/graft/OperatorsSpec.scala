@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Multimodal, Relational, TextAnalysis}
+import org.apache.spark.sql.functions.{col, explode}
 
 class OperatorsSpec extends SparkTestBase {
   import spark.implicits._
@@ -290,5 +291,58 @@ class OperatorsSpec extends SparkTestBase {
     val rows = Relational.customerDistribution(spark, d).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(rows == Map(2L -> 1L, 1L -> 1L, 0L -> 1L))
+  }
+
+  test("heavy_hitters equals the brute-force per-source top-N") {
+    val d = java.nio.file.Files.createTempDirectory("graft-hh").toString
+    val docs = Seq(
+      (1L, "aa aa aa bb bb cc dd ee ff gg", "src0"),
+      (2L, "aa bb bb cc cc cc hh ii", "src0"),
+      (3L, "zz zz yy xx", "src1"),
+      (4L, "zz yy yy yy ww", "src1"),
+    )
+    docs.toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'en' AS lang", "source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = TextAnalysis.heavyHitters(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // brute force: count every token per source, rank (n DESC, term ASC)
+    val brute = docs
+      .flatMap { case (_, t, s) => t.split("\\s+").map(w => (s, w.toLowerCase)) }
+      .groupBy(identity).map { case ((s, w), xs) => (s, w, xs.size.toLong) }
+      .groupBy(_._1).flatMap { case (_, rows) =>
+        rows.toSeq.sortBy { case (_, w, n) => (-n, w) }.zipWithIndex
+          .take(TextAnalysis.HhTopN)
+          .map { case ((s, w, n), i) => (s, w, n, i + 1L) }
+      }.toSet
+    assert(got == brute)
+  }
+
+  test("freq_sketch keeps every key above N/(capacity+1) under forced decrements") {
+    val cap = 8
+    val hot = Seq.fill(1000)("hot")
+    val cold = ('a' to 'z').map(_.toString) // 26 singletons > capacity
+    val df = spark.createDataFrame(
+      scala.util.Random.shuffle(hot ++ cold).map(Tuple1(_)))
+      .toDF("k").repartition(7) // force genuine partial-state merges
+    val entries = df
+      .agg(org.apache.spark.sql.graft.FreqSketch.column(col("k"), cap).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.key"), col("e.lb"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(entries.size <= cap)
+    // N = 1026, bound = N/(cap+1) = 114: "hot" (1000) must survive, and its
+    // retained count may undercount by at most the bound
+    assert(entries.contains("hot"))
+    assert(entries("hot") >= 1000L - 1026L / (cap + 1) - 1)
+    // SQL registration (aggregate tier reachable from plain SQL)
+    df.createOrReplaceTempView("hh_input")
+    val viaSql = spark.sql(
+      s"SELECT freq_sketch(k, $cap) AS sk FROM hh_input")
+      .select(explode(col("sk.key")).as("k"))
+      .collect().map(_.getString(0)).toSet
+    assert(viaSql.contains("hot") && viaSql.size <= cap)
   }
 }
