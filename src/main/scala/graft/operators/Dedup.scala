@@ -872,4 +872,48 @@ object Dedup {
        |FROM cand
        |WHERE cos_raw >= $CosineThreshold""".stripMargin
   }
+
+  // ---- #17c blocked edit-distance join (short-field fuzzy matching) ------
+  /** Near-duplicate detection for SHORT fields (names, titles, product
+    * labels) where shingle/minhash machinery is overkill: an edit-distance
+    * self-join made tractable by blocking. Candidate generation is an
+    * EQUI-join on a cheap block key (first token) with a length-difference
+    * prefilter — a length gap > [[FuzzyLevMax]] already proves the distance
+    * exceeds the bound, so Levenshtein (O(len²) per pair) runs only on
+    * survivors. One shuffle on the block key; pair volume is quadratic per
+    * block, which is the knob: at 100 TB you sharpen the key (first token →
+    * first token + length bucket) exactly like the LSH band/bucket-cap
+    * guards upstream, never widen to all-pairs. Output is the per-(block,
+    * distance) pair census — the downstream merge step consumes pairs; the
+    * census is the auditable summary both engines can agree on exactly
+    * (integer distances, integer counts). */
+  val FuzzyLevMax = 2
+  def fuzzyNamePairs(spark: SparkSession, dir: String): DataFrame = {
+    val p = spark.read.parquet(s"$dir/part.parquet")
+      .select(col("p_partkey").as("pk"), col("p_name").as("nm"),
+        split(col("p_name"), " ").getItem(0).as("blk"))
+    val a = p.select(col("pk").as("pk_a"), col("nm").as("nm_a"), col("blk"))
+    val b = p.select(col("pk").as("pk_b"), col("nm").as("nm_b"),
+      col("blk").as("blk_b"))
+    a.join(b, col("blk") === col("blk_b")
+        && col("pk_a") < col("pk_b")
+        && abs(length(col("nm_a")) - length(col("nm_b"))) <= FuzzyLevMax)
+      .select(col("blk"),
+        levenshtein(col("nm_a"), col("nm_b")).cast("long").as("d"))
+      .where(col("d") <= FuzzyLevMax)
+      .groupBy(col("blk"), col("d"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+  val fuzzyNamePairsSql: String =
+    s"""WITH p AS (
+       |  SELECT p_partkey AS pk, p_name AS nm,
+       |    string_split(p_name, ' ')[1] AS blk
+       |  FROM part
+       |), pr AS (
+       |  SELECT a.blk, CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS d
+       |  FROM p a JOIN p b ON a.blk = b.blk AND a.pk < b.pk
+       |  WHERE abs(length(a.nm) - length(b.nm)) <= $FuzzyLevMax
+       |)
+       |SELECT blk, d, count(*) AS n_pairs
+       |FROM pr WHERE d <= $FuzzyLevMax GROUP BY 1, 2""".stripMargin
 }

@@ -656,4 +656,93 @@ object Relational {
       |  count(*) AS n,
       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1""".stripMargin
+
+  // ---- #34m multi-level rollup via CUBE ----------------------------------
+  /** Order counts + revenue at every (status × priority) granularity in one
+    * pass — the GROUPING SETS surface (`mix_rollup` covers ROLLUP's
+    * hierarchy; CUBE is the full lattice). Spark plans one Expand over the
+    * scan (each input row fans to its 4 grouping sets map-side) feeding a
+    * single hash aggregate — one shuffle for all four granularities,
+    * versus four scans if each level ran alone. Subtotal rows surface as
+    * NULL keys → coalesced to a sentinel so the output is plain VARCHAR
+    * (the driver-safe type set) and needs no grouping_id column. Revenue
+    * follows the §6 decimal policy: exact DECIMAL sum, narrowed, then one
+    * double cast on both engines. */
+  def revenueCube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,4)"))
+          .cast("decimal(18,4)").cast("double").as("revenue"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("revenue"))
+  val revenueCubeSql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS priority,
+      |  count(*) AS n_orders,
+      |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4))
+      |    AS DOUBLE) AS revenue
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+
+  // ---- #34n per-column data profile --------------------------------------
+  /** The data-quality profile every ingestion run needs: per column, row
+    * count, null count, exact distinct count, and min/max (numeric columns
+    * as DOUBLE, string columns as VARCHAR — each in its native type, no
+    * cross-type stringification). Built as one small aggregate per column
+    * unioned together: each leg's parquet scan reads ONLY its column
+    * (column pruning — `ReadSchema` shows a single field per leg), its
+    * distinct-count shuffles only that column's values, and the legs are
+    * independent jobs a scheduler can overlap. The one-pass
+    * `agg(countDistinct(a), countDistinct(b), …)` alternative plans a
+    * single Expand that multiplies the scan by the column count and
+    * shuffles the cross product — strictly worse at 100 TB than N pruned
+    * single-column scans. */
+  val ProfileNumCols: Seq[String] = Seq("l_quantity", "l_extendedprice", "l_discount")
+  val ProfileStrCols: Seq[String] = Seq("l_returnflag", "l_linestatus")
+  def dataProfile(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val numLegs = ProfileNumCols.map { c =>
+      li.select(col(c)).agg(
+        lit(c).as("col_name"),
+        count(lit(1)).as("n_rows"),
+        count(lit(1)).minus(count(col(c))).as("n_null"),
+        count_distinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("double").as("min_num"),
+        max(col(c)).cast("double").as("max_num"),
+        lit(null).cast("string").as("min_str"),
+        lit(null).cast("string").as("max_str"))
+    }
+    val strLegs = ProfileStrCols.map { c =>
+      li.select(col(c)).agg(
+        lit(c).as("col_name"),
+        count(lit(1)).as("n_rows"),
+        count(lit(1)).minus(count(col(c))).as("n_null"),
+        count_distinct(col(c)).as("n_distinct"),
+        lit(null).cast("double").as("min_num"),
+        lit(null).cast("double").as("max_num"),
+        min(col(c)).as("min_str"),
+        max(col(c)).as("max_str"))
+    }
+    (numLegs ++ strLegs).reduce(_.unionAll(_))
+  }
+  val dataProfileSql: String = {
+    def numLeg(c: String) =
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  count(*) - count($c) AS n_null,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num,
+         |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+         |FROM lineitem""".stripMargin
+    def strLeg(c: String) =
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  count(*) - count($c) AS n_null,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+         |  min($c) AS min_str, max($c) AS max_str
+         |FROM lineitem""".stripMargin
+    (ProfileNumCols.map(numLeg) ++ ProfileStrCols.map(strLeg))
+      .mkString("\nUNION ALL\n")
+  }
 }

@@ -967,4 +967,51 @@ object TextAnalysis {
        |    ORDER BY n DESC, term) AS BIGINT) AS rk
        |  FROM c)
        |WHERE rk <= $HhTopN""".stripMargin
+
+  // ---- #25ae inverted index (posting lists) ------------------------------
+  /** The IR-side product of a text corpus: per term, document frequency,
+    * total term frequency, and a bounded posting-list sample (the
+    * [[IdxPostings]] lowest doc_ids, space-joined). Scale shape: tokens
+    * reduce to (term, doc_id, tf) partials first (map-side combine takes
+    * the per-doc explosion out of the shuffle), then ONE hash partitioning
+    * by term serves both the rank window and the final rollup (exchange
+    * reuse — `.explain` shows a single Exchange). The posting sample is
+    * rank-filtered BEFORE collect_list, so no aggregation buffer ever
+    * holds more than [[IdxPostings]] ids — the full-posting-list
+    * `collect_list(doc_id)` formulation would OOM on a stopword's
+    * billion-doc postings at 100 TB. */
+  val IdxPostings = 8
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = docs(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy("term").orderBy("doc_id")
+    perDoc
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("term"))
+      .agg(
+        count(lit(1)).cast("long").as("df"),
+        sum(col("tf")).cast("long").as("tf_total"),
+        array_join(transform(
+          array_sort(collect_list(when(col("rk") <= IdxPostings, col("doc_id")))),
+          _.cast("string")), " ").as("postings"))
+  }
+  val invertedIndexSql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, g.t AS term
+       |  FROM (SELECT doc_id, list_filter(list_transform(
+       |    string_split_regex(text, '\\s+'), t -> lower(t)), t -> t <> '') AS ts
+       |    FROM documents),
+       |  unnest(ts) AS g(t)
+       |), pd AS (
+       |  SELECT term, doc_id, count(*) AS tf FROM tk GROUP BY 1, 2
+       |), r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rk
+       |  FROM pd
+       |)
+       |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_total,
+       |  coalesce(string_agg(CASE WHEN rk <= $IdxPostings
+       |    THEN CAST(doc_id AS VARCHAR) END, ' ' ORDER BY doc_id), '') AS postings
+       |FROM r GROUP BY 1""".stripMargin
 }

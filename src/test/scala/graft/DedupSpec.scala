@@ -186,4 +186,23 @@ class DedupSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)))
   }
+
+  test("fuzzy_name_pairs censuses blocked pairs by exact edit distance") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-fuzzy").toString
+    Seq(
+      (1L, "small ring"),  // lev(small ring, small rung)=1
+      (2L, "small rung"),
+      (3L, "small gizmo"), // lev to ring/rung = 4 → outside bound
+      (4L, "red bolt"),    // different block
+      (5L, "red bolt"),    // exact duplicate in red block → d=0
+      (6L, "red boltings"),// length gap 3 → prefiltered, no lev needed
+    ).toDF("p_partkey", "p_name")
+      .selectExpr("p_partkey", "p_name", "'B' AS p_brand", "'T' AS p_type",
+        "1 AS p_size", "CAST(1.0 AS DOUBLE) AS p_retailprice")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/part.parquet")
+    val got = Dedup.fuzzyNamePairs(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("small", 1L, 1L), ("red", 0L, 1L)))
+  }
 }

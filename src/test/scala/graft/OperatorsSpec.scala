@@ -320,6 +320,70 @@ class OperatorsSpec extends SparkTestBase {
     assert(got == brute)
   }
 
+  test("inverted_index: df/tf and a bounded sorted posting sample per term") {
+    val d = java.nio.file.Files.createTempDirectory("graft-idx").toString
+    Seq(
+      (10L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (7L, "apple"),
+    ).toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'src0' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = TextAnalysis.invertedIndex(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got == Map(
+      "apple" -> ((2L, 3L, "7 10")),   // postings sorted numerically
+      "banana" -> ((2L, 2L, "2 10")),
+      "cherry" -> ((1L, 1L, "2"))))
+  }
+
+  test("revenue_cube emits all four granularities with coalesced subtotals") {
+    val d = java.nio.file.Files.createTempDirectory("graft-cube").toString
+    Seq(
+      (1L, 1L, "O", 10.0, "1995-01-01", "1-URGENT"),
+      (2L, 1L, "O", 20.0, "1995-01-02", "2-HIGH"),
+      (3L, 2L, "F", 5.0, "1995-01-03", "1-URGENT"),
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val got = Relational.revenueCube(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == Set(
+      ("ALL", "ALL", 3L, 35.0),
+      ("O", "ALL", 2L, 30.0), ("F", "ALL", 1L, 5.0),
+      ("ALL", "1-URGENT", 2L, 15.0), ("ALL", "2-HIGH", 1L, 20.0),
+      ("O", "1-URGENT", 1L, 10.0), ("O", "2-HIGH", 1L, 20.0),
+      ("F", "1-URGENT", 1L, 5.0)))
+  }
+
+  test("data_profile counts nulls/distincts and types min/max per column kind") {
+    val d = java.nio.file.Files.createTempDirectory("graft-prof").toString
+    Seq(
+      (1L, 1L, 1L, 1, Some(1.0), 100.0, 0.01, 0.0, Some("N"), "O", "1995-01-01"),
+      (2L, 2L, 1L, 1, Some(3.0), 200.0, 0.02, 0.0, None, "O", "1995-01-02"),
+      (3L, 3L, 1L, 1, None, 300.0, 0.01, 0.0, Some("R"), "F", "1995-01-03"),
+    ).toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val got = Relational.dataProfile(spark, d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)), Option(r.get(5)),
+          Option(r.get(6)), Option(r.get(7))))).toMap
+    assert(got("l_quantity") ==
+      ((3L, 1L, 2L, Some(1.0), Some(3.0), None, None)))
+    assert(got("l_returnflag") ==
+      ((3L, 1L, 2L, None, None, Some("N"), Some("R"))))
+    assert(got("l_discount") ==
+      ((3L, 0L, 2L, Some(0.01), Some(0.02), None, None)))
+    assert(got.keySet ==
+      (Relational.ProfileNumCols ++ Relational.ProfileStrCols).toSet)
+  }
+
   test("freq_sketch keeps every key above N/(capacity+1) under forced decrements") {
     val cap = 8
     val hot = Seq.fill(1000)("hot")
