@@ -958,4 +958,136 @@ object Similarity {
       |          i -> CAST(v[i] AS DOUBLE) * CAST(v[i] AS DOUBLE)), 'sum'))),
       |  4) AS DECIMAL(14,4)) AS DOUBLE) AS recon_cos
       |FROM q""".stripMargin
+
+  // ---- #21m hybrid search: lexical + vector fusion via RRF ---------------
+  /** Reciprocal-rank fusion of two independent retrieval modalities over
+    * the aligned documents/embeddings tables (vec_id ≡ doc_id): a lexical
+    * ranking (distinct-token Jaccard against the query doc, exact integer
+    * basis points) and a vector ranking (the `ann_topk` cosine), each cut
+    * to a [[RrfPool]]-deep candidate pool, fused by
+    * score(d) = Σ_lists 1/([[RrfC]] + rank_list(d)) — here in exact ×10⁶
+    * integer arithmetic so both engines agree bit-for-bit.
+    *
+    * Scale shape: each modality keeps its own index-shaped plan — the
+    * lexical side is two bounded joins against the BROADCAST query-token
+    * set (the corpus-sized frame is only scanned, never shuffled wide:
+    * the groupBys key on doc_id, the natural partitioning), the vector
+    * side is the one-scan broadcast-query cosine — and both pools collapse
+    * to ≤[[RrfPool]] rows via orderBy+limit (TakeOrderedAndProject), so
+    * the fusion join touches ≤2·pool rows regardless of corpus size.
+    * Missing-from-one-list docs contribute 0 from that list (the standard
+    * RRF convention), surfaced as rank 0 in the output. */
+  val RrfPool = 20
+  val RrfTopN = 10
+  val RrfC = 60L
+
+  /** Rank recovery over an already-limited pool: sort the ≤pool survivors
+    * inside one array (the `topkRanked` trick, generic over the score). */
+  private def pooledRanks(pool: DataFrame, rankName: String): DataFrame =
+    pool // expects columns (id, ns) with ns = the DESCENDING sort key negated
+      .select(struct(col("ns"), col("id").as("id")).as("s"))
+      .agg(array_sort(collect_list(col("s"))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("pos", "s")))
+      .select(col("s.id").as("id"), (col("pos") + 1).cast("long").as(rankName))
+
+  def hybridSearchRrf(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val vecPool = pooledRanks(
+      e.crossJoin(broadcast(q)).where(col("vec_id") =!= col("qid"))
+        .select(col("vec_id").as("id"), cosExpr("embedding", "qv").as("cos"))
+        .orderBy(col("cos").desc, col("id")).limit(RrfPool)
+        .select(negate(col("cos")).as("ns"), col("id")), "vec_rk")
+    val tk = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        explode(TextAnalysis.toks(col("text"))).as("term")).distinct()
+    val qt = tk.join(broadcast(q), col("doc_id") === col("qid"))
+      .select(col("term").as("qterm")).distinct()
+    val inter = tk.join(broadcast(qt), col("term") === col("qterm"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_inter"))
+    val lexPool = pooledRanks(
+      tk.groupBy(col("doc_id")).agg(count(lit(1)).as("n_terms"))
+        .join(inter, Seq("doc_id"), "left")
+        .crossJoin(broadcast(qt.agg(count(lit(1)).as("q_n"))))
+        .crossJoin(broadcast(q.select(col("qid"))))
+        .where(col("doc_id") =!= col("qid"))
+        .select(col("doc_id").as("id"),
+          org.apache.spark.sql.graft.ExactMath.intDiv(
+            coalesce(col("n_inter"), lit(0L)) * lit(10000L),
+            col("n_terms") + col("q_n") - coalesce(col("n_inter"), lit(0L)))
+            .as("lex_bp"))
+        .orderBy(col("lex_bp").desc, col("id")).limit(RrfPool)
+        .select(negate(col("lex_bp")).as("ns"), col("id")), "lex_rk")
+    val fused = vecPool.join(lexPool, Seq("id"), "full_outer")
+      .select(col("id"),
+        coalesce(col("lex_rk"), lit(0L)).as("lex_rk"),
+        coalesce(col("vec_rk"), lit(0L)).as("vec_rk"),
+        (when(col("vec_rk").isNull, lit(0L)).otherwise(
+          org.apache.spark.sql.graft.ExactMath.intDiv(
+            lit(1000000L), lit(RrfC) + col("vec_rk"))) +
+         when(col("lex_rk").isNull, lit(0L)).otherwise(
+          org.apache.spark.sql.graft.ExactMath.intDiv(
+            lit(1000000L), lit(RrfC) + col("lex_rk")))).as("rrf_e6"))
+    fused
+      .orderBy(col("rrf_e6").desc, col("id")).limit(RrfTopN)
+      .select(struct(negate(col("rrf_e6")).as("ns"), col("id").as("id"),
+        col("lex_rk").as("lex_rk"), col("vec_rk").as("vec_rk"),
+        col("rrf_e6").as("rrf_e6")).as("s"))
+      .agg(array_sort(collect_list(col("s"))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("pos", "s")))
+      .select(col("s.id").as("doc_id"), col("s.lex_rk").as("lex_rk"),
+        col("s.vec_rk").as("vec_rk"), col("s.rrf_e6").as("rrf_e6"),
+        (col("pos") + 1).cast("long").as("rk"))
+  }
+  val hybridSearchRrfSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |  ORDER BY vec_id LIMIT 1
+       |), vscore AS (
+       |  SELECT e.vec_id AS id, ${sqlCos("e.embedding", "q.qv")} AS cos
+       |  FROM embeddings e, q WHERE e.vec_id <> q.qid
+       |), vpool AS (
+       |  SELECT id, vec_rk FROM (
+       |    SELECT id, CAST(row_number() OVER (ORDER BY cos DESC, id) AS BIGINT)
+       |      AS vec_rk
+       |    FROM vscore) WHERE vec_rk <= $RrfPool
+       |), tk AS (
+       |  SELECT DISTINCT doc_id, g.t AS term
+       |  FROM (SELECT doc_id, list_filter(list_transform(
+       |    string_split_regex(text, '\\s+'), t -> lower(t)), t -> t <> '') AS ts
+       |    FROM documents),
+       |  unnest(ts) AS g(t)
+       |), qt AS (
+       |  SELECT DISTINCT term FROM tk, q WHERE tk.doc_id = q.qid
+       |), qs AS (
+       |  SELECT count(*) AS q_n FROM qt
+       |), lex AS (
+       |  SELECT s.doc_id AS id,
+       |    (coalesce(i.n_inter, 0) * 10000)
+       |      // (s.n_terms + qs.q_n - coalesce(i.n_inter, 0)) AS lex_bp
+       |  FROM (SELECT doc_id, count(*) AS n_terms FROM tk GROUP BY 1) s
+       |  LEFT JOIN (SELECT tk.doc_id, count(*) AS n_inter
+       |    FROM tk JOIN qt ON tk.term = qt.term GROUP BY 1) i
+       |    ON s.doc_id = i.doc_id, qs, q
+       |  WHERE s.doc_id <> q.qid
+       |), lpool AS (
+       |  SELECT id, lex_rk FROM (
+       |    SELECT id, CAST(row_number() OVER (ORDER BY lex_bp DESC, id) AS BIGINT)
+       |      AS lex_rk
+       |    FROM lex) WHERE lex_rk <= $RrfPool
+       |), fused AS (
+       |  SELECT coalesce(v.id, l.id) AS doc_id,
+       |    coalesce(l.lex_rk, 0) AS lex_rk,
+       |    coalesce(v.vec_rk, 0) AS vec_rk,
+       |    coalesce(1000000 // ($RrfC + v.vec_rk), 0)
+       |      + coalesce(1000000 // ($RrfC + l.lex_rk), 0) AS rrf_e6
+       |  FROM vpool v FULL JOIN lpool l ON v.id = l.id
+       |)
+       |SELECT doc_id, lex_rk, vec_rk, CAST(rrf_e6 AS BIGINT) AS rrf_e6, rk
+       |FROM (
+       |  SELECT *, CAST(row_number() OVER (ORDER BY rrf_e6 DESC, doc_id)
+       |    AS BIGINT) AS rk
+       |  FROM fused)
+       |WHERE rk <= $RrfTopN""".stripMargin
 }

@@ -25,7 +25,7 @@ object TextAnalysis {
     "zh" -> Seq("的", "是", "在", "了", "我", "有", "和", "就", "不", "人"),
   )
 
-  private def toks(c: Column): Column =
+  private[operators] def toks(c: Column): Column =
     filter(transform(split(c, WsTokenRe), t => lower(t)), t => t =!= "")
 
   /** Stopword hits over an ALREADY-TOKENIZED array column — callers
@@ -750,6 +750,48 @@ object TextAnalysis {
     merges.toSeq.toDF("merge_ix", "left", "right", "pair_count")
       .select(col("merge_ix"), col("left"), col("right"),
         concat(col("left"), col("right")).as("merged"), col("pair_count"))
+  }
+
+  // ---- #25t-d BPE encode (tokenizer serving path) ------------------------
+  /** Applies the [[bpeMerges]]-trained merge table to the corpus — the
+    * serving half of the tokenizer loop (train → ship merge table →
+    * encode). Per document: encodable words, their characters, and the
+    * symbol count after all merges, i.e. the fertility statistic
+    * (symbols per word) that decides whether a tokenizer fits a corpus.
+    *
+    * Scale: the merge table is ≤[[BpeMergeRounds]] rows (a bounded driver
+    * collect, same as Lloyd centroids), and encoding runs ONCE PER DISTINCT
+    * WORD on the vocabulary-sized term frame — never per token. The
+    * corpus-sized token stream then equi-joins the encoded vocabulary on
+    * the term key (vocabulary is ~10⁷ rows at 100 TB: a plain shuffle
+    * join, or a broadcast if the vocab is top-K-capped) and aggregates
+    * straight back to doc grain. Rows-only BY DESIGN: the merge table is
+    * an iterative argmax fixpoint ([[bpeMerges]]), so no single SQL oracle
+    * can reproduce the encoding; the spec instead proves (a) encode∘train
+    * reproduces the training fixpoint and (b) agreement with an
+    * independent in-memory BPE. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val merges = bpeMerges(spark, dir).select("merge_ix", "left", "right")
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getString(2))).toIndexedSeq
+    val bc = spark.sparkContext.broadcast(merges)
+    val encodedVocab = termCounts(spark, dir)
+      .where(col("term").rlike("^[a-z]+$"))
+      .select(col("term")).as[String]
+      .map { w =>
+        val syms = bc.value.foldLeft(w.split("").toIndexedSeq: IndexedSeq[String]) {
+          case (s, (l, r)) => mergePairIn(s, l, r)
+        }
+        (w, syms.length.toLong)
+      }.toDF("term", "n_syms")
+    docs(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .join(encodedVocab, Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("term"))).cast("long").as("n_chars"),
+        sum(col("n_syms")).cast("long").as("n_bpe_syms"))
   }
 
   // ---- #24b vocabulary coverage / out-of-vocabulary rate -----------------

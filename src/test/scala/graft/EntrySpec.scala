@@ -11,7 +11,8 @@ class EntrySpec extends SparkTestBase {
   test("every query key has an oracle except documented rows-only ops") {
     // bpe_merges: iterative data-dependent argmax fixpoint — no single-SQL
     // oracle exists; brute-force-verified in PipelineOpsSpec instead
-    val rowsOnly = Set("partition_stats", "approx_stats", "bpe_merges")
+    val rowsOnly = Set("partition_stats", "approx_stats", "bpe_merges",
+      "bpe_encode")
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == rowsOnly)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }

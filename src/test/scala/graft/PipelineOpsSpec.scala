@@ -171,6 +171,41 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got.exists(_._4.length > 2))
   }
 
+  test("bpe_encode reproduces an independent BPE encode over the corpus") {
+    val docTexts = Seq(
+      1L -> "banana banana bandana nab",
+      2L -> "anna banana x9 !!") // non-[a-z]+ words are not encodable
+    val d = writeDocsFixture(docTexts)
+    // train + collect the merge table through the public operator surface
+    val merges = TextAnalysis.bpeMerges(spark, d).collect()
+      .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.nonEmpty)
+    // independent reference encode: fold the merge list with a local
+    // greedy left-to-right single-pass merge (no shared operator code)
+    def enc(w: String): Vector[String] =
+      merges.foldLeft(w.map(_.toString).toVector) { case (s, (l, r)) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < s.length) {
+          if (i + 1 < s.length && s(i) == l && s(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += s(i); i += 1 }
+        }
+        out.result()
+      }
+    val exp = docTexts.map { case (id, t) =>
+      val ws = t.split("\\s+").filter(_.matches("[a-z]+"))
+      (id, ws.length.toLong, ws.map(_.length.toLong).sum,
+        ws.map(w => enc(w).length.toLong).sum)
+    }.toSet
+    val got = TextAnalysis.bpeEncode(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == exp)
+    // merges actually compress: fewer symbols than characters somewhere
+    assert(got.exists(r => r._4 < r._3))
+  }
+
   test("oov_stats counts tokens outside the top-k vocabulary") {
     val d = writeDocsFixture(Seq(
       1L -> "x x x y",

@@ -178,4 +178,40 @@ class SimilaritySpec extends SparkTestBase {
     val all = Similarity.embeddingQuantize(spark, dir).collect()
     assert(all.length == 5 && all.forall(_.getDouble(4) >= 0.999))
   }
+
+  test("hybrid_search_rrf fuses lexical and vector ranks, ties on doc_id") {
+    val d = java.nio.file.Files.createTempDirectory("graft-rrf").toString
+    def v(f: Int => Float): Array[Float] = Array.tabulate(Dedup.Dim)(f)
+    // vector ranks vs query 0: 1 (cos 1.0), 2 (0.98), 3 (0), 4 (-1)
+    Seq(
+      (0L, v(i => if (i == 0) 1f else 0f), 0),
+      (1L, v(i => if (i == 0) 2f else 0f), 0),
+      (2L, v(i => if (i == 0) 1f else if (i == 1) 0.2f else 0f), 0),
+      (3L, v(i => if (i == 1) 1f else 0f), 1),
+      (4L, v(i => if (i == 0) -1f else 0f), 1),
+    ).toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    // lexical jaccard vs doc 0 {alpha beta gamma}: 1 → 10000bp, 3 → 5000bp,
+    // 2 → 2500bp, 4 → 0bp → lex ranks 1,3,2,4 for docs 1,2,3,4
+    Seq(
+      (0L, "alpha beta gamma"),
+      (1L, "alpha beta gamma"),
+      (2L, "alpha delta"),
+      (3L, "alpha beta zeta"),
+      (4L, "omega psi"),
+    ).toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'src0' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Similarity.hybridSearchRrf(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq.sortBy(_._5)
+    // 1000000/(60+rk): rk1→16393, rk2→16129, rk3→15873, rk4→15625
+    // docs 2 and 3 tie at 32002 → doc_id breaks the tie
+    assert(got == Seq(
+      (1L, 1L, 1L, 32786L, 1L),
+      (2L, 3L, 2L, 32002L, 2L),
+      (3L, 2L, 3L, 32002L, 3L),
+      (4L, 4L, 4L, 31250L, 4L)))
+  }
 }
