@@ -727,6 +727,87 @@ object Relational {
     }
     (numLegs ++ strLegs).reduce(_.unionAll(_))
   }
+  // ---- #34o 7-day moving average (event-time rolling aggregate) ----------
+  /** Daily order revenue with a trailing-7-day moving average — the rolling
+    * series every ops dashboard draws. Formulated WITHOUT a window: each
+    * day's revenue is EXPLODED to the ≤7 future days it contributes to
+    * (map-only, bounded ×7 amplification) and re-aggregated by target day —
+    * zero unpartitioned windows (the naive `RANGE 6 PRECEDING` global
+    * window single-partitions the series; the lint bans it), and the same
+    * shape runs incrementally under streaming (a day's arrival only
+    * touches its 7 targets). The daily frame is calendar-bounded (~2.5k
+    * rows per decade) regardless of corpus size, so every stage past the
+    * first rollup is tiny. Revenue in exact integer cents; the mean is
+    * exact integral division over contributing days. The DuckDB oracle IS
+    * the window formulation — two formulations, one answer. */
+  def revenueMovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "orders")
+      .select(
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day_num"),
+        round(col("o_totalprice") * 100.0).cast("long").as("cents"))
+      .groupBy(col("day_num"))
+      .agg(sum(col("cents")).as("day_cents"), count(lit(1)).as("n_orders"))
+    val contrib = daily
+      .select(explode(sequence(col("day_num"), col("day_num") + 6)).as("t_day"),
+        col("day_cents"))
+      .groupBy(col("t_day"))
+      .agg(sum(col("day_cents")).as("ma_cents"), count(lit(1)).as("ma_days"))
+    daily.join(contrib, col("day_num") === col("t_day"))
+      .select(col("day_num"), col("n_orders"), col("day_cents"),
+        org.apache.spark.sql.graft.ExactMath.intDiv(
+          col("ma_cents"), col("ma_days")).as("ma_cents_per_day"))
+  }
+  val revenueMovingAvgSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(date_diff('day', DATE '1970-01-01',
+      |      CAST(o_orderdate AS DATE)) AS BIGINT) AS day_num,
+      |    CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+      |      AS day_cents,
+      |    count(*) AS n_orders
+      |  FROM orders GROUP BY 1
+      |)
+      |SELECT day_num, n_orders, day_cents,
+      |  CAST(sum(day_cents) OVER w AS BIGINT)
+      |    // CAST(count(*) OVER w AS BIGINT) AS ma_cents_per_day
+      |FROM daily
+      |WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |""".stripMargin
+
+  // ---- #34p fact reconciliation (full outer join audit) ------------------
+  /** The ingestion-audit shape: do the order header and line-item feeds
+    * agree? lineitem pre-aggregates to one row per orderkey BEFORE the
+    * full outer join (the join input is bounded by |distinct orders|, not
+    * |lines| — same discipline as customer_distribution), and the outer
+    * join's null sides classify each key as matched / header-only /
+    * lines-only, collapsed to a one-row census. Two key-bounded shuffles,
+    * then a 3-value rollup. */
+  def orderReconcile(spark: SparkSession, dir: String): DataFrame = {
+    val perOrder = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_lines"))
+    t(spark, dir, "orders").select(col("o_orderkey"))
+      .join(perOrder, col("o_orderkey") === col("l_orderkey"), "full_outer")
+      .agg(
+        sum(when(col("o_orderkey").isNotNull && col("l_orderkey").isNotNull,
+          1L).otherwise(0L)).as("n_matched"),
+        sum(when(col("l_orderkey").isNull, 1L).otherwise(0L))
+          .as("n_header_only"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L))
+          .as("n_lines_only"))
+  }
+  val orderReconcileSql: String =
+    """SELECT
+      |  CAST(sum(CASE WHEN o_orderkey IS NOT NULL AND l_orderkey IS NOT NULL
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+      |  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_header_only,
+      |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_lines_only
+      |FROM (SELECT o_orderkey FROM orders) o
+      |FULL JOIN (SELECT l_orderkey, count(*) AS n_lines
+      |  FROM lineitem GROUP BY 1) l
+      |ON o.o_orderkey = l.l_orderkey""".stripMargin
+
   val dataProfileSql: String = {
     def numLeg(c: String) =
       s"""SELECT '$c' AS col_name, count(*) AS n_rows,

@@ -1010,6 +1010,72 @@ object TextAnalysis {
        |  FROM c)
        |WHERE rk <= $HhTopN""".stripMargin
 
+  // ---- #22b language-ID confusion matrix ---------------------------------
+  /** The evaluation loop for the #22 classifier: predicted vs labeled
+    * language counts (the confusion matrix a model card reports). Same
+    * row-local scoring expressions as `lang_id` — one scan, one ≤|langs|²
+    * rollup with map-side partials, no joins. The exact-match diagonal over
+    * these counts is the classifier's accuracy; off-diagonal cells name the
+    * confusable pairs that drive profile tuning. */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("lang").as("labeled_lang"), toksCol.as("__toks"))
+      .select(col("labeled_lang") +: langHitCols: _*)
+      .select(col("labeled_lang"), predLangFromHits.as("pred_lang"))
+      .groupBy(col("labeled_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+  val langConfusionSql: String =
+    s"""WITH scored AS (
+       |  SELECT lang AS labeled_lang,
+       |  $sqlLangHitCols
+       |  FROM documents
+       |)
+       |SELECT labeled_lang, $sqlPredLangFromHits AS pred_lang,
+       |  count(*) AS n_docs
+       |FROM scored GROUP BY 1, 2""".stripMargin
+
+  // ---- #23c per-source quality trend (grouped OLS) -----------------------
+  /** Per-source least-squares slope of quality over doc_id — the drift
+    * monitor that catches a feed degrading over time. Grouped OLS needs
+    * only the moment sums (n, Σx, Σy, Σxy, Σx²), so the whole regression
+    * is ONE map-side-partial aggregation per source — no per-group
+    * iteration, no collect. All moments are exact BIGINTs (x = doc_id,
+    * y = the integer quality bp); the closed-form slope
+    * (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) divides two exact integers, emitted via
+    * the §6 round→DECIMAL→DOUBLE pattern. BOUND: the BIGINT moments hold
+    * to doc_id ~2³¹ at 10⁴-bp quality; past that, center x per source or
+    * widen the sums to DECIMAL (documented, same q1_agg-style cap). */
+  def qualityTrend(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("source"), col("doc_id").cast("long").as("x"),
+        qualityBpIn(toksCol).as("y"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("source"), col("n_docs"),
+        round((col("n_docs") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / greatest(col("n_docs") * col("sxx") - col("sx") * col("sx"), lit(1L))
+              .cast("double"), 4)
+          .cast("decimal(14,4)").cast("double").as("slope"))
+  val qualityTrendSql: String =
+    s"""WITH q AS (
+       |  SELECT source, CAST(doc_id AS BIGINT) AS x,
+       |    CAST(($sqlQualityBpExpr) AS BIGINT) AS y
+       |  FROM documents
+       |), s AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+       |  FROM q GROUP BY 1
+       |)
+       |SELECT source, n_docs,
+       |  CAST(CAST(round(
+       |    CAST(n_docs * sxy - sx * sy AS DOUBLE)
+       |      / CAST(greatest(n_docs * sxx - sx * sx, 1) AS DOUBLE), 4)
+       |    AS DECIMAL(14,4)) AS DOUBLE) AS slope
+       |FROM s""".stripMargin
+
   // ---- #25ae inverted index (posting lists) ------------------------------
   /** The IR-side product of a text corpus: per term, document frequency,
     * total term frequency, and a bounded posting-list sample (the

@@ -384,6 +384,81 @@ class OperatorsSpec extends SparkTestBase {
       (Relational.ProfileNumCols ++ Relational.ProfileStrCols).toSet)
   }
 
+  test("lang_confusion cross-tabulates labeled vs predicted language") {
+    val d = java.nio.file.Files.createTempDirectory("graft-conf").toString
+    Seq(
+      (1L, "the and of to it is", "en"),  // labeled en, predicted en
+      (2L, "the and of to it is", "fr"),  // labeled fr, predicted en
+      (3L, "le la les de et une", "fr"),  // labeled fr, predicted fr
+    ).toDF("doc_id", "text", "lang")
+      .selectExpr("doc_id", "text", "lang", "'src0' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = TextAnalysis.langConfusion(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(("en", "en", 1L), ("fr", "en", 1L), ("fr", "fr", 1L)))
+  }
+
+  test("quality_trend recovers the exact OLS slope per source") {
+    // stopword-free docs with n<50 tokens score exactly 200·n bp, so
+    // (x, y) = (1,200),(2,400),(3,600) → slope 200.0 exactly
+    val d = java.nio.file.Files.createTempDirectory("graft-trend").toString
+    Seq(
+      (1L, "qqq"),
+      (2L, "qqq www"),
+      (3L, "qqq www eee"),
+    ).toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'src0' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val r = graft.operators.TextAnalysis.qualityTrend(spark, d).collect()
+    assert(r.length == 1)
+    assert(r.head.getString(0) == "src0" && r.head.getLong(1) == 3L
+      && r.head.getDouble(2) == 200.0)
+  }
+
+  test("revenue_moving_avg: trailing-7-day mean counts only present days") {
+    val d = java.nio.file.Files.createTempDirectory("graft-ma").toString
+    Seq(
+      (1L, 1L, "O", 10.0, "1995-01-01", "1-URGENT"),
+      (2L, 1L, "O", 20.0, "1995-01-05", "1-URGENT"),
+      (3L, 2L, "O", 15.0, "1995-01-10", "2-HIGH"),
+      (4L, 2L, "O", 25.0, "1995-01-10", "2-HIGH"),
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val d0 = java.time.LocalDate.of(1995, 1, 1).toEpochDay
+    val got = Relational.revenueMovingAvg(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      (d0, 1L, 1000L, 1000L),          // only itself in window
+      (d0 + 4, 1L, 2000L, 1500L),      // (1000+2000)/2
+      (d0 + 9, 2L, 4000L, 3000L)))     // day 5 still in range, day 0 out
+  }
+
+  test("order_reconcile classifies matched and one-sided order keys") {
+    val d = java.nio.file.Files.createTempDirectory("graft-rec").toString
+    Seq(
+      (1L, 1L, "O", 10.0, "1995-01-01", "1-URGENT"),
+      (2L, 1L, "O", 20.0, "1995-01-02", "1-URGENT"),
+      (3L, 2L, "O", 30.0, "1995-01-03", "2-HIGH"),
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/orders.parquet")
+    Seq(
+      (2L, 1L, 1L, 1, 1.0, 100.0, 0.01, 0.0, "N", "O", "1995-01-02"),
+      (3L, 2L, 1L, 1, 2.0, 200.0, 0.02, 0.0, "N", "O", "1995-01-03"),
+      (3L, 3L, 1L, 2, 3.0, 300.0, 0.03, 0.0, "N", "O", "1995-01-03"),
+      (4L, 4L, 1L, 1, 4.0, 400.0, 0.04, 0.0, "N", "O", "1995-01-04"),
+    ).toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val r = Relational.orderReconcile(spark, d).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 1L, 1L)))
+  }
+
   test("freq_sketch keeps every key above N/(capacity+1) under forced decrements") {
     val cap = 8
     val hot = Seq.fill(1000)("hot")

@@ -29,7 +29,10 @@ class PlanLintSpec extends SparkTestBase {
       "quality_percentile_gate",
       // exact-baseline side of the recall audits: QueryN-bounded (LSH) /
       // 1-row-query (IVF-PQ) broadcast with the self-pair filter pushed in
-      "ann_recall", "ivfpq_recall")
+      "ann_recall", "ivfpq_recall",
+      // both RRF modalities broadcast the SAME 1-row query frame with the
+      // self-exclusion (id <> qid) pushed into the join — the ann_topk shape
+      "hybrid_search_rrf")
 
   test("no query plans a cartesian, a conditioned nested loop, or a global window") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
