@@ -888,21 +888,39 @@ object Dedup {
     * census is the auditable summary both engines can agree on exactly
     * (integer distances, integer counts). */
   val FuzzyLevMax = 2
+
+  /** Dedup-first: the edit-distance join runs over DISTINCT names with a
+    * multiplicity weight, never over rows — the same vocabulary trick as
+    * the anagram reduce and BPE training. Row-level pair counts come back
+    * exactly: equal-name pairs are m·(m−1)/2 per name (no join at all),
+    * cross-name pairs are m_a·m_b per surviving distinct-name pair. The
+    * first cut of this operator joined raw rows and spent 38 s at sf0.1 on
+    * ~20M Levenshtein calls for the SAME 64×64 distinct-name grid — the
+    * benchmark-measured reason this shape is mandatory. */
   def fuzzyNamePairs(spark: SparkSession, dir: String): DataFrame = {
-    val p = spark.read.parquet(s"$dir/part.parquet")
-      .select(col("p_partkey").as("pk"), col("p_name").as("nm"),
-        split(col("p_name"), " ").getItem(0).as("blk"))
-    val a = p.select(col("pk").as("pk_a"), col("nm").as("nm_a"), col("blk"))
-    val b = p.select(col("pk").as("pk_b"), col("nm").as("nm_b"),
+    val names = spark.read.parquet(s"$dir/part.parquet")
+      .groupBy(col("p_name").as("nm"))
+      .agg(count(lit(1)).as("m"))
+      .select(col("nm"), col("m"),
+        split(col("nm"), " ").getItem(0).as("blk"))
+    val sameName = names.where(col("m") >= 2)
+      .groupBy(col("blk"), lit(0L).as("d"))
+      .agg(sum(org.apache.spark.sql.graft.ExactMath.intDiv(
+        col("m") * (col("m") - 1), lit(2L))).cast("long").as("n_pairs"))
+    val a = names.select(col("nm").as("nm_a"), col("m").as("m_a"), col("blk"))
+    val b = names.select(col("nm").as("nm_b"), col("m").as("m_b"),
       col("blk").as("blk_b"))
-    a.join(b, col("blk") === col("blk_b")
-        && col("pk_a") < col("pk_b")
+    val crossName = a.join(b, col("blk") === col("blk_b")
+        && col("nm_a") < col("nm_b")
         && abs(length(col("nm_a")) - length(col("nm_b"))) <= FuzzyLevMax)
-      .select(col("blk"),
+      .select(col("blk"), (col("m_a") * col("m_b")).as("w"),
         levenshtein(col("nm_a"), col("nm_b")).cast("long").as("d"))
       .where(col("d") <= FuzzyLevMax)
       .groupBy(col("blk"), col("d"))
-      .agg(count(lit(1)).as("n_pairs"))
+      .agg(sum(col("w")).cast("long").as("n_pairs"))
+    sameName.unionByName(crossName)
+      .groupBy(col("blk"), col("d"))
+      .agg(sum(col("n_pairs")).cast("long").as("n_pairs"))
   }
   val fuzzyNamePairsSql: String =
     s"""WITH p AS (

@@ -774,6 +774,69 @@ object Relational {
       |WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
       |""".stripMargin
 
+  // ---- #34q shipping priority (TPC-H Q3 shape) ---------------------------
+  /** The classic segment-filtered two-fact top-N: revenue of not-yet-shipped
+    * lineitems for BUILDING-segment customers' pre-cutoff orders, top 10
+    * orders by revenue. Scale shape: both date filters push to the fact
+    * scans (PushedFilters), the segment-filtered customer key list
+    * broadcasts, the only real shuffle is lineitem⇄orders on orderkey, and
+    * the top-10 is TakeOrderedAndProject on the EXACT decimal revenue
+    * (rank before the double cast, so ordering never depends on float
+    * rounding) with rank recovery inside one array. */
+  val ShipCutoff = "1996-01-01"
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit(ShipCutoff).cast("date")
+    val c = t(spark, dir, "customer")
+      .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val o = t(spark, dir, "orders")
+      .where(to_date(col("o_orderdate")) < cut)
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    t(spark, dir, "lineitem")
+      .where(to_date(col("l_shipdate")) > cut)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast("decimal(18,4)")
+          * (lit(BigDecimal(1)).cast("decimal(18,4)")
+            - col("l_discount").cast("decimal(18,4)"))).as("rev_part"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("rev_part")).cast("decimal(18,4)").as("rev_dec"))
+      .orderBy(col("rev_dec").desc, col("l_orderkey")).limit(10)
+      .select(struct(negate(col("rev_dec")).as("nr"),
+        col("l_orderkey").as("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        col("o_orderpriority").as("o_orderpriority"),
+        col("rev_dec").cast("double").as("revenue")).as("s"))
+      .agg(array_sort(collect_list(col("s"))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("pos", "s")))
+      .select(col("s.l_orderkey").as("l_orderkey"), col("s.revenue").as("revenue"),
+        col("s.o_date").as("o_date"),
+        col("s.o_orderpriority").as("o_orderpriority"),
+        (col("pos") + 1).cast("long").as("rk"))
+  }
+  val shippingPrioritySql: String =
+    s"""WITH agg AS (
+       |  SELECT l_orderkey,
+       |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+       |      * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+       |      AS DECIMAL(18,4)) AS rev_dec,
+       |    strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_date,
+       |    o_orderpriority
+       |  FROM customer, orders, lineitem
+       |  WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+       |    AND l_orderkey = o_orderkey
+       |    AND CAST(o_orderdate AS DATE) < DATE '$ShipCutoff'
+       |    AND CAST(l_shipdate AS DATE) > DATE '$ShipCutoff'
+       |  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       |), ranked AS (
+       |  SELECT *, CAST(row_number() OVER (ORDER BY rev_dec DESC, l_orderkey)
+       |    AS BIGINT) AS rk
+       |  FROM agg
+       |)
+       |SELECT l_orderkey, CAST(rev_dec AS DOUBLE) AS revenue, o_date,
+       |  o_orderpriority, rk
+       |FROM ranked WHERE rk <= 10""".stripMargin
+
   // ---- #34p fact reconciliation (full outer join audit) ------------------
   /** The ingestion-audit shape: do the order header and line-item feeds
     * agree? lineitem pre-aggregates to one row per orderkey BEFORE the

@@ -629,6 +629,60 @@ object TextAnalysis {
       |  (CAST(sum(n_chars) AS BIGINT) * 100) // count(*) AS avg_chars_e2
       |FROM documents GROUP BY 1, 2""".stripMargin
 
+  // ---- #25h-b corpus-mix divergence (per-source χ²) ----------------------
+  /** How far each source's language mix sits from the corpus mix — the
+    * χ² divergence Σ_l (p_l − q_l)²/q_l, the mixing-drift alarm a corpus
+    * dashboard tracks per feed. χ² instead of KL BY DESIGN: it is a pure
+    * rational function of the integer counts, so the doubles come from
+    * exact BIGINT→DOUBLE conversions through +,−,×,÷ only (IEEE
+    * correctly-rounded, bit-identical in every engine) — no ln/libm
+    * divergence risk. The lang term list is fixed and folded in declared
+    * order, so the sum is order-deterministic; corpus totals are a 1-row
+    * broadcast. One scan, one ≤|sources| rollup. */
+  def mixDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val langs = LangProfiles.map(_._1)
+    def cnt(l: String) = sum(when(col("lang") === l, 1L).otherwise(0L))
+    val perSource = docs(spark, dir).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_s"),
+        langs.map(l => cnt(l).as(s"c_$l")): _*)
+    val corpus = docs(spark, dir)
+      .agg(count(lit(1)).as("n"), langs.map(l => cnt(l).as(s"t_$l")): _*)
+    val chi2 = langs.map { l =>
+      val pd = col(s"c_$l").cast("double") / col("n_s").cast("double")
+      val qd = col(s"t_$l").cast("double") / col("n").cast("double")
+      when(col(s"t_$l") > 0L, (pd - qd) * (pd - qd) / qd).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    perSource.crossJoin(broadcast(corpus))
+      .select(col("source"), col("n_s").as("n_docs"),
+        round(chi2, 6).cast("decimal(14,6)").cast("double").as("chi2"))
+  }
+  val mixDivergenceSql: String = {
+    val langs = LangProfiles.map(_._1)
+    val sCnts = langs.map(l =>
+      s"CAST(sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS BIGINT) AS c_$l")
+      .mkString(",\n    ")
+    val tCnts = langs.map(l =>
+      s"CAST(sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS BIGINT) AS t_$l")
+      .mkString(",\n    ")
+    val terms = langs.map { l =>
+      val pd = s"(CAST(c_$l AS DOUBLE) / CAST(n_s AS DOUBLE))"
+      val qd = s"(CAST(t_$l AS DOUBLE) / CAST(n AS DOUBLE))"
+      s"CASE WHEN t_$l > 0 THEN ($pd - $qd) * ($pd - $qd) / $qd ELSE 0.0 END"
+    }.mkString("\n    + ")
+    s"""WITH s AS (
+       |  SELECT source, count(*) AS n_s,
+       |    $sCnts
+       |  FROM documents GROUP BY 1
+       |), c AS (
+       |  SELECT count(*) AS n,
+       |    $tCnts
+       |  FROM documents
+       |)
+       |SELECT source, n_s AS n_docs,
+       |  CAST(CAST(round($terms, 6) AS DECIMAL(14,6)) AS DOUBLE) AS chi2
+       |FROM s, c""".stripMargin
+  }
+
   // ---- #25t-b tokenizer-training pair statistics (first BPE merge) ------
   /** The first iteration of BPE tokenizer training: the corpus-frequency-
     * weighted counts of adjacent character pairs inside words — the

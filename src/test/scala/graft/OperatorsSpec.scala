@@ -459,6 +459,54 @@ class OperatorsSpec extends SparkTestBase {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 1L, 1L)))
   }
 
+  test("shipping_priority keeps pre-cutoff BUILDING orders with post-cutoff lines") {
+    val d = java.nio.file.Files.createTempDirectory("graft-q3").toString
+    Seq(
+      (1L, "a", 0L, 0.0, "BUILDING"),
+      (2L, "b", 0L, 0.0, "MACHINERY"),
+    ).toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/customer.parquet")
+    Seq(
+      (10L, 1L, "O", 10.0, "1995-06-01", "1-URGENT"), // qualifies
+      (11L, 1L, "O", 10.0, "1997-01-01", "1-URGENT"), // after cutoff
+      (12L, 2L, "O", 10.0, "1995-06-01", "1-URGENT"), // wrong segment
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/orders.parquet")
+    Seq(
+      (10L, 1L, 1L, 1, 1.0, 100.0, 0.1, 0.0, "N", "O", "1996-02-01"), // 90
+      (10L, 2L, 1L, 2, 1.0, 50.0, 0.0, 0.0, "N", "O", "1996-03-01"),  // 50
+      (10L, 3L, 1L, 3, 1.0, 999.0, 0.0, 0.0, "N", "O", "1995-07-01"), // shipped
+      (11L, 4L, 1L, 1, 1.0, 77.0, 0.0, 0.0, "N", "O", "1997-02-01"),
+      (12L, 5L, 1L, 1, 1.0, 88.0, 0.0, 0.0, "N", "O", "1996-02-01"),
+    ).toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val rows = Relational.shippingPriority(spark, d).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getString(3),
+        r.getLong(4)))
+    assert(rows.toSeq == Seq((10L, 140.0, "1995-06-01", "1-URGENT", 1L)))
+  }
+
+  test("mix_divergence: chi-square of per-source language mix vs corpus mix") {
+    val d = java.nio.file.Files.createTempDirectory("graft-chi").toString
+    Seq(
+      (1L, "t", "en", "src0"), (2L, "t", "en", "src0"),
+      (3L, "t", "en", "src1"), (4L, "t", "fr", "src1"),
+    ).toDF("doc_id", "text", "lang", "source")
+      .selectExpr("doc_id", "text", "lang", "source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = graft.operators.TextAnalysis.mixDivergence(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // corpus q = (en .75, fr .25); both sources sit at chi2 = 1/12 + 1/4
+    assert(got.keySet == Set("src0", "src1"))
+    got.values.foreach { case (n, chi2) =>
+      assert(n == 2L && math.abs(chi2 - 1.0 / 3.0) < 1e-6)
+    }
+  }
+
   test("freq_sketch keeps every key above N/(capacity+1) under forced decrements") {
     val cap = 8
     val hot = Seq.fill(1000)("hot")
