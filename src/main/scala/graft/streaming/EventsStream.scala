@@ -37,6 +37,25 @@ object EventsStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Trailing-7-day rolling daily totals — the STREAMING form of the
+    * `revenue_moving_avg` contribution-explode: each event is exploded to
+    * the 7 day-windows it contributes to (ts + 0..6 days) and aggregated by
+    * target day, so a day's rolling total accretes incrementally as events
+    * arrive — exactly why the batch operator avoids the global RANGE
+    * window, which has no streaming equivalent at all. State is bounded by
+    * the watermark horizon × 7 day-windows. Batch≡stream equality is
+    * replay-spec-asserted against the identical batch formulation. */
+  def movingDailySum(events: DataFrame): DataFrame =
+    events
+      .select(col("ts"), col("value"))
+      .withColumn("t_ts", explode(array((0 to 6).map(d =>
+        col("ts") + expr(s"INTERVAL $d DAYS")): _*)))
+      .withWatermark("t_ts", "10 minutes")
+      .groupBy(window(col("t_ts"), "1 day"))
+      .agg(count(lit(1)).as("n_contrib"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("day_start"), col("n_contrib"),
+        col("sum_value"))
+
   /** Streaming exact dedup (the LLM-pipeline dedup op on an unbounded
     * source): state bounded by the watermark horizon, keyed by event_id. */
   def dedupEvents(events: DataFrame): DataFrame =

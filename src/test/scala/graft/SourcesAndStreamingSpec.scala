@@ -151,6 +151,40 @@ class SourcesAndStreamingSpec extends SparkTestBase {
     }
   }
 
+  test("replay: streaming moving daily sum equals the batch contribution explode") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val replayRows = replayEvents(sf)
+    // batch twin: the IDENTICAL contribution-explode over the same rows
+    val batch = replayRows.toDF("ts", "event_type", "value")
+      .withColumn("t_ts", explode(array((0 to 6).map(d =>
+        col("ts") + expr(s"INTERVAL $d DAYS")): _*)))
+      .groupBy(window(col("t_ts"), "1 day"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+      .select(col("window.start").as("day_start"), col("n"), col("sv"))
+      .collect()
+      .map(r => r.getTimestamp(0).getTime / 1000 ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
+    val q = EventsStream.movingDailySum(
+        input.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("replay_ma")
+      .outputMode("complete").start()
+    input.addData(replayRows)
+    q.processAllAvailable()
+    val stream = spark.table("replay_ma").collect()
+      .map(r => r.getTimestamp(0).getTime / 1000 ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    q.stop()
+    assert(stream.keySet == batch.keySet && stream.nonEmpty)
+    stream.foreach { case (k, (n, sv)) =>
+      val (bn, bsv) = batch(k)
+      assert(n == bn, s"contrib-count mismatch at $k: $n vs $bn")
+      assert(math.abs(sv - bsv) <= 1e-6 * math.max(1.0, math.abs(bsv)),
+        s"sum mismatch at $k: $sv vs $bsv")
+    }
+  }
+
   test("stream-static join enriches events with a broadcast dimension") {
     import spark.implicits._
     val input = MemoryStream[(java.sql.Timestamp, Long, String)](spark)
