@@ -13,6 +13,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.AsOfJoinPushDown)
+    ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.LevenshteinBoundRewrite)
     ext.injectFunction((
       new FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot"),
