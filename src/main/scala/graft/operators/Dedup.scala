@@ -426,6 +426,64 @@ object Dedup {
        |)
        |SELECT doc AS doc_id, min(lbl) AS component FROM r GROUP BY 1""".stripMargin
 
+  // ---- #19e PageRank over the near-dup pair graph ------------------------
+  /** Duplication-hub centrality: PageRank over the (symmetrized) near-dup
+    * pair graph — the doc with high rank is the TEMPLATE many others copy
+    * (boilerplate hubs, mirror roots), a strictly richer signal than raw
+    * degree. Same distributed-iteration discipline as [[dedupComponents]]:
+    * a fixed [[PrRounds]] rounds of one bounded join+agg each (edges are
+    * the pair graph — tiny relative to the corpus), per-round
+    * localCheckpoint lineage truncation, the only driver-side values are
+    * the node count and the loop counter. Rows-only BY DESIGN: a
+    * data-dependent iterative fixpoint over division results has no
+    * single-SQL oracle; the spec brute-forces the same iteration on the
+    * collected graph. */
+  val PrRounds = 10
+  val PrDamp = 0.85
+
+  /** The PR loop over an explicit (src, dst) edge frame — factored out so
+    * the spec can drive it with a hand-built graph. Every node must appear
+    * as a src (symmetrize first): then out-degrees are ≥ 1 and no mass
+    * dangles. */
+  private[graft] def pagerankOn(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val n = deg.count()
+    if (n == 0)
+      return deg.select(col("src").as("doc_id"), col("deg").as("degree"),
+        lit(0.0).as("pr"))
+    val edgesW = edges.join(deg, "src")
+    val ckpts = scala.collection.mutable.ListBuffer.empty[org.apache.spark.rdd.RDD[_]]
+    var ranks = deg.select(col("src").as("doc"), lit(1.0 / n).as("pr"))
+      .localCheckpoint(false)
+    checkpointRdd(ranks).foreach(ckpts += _)
+    for (_ <- 1 to PrRounds) {
+      val contrib = edgesW
+        .join(ranks, col("src") === col("doc"))
+        .groupBy(col("dst"))
+        .agg(sum(col("pr") / col("deg")).as("inflow"))
+      ranks = deg.select(col("src").as("doc"))
+        .join(contrib, col("doc") === col("dst"), "left")
+        .select(col("doc"),
+          (lit((1.0 - PrDamp) / n)
+            + lit(PrDamp) * coalesce(col("inflow"), lit(0.0))).as("pr"))
+        .localCheckpoint(false)
+      checkpointRdd(ranks).foreach(ckpts += _)
+    }
+    val out = ranks.join(deg, col("doc") === col("src"))
+      .select(col("doc").as("doc_id"), col("deg").as("degree"),
+        round(col("pr"), 6).as("pr"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    ckpts.foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
+    out
+  }
+
+  def dupPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(spark, dir)
+    pagerankOn(pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+  }
+
   /** Non-representative members of near-dup clusters — the docs a dedup
     * pass REMOVES. Tiny (bounded by the pair graph, not the corpus), so
     * downstream anti-joins broadcast it. */

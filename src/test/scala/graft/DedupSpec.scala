@@ -187,6 +187,38 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("pagerank matches the per-round brute force on an explicit graph") {
+    import spark.implicits._
+    // path graph 1—2—3, symmetrized
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val got = Dedup.pagerankOn(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // brute force: same init, damping, and round count
+    val adj = Map(1L -> Seq(2L), 2L -> Seq(1L, 3L), 3L -> Seq(2L))
+    var pr = Map(1L -> 1.0 / 3, 2L -> 1.0 / 3, 3L -> 1.0 / 3)
+    for (_ <- 1 to Dedup.PrRounds) {
+      pr = pr.keys.map { v =>
+        val inflow = adj.collect {
+          case (u, outs) if outs.contains(v) => pr(u) / outs.size
+        }.sum
+        v -> ((1.0 - Dedup.PrDamp) / 3 + Dedup.PrDamp * inflow)
+      }.toMap
+    }
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(2L)._1 == 2L && got(1L)._1 == 1L) // degrees
+    got.foreach { case (v, (_, p)) => assert(math.abs(p - pr(v)) < 1e-6) }
+    // the middle node dominates the endpoints
+    assert(got(2L)._2 > got(1L)._2 && got(1L)._2 == got(3L)._2)
+  }
+
+  test("dup_pagerank distributes unit mass over the near-dup graph") {
+    val rows = Dedup.dupPagerank(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty && rows.forall(_._2 >= 1L))
+    val mass = rows.map(_._3).sum
+    assert(math.abs(mass - 1.0) < 1e-3, s"PR mass $mass should be ~1")
+  }
+
   test("fuzzy_name_pairs censuses blocked pairs by exact edit distance") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("graft-fuzzy").toString

@@ -12,7 +12,7 @@ class EntrySpec extends SparkTestBase {
     // bpe_merges: iterative data-dependent argmax fixpoint — no single-SQL
     // oracle exists; brute-force-verified in PipelineOpsSpec instead
     val rowsOnly = Set("partition_stats", "approx_stats", "bpe_merges",
-      "bpe_encode")
+      "bpe_encode", "dup_pagerank")
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == rowsOnly)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
