@@ -774,6 +774,85 @@ object Relational {
       |WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
       |""".stripMargin
 
+  // ---- #34r daily-count anomaly detection (z-score outliers) -------------
+  /** Ops-analytics staple: flag (event_type, day) cells whose daily count
+    * sits more than 2σ from that type's own mean — the volume-anomaly
+    * alarm over an event feed. Moments (N, Σn, Σn²) are exact BIGINTs per
+    * type, so mean/σ come from exact integer→double conversions through
+    * ÷, ×, − and one IEEE-correctly-rounded sqrt — deterministic in both
+    * engines, no libm. Plan: one day-grain rollup (map-side partials),
+    * one ≤|types|-row stats agg BROADCAST back onto the daily frame,
+    * row-local flagging. σ=0 series flag nothing. */
+  def eventAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val daily = ev
+      .select(col("event_type"),
+        org.apache.spark.sql.graft.ExactMath.intDiv(evSec(ev), lit(86400L))
+          .as("day_num"))
+      .groupBy(col("event_type"), col("day_num"))
+      .agg(count(lit(1)).as("n"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nd"), sum(col("n")).as("s1"),
+        sum(col("n") * col("n")).as("s2"))
+    val mean = col("s1").cast("double") / col("nd").cast("double")
+    val sigma = sqrt((col("nd") * col("s2") - col("s1") * col("s1")).cast("double")
+      / (col("nd") * col("nd")).cast("double"))
+    daily.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z_raw", (col("n").cast("double") - mean) / sigma)
+      .where(sigma > 0.0 && abs(col("n").cast("double") - mean) > lit(2.0) * sigma)
+      .select(col("event_type"), col("day_num"), col("n"),
+        round(col("z_raw"), 4).cast("decimal(14,4)").cast("double").as("z"))
+  }
+  val eventAnomaliesSql: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day_num,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |), stats AS (
+      |  SELECT event_type, count(*) AS nd,
+      |    CAST(sum(n) AS BIGINT) AS s1, CAST(sum(n * n) AS BIGINT) AS s2
+      |  FROM daily GROUP BY 1
+      |), scored AS (
+      |  SELECT d.event_type, d.day_num, d.n,
+      |    CAST(s.s1 AS DOUBLE) / CAST(s.nd AS DOUBLE) AS mean,
+      |    sqrt(CAST(s.nd * s.s2 - s.s1 * s.s1 AS DOUBLE)
+      |      / CAST(s.nd * s.nd AS DOUBLE)) AS sigma
+      |  FROM daily d JOIN stats s ON d.event_type = s.event_type
+      |)
+      |SELECT event_type, day_num, n,
+      |  CAST(CAST(round((CAST(n AS DOUBLE) - mean) / sigma, 4)
+      |    AS DECIMAL(14,4)) AS DOUBLE) AS z
+      |FROM scored
+      |WHERE sigma > 0.0 AND abs(CAST(n AS DOUBLE) - mean) > 2.0 * sigma""".stripMargin
+
+  // ---- #34s per-customer lifetime rollup ---------------------------------
+  /** The customer-lifetime-value rollup: first/last order day, order count,
+    * exact decimal revenue per customer — the profile table a CRM/feature
+    * store refreshes nightly. One customer-keyed aggregation with map-side
+    * partials; day numbers in exact integers; revenue via the §6 decimal
+    * narrow-then-double policy. */
+  def customerLifetime(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day_num"),
+        col("o_totalprice").cast("decimal(18,4)").as("price"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("day_num")).as("first_day"),
+        max(col("day_num")).as("last_day"),
+        sum(col("price")).cast("decimal(18,4)").cast("double").as("revenue"))
+  val customerLifetimeSql: String =
+    """SELECT o_custkey, count(*) AS n_orders,
+      |  CAST(min(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)))
+      |    AS BIGINT) AS first_day,
+      |  CAST(max(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)))
+      |    AS BIGINT) AS last_day,
+      |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4))
+      |    AS DOUBLE) AS revenue
+      |FROM orders GROUP BY 1""".stripMargin
+
   // ---- #34q shipping priority (TPC-H Q3 shape) ---------------------------
   /** The classic segment-filtered two-fact top-N: revenue of not-yet-shipped
     * lineitems for BUILDING-segment customers' pre-cutoff orders, top 10

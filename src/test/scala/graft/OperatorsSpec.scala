@@ -507,6 +507,50 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("event_anomalies flags only days beyond 2 sigma of their type's mean") {
+    val d = java.nio.file.Files.createTempDirectory("graft-anom").toString
+    // type "a": 9 days with 10 events, 1 day with 30 -> the 30-day is >2σ
+    // type "b": constant series -> σ=0 -> nothing flagged
+    val day = 86400L
+    val rows = (0 until 9).flatMap(dd =>
+      (1 to 10).map(i => (dd * 1000L + i, dd * day + i, 1L, "a", 1.0, "{}"))) ++
+      (1 to 30).map(i => (9000L + i, 9 * day + i, 1L, "a", 1.0, "{}")) ++
+      (0 until 5).flatMap(dd =>
+        (1 to 7).map(i => (50000L + dd * 100 + i, dd * day + i, 2L, "b", 1.0, "{}")))
+    import org.apache.spark.sql.functions._
+    rows.toDF("event_id", "sec", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("sec").cast("timestamp")).drop("sec")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = Relational.eventAnomalies(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == 1)
+    val (tpe, dayNum, n, z) = got.head
+    assert(tpe == "a" && dayNum == 9L && n == 30L)
+    // series: mean 12, var = (9*4 + 324)/10 = 36, σ=6, z=(30-12)/6=3
+    assert(z == 3.0)
+  }
+
+  test("customer_lifetime rolls up first/last day, count and exact revenue") {
+    val d = java.nio.file.Files.createTempDirectory("graft-clv").toString
+    Seq(
+      (1L, 7L, "O", 10.5, "1995-01-01", "1-URGENT"),
+      (2L, 7L, "O", 20.0, "1996-06-01", "2-HIGH"),
+      (3L, 8L, "F", 5.25, "1995-03-01", "2-HIGH"),
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val got = Relational.customerLifetime(spark, d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val d0 = java.time.LocalDate.of(1995, 1, 1).toEpochDay
+    val d1 = java.time.LocalDate.of(1996, 6, 1).toEpochDay
+    val d2 = java.time.LocalDate.of(1995, 3, 1).toEpochDay
+    assert(got == Map(
+      7L -> ((2L, d0, d1, 30.5)),
+      8L -> ((1L, d2, d2, 5.25))))
+  }
+
   test("freq_sketch keeps every key above N/(capacity+1) under forced decrements") {
     val cap = 8
     val hot = Seq.fill(1000)("hot")
