@@ -32,6 +32,8 @@ object Dedup {
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
   private val compCache = Materialized.register(
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
+  private val prCache = Materialized.register(
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
 
   // ---- #15 exact dedup --------------------------------------------------
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -478,11 +480,15 @@ object Dedup {
     out
   }
 
-  def dupPagerank(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashPairs(spark, dir)
-    pagerankOn(pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
-  }
+  def dupPagerank(spark: SparkSession, dir: String): DataFrame =
+    // the rank table is a per-corpus artifact like the component labels:
+    // materialize once per (session, corpus) — the 10-round loop re-running
+    // per invocation measured ~14 s of pure per-round job overhead at sf0.1
+    Materialized.cached(prCache, spark, dir) {
+      val pairs = minhashPairs(spark, dir)
+      pagerankOn(pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    }
 
   /** Non-representative members of near-dup clusters — the docs a dedup
     * pass REMOVES. Tiny (bounded by the pair graph, not the corpus), so
