@@ -415,6 +415,76 @@ object TextAnalysis {
        |SELECT bigram, n, CAST(rk AS BIGINT) AS rk
        |FROM ranked WHERE rk <= $BigramTopN""".stripMargin
 
+  // ---- #25e-b collocation extraction (PMI-proxy lift) --------------------
+  /** Top bigram collocations by LIFT — n_xy·N / (n_x·n_y), the monotone
+    * PMI proxy (PMI = log lift) that needs NO logarithm, so the score is a
+    * ratio of exact integer products: the doubles come from exact
+    * BIGINT→DOUBLE conversion and one IEEE division — deterministic in
+    * both engines, and safe to RANK on (the ann-cosine precedent). The
+    * classic "new york"-style phrase detector a tokenizer/vocab pipeline
+    * runs before merging multiword units. Reads the SHARED materialized
+    * bigram + term frames (no new corpus pass), with a MinPairN support
+    * floor to keep noise out; both join sides are vocabulary-bounded and
+    * the top-N is TakeOrderedAndProject + in-array rank recovery. */
+  val PmiTopN = 20
+  val MinPairN = 5L
+  def pmiTopPairs(spark: SparkSession, dir: String): DataFrame = {
+    val terms = termCounts(spark, dir)
+    val totals = terms.agg(sum(col("n")).cast("long").as("n_tokens"))
+    val bg = bigramCounts(spark, dir)
+      .where(col("n") >= MinPairN)
+      .select(col("bigram"), col("n").as("n_xy"),
+        split(col("bigram"), " ").getItem(0).as("w1"),
+        split(col("bigram"), " ").getItem(1).as("w2"))
+    bg.join(terms.select(col("term").as("w1"), col("n").as("n_x")), Seq("w1"))
+      .join(terms.select(col("term").as("w2"), col("n").as("n_y")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("bigram"), col("n_xy"),
+        ((col("n_xy") * col("n_tokens")).cast("double")
+          / (col("n_x") * col("n_y")).cast("double")).as("lift_raw"))
+      .orderBy(col("lift_raw").desc, col("bigram")).limit(PmiTopN)
+      .select(struct(negate(col("lift_raw")).as("nl"),
+        col("bigram").as("bigram"), col("n_xy").as("n_xy"),
+        round(col("lift_raw"), 4).cast("decimal(14,4)").cast("double").as("lift"))
+        .as("s"))
+      .agg(array_sort(collect_list(col("s"))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("pos", "s")))
+      .select(col("s.bigram").as("bigram"), col("s.n_xy").as("n_xy"),
+        col("s.lift").as("lift"), (col("pos") + 1).cast("long").as("rk"))
+  }
+  val pmiTopPairsSql: String =
+    s"""WITH toks AS (
+       |  SELECT list_filter(list_transform(
+       |    string_split_regex(text, '\\s+'), t -> lower(t)), t -> t <> '') AS t
+       |  FROM documents
+       |), tk AS (
+       |  SELECT g.w AS term FROM toks, unnest(t) AS g(w)
+       |), tc AS (
+       |  SELECT term, count(*) AS n FROM tk GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(sum(n) AS BIGINT) AS n_tokens FROM tc
+       |), bg AS (
+       |  SELECT g.b AS bigram, count(*) AS n_xy
+       |  FROM toks, unnest(list_transform(range(1, len(t)),
+       |    i -> t[i] || ' ' || t[i + 1])) AS g(b)
+       |  WHERE len(t) >= 2 GROUP BY 1 HAVING count(*) >= $MinPairN
+       |), scored AS (
+       |  SELECT bg.bigram, CAST(bg.n_xy AS BIGINT) AS n_xy,
+       |    CAST(CAST(bg.n_xy AS BIGINT) * tot.n_tokens AS DOUBLE)
+       |      / CAST(x.n * y.n AS DOUBLE) AS lift_raw
+       |  FROM bg
+       |  JOIN tc x ON x.term = string_split(bg.bigram, ' ')[1]
+       |  JOIN tc y ON y.term = string_split(bg.bigram, ' ')[2]
+       |  , tot
+       |), ranked AS (
+       |  SELECT *, CAST(row_number() OVER (ORDER BY lift_raw DESC, bigram)
+       |    AS BIGINT) AS rk
+       |  FROM scored
+       |)
+       |SELECT bigram, n_xy,
+       |  CAST(CAST(round(lift_raw, 4) AS DECIMAL(14,4)) AS DOUBLE) AS lift, rk
+       |FROM ranked WHERE rk <= $PmiTopN""".stripMargin
+
   // ---- #25r corpus token-distribution diagnostics (Zipf fit) -------------
   /** One-row corpus report: vocabulary size, total tokens, head mass
     * (top-1 / top-N token share), and the Zipf slope — the least-squares

@@ -551,6 +551,27 @@ class OperatorsSpec extends SparkTestBase {
       8L -> ((1L, d2, d2, 5.25))))
   }
 
+  test("pmi_top_pairs ranks exclusive collocations above chance pairs") {
+    val d = java.nio.file.Files.createTempDirectory("graft-pmi").toString
+    // "new york" always co-occurs (lift high); "the cat"/"the dog" split
+    // "the"'s mass (lift low); pairs under MinPairN support are dropped
+    val phrase = Seq.fill(6)("new york").mkString(" ")
+    val noise = Seq.fill(6)("the cat the dog").mkString(" ")
+    Seq(1L -> phrase, 2L -> noise, 3L -> "rare pair")
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'src0' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    graft.operators.Materialized.clearAll()
+    val got = TextAnalysis.pmiTopPairs(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val byName = got.map(r => r._1 -> r).toMap
+    assert(byName.contains("new york") && !byName.contains("rare pair"))
+    // lift("new york") = 6*N/(6*6); lift("the cat") = 6*N/(12*6) — half
+    assert(byName("new york")._3 > byName("the cat")._3)
+    assert(got.head._1 == "new york" || got.head._3 >= byName("new york")._3)
+  }
+
   test("freq_sketch keeps every key above N/(capacity+1) under forced decrements") {
     val cap = 8
     val hot = Seq.fill(1000)("hot")
