@@ -42,8 +42,7 @@ def frame_fingerprint(cols, types, rows):
         ("\x1f".join(typed_cols) + "\n" + "\n".join(lines)).encode()).hexdigest()
     return sorted(cols), len(rows), h
 
-def main(sf_dir, out_dir):
-    con = duckdb.connect()
+def fresh_con(sf_dir):
     # Pin a budget + spill dir: under concurrent JVM memory pressure DuckDB
     # otherwise fails sporadically with "Out of Memory Error: Failed to
     # allocate block" on the heavier oracle queries (seen flapping r7) —
@@ -51,26 +50,44 @@ def main(sf_dir, out_dir):
     # 6GB default keeps concurrent-JVM sf0.01 gating stable; the manual
     # sf0.1 sweep should raise it (GRAFT_DUCKDB_MEM=48GB) — at sf0.1 the
     # heavy gram/span oracles spill hundreds of GB under the 6GB pin.
+    con = duckdb.connect()
     con.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '6GB')}'")
     con.execute("SET temp_directory='/tmp/graft_duckdb_spill'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def main(sf_dir, out_dir):
+    con = fresh_con(sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
             continue
-        try:
-            s_desc = con.execute(
-                f"DESCRIBE SELECT * FROM '{d}/*.parquet'").fetchall()
-            s_cols = [r[0] for r in s_desc]
-            s_types = [r[1] for r in s_desc]
-            s_rows = con.execute(f"SELECT * FROM '{d}/*.parquet'").fetchall()
-        except Exception as e:
-            results[name] = {"error": f"spark result unreadable: {e}"}
+        s_err = None
+        for attempt in range(3):
+            try:
+                s_desc = con.execute(
+                    f"DESCRIBE SELECT * FROM '{d}/*.parquet'").fetchall()
+                s_cols = [r[0] for r in s_desc]
+                s_types = [r[1] for r in s_desc]
+                s_rows = con.execute(f"SELECT * FROM '{d}/*.parquet'").fetchall()
+                s_err = None
+                break
+            except Exception as e:
+                # a wedged connection (OOM, spill-dir hiccup) poisons every
+                # later query on it — reconnect before retrying (seen as
+                # whole-run mass failures r7)
+                s_err = e
+                import time
+                time.sleep(2)
+                con = fresh_con(sf_dir)
+        if s_err is not None:
+            results[name] = {"error": f"spark result unreadable: {s_err}"}
             continue
         if name not in oracle:
             results[name] = {"rows": len(s_rows), "rows_only": True,
@@ -89,10 +106,9 @@ def main(sf_dir, out_dir):
                 break
             except Exception as e:
                 o_err = e
-                if "Out of Memory" not in str(e):
-                    break
                 import time
                 time.sleep(2)
+                con = fresh_con(sf_dir)  # see spark-read retry note
         if o_err is not None:
             results[name] = {"error": f"oracle failed: {o_err}"}
             continue

@@ -58,6 +58,14 @@ object ClusterSmoke {
       val warc = SparkEntry.queries("warc_host_stats")(spark, sfDir).count()
       // domain cap: a source-partitioned rank window across executors
       val cap = SparkEntry.queries("source_cap")(spark, sfDir).count()
+      // custom TypedImperativeAggregates: partial states are built on
+      // executors and serialize()/deserialize() across JVM boundaries for
+      // the merge — the byte codecs only genuinely run on a real cluster
+      val hh = SparkEntry.queries("heavy_hitters")(spark, sfDir).count()
+      val kmv = SparkEntry.queries("kmv_sample")(spark, sfDir).count()
+      // iterative graph loop: per-round localCheckpoint blocks live in
+      // executor block managers, not the driver
+      val pr = SparkEntry.queries("dup_pagerank")(spark, sfDir).count()
       // WARC sink round-trip: the DSv2 WriteBuilder/WriterFactory must
       // serialize to real executor JVMs, temps must publish via driver-side
       // job commit, and the V2 reader must see exactly the written records
@@ -74,7 +82,7 @@ object ClusterSmoke {
       // sanity: the work genuinely ran on >1 executor JVM
       val executors = spark.sparkContext.statusTracker.getExecutorInfos
         .map(_.host()).length
-      println(s"""{"smoke":"local-cluster[2,4,2048]","anagram_groups":$anagrams,"dedup_minhash":$minhash,"training_order":$order,"dedup_bloom":$bloom,"ann_ivfpq":$ivfpq,"ivfpq_recall":$recall,"warc_host_stats":$warc,"source_cap":$cap,"warc_sink_roundtrip":$sinkRt,"executors":$executors}""")
+      println(s"""{"smoke":"local-cluster[2,4,2048]","anagram_groups":$anagrams,"dedup_minhash":$minhash,"training_order":$order,"dedup_bloom":$bloom,"ann_ivfpq":$ivfpq,"ivfpq_recall":$recall,"warc_host_stats":$warc,"source_cap":$cap,"heavy_hitters":$hh,"kmv_sample":$kmv,"dup_pagerank":$pr,"warc_sink_roundtrip":$sinkRt,"executors":$executors}""")
       require(anagrams > 0, "anagram_groups returned no rows on local-cluster")
       require(minhash > 0, "dedup_minhash returned no rows on local-cluster")
       require(order > 0, "training_order returned no rows on local-cluster")
@@ -83,6 +91,9 @@ object ClusterSmoke {
       require(recall > 0, "ivfpq_recall returned no rows on local-cluster")
       require(warc > 0, "warc_host_stats returned no rows on local-cluster")
       require(cap > 0, "source_cap returned no rows on local-cluster")
+      require(hh > 0, "heavy_hitters returned no rows on local-cluster")
+      require(kmv > 0, "kmv_sample returned no rows on local-cluster")
+      require(pr > 0, "dup_pagerank returned no rows on local-cluster")
       require(sinkRt == warcDocCount(spark),
         "warc sink round-trip lost records on local-cluster")
     } finally spark.stop()

@@ -473,7 +473,7 @@ object Dedup {
     }
     val out = ranks.join(deg, col("doc") === col("src"))
       .select(col("doc").as("doc_id"), col("deg").as("degree"),
-        round(col("pr"), 6).as("pr"))
+        round(col("pr"), 6).cast("decimal(14,6)").cast("double").as("pr"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
     ckpts.foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
