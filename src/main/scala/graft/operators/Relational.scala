@@ -916,6 +916,49 @@ object Relational {
        |  o_orderpriority, rk
        |FROM ranked WHERE rk <= 10""".stripMargin
 
+  // ---- #34t calendar gap-filling (time-series densification) -------------
+  /** The densified daily revenue series: every calendar day between the
+    * first and last order, zero-filled where no orders landed — the
+    * join-ready form every time-series consumer (forecaster, charting,
+    * window ops) expects, and the shape that makes "days with no sales"
+    * visible at all. The day spine generates from ONE 1-row min/max
+    * aggregate (`sequence` + explode — calendar-bounded, never data-sized),
+    * then LEFT joins the daily rollup; at 100 TB the spine is still just
+    * the calendar. Exact integer day numbers and cents. */
+  def dailyRevenueFilled(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "orders")
+      .select(
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day_num"),
+        round(col("o_totalprice") * 100.0).cast("long").as("cents"))
+      .groupBy(col("day_num"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("day_cents"))
+    val spine = daily
+      .agg(min(col("day_num")).as("d0"), max(col("day_num")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day_num"))
+    spine.join(daily, Seq("day_num"), "left")
+      .select(col("day_num"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("day_cents"), lit(0L)).as("day_cents"))
+  }
+  val dailyRevenueFilledSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(date_diff('day', DATE '1970-01-01',
+      |      CAST(o_orderdate AS DATE)) AS BIGINT) AS day_num,
+      |    count(*) AS n_orders,
+      |    CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+      |      AS day_cents
+      |  FROM orders GROUP BY 1
+      |), spine AS (
+      |  SELECT CAST(g.d AS BIGINT) AS day_num
+      |  FROM (SELECT min(day_num) AS d0, max(day_num) AS d1 FROM daily),
+      |    unnest(range(d0, d1 + 1)) AS g(d)
+      |)
+      |SELECT s.day_num,
+      |  CAST(coalesce(d.n_orders, 0) AS BIGINT) AS n_orders,
+      |  CAST(coalesce(d.day_cents, 0) AS BIGINT) AS day_cents
+      |FROM spine s LEFT JOIN daily d ON s.day_num = d.day_num""".stripMargin
+
   // ---- #34p fact reconciliation (full outer join audit) ------------------
   /** The ingestion-audit shape: do the order header and line-item feeds
     * agree? lineitem pre-aggregates to one row per orderkey BEFORE the

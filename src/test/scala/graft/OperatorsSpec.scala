@@ -572,6 +572,25 @@ class OperatorsSpec extends SparkTestBase {
     assert(got.head._1 == "new york" || got.head._3 >= byName("new york")._3)
   }
 
+  test("daily_revenue_filled zero-fills calendar gaps between first and last day") {
+    val d = java.nio.file.Files.createTempDirectory("graft-fill").toString
+    Seq(
+      (1L, 1L, "O", 10.0, "1995-01-01", "1-URGENT"),
+      (2L, 1L, "O", 20.0, "1995-01-04", "1-URGENT"),
+      (3L, 2L, "O", 5.0, "1995-01-04", "2-HIGH"),
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val d0 = java.time.LocalDate.of(1995, 1, 1).toEpochDay
+    val got = Relational.dailyRevenueFilled(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (d0, 1L, 1000L),
+      (d0 + 1, 0L, 0L),      // gap days materialize with zeros
+      (d0 + 2, 0L, 0L),
+      (d0 + 3, 2L, 2500L)))
+  }
+
   test("freq_sketch keeps every key above N/(capacity+1) under forced decrements") {
     val cap = 8
     val hot = Seq.fill(1000)("hot")
