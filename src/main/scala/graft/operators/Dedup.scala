@@ -198,6 +198,56 @@ object Dedup {
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
 
+  // ---- #16f LSH tuning report (band/bucket health dashboard) -------------
+  /** The dashboard that TUNES the LSH machinery: per band — bucket count,
+    * member rows, the largest bucket, singleton buckets (rows generating
+    * no candidates), overflow buckets silently dropped by the
+    * [[BucketCap]] guard, and the exact candidate-pair volume the kept
+    * buckets generate (Σ bn·(bn−1)/2). At 100 TB this is how a bucket
+    * blow-up (bad band width, adversarial content) is DETECTED before it
+    * melts the pair join — the report reads the same materialized
+    * signature frame and is two bounded aggregations (nothing is ever
+    * per-pair). All-integer outputs. */
+  def lshTuningReport(spark: SparkSession, dir: String): DataFrame =
+    bandedOf(signatures(spark, dir))
+      .groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("bn"))
+      .groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(col("bn")).cast("long").as("n_rows"),
+        max(col("bn")).cast("long").as("max_bucket"),
+        sum(when(col("bn") === 1L, 1L).otherwise(0L)).as("n_singleton"),
+        sum(when(col("bn") > BucketCap, 1L).otherwise(0L)).as("n_overflow"),
+        sum(when(col("bn").between(2L, BucketCap),
+          org.apache.spark.sql.graft.ExactMath.intDiv(
+            col("bn") * (col("bn") - 1L), lit(2L))).otherwise(0L))
+          .cast("long").as("pairs_generated"))
+      .select(col("band").cast("long").as("band"), col("n_buckets"),
+        col("n_rows"), col("max_bucket"), col("n_singleton"),
+        col("n_overflow"), col("pairs_generated"))
+  val lshTuningReportSql: String = {
+    val rowsSql = (0 until Bands).map { j =>
+      val key = (0 until Rows).map(r => s"CAST(s${j * Rows + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $j AS band, $key AS key FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""$signaturesCte, banded AS (
+       |  $rowsSql
+       |), buckets AS (
+       |  SELECT band, key, count(*) AS bn FROM banded GROUP BY 1, 2
+       |)
+       |SELECT CAST(band AS BIGINT) AS band, count(*) AS n_buckets,
+       |  CAST(sum(bn) AS BIGINT) AS n_rows,
+       |  CAST(max(bn) AS BIGINT) AS max_bucket,
+       |  CAST(sum(CASE WHEN bn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singleton,
+       |  CAST(sum(CASE WHEN bn > $BucketCap THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_overflow,
+       |  CAST(sum(CASE WHEN bn BETWEEN 2 AND $BucketCap
+       |    THEN (bn * (bn - 1)) // 2 ELSE 0 END) AS BIGINT) AS pairs_generated
+       |FROM buckets GROUP BY 1""".stripMargin
+  }
+
   // ---- #16 MinHash near-dup: signature-estimated similarity -------------
   /** 0.5 in exact basis points: sim_hat is matches/K, an integer ratio, so
     * both the emitted value and the threshold stay in pure integer math

