@@ -916,6 +916,38 @@ object Relational {
        |  o_orderpriority, rk
        |FROM ranked WHERE rk <= 10""".stripMargin
 
+  // ---- #31b session-distribution report ----------------------------------
+  /** The rollup every sessionization feeds: how long are sessions, how many
+    * events do they carry — histogrammed by integer log2 duration bucket
+    * (the length_histogram convention: `length(bin(n))` is exact integer
+    * math, no float near a bucket boundary). Composes the #31 sessionize
+    * frame, then ONE ≤64-key aggregation; single-event sessions land in
+    * bucket 0 (duration 0). */
+  def sessionStats(spark: SparkSession, dir: String): DataFrame =
+    sessionize(spark, dir)
+      .select((col("end_epoch") - col("start_epoch")).as("dur_sec"),
+        col("n_events"))
+      .withColumn("dur_bucket",
+        when(col("dur_sec") <= 0L, 0L)
+          .otherwise(length(bin(col("dur_sec"))).cast("long")))
+      .groupBy(col("dur_bucket"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).cast("long").as("n_events"),
+        max(col("dur_sec")).cast("long").as("max_dur_sec"))
+  val sessionStatsSql: String =
+    s"""WITH sess AS (
+       |  ${sessionizeSql.linesIterator.mkString("\n  ")}
+       |), d AS (
+       |  SELECT end_epoch - start_epoch AS dur_sec, n_events FROM sess
+       |)
+       |SELECT CAST(CASE WHEN dur_sec <= 0 THEN 0
+       |    ELSE length(bin(CAST(dur_sec AS BIGINT))) END AS BIGINT)
+       |    AS dur_bucket,
+       |  count(*) AS n_sessions,
+       |  CAST(sum(n_events) AS BIGINT) AS n_events,
+       |  CAST(max(dur_sec) AS BIGINT) AS max_dur_sec
+       |FROM d GROUP BY 1""".stripMargin
+
   // ---- #34t calendar gap-filling (time-series densification) -------------
   /** The densified daily revenue series: every calendar day between the
     * first and last order, zero-filled where no orders landed — the

@@ -572,6 +572,23 @@ class OperatorsSpec extends SparkTestBase {
     assert(got.head._1 == "new york" || got.head._3 >= byName("new york")._3)
   }
 
+  test("session_stats buckets sessions by log2 duration, zeros to bucket 0") {
+    val d = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    // user 1: one 2-event session lasting 100 s (bin(100) = 7 digits);
+    // user 2: one single-event session (duration 0 -> bucket 0)
+    Seq(
+      (1L, 1000L, 1L, "view", 1.0, "{}"),
+      (2L, 1100L, 1L, "click", 1.0, "{}"),
+      (3L, 5000L, 2L, "view", 1.0, "{}"),
+    ).toDF("event_id", "sec", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("sec").cast("timestamp")).drop("sec")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = Relational.sessionStats(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((7L, 1L, 2L, 100L), (0L, 1L, 1L, 0L)))
+  }
+
   test("daily_revenue_filled zero-fills calendar gaps between first and last day") {
     val d = java.nio.file.Files.createTempDirectory("graft-fill").toString
     Seq(
