@@ -348,6 +348,68 @@ object Dedup {
        |JOIN sizes nb ON doc_b = nb.doc_id
        |WHERE ${sqlBp("inter", "(na.n + nb.n - inter)")} >= $JaccardBp""".stripMargin
 
+  // ---- #16g MinHash calibration (estimate vs exact error curve) ----------
+  /** How good is the K=32 signature as a Jaccard estimator ON THIS CORPUS —
+    * the calibration audit that justifies (or re-sizes) K before anyone
+    * trusts `sim_hat_bp` thresholds: per 500-bp error bucket, how many
+    * candidate pairs land there and the mean/max |sim_hat − exact| gap.
+    * Pure composition of the materialized frames (signature matches from
+    * the sig table, exact Jaccard from the overlap frame) — row-local
+    * arithmetic over the pair-bounded frame, one ≤21-key rollup. All
+    * integer math. */
+  def minhashCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val sig = sigSets(spark, dir)
+    val matches = (0 until K)
+      .map(i => when(col(s"a.s$i") === col(s"b.s$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val est = candidatePairs(spark, dir).hint("shuffle_hash")
+      .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"), bp(matches, lit(K)).as("sim_hat_bp"))
+    val exact = pairOverlaps(spark, dir)
+      .select(col("doc_a"), col("doc_b"),
+        bp(col("inter"), col("na") + col("nb") - col("inter")).as("jaccard_bp"))
+    est.join(exact, Seq("doc_a", "doc_b"))
+      .select(abs(col("sim_hat_bp") - col("jaccard_bp")).as("err_bp"))
+      .groupBy(org.apache.spark.sql.graft.ExactMath.intDiv(
+        col("err_bp"), lit(500L)).as("err_bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        org.apache.spark.sql.graft.ExactMath.intDiv(
+          sum(col("err_bp")), count(lit(1))).as("mean_err_bp"),
+        max(col("err_bp")).cast("long").as("max_err_bp"))
+  }
+  val minhashCalibrationSql: String = {
+    val matchesSql = (0 until K)
+      .map(i => s"CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END")
+      .mkString("(", " + ", ")")
+    s"""$bandedCte, est AS (
+       |  SELECT doc_a, doc_b, ${sqlBp(matchesSql, K.toString)} AS sim_hat_bp
+       |  FROM cand JOIN sig sa ON doc_a = sa.doc_id
+       |            JOIN sig sb ON doc_b = sb.doc_id
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+       |), inter AS (
+       |  SELECT doc_a, doc_b, count(*) AS inter
+       |  FROM cand
+       |  JOIN sh ha ON doc_a = ha.doc_id
+       |  JOIN sh hb ON doc_b = hb.doc_id AND ha.h = hb.h
+       |  GROUP BY 1, 2
+       |), exact AS (
+       |  SELECT i.doc_a, i.doc_b,
+       |    ${sqlBp("i.inter", "(na.n + nb.n - i.inter)")} AS jaccard_bp
+       |  FROM inter i
+       |  JOIN sizes na ON i.doc_a = na.doc_id
+       |  JOIN sizes nb ON i.doc_b = nb.doc_id
+       |), err AS (
+       |  SELECT abs(e.sim_hat_bp - x.jaccard_bp) AS err_bp
+       |  FROM est e JOIN exact x ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b
+       |)
+       |SELECT err_bp // 500 AS err_bucket, count(*) AS n_pairs,
+       |  CAST(sum(err_bp) AS BIGINT) // count(*) AS mean_err_bp,
+       |  CAST(max(err_bp) AS BIGINT) AS max_err_bp
+       |FROM err GROUP BY 1""".stripMargin
+  }
+
   // ---- #17b asymmetric containment on LSH candidates --------------------
   /** Jaccard containment C(A→B) = |A∩B|/|A|: the asymmetric signal that
     * catches a document EMBEDDED in a larger one (quote farms, wrapper

@@ -916,6 +916,41 @@ object Relational {
        |  o_orderpriority, rk
        |FROM ranked WHERE rk <= 10""".stripMargin
 
+  // ---- #34u hour-of-day seasonality profile ------------------------------
+  /** The diurnal profile per event type: counts and exact-bp share by hour
+    * of day — the seasonality baseline anomaly models normalize against
+    * (and the input to load forecasting). One ≤24·|types|-key rollup with
+    * map-side partials plus a broadcast per-type total; integer epoch
+    * math (positive seconds, so % is engine-neutral). */
+  def hourlySeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val hourly = ev
+      .select(col("event_type"),
+        (org.apache.spark.sql.graft.ExactMath.intDiv(evSec(ev), lit(3600L)) % 24L)
+          .as("hour_of_day"))
+      .groupBy(col("event_type"), col("hour_of_day"))
+      .agg(count(lit(1)).as("n"))
+    val totals = hourly.groupBy(col("event_type"))
+      .agg(sum(col("n")).cast("long").as("total"))
+    hourly.join(broadcast(totals), Seq("event_type"))
+      .select(col("event_type"), col("hour_of_day"), col("n"),
+        graft.functions.TextFns.bp(col("n"), col("total")).as("share_bp"))
+  }
+  val hourlySeasonalitySql: String =
+    s"""WITH hourly AS (
+       |  SELECT event_type,
+       |    (CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600) % 24
+       |      AS hour_of_day,
+       |    count(*) AS n
+       |  FROM events GROUP BY 1, 2
+       |), totals AS (
+       |  SELECT event_type, CAST(sum(n) AS BIGINT) AS total
+       |  FROM hourly GROUP BY 1
+       |)
+       |SELECT h.event_type, h.hour_of_day, h.n,
+       |  ${graft.functions.TextFns.sqlBp("h.n", "t.total")} AS share_bp
+       |FROM hourly h JOIN totals t ON h.event_type = t.event_type""".stripMargin
+
   // ---- #31b session-distribution report ----------------------------------
   /** The rollup every sessionization feeds: how long are sessions, how many
     * events do they carry — histogrammed by integer log2 duration bucket

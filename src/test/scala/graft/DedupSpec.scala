@@ -205,6 +205,25 @@ class DedupSpec extends SparkTestBase {
     assert(nCand >= 0)
   }
 
+  test("minhash_calibration buckets |estimate - exact| per candidate pair") {
+    val rows = Dedup.minhashCalibration(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // buckets are consistent: mean and max fall inside the bucket's range
+    rows.foreach { case (b, n, mean, mx) =>
+      assert(n > 0 && mean >= b * 500 && mean < (b + 1) * 500)
+      assert(mx >= mean && mx < (b + 1) * 500)
+    }
+    // the exact-duplicate pair (docs 1,2) has err 0 → bucket 0 exists
+    assert(rows.exists(_._1 == 0L))
+    // total pairs equals the candidate-pair count (calibration covers all)
+    import org.apache.spark.sql.functions.col
+    val nCand = Dedup.minhashCalibration(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum(col("n_pairs"))).head.getLong(0)
+    val directCand = Dedup.pairOverlaps(spark, dir).count()
+    assert(nCand == directCand)
+  }
+
   test("pagerank matches the per-round brute force on an explicit graph") {
     import spark.implicits._
     // path graph 1—2—3, symmetrized

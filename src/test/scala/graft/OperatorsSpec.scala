@@ -589,6 +589,28 @@ class OperatorsSpec extends SparkTestBase {
     assert(got == Set((7L, 1L, 2L, 100L), (0L, 1L, 1L, 0L)))
   }
 
+  test("hourly_seasonality shares sum to ~10000bp per type") {
+    val d = java.nio.file.Files.createTempDirectory("graft-hod").toString
+    // type a: 3 events at hour 1, 1 at hour 5; type b: 2 at hour 1
+    Seq(
+      (1L, 3600L + 10, 1L, "a", 1.0, "{}"),
+      (2L, 3600L + 20, 1L, "a", 1.0, "{}"),
+      (3L, 86400L + 3600L + 30, 2L, "a", 1.0, "{}"), // next day, same hour 1
+      (4L, 5 * 3600L + 1, 2L, "a", 1.0, "{}"),
+      (5L, 3600L + 40, 3L, "b", 1.0, "{}"),
+      (6L, 3600L + 50, 3L, "b", 1.0, "{}"),
+    ).toDF("event_id", "sec", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("sec").cast("timestamp")).drop("sec")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = Relational.hourlySeasonality(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      ("a", 1L, 3L, 7500L), ("a", 5L, 1L, 2500L),
+      ("b", 1L, 2L, 10000L)))
+  }
+
   test("daily_revenue_filled zero-fills calendar gaps between first and last day") {
     val d = java.nio.file.Files.createTempDirectory("graft-fill").toString
     Seq(
