@@ -106,6 +106,10 @@ def main(sf_dir, out_dir):
                 break
             except Exception as e:
                 o_err = e
+                # parse/binder errors are deterministic (a broken oracle
+                # row), never connection poisoning — fail fast
+                if isinstance(e, (duckdb.ParserException, duckdb.BinderException)):
+                    break
                 import time
                 time.sleep(2)
                 con = fresh_con(sf_dir)  # see spark-read retry note

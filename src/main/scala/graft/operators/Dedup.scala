@@ -145,12 +145,18 @@ object Dedup {
        |)""".stripMargin
   }
 
-  private val bandedCte: String = {
-    val rowsSql = (0 until Bands).map { j =>
+  /** Per-band (doc_id, band, key) rows in SQL — ONE builder shared by the
+    * candidate CTE and the tuning report, so the bucketing they describe
+    * can never silently diverge. */
+  private def bandedRowsSql: String =
+    (0 until Bands).map { j =>
       val key = (0 until Rows).map(r => s"CAST(s${j * Rows + r} AS VARCHAR)")
         .mkString(" || ',' || ")
       s"SELECT doc_id, $j AS band, $key AS key FROM sig"
     }.mkString("\n  UNION ALL\n  ")
+
+  private val bandedCte: String = {
+    val rowsSql = bandedRowsSql
     s"""$signaturesCte, banded AS (
        |  $rowsSql
        |), kept AS (
@@ -227,13 +233,8 @@ object Dedup {
         col("n_rows"), col("max_bucket"), col("n_singleton"),
         col("n_overflow"), col("pairs_generated"))
   val lshTuningReportSql: String = {
-    val rowsSql = (0 until Bands).map { j =>
-      val key = (0 until Rows).map(r => s"CAST(s${j * Rows + r} AS VARCHAR)")
-        .mkString(" || ',' || ")
-      s"SELECT doc_id, $j AS band, $key AS key FROM sig"
-    }.mkString("\n  UNION ALL\n  ")
     s"""$signaturesCte, banded AS (
-       |  $rowsSql
+       |  $bandedRowsSql
        |), buckets AS (
        |  SELECT band, key, count(*) AS bn FROM banded GROUP BY 1, 2
        |)
@@ -395,11 +396,17 @@ object Dedup {
        |  JOIN sh hb ON doc_b = hb.doc_id AND ha.h = hb.h
        |  GROUP BY 1, 2
        |), exact AS (
-       |  SELECT i.doc_a, i.doc_b,
-       |    ${sqlBp("i.inter", "(na.n + nb.n - i.inter)")} AS jaccard_bp
-       |  FROM inter i
-       |  JOIN sizes na ON i.doc_a = na.doc_id
-       |  JOIN sizes nb ON i.doc_b = nb.doc_id
+       |  -- LEFT from cand: a zero-overlap candidate (band key matched on a
+       |  -- minhash value collision with no shared shingle) has NO row in
+       |  -- inter but the Spark side (size(array_intersect)=0) still emits
+       |  -- it — coalesce keeps the frames aligned on such pairs
+       |  SELECT c.doc_a, c.doc_b,
+       |    ${sqlBp("coalesce(i.inter, 0)",
+                    "(na.n + nb.n - coalesce(i.inter, 0))")} AS jaccard_bp
+       |  FROM cand c
+       |  LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+       |  JOIN sizes na ON c.doc_a = na.doc_id
+       |  JOIN sizes nb ON c.doc_b = nb.doc_id
        |), err AS (
        |  SELECT abs(e.sim_hat_bp - x.jaccard_bp) AS err_bp
        |  FROM est e JOIN exact x ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b

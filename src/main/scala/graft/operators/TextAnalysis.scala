@@ -896,6 +896,10 @@ object TextAnalysis {
     * independent in-memory BPE. */
   def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // EAGER at construction by design: resolving the merge table IS a
+    // (cached) training job, like Lloyd centroids. The broadcast is
+    // ≤BpeMergeRounds tuples and must outlive this (lazy) DataFrame, so it
+    // is left to session teardown rather than destroy()'d here.
     val merges = bpeMerges(spark, dir).select("merge_ix", "left", "right")
       .collect().sortBy(_.getLong(0))
       .map(r => (r.getString(1), r.getString(2))).toIndexedSeq
@@ -1097,11 +1101,16 @@ object TextAnalysis {
     * MG guarantee: any term with frequency > N/(capacity+1) of its source's
     * N tokens is in the candidate set (order- and partitioning-free), so
     * the confirmed top-N is the TRUE top-N whenever the N-th count clears
-    * that bound — trivially true here (corpus vocabulary ≪ capacity, so the
-    * sketch never decrements and holds the exact count table), asserted
-    * under forced decrements in the spec. At 100 TB this two-pass shape is
-    * how you top-k a multi-billion-key stream without materializing it. */
-  val HhCapacity = 64
+    * that bound. CONDITION, not a theorem: capacity 1024 puts the bound at
+    * ~0.1% of a source's tokens — every Zipfian source's 5th-most-common
+    * token sits far above that (here the corpus vocabulary is smaller than
+    * the capacity outright, so the sketch never decrements and holds exact
+    * counts) — but a pathologically flat source could in principle evict a
+    * boundary token; size capacity to the corpus before trusting the row.
+    * The spec asserts the guarantee under forced decrements. At 100 TB
+    * this two-pass shape is how you top-k a multi-billion-key stream
+    * without materializing it. */
+  val HhCapacity = 1024
   val HhTopN = 5
   def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
     val tokens = docs(spark, dir)

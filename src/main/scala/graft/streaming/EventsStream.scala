@@ -50,7 +50,13 @@ object EventsStream {
       .select(col("ts"), col("value"))
       .withColumn("t_ts", explode(array((0 to 6).map(d =>
         col("ts") + expr(s"INTERVAL $d DAYS")): _*)))
-      .withWatermark("t_ts", "10 minutes")
+      // the watermark column is shifted up to +6 days ahead of real event
+      // time, so the delay must ABSORB the shift: with a bare 10-minute
+      // delay, one event's +6d contribution advances the watermark ~6 days
+      // and every later on-time event loses its 6 trailing-window
+      // contributions in update/append mode (spec replays two batches in
+      // update mode to pin this)
+      .withWatermark("t_ts", "6 days 10 minutes")
       .groupBy(window(col("t_ts"), "1 day"))
       .agg(count(lit(1)).as("n_contrib"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("day_start"), col("n_contrib"),

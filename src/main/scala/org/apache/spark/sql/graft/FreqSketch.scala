@@ -3,7 +3,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -42,10 +42,14 @@ case class FreqSketch(
     capacity: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[FreqSketch.State] {
+  extends TypedImperativeAggregate[FreqSketch.State]
+  with ImplicitCastInputTypes {
 
   require(capacity > 0, s"freq_sketch: capacity must be positive, got $capacity")
 
+  // declare the string input so a non-string key (freq_sketch(user_id, 8))
+  // is coerced or rejected at ANALYSIS, not as a per-task ClassCastException
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def children: Seq[Expression] = Seq(key)
   override def nullable: Boolean = false
   override def dataType: DataType = FreqSketch.ResultType

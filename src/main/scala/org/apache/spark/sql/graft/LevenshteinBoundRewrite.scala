@@ -38,19 +38,26 @@ object LevenshteinBoundRewrite extends Rule[LogicalPlan] {
       LessThanOrEqual(Abs(Subtract(Length(a), Length(b))), Literal(k)),
       GreaterThanOrEqual(Levenshtein(a, b, Some(Literal(k))), Literal(0)))
 
+  /** The rewrite duplicates both operands (length prefilter + threshold
+    * form), which is only semantics-preserving when they are deterministic
+    * — a non-deterministic operand could evaluate to different values in
+    * the two copies (the same guard Spark's own duplicating rules use). */
+  private def dup(a: Expression, b: Expression): Boolean =
+    a.deterministic && b.deterministic
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case LessThanOrEqual(Levenshtein(a, b, None), Literal(k: Int, IntegerType))
-          if k >= 0 =>
+          if k >= 0 && dup(a, b) =>
         bounded(a, b, k)
       case GreaterThanOrEqual(Literal(k: Int, IntegerType), Levenshtein(a, b, None))
-          if k >= 0 =>
+          if k >= 0 && dup(a, b) =>
         bounded(a, b, k)
       case LessThan(Levenshtein(a, b, None), Literal(k: Int, IntegerType))
-          if k >= 1 =>
+          if k >= 1 && dup(a, b) =>
         bounded(a, b, k - 1)
       case GreaterThan(Literal(k: Int, IntegerType), Levenshtein(a, b, None))
-          if k >= 1 =>
+          if k >= 1 && dup(a, b) =>
         bounded(a, b, k - 1)
     }
 }

@@ -185,6 +185,38 @@ class SourcesAndStreamingSpec extends SparkTestBase {
     }
   }
 
+  test("moving daily sum in UPDATE mode: late batches keep all 7 contributions") {
+    // regression for the watermark-shift bug: t_ts runs up to +6 days ahead
+    // of event time, so a bare 10-minute delay let batch 1's +6d row drag
+    // the watermark ~6 days forward and silently drop 6 of 7 contributions
+    // from every later on-time event. Two sequential micro-batches in
+    // update mode pin the fix (delay absorbs the shift).
+    import org.apache.spark.sql.functions._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
+    val q = EventsStream.movingDailySum(
+        input.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("ma_update")
+      .outputMode("update").start()
+    input.addData(Seq((ts(86400L + 3600L), "a", 1.0)))      // day 1
+    q.processAllAvailable()
+    input.addData(Seq((ts(86400L + 7200L), "a", 10.0)))     // day 1, later
+    q.processAllAvailable()
+    val rows = spark.table("ma_update").collect()
+      .map(r => (r.getTimestamp(0).getTime / 86400000L, r.getLong(1),
+        r.getDouble(2)))
+    q.stop()
+    // update mode emits a row per changed window; take the LAST emission
+    // per day — every one of days 1..7 must show both events' contributions
+    val latest = rows.zipWithIndex.groupBy(_._1._1)
+      .map { case (d, xs) => d -> xs.maxBy(_._2)._1 }
+    (1L to 7L).foreach { d =>
+      val (_, n, sv) = latest(d)
+      assert(n == 2L, s"day $d lost a contribution: n=$n")
+      assert(sv == 11.0, s"day $d sum $sv != 11.0")
+    }
+  }
+
   test("stream-static join enriches events with a broadcast dimension") {
     import spark.implicits._
     val input = MemoryStream[(java.sql.Timestamp, Long, String)](spark)
