@@ -916,6 +916,45 @@ object Relational {
        |  o_orderpriority, rk
        |FROM ranked WHERE rk <= 10""".stripMargin
 
+  // ---- #34v event-type transition matrix (first-order Markov) ------------
+  /** What do users do NEXT — per-user consecutive event-type pairs rolled
+    * into the first-order transition matrix with exact-bp row shares (the
+    * empirical Markov kernel behind path analysis and next-action
+    * models). One user-partitioned lead() window (the sessionize
+    * partitioning — shuffle on user_id only), then a ≤|types|²-key rollup
+    * plus a broadcast per-from-type total. Deterministic ordering ties on
+    * (ts, event_id), the sessionize convention. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val trans = t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy(col("from_type"))
+      .agg(sum(col("n")).cast("long").as("total"))
+    trans.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        graft.functions.TextFns.bp(col("n"), col("total")).as("share_bp"))
+  }
+  val eventTransitionsSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type,
+       |    lead(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS to_type
+       |  FROM events
+       |), trans AS (
+       |  SELECT event_type AS from_type, to_type, count(*) AS n
+       |  FROM e WHERE to_type IS NOT NULL GROUP BY 1, 2
+       |), totals AS (
+       |  SELECT from_type, CAST(sum(n) AS BIGINT) AS total
+       |  FROM trans GROUP BY 1
+       |)
+       |SELECT tr.from_type, tr.to_type, tr.n,
+       |  ${graft.functions.TextFns.sqlBp("tr.n", "t.total")} AS share_bp
+       |FROM trans tr JOIN totals t ON tr.from_type = t.from_type""".stripMargin
+
   // ---- #34u hour-of-day seasonality profile ------------------------------
   /** The diurnal profile per event type: counts and exact-bp share by hour
     * of day — the seasonality baseline anomaly models normalize against

@@ -753,6 +753,54 @@ object TextAnalysis {
        |FROM s, c""".stripMargin
   }
 
+  // ---- #25h-c pairwise source vocabulary overlap -------------------------
+  /** Which feeds write with the same words — vocabulary Jaccard for every
+    * source pair, the lexical companion to `dedup_report`'s near-dup pair
+    * census (feeds can share vocabulary long before they share documents:
+    * same scraper templates, same domain). The distinct (source, term)
+    * frame is vocabulary-bounded; the self-join keys on the TERM (each
+    * term contributes its ≤|sources|² co-occurring pairs — bounded by
+    * vocab × |sources|², never corpus-sized), then one ≤|sources|²-key
+    * rollup and two broadcast size joins. Exact integer basis points. */
+  def vocabOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val st = docs(spark, dir)
+      .select(col("source"), explode(toks(col("text"))).as("term"))
+      .distinct()
+    val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = st.select(col("source").as("src_a"), col("term"))
+      .join(st.select(col("source").as("src_b"), col("term")), Seq("term"))
+      .where(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("na"))),
+        Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("nb"))),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("inter").cast("long").as("inter"),
+        bp(col("inter"), col("na") + col("nb") - col("inter")).as("jaccard_bp"))
+  }
+  val vocabOverlapSql: String =
+    s"""WITH st AS (
+       |  SELECT DISTINCT source, g.t AS term
+       |  FROM (SELECT source, list_filter(list_transform(
+       |    string_split_regex(text, '\\s+'), t -> lower(t)), t -> t <> '') AS ts
+       |    FROM documents),
+       |  unnest(ts) AS g(t)
+       |), sizes AS (
+       |  SELECT source, count(*) AS n FROM st GROUP BY 1
+       |), inter AS (
+       |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+       |  FROM st a JOIN st b ON a.term = b.term AND a.source < b.source
+       |  GROUP BY 1, 2
+       |)
+       |SELECT i.src_a, i.src_b, CAST(i.inter AS BIGINT) AS inter,
+       |  ${graft.functions.TextFns.sqlBp("i.inter",
+            "(na.n + nb.n - i.inter)")} AS jaccard_bp
+       |FROM inter i
+       |JOIN sizes na ON i.src_a = na.source
+       |JOIN sizes nb ON i.src_b = nb.source""".stripMargin
+
   // ---- #25t-b tokenizer-training pair statistics (first BPE merge) ------
   /** The first iteration of BPE tokenizer training: the corpus-frequency-
     * weighted counts of adjacent character pairs inside words — the

@@ -611,6 +611,45 @@ class OperatorsSpec extends SparkTestBase {
       ("b", 1L, 2L, 10000L)))
   }
 
+  test("event_transitions counts consecutive per-user pairs with row shares") {
+    val d = java.nio.file.Files.createTempDirectory("graft-trans").toString
+    // user 1: view->click->view->purchase; user 2: view->click
+    Seq(
+      (1L, 100L, 1L, "view", 1.0, "{}"),
+      (2L, 200L, 1L, "click", 1.0, "{}"),
+      (3L, 300L, 1L, "view", 1.0, "{}"),
+      (4L, 400L, 1L, "purchase", 1.0, "{}"),
+      (5L, 150L, 2L, "view", 1.0, "{}"),
+      (6L, 250L, 2L, "click", 1.0, "{}"),
+    ).toDF("event_id", "sec", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("sec").cast("timestamp")).drop("sec")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = Relational.eventTransitions(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      ("view", "click", 2L, 6666L),     // 2 of view's 3 transitions
+      ("view", "purchase", 1L, 3333L),
+      ("click", "view", 1L, 10000L)))
+  }
+
+  test("vocab_overlap computes pairwise source vocabulary jaccard") {
+    val d = java.nio.file.Files.createTempDirectory("graft-vocab").toString
+    Seq(
+      (1L, "aa bb cc", "s1"),
+      (2L, "bb cc dd", "s2"),   // |s1∩s2|=2, |s1∪s2|=4 → 5000bp
+      (3L, "xx yy", "s3"),      // disjoint from both → no pair row? inter=0 dropped
+    ).toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'en' AS lang", "source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val norm = graft.operators.TextAnalysis.vocabOverlap(spark, d).collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b"),
+        r.getAs[Long]("inter"), r.getAs[Long]("jaccard_bp"))).toSet
+    assert(norm == Set(("s1", "s2", 2L, 5000L)))
+  }
+
   test("daily_revenue_filled zero-fills calendar gaps between first and last day") {
     val d = java.nio.file.Files.createTempDirectory("graft-fill").toString
     Seq(
