@@ -996,7 +996,9 @@ object Similarity {
       // 2^53, so both engines convert exactly (the q1_agg lesson); the
       // 12→8 rescale rounds HALF_UP on non-negative values in both engines
       .agg(sum(col("sd2")).cast("decimal(18,8)").cast("double").as("s_sum"))
-    nPer.join(s, Seq("source"))
+    // both sides are ≤|sources|-row aggregates — broadcast explicitly so
+    // the final join never plans a sort-merge (plan-asserted in ScaleSpec)
+    nPer.join(broadcast(s), Seq("source"))
       .where(col("n_vecs") >= 2L)
       .select(col("source"), col("n_vecs"),
         round((col("s_sum") - col("n_vecs").cast("double"))

@@ -229,6 +229,39 @@ class ScaleSpec extends SparkTestBase {
     assert(back.count() == direct && direct > 0)
   }
 
+  test("session-2 queries keep their claimed scale shapes") {
+    // inverted_index: ONE term-keyed exchange serves both the rank window
+    // and the final rollup (exchange reuse) — plus the unavoidable
+    // (term, doc) partial; any third Exchange is a regression
+    val idx = planOf("inverted_index")
+    assert("Exchange hashpartitioning".r.findAllIn(idx).size <= 2,
+      s"inverted_index gained an exchange:\n$idx")
+    // heavy_hitters: the sketch must aggregate partially map-side
+    // (ObjectHashAggregate below the exchange) and the candidates broadcast
+    val hh = planOf("heavy_hitters")
+    assert(hh.contains("ObjectHashAggregate"), s"sketch not partial:\n$hh")
+    assert(hh.contains("BroadcastHashJoin"), s"candidates not broadcast:\n$hh")
+    // shipping_priority: top-10 via partial heap, customer side broadcast,
+    // and NO global sort outside TakeOrdered
+    val q3 = planOf("shipping_priority")
+    assert(q3.contains("TakeOrderedAndProject"), s"Q3 lost partial top-k:\n$q3")
+    assert(q3.contains("BroadcastHashJoin"), s"Q3 customer side not broadcast:\n$q3")
+    // revenue_moving_avg / daily_revenue_filled: no Window operator at all
+    // (the contribution-explode / spine formulations replace it)
+    Seq("revenue_moving_avg", "daily_revenue_filled").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("Window"), s"$q reintroduced a window:\n$p")
+    }
+    // pmi_top_pairs: top-N via partial heap over vocabulary-bounded joins
+    val pmi = planOf("pmi_top_pairs")
+    assert(pmi.contains("TakeOrderedAndProject"), s"pmi lost partial top-k:\n$pmi")
+    // source_coherence: the centroid identity means NO join of two
+    // embedding-derived sides — only the docs-source equi-join and the
+    // 1-row/tiny broadcasts; any SortMergeJoin is a pair join sneaking back
+    val coh = planOf("source_coherence")
+    assert(!coh.contains("SortMergeJoin"), s"coherence grew a wide join:\n$coh")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
