@@ -916,6 +916,68 @@ object Relational {
        |  o_orderpriority, rk
        |FROM ranked WHERE rk <= 10""".stripMargin
 
+  // ---- #34w market-basket co-purchase pairs ------------------------------
+  /** Which parts ship together — the classic market-basket pair census:
+    * distinct parts per order self-joined WITHIN the order key, top
+    * [[CopurchaseTopN]] pairs by support. The pair explosion is bounded by
+    * (lines per order)² — a per-group quadratic on a SMALL group (≈4
+    * lines/order at every scale), which is the one place quadratic is
+    * fine; the join keys on orderkey, so it's ONE co-partitioned shuffle,
+    * and an adversarial mega-order is capped by the same discipline as
+    * LSH buckets (orders with > [[CopurchaseMaxLines]] distinct parts are
+    * dropped — a retail order with hundreds of lines is a data bug, and
+    * the cap is the audit hook). Top-N via TakeOrderedAndProject + rank
+    * recovery. */
+  val CopurchaseTopN = 20
+  val CopurchaseMaxLines = 64
+  def partsCopurchase(spark: SparkSession, dir: String): DataFrame = {
+    val op = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val keep = op.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("m"))
+      .where(col("m").between(2L, CopurchaseMaxLines))
+      .select(col("l_orderkey"))
+    val bounded = op.join(keep, Seq("l_orderkey"))
+    bounded.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      .join(bounded.select(col("l_orderkey"), col("l_partkey").as("part_b")),
+        Seq("l_orderkey"))
+      .where(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(CopurchaseTopN)
+      .select(struct(negate(col("n_orders")).as("nn"),
+        col("part_a").as("part_a"), col("part_b").as("part_b"),
+        col("n_orders").as("n_orders")).as("s"))
+      .agg(array_sort(collect_list(col("s"))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("pos", "s")))
+      .select(col("s.part_a").as("part_a"), col("s.part_b").as("part_b"),
+        col("s.n_orders").as("n_orders"),
+        (col("pos") + 1).cast("long").as("rk"))
+  }
+  val partsCopurchaseSql: String =
+    s"""WITH op AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       |), keep AS (
+       |  SELECT l_orderkey FROM op GROUP BY 1
+       |  HAVING count(*) BETWEEN 2 AND $CopurchaseMaxLines
+       |), b AS (
+       |  SELECT op.l_orderkey, op.l_partkey
+       |  FROM op JOIN keep ON op.l_orderkey = keep.l_orderkey
+       |), pairs AS (
+       |  SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+       |    count(*) AS n_orders
+       |  FROM b x JOIN b y
+       |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+       |  GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT *, CAST(row_number() OVER (ORDER BY n_orders DESC, part_a,
+       |    part_b) AS BIGINT) AS rk
+       |  FROM pairs
+       |)
+       |SELECT part_a, part_b, n_orders, rk
+       |FROM ranked WHERE rk <= $CopurchaseTopN""".stripMargin
+
   // ---- #34v event-type transition matrix (first-order Markov) ------------
   /** What do users do NEXT — per-user consecutive event-type pairs rolled
     * into the first-order transition matrix with exact-bp row shares (the

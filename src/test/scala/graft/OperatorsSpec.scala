@@ -650,6 +650,29 @@ class OperatorsSpec extends SparkTestBase {
     assert(norm == Set(("s1", "s2", 2L, 5000L)))
   }
 
+  test("parts_copurchase counts distinct within-order pairs, ranked by support") {
+    val d = java.nio.file.Files.createTempDirectory("graft-basket").toString
+    // order 1: parts {10,20,30}; order 2: {10,20}; order 3: {10,20} dup line;
+    // order 4: single part (no pairs)
+    Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 20L), (3L, 20L),
+      (4L, 99L),
+    ).zipWithIndex.map { case ((o, p), i) =>
+      (o, p, 1L, i + 1, 1.0, 10.0, 0.0, 0.0, "N", "O", "1995-01-01")
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val got = Relational.partsCopurchase(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (10L, 20L, 3L, 1L),   // duplicate line in order 3 counts once
+      (10L, 30L, 1L, 2L),
+      (20L, 30L, 1L, 3L)))
+  }
+
   test("daily_revenue_filled zero-fills calendar gaps between first and last day") {
     val d = java.nio.file.Files.createTempDirectory("graft-fill").toString
     Seq(
