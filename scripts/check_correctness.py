@@ -60,6 +60,44 @@ def fresh_con(sf_dir):
     return con
 
 
+def run_oracle_subprocess(sf_dir, sql, mem=None):
+    """Last-resort OOM escalation: run one oracle in a FRESH python process
+    (fresh DuckDB allocator) with a raised memory budget + spill dir.
+    Returns (cols, types, rows) or None."""
+    import subprocess, tempfile
+    mem = mem or os.environ.get("GRAFT_DUCKDB_RETRY_MEM", "24GB")
+    with tempfile.NamedTemporaryFile("w", suffix=".sql", delete=False) as f:
+        f.write(sql)
+        sql_path = f.name
+    helper = (
+        "import sys, json, duckdb, os\n"
+        "sf, sql_path, mem = sys.argv[1:4]\n"
+        "con = duckdb.connect()\n"
+        "con.execute(f\"SET memory_limit='{mem}'\")\n"
+        "con.execute(\"SET temp_directory='/tmp/graft_duckdb_spill'\")\n"
+        f"for t in {TABLES!r}:\n"
+        "    p = f'{sf}/{t}.parquet'\n"
+        "    if os.path.exists(p):\n"
+        "        con.execute(f\"CREATE VIEW {t} AS SELECT * FROM '{p}'\")\n"
+        "sql = open(sql_path).read()\n"
+        "desc = con.execute(f'DESCRIBE ({sql})').fetchall()\n"
+        "rows = con.execute(sql).fetchall()\n"
+        "json.dump({'cols': [r[0] for r in desc], 'types': [r[1] for r in desc],\n"
+        "           'rows': rows}, sys.stdout, default=str)\n")
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", helper, sf_dir, sql_path, mem],
+            capture_output=True, text=True, timeout=600)
+        if out.returncode != 0:
+            return None
+        d = json.loads(out.stdout)
+        return d["cols"], d["types"], [tuple(r) for r in d["rows"]]
+    except Exception:
+        return None
+    finally:
+        os.unlink(sql_path)
+
+
 def main(sf_dir, out_dir):
     con = fresh_con(sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
@@ -106,13 +144,26 @@ def main(sf_dir, out_dir):
                 break
             except Exception as e:
                 o_err = e
-                # parse/binder errors are deterministic (a broken oracle
-                # row), never connection poisoning — fail fast
-                if isinstance(e, (duckdb.ParserException, duckdb.BinderException)):
+                # Deterministic failures — a broken oracle row (parse/bind)
+                # or a value-level runtime error (conversion, out-of-range,
+                # decimal overflow) — re-execute identically every time;
+                # fail fast instead of burning 3 heavy retries (ADVICE r7).
+                if isinstance(e, (duckdb.ParserException, duckdb.BinderException,
+                                  duckdb.ConversionException,
+                                  duckdb.OutOfRangeException)):
                     break
                 import time
                 time.sleep(2)
                 con = fresh_con(sf_dir)  # see spark-read retry note
+        if isinstance(o_err, duckdb.OutOfMemoryException):
+            # An OOM wedge can poison the allocator beyond what a fresh
+            # CONNECTION in this process recovers (r7 driver run) — escalate
+            # to a fresh PROCESS with a raised per-query budget.
+            cols_types_rows = run_oracle_subprocess(sf_dir, oracle[name])
+            if cols_types_rows is not None:
+                o_cols, o_types, o_rows = cols_types_rows
+                o_err = None
+            con = fresh_con(sf_dir)  # this process's con may still be wedged
         if o_err is not None:
             results[name] = {"error": f"oracle failed: {o_err}"}
             continue

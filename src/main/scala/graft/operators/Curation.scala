@@ -699,7 +699,7 @@ object Curation {
        |  FROM documents JOIN ent USING (doc_id)
        |  WHERE len(list_filter(list_transform(
        |    string_split_regex(text, '\\s+'), t -> lower(t)), t -> t <> '')) > 0
-       |), pairs AS (
+       |), pairs AS MATERIALIZED (
        |  ${Dedup.dedupMinhashSql.linesIterator.mkString("\n  ")}
        |), dup AS (
        |  SELECT DISTINCT doc_id FROM (

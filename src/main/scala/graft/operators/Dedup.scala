@@ -96,8 +96,14 @@ object Dedup {
       s"(($acc * $ShingleB + ord(substr($textExpr, CAST($posExpr AS INTEGER) + $j, 1))) % $P)"
     }
 
+  // MATERIALIZED hints (DuckDB ≥0.9): without them DuckDB INLINES a CTE at
+  // every reference site, so `sig` (referenced 8× by the band explode + 2×
+  // by the signature joins) re-ran the whole shingle pipeline ~10× per
+  // oracle — measured r8: minhash_calibration needed >2 GB no-spill and
+  // 2.2 s; with the hints it runs in <512 MB and 0.15 s. This is what let
+  // the driver's gate DuckDB OOM-wedge on the minhash family in r7.
   private[operators] val shinglesCte =
-    s"""WITH sh AS (
+    s"""WITH sh AS MATERIALIZED (
        |  SELECT DISTINCT d.doc_id,
        |    ${sqlShingleHash("d.text", "g.pos")} AS h
        |  FROM documents d,
@@ -138,7 +144,7 @@ object Dedup {
     val aggs = (0 until K)
       .map(i => s"min((h * ${CoefA(i)} + ${CoefB(i)}) % $P) AS s$i")
       .mkString(",\n    ")
-    s"""$shinglesCte, sig AS (
+    s"""$shinglesCte, sig AS MATERIALIZED (
        |  SELECT doc_id,
        |    $aggs
        |  FROM sh GROUP BY doc_id
@@ -157,15 +163,15 @@ object Dedup {
 
   private val bandedCte: String = {
     val rowsSql = bandedRowsSql
-    s"""$signaturesCte, banded AS (
+    s"""$signaturesCte, banded AS MATERIALIZED (
        |  $rowsSql
        |), kept AS (
        |  SELECT band, key FROM banded GROUP BY 1, 2
        |  HAVING count(*) BETWEEN 2 AND $BucketCap
-       |), bk AS (
+       |), bk AS MATERIALIZED (
        |  SELECT b.doc_id, b.band, b.key FROM banded b
        |  JOIN kept k ON b.band = k.band AND b.key = k.key
-       |), cand AS (
+       |), cand AS MATERIALIZED (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bk x JOIN bk y
        |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
@@ -333,7 +339,7 @@ object Dedup {
       .where(col("jaccard_bp") >= JaccardBp)
   }
   val dedupNgramJaccardSql: String =
-    s"""$bandedCte, sizes AS (
+    s"""$bandedCte, sizes AS MATERIALIZED (
        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
        |), inter AS (
        |  SELECT doc_a, doc_b, count(*) AS inter
@@ -387,7 +393,7 @@ object Dedup {
        |  SELECT doc_a, doc_b, ${sqlBp(matchesSql, K.toString)} AS sim_hat_bp
        |  FROM cand JOIN sig sa ON doc_a = sa.doc_id
        |            JOIN sig sb ON doc_b = sb.doc_id
-       |), sizes AS (
+       |), sizes AS MATERIALIZED (
        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
        |), inter AS (
        |  SELECT doc_a, doc_b, count(*) AS inter
@@ -435,7 +441,7 @@ object Dedup {
       .where(col("contain_a_bp") >= ContainmentBp
         || col("contain_b_bp") >= ContainmentBp)
   val minhashContainmentSql: String =
-    s"""$bandedCte, sizes AS (
+    s"""$bandedCte, sizes AS MATERIALIZED (
        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
        |), inter AS (
        |  SELECT doc_a, doc_b, count(*) AS inter
@@ -1007,7 +1013,7 @@ object Dedup {
     s"""WITH $embCtes, pairs AS (
        |  SELECT vec_a, vec_b, CAST(CAST(round(cos_raw, 4) AS DECIMAL(14,4)) AS DOUBLE) AS cos
        |  FROM cand WHERE cos_raw >= $CosineThreshold
-       |), $shCte, sizes AS (
+       |), $shCte, sizes AS MATERIALIZED (
        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
        |), inter AS (
        |  SELECT vec_a, vec_b, count(*) AS inter
