@@ -601,6 +601,14 @@ object Dedup {
         round(col("pr"), 6).cast("decimal(14,6)").cast("double").as("pr"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
+    // Same release discipline and failure model as dedupComponents (ADVICE
+    // r7): localCheckpoint lineage is already unrecoverable on executor
+    // loss, so dropping the round blocks once `out` is materialized does
+    // not weaken fault tolerance — but `out` itself then has no recompute
+    // path either. On a real cluster a job that must survive executor loss
+    // should write `out` to storage (one parquet write of a pair-graph-
+    // bounded frame) before releasing the round checkpoints; in-session
+    // the Materialized cache re-runs the loop on block loss.
     ckpts.foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
     out
   }

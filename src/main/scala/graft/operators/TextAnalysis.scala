@@ -439,9 +439,16 @@ object TextAnalysis {
     bg.join(terms.select(col("term").as("w1"), col("n").as("n_x")), Seq("w1"))
       .join(terms.select(col("term").as("w2"), col("n").as("n_y")), Seq("w2"))
       .crossJoin(broadcast(totals))
+      // lift = (n_xy/n_x)·(n_tokens/n_y), NOT (n_xy·n_tokens)/(n_x·n_y):
+      // the BIGINT products overflow 2^63 once the corpus passes ~3e9
+      // tokens (ADVICE r7). Each factor is an exact BIGINT→DOUBLE cast
+      // (counts < 2^53 up to ~9e15 tokens ≫ the 100 TB target) followed by
+      // one IEEE divide; the same op sequence runs on the oracle, so the
+      // doubles stay bit-identical.
       .select(col("bigram"), col("n_xy"),
-        ((col("n_xy") * col("n_tokens")).cast("double")
-          / (col("n_x") * col("n_y")).cast("double")).as("lift_raw"))
+        ((col("n_xy").cast("double") / col("n_x").cast("double"))
+          * (col("n_tokens").cast("double") / col("n_y").cast("double")))
+          .as("lift_raw"))
       .orderBy(col("lift_raw").desc, col("bigram")).limit(PmiTopN)
       .select(struct(negate(col("lift_raw")).as("nl"),
         col("bigram").as("bigram"), col("n_xy").as("n_xy"),
@@ -470,8 +477,8 @@ object TextAnalysis {
        |  WHERE len(t) >= 2 GROUP BY 1 HAVING count(*) >= $MinPairN
        |), scored AS (
        |  SELECT bg.bigram, CAST(bg.n_xy AS BIGINT) AS n_xy,
-       |    CAST(CAST(bg.n_xy AS BIGINT) * tot.n_tokens AS DOUBLE)
-       |      / CAST(x.n * y.n AS DOUBLE) AS lift_raw
+       |    (CAST(bg.n_xy AS DOUBLE) / CAST(x.n AS DOUBLE))
+       |      * (CAST(tot.n_tokens AS DOUBLE) / CAST(y.n AS DOUBLE)) AS lift_raw
        |  FROM bg
        |  JOIN tc x ON x.term = string_split(bg.bigram, ' ')[1]
        |  JOIN tc y ON y.term = string_split(bg.bigram, ' ')[2]
