@@ -2,70 +2,89 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Multi-executor smoke validation (VERDICT r4 #4): everything else in the
-  * build runs `local[n]` — a single JVM where closure serialization,
-  * executor-side classloading and partition locality can silently not
-  * matter. `local-cluster[2,4,2048]` starts two REAL worker processes with
-  * separate executor JVMs, so the flagship anagram pipeline and one
-  * LSH-family query (materialized signature frame + band-bucket self-join +
-  * shuffle_hash pair verification) exercise serialization and partition
-  * discipline off the single-JVM path.
+/** Multi-executor smoke validation (VERDICT r4 #4, broadened r8 per
+  * VERDICT r7 #6): everything else in the build runs `local[n]` — a single
+  * JVM where closure serialization, executor-side classloading and
+  * partition locality can silently not matter. `local-cluster[2,4,2048]`
+  * starts two REAL worker processes with separate executor JVMs.
   *
-  * Usage: SPARK_HOME=/opt/spark …  runMain graft.ClusterSmoke <appJar> <sfDir>
+  * The smoke list is the heaviest queries by bench first-run time plus the
+  * paths with genuine cross-JVM state: the flagship reference pipeline,
+  * the LSH/minhash family (materialized signature frame + band-bucket
+  * self-join + shuffle_hash verification), the iterative loops (PageRank
+  * per-round localCheckpoint blocks live in executor block managers; BPE
+  * merge rounds collect 1-row argmaxes from executors), the custom
+  * TypedImperativeAggregates (partial states serialize()/deserialize()
+  * across JVM boundaries for the merge), the PQ/IVF quantizer frames +
+  * broadcast ADC tables, the Bloom blob round trip (built on executors,
+  * merged driver-side, re-shipped for the might_contain scan), and the
+  * WARC DSv2 read/write paths.
+  *
+  * Every query's cluster row count must EQUAL the count from a plain
+  * `local[4]` session run first in the same process — not just be
+  * non-zero — so a cross-JVM serialization bug that drops or duplicates
+  * partitions fails the smoke even when rows survive.
+  *
+  * Usage: SPARK_HOME=/opt/spark … runMain graft.ClusterSmoke <appJar> <sfDir>
   * The app jar ships the graft classes to the executor JVMs (spark.jars).
   * Prints one JSON line with the row counts; exits non-zero on failure.
   */
 object ClusterSmoke {
+  /** Heaviest-by-bench + cross-JVM-state queries (VERDICT r7 #6). */
+  private val SmokeQueries = Seq(
+    "anagram_groups",     // flagship reference pipeline end-to-end
+    "dup_pagerank",       // iterative loop, per-round localCheckpoint
+    "curated_corpus",     // composed gates: quality + dedup + decontaminate
+    "ann_pq",             // PQ codebook Lloyd rounds + broadcast ADC join
+    "bpe_merges",         // iterative 1-row argmax collects per round
+    "bpe_encode",         // merge-table broadcast + re-tokenize
+    "parts_copurchase",   // capped within-order pair census
+    "minhash_containment",// LSH candidates + materialized overlap frame
+    "dup_span_exact",     // position shuffle + substring recount
+    "hybrid_search_rrf",  // lexical + vector legs fused by exact RRF
+    "cluster_purity",     // k-means rounds + label join
+    "dedup_minhash",      // signature frame + shuffle_hash pair verify
+    "training_order",     // shard-partitioned windows + salted md5 shards
+    "dedup_bloom",        // executor-built blob, driver merge, re-ship
+    "ann_ivfpq",          // two materialized quantizers across JVMs
+    "ivfpq_recall",       // recall audit + brute-force broadcast baseline
+    "warc_host_stats",    // WARC raw-file path (classpath fixture on executors)
+    "source_cap",         // source-partitioned rank window
+    "heavy_hitters",      // Misra–Gries TypedImperativeAggregate merge codecs
+    "kmv_sample")         // bottom-k TypedImperativeAggregate merge codecs
+
   private def warcDocCount(spark: SparkSession): Long =
     graft.sources.WarcSource
       .documentsFromWarc(spark, graft.sources.WarcSource.FixtureDir).count()
 
+  private def sessionBase(): SparkSession.Builder = SparkSession.builder()
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+
   def main(args: Array[String]): Unit = {
     val Array(appJar, sfDir) = args.take(2)
-    val spark = SparkSession.builder()
-      .master("local-cluster[2,4,2048]")
-      .appName("graft-cluster-smoke")
-      .config("spark.jars", appJar)
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
+
+    // Pass 1 — reference counts from a plain single-JVM session. The
+    // Materialized caches key on (session, corpus), so the cluster pass
+    // below recomputes everything rather than reading this session's
+    // persisted frames.
+    val local = sessionBase().master("local[4]")
+      .appName("graft-cluster-smoke-local").getOrCreate()
+    val expected =
+      try SmokeQueries.map(q =>
+        q -> SparkEntry.queries(q)(local, sfDir).count()).toMap
+      finally local.stop()
+
+    // Pass 2 — the same queries on two real worker processes.
+    val spark = sessionBase().master("local-cluster[2,4,2048]")
+      .appName("graft-cluster-smoke").config("spark.jars", appJar)
       .getOrCreate()
     try {
-      // flagship: the full reference pipeline (ingest → normalize → strip →
-      // tokenize → preprocess → signature → combine → shuffle → reduce)
-      val anagrams = SparkEntry.queries("anagram_groups")(spark, sfDir).count()
-      // LSH family: corpus-sized frames, persisted intermediates,
-      // shuffle_hash-pinned joins — the serialization-heavy path
-      val minhash = SparkEntry.queries("dedup_minhash")(spark, sfDir).count()
-      // batch prep: shard-partitioned windows + salted-md5 shard assignment
-      // (row_number over a real multi-executor exchange)
-      val order = SparkEntry.queries("training_order")(spark, sfDir).count()
-      // bloom probe: the BloomFilterAggregate blob is built on executors,
-      // merged on the driver via a scalar subquery, and re-shipped to every
-      // executor for the might_contain scan — a round trip only a real
-      // multi-JVM cluster exercises
-      val bloom = SparkEntry.queries("dedup_bloom")(spark, sfDir).count()
-      // PQ serving path: two materialized quantizers (MEMORY_AND_DISK
-      // persisted frames) consumed across executor JVMs + broadcast ADC
-      // distance table
-      val ivfpq = SparkEntry.queries("ann_ivfpq")(spark, sfDir).count()
-      // recall audit layered on the same quantizers + the brute-force
-      // broadcast baseline; and the WARC raw-file path end-to-end (the
-      // classpath fixture must resolve inside executor JVMs too)
-      val recall = SparkEntry.queries("ivfpq_recall")(spark, sfDir).count()
-      val warc = SparkEntry.queries("warc_host_stats")(spark, sfDir).count()
-      // domain cap: a source-partitioned rank window across executors
-      val cap = SparkEntry.queries("source_cap")(spark, sfDir).count()
-      // custom TypedImperativeAggregates: partial states are built on
-      // executors and serialize()/deserialize() across JVM boundaries for
-      // the merge — the byte codecs only genuinely run on a real cluster
-      val hh = SparkEntry.queries("heavy_hitters")(spark, sfDir).count()
-      val kmv = SparkEntry.queries("kmv_sample")(spark, sfDir).count()
-      // iterative graph loop: per-round localCheckpoint blocks live in
-      // executor block managers, not the driver
-      val pr = SparkEntry.queries("dup_pagerank")(spark, sfDir).count()
+      val got = SmokeQueries.map(q =>
+        q -> SparkEntry.queries(q)(spark, sfDir).count()).toMap
       // WARC sink round-trip: the DSv2 WriteBuilder/WriterFactory must
       // serialize to real executor JVMs, temps must publish via driver-side
       // job commit, and the V2 reader must see exactly the written records
@@ -82,18 +101,14 @@ object ClusterSmoke {
       // sanity: the work genuinely ran on >1 executor JVM
       val executors = spark.sparkContext.statusTracker.getExecutorInfos
         .map(_.host()).length
-      println(s"""{"smoke":"local-cluster[2,4,2048]","anagram_groups":$anagrams,"dedup_minhash":$minhash,"training_order":$order,"dedup_bloom":$bloom,"ann_ivfpq":$ivfpq,"ivfpq_recall":$recall,"warc_host_stats":$warc,"source_cap":$cap,"heavy_hitters":$hh,"kmv_sample":$kmv,"dup_pagerank":$pr,"warc_sink_roundtrip":$sinkRt,"executors":$executors}""")
-      require(anagrams > 0, "anagram_groups returned no rows on local-cluster")
-      require(minhash > 0, "dedup_minhash returned no rows on local-cluster")
-      require(order > 0, "training_order returned no rows on local-cluster")
-      require(bloom > 0, "dedup_bloom returned no rows on local-cluster")
-      require(ivfpq > 0, "ann_ivfpq returned no rows on local-cluster")
-      require(recall > 0, "ivfpq_recall returned no rows on local-cluster")
-      require(warc > 0, "warc_host_stats returned no rows on local-cluster")
-      require(cap > 0, "source_cap returned no rows on local-cluster")
-      require(hh > 0, "heavy_hitters returned no rows on local-cluster")
-      require(kmv > 0, "kmv_sample returned no rows on local-cluster")
-      require(pr > 0, "dup_pagerank returned no rows on local-cluster")
+      val counts = SmokeQueries
+        .map(q => s""""$q":${got(q)}""").mkString(",")
+      println(s"""{"smoke":"local-cluster[2,4,2048]",$counts,"warc_sink_roundtrip":$sinkRt,"executors":$executors}""")
+      SmokeQueries.foreach { q =>
+        require(got(q) > 0, s"$q returned no rows on local-cluster")
+        require(got(q) == expected(q),
+          s"$q: local-cluster rows ${got(q)} != local[4] rows ${expected(q)}")
+      }
       require(sinkRt == warcDocCount(spark),
         "warc sink round-trip lost records on local-cluster")
     } finally spark.stop()

@@ -737,6 +737,34 @@ object Dedup {
        |WHERE ${sqlBp(s"($matches)", K.toString)} >= $MinhashSimBp""".stripMargin
   }
 
+  /** The 100 TB form of [[dedupIncremental]]'s existing side, demonstrated:
+    * the standing corpus's banded signature table written to DISK bucketed
+    * (and sorted) by the band-bucket key, so a daily increment's probe join
+    * reshuffles ONLY the increment — the corpus-sized table is read
+    * in-place, bucket-for-bucket, with no exchange above its scan, and the
+    * over-full-bucket cap aggregates on the same bucketing (also
+    * exchange-free). Returns the candidate (new_doc, old_doc) pairs —
+    * row-identical to the in-memory probe's candidate phase; ScaleSpec
+    * locks both the equivalence and the single-exchange plan shape.
+    * `table` is a registered bucketed table (re)written per call: in
+    * production it is written once per corpus snapshot and probed by every
+    * subsequent increment. */
+  def incrementalProbeBucketed(spark: SparkSession, dir: String,
+      table: String = "graft_sig_banded_b", buckets: Int = 16): DataFrame = {
+    val bkey = concat_ws(":", col("band"), col("key"))
+    val existing = bandedOf(signatures(spark, dir).where(col("doc_id") % 2 === 0))
+      .select(col("doc_id"), bkey.as("bkey"))
+    Scale.writeBucketed(existing, table, "bkey", buckets)
+    val exT = spark.table(table)
+    val keptOld = exT.groupBy("bkey").agg(count(lit(1)).as("bn"))
+      .where(col("bn") <= BucketCap).select("bkey")
+    val fresh = bandedOf(signatures(spark, dir).where(col("doc_id") % 2 === 1))
+      .select(col("doc_id").as("new_doc"), bkey.as("bkey"))
+    fresh.join(exT.join(keptOld, Seq("bkey")).as("e"), Seq("bkey"))
+      .select(col("new_doc"), col("e.doc_id").as("old_doc"))
+      .distinct()
+  }
+
   // ---- #16e Bloom-probe incremental segment membership -------------------
   /** The cheapest daily-increment membership test: a Bloom filter built
     * over the standing corpus's segment hashes prefilters the fresh batch's

@@ -286,11 +286,23 @@ object TextAnalysis {
     * (AQE splits), never row amplification. ln values are rounded then
     * summed as DECIMAL so the per-doc sum is exact and order-insensitive
     * across engines (§6 float policy). */
-  def lmPerplexity(spark: SparkSession, dir: String): DataFrame = {
-    val bg = docBigrams(spark, dir)
+  def lmPerplexity(spark: SparkSession, dir: String): DataFrame =
     // counts come from the shared materialized table; C(w1 ·) derives from
     // it, so the corpus explode behind the model runs zero extra times
-    val c2 = bigramCounts(spark, dir)
+    lmPerplexityOn(docBigrams(spark, dir), bigramCounts(spark, dir))
+
+  /** Join+aggregate core of [[lmPerplexity]], parameterized by the bigram
+    * explode and the count table. `private[graft]` for the AQE-skew lock
+    * in ScaleSpec, which drives it in the PRODUCTION shape — the model
+    * table written to storage and re-read, so both join sides arrive
+    * through fresh ENSURE_REQUIREMENTS shuffles and AQE's
+    * OptimizeSkewedJoin can split a hot bigram. The in-session shape
+    * instead feeds the join from the cached count frame's preserved hash
+    * partitioning (no new exchange — better co-location), which that rule
+    * cannot split; a hot key there is imbalance the 32-partition local
+    * runs absorb, and cluster deployments avoid by re-reading the model
+    * artifact (both paths are locked by the spec). */
+  private[graft] def lmPerplexityOn(bg: DataFrame, c2: DataFrame): DataFrame = {
     val c1 = c2.select(substring_index(col("bigram"), " ", 1).as("w1"), col("n"))
       .groupBy("w1").agg(sum(col("n")).as("n1"))
     val p = c2.withColumn("w1", substring_index(col("bigram"), " ", 1))
@@ -361,7 +373,7 @@ object TextAnalysis {
 
   /** Per-doc consecutive word pairs — the corpus-sized explode behind
     * `word_bigrams` and `lm_perplexity`. */
-  private def docBigrams(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def docBigrams(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(col("doc_id"),
         filter(transform(split(col("text"), WsTokenRe), t => lower(t)),

@@ -262,6 +262,113 @@ class ScaleSpec extends SparkTestBase {
     assert(!coh.contains("SortMergeJoin"), s"coherence grew a wide join:\n$coh")
   }
 
+  test("incremental dedup probes the on-disk bucketed signature table " +
+      "without exchanging it") {
+    // SURVEY §4's claim, demonstrated (VERDICT r7 #4): the standing
+    // corpus's banded signature table lives on disk bucketed by band key;
+    // a daily increment probe shuffles ONLY the increment.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // small sides must not broadcast — at test SF the planner would
+      // broadcast the (corpus-sized-at-scale) existing table and hide the
+      // exchange structure the lock exists to pin
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val dedup = graft.operators.Dedup
+      val bucketed = dedup.incrementalProbeBucketed(spark, sf)
+      val got = bucketed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.nonEmpty, "fixture produced no incremental candidates")
+      // correctness: every verified near-dup pair the in-memory incremental
+      // path emits must have come through the bucketed candidate probe
+      val verified = dedup.dedupIncremental(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(verified.subsetOf(got),
+        s"bucketed probe lost verified pairs: ${verified -- got}")
+      // plan shape: the bucketed existing-table scans are exchange-free —
+      // the only hashpartitioning exchanges sit on the increment side and
+      // the final distinct. With 3 bucketed-scan consumers (probe join,
+      // cap agg, cap join) a non-bucketed layout would need 3 more.
+      // AQE plan strings repeat the pre-adaptive plan under "== Initial
+      // Plan ==" — assert on the FINAL section only
+      val plan = bucketed.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.linesIterator.exists(l =>
+          l.contains("graft_sig_banded_b") && l.contains("Bucketed: true")),
+        s"bucketed table scan not bucket-aware:\n$plan")
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      // exactly: (1) the increment's band explode shuffled to the table's
+      // bucketing, (2) the final distinct. The existing table's three
+      // consumers (probe join, cap agg, cap join) ride the bucket layout.
+      assert(exchanges <= 2,
+        s"existing-side exchange crept back ($exchanges exchanges):\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_sig_banded_b")
+    }
+  }
+
+  test("lm_perplexity's Zipf-skewed bigram join completes with AQE skew " +
+      "split engaged") {
+    // SURVEY §4 claims the bigram model join suffers imbalance only and
+    // "AQE splits" the hot key — prove it (VERDICT r7 #5): a corpus where
+    // one bigram carries almost all mass, AQE thresholds lowered so the
+    // skew handling triggers at test scale, then assert BOTH the result
+    // matches the unsplit run AND the plan actually took the skew path.
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled"
+    ).map(k => k -> conf.getOption(k))
+    // hot corpus: 64 docs of one repeated bigram (~127k hot-join rows),
+    // plus distinct-vocabulary docs so other partitions stay tiny
+    val hot = writeDocsFixture(
+      (1L to 64L).map(i => i -> Array.fill(2000)("zz").mkString(" ")) ++
+      (65L to 96L).map(i => i -> s"unique$i text number$i end$i"))
+    try {
+      // the hot partition's rows are identical and so compress to a few
+      // KB of map output — thresholds must sit below that for the skew
+      // detector to see it at test scale
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // production shape: the bigram model is a written artifact re-read
+      // from storage, so BOTH join sides arrive through fresh shuffles and
+      // the skew rule can split the hot key — see lmPerplexityOn's doc
+      val ta = graft.operators.TextAnalysis
+      val modelDir = java.nio.file.Files.createTempDirectory("graft-lm").toString
+      ta.docBigrams(spark, hot).groupBy("bigram")
+        .agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(modelDir)
+      // .repartition(8): AQE splits a skewed reduce partition at MAP-task
+      // boundaries — the one-file fixture scans as a single map task,
+      // leaving nothing to split. Real corpora arrive as many input
+      // splits; 8 map tasks model that.
+      val df = ta.lmPerplexityOn(ta.docBigrams(spark, hot).repartition(8),
+        spark.read.parquet(modelDir))
+      val rows = df.collect()
+      // completion + exactness: every hot doc has 1999 bigrams, all with
+      // log-prob ln(1) = 0 (only one bigram type follows "zz")
+      assert(rows.length == 96)
+      val hotRows = rows.filter(_.getLong(0) <= 64L)
+      assert(hotRows.forall(r => r.getLong(1) == 1999L && r.getDouble(2) == 0.0))
+      // the skew path actually engaged on the bigram join
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"AQE skew split did not engage on the hot bigram:\n$plan")
+      // and the cached in-session path still answers identically
+      val cached = SparkEntry.queries("lm_perplexity")(spark, hot)
+        .collect().map(_.toSeq).toSet
+      assert(cached == rows.map(_.toSeq).toSet)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
