@@ -931,17 +931,33 @@ object Relational {
   val CopurchaseTopN = 20
   val CopurchaseMaxLines = 64
   def partsCopurchase(spark: SparkSession, dir: String): DataFrame = {
-    val op = t(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val keep = op.groupBy(col("l_orderkey"))
-      .agg(count(lit(1)).as("m"))
+    // ONE lineitem scan and ONE order-keyed exchange (r8; the previous
+    // self-join formulation re-derived the distinct frame in four branches
+    // → four scans, four exchanges, 3.2 s steady at sf0.1). The explicit
+    // repartition on l_orderkey satisfies the clustering requirement of
+    // everything downstream — the (orderkey, partkey) distinct (partial
+    // map-side, merge needs only orderkey co-location), the per-order
+    // line-count window, and the pair collect — so none re-exchanges.
+    // The [[CopurchaseMaxLines]] cap filters on the WINDOW count BEFORE
+    // any per-order array materializes: collected state is ≤ cap elements
+    // per order even against an adversarial mega-order, the same
+    // drop-before-join discipline as the LSH bucket cap. Pairs then
+    // explode from the sorted per-order array (i < j ⇒ part_a < part_b),
+    // and the only other exchange is the ≤|parts|²-key pair rollup.
+    val w = Window.partitionBy("l_orderkey")
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .repartition(col("l_orderkey"))
+      .dropDuplicates("l_orderkey", "l_partkey")
+      .withColumn("m", count(lit(1)).over(w))
       .where(col("m").between(2L, CopurchaseMaxLines))
-      .select(col("l_orderkey"))
-    val bounded = op.join(keep, Seq("l_orderkey"))
-    bounded.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-      .join(bounded.select(col("l_orderkey"), col("l_partkey").as("part_b")),
-        Seq("l_orderkey"))
-      .where(col("part_a") < col("part_b"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)),
+          |    y -> struct(x AS part_a, y AS part_b))))""".stripMargin)).as("p"))
+      .select(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
       .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("n_orders"))
       .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))

@@ -262,6 +262,19 @@ class ScaleSpec extends SparkTestBase {
     assert(!coh.contains("SortMergeJoin"), s"coherence grew a wide join:\n$coh")
   }
 
+  test("parts_copurchase is one scan through two exchanges") {
+    // r8 reformulation: the self-join re-derived the distinct frame in
+    // four branches (4 scans / 4 exchanges); now the distinct, the
+    // line-count window and the pair collect all reuse one explicit
+    // order-keyed repartition, pairs explode from the per-order array
+    val qe = SparkEntry.queries("parts_copurchase")(spark, sf).queryExecution
+    val plan = qe.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"parts_copurchase re-scans lineitem:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+      s"parts_copurchase gained an exchange:\n$plan")
+  }
+
   test("incremental dedup probes the on-disk bucketed signature table " +
       "without exchanging it") {
     // SURVEY §4's claim, demonstrated (VERDICT r7 #4): the standing
