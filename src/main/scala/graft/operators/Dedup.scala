@@ -553,6 +553,28 @@ object Dedup {
        |)
        |SELECT doc AS doc_id, min(lbl) AS component FROM r GROUP BY 1""".stripMargin
 
+  // ---- #16h duplicate-cluster size census --------------------------------
+  /** The cluster-size histogram over the near-dup components — the audit
+    * row that distinguishes "many doc pairs" (size-2 clusters: organic
+    * near-dups) from "few giant clusters" (size-100 mirrors/templates,
+    * where survivor selection deletes hundreds of docs per keep). Reads
+    * the CACHED component labels (no LSH re-execution): one
+    * component-keyed rollup (pair-graph-bounded) and one ≤|sizes|-key
+    * histogram. All-integer outputs. */
+  def dupClusterSizes(spark: SparkSession, dir: String): DataFrame =
+    dedupComponents(spark, dir)
+      .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("sz").cast("long").as("cluster_size"), col("n_clusters"))
+  val dupClusterSizesSql: String =
+    s"""WITH comp AS (
+       |  ${dedupComponentsSql.linesIterator.mkString("\n  ")}
+       |), cs AS (
+       |  SELECT component, count(*) AS sz FROM comp GROUP BY 1
+       |)
+       |SELECT CAST(sz AS BIGINT) AS cluster_size, count(*) AS n_clusters
+       |FROM cs GROUP BY 1""".stripMargin
+
   // ---- #19e PageRank over the near-dup pair graph ------------------------
   /** Duplication-hub centrality: PageRank over the (symmetrized) near-dup
     * pair graph — the doc with high rank is the TEMPLATE many others copy

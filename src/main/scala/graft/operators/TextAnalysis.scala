@@ -702,6 +702,44 @@ object TextAnalysis {
        |SELECT doc_id, count(DISTINCT gram) AS n_boiler_grams
        |FROM grams JOIN top USING (gram) GROUP BY 1""".stripMargin
 
+  // ---- #25e-b per-doc n-gram novelty --------------------------------------
+  /** How much NEW content each document contributes: the fraction of its
+    * distinct word 5-grams whose first occurrence (min doc_id across the
+    * corpus) is this document — the novel-token-fraction curation signal
+    * that separates original content from recombinations of text already
+    * in the corpus (novelty ≈ 0 ⇒ the doc is assembled from seen n-grams
+    * even when no single source passes a dedup threshold).
+    *
+    * Scale: reads the SHARED materialized gram frame (no new corpus
+    * explode); one gram-keyed exchange serves the (doc, gram) distinct and
+    * the first-owner min, then two doc-bounded rollups join on doc_id —
+    * the corpus-sized gram frame never joins against itself. Exact basis
+    * points (§6). */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val dg = docGrams(spark, dir)
+      .repartition(col("gram"))
+      .dropDuplicates("gram", "doc_id")
+    val denom = dg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val novel = dg.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(col("first_doc")).agg(count(lit(1)).as("n_novel"))
+    denom.join(novel, col("doc_id") === col("first_doc"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        bp(coalesce(col("n_novel"), lit(0L)), col("n_grams")).as("novel_bp"))
+  }
+  val ngramNoveltySql: String =
+    s"""${sqlGramsCte(BoilerK)}, dg AS MATERIALIZED (
+       |  SELECT DISTINCT gram, doc_id FROM grams
+       |), denom AS (
+       |  SELECT doc_id, count(*) AS n_grams FROM dg GROUP BY 1
+       |), novel AS (
+       |  SELECT first_doc, count(*) AS n_novel FROM (
+       |    SELECT gram, min(doc_id) AS first_doc FROM dg GROUP BY 1
+       |  ) GROUP BY 1
+       |)
+       |SELECT d.doc_id, d.n_grams,
+       |  ${sqlBp("coalesce(n.n_novel, 0)", "d.n_grams")} AS novel_bp
+       |FROM denom d LEFT JOIN novel n ON d.doc_id = n.first_doc""".stripMargin
+
   // ---- corpus mixing report ---------------------------------------------
   // The per-(language, source) composition a data-mixing stage feeds on:
   // one map-side-partial aggregation over a pruned 3-column scan.

@@ -256,6 +256,32 @@ class DedupSpec extends SparkTestBase {
     assert(math.abs(mass - 1.0) < 1e-3, s"PR mass $mass should be ~1")
   }
 
+  test("dup_cluster_sizes histogram accounts every clustered doc exactly once") {
+    val comp = Dedup.dedupComponents(spark, dir).count()
+    val hist = Dedup.dupClusterSizes(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(hist.nonEmpty)
+    // every component has ≥2 members (labels only exist for docs with an
+    // edge) and Σ size·count reproduces the labeled-doc total
+    assert(hist.forall(_._1 >= 2L))
+    assert(hist.map { case (sz, n) => sz * n }.sum == comp)
+  }
+
+  test("ngram_novelty attributes each gram to its first doc") {
+    val d = writeDocsFixture(Seq(
+      1L -> "alpha beta gamma delta epsilon zeta", // all grams first here
+      2L -> "alpha beta gamma delta epsilon zeta", // exact copy → 0 novel
+      // shares no 5-gram with doc 1 (different word set)
+      3L -> "one two three four five six seven"))
+    val got = graft.operators.TextAnalysis.ngramNovelty(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L)._2 == 10000L, s"first doc fully novel: ${got(1L)}")
+    assert(got(2L)._2 == 0L, s"verbatim copy has zero novelty: ${got(2L)}")
+    assert(got(3L)._2 == 10000L)
+    // denominators: 2 distinct 5-grams in a 6-token doc, 3 in a 7-token doc
+    assert(got(1L)._1 == 2L && got(2L)._1 == 2L && got(3L)._1 == 3L)
+  }
+
   test("fuzzy_name_pairs censuses blocked pairs by exact edit distance") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("graft-fuzzy").toString
