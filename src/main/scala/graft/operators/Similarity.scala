@@ -1072,23 +1072,33 @@ object Similarity {
         .select(col("vec_id").as("id"), cosExpr("embedding", "qv").as("cos"))
         .orderBy(col("cos").desc, col("id")).limit(RrfPool)
         .select(negate(col("cos")).as("ns"), col("id")), "vec_rk")
+    // Lex leg, one corpus pass (r8; the previous shape derived the query
+    // term set from the corpus-wide explode and computed n_terms and
+    // n_inter as separate aggregations — 3 evaluations of the explode, 9
+    // scans in the executed plan). The query doc's term set comes from a
+    // ONE-ROW broadcast join picked off a plain documents scan (explodes a
+    // single doc), broadcasts into a map-side left join against the corpus
+    // term explode, and a single doc-keyed aggregation yields both the
+    // term count and the intersection size.
+    val qt = spark.read.parquet(s"$dir/documents.parquet")
+      .join(broadcast(q.select(col("qid"))), col("doc_id") === col("qid"))
+      .select(explode(TextAnalysis.toks(col("text"))).as("qterm")).distinct()
     val tk = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"),
         explode(TextAnalysis.toks(col("text"))).as("term")).distinct()
-    val qt = tk.join(broadcast(q), col("doc_id") === col("qid"))
-      .select(col("term").as("qterm")).distinct()
-    val inter = tk.join(broadcast(qt), col("term") === col("qterm"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_inter"))
+    val stats = tk.join(broadcast(qt), col("term") === col("qterm"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(when(col("qterm").isNotNull, 1L).otherwise(0L)).as("n_inter"))
     val lexPool = pooledRanks(
-      tk.groupBy(col("doc_id")).agg(count(lit(1)).as("n_terms"))
-        .join(inter, Seq("doc_id"), "left")
+      stats
         .crossJoin(broadcast(qt.agg(count(lit(1)).as("q_n"))))
         .crossJoin(broadcast(q.select(col("qid"))))
         .where(col("doc_id") =!= col("qid"))
         .select(col("doc_id").as("id"),
           org.apache.spark.sql.graft.ExactMath.intDiv(
-            coalesce(col("n_inter"), lit(0L)) * lit(10000L),
-            col("n_terms") + col("q_n") - coalesce(col("n_inter"), lit(0L)))
+            col("n_inter") * lit(10000L),
+            col("n_terms") + col("q_n") - col("n_inter"))
             .as("lex_bp"))
         .orderBy(col("lex_bp").desc, col("id")).limit(RrfPool)
         .select(negate(col("lex_bp")).as("ns"), col("id")), "lex_rk")
