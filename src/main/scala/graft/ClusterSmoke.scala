@@ -51,7 +51,9 @@ object ClusterSmoke {
     "warc_host_stats",    // WARC raw-file path (classpath fixture on executors)
     "source_cap",         // source-partitioned rank window
     "heavy_hitters",      // Misra–Gries TypedImperativeAggregate merge codecs
-    "kmv_sample")         // bottom-k TypedImperativeAggregate merge codecs
+    "kmv_sample",         // bottom-k TypedImperativeAggregate merge codecs
+    "ngram_novelty",      // shared gram frame consumed from two branches
+    "dup_cluster_sizes")  // component labels cached across the loop
 
   private def warcDocCount(spark: SparkSession): Long =
     graft.sources.WarcSource

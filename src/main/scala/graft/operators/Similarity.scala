@@ -346,6 +346,34 @@ object Similarity {
        |), ${sqlLloyd("seeds", "a1", "r1", "c1")},
        |${sqlLloyd("c1", "a2", "r2", "cents")}""".stripMargin
 
+  /** The 100 TB SERVING layout of [[annIvf]], demonstrated: the cell
+    * assignments written to disk hive-partitioned by `cid` (the once-per-
+    * snapshot indexing job), probed by a query whose nprobe cell list
+    * arrives through a broadcast join — Spark's dynamic partition pruning
+    * then reads ONLY the probed cells' directories, never the full index.
+    * Returns the same ranked rows as the in-session [[annIvf]]; ScaleSpec
+    * locks both the row equality and the `dynamicpruning` PartitionFilter
+    * on the index scan. */
+  private[graft] def ivfProbeFromDisk(spark: SparkSession, dir: String,
+      out: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cents = ivfCentroids(spark, dir)
+    // index build: one map-side assignment pass, written partitioned by cell
+    Scale.writePartitioned(
+      argminCid(e, cents, Seq("embedding")), out, "cid")
+    val index = spark.read.parquet(out)
+    val q = e.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val wq = Window.partitionBy("qid").orderBy(col("qdist"), col("cid"))
+    val probes = cents.crossJoin(broadcast(q))
+      .withColumn("qdist", l2sq("qv", "c"))
+      .withColumn("qrn", row_number().over(wq)).where(col("qrn") <= IvfProbes)
+      .select(col("cid"), col("qid"), col("qv"))
+    topkRanked(index.join(broadcast(probes), "cid")
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("vec_id"), cosExpr("embedding", "qv").as("cos")))
+  }
+
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val cents = ivfCentroids(spark, dir)

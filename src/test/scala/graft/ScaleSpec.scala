@@ -382,6 +382,27 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("IVF serving reads only probed cell partitions from the disk index") {
+    // 100 TB serving shape (mirrors the bucketed dedup probe): the cell
+    // assignment table lives on disk hive-partitioned by cid; the probe's
+    // broadcast join triggers dynamic partition pruning so the scan reads
+    // nprobe directories, never the full index.
+    val out = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+    val sim = graft.operators.Similarity
+    val df = sim.ivfProbeFromDisk(spark, sf, out)
+    val got = df.collect().map(_.toSeq)
+    val inMem = SparkEntry.queries("ann_ivf")(spark, sf).collect().map(_.toSeq)
+    assert(got.nonEmpty && got.toSeq == inMem.toSeq,
+      "disk-index probe must rank identically to the in-session IVF")
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val idxScan = plan.linesIterator
+      .filter(l => l.contains("Scan parquet") && l.contains("graft-ivf-idx"))
+      .mkString("\n")
+    assert(idxScan.contains("dynamicpruning"),
+      s"index scan is not partition-pruned by the probe list:\n$plan")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
