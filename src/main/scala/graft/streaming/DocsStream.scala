@@ -306,4 +306,81 @@ object DocsStream {
 
   def ingestPipeline(docs: DataFrame, probeGrams: Seq[String]): DataFrame =
     dedupByContent(decontaminationGate(qualityFilter(docs), probeGrams))
+
+  // ---- streaming near-dup: stateful LSH band buckets ---------------------
+  case class BandIn(band_key: String, doc_id: Long, sig: Seq[Long])
+  case class BucketEntry(doc_id: Long, sig: Seq[Long])
+  case class BucketState(entries: Seq[BucketEntry])
+  case class NearDupHit(doc_a: Long, doc_b: Long, sim_hat_bp: Long)
+
+  /** Streaming MINHASH near-dup detection — the stateful-LSH twin of the
+    * batch `dedup_minhash`: each arriving document's signature (the SAME
+    * fused `MinhashSig`∘`ShinglePolyHash` projection, so batch and stream
+    * cannot disagree on what "similar" means) explodes into its band-bucket
+    * keys; per-bucket keyed state holds the first-arrived ≤[[graft.operators.Dedup.BucketCap]]
+    * (doc_id, signature) entries, and every arrival probes its buckets'
+    * held entries, emitting (earlier ∧ smaller-id first) pairs whose
+    * signature agreement clears `MinhashSimBp`.
+    *
+    * Semantics vs batch: on any corpus where no bucket exceeds the cap the
+    * emitted pair set (deduped across bands downstream — a pair sharing
+    * k bands emits k times) EQUALS `dedup_minhash`'s — the spec locks
+    * this. Divergence under saturation is the streaming-honest one: batch
+    * retroactively drops an over-full bucket's pairs; a stream cannot
+    * retract, so a saturated bucket keeps its first `cap` entries as
+    * probes and stores no more — per-arrival work stays O(bands·cap).
+    *
+    * Scale: state IS the standing LSH index — |buckets|·cap signatures,
+    * the same artifact the batch incremental probe reads from disk; run
+    * it on the RocksDB state store provider and the feed sustains
+    * arbitrary corpus size with per-doc work bounded as above. */
+  def nearDupPairs(docs: DataFrame): org.apache.spark.sql.Dataset[NearDupHit] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val D = graft.operators.Dedup
+    val bandKeys = array((0 until D.Bands).map { j =>
+      concat_ws(",", lit(j.toString) +:
+        (0 until D.Rows).map(r => col("sig").getItem(j * D.Rows + r).cast("string")): _*)
+    }: _*)
+    val banded = docs
+      .where(length(col("text")) >= D.ShingleK)
+      .select(col("doc_id"), org.apache.spark.sql.graft.MinhashSig(
+        org.apache.spark.sql.graft.ShinglePolyHash(
+          col("text"), D.ShingleK, D.ShingleB, D.P),
+        D.CoefA, D.CoefB, D.P).as("sig"))
+      .select(explode(bandKeys).as("band_key"), col("doc_id"), col("sig"))
+      .as[BandIn]
+
+    // primitives only in the task closure (capturing the Dedup module
+    // itself is a Task-not-serializable)
+    val kSig = D.K
+    val minSimBp = D.MinhashSimBp
+    val cap = D.BucketCap
+
+    def fn(key: String, rows: Iterator[BandIn],
+           state: GroupState[BucketState]): Iterator[NearDupHit] = {
+      val held = state.getOption.map(_.entries).getOrElse(Seq.empty).toBuffer
+      val out = scala.collection.mutable.ListBuffer.empty[NearDupHit]
+      // deterministic within a micro-batch: smaller doc_id counts as earlier
+      rows.toSeq.sortBy(_.doc_id).foreach { r =>
+        if (!held.exists(_.doc_id == r.doc_id)) {
+          held.foreach { e =>
+            val m = (0 until kSig).count(i => e.sig(i) == r.sig(i))
+            val simBp = m.toLong * 10000L / kSig
+            if (simBp >= minSimBp)
+              out += NearDupHit(math.min(e.doc_id, r.doc_id),
+                math.max(e.doc_id, r.doc_id), simBp)
+          }
+          if (held.size < cap) held += BucketEntry(r.doc_id, r.sig)
+        }
+      }
+      state.update(BucketState(held.toSeq))
+      out.iterator
+    }
+
+    banded
+      .groupByKey(_.band_key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
 }

@@ -324,6 +324,39 @@ class SourcesAndStreamingSpec extends SparkTestBase {
     assert(ids.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("streaming stateful-LSH near-dup pairs equal batch dedup_minhash") {
+    import graft.streaming.DocsStream
+    val base = "the quick brown fox jumps over the lazy dog while the cat " +
+      "watches from the warm windowsill nearby"
+    val docs = Seq(
+      1L -> base,
+      2L -> base,                            // exact duplicate of 1
+      3L -> base.replace("lazy", "sleepy"),  // near-duplicate of 1
+      4L -> ("completely different content about spark catalyst optimizer " +
+        "rules and tungsten codegen stages"))
+    // batch truth on the identical corpus
+    val dir = writeDocsFixture(docs)
+    val batch = graft.operators.Dedup.dedupMinhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty)
+    // stream the same docs over TWO micro-batches (state must carry the
+    // first batch's bucket entries into the second)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = DocsStream.nearDupPairs(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("near_dup")
+      .outputMode("append").start()
+    input.addData(docs.take(2).map(d => (d._1, d._2)): _*)
+    q.processAllAvailable()
+    input.addData(docs.drop(2).map(d => (d._1, d._2)): _*)
+    q.processAllAvailable()
+    // a pair sharing k band buckets emits k times — dedupe downstream
+    val streamed = spark.table("near_dup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    assert(streamed == batch,
+      s"stream $streamed != batch $batch")
+  }
+
   test("streaming ingest pipeline gates quality and dedups content") {
     val input = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
     val df = input.toDF().toDF("doc_id", "text", "ingest_ts")
