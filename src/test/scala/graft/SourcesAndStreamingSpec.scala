@@ -357,6 +357,39 @@ class SourcesAndStreamingSpec extends SparkTestBase {
       s"stream $streamed != batch $batch")
   }
 
+  test("stateful-LSH near-dup runs on the RocksDB state store") {
+    // SURVEY's scale claim for the streaming index: state = the standing
+    // LSH bucket table, held in RocksDB rather than executor heap. Same
+    // corpus and equality as the in-memory-provider test above.
+    import graft.streaming.DocsStream
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = "the quick brown fox jumps over the lazy dog while the " +
+        "cat watches from the warm windowsill nearby"
+      val docs = Seq(1L -> base, 2L -> base,
+        3L -> base.replace("lazy", "sleepy"))
+      val dir = writeDocsFixture(docs)
+      val batch = graft.operators.Dedup.dedupMinhash(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val input = MemoryStream[(Long, String)](spark)
+      val q = DocsStream.nearDupPairs(input.toDF().toDF("doc_id", "text"))
+        .writeStream.format("memory").queryName("near_dup_rocks")
+        .outputMode("append").start()
+      input.addData(docs.map(d => (d._1, d._2)): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("near_dup_rocks").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      q.stop()
+      assert(streamed == batch, s"rocksdb stream $streamed != batch $batch")
+    } finally prev match {
+      case Some(v) => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming ingest pipeline gates quality and dedups content") {
     val input = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
     val df = input.toDF().toDF("doc_id", "text", "ingest_ts")
