@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.SuffixRepeats
+
+class SuffixRepeatsSpec extends SparkTestBase {
+
+  /** Brute-force spectrum row for block length L over (doc_id, text). */
+  private def bruteSpectrum(docs: Seq[(Long, String)], L: Int): (Long, Long, Long, Long) = {
+    val windows = for {
+      (id, t) <- docs
+      p <- 0 to t.length - L
+    } yield (t.substring(p, p + L), id)
+    val fams = windows.groupBy(_._1).filter(_._2.size >= 2)
+    val nGroups = fams.size.toLong
+    val nPositions = fams.values.map(_.size.toLong).sum
+    val maxGroup = if (fams.isEmpty) 0L else fams.values.map(_.size.toLong).max
+    val xdoc = fams.values.count(_.map(_._2).distinct.size >= 2).toLong
+    (nGroups, nPositions, maxGroup, xdoc)
+  }
+
+  private def bruteLongest(docs: Seq[(Long, String)]): Int = {
+    val maxLen = docs.map(_._2.length).max
+    (1 to maxLen).reverse.find { l =>
+      val ws = docs.flatMap { case (_, t) =>
+        (0 to t.length - l).map(p => t.substring(p, p + l)) }
+      ws.groupBy(identity).exists(_._2.size >= 2)
+    }.getOrElse(0)
+  }
+
+  test("suffix_repeats spectrum matches the brute force per level") {
+    val docs = Seq(
+      1L -> "abracadabra zebra stripes and abracadabra again",
+      2L -> "the zebra stripes pattern repeats the zebra stripes pattern",
+      3L -> "xyzzy unrelated quux content")
+    val dir = writeDocsFixture(docs)
+    val got = SuffixRepeats.suffixRepeats(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got.nonEmpty)
+    got.foreach { case (block, row) =>
+      val exp = bruteSpectrum(docs, block.toInt)
+      assert(row == exp, s"spectrum at block=$block: got $row expected $exp")
+    }
+    // the spectrum must extend one level past the last level with repeats
+    // (or hit a doc-length bound), so no longer repeat goes unreported
+    val kmax = got.filter(_._2._1 > 0).keys.max
+    val maxDocLen = docs.map(_._2.length).max
+    assert(got.keys.max >= math.min(kmax * 2, maxDocLen),
+      s"spectrum stops at ${got.keys.max} with repeats at $kmax")
+  }
+
+  test("longest_repeat finds the exact maximal repeated substring") {
+    val docs = Seq(
+      1L -> "prefix THE LONGEST SHARED RUN OF TEXT IN THIS CORPUS suffix one",
+      2L -> "other THE LONGEST SHARED RUN OF TEXT IN THIS CORPUS trailer",
+      3L -> "no overlap here at all qqq")
+    val dir = writeDocsFixture(docs)
+    val r = SuffixRepeats.longestRepeat(spark, dir).collect()(0)
+    val expLen = bruteLongest(docs)
+    assert(r.getLong(0) == expLen.toLong,
+      s"max_len ${r.getLong(0)} != brute $expLen")
+    assert(r.getLong(1) >= 2L)
+    // the witness excerpt is a genuine repeat: occurs in ≥2 window positions
+    val sample = r.getString(3)
+    assert(sample.length == expLen)
+    val occurrences = docs.map(_._2).map { t =>
+      Iterator.from(0).map(i => t.indexOf(sample, i)).takeWhile(_ >= 0)
+        .map(_ + 1).size
+    }.sum
+    assert(occurrences >= 2, s"witness '$sample' is not a repeat")
+  }
+
+  test("longest_repeat degenerates cleanly: no repeated character at all") {
+    val dir = writeDocsFixture(Seq(1L -> "abcdefg", 2L -> "hijklmn"))
+    val r = SuffixRepeats.longestRepeat(spark, dir).collect()(0)
+    assert(r.getLong(0) == 0L && r.getLong(1) == 0L && r.getString(3) == "")
+  }
+
+  test("within-document repeats are found when nothing crosses documents") {
+    val dir = writeDocsFixture(Seq(1L -> "tomtomtomtom distinct tail"))
+    val r = SuffixRepeats.longestRepeat(spark, dir).collect()(0)
+    // "tomtomtom" (9 chars) occurs at pos 0 and 3
+    assert(r.getLong(0) == 9L, s"got ${r.getLong(0)}")
+    val spec = SuffixRepeats.suffixRepeats(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(spec(8L) >= 1L) // 8-char blocks repeat; xdoc = 0 everywhere
+    val xdoc = SuffixRepeats.suffixRepeats(spark, dir).collect()
+      .map(_.getLong(4)).sum
+    assert(xdoc == 0L)
+  }
+}
