@@ -53,7 +53,10 @@ object ClusterSmoke {
     "heavy_hitters",      // Misra–Gries TypedImperativeAggregate merge codecs
     "kmv_sample",         // bottom-k TypedImperativeAggregate merge codecs
     "ngram_novelty",      // shared gram frame consumed from two branches
-    "dup_cluster_sizes")  // component labels cached across the loop
+    "dup_cluster_sizes",  // component labels cached across the loop
+    "suffix_repeats",     // prefix-doubling rounds: RDD two-pass dense
+                          // rank + broadcast offsets across executor JVMs
+    "longest_repeat")     // binary-search probes over the cached levels
 
   private def warcDocCount(spark: SparkSession): Long =
     graft.sources.WarcSource
