@@ -181,6 +181,52 @@ object SuffixRepeats {
       }
     }
 
+  /** DuckDB oracle for the SPECTRUM: though the Spark side derives it from
+    * the iterative doubling ranks, the OUTPUT is independently computable
+    * by brute force — explode every in-document window at each power-of-two
+    * length and census the repeated families. The level-cutoff rule mirrors
+    * construction: level 1 always; level 2L present iff level L had any
+    * repeated family (valid-dup monotonicity makes the lag test
+    * transitive); capped at [[MaxBlock]]. The ORACLE cost is O(n·log L)
+    * window strings — fine at gate SF; the distributed side exists because
+    * this brute force is the thing that does NOT scale. */
+  val suffixRepeatsSql: String = {
+    val powers = Iterator.iterate(1L)(_ * 2).takeWhile(_ <= MaxBlock)
+      .map(l => s"($l)").mkString(", ")
+    s"""WITH lv AS (SELECT CAST(p AS BIGINT) AS L FROM (VALUES $powers) t(p)),
+       |win AS MATERIALIZED (
+       |  -- family key = md5 of the window, not the raw up-to-4 KB string:
+       |  -- 10x smaller grouping state (the whole gate stays no-spill),
+       |  -- exact to 128-bit-collision certainty (the repo-wide md5 key
+       |  -- precedent)
+       |  SELECT l.L,
+       |    md5(substr(d.text, CAST(g.p AS INTEGER), CAST(l.L AS INTEGER))) AS w,
+       |    d.doc_id
+       |  FROM documents d
+       |  JOIN lv l ON length(d.text) >= l.L
+       |  , unnest(range(1, length(d.text) - l.L + 2)) AS g(p)
+       |), fam AS MATERIALIZED (
+       |  SELECT L, w, count(*) AS sz, count(DISTINCT doc_id) AS nd
+       |  FROM win GROUP BY 1, 2
+       |), per_level AS (
+       |  SELECT lv.L AS block_len,
+       |    coalesce(count(*) FILTER (WHERE f.sz >= 2), 0) AS n_groups,
+       |    coalesce(CAST(sum(f.sz) FILTER (WHERE f.sz >= 2) AS BIGINT), 0)
+       |      AS n_positions,
+       |    coalesce(CAST(max(f.sz) FILTER (WHERE f.sz >= 2) AS BIGINT), 0)
+       |      AS max_group,
+       |    coalesce(count(*) FILTER (WHERE f.sz >= 2 AND f.nd >= 2), 0)
+       |      AS n_groups_xdoc
+       |  FROM lv LEFT JOIN fam f ON f.L = lv.L
+       |  GROUP BY 1
+       |), cut AS (
+       |  SELECT *, lag(n_groups) OVER (ORDER BY block_len) AS prev_groups
+       |  FROM per_level
+       |)
+       |SELECT block_len, n_groups, n_positions, max_group, n_groups_xdoc
+       |FROM cut WHERE block_len = 1 OR prev_groups > 0""".stripMargin
+  }
+
   /** (gpos, doc_id, pos, r1, r2) for the two-block length-`len` equality
     * key at each position whose window fits its document. */
   private def keysAt(tk: DataFrame, block: Long, len: Long): DataFrame = {

@@ -11,11 +11,12 @@ class EntrySpec extends SparkTestBase {
   test("every query key has an oracle except documented rows-only ops") {
     // bpe_merges: iterative data-dependent argmax fixpoint — no single-SQL
     // oracle exists; brute-force-verified in PipelineOpsSpec instead
-    // suffix_repeats/longest_repeat: prefix-doubling suffix ranking — an
-    // iterative fixpoint with driver-side round control (brute-forced in
-    // SuffixRepeatsSpec)
+    // longest_repeat: the exact-max refinement needs the doubling ranks —
+    // an iterative fixpoint with driver-side round control (brute-forced
+    // in SuffixRepeatsSpec). suffix_repeats' SPECTRUM, by contrast, has a
+    // window-explode brute-force oracle and is fully gated.
     val rowsOnly = Set("partition_stats", "approx_stats", "bpe_merges",
-      "bpe_encode", "dup_pagerank", "suffix_repeats", "longest_repeat")
+      "bpe_encode", "dup_pagerank", "longest_repeat")
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == rowsOnly)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
