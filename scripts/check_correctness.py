@@ -99,7 +99,19 @@ def run_oracle_subprocess(sf_dir, sql, mem=None):
 
 
 def main(sf_dir, out_dir):
-    con = fresh_con(sf_dir)
+    # the initial connect can race a just-exited Spark JVM's memory release
+    # (seen r8: CREATE VIEW failed to malloc 1.5 KB seconds after Verify
+    # finished) — retry with backoff before giving up
+    con = None
+    for attempt in range(5):
+        try:
+            con = fresh_con(sf_dir)
+            break
+        except Exception:
+            if attempt == 4:
+                raise
+            import time
+            time.sleep(5 * (attempt + 1))
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
     for name in sorted(os.listdir(out_dir)):
