@@ -181,6 +181,73 @@ object SuffixRepeats {
       }
     }
 
+  /** Block length for [[repeatCoverage]] — the ExactSubstr-style scale at
+    * which repeated content is considered "duplicated text" for the
+    * per-document drop criterion. */
+  val CoverageBlock = 64L
+
+  /** Per-document EXACTSUBSTR coverage — the production drop criterion
+    * from the dedup literature at doc granularity: how many of a doc's
+    * characters sit inside a ≥[[CoverageBlock]]-char block that occurs
+    * elsewhere in the corpus (covered chars are the union of that doc's
+    * repeated 64-char windows). Reads the CACHED level-64 rank table;
+    * interval union is per-doc window arithmetic (fixed-length sorted
+    * intervals ⇒ contribution = min(B, pos − prev pos)), so the only new
+    * work is one bounded count on the dup ranks and one doc-keyed rollup.
+    * Exact basis points (§6); docs shorter than the block report 0. */
+  def repeatCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = CoverageBlock
+    val allDocs = docs(spark, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+    val covered = levels(spark, dir).find(_._1 == B) match {
+      // the dup chain died before level B ⇒ no B-char repeat exists
+      case None => spark.emptyDataFrame
+        .withColumn("doc_id", lit(0L)).withColumn("covered", lit(0L))
+        .select("doc_id", "covered").limit(0)
+      case Some((_, f)) =>
+        val valid = f.where(col("pos") + B <= col("doc_len"))
+          .select(col("doc_id"), col("pos"), col("rank"))
+        val dupRanks = valid.groupBy(col("rank"))
+          .agg(count(lit(1)).as("c")).where(col("c") >= 2).select("rank")
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        valid.join(dupRanks.hint("shuffle_hash"), Seq("rank"))
+          .withColumn("contrib", least(lit(B),
+            col("pos") - coalesce(lag(col("pos"), 1).over(w), lit(-B))))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("contrib")).cast("long").as("covered"))
+    }
+    allDocs.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("covered"), lit(0L)).as("covered_chars"),
+        graft.functions.TextFns.bp(coalesce(col("covered"), lit(0L)),
+          greatest(col("n_chars"), lit(1L))).as("covered_bp"))
+  }
+  val repeatCoverageSql: String = {
+    val B = CoverageBlock
+    s"""WITH win AS MATERIALIZED (
+       |  SELECT d.doc_id, CAST(g.p AS BIGINT) AS pos,
+       |    md5(substr(d.text, CAST(g.p AS INTEGER), $B)) AS w
+       |  FROM documents d, unnest(range(1, length(d.text) - $B + 2)) AS g(p)
+       |  WHERE length(d.text) >= $B
+       |), fam AS (
+       |  SELECT w FROM win GROUP BY w HAVING count(*) >= 2
+       |), cov AS (
+       |  SELECT doc_id,
+       |    least($B, pos - coalesce(lag(pos)
+       |      OVER (PARTITION BY doc_id ORDER BY pos), pos - $B)) AS c
+       |  FROM win JOIN fam USING (w)
+       |), agg AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS covered
+       |  FROM cov GROUP BY 1
+       |)
+       |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+       |  coalesce(a.covered, 0) AS covered_chars,
+       |  ${graft.functions.TextFns.sqlBp("coalesce(a.covered, 0)",
+             "greatest(length(d.text), 1)")} AS covered_bp
+       |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
+  }
+
   /** DuckDB oracle for the SPECTRUM: though the Spark side derives it from
     * the iterative doubling ranks, the OUTPUT is independently computable
     * by brute force — explode every in-document window at each power-of-two

@@ -70,6 +70,44 @@ class SuffixRepeatsSpec extends SparkTestBase {
     assert(occurrences >= 2, s"witness '$sample' is not a repeat")
   }
 
+  test("repeat_coverage equals the brute-force window-union per doc") {
+    val B = SuffixRepeats.CoverageBlock.toInt
+    // every filler below is a strictly-increasing digit stream, so no
+    // 64-char window repeats anywhere except inside the SHARED run — a
+    // repeated-char filler would itself self-repeat (first fixture bug)
+    def stream(from: Int, n: Int) =
+      Iterator.from(from).map(i => f"$i%04d").flatten.take(n).mkString
+    val shared = stream(0, 150) // 150 chars shared verbatim by docs 1 and 2
+    val docs = Seq(
+      1L -> (stream(5000, 30) + shared + stream(6000, 40)),
+      2L -> (shared + stream(7000, 500)),
+      3L -> stream(8000, 30),        // shorter than B → 0
+      4L -> stream(9000, 400))       // genuinely novel → 0
+    val dir = writeDocsFixture(docs)
+    // brute force: positions whose B-window occurs ≥2 times anywhere,
+    // covered chars = union of those windows per doc
+    val wins = docs.flatMap { case (id, t) =>
+      (0 to t.length - B).map(p => (t.substring(p, p + B), id, p)) }
+    val famCnt = wins.groupBy(_._1).view.mapValues(_.size).toMap
+    val expected = docs.map { case (id, t) =>
+      val cov = Array.fill(t.length)(false)
+      wins.filter(w => w._2 == id && famCnt(w._1) >= 2)
+        .foreach(w => (w._3 until w._3 + B).foreach(cov(_) = true))
+      id -> (t.length.toLong, cov.count(identity).toLong)
+    }.toMap
+    val got = SuffixRepeats.repeatCoverage(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    expected.foreach { case (id, (n, cov)) =>
+      assert(got(id)._1 == n && got(id)._2 == cov,
+        s"doc $id: got ${got(id)} expected ($n, $cov)")
+      assert(got(id)._3 == cov * 10000L / math.max(n, 1L))
+    }
+    // doc 3 (< B chars) and doc 4 (novel) report zero coverage
+    assert(got(3L)._2 == 0L && got(4L)._2 == 0L)
+    // the shared run is covered in both carriers
+    assert(got(1L)._2 == 150L && got(2L)._2 == 150L)
+  }
+
   test("longest_repeat degenerates cleanly: no repeated character at all") {
     val dir = writeDocsFixture(Seq(1L -> "abcdefg", 2L -> "hijklmn"))
     val r = SuffixRepeats.longestRepeat(spark, dir).collect()(0)
