@@ -287,6 +287,24 @@ class ScaleSpec extends SparkTestBase {
     assert(!coh.contains("SortMergeJoin"), s"coherence grew a wide join:\n$coh")
   }
 
+  test("r8 audits keep their scale shapes: novelty reuses the gram frame, " +
+      "coverage reads cached ranks with doc-partitioned windows only") {
+    // ngram_novelty: both branches must read the materialized gram frame
+    // (no fresh corpus tokenize+explode above the cache)
+    val nov = SparkEntry.queries("ngram_novelty")(spark, sf).queryExecution
+    val novPlan = nov.executedPlan.toString.split("== Initial Plan ==").head
+    assert(novPlan.contains("InMemoryTableScan"),
+      s"ngram_novelty lost the shared gram frame:\n$novPlan")
+    // repeat_coverage: the interval-union window is doc-partitioned (typed
+    // check), and the level table is read from cache, not rebuilt
+    val cov = SparkEntry.queries("repeat_coverage")(spark, sf).queryExecution
+    val globals = cov.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.isEmpty, "repeat_coverage gained a global window")
+  }
+
   test("parts_copurchase is one scan through two exchanges") {
     // r8 reformulation: the self-join re-derived the distinct frame in
     // four branches (4 scans / 4 exchanges); now the distinct, the
