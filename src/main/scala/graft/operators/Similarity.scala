@@ -940,6 +940,41 @@ object Similarity {
        |    AS recall_bp
        |FROM exact x LEFT JOIN approx a ON x.vec_id = a.vec_id""".stripMargin
 
+  /** Corpus embedding HEALTH audit — the check an ANN pipeline runs before
+    * trusting a new embedding batch: vector count, zero vectors (a broken
+    * encoder emits them and every cosine against them is NaN/garbage), and
+    * the L2-norm² distribution (min/max/mean — a collapsed or exploding
+    * norm range breaks IVF cell balance and PQ codebook training). One
+    * map-only projection (the codegen'd left-fold dot product) + one 1-row
+    * aggregation; norms are rounded→DECIMAL per row so the mean's sum is
+    * order-insensitive and exact before the final double division (§6). */
+  def embeddingNormStats(spark: SparkSession, dir: String): DataFrame = {
+    val n2 = round(Dedup.dotExpr("embedding", "embedding"), 4)
+      .cast("decimal(18,4)")
+    emb(spark, dir)
+      .select(n2.as("n2"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("n2") === lit(0).cast("decimal(18,4)"), 1L).otherwise(0L))
+          .as("n_zero"),
+        min(col("n2")).cast("double").as("min_norm2"),
+        max(col("n2")).cast("double").as("max_norm2"),
+        (sum(col("n2")).cast("decimal(18,4)").cast("double")
+          / count(lit(1)).cast("double")).as("avg_norm2"))
+  }
+  val embeddingNormStatsSql: String =
+    s"""WITH n AS (
+       |  SELECT CAST(round(${Dedup.sqlDotExpr("embedding", "embedding")}, 4)
+       |    AS DECIMAL(18,4)) AS n2
+       |  FROM embeddings
+       |)
+       |SELECT count(*) AS n_vecs,
+       |  CAST(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       |  CAST(min(n2) AS DOUBLE) AS min_norm2,
+       |  CAST(max(n2) AS DOUBLE) AS max_norm2,
+       |  CAST(CAST(sum(n2) AS DECIMAL(18,4)) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS avg_norm2
+       |FROM n""".stripMargin
+
   def embeddingQuantize(spark: SparkSession, dir: String): DataFrame = {
     val s = (array_max(transform(col("embedding"), x => abs(x.cast("double"))))
       / 127.0).as("s")

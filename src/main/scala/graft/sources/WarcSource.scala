@@ -303,6 +303,34 @@ object WarcSource {
   def hostCol(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     lower(coalesce(parse_url(url, lit("HOST")), lit("")))
 
+  /** Canonical URL for crawl-level dedup — the normalization CC-style
+    * pipelines apply before treating two fetches as the same page: lowercase
+    * scheme+host, `www.` stripped, default scheme dropped, query string and
+    * fragment removed (tracking params make raw URLs unique per click),
+    * trailing slash trimmed. Row-local (codegen'd regex chain) — composes
+    * with [[hostCol]] for host-level ops. */
+  def canonicalUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val noScheme = regexp_replace(lower(url), "^https?://", "")
+    val noWww = regexp_replace(noScheme, "^www\\.", "")
+    val noQuery = regexp_replace(noWww, "[?#].*$", "")
+    regexp_replace(noQuery, "/$", "")
+  }
+
+  /** URL-level exact dedup over any frame with a `url` column: one row per
+    * canonical URL with the kept representative (min url string — a
+    * deterministic choice), fetch count and distinct raw spellings. The
+    * crawl-side twin of `dedup_exact` (content identity) — the two together
+    * are the standard first pass over a raw crawl: same-URL refetches
+    * collapse here, mirrored content collapses there. One uniform-key
+    * shuffle; canonical-URL cardinality ≈ page count. */
+  def urlDedup(docs: DataFrame): DataFrame =
+    docs
+      .select(canonicalUrl(col("url")).as("canon_url"), col("url"))
+      .groupBy("canon_url")
+      .agg(min(col("url")).as("keep_url"),
+        count(lit(1)).as("n_fetches"),
+        countDistinct(col("url")).as("n_raw_urls"))
+
   /** Per-host rollup of a [[documentsFromWarc]] frame — the host is the
     * unit Common Crawl pipelines sample, cap and block by (domain-level
     * spam/SEO farms dominate raw crawls). One uniform-key groupBy; host

@@ -430,4 +430,25 @@ class WarcSourceSpec extends SparkTestBase {
     assert(docs.map(_.getAs[String]("text")).toSet
       .contains("second batch"))
   }
+
+  test("url dedup collapses canonical spellings and keeps a deterministic " +
+      "representative") {
+    import spark.implicits._
+    val urls = Seq(
+      "http://alpha.example/a",
+      "https://ALPHA.example/a/",            // scheme/case/trailing slash
+      "http://www.alpha.example/a?utm=x#f",  // www + tracking + fragment
+      "http://alpha.example/b",
+      "http://beta.example/a")               // same path, different host
+    val got = WarcSource.urlDedup(urls.toDF("url")).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.size == 3)
+    val a = got("alpha.example/a")
+    assert(a._2 == 3L && a._3 == 3L)
+    // min raw spelling is the deterministic keeper
+    assert(a._1 == "http://alpha.example/a")
+    assert(got("alpha.example/b")._2 == 1L)
+    assert(got("beta.example/a")._2 == 1L)
+  }
 }
