@@ -8,12 +8,17 @@ import org.apache.spark.sql.SparkSession
   * args, and the fan-out is Spark's own scheduler:
   *
   *   runMain graft.Main <query|all|list> <sfDir> [outDir]
+  *   runMain graft.Main sql "<statement>" <sfDir> [outDir]
   *
   *  - `list` prints every runnable query key (one per line) and exits.
   *  - `<query> <sfDir>` runs one SparkEntry query and prints its rows to
   *    stdout (show-style, capped) — the smoke-test mode.
   *  - `<query> <sfDir> <outDir>` writes the result as parquet part files
   *    to `<outDir>/<query>` — the production mode; `all` runs every query.
+  *  - `sql "<statement>" <sfDir> [outDir]` runs ad-hoc ANSI SQL over the
+  *    registered corpus tables (region…embeddings) with every graft SQL
+  *    function available (sort_chars, shingle_poly_hash, minhash_sig,
+  *    float_dot, …) — the `spark-sql`-equivalent entry into the engine.
   *
   * Session config mirrors Verify/Bench (local master is overridable via
   * SPARK_GRAFT_MASTER for a real cluster; shuffle partitions via
@@ -26,10 +31,13 @@ object Main {
       return
     }
     if (args.length < 2) { usage(); sys.exit(2) }
-    val (what, sfDir) = (args(0), args(1))
-    val outDir = args.lift(2)
+    val sqlMode = args(0) == "sql"
+    if (sqlMode && args.length < 3) { usage(); sys.exit(2) }
+    val (what, sfDir) = if (sqlMode) (args(1), args(2)) else (args(0), args(1))
+    val outDir = args.lift(if (sqlMode) 3 else 2)
     val names =
-      if (what == "all") SparkEntry.queries.keys.toSeq.sorted
+      if (sqlMode) Seq("sql")
+      else if (what == "all") SparkEntry.queries.keys.toSeq.sorted
       else if (SparkEntry.queries.contains(what)) Seq(what)
       else {
         System.err.println(s"unknown query '$what' — see `graft.Main list`")
@@ -46,7 +54,11 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try names.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
+      val df =
+        if (sqlMode) {
+          graft.sources.Tables.register(spark, sfDir)
+          spark.sql(what)
+        } else SparkEntry.queries(name)(spark, sfDir)
       outDir match {
         case Some(d) =>
           df.write.mode("overwrite").parquet(s"$d/$name")
@@ -59,5 +71,6 @@ object Main {
   private def usage(): Unit =
     System.err.println(
       "usage: graft.Main <query|all|list> <sfDir> [outDir]\n" +
+      "       graft.Main sql \"<statement>\" <sfDir> [outDir]\n" +
       "  env: SPARK_GRAFT_MASTER (default local[N]), SPARK_GRAFT_CPUS (N, default 4)")
 }
