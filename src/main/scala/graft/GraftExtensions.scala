@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.graft.{CharEntropy, FloatDotProduct, MinhashSig, NormalizeNfc, ShinglePolyHash, SigGroups, Simhash60, SortChars, TokenStats, WinnowMins}
+import org.apache.spark.sql.graft.{CharEntropy, FloatDotProduct, MinhashSig, NormalizeNfc, ShinglePolyHash, SigGroups, Simhash60, SortChars, StringCodepoints, TokenStats, WinnowMins}
 
 /** SparkSessionExtensions entry point: registers graft's custom Catalyst
   * expressions as SQL functions and the native as-of join planner strategy.
@@ -56,6 +56,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("winnow_mins"),
       new ExpressionInfo(classOf[WinnowMins].getName, "winnow_mins"),
       (exprs: Seq[Expression]) => WinnowMins(exprs.head, longOf(exprs(1)).toInt)))
+    ext.injectFunction((
+      new FunctionIdentifier("codepoints"),
+      new ExpressionInfo(classOf[StringCodepoints].getName, "codepoints"),
+      (exprs: Seq[Expression]) => StringCodepoints(exprs.head)))
     ext.injectFunction((
       new FunctionIdentifier("token_stats"),
       new ExpressionInfo(classOf[TokenStats].getName, "token_stats"),

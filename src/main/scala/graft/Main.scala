@@ -52,7 +52,8 @@ object Main {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_LOG=INFO surfaces per-job timings for plan profiling
+    spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOG", "WARN"))
     try names.foreach { name =>
       val df =
         if (sqlMode) {

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{RangeRank, StringCodepoints}
 import org.apache.spark.storage.StorageLevel
 
 /** EXACTSUBSTR repeat structure at UNBOUNDED threshold — the suffix-array
@@ -20,11 +21,36 @@ import org.apache.spark.storage.StorageLevel
   *    count and a witness excerpt.
   *
   * Algorithm (Manber–Myers prefix doubling, the standard distributed
-  * suffix-array construction): rank₀ = dense rank of the character;
-  * rank_{2k}(i) = dense rank of (rank_k(i), rank_k(i+k)). Every step is a
-  * corpus-sized equi-join (the k-shift) plus [[Scale.denseRankByRange]] —
-  * the range-partitioned, O(partitions)-driver-state dense rank, NOT an
-  * unpartitioned window. Documents are laid out by
+  * suffix-array construction), with two scale reworks over the naive form:
+  *
+  * '''Packed start at block 4.''' The corpus explodes to primitive INT
+  * CODEPOINTS via the codegen'd
+  * [[org.apache.spark.sql.graft.StringCodepoints]] (never 1-char String
+  * objects), and because 4 codepoints (21 bits each) pack exactly into the
+  * two-long key a doubling step already carries, the first RANKED level is
+  * block 4 directly: k = (cp₀·2⁴²+cp₁·2²¹+cp₂, cp₃). The spectrum rows for
+  * blocks 1 and 2 need no ranks at all — they are plain hash-aggregation
+  * censuses over packed keys (map-side combinable, no range sort). This
+  * deletes the three largest sorts and two corpus-sized joins of the naive
+  * 1→2→4 chain — exactly the levels that still see the whole corpus.
+  *
+  * '''Doubling.''' rank_{2k}(i) = dense rank of (rank_k(i), rank_k(i+k)).
+  * Every step is an equi-join (the k-shift) plus
+  * [[org.apache.spark.sql.graft.RangeRank.rankLevel]] — the
+  * range-partitioned, O(partitions)-driver-state dense rank that stays on
+  * InternalRows end to end (one sort per level, cached as serialized
+  * UnsafeRows; the loop-termination dup test folds into the same pass),
+  * NOT an unpartitioned window. Each level keeps only its ACTIVE SET —
+  * valid positions whose rank class has >= 2 valid members. A position
+  * with a globally unique block can never join a repeat family at any
+  * finer level, so it is frozen forever and later levels represent it as
+  * a synthetic per-position key (`-(gpos)-2`, disjoint from real ranks)
+  * when it appears as some active position's k-shift successor; a VALID
+  * active position's successor is itself valid-and-in-a->=2-class, so the
+  * real rank is always present when it is needed. Level sizes therefore
+  * collapse to the corpus's repeat mass as blocks grow — at 100 TB the
+  * late (expensive, long-block) levels process the boilerplate fraction,
+  * not the corpus. Documents are laid out by
   * [[Scale.exclusivePrefixSums]] of their lengths; no separator characters
   * are needed because rank equality is exact substring equality, and every
   * REPORTED group filters to positions whose whole block lies inside its
@@ -35,17 +61,20 @@ import org.apache.spark.storage.StorageLevel
   * cost of distributed suffix sorting) run ONCE per corpus snapshot and
   * materialized, exactly like the LSH signature table — at 100 TB this is
   * the scheduled EXACTSUBSTR indexing job, and the spectrum/longest reads
-  * are bounded aggregations over the cached level tables. Per-round
-  * lineage is truncated with localCheckpoint (the components discipline).
+  * are bounded aggregations over the cached level tables. Each level's
+  * range-sorted rows persist once as serialized UnsafeRows (block-manager
+  * backed, truncating lineage like the components discipline).
   * [[MaxBlock]] caps the doubling at 4096-char blocks — not a semantic
   * threshold like SpanK (reported repeats are exact at EVERY length up to
   * the cap, and `longest_repeat` is exact whenever the true maximum is
   * under 2·MaxBlock−1, i.e. 8 KB — far beyond any fixed-window span
   * statistic); corpora with longer clones report the capped bound.
   *
-  * Rows-only BY DESIGN (like `bpe_merges`): an iterative data-dependent
-  * fixpoint with driver-side round control has no single-SQL oracle; the
-  * spec brute-forces the spectrum and the longest repeat on fixtures. */
+  * The spectrum and coverage OUTPUTS are brute-force oracled in DuckDB
+  * (window-explode twins below); `longest_repeat` stays rows-only BY
+  * DESIGN (like `bpe_merges` — a data-dependent binary-search fixpoint
+  * with driver-side round control); the spec brute-forces all three on
+  * fixtures. */
 object SuffixRepeats {
 
   private def docs(spark: SparkSession, dir: String) =
@@ -53,19 +82,48 @@ object SuffixRepeats {
 
   val MaxBlock = 4096L // doubling cap: levels 1,2,…,4096
 
-  // level tables are localCheckpoint'd (block-manager-backed) rather than
-  // persisted frames, so this cache registers a clear hook instead of
-  // joining the DataFrame registry
+  /** One doubling level: its block length, the ACTIVE-SET frame
+    * (gpos, doc_id, pos, doc_len, rank) — exactly the valid positions
+    * whose length-`block` window repeats somewhere in the corpus — whether
+    * that set is nonempty (the loop-termination test, computed during
+    * construction at no extra job), and the persisted sorted-UnsafeRow RDD
+    * the frame replays from (owned here; unpersisted by the clear hook). */
+  private[operators] final case class Level(block: Long, frame: DataFrame,
+      hasDup: Boolean, storage: org.apache.spark.rdd.RDD[_])
+
+  // level tables are RDD-persisted (block-manager-backed) rather than
+  // persisted frames, so this cache registers a clear hook — which also
+  // unpersists each level's storage (ADVICE r8) — instead of joining the
+  // DataFrame registry
   private val levelsCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String), Seq[(Long, DataFrame)]]
-  Materialized.registerClearable(() => levelsCache.clear())
+    .empty[(String, String), Seq[Level]]
+  Materialized.registerClearable { () =>
+    levelsCache.values.foreach(_.foreach(l =>
+      try l.storage.unpersist(blocking = false)
+      catch { case _: Throwable => () }))
+    levelsCache.clear()
+  }
   private val spectrumCache = Materialized.register(
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
   private val longestCache = Materialized.register(
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
 
-  /** (gpos, doc_id, pos, doc_len, ch) — the corpus at char resolution in
-    * one global address space (same inherent cost as `dup_span_stats`). */
+  /** One spectrum row, censused without a rank table (blocks 1 and 2). */
+  private[operators] final case class Spec(block: Long, nGroups: Long,
+      nPositions: Long, maxGroup: Long, xdoc: Long)
+  private val censusCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (Spec, Option[Spec])]
+  Materialized.registerClearable(() => censusCache.clear())
+
+  /** (gpos, doc_id, pos, doc_len, ch, ch2, ch3, ch4) — the corpus at char
+    * resolution in one global address space (same inherent cost as
+    * `dup_span_stats`). `ch..ch4` are the INT CODEPOINTS at pos..pos+3
+    * widened to long (all-long rows are what lets every doubling pass stay
+    * on fixed-width UnsafeRows), never 1-char Strings; ch2..ch4 are null
+    * past the document tail (only rows whose window fits ever read them).
+    * The lookahead is a `get()` into the per-document codepoint array —
+    * projection-collapsed into the explode stage, so the array never
+    * leaves whole-stage codegen. */
   private def charFrame(spark: SparkSession, dir: String): DataFrame = {
     val lens = docs(spark, dir)
       .select(col("doc_id"), length(col("text")).cast("long").as("doc_len"))
@@ -73,67 +131,141 @@ object SuffixRepeats {
     val offsets = Scale.exclusivePrefixSums(lens, "doc_id", "doc_len", "doc_off")
     docs(spark, dir)
       .join(offsets, "doc_id")
-      .select(col("doc_id"), col("doc_len"), col("doc_off"),
-        posexplode(split(col("text"), "")).as(Seq("pos", "ch")))
+      .withColumn("cps", StringCodepoints(col("text")))
+      .select(col("doc_id"), col("doc_len"), col("doc_off"), col("cps"),
+        posexplode(col("cps")).as(Seq("pos", "ch")))
       .select((col("doc_off") + col("pos")).as("gpos"), col("doc_id"),
-        col("pos").cast("long").as("pos"), col("doc_len"), col("ch"))
+        col("pos").cast("long").as("pos"), col("doc_len"),
+        col("ch").cast("long").as("ch"),
+        get(col("cps"), col("pos") + 1).cast("long").as("ch2"),
+        get(col("cps"), col("pos") + 2).cast("long").as("ch3"),
+        get(col("cps"), col("pos") + 3).cast("long").as("ch4"))
   }
 
-  /** Doubling levels [(blockLen, (gpos, doc_id, pos, doc_len, rank))],
-    * materialized per (session, corpus). Construction stops when a level
-    * has no within-document duplicate block (longer repeats are then
-    * impossible), or at [[MaxBlock]]. */
-  private[operators] def levels(spark: SparkSession, dir: String): Seq[(Long, DataFrame)] =
-    levelsCache.getOrElseUpdate(Materialized.sessionKey(spark, dir), {
-      val chars = charFrame(spark, dir)
-      var t = Scale.denseRankByRange(chars, Seq("ch"), "rank")
-        .select("gpos", "doc_id", "pos", "doc_len", "rank")
-        .localCheckpoint(true)
-      val out = scala.collection.mutable.ListBuffer.empty[(Long, DataFrame)]
-      var block = 1L
-      out += ((block, t))
-      var go = hasValidDup(t, block)
-      while (go && block < MaxBlock) {
-        val shifted = t.select((col("gpos") - block).as("gpos"),
-          col("rank").as("rank2"))
-        val paired = t.join(shifted, Seq("gpos"), "left")
-          .select(col("gpos"), col("doc_id"), col("pos"), col("doc_len"),
-            col("rank"), coalesce(col("rank2"), lit(-1L)).as("rank2"))
-        block = block * 2
-        t = Scale.denseRankByRange(paired, Seq("rank", "rank2"), "r")
-          .select(col("gpos"), col("doc_id"), col("pos"), col("doc_len"),
-            col("r").as("rank"))
-          .localCheckpoint(true)
-        out += ((block, t))
-        go = hasValidDup(t, block)
-      }
-      out.toSeq
+  /** Run `body` with adaptive execution off. Construction queries are
+    * fixed-shape (np-partition range shuffle + gpos equi-join on uniform
+    * keys): there is no skew or size surprise for AQE to adapt to, but its
+    * stage-by-stage materialization costs a driver planning round-trip per
+    * exchange — ~L·stages round-trips across the doubling loop, pure
+    * overhead on an indexing job whose plans are known upfront. Reader
+    * queries over the finished levels keep the session's AQE setting. */
+  private def withoutAqe[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** Census one packed-key frame (doc_id, k): the spectrum numbers for a
+    * block length whose windows fit a single long — a two-level hash
+    * aggregation with map-side partial combine, NO range sort and NO rank
+    * assignment. This is how blocks 1 and 2 (the full-corpus levels) avoid
+    * the suffix machinery entirely. */
+  private def packedCensus(block: Long, df: DataFrame): Spec = {
+    val r = df.groupBy(col("k"))
+      .agg(count(lit(1)).as("sz"), countDistinct(col("doc_id")).as("nd"))
+      .where(col("sz") >= 2)
+      .agg(count(lit(1)).as("n_groups"),
+        coalesce(sum(col("sz")), lit(0L)).as("n_positions"),
+        coalesce(max(col("sz")), lit(0L)).as("max_group"),
+        coalesce(sum(when(col("nd") >= 2, 1L).otherwise(0L)), lit(0L))
+          .as("n_groups_xdoc"))
+      .collect()(0)
+    Spec(block, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  /** Censused spectrum rows for blocks 1 and 2 (block 2 computed only if
+    * block 1 has a repeated family — the oracle's level-cutoff rule). */
+  private[operators] def censuses(spark: SparkSession, dir: String): (Spec, Option[Spec]) =
+    censusCache.getOrElseUpdate(Materialized.sessionKey(spark, dir), withoutAqe(spark) {
+      val base = charFrame(spark, dir)
+      val c1 = packedCensus(1L, base.select(col("doc_id"), col("ch").as("k")))
+      val c2 =
+        if (c1.nGroups == 0) None
+        else Some(packedCensus(2L,
+          base.where(col("pos") + 2 <= col("doc_len"))
+            .select(col("doc_id"),
+              (col("ch") * lit(1L << 21) + col("ch2")).as("k"))))
+      (c1, c2)
     })
 
-  /** Does any length-`block` substring repeat WITHIN document bounds? */
-  private def hasValidDup(t: DataFrame, block: Long): Boolean =
-    !t.where(col("pos") + block <= col("doc_len"))
-      .groupBy(col("rank")).agg(count(lit(1)).as("c"))
-      .where(col("c") >= 2).limit(1).isEmpty
+  /** Ranked doubling levels from block 4 up, materialized per (session,
+    * corpus); empty when no 2-char block repeats (then blocks 1-2 are fully
+    * described by [[censuses]]). Construction stops when a level has no
+    * within-document duplicate block (longer repeats are then impossible —
+    * the flag falls out of the rank pass itself), or at [[MaxBlock]]. */
+  private[operators] def levels(spark: SparkSession, dir: String): Seq[Level] =
+    levelsCache.getOrElseUpdate(Materialized.sessionKey(spark, dir), {
+      val (_, c2) = censuses(spark, dir)
+      if (!c2.exists(_.nGroups > 0)) Seq.empty
+      else withoutAqe(spark) {
+        val base = charFrame(spark, dir)
+        val lvl4In = base.where(col("pos") + 4 <= col("doc_len"))
+          .select(col("gpos"), col("doc_id"), col("pos"), col("doc_len"),
+            (col("ch") * lit(1L << 42) + col("ch2") * lit(1L << 21)
+              + col("ch3")).as("k1"),
+            col("ch4").as("k2"))
+        var block = 4L
+        var cur = RangeRank.rankLevel(lvl4In, numKeys = 2, block = block)
+        val out = scala.collection.mutable.ListBuffer.empty[Level]
+        out += Level(block, cur.frame, cur.hasValidDup, cur.storage)
+        while (cur.hasValidDup && block < MaxBlock) {
+        val t = cur.frame
+        val shifted = t.select((col("gpos") - block).as("gpos"),
+          col("rank").as("rank2"))
+        // a missing successor is frozen (unique block — the synthetic key
+        // -(successor gpos)-2 preserves that uniqueness, disjoint from real
+        // ranks >= 1) or past its document's end (then THIS row is invalid
+        // at 2*block and the filter below drops it anyway); rows invalid at
+        // the doubled length can never be reported or serve a valid
+        // successor, so they exit before the sort
+        val paired = t.join(shifted, Seq("gpos"), "left")
+          .where(col("pos") + lit(2 * block) <= col("doc_len"))
+          .select(col("gpos"), col("doc_id"), col("pos"), col("doc_len"),
+            col("rank"),
+            coalesce(col("rank2"), -(col("gpos") + lit(block)) - lit(2))
+              .as("rank2"))
+          block = block * 2
+          cur = RangeRank.rankLevel(paired, numKeys = 2, block = block)
+          out += Level(block, cur.frame, cur.hasValidDup, cur.storage)
+        }
+        out.toSeq
+      }
+    })
 
   /** The repeat spectrum: one row per doubling level. All-BIGINT. */
   def suffixRepeats(spark: SparkSession, dir: String): DataFrame =
     Materialized.cached(spectrumCache, spark, dir) {
       import spark.implicits._
-      val rows = levels(spark, dir).map { case (block, t) =>
-        val r = t.where(col("pos") + block <= col("doc_len"))
-          .groupBy(col("rank"))
+      val (c1, c2) = censuses(spark, dir)
+      val rows = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Long, Long)]
+      rows += ((c1.block, c1.nGroups, c1.nPositions, c1.maxGroup, c1.xdoc))
+      c2.foreach(c => rows += ((c.block, c.nGroups, c.nPositions, c.maxGroup, c.xdoc)))
+      // the level frames ARE the valid >= 2-member families: census each
+      // directly, UNIONed so all levels run as one planned job instead of
+      // one driver round per level
+      val levelCensuses = levels(spark, dir).map { case Level(block, t, _, _) =>
+        t.groupBy(col("rank"))
           .agg(count(lit(1)).as("sz"), countDistinct(col("doc_id")).as("nd"))
-          .where(col("sz") >= 2)
           .agg(count(lit(1)).as("n_groups"),
             coalesce(sum(col("sz")), lit(0L)).as("n_positions"),
             coalesce(max(col("sz")), lit(0L)).as("max_group"),
             coalesce(sum(when(col("nd") >= 2, 1L).otherwise(0L)), lit(0L))
               .as("n_groups_xdoc"))
-          .collect()(0)
-        (block, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+          .select(lit(block).as("block_len"), col("n_groups"),
+            col("n_positions"), col("max_group"), col("n_groups_xdoc"))
       }
-      rows.toDF("block_len", "n_groups", "n_positions", "max_group",
+      levelCensuses.reduceOption(_.unionAll(_)).foreach {
+        _.collect().sortBy(_.getLong(0)).foreach { r =>
+          rows += ((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4)))
+        }
+      }
+      rows.toSeq.toDF("block_len", "n_groups", "n_positions", "max_group",
           "n_groups_xdoc")
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
@@ -144,42 +276,81 @@ object SuffixRepeats {
   def longestRepeat(spark: SparkSession, dir: String): DataFrame =
     Materialized.cached(longestCache, spark, dir) {
       import spark.implicits._
+      val (c1, c2) = censuses(spark, dir)
       val lvls = levels(spark, dir)
       // largest level with a valid duplicate (construction ran one level
-      // past it unless capped, so the bound below is exact up to the cap)
-      val dupLevels = lvls.filter { case (b, t) => hasValidDup(t, b) }
-      if (dupLevels.isEmpty) {
-        Seq((0L, 0L, 0L, "")).toDF("max_len", "n_occurrences", "n_groups", "sample")
+      // past it unless capped, so the bound below is exact up to the cap);
+      // the flags were computed during construction — no re-aggregation
+      val dupLevels = lvls.filter(_.hasDup)
+      if (dupLevels.nonEmpty) {
+        val Level(bk, tk, _, _) = dupLevels.last
+        refineFrom(spark, dir, bk, tk)
+      } else if (c2.exists(_.nGroups > 0)) {
+        // the longest repeat is 2 or 3 chars: rank block 2 on demand (tiny
+        // corpora only — any real corpus repeats some 4-gram) and release
+        // the one-off level immediately (the result frame is a literal)
+        val base = charFrame(spark, dir)
+        val r = RangeRank.rankLevel(
+          base.where(col("pos") + 2 <= col("doc_len"))
+            .select(col("gpos"), col("doc_id"), col("pos"), col("doc_len"),
+              col("ch").as("k1"), col("ch2").as("k2")),
+          numKeys = 2, block = 2L)
+        val res = refineFrom(spark, dir, 2L, r.frame)
+        r.storage.unpersist(blocking = false)
+        res
+      } else if (c1.nGroups > 0) {
+        // the longest repeat is a single character
+        val base = charFrame(spark, dir)
+        val r = RangeRank.rankLevel(
+          base.select(col("gpos"), col("doc_id"), col("pos"), col("doc_len"),
+            col("ch").as("k1")),
+          numKeys = 1, block = 1L)
+        val res = refineFrom(spark, dir, 1L, r.frame)
+        r.storage.unpersist(blocking = false)
+        res
       } else {
-        val (bk, tk) = dupLevels.last
-        def dupAt(len: Long): Boolean = !keysAt(tk, bk, len)
-          .groupBy("r1", "r2").agg(count(lit(1)).as("c"))
-          .where(col("c") >= 2).limit(1).isEmpty
-        val maxDocLen = tk.agg(max(col("doc_len"))).collect()(0).getLong(0)
-        var lo = bk // known dup
-        var hi = math.min(2 * bk - 1, maxDocLen) // exact bound (see scaladoc)
-        while (lo < hi) {
-          val mid = (lo + hi + 1) / 2
-          if (dupAt(mid)) lo = mid else hi = mid - 1
-        }
-        val keys = keysAt(tk, bk, lo)
-        val dupKeys = keys.groupBy("r1", "r2").agg(count(lit(1)).as("c"))
-          .where(col("c") >= 2)
-        val members = keys.join(dupKeys.hint("shuffle_hash"), Seq("r1", "r2"))
-        val stats = members
-          .agg(count(lit(1)).as("n_occ"), min(col("gpos")).as("wit"))
-          .collect()(0)
-        val nGroups = dupKeys.count()
-        val wit = members.where(col("gpos") === stats.getLong(1))
-          .select("doc_id", "pos").collect()(0)
-        val sample = docs(spark, dir)
-          .where(col("doc_id") === wit.getLong(0))
-          .select(substring(col("text"), wit.getLong(1).toInt + 1, lo.toInt)
-            .as("s")).collect()(0).getString(0)
-        Seq((lo, stats.getLong(0), nGroups, sample))
-          .toDF("max_len", "n_occurrences", "n_groups", "sample")
+        Seq((0L, 0L, 0L, "")).toDF("max_len", "n_occurrences", "n_groups", "sample")
       }
     }
+
+  /** Binary-search refinement + family stats from the ranked level
+    * (bk, tk); collects everything, so the returned frame is a literal. */
+  private def refineFrom(spark: SparkSession, dir: String, bk: Long,
+      tk: DataFrame): DataFrame = {
+    import spark.implicits._
+    def dupAt(len: Long): Boolean = !keysAt(tk, bk, len)
+      .groupBy("r1", "r2").agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2).limit(1).isEmpty
+    val maxDocLen = tk.agg(max(col("doc_len"))).collect()(0).getLong(0)
+    var lo = bk // known dup
+    var hi = math.min(2 * bk - 1, maxDocLen) // exact bound (see scaladoc)
+    while (lo < hi) {
+      val mid = (lo + hi + 1) / 2
+      if (dupAt(mid)) lo = mid else hi = mid - 1
+    }
+    val keys = keysAt(tk, bk, lo)
+    val dupKeys = keys.groupBy("r1", "r2").agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2)
+    val members = keys.join(dupKeys.hint("shuffle_hash"), Seq("r1", "r2"))
+    val stats = members
+      .agg(count(lit(1)).as("n_occ"), min(col("gpos")).as("wit"))
+      .collect()(0)
+    val nGroups = dupKeys.count()
+    val wit = members.where(col("gpos") === stats.getLong(1))
+      .select("doc_id", "pos").collect()(0)
+    // substring() positions are Int; a witness past 2^31 chars into its
+    // document would silently wrap (ADVICE r8) — the stats stay exact,
+    // only the excerpt is dropped for such a document
+    val witPos = wit.getLong(1)
+    val sample =
+      if (witPos + lo >= Int.MaxValue.toLong) ""
+      else docs(spark, dir)
+        .where(col("doc_id") === wit.getLong(0))
+        .select(substring(col("text"), witPos.toInt + 1, lo.toInt)
+          .as("s")).collect()(0).getString(0)
+    Seq((lo, stats.getLong(0), nGroups, sample))
+      .toDF("max_len", "n_occurrences", "n_groups", "sample")
+  }
 
   /** Block length for [[repeatCoverage]] — the ExactSubstr-style scale at
     * which repeated content is considered "duplicated text" for the
@@ -200,18 +371,16 @@ object SuffixRepeats {
     val B = CoverageBlock
     val allDocs = docs(spark, dir)
       .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
-    val covered = levels(spark, dir).find(_._1 == B) match {
+    val covered = levels(spark, dir).find(_.block == B).map(_.frame) match {
       // the dup chain died before level B ⇒ no B-char repeat exists
       case None => spark.emptyDataFrame
         .withColumn("doc_id", lit(0L)).withColumn("covered", lit(0L))
         .select("doc_id", "covered").limit(0)
-      case Some((_, f)) =>
-        val valid = f.where(col("pos") + B <= col("doc_len"))
-          .select(col("doc_id"), col("pos"), col("rank"))
-        val dupRanks = valid.groupBy(col("rank"))
-          .agg(count(lit(1)).as("c")).where(col("c") >= 2).select("rank")
+      case Some(f) =>
+        // the level frame IS "valid positions whose B-window repeats":
+        // the old dup-rank count + semi-join collapsed into construction
         val w = Window.partitionBy("doc_id").orderBy("pos")
-        valid.join(dupRanks.hint("shuffle_hash"), Seq("rank"))
+        f.select(col("doc_id"), col("pos"))
           .withColumn("contrib", least(lit(B),
             col("pos") - coalesce(lag(col("pos"), 1).over(w), lit(-B))))
           .groupBy(col("doc_id"))
