@@ -57,6 +57,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WinnowMins].getName, "winnow_mins"),
       (exprs: Seq[Expression]) => WinnowMins(exprs.head, longOf(exprs(1)).toInt)))
     ext.injectFunction((
+      new FunctionIdentifier("int8_quant_stats"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.Int8QuantStats].getName,
+        "int8_quant_stats"),
+      (exprs: Seq[Expression]) => org.apache.spark.sql.graft.Int8QuantStats(exprs.head)))
+    ext.injectFunction((
       new FunctionIdentifier("codepoints"),
       new ExpressionInfo(classOf[StringCodepoints].getName, "codepoints"),
       (exprs: Seq[Expression]) => StringCodepoints(exprs.head)))

@@ -975,29 +975,22 @@ object Similarity {
        |    / CAST(count(*) AS DOUBLE) AS avg_norm2
        |FROM n""".stripMargin
 
+  /** Int8 quantization audit, one codegen'd pass per vector
+    * ([[org.apache.spark.sql.graft.Int8QuantStats]] — replaces the five
+    * interpreted `transform`/`aggregate`/`zip_with` lambdas this query
+    * spent its time in; same math, §6 rounding applied to the raw cosine
+    * here). Map-only at any scale. */
   def embeddingQuantize(spark: SparkSession, dir: String): DataFrame = {
-    val s = (array_max(transform(col("embedding"), x => abs(x.cast("double"))))
-      / 127.0).as("s")
-    val qv = transform(col("embedding"), x =>
-      least(greatest(round(x.cast("double") / col("s")), lit(-127.0)), lit(127.0))
-        .cast("long"))
+    val qs = org.apache.spark.sql.graft.Int8QuantStats(col("embedding"))
     emb(spark, dir)
-      .select(col("vec_id"), col("embedding"), s)
-      .where(col("s") > 0.0)
-      .select(col("vec_id"), col("embedding"), qv.as("qv"))
+      .select(col("vec_id"), qs.as("qs"))
+      .where(col("qs").isNotNull)
       .select(col("vec_id"),
-        size(col("qv")).cast("long").as("n_dims"),
-        aggregate(transform(col("qv"), x => abs(x)), lit(0L), (a, x) => a + x)
-          .as("q_l1"),
-        aggregate(col("qv"), lit(0L), (a, x) => a + x).as("q_sum"),
-        round(
-          aggregate(zip_with(col("qv"), col("embedding"),
-            (q, v) => q.cast("double") * v.cast("double")), lit(0.0), (a, x) => a + x)
-          / (sqrt(aggregate(transform(col("qv"), x => x * x), lit(0L), (a, x) => a + x)
-              .cast("double"))
-            * sqrt(aggregate(transform(col("embedding"),
-                v => v.cast("double") * v.cast("double")), lit(0.0), (a, x) => a + x))),
-          4).cast("decimal(14,4)").cast("double").as("recon_cos"))
+        col("qs.n_dims").as("n_dims"),
+        col("qs.q_l1").as("q_l1"),
+        col("qs.q_sum").as("q_sum"),
+        round(col("qs.recon_raw"), 4).cast("decimal(14,4)").cast("double")
+          .as("recon_cos"))
   }
   val embeddingQuantizeSql: String =
     """WITH base AS (

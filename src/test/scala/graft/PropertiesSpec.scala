@@ -306,6 +306,64 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("property: Int8QuantStats equals the lambda formulation bit for bit") {
+    // the codegen'd expression replaced an interpreted
+    // transform/aggregate/zip_with chain; its §6 contract is BIT equality
+    // with that chain (same fold order, same Spark round() semantics).
+    // Every third vector pins max=127 so s=1 exactly and the remaining
+    // elements hit exact ±k.5 halves — the adversarial rounding boundary.
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 60).map { i =>
+      val dim = 16 + rnd.nextInt(17)
+      val arr =
+        if (i % 3 == 0)
+          Array(127f) ++ Array.fill(dim - 1)((rnd.nextInt(509) - 254).toFloat / 2f)
+        else Array.fill(dim)((rnd.nextFloat() * 2f - 1f) * (1 + rnd.nextInt(9)))
+      (i.toLong, arr)
+    } :+ (1000L, Array.fill(8)(0f)) // zero vector: dropped by both paths
+    val df = vecs.toDF("vec_id", "embedding")
+    val s = (array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+      / 127.0).as("s")
+    val qv = transform(col("embedding"), x =>
+      least(greatest(round(x.cast("double") / col("s")), lit(-127.0)), lit(127.0))
+        .cast("long"))
+    val expected = df
+      .select(col("vec_id"), col("embedding"), s)
+      .where(col("s") > 0.0)
+      .select(col("vec_id"), col("embedding"), qv.as("qv"))
+      .select(col("vec_id"),
+        size(col("qv")).cast("long").as("n_dims"),
+        aggregate(transform(col("qv"), x => abs(x)), lit(0L), (a, x) => a + x)
+          .as("q_l1"),
+        aggregate(col("qv"), lit(0L), (a, x) => a + x).as("q_sum"),
+        (aggregate(zip_with(col("qv"), col("embedding"),
+          (q, v) => q.cast("double") * v.cast("double")), lit(0.0), (a, x) => a + x)
+          / (sqrt(aggregate(transform(col("qv"), x => x * x), lit(0L), (a, x) => a + x)
+              .cast("double"))
+            * sqrt(aggregate(transform(col("embedding"),
+                v => v.cast("double") * v.cast("double")), lit(0.0), (a, x) => a + x))))
+          .as("raw"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val got = df
+      .select(col("vec_id"),
+        org.apache.spark.sql.graft.Int8QuantStats(col("embedding")).as("qs"))
+      .where(col("qs").isNotNull)
+      .select(col("vec_id"), col("qs.n_dims"), col("qs.q_l1"), col("qs.q_sum"),
+        col("qs.recon_raw"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet == expected.keySet) // incl. the s=0 drop
+    expected.foreach { case (id, (nd, l1, sm, raw)) =>
+      val g = got(id)
+      assert(g._1 == nd && g._2 == l1 && g._3 == sm, s"vec $id ints: $g")
+      assert(java.lang.Double.doubleToLongBits(g._4)
+        == java.lang.Double.doubleToLongBits(raw), s"vec $id raw cos bits")
+    }
+  }
+
   test("property: bpe_pair_counts equals brute-force weighted pair counting") {
     val docGen = Gen.chooseNum(3, 12)
       .flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
