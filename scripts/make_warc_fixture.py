@@ -37,6 +37,20 @@ def http(body):
             + body.encode("ascii"))
 
 
+OUT_URLS = os.path.join(os.path.dirname(__file__), "..", "src", "main",
+                        "resources", "graft", "warc_urls")
+
+# Second fixture (graft/warc_urls): URL VARIANTS of the same pages, backing
+# the `warc_url_dedup` driver row. Expected canonical-URL rollup (responses
+# only; canonicalUrl = lowercase, strip scheme + leading www., drop ?query/
+# #fragment, trim trailing slash; keep_url = lexicographic min raw url):
+#
+#   canon_url          keep_url                       n_fetches  n_raw_urls
+#   alpha.example/a    http://alpha.example/a         5          4
+#   beta.example       http://beta.example/           2          2
+#   beta.example/page  http://beta.example/page?id=1  2          2
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
     part0 = (
@@ -68,6 +82,37 @@ def main():
         with gzip.GzipFile(fileobj=f, mode="wb", mtime=0) as gz:
             gz.write(part1)
     print(f"wrote {OUT}/cc-000.warc and cc-001.warc.gz")
+
+    os.makedirs(OUT_URLS, exist_ok=True)
+    urls0 = (
+        # request record: excluded from documents, exercises type filtering
+        record("request", "http://alpha.example/a",
+               b"GET /a HTTP/1.1\r\nHost: alpha.example\r\n")
+        + record("response", "http://alpha.example/a", http("alpha one"))
+        # leading www. strips to the same canonical page
+        + record("response", "http://www.alpha.example/a", http("alpha two"))
+        # scheme/host case + tracking query + fragment all normalize away
+        + record("response", "https://ALPHA.example/a?utm_source=news#frag",
+                 http("alpha three"))
+        # trailing slash trims
+        + record("response", "http://alpha.example/a/", http("alpha four"))
+        # exact raw refetch: n_fetches > n_raw_urls
+        + record("response", "http://alpha.example/a", http("alpha refetch"))
+    )
+    with open(os.path.join(OUT_URLS, "cc-urls-000.warc"), "wb") as f:
+        f.write(urls0)
+    urls1 = (
+        # root with and without trailing slash / scheme variant
+        record("response", "http://beta.example/", http("beta root"))
+        + record("response", "https://beta.example", http("beta root again"))
+        # same page, distinct query params: one canonical page
+        + record("response", "http://beta.example/page?id=1", http("beta page 1"))
+        + record("response", "http://beta.example/page?id=2", http("beta page 2"))
+    )
+    with open(os.path.join(OUT_URLS, "cc-urls-001.warc.gz"), "wb") as f:
+        with gzip.GzipFile(fileobj=f, mode="wb", mtime=0) as gz:
+            gz.write(urls1)
+    print(f"wrote {OUT_URLS}/cc-urls-000.warc and cc-urls-001.warc.gz")
 
 
 if __name__ == "__main__":

@@ -348,18 +348,24 @@ object WarcSource {
     * the query works from any working directory and from an assembled jar;
     * binaryFile needs a filesystem path, so they are materialized once per
     * JVM into a temp dir, byte-for-byte. */
-  private val FixtureFiles = Seq("cc-000.warc", "cc-001.warc.gz")
-  lazy val FixtureDir: String = {
-    val d = java.nio.file.Files.createTempDirectory("graft-warc-fixture")
+  private def materializeFixture(sub: String, files: Seq[String]): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft-$sub-fixture")
     d.toFile.deleteOnExit()
-    FixtureFiles.foreach { name =>
-      val in = getClass.getResourceAsStream(s"/graft/warc/$name")
-      require(in != null, s"classpath fixture /graft/warc/$name missing")
+    files.foreach { name =>
+      val in = getClass.getResourceAsStream(s"/graft/$sub/$name")
+      require(in != null, s"classpath fixture /graft/$sub/$name missing")
       try java.nio.file.Files.copy(in, d.resolve(name))
       finally in.close()
     }
     d.toString
   }
+  lazy val FixtureDir: String =
+    materializeFixture("warc", Seq("cc-000.warc", "cc-001.warc.gz"))
+  /** URL-variant fixture corpus backing `warc_url_dedup` (same generator
+    * script; www/scheme-case/query/fragment/trailing-slash variants of the
+    * same pages plus one exact refetch). */
+  lazy val FixtureUrlsDir: String =
+    materializeFixture("warc_urls", Seq("cc-urls-000.warc", "cc-urls-001.warc.gz"))
 
   /** Driver-contract query: per-host rollup of the committed WARC fixture.
     * Ignores `dir` — WARC is a raw-file source, not an sfDir parquet table
@@ -381,4 +387,25 @@ object WarcSource {
       |  ('alpha.example', 3, 44),
       |  ('beta.example', 2, 26),
       |  ('gamma.example', 1, 0)) AS t(host, n_docs, n_chars)""".stripMargin
+
+  /** Driver-contract query: canonical-URL crawl dedup ([[urlDedup]]) over
+    * the committed URL-variant fixture. Ignores `dir` like
+    * [[warcHostStats]] — WARC is a raw-file source, not an sfDir table. */
+  def warcUrlDedup(spark: SparkSession, dir: String): DataFrame =
+    urlDedup(documentsFromWarc(spark, FixtureUrlsDir))
+
+  /** Oracle: exact VALUES literal, hand-derived in
+    * scripts/make_warc_fixture.py from the fixture's raw URLs —
+    * independently of canonicalUrl — so this row checks the whole parse +
+    * normalize + dedup chain: www-strip, scheme case, tracking-query and
+    * fragment removal, trailing-slash trim, the min-string keeper, and the
+    * exact-refetch case where n_fetches > n_raw_urls. */
+  val warcUrlDedupSql: String =
+    """SELECT canon_url, keep_url, CAST(n_fetches AS BIGINT) AS n_fetches,
+      |  CAST(n_raw_urls AS BIGINT) AS n_raw_urls
+      |FROM (VALUES
+      |  ('alpha.example/a', 'http://alpha.example/a', 5, 4),
+      |  ('beta.example', 'http://beta.example/', 2, 2),
+      |  ('beta.example/page', 'http://beta.example/page?id=1', 2, 2))
+      |  AS t(canon_url, keep_url, n_fetches, n_raw_urls)""".stripMargin
 }
