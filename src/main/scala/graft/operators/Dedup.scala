@@ -476,6 +476,28 @@ object Dedup {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }
 
+  /** Durable finish for an iterative loop: write the FINAL (tiny,
+    * pair-graph-bounded) frame to scratch parquet and serve the persisted
+    * read-back. localCheckpoint lineage is unrecoverable on executor loss,
+    * so before this the finished labels/ranks had NO recompute path once
+    * the round checkpoints were released (the r7/r8 documented caveat);
+    * rooting the result at a file scan survives losing every cached block
+    * for one bounded write. Set `graft.scratchDir` to shared storage
+    * (HDFS/S3) on a real cluster; the default — the driver-local tmp dir —
+    * is exactly as durable as local mode itself. */
+  private[graft] def durableFinish(spark: SparkSession, tag: String,
+      df: DataFrame): DataFrame = {
+    val base = spark.conf.getOption("graft.scratchDir").getOrElse(
+      s"${sys.props("java.io.tmpdir")}/graft-scratch-${spark.sparkContext.applicationId}")
+    val path = s"$base/$tag"
+    df.write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Scratch-path tag unique to (session instance, corpus dir). */
+  private def scratchTag(name: String, spark: SparkSession, dir: String): String =
+    s"$name-${(Materialized.sessionKey(spark, dir).hashCode & 0x7fffffff).toHexString}"
+
   def dedupComponents(spark: SparkSession, dir: String): DataFrame =
     Materialized.cached(compCache, spark, dir) {
       // The pair graph comes pre-materialized — no LSH re-execution here.
@@ -527,15 +549,14 @@ object Dedup {
       if (changed > 0)
         throw new IllegalStateException(
           s"dedupComponents did not converge after $rounds rounds (changed=$changed)")
-      // Persist the final (tiny) labels frame and only then drop every
-      // round's checkpoint blocks — including the last round's, which the
-      // persisted copy replaces. localCheckpoint is already unrecoverable
-      // on executor loss, so freeing its blocks after materializing the
-      // persisted result does not change the failure model; it does return
+      // Durably finish (scratch parquet + persisted read-back), and only
+      // then drop every round's checkpoint blocks — including the last
+      // round's, which the durable copy replaces. This both returns
       // O(rounds × |graph|) of block-manager storage that clearAll() could
-      // never reach (the final frame's own unpersist frees the rest).
-      val result = labels.select(col("doc").as("doc_id"), col("lbl").as("component"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      // never reach AND leaves the labels recomputable from the file scan
+      // even if every cached block is lost (DedupSpec locks the recompute).
+      val result = durableFinish(spark, scratchTag("components", spark, dir),
+        labels.select(col("doc").as("doc_id"), col("lbl").as("component")))
       result.count()
       ckpts.foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
       result
@@ -594,7 +615,8 @@ object Dedup {
     * the spec can drive it with a hand-built graph. Every node must appear
     * as a src (symmetrize first): then out-degrees are ≥ 1 and no mass
     * dangles. */
-  private[graft] def pagerankOn(edges: DataFrame): DataFrame = {
+  private[graft] def pagerankOn(edges: DataFrame,
+      tag: String = s"pagerank-adhoc-${java.util.UUID.randomUUID()}"): DataFrame = {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val n = deg.count()
     if (n == 0)
@@ -618,19 +640,14 @@ object Dedup {
         .localCheckpoint(false)
       checkpointRdd(ranks).foreach(ckpts += _)
     }
-    val out = ranks.join(deg, col("doc") === col("src"))
-      .select(col("doc").as("doc_id"), col("deg").as("degree"),
-        round(col("pr"), 6).cast("decimal(14,6)").cast("double").as("pr"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Same release discipline as dedupComponents: durable finish first
+    // (scratch parquet + persisted read-back — the ranks keep a recompute
+    // path after the round checkpoints are freed), then drop the blocks.
+    val out = durableFinish(edges.sparkSession, tag,
+      ranks.join(deg, col("doc") === col("src"))
+        .select(col("doc").as("doc_id"), col("deg").as("degree"),
+          round(col("pr"), 6).cast("decimal(14,6)").cast("double").as("pr")))
     out.count()
-    // Same release discipline and failure model as dedupComponents (ADVICE
-    // r7): localCheckpoint lineage is already unrecoverable on executor
-    // loss, so dropping the round blocks once `out` is materialized does
-    // not weaken fault tolerance — but `out` itself then has no recompute
-    // path either. On a real cluster a job that must survive executor loss
-    // should write `out` to storage (one parquet write of a pair-graph-
-    // bounded frame) before releasing the round checkpoints; in-session
-    // the Materialized cache re-runs the loop on block loss.
     ckpts.foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
     out
   }
@@ -641,8 +658,10 @@ object Dedup {
     // per invocation measured ~14 s of pure per-round job overhead at sf0.1
     Materialized.cached(prCache, spark, dir) {
       val pairs = minhashPairs(spark, dir)
-      pagerankOn(pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+      pagerankOn(
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))),
+        scratchTag("pagerank", spark, dir))
     }
 
   /** Non-representative members of near-dup clusters — the docs a dedup
