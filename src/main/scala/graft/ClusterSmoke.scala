@@ -54,9 +54,13 @@ object ClusterSmoke {
     "kmv_sample",         // bottom-k TypedImperativeAggregate merge codecs
     "ngram_novelty",      // shared gram frame consumed from two branches
     "dup_cluster_sizes",  // component labels cached across the loop
-    "suffix_repeats",     // prefix-doubling rounds: RDD two-pass dense
-                          // rank + broadcast offsets across executor JVMs
-    "longest_repeat")     // binary-search probes over the cached levels
+    "suffix_repeats",     // prefix-doubling rounds: the Tungsten rank pass
+                          // (cached UnsafeRow levels + broadcast offsets +
+                          // driver-chained dup flags) across executor JVMs
+    "longest_repeat",     // binary-search probes over the cached levels
+    "repeat_coverage",    // per-doc interval union over the level-64 frame
+    "warc_url_dedup")     // URL-variant fixture: classpath materialization
+                          // + canonicalize + dedup on executor JVMs
 
   private def warcDocCount(spark: SparkSession): Long =
     graft.sources.WarcSource

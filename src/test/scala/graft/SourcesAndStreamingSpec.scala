@@ -678,6 +678,53 @@ class SourcesAndStreamingSpec extends SparkTestBase {
     assert(out.contains(2L) && out.contains(5L) && out.size == 3)
   }
 
+  test("stateful-LSH near-dup state survives a restart from checkpoint") {
+    import spark.implicits._
+    // the standing LSH bucket table is the stream's whole value: a doc
+    // indexed BEFORE a pipeline restart must still pair with a near-dup
+    // arriving AFTER it, from flatMapGroupsWithState state restored out of
+    // the checkpoint (same harness shape as the host-cap restart lock)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-lsh-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-lsh-ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-lsh-out").toString
+    val schema = "doc_id LONG, text STRING"
+    def runOnce(): Unit = {
+      val q = graft.streaming.DocsStream.nearDupPairs(
+          spark.readStream.schema(schema).json(srcDir))
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val base = "the quick brown fox jumps over the lazy dog while the " +
+      "cat watches from the warm windowsill nearby"
+    val docs = Seq(
+      1L -> base,
+      2L -> base,                           // exact duplicate, same run
+      3L -> base.replace("lazy", "sleepy")) // near-dup arriving POST-restart
+    // run 1: docs 1-2 populate the bucket state (pair (1,2) emits here)
+    docs.take(2).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").json(srcDir)
+    runOnce()
+    // run 2 (fresh query, same checkpoint): doc 3 alone — every pair it
+    // forms requires the restored run-1 bucket entries
+    docs.drop(2).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").json(srcDir)
+    runOnce()
+    val streamed = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.operators.Dedup
+      .dedupMinhash(spark, writeDocsFixture(docs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    // the load-bearing half: at least one CROSS-RESTART pair (doc 3 with a
+    // run-1 doc) — impossible without restored state
+    assert(streamed.exists { case (a, b, _) => b == 3L || a == 3L },
+      s"no cross-restart pair in $streamed")
+  }
+
   test("host-cap state survives a restart: a capped host stays capped") {
     import spark.implicits._
     // the domain cap must be durable across pipeline restarts — an SEO
