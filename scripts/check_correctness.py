@@ -3,7 +3,7 @@
 parquet dumps against DuckDB running SparkEntry.oracleSql on the same tables.
 Usage: check_correctness.py <sfDir> <verifyOutDir>
 """
-import sys, json, os, hashlib
+import sys, json, os, hashlib, time
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -58,6 +58,20 @@ def fresh_con(sf_dir):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     return con
+
+
+def reconnect(sf_dir, old_con):
+    """Mid-run reconnect with the same transient-malloc backoff the startup
+    path uses (ADVICE r8: an unguarded fresh_con inside a retry except-block
+    could itself throw and kill the whole gate). If every attempt fails,
+    hand back the old — possibly wedged — connection so the caller's next
+    attempt fails per-query and the run records an error row and moves on."""
+    for attempt in range(5):
+        try:
+            return fresh_con(sf_dir)
+        except Exception:
+            time.sleep(5 * (attempt + 1))
+    return old_con
 
 
 def run_oracle_subprocess(sf_dir, sql, mem=None):
@@ -133,9 +147,8 @@ def main(sf_dir, out_dir):
                 # later query on it — reconnect before retrying (seen as
                 # whole-run mass failures r7)
                 s_err = e
-                import time
                 time.sleep(2)
-                con = fresh_con(sf_dir)
+                con = reconnect(sf_dir, con)
         if s_err is not None:
             results[name] = {"error": f"spark result unreadable: {s_err}"}
             continue
@@ -164,9 +177,8 @@ def main(sf_dir, out_dir):
                                   duckdb.ConversionException,
                                   duckdb.OutOfRangeException)):
                     break
-                import time
                 time.sleep(2)
-                con = fresh_con(sf_dir)  # see spark-read retry note
+                con = reconnect(sf_dir, con)  # see spark-read retry note
         if isinstance(o_err, duckdb.OutOfMemoryException):
             # An OOM wedge can poison the allocator beyond what a fresh
             # CONNECTION in this process recovers (r7 driver run) — escalate
@@ -175,7 +187,7 @@ def main(sf_dir, out_dir):
             if cols_types_rows is not None:
                 o_cols, o_types, o_rows = cols_types_rows
                 o_err = None
-            con = fresh_con(sf_dir)  # this process's con may still be wedged
+            con = reconnect(sf_dir, con)  # this process's con may still be wedged
         if o_err is not None:
             results[name] = {"error": f"oracle failed: {o_err}"}
             continue

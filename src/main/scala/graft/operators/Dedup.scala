@@ -727,17 +727,25 @@ object Dedup {
     * BucketCap are dropped exactly like the self-join case. At 100 TB the
     * existing side is the signature table on disk, bucketed by band key,
     * and the increment probes matching buckets only. */
-  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val sig = sigSets(spark, dir)
+  /** Candidate phase of [[dedupIncremental]] (band-bucket probe with the
+    * over-full-bucket cap), factored out so ScaleSpec can assert the
+    * on-disk bucketed probe is candidate-set-IDENTICAL to this in-memory
+    * form — not merely a superset (ADVICE r8). */
+  private[graft] def incrementalCandidates(spark: SparkSession, dir: String): DataFrame = {
     val existing = bandedOf(signatures(spark, dir).where(col("doc_id") % 2 === 0))
     val fresh = bandedOf(signatures(spark, dir).where(col("doc_id") % 2 === 1))
     val keptOld = existing.groupBy("band", "key")
       .agg(count(lit(1)).as("bn")).where(col("bn") <= BucketCap)
       .select("band", "key")
-    val cand = fresh.as("f")
+    fresh.as("f")
       .join(existing.join(keptOld, Seq("band", "key")).as("e"), Seq("band", "key"))
       .select(col("f.doc_id").as("new_doc"), col("e.doc_id").as("old_doc"))
       .distinct()
+  }
+
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val sig = sigSets(spark, dir)
+    val cand = incrementalCandidates(spark, dir)
     val matches = (0 until K)
       .map(i => when(col(s"a.s$i") === col(s"b.s$i"), 1).otherwise(0))
       .reduce(_ + _)

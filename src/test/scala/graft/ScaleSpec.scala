@@ -333,8 +333,13 @@ class ScaleSpec extends SparkTestBase {
       val bucketed = dedup.incrementalProbeBucketed(spark, sf)
       val got = bucketed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got.nonEmpty, "fixture produced no incremental candidates")
-      // correctness: every verified near-dup pair the in-memory incremental
-      // path emits must have come through the bucketed candidate probe
+      // correctness: candidate-set EQUALITY with the in-memory probe phase
+      // (ADVICE r8 — subset alone would let spurious candidates pass), plus
+      // the verified pairs flowing through as before
+      val inMem = dedup.incrementalCandidates(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == inMem,
+        s"bucketed != in-memory candidates: extra=${got -- inMem} missing=${inMem -- got}")
       val verified = dedup.dedupIncremental(spark, sf)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(verified.subsetOf(got),
