@@ -306,6 +306,27 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("property: codepoints agrees with split-per-char and length, incl. astral") {
+    // the suffix index replaced split(text, '') with StringCodepoints: the
+    // element COUNT must equal Spark's length() (codepoints, the oracle's
+    // substr/length unit) and the elements must be exactly the codepoints
+    // of split(text, '')'s per-char strings — including surrogate pairs
+    val texts = Seq("abc", "héllo wörld", "𝄞 music 𝄞𝄞",
+      "日本語テキスト", "a𝄞b", "mixed ascii ɣ ʷ 𐍈")
+    val rows = texts.toDF("t").select(col("t"),
+      org.apache.spark.sql.graft.StringCodepoints(col("t")).as("cps"),
+      split(col("t"), "").as("chs"), length(col("t")).as("n")).collect()
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val cps = r.getSeq[Int](1)
+      val chs = r.getSeq[String](2)
+      assert(cps.length == r.getInt(3), s"'$t': count != length()")
+      assert(cps.length == chs.length, s"'$t': count != split elements")
+      assert(cps == chs.map(_.codePointAt(0)), s"'$t': codepoint mismatch")
+      assert(new String(cps.toArray, 0, cps.length) == t, s"'$t': reconstruct")
+    }
+  }
+
   test("property: Int8QuantStats equals the lambda formulation bit for bit") {
     // the codegen'd expression replaced an interpreted
     // transform/aggregate/zip_with chain; its §6 contract is BIT equality
