@@ -23,16 +23,19 @@ import org.apache.spark.storage.StorageLevel
   * Algorithm (Manber–Myers prefix doubling, the standard distributed
   * suffix-array construction), with two scale reworks over the naive form:
   *
-  * '''Packed start at block 4.''' The corpus explodes to primitive INT
+  * '''Adaptive packed start.''' The corpus explodes to primitive INT
   * CODEPOINTS via the codegen'd
   * [[org.apache.spark.sql.graft.StringCodepoints]] (never 1-char String
-  * objects), and because 4 codepoints (21 bits each) pack exactly into the
-  * two-long key a doubling step already carries, the first RANKED level is
-  * block 4 directly: k = (cp₀·2⁴²+cp₁·2²¹+cp₂, cp₃). The spectrum rows for
-  * blocks 1 and 2 need no ranks at all — they are plain hash-aggregation
-  * censuses over packed keys (map-side combinable, no range sort). This
-  * deletes the three largest sorts and two corpus-sized joins of the naive
-  * 1→2→4 chain — exactly the levels that still see the whole corpus.
+  * objects). Every block whose window packs into ONE long at the corpus's
+  * codepoint width (b·bits <= 63) needs no ranks at all — its spectrum
+  * row is a plain hash-aggregation census over packed keys (map-side
+  * combinable, no range sort) — and the first RANKED level is the largest
+  * block that packs EXACTLY into the doubling pass's two-long key
+  * (B·bits <= 126). ASCII corpora (bits=7, the common case) census
+  * blocks 1–8 and start ranking at 16; full-Unicode corpora (bits=21)
+  * census 1–2 and start at 4. This deletes the largest sorts and the
+  * corpus-sized joins of a naive block-1 chain — exactly the levels that
+  * still see the whole corpus ([[CensusChain]]).
   *
   * '''Doubling.''' rank_{2k}(i) = dense rank of (rank_k(i), rank_k(i+k)).
   * Every step is an equi-join (the k-shift) plus
@@ -108,22 +111,40 @@ object SuffixRepeats {
   private val longestCache = Materialized.register(
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
 
-  /** One spectrum row, censused without a rank table (blocks 1 and 2). */
+  /** One spectrum row, censused without a rank table. */
   private[operators] final case class Spec(block: Long, nGroups: Long,
       nPositions: Long, maxGroup: Long, xdoc: Long)
+
+  /** The rankless prefix of the spectrum: `bits` = bit width of the
+    * corpus's widest codepoint, `ladder` = every power-of-two block whose
+    * window packs into ONE long (b·bits <= 63 — censusable by hash agg),
+    * `specs` = the censused rows, computed down the ladder while the
+    * previous block still had a repeated family (the oracle's cutoff
+    * rule). Ranked doubling starts at 2·ladder.last — the largest block
+    * whose window packs EXACTLY into the doubling pass's two-long key.
+    * For ASCII corpora (bits=7) that means censuses at 1,2,4,8 and
+    * ranking from 16: the four largest sorts and three corpus-sized
+    * joins of a block-1 start never happen; for full Unicode (bits=21)
+    * it degrades gracefully to censuses at 1,2 and ranking from 4. */
+  private[operators] final case class CensusChain(bits: Int, ladder: Seq[Long],
+      specs: Seq[Spec]) {
+    def rankStart: Long = ladder.last * 2
+    /** All ladder blocks had families — ranked construction proceeds. */
+    def fullChain: Boolean =
+      specs.size == ladder.size && specs.last.nGroups > 0
+  }
   private val censusCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String), (Spec, Option[Spec])]
+    .empty[(String, String), CensusChain]
   Materialized.registerClearable(() => censusCache.clear())
 
   /** (gpos, doc_id, pos, doc_len, ch, ch2, ch3, ch4) — the corpus at char
     * resolution in one global address space (same inherent cost as
-    * `dup_span_stats`). `ch..ch4` are the INT CODEPOINTS at pos..pos+3
-    * widened to long (all-long rows are what lets every doubling pass stay
-    * on fixed-width UnsafeRows), never 1-char Strings; ch2..ch4 are null
-    * past the document tail (only rows whose window fits ever read them).
-    * The lookahead is a `get()` into the per-document codepoint array —
-    * projection-collapsed into the explode stage, so the array never
-    * leaves whole-stage codegen. */
+    * `dup_span_stats`). `ch` is the INT CODEPOINT widened to long
+    * (all-long rows are what lets every doubling pass stay on fixed-width
+    * UnsafeRows), never a 1-char String; `cps` (the whole document's
+    * codepoint array) rides along so callers can build PACKED window keys
+    * with [[packKey]] — the pack projections collapse into the explode
+    * stage, so the array never leaves whole-stage codegen. */
   private def charFrame(spark: SparkSession, dir: String): DataFrame = {
     val lens = docs(spark, dir)
       .select(col("doc_id"), length(col("text")).cast("long").as("doc_len"))
@@ -136,11 +157,18 @@ object SuffixRepeats {
         posexplode(col("cps")).as(Seq("pos", "ch")))
       .select((col("doc_off") + col("pos")).as("gpos"), col("doc_id"),
         col("pos").cast("long").as("pos"), col("doc_len"),
-        col("ch").cast("long").as("ch"),
-        get(col("cps"), col("pos") + 1).cast("long").as("ch2"),
-        get(col("cps"), col("pos") + 2).cast("long").as("ch3"),
-        get(col("cps"), col("pos") + 3).cast("long").as("ch4"))
+        col("ch").cast("long").as("ch"), col("cps"))
   }
+
+  /** The `n` codepoints at pos+from .. pos+from+n-1 packed big-endian into
+    * one long at `bits` bits per char — injective while every codepoint
+    * fits `bits` bits and n·bits <= 63. Null past the document tail (only
+    * rows whose whole window fits are ever kept). */
+  private def packKey(bits: Int, from: Int, n: Int): org.apache.spark.sql.Column =
+    (0 until n).map { i =>
+      val shift = bits.toLong * (n - 1 - i)
+      get(col("cps"), col("pos") + lit(from + i)).cast("long") * lit(1L << shift)
+    }.reduce(_ + _)
 
   /** Run `body` with adaptive execution off. Construction queries are
     * fixed-shape (np-partition range shuffle + gpos equi-join on uniform
@@ -163,54 +191,69 @@ object SuffixRepeats {
   /** Census one packed-key frame (doc_id, k): the spectrum numbers for a
     * block length whose windows fit a single long — a two-level hash
     * aggregation with map-side partial combine, NO range sort and NO rank
-    * assignment. This is how blocks 1 and 2 (the full-corpus levels) avoid
-    * the suffix machinery entirely. */
-  private def packedCensus(block: Long, df: DataFrame): Spec = {
+    * assignment. This is how every ladder block (the full-corpus levels)
+    * avoids the suffix machinery entirely. Also returns max(k) over ALL
+    * groups (block 1 uses it to size the pack width). */
+  private def packedCensus(block: Long, df: DataFrame): (Spec, Long) = {
+    val dup = col("sz") >= 2
     val r = df.groupBy(col("k"))
       .agg(count(lit(1)).as("sz"), countDistinct(col("doc_id")).as("nd"))
-      .where(col("sz") >= 2)
-      .agg(count(lit(1)).as("n_groups"),
-        coalesce(sum(col("sz")), lit(0L)).as("n_positions"),
-        coalesce(max(col("sz")), lit(0L)).as("max_group"),
-        coalesce(sum(when(col("nd") >= 2, 1L).otherwise(0L)), lit(0L))
-          .as("n_groups_xdoc"))
+      .agg(coalesce(sum(when(dup, 1L).otherwise(0L)), lit(0L)).as("n_groups"),
+        coalesce(sum(when(dup, col("sz"))), lit(0L)).as("n_positions"),
+        coalesce(max(when(dup, col("sz"))), lit(0L)).as("max_group"),
+        coalesce(sum(when(dup && col("nd") >= 2, 1L).otherwise(0L)), lit(0L))
+          .as("n_groups_xdoc"),
+        coalesce(max(col("k")), lit(0L)).as("max_k"))
       .collect()(0)
-    Spec(block, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    (Spec(block, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)),
+      r.getLong(4))
   }
 
-  /** Censused spectrum rows for blocks 1 and 2 (block 2 computed only if
-    * block 1 has a repeated family — the oracle's level-cutoff rule). */
-  private[operators] def censuses(spark: SparkSession, dir: String): (Spec, Option[Spec]) =
+  /** The rankless census chain down the single-long ladder (each block
+    * computed only while the previous had a repeated family — the oracle's
+    * level-cutoff rule; the pack width adapts to the corpus's widest
+    * codepoint, see [[CensusChain]]). */
+  private[operators] def censuses(spark: SparkSession, dir: String): CensusChain =
     censusCache.getOrElseUpdate(Materialized.sessionKey(spark, dir), withoutAqe(spark) {
       val base = charFrame(spark, dir)
-      val c1 = packedCensus(1L, base.select(col("doc_id"), col("ch").as("k")))
-      val c2 =
-        if (c1.nGroups == 0) None
-        else Some(packedCensus(2L,
-          base.where(col("pos") + 2 <= col("doc_len"))
-            .select(col("doc_id"),
-              (col("ch") * lit(1L << 21) + col("ch2")).as("k"))))
-      (c1, c2)
+      val (c1, maxCp) =
+        packedCensus(1L, base.select(col("doc_id"), col("ch").as("k")))
+      val bits = 64 - java.lang.Long.numberOfLeadingZeros(math.max(maxCp, 1L))
+      val ladder = Iterator.iterate(1L)(_ * 2)
+        .takeWhile(b => b * bits <= 63).toSeq
+      val specs = scala.collection.mutable.ListBuffer(c1)
+      var go = c1.nGroups > 0
+      ladder.drop(1).foreach { b =>
+        if (go) {
+          val (c, _) = packedCensus(b,
+            base.where(col("pos") + b <= col("doc_len"))
+              .select(col("doc_id"), packKey(bits, 0, b.toInt).as("k")))
+          specs += c
+          go = c.nGroups > 0
+        }
+      }
+      CensusChain(bits, ladder, specs.toSeq)
     })
 
-  /** Ranked doubling levels from block 4 up, materialized per (session,
-    * corpus); empty when no 2-char block repeats (then blocks 1-2 are fully
-    * described by [[censuses]]). Construction stops when a level has no
-    * within-document duplicate block (longer repeats are then impossible —
-    * the flag falls out of the rank pass itself), or at [[MaxBlock]]. */
+  /** Ranked doubling levels from the chain's rankStart up, materialized
+    * per (session, corpus); empty when the census chain already died (then
+    * the censuses fully describe the spectrum). Construction stops when a
+    * level has no within-document duplicate block (longer repeats are then
+    * impossible — the flag falls out of the rank pass itself), or at
+    * [[MaxBlock]]. */
   private[operators] def levels(spark: SparkSession, dir: String): Seq[Level] =
     levelsCache.getOrElseUpdate(Materialized.sessionKey(spark, dir), {
-      val (_, c2) = censuses(spark, dir)
-      if (!c2.exists(_.nGroups > 0)) Seq.empty
+      val chain = censuses(spark, dir)
+      if (!chain.fullChain) Seq.empty
       else withoutAqe(spark) {
         val base = charFrame(spark, dir)
-        val lvl4In = base.where(col("pos") + 4 <= col("doc_len"))
+        var block = chain.rankStart
+        val half = (block / 2).toInt
+        val startIn = base.where(col("pos") + block <= col("doc_len"))
           .select(col("gpos"), col("doc_id"), col("pos"), col("doc_len"),
-            (col("ch") * lit(1L << 42) + col("ch2") * lit(1L << 21)
-              + col("ch3")).as("k1"),
-            col("ch4").as("k2"))
-        var block = 4L
-        var cur = RangeRank.rankLevel(lvl4In, numKeys = 2, block = block)
+            packKey(chain.bits, 0, half).as("k1"),
+            packKey(chain.bits, half, half).as("k2"))
+        var cur = RangeRank.rankLevel(startIn, numKeys = 2, block = block)
         val out = scala.collection.mutable.ListBuffer.empty[Level]
         out += Level(block, cur.frame, cur.hasValidDup, cur.storage)
         while (cur.hasValidDup && block < MaxBlock) {
@@ -241,10 +284,9 @@ object SuffixRepeats {
   def suffixRepeats(spark: SparkSession, dir: String): DataFrame =
     Materialized.cached(spectrumCache, spark, dir) {
       import spark.implicits._
-      val (c1, c2) = censuses(spark, dir)
       val rows = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Long, Long)]
-      rows += ((c1.block, c1.nGroups, c1.nPositions, c1.maxGroup, c1.xdoc))
-      c2.foreach(c => rows += ((c.block, c.nGroups, c.nPositions, c.maxGroup, c.xdoc)))
+      censuses(spark, dir).specs.foreach(c =>
+        rows += ((c.block, c.nGroups, c.nPositions, c.maxGroup, c.xdoc)))
       // the level frames ARE the valid >= 2-member families: census each
       // directly, UNIONed so all levels run as one planned job instead of
       // one driver round per level
@@ -276,36 +318,37 @@ object SuffixRepeats {
   def longestRepeat(spark: SparkSession, dir: String): DataFrame =
     Materialized.cached(longestCache, spark, dir) {
       import spark.implicits._
-      val (c1, c2) = censuses(spark, dir)
+      val chain = censuses(spark, dir)
       val lvls = levels(spark, dir)
       // largest level with a valid duplicate (construction ran one level
       // past it unless capped, so the bound below is exact up to the cap);
       // the flags were computed during construction — no re-aggregation
       val dupLevels = lvls.filter(_.hasDup)
+      val lastDupCensus = chain.specs.filter(_.nGroups > 0).lastOption
       if (dupLevels.nonEmpty) {
         val Level(bk, tk, _, _) = dupLevels.last
         refineFrom(spark, dir, bk, tk)
-      } else if (c2.exists(_.nGroups > 0)) {
-        // the longest repeat is 2 or 3 chars: rank block 2 on demand (tiny
-        // corpora only — any real corpus repeats some 4-gram) and release
-        // the one-off level immediately (the result frame is a literal)
+      } else if (lastDupCensus.isDefined) {
+        // the longest repeat died inside the censused ladder (tiny corpora
+        // only — any real corpus repeats past the single-long blocks):
+        // rank that block on demand and release the one-off level
+        // immediately (the result frame is a literal)
+        val b = lastDupCensus.get.block
         val base = charFrame(spark, dir)
-        val r = RangeRank.rankLevel(
-          base.where(col("pos") + 2 <= col("doc_len"))
-            .select(col("gpos"), col("doc_id"), col("pos"), col("doc_len"),
-              col("ch").as("k1"), col("ch2").as("k2")),
-          numKeys = 2, block = 2L)
-        val res = refineFrom(spark, dir, 2L, r.frame)
-        r.storage.unpersist(blocking = false)
-        res
-      } else if (c1.nGroups > 0) {
-        // the longest repeat is a single character
-        val base = charFrame(spark, dir)
-        val r = RangeRank.rankLevel(
-          base.select(col("gpos"), col("doc_id"), col("pos"), col("doc_len"),
-            col("ch").as("k1")),
-          numKeys = 1, block = 1L)
-        val res = refineFrom(spark, dir, 1L, r.frame)
+        val in =
+          if (b == 1L)
+            base.select(col("gpos"), col("doc_id"), col("pos"),
+              col("doc_len"), col("ch").as("k1"))
+          else {
+            val h1 = (b / 2).toInt
+            base.where(col("pos") + b <= col("doc_len"))
+              .select(col("gpos"), col("doc_id"), col("pos"), col("doc_len"),
+                packKey(chain.bits, 0, h1).as("k1"),
+                packKey(chain.bits, h1, (b - h1).toInt).as("k2"))
+          }
+        val r = RangeRank.rankLevel(in, numKeys = if (b == 1L) 1 else 2,
+          block = b)
+        val res = refineFrom(spark, dir, b, r.frame)
         r.storage.unpersist(blocking = false)
         res
       } else {

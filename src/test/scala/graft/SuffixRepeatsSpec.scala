@@ -108,6 +108,34 @@ class SuffixRepeatsSpec extends SparkTestBase {
     assert(got(1L)._2 == 150L && got(2L)._2 == 150L)
   }
 
+  test("non-ASCII corpora take the narrower adaptive ladders and stay exact") {
+    // the census ladder adapts to the corpus's widest codepoint: Greek
+    // (11-bit cps → censuses 1,2,4, rank from 8) and CJK (16-bit cps →
+    // censuses 1,2, rank from 4) must produce the same brute-force
+    // spectrum and longest repeat as any other width
+    val fixtures = Seq(
+      Seq( // Greek, bits ≈ 11
+        1L -> "αβγδ κοσμος αβγδ κοσμος τελος",
+        2L -> "κοσμος αβγδ κατι διαφορετικο"),
+      Seq( // CJK, bits ≈ 16
+        1L -> "日本語のテキスト日本語のテキスト",
+        2L -> "日本語のテキストとそのほかのことば"))
+    fixtures.foreach { docs =>
+      val dir = writeDocsFixture(docs)
+      val got = SuffixRepeats.suffixRepeats(spark, dir).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+      assert(got.nonEmpty)
+      got.foreach { case (block, row) =>
+        val exp = bruteSpectrum(docs, block.toInt)
+        assert(row == exp, s"spectrum at block=$block: got $row expected $exp")
+      }
+      val r = SuffixRepeats.longestRepeat(spark, dir).collect()(0)
+      assert(r.getLong(0) == bruteLongest(docs).toLong,
+        s"longest ${r.getLong(0)} != brute ${bruteLongest(docs)}")
+    }
+  }
+
   test("longest_repeat degenerates cleanly: no repeated character at all") {
     val dir = writeDocsFixture(Seq(1L -> "abcdefg", 2L -> "hijklmn"))
     val r = SuffixRepeats.longestRepeat(spark, dir).collect()(0)
