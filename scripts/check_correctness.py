@@ -124,7 +124,6 @@ def main(sf_dir, out_dir):
         except Exception:
             if attempt == 4:
                 raise
-            import time
             time.sleep(5 * (attempt + 1))
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}

@@ -1,0 +1,283 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns._
+
+/** Training-data SELECTION operators (SURVEY.md §2 #35): the published
+  * data-curation recipes that decide WHICH documents feed a training run —
+  * CCNet's per-language perplexity bucketing (Wenzek et al. 2020), DSIR
+  * hashed-n-gram importance resampling (Xie et al. 2023), and a
+  * Kneser–Ney-smoothed bigram table (Kneser & Ney 1995; the model behind
+  * perplexity-based filters).
+  *
+  * Scale notes: every operator is one or two corpus scans plus a
+  * BOUNDED side table (5-row per-language thresholds, 512-row hashed
+  * importance model, vocabulary-bounded bigram counts) that broadcasts —
+  * no corpus-sized shuffle beyond the token/bigram aggregation each
+  * recipe inherently needs, and no unpartitioned window anywhere (top-k
+  * outputs use orderBy+limit → TakeOrderedAndProject partial top-k).
+  */
+object Selection {
+
+  private def docs(spark: SparkSession, dir: String) =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  // ---- CCNet head/middle/tail perplexity buckets ------------------------
+  /** Tertile boundaries (fractions of the per-language score distribution).
+    * CCNet cuts at 1/3 and 2/3; the literals are finite decimals so both
+    * engines interpolate from identical constants. */
+  val HeadPct = 0.33
+  val TailPct = 0.67
+
+  /** CCNet-style bucketing: per-document average bigram negative
+    * log-likelihood under the corpus LM (`lm_perplexity`'s model), cut into
+    * head/middle/tail at per-LANGUAGE tertiles — the signal CCNet uses to
+    * keep "head" web text and drop the noisy tail. Thresholds are a 5-row
+    * broadcast (exact `percentile` per language; a 100 TB run would swap in
+    * `approx_percentile` or a sampled fit exactly as CCNet does — the
+    * operator shape is unchanged, only the threshold pass degrades to a
+    * sketch). Scores ride on the materialized bigram model, so the corpus
+    * explode behind this is shared with `word_bigrams`/`lm_perplexity`. */
+  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.lmPerplexity(spark, dir)
+      .join(docs(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"),
+        // nll in exact integer e4 units: sum_lp is an exact 4-decimal value
+        // (×10⁴ recovers the integer bit-exactly in both engines), and the
+        // per-bigram average is integer division — no double rounding
+        // anywhere, so thresholds and comparisons are bit-stable (§6)
+        expr("CAST(round(-sum_lp * 10000, 0) AS BIGINT) div n_bigrams")
+          .as("nll_e4"))
+    val thr = scored.groupBy("lang").agg(
+      expr(s"percentile(nll_e4, $HeadPct)")
+        .cast("decimal(14,4)").cast("double").as("t_head"),
+      expr(s"percentile(nll_e4, $TailPct)")
+        .cast("decimal(14,4)").cast("double").as("t_tail"))
+    scored.join(broadcast(thr), "lang")
+      .select(col("doc_id"), col("lang"), col("nll_e4"),
+        when(col("nll_e4") <= col("t_head"), "head")
+          .when(col("nll_e4") <= col("t_tail"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+  /** Shared CTE chain of the bigram LM (identical to `lm_perplexity`'s). */
+  private val lmCtes =
+    """toks AS (
+      |  SELECT doc_id, list_filter(list_transform(
+      |    string_split_regex(text, '\s+'), t -> lower(t)), t -> t <> '') AS t
+      |  FROM documents
+      |), bg AS MATERIALIZED (
+      |  SELECT doc_id, g.b AS bigram
+      |  FROM toks, unnest(list_transform(range(1, len(t)),
+      |    i -> t[i] || ' ' || t[i + 1])) AS g(b)
+      |  WHERE len(t) >= 2
+      |), c2 AS MATERIALIZED (
+      |  SELECT bigram, count(*) AS n2 FROM bg GROUP BY 1
+      |), c1 AS (
+      |  SELECT split_part(bigram, ' ', 1) AS w1, sum(n2) AS n1
+      |  FROM c2 GROUP BY 1
+      |), p AS (
+      |  SELECT bigram,
+      |    CAST(round(ln(CAST(n2 AS DOUBLE) / n1), 4) AS DECIMAL(18,4)) AS lp
+      |  FROM c2 JOIN c1 ON split_part(c2.bigram, ' ', 1) = c1.w1
+      |)""".stripMargin
+  val perplexityBucketsSql: String =
+    s"""WITH $lmCtes, pp AS (
+       |  SELECT doc_id, count(*) AS n_bigrams,
+       |    CAST(CAST(sum(lp) AS DECIMAL(18,4)) AS DOUBLE) AS sum_lp
+       |  FROM bg JOIN p USING (bigram) GROUP BY 1
+       |), scored AS MATERIALIZED (
+       |  SELECT d.doc_id, d.lang,
+       |    CAST(round(-sum_lp * 10000, 0) AS BIGINT) // n_bigrams AS nll_e4
+       |  FROM pp JOIN documents d ON pp.doc_id = d.doc_id
+       |), thr AS (
+       |  SELECT lang,
+       |    CAST(CAST(quantile_cont(nll_e4, $HeadPct) AS DECIMAL(14,4))
+       |      AS DOUBLE) AS t_head,
+       |    CAST(CAST(quantile_cont(nll_e4, $TailPct) AS DECIMAL(14,4))
+       |      AS DOUBLE) AS t_tail
+       |  FROM scored GROUP BY 1
+       |)
+       |SELECT doc_id, s.lang, nll_e4,
+       |  CASE WHEN nll_e4 <= t_head THEN 'head'
+       |       WHEN nll_e4 <= t_tail THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM scored s JOIN thr ON s.lang = thr.lang""".stripMargin
+
+  // ---- DSIR hashed-unigram importance weights ---------------------------
+  /** Hashed feature space size (DSIR's "hashed n-gram" buckets). Bounded
+    * and corpus-independent: the fitted importance model is always exactly
+    * this many rows, whatever the corpus size. */
+  val DsirBuckets = 512
+  /** The target distribution: documents labeled with this language stand in
+    * for the "high-quality target domain" (DSIR fits target vs raw). */
+  val DsirTargetLang = "en"
+  /** Documents kept by `dsir_select` (top-k by importance weight). */
+  val DsirTopK = 100
+
+  /** The fitted importance model: per hashed-unigram bucket, the add-one-
+    * smoothed log-likelihood ratio log p_target(b) − log p_raw(b). ONE
+    * corpus scan (hash tokens → 512-bucket hash aggregation with map-side
+    * partials), then the ≤512-row table collects to the driver — the same
+    * bounded merge-table pattern as the BPE vocabulary — where totals and
+    * ratios are computed exactly. Returned as (b, lr) rows with `lr` an
+    * exact DECIMAL(18,4), so per-document sums are fold-order free. */
+  private def dsirModel(spark: SparkSession, dir: String): Seq[(Long, Double)] = {
+    val bcnt = docs(spark, dir)
+      .select(col("lang"), explode(TextAnalysis.toks(col("text"))).as("tok"))
+      .select(col("lang"), (md5Long(col("tok")) % DsirBuckets.toLong).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("n_raw"),
+        sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("n_tgt"))
+      .collect()
+    val nrTot = bcnt.map(_.getLong(1)).sum
+    val ntTot = bcnt.map(_.getLong(2)).sum
+    bcnt.toSeq.map { r =>
+      val lr = math.log((r.getLong(2) + 1).toDouble / (ntTot + DsirBuckets)) -
+        math.log((r.getLong(1) + 1).toDouble / (nrTot + DsirBuckets))
+      (r.getLong(0),
+        BigDecimal(lr).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
+  /** DSIR importance weight per document: Σ over token occurrences of the
+    * bucket's log-likelihood ratio (target vs raw unigram models on hashed
+    * features). Second corpus scan: per-token broadcast join against the
+    * 512-row model, one `groupBy(doc_id)` with map-side partials. At 100 TB
+    * the model is a written artifact fitted once (or on a sample, as the
+    * paper does); the scoring pass is embarrassingly parallel. */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lr = dsirModel(spark, dir).toDF("b", "lr_d")
+      .select(col("b"), col("lr_d").cast("decimal(18,4)").as("lr"))
+    docs(spark, dir)
+      .select(col("doc_id"), explode(TextAnalysis.toks(col("text"))).as("tok"))
+      .select(col("doc_id"), (md5Long(col("tok")) % DsirBuckets.toLong).as("b"))
+      .join(broadcast(lr), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        sum(col("lr")).cast("decimal(18,4)").cast("double").as("llr"))
+  }
+  private val dsirCtes =
+    s"""tok AS MATERIALIZED (
+       |  SELECT doc_id, lang, ${sqlMd5Long("g.tok")} % $DsirBuckets AS b
+       |  FROM (SELECT doc_id, lang, list_filter(list_transform(
+       |      string_split_regex(text, '\\s+'), t -> lower(t)), t -> t <> '') AS t
+       |    FROM documents) toks, unnest(t) AS g(tok)
+       |), bcnt AS MATERIALIZED (
+       |  SELECT b, count(*) AS n_raw,
+       |    sum(CASE WHEN lang = '$DsirTargetLang' THEN 1 ELSE 0 END) AS n_tgt
+       |  FROM tok GROUP BY 1
+       |), tot AS (
+       |  SELECT sum(n_raw) AS nr_tot, sum(n_tgt) AS nt_tot FROM bcnt
+       |), lr AS (
+       |  SELECT b, CAST(round(
+       |      ln((n_tgt + 1) / CAST(nt_tot + $DsirBuckets AS DOUBLE))
+       |    - ln((n_raw + 1) / CAST(nr_tot + $DsirBuckets AS DOUBLE)), 4)
+       |    AS DECIMAL(18,4)) AS lr
+       |  FROM bcnt CROSS JOIN tot
+       |), w AS (
+       |  SELECT doc_id, count(*) AS n_toks,
+       |    CAST(CAST(sum(lr) AS DECIMAL(18,4)) AS DOUBLE) AS llr
+       |  FROM tok JOIN lr USING (b) GROUP BY 1
+       |)""".stripMargin
+  val dsirWeightsSql: String =
+    s"WITH $dsirCtes SELECT doc_id, n_toks, llr FROM w"
+
+  /** Top-k documents by DSIR weight (the resampling step, deterministic
+    * variant: rank by weight, tie-break doc_id). orderBy+limit plans as
+    * TakeOrderedAndProject — per-partition partial top-k and a k-row merge,
+    * never a global sort or unpartitioned window; ranks are recovered by
+    * re-sorting the ≤k survivors inside one array. */
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame =
+    dsirWeights(spark, dir)
+      .orderBy(col("llr").desc, col("doc_id")).limit(DsirTopK)
+      .select(struct(negate(col("llr")).as("nl"), col("doc_id").as("doc_id"),
+        col("n_toks").as("n_toks"), col("llr").as("llr")).as("s"))
+      .agg(array_sort(collect_list(col("s"))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("pos", "s")))
+      .select(col("s.doc_id").as("doc_id"), col("s.n_toks").as("n_toks"),
+        col("s.llr").as("llr"), (col("pos") + 1).cast("long").as("rk"))
+  val dsirSelectSql: String =
+    s"""WITH $dsirCtes
+       |SELECT doc_id, n_toks, llr,
+       |  CAST(row_number() OVER (ORDER BY llr DESC, doc_id) AS BIGINT) AS rk
+       |FROM w ORDER BY llr DESC, doc_id LIMIT $DsirTopK""".stripMargin
+
+  // ---- Kneser–Ney smoothed bigram model ---------------------------------
+  /** Absolute discount D (the standard 0.75). */
+  val KnDiscount = 0.75
+  /** Rows emitted (top by smoothed probability). */
+  val KnTopN = 50
+
+  /** Kneser–Ney-smoothed bigram probabilities, top-[[KnTopN]]:
+    * P_KN(w2|w1) = max(c(w1w2)−D,0)/c(w1·) + D·N₁₊(w1·)/c(w1·) ·
+    * N₁₊(·w2)/N₁₊(··). Everything derives from the MATERIALIZED
+    * vocabulary-bounded bigram count table (shared with `word_bigrams` and
+    * `lm_perplexity` — the corpus explode behind it runs zero extra times);
+    * the continuation and follower tables are grouped aggregations of that
+    * table, and the type total is a broadcast 1-row frame. Probabilities
+    * round to 6 decimals and narrow through DECIMAL(14,6) so ordering and
+    * the top-N cutoff are bit-identical across engines (doc discipline:
+    * SURVEY §6). */
+  def knBigramTop(spark: SparkSession, dir: String): DataFrame = {
+    val c2 = TextAnalysis.bigramCounts(spark, dir)
+      .select(col("bigram"), col("n"),
+        substring_index(col("bigram"), " ", 1).as("w1"),
+        substring_index(col("bigram"), " ", -1).as("w2"))
+    val c1 = c2.groupBy("w1")
+      .agg(sum(col("n")).as("n1"), count(lit(1)).as("nfollow"))
+    val cont = c2.groupBy("w2").agg(count(lit(1)).as("ncont"))
+    val types = c2.agg(count(lit(1)).as("t_types"))
+    val pkn = c2
+      .join(c1.hint("shuffle_hash"), "w1")
+      .join(cont.hint("shuffle_hash"), "w2")
+      .crossJoin(broadcast(types))
+      .select(col("bigram"), col("n"),
+        round(
+          greatest(col("n").cast("double") - KnDiscount, lit(0d))
+              / col("n1").cast("double")
+            + (lit(KnDiscount) * col("nfollow").cast("double")
+              / col("n1").cast("double"))
+              * (col("ncont").cast("double") / col("t_types").cast("double")),
+          6).cast("decimal(14,6)").cast("double").as("p_kn"))
+    pkn.orderBy(col("p_kn").desc, col("bigram")).limit(KnTopN)
+      .select(struct(negate(col("p_kn")).as("np"), col("bigram").as("bigram"),
+        col("n").as("n"), col("p_kn").as("p_kn")).as("s"))
+      .agg(array_sort(collect_list(col("s"))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("pos", "s")))
+      .select(col("s.bigram").as("bigram"), col("s.n").as("n"),
+        col("s.p_kn").as("p_kn"), (col("pos") + 1).cast("long").as("rk"))
+  }
+  val knBigramTopSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(list_transform(
+       |    string_split_regex(text, '\\s+'), t -> lower(t)), t -> t <> '') AS t
+       |  FROM documents
+       |), bg AS (
+       |  SELECT g.b AS bigram
+       |  FROM toks, unnest(list_transform(range(1, len(t)),
+       |    i -> t[i] || ' ' || t[i + 1])) AS g(b)
+       |  WHERE len(t) >= 2
+       |), c2 AS MATERIALIZED (
+       |  SELECT bigram, count(*) AS n, split_part(bigram, ' ', 1) AS w1,
+       |    split_part(bigram, ' ', 2) AS w2
+       |  FROM bg GROUP BY 1
+       |), c1 AS (
+       |  SELECT w1, sum(n) AS n1, count(*) AS nfollow FROM c2 GROUP BY 1
+       |), cont AS (
+       |  SELECT w2, count(*) AS ncont FROM c2 GROUP BY 1
+       |), types AS (
+       |  SELECT count(*) AS t_types FROM c2
+       |), pkn AS (
+       |  SELECT bigram, n, CAST(CAST(round(
+       |      greatest(CAST(n AS DOUBLE) - $KnDiscount, 0.0)
+       |          / CAST(n1 AS DOUBLE)
+       |        + ($KnDiscount * CAST(nfollow AS DOUBLE) / CAST(n1 AS DOUBLE))
+       |          * (CAST(ncont AS DOUBLE) / CAST(t_types AS DOUBLE)),
+       |      6) AS DECIMAL(14,6)) AS DOUBLE) AS p_kn
+       |  FROM c2 JOIN c1 USING (w1) JOIN cont USING (w2) CROSS JOIN types
+       |)
+       |SELECT bigram, n, p_kn,
+       |  CAST(row_number() OVER (ORDER BY p_kn DESC, bigram) AS BIGINT) AS rk
+       |FROM pkn ORDER BY p_kn DESC, bigram LIMIT $KnTopN""".stripMargin
+}

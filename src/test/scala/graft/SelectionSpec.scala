@@ -1,0 +1,154 @@
+package graft
+
+import graft.operators.Selection
+import java.security.MessageDigest
+
+/** Brute-force twins for the training-data SELECTION operators (§2 #35):
+  * every value the operators emit at sf0.001 is recomputed here in plain
+  * Scala collections — tokenizer, bigram LM, CCNet tertile cuts, DSIR
+  * hashed-unigram model and Kneser–Ney smoothing all re-derived from the
+  * raw parquet text with no Spark expression shared with the production
+  * path (only the corpus read itself). */
+class SelectionSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // ---- shared brute-force corpus model -----------------------------------
+
+  /** (doc_id, lang, tokens) — same tokenizer contract as TextFns.toks:
+    * split on \s+, lowercase, drop empties. */
+  private lazy val corpus: Seq[(Long, String, Array[String])] = {
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split("\\s+").filter(_.nonEmpty).map(_.toLowerCase)))
+      .toSeq
+  }
+
+  private def round4(d: Double): BigDecimal =
+    BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+
+  /** Per-document exact nll_e4 under the corpus bigram LM — the integer
+    * score perplexityBuckets cuts on (docs with <2 tokens have no bigrams
+    * and are absent, as in the operator). */
+  private lazy val bruteNllE4: Map[Long, Long] = {
+    val docBigrams = corpus.map { case (id, _, t) =>
+      id -> t.sliding(2).filter(_.length == 2).map(p => p(0) + " " + p(1)).toSeq
+    }.filter(_._2.nonEmpty)
+    val n2 = docBigrams.flatMap(_._2).groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    val n1 = n2.toSeq.groupBy(_._1.split(" ", 2)(0)).map { case (w, xs) => w -> xs.map(_._2).sum }
+    val lp = n2.map { case (b, n) =>
+      b -> round4(math.log(n.toDouble / n1(b.split(" ", 2)(0))))
+    }
+    docBigrams.map { case (id, bs) =>
+      val sumLp = bs.map(lp).sum // exact 4-dp decimals: fold-order free
+      id -> (-sumLp * 10000).toLongExact / bs.size
+    }.toMap
+  }
+
+  // ---- CCNet perplexity buckets ------------------------------------------
+
+  /** Spark `percentile` exact semantics: sort, index p·(n−1), linear
+    * interpolation — then the operator's decimal(14,4) narrowing. */
+  private def pct(sorted: IndexedSeq[Long], p: Double): Double = {
+    val idx = p * (sorted.length - 1)
+    val lo = math.floor(idx).toInt
+    val hi = math.ceil(idx).toInt
+    val v = sorted(lo) + (idx - lo) * (sorted(hi) - sorted(lo))
+    BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("perplexity_buckets matches a brute-force CCNet tertile cut") {
+    val byLang = corpus.filter(c => bruteNllE4.contains(c._1))
+      .groupBy(_._2).map { case (l, ds) =>
+        l -> ds.map(d => bruteNllE4(d._1)).sorted.toIndexedSeq
+      }
+    val expected = corpus.filter(c => bruteNllE4.contains(c._1)).map { case (id, lang, _) =>
+      val s = byLang(lang)
+      val (h, t) = (pct(s, Selection.HeadPct), pct(s, Selection.TailPct))
+      val v = bruteNllE4(id)
+      val bucket = if (v <= h) "head" else if (v <= t) "middle" else "tail"
+      Seq[Any](id, lang, v, bucket)
+    }.toSet
+    val got = collectSet(Selection.perplexityBuckets(spark, dir))
+    assert(got == expected)
+    // and every language shows all three buckets at this SF
+    val langsWithAll = got.groupBy(_(1)).filter(_._2.map(_(3)).size >= 3)
+    assert(langsWithAll.nonEmpty)
+  }
+
+  // ---- DSIR --------------------------------------------------------------
+
+  /** Test-side md5Long: first 15 hex digits of md5, base-16 → long. */
+  private def md5Long15(s: String): Long = {
+    val d = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  private lazy val bruteDsir: Map[Long, (Long, Double)] = {
+    val occ = corpus.flatMap { case (id, lang, t) =>
+      t.map(tok => (id, lang, md5Long15(tok) % Selection.DsirBuckets))
+    }
+    val byB = occ.groupBy(_._3)
+    val nrTot = occ.size.toLong
+    val ntTot = occ.count(_._2 == Selection.DsirTargetLang).toLong
+    val lr: Map[Long, BigDecimal] = byB.map { case (b, xs) =>
+      val nRaw = xs.size.toLong
+      val nTgt = xs.count(_._2 == Selection.DsirTargetLang).toLong
+      b -> round4(
+        math.log((nTgt + 1).toDouble / (ntTot + Selection.DsirBuckets)) -
+          math.log((nRaw + 1).toDouble / (nrTot + Selection.DsirBuckets)))
+    }
+    occ.groupBy(_._1).map { case (id, xs) =>
+      id -> (xs.size.toLong, xs.map(x => lr(x._3)).sum.toDouble)
+    }
+  }
+
+  test("dsir_weights matches a brute-force hashed-unigram importance model") {
+    val expected = bruteDsir.map { case (id, (n, llr)) => Seq[Any](id, n, llr) }.toSet
+    assert(collectSet(Selection.dsirWeights(spark, dir)) == expected)
+    // weights must discriminate: target-language docs should average higher
+    val byLang = corpus.map(c => c._1 -> c._2).toMap
+    val (tgt, rest) = bruteDsir.partition { case (id, _) => byLang(id) == Selection.DsirTargetLang }
+    assert(tgt.nonEmpty && rest.nonEmpty)
+    assert(tgt.values.map(_._2).sum / tgt.size > rest.values.map(_._2).sum / rest.size)
+  }
+
+  test("dsir_select is the exact top-k by weight with recovered ranks") {
+    val expected = bruteDsir.toSeq
+      .sortBy { case (id, (_, llr)) => (-llr, id) }
+      .take(Selection.DsirTopK).zipWithIndex
+      .map { case ((id, (n, llr)), i) => Seq[Any](id, n, llr, (i + 1).toLong) }
+      .toSet
+    assert(collectSet(Selection.dsirSelect(spark, dir)) == expected)
+  }
+
+  // ---- Kneser–Ney --------------------------------------------------------
+
+  test("kn_bigram_top matches brute-force Kneser-Ney smoothing") {
+    val bigrams = corpus.flatMap(_._3.sliding(2).filter(_.length == 2)
+      .map(p => p(0) + " " + p(1)))
+    val c2 = bigrams.groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    val c1 = c2.toSeq.groupBy(_._1.split(" ", 2)(0))
+      .map { case (w, xs) => w -> (xs.map(_._2).sum, xs.size.toLong) }
+    val cont = c2.toSeq.groupBy(_._1.split(" ", 2)(1))
+      .map { case (w, xs) => w -> xs.size.toLong }
+    val tTypes = c2.size.toDouble
+    val pkn = c2.map { case (b, n) =>
+      val Array(w1, w2) = b.split(" ", 2)
+      val (n1, nfollow) = c1(w1)
+      val p = math.max(n - Selection.KnDiscount, 0d) / n1 +
+        (Selection.KnDiscount * nfollow / n1) * (cont(w2) / tTypes)
+      (b, n, BigDecimal(p).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val expected = pkn.toSeq.sortBy { case (b, _, p) => (-p, b) }
+      .take(Selection.KnTopN).zipWithIndex
+      .map { case ((b, n, p), i) => Seq[Any](b, n, p, (i + 1).toLong) }
+      .toSet
+    assert(collectSet(Selection.knBigramTop(spark, dir)) == expected)
+    // smoothing sanity: P_KN(w2|w1) over all observed w2 for one w1 is < 1
+    val w1 = c2.keysIterator.next().split(" ", 2)(0)
+    val mass = pkn.collect { case (b, _, p) if b.startsWith(w1 + " ") => p }.sum
+    assert(mass < 1.0 + 1e-9)
+  }
+}
