@@ -452,6 +452,73 @@ object Similarity {
        |  ${graft.functions.TextFns.sqlBp("max(cl)", "sum(cl)")} AS purity_bp
        |FROM cl GROUP BY 1""".stripMargin
 
+  // ---- #36 SemDeDup semantic deduplication -------------------------------
+  /** Pairwise-cosine threshold above which two same-cell embeddings count
+    * as semantic duplicates (tuned to the synthetic corpus — max pairwise
+    * cos ~0.51 — so the dropped set is non-vacuous at every test SF). */
+  val SemThr = 0.35
+
+  /** SemDeDup (Abbas et al. 2023): semantic near-duplicate removal via
+    * within-cluster pairwise cosine under the SHARED learned coarse
+    * quantizer ([[ivfCentroids]] — the paper's k-means step, trained once
+    * per corpus). A vector is dropped iff some same-cell vector with
+    * pair cosine ≥ [[SemThr]] sits CLOSER TO THE CELL EDGE (lower
+    * centroid-cosine, tie-break lower vec_id) — the paper's
+    * keep-the-least-central-member policy made order-free and relational
+    * (an EXISTS semi-join on the pair predicate) so the kept set is
+    * deterministic, not greedy-traversal-order dependent.
+    *
+    * Scale: the pair join is per-cell, never corpus×corpus — cells hold
+    * ~n/IvfK vectors and SemDeDup scales k with the corpus, so the
+    * quadratic term is bounded by cell width (a hot cell is an AQE
+    * skew-split, not row amplification beyond its own width); the
+    * centroid table always broadcasts; the one exchange keys on cid — at
+    * 100 TB cid is the embedding store's partition key (the ann_ivf disk
+    * layout), making the self-join co-located. Centroid-cosines round
+    * through DECIMAL(14,6) so the drop ORDERING is engine-stable; the
+    * pair threshold reads the raw IEEE cosine (dedup_embedding's §6
+    * argument: identical op sequence in both engines). */
+  def semdedup(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = argminCid(emb(spark, dir), ivfCentroids(spark, dir),
+        Seq("embedding", "c"))
+      .withColumn("ccos", round(cosExpr("embedding", "c"), 6)
+        .cast("decimal(14,6)").cast("double"))
+      .select("vec_id", "cid", "embedding", "ccos")
+    val dropped = assigned.as("b").join(assigned.as("a"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") =!= col("b.vec_id")
+          && (col("a.ccos") < col("b.ccos")
+            || (col("a.ccos") === col("b.ccos")
+              && col("a.vec_id") < col("b.vec_id")))
+          && cosExpr("a.embedding", "b.embedding") >= SemThr,
+        "left_semi")
+      .select(col("vec_id"), lit(false).as("keep"))
+    // plain vec_id-keyed left join (NOT a broadcast hint: the dropped set
+    // scales with the corpus — at test SF AQE broadcasts it on its own)
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("ccos"),
+        coalesce(col("keep"), lit(true)).as("keep"))
+  }
+  val semdedupSql: String =
+    s"""WITH $ivfCentroidsCte, assigned AS MATERIALIZED (
+       |  SELECT vec_id, cid, embedding,
+       |    CAST(CAST(round(${sqlCos("embedding", "c")}, 6) AS DECIMAL(14,6))
+       |      AS DOUBLE) AS ccos
+       |  FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid, c.c,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqlL2sq("e.embedding", "c.c")}, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cents c
+       |  ) WHERE rn = 1
+       |), dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM assigned b JOIN assigned a ON a.cid = b.cid
+       |    AND a.vec_id <> b.vec_id
+       |    AND (a.ccos < b.ccos OR (a.ccos = b.ccos AND a.vec_id < b.vec_id))
+       |    AND ${sqlCos("a.embedding", "b.embedding")} >= $SemThr
+       |)
+       |SELECT s.vec_id, s.cid, s.ccos, d.vec_id IS NULL AS keep
+       |FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.vec_id""".stripMargin
+
   val annIvfSql: String =
     s"""WITH $ivfCentroidsCte, q AS (
        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings

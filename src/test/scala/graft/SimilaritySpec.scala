@@ -240,4 +240,45 @@ class SimilaritySpec extends SparkTestBase {
       (3L, 2L, 3L, 32002L, 3L),
       (4L, 4L, 4L, 31250L, 4L)))
   }
+
+  test("semdedup matches a brute-force within-cell drop rule at sf0.001") {
+    val sfDir = "/root/testdata/sf0.001"
+    // left-assoc double-fold dot — FloatDotProduct's exact op sequence
+    def dot(a: Seq[Float], b: Seq[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val cents = Similarity.ivfCentroids(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val assigned = vecs.map { case (id, e) =>
+      val (cid, c) = cents.minBy { case (cid, c) =>
+        (dot(e, e) + dot(c, c) - 2.0 * dot(e, c), cid)
+      }
+      val ccos = BigDecimal(dot(e, c) / (math.sqrt(dot(e, e)) * math.sqrt(dot(c, c))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, e, cid, ccos)
+    }
+    val expected = assigned.map { case (id, e, cid, ccos) =>
+      val drop = assigned.exists { case (id2, e2, cid2, ccos2) =>
+        cid2 == cid && id2 != id &&
+          (ccos2 < ccos || (ccos2 == ccos && id2 < id)) &&
+          dot(e2, e) / (math.sqrt(dot(e2, e2)) * math.sqrt(dot(e, e))) >=
+            Similarity.SemThr
+      }
+      Seq[Any](id, cid, ccos, !drop)
+    }.toSet
+    val got = collectSet(Similarity.semdedup(spark, sfDir))
+    assert(got == expected)
+    // the policy must actually fire AND actually keep at this SF
+    assert(got.exists(_(3) == false) && got.exists(_(3) == true))
+    // within every cell the member with the lowest centroid-cosine survives
+    got.groupBy(_(1)).foreach { case (_, rows) =>
+      val least = rows.minBy(r => (r(2).asInstanceOf[Double], r(0).asInstanceOf[Long]))
+      assert(least(3) == true)
+    }
+  }
 }
