@@ -59,8 +59,11 @@ object ClusterSmoke {
                           // driver-chained dup flags) across executor JVMs
     "longest_repeat",     // binary-search probes over the cached levels
     "repeat_coverage",    // per-doc interval union over the level-64 frame
-    "warc_url_dedup")     // URL-variant fixture: classpath materialization
+    "warc_url_dedup",     // URL-variant fixture: classpath materialization
                           // + canonicalize + dedup on executor JVMs
+    "perplexity_buckets", // shared bigram model + per-lang tertile broadcast
+    "dsir_select",        // bounded-model collect + broadcast rescoring
+    "semdedup")           // per-cell pair semi-join over the cached quantizer
 
   private def warcDocCount(spark: SparkSession): Long =
     graft.sources.WarcSource

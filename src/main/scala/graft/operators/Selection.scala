@@ -39,16 +39,28 @@ object Selection {
     * operator shape is unchanged, only the threshold pass degrades to a
     * sketch). Scores ride on the materialized bigram model, so the corpus
     * explode behind this is shared with `word_bigrams`/`lm_perplexity`. */
+  /** Per-doc (lang, nll_e4) score frame, materialized per corpus: both the
+    * threshold pass and the bucketing pass read it, and it is the natural
+    * artifact a 100 TB run writes once and thresholds many times. */
+  private val scoredCache = Materialized.register(
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
+  private def scoredFrame(spark: SparkSession, dir: String): DataFrame =
+    Materialized.cached(scoredCache, spark, dir) {
+      TextAnalysis.lmPerplexity(spark, dir)
+        .join(docs(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("doc_id"), col("lang"),
+          // nll in exact integer e4 units: sum_lp is an exact 4-decimal
+          // value (×10⁴ recovers the integer bit-exactly in both engines),
+          // and the per-bigram average is integer division — no double
+          // rounding anywhere, so thresholds and comparisons are
+          // bit-stable (§6)
+          expr("CAST(round(-sum_lp * 10000, 0) AS BIGINT) div n_bigrams")
+            .as("nll_e4"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val scored = TextAnalysis.lmPerplexity(spark, dir)
-      .join(docs(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
-      .select(col("doc_id"), col("lang"),
-        // nll in exact integer e4 units: sum_lp is an exact 4-decimal value
-        // (×10⁴ recovers the integer bit-exactly in both engines), and the
-        // per-bigram average is integer division — no double rounding
-        // anywhere, so thresholds and comparisons are bit-stable (§6)
-        expr("CAST(round(-sum_lp * 10000, 0) AS BIGINT) div n_bigrams")
-          .as("nll_e4"))
+    val scored = scoredFrame(spark, dir)
     val thr = scored.groupBy("lang").agg(
       expr(s"percentile(nll_e4, $HeadPct)")
         .cast("decimal(14,4)").cast("double").as("t_head"),
@@ -122,40 +134,51 @@ object Selection {
     * bounded merge-table pattern as the BPE vocabulary — where totals and
     * ratios are computed exactly. Returned as (b, lr) rows with `lr` an
     * exact DECIMAL(18,4), so per-document sums are fold-order free. */
-  private def dsirModel(spark: SparkSession, dir: String): Seq[(Long, Double)] = {
-    val bcnt = docs(spark, dir)
-      .select(col("lang"), explode(TextAnalysis.toks(col("text"))).as("tok"))
-      .select(col("lang"), (md5Long(col("tok")) % DsirBuckets.toLong).as("b"))
-      .groupBy("b").agg(count(lit(1)).as("n_raw"),
-        sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("n_tgt"))
-      .collect()
-    val nrTot = bcnt.map(_.getLong(1)).sum
-    val ntTot = bcnt.map(_.getLong(2)).sum
-    bcnt.toSeq.map { r =>
-      val lr = math.log((r.getLong(2) + 1).toDouble / (ntTot + DsirBuckets)) -
-        math.log((r.getLong(1) + 1).toDouble / (nrTot + DsirBuckets))
-      (r.getLong(0),
-        BigDecimal(lr).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
-    }
-  }
+  private val modelCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Seq[(Long, Double)]]
+  Materialized.registerClearable(() => modelCache.clear())
+
+  private[graft] def dsirModel(spark: SparkSession, dir: String): Seq[(Long, Double)] =
+    // fitted once per (session, corpus): dsir_weights, dsir_select and the
+    // streaming gate's table all read the same bounded artifact
+    modelCache.getOrElseUpdate(Materialized.sessionKey(spark, dir), {
+      val bcnt = docs(spark, dir)
+        .select(col("lang"), explode(TextAnalysis.toks(col("text"))).as("tok"))
+        .select(col("lang"), (md5Long(col("tok")) % DsirBuckets.toLong).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("n_raw"),
+          sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("n_tgt"))
+        .collect()
+      val nrTot = bcnt.map(_.getLong(1)).sum
+      val ntTot = bcnt.map(_.getLong(2)).sum
+      bcnt.toSeq.map { r =>
+        val lr = math.log((r.getLong(2) + 1).toDouble / (ntTot + DsirBuckets)) -
+          math.log((r.getLong(1) + 1).toDouble / (nrTot + DsirBuckets))
+        (r.getLong(0),
+          BigDecimal(lr).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    })
 
   /** DSIR importance weight per document: Σ over token occurrences of the
     * bucket's log-likelihood ratio (target vs raw unigram models on hashed
-    * features). Second corpus scan: per-token broadcast join against the
-    * 512-row model, one `groupBy(doc_id)` with map-side partials. At 100 TB
-    * the model is a written artifact fitted once (or on a sample, as the
+    * features). The fitted model densifies to a [[DsirBuckets]]-slot
+    * decimal literal, so scoring is ONE map-only corpus scan — a row-local
+    * fold over the token array with zero exchanges (the lr values are
+    * exact 4-dp decimals, so the fold equals the join+sum formulation the
+    * oracle uses bit-for-bit and the order never matters). At 100 TB the
+    * model is a written artifact fitted once (or on a sample, as the
     * paper does); the scoring pass is embarrassingly parallel. */
   def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val lr = dsirModel(spark, dir).toDF("b", "lr_d")
-      .select(col("b"), col("lr_d").cast("decimal(18,4)").as("lr"))
+    val m = dsirModel(spark, dir).toMap
+    val lrArr = array((0 until DsirBuckets).map(b =>
+      lit(m.getOrElse(b.toLong, 0.0)).cast("decimal(18,4)")): _*)
     docs(spark, dir)
-      .select(col("doc_id"), explode(TextAnalysis.toks(col("text"))).as("tok"))
-      .select(col("doc_id"), (md5Long(col("tok")) % DsirBuckets.toLong).as("b"))
-      .join(broadcast(lr), "b")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_toks"),
-        sum(col("lr")).cast("decimal(18,4)").cast("double").as("llr"))
+      .select(col("doc_id"), TextAnalysis.toks(col("text")).as("__t"))
+      .where(size(col("__t")) >= 1)
+      .select(col("doc_id"), size(col("__t")).cast("long").as("n_toks"),
+        aggregate(col("__t"), lit(0).cast("decimal(38,4)"),
+          (acc, t) => acc + element_at(lrArr,
+            (md5Long(t) % DsirBuckets.toLong).cast("int") + 1))
+          .cast("decimal(18,4)").cast("double").as("llr"))
   }
   private val dsirCtes =
     s"""tok AS MATERIALIZED (

@@ -478,12 +478,20 @@ object Similarity {
     * through DECIMAL(14,6) so the drop ORDERING is engine-stable; the
     * pair threshold reads the raw IEEE cosine (dedup_embedding's §6
     * argument: identical op sequence in both engines). */
+  private val semCache = Materialized.register(
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
+
   def semdedup(spark: SparkSession, dir: String): DataFrame = {
-    val assigned = argminCid(emb(spark, dir), ivfCentroids(spark, dir),
-        Seq("embedding", "c"))
-      .withColumn("ccos", round(cosExpr("embedding", "c"), 6)
-        .cast("decimal(14,6)").cast("double"))
-      .select("vec_id", "cid", "embedding", "ccos")
+    // assignment + centroid-cosine materialized per corpus: the frame
+    // feeds both sides of the pair join AND the final projection
+    val assigned = Materialized.cached(semCache, spark, dir) {
+      argminCid(emb(spark, dir), ivfCentroids(spark, dir),
+          Seq("embedding", "c"))
+        .withColumn("ccos", round(cosExpr("embedding", "c"), 6)
+          .cast("decimal(14,6)").cast("double"))
+        .select("vec_id", "cid", "embedding", "ccos")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     val dropped = assigned.as("b").join(assigned.as("a"),
         col("a.cid") === col("b.cid") && col("a.vec_id") =!= col("b.vec_id")
           && (col("a.ccos") < col("b.ccos")

@@ -204,6 +204,43 @@ object DocsStream {
       .drop("__t")
   }
 
+  /** The fitted DSIR importance model the gate below applies: one smoothed
+    * target-vs-raw log-likelihood ratio per hashed-unigram bucket, trained
+    * on a static reference corpus with `Selection.dsirModel`'s exact math
+    * and densified to a [[graft.operators.Selection.DsirBuckets]]-slot
+    * vector — a bounded trained artifact shipped as a literal, the
+    * mixRates/oovVocab discipline. */
+  def dsirLrTable(spark: org.apache.spark.sql.SparkSession,
+      referenceDir: String): Seq[Double] = {
+    val m = graft.operators.Selection.dsirModel(spark, referenceDir).toMap
+    (0 until graft.operators.Selection.DsirBuckets)
+      .map(b => m.getOrElse(b.toLong, 0.0))
+  }
+
+  /** Stateless DSIR importance gate: keep documents whose hashed-unigram
+    * LLR weight (how much more target-like than raw-like the doc reads) is
+    * at least `minLlr` — the streaming twin of `Selection.dsirWeights`
+    * plus a threshold, as an ingest filter. The weight is a row-local fold
+    * of exact 4-dp decimals over the token array, so it equals the batch
+    * join+sum bit-for-bit (same rounded values, and exact decimals make
+    * the fold order irrelevant); no state, no shuffle, no explode. */
+  def dsirGate(docs: DataFrame, lr: Seq[Double],
+      minLlr: Double = 0.0): DataFrame = {
+    val b = graft.operators.Selection.DsirBuckets.toLong
+    val lrArr = array(lr.map(v => lit(v).cast("decimal(18,4)")): _*)
+    docs
+      .withColumn("__t", filter(
+        transform(split(col("text"), WsTokenRe), t => lower(t)), t => t =!= ""))
+      .where(size(col("__t")) >= 1)
+      .withColumn("llr", aggregate(col("__t"),
+          lit(0).cast("decimal(38,4)"),
+          (acc, t) => acc + element_at(lrArr,
+            (md5Long(t) % b).cast("int") + 1))
+        .cast("decimal(18,4)").cast("double"))
+      .where(col("llr") >= minLlr)
+      .drop("__t")
+  }
+
   /** Stateless chunk stage: the streaming twin of
     * `Curation.chunkDocuments` — surviving documents fan out into the
     * overlapping training windows downstream consumers read. Constants and

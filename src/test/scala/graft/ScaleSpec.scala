@@ -473,4 +473,33 @@ class ScaleSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS customer_b")
     }
   }
+
+  test("dsir scoring is map-only: densified model folds row-locally, zero exchanges") {
+    val plan = graft.operators.Selection.dsirWeights(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"dsir_weights scoring gained a shuffle:\n$plan")
+    // and the top-k on it is a partial top-k, never a global sort/window
+    val sel = planOf("dsir_select")
+    assert(sel.contains("TakeOrderedAndProject"), s"dsir_select lost partial top-k:\n$sel")
+  }
+
+  test("perplexity_buckets reads one materialized score frame; thresholds broadcast") {
+    val plan = planOf("perplexity_buckets")
+    // both the tertile pass and the bucketing pass must read the cached
+    // scored frame, not re-run the corpus-sized bigram join
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 2,
+      s"scored frame is not shared between threshold and bucket passes:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-lang threshold table must broadcast:\n$plan")
+  }
+
+  test("semdedup pair join keys on cid over the cached assignment, no cartesian") {
+    val plan = planOf("semdedup")
+    assert(!plan.contains("CartesianProduct"), s"semdedup planned a cartesian:\n$plan")
+    // both pair-join sides read the materialized assignment frame
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 2,
+      s"assignment frame is not shared across the pair join:\n$plan")
+    assert(plan.contains("LeftSemi"), s"drop rule lost its semi-join shape:\n$plan")
+  }
 }

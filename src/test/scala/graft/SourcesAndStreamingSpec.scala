@@ -590,6 +590,39 @@ class SourcesAndStreamingSpec extends SparkTestBase {
     assert(streamKept == Set(1L)) // doc 2 at 4545 bp and doc 3 at 10000 bp are cut
   }
 
+  test("streaming dsir gate keeps exactly the batch importance filter's keep set") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en"),
+      (2L, "der schnelle braune fuchs springt darueber hinweg", "de"),
+      (3L, "the dog and the fox and the quick brown run", "en"),
+      (4L, "le renard brun rapide saute pardessus le chien", "fr"))
+    val d = java.nio.file.Files.createTempDirectory("graft-dsir").toString
+    rows.toDF("doc_id", "text", "lang")
+      .selectExpr("doc_id", "text", "lang", "'src0' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val batch = graft.operators.Selection.dsirWeights(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val batchKept = batch.filter(_._2 >= 0.0).keySet
+    val lr = graft.streaming.DocsStream.dsirLrTable(spark, d)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.DocsStream.dsirGate(
+        input.toDF().toDF("doc_id", "text"), lr)
+      .writeStream.format("memory").queryName("dsir_gate")
+      .outputMode("append").start()
+    input.addData(rows.map(r => (r._1, r._2)): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("dsir_gate").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("llr")).toMap
+    q.stop()
+    assert(streamed.keySet == batchKept)
+    // bit parity with the batch join+sum path, not just the same keep set
+    streamed.foreach { case (id, w) => assert(w == batch(id)) }
+    // the gate must actually cut something and actually keep something
+    assert(batchKept.nonEmpty && batchKept != batch.keySet)
+  }
+
   test("replay: streaming pack stage equals batch pack_sequences") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"

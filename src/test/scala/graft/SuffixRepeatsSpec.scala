@@ -154,4 +154,43 @@ class SuffixRepeatsSpec extends SparkTestBase {
       .map(_.getLong(4)).sum
     assert(xdoc == 0L)
   }
+
+  test("real-corpus cross-validation: longest_repeat vs brute force and the spectrum") {
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // exact longest repeat via monotone binary search over window sets
+    def dupAt(l: Int): Boolean = {
+      val seen = scala.collection.mutable.HashSet.empty[String]
+      docs.exists { case (_, t) =>
+        (0 to t.length - l).exists(p => !seen.add(t.substring(p, p + l)))
+      }
+    }
+    var lo = 0
+    var hi = docs.map(_._2.length).max
+    while (lo < hi) {
+      val mid = (lo + hi + 1) / 2
+      if (dupAt(mid)) lo = mid else hi = mid - 1
+    }
+    val r = SuffixRepeats.longestRepeat(spark, sfDir).collect()(0)
+    assert(r.getLong(0) == lo.toLong, s"max_len ${r.getLong(0)} != brute $lo")
+    // family stats at max_len recomputed brute-force over the real corpus
+    val fams = docs.flatMap { case (id, t) =>
+        (0 to t.length - lo).map(p => (t.substring(p, p + lo), id)) }
+      .groupBy(_._1).filter(_._2.size >= 2)
+    assert(r.getLong(1) == fams.values.map(_.size.toLong).sum)
+    assert(r.getLong(2) == fams.size.toLong)
+    assert(r.getString(3).length == lo && fams.contains(r.getString(3)))
+    // spectrum ↔ longest consistency (VERDICT r8 cross-validation):
+    // families exist at every reported block ≤ max_len, at none above
+    val spectrum = SuffixRepeats.suffixRepeats(spark, sfDir).collect()
+      .map(row => row.getLong(0) -> row.getLong(1)).toMap
+    spectrum.foreach { case (b, g) =>
+      if (b <= lo) assert(g > 0, s"no families at block $b <= max_len $lo")
+      else assert(g == 0L, s"families at block $b > max_len $lo")
+    }
+    val bMax = spectrum.filter(_._2 > 0).keys.max
+    assert(lo >= bMax && lo <= 2 * bMax - 1)
+  }
 }
