@@ -481,10 +481,10 @@ object Similarity {
   private val semCache = Materialized.register(
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
 
-  def semdedup(spark: SparkSession, dir: String): DataFrame = {
-    // assignment + centroid-cosine materialized per corpus: the frame
-    // feeds both sides of the pair join AND the final projection
-    val assigned = Materialized.cached(semCache, spark, dir) {
+  /** Assignment + centroid-cosine, materialized per corpus: feeds both
+    * sides of the pair join, the final projection, and the sweep. */
+  private def semAssigned(spark: SparkSession, dir: String): DataFrame =
+    Materialized.cached(semCache, spark, dir) {
       argminCid(emb(spark, dir), ivfCentroids(spark, dir),
           Seq("embedding", "c"))
         .withColumn("ccos", round(cosExpr("embedding", "c"), 6)
@@ -492,6 +492,9 @@ object Similarity {
         .select("vec_id", "cid", "embedding", "ccos")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
+
+  def semdedup(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = semAssigned(spark, dir)
     val dropped = assigned.as("b").join(assigned.as("a"),
         col("a.cid") === col("b.cid") && col("a.vec_id") =!= col("b.vec_id")
           && (col("a.ccos") < col("b.ccos")
@@ -526,6 +529,78 @@ object Similarity {
        |)
        |SELECT s.vec_id, s.cid, s.ccos, d.vec_id IS NULL AS keep
        |FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.vec_id""".stripMargin
+
+  /** Threshold rungs the sweep audits (finite decimals → identical double
+    * constants both engines). */
+  val SemSweepThrs: Seq[Double] = Seq(0.30, 0.35, 0.40, 0.45, 0.50)
+
+  /** SemDeDup threshold-calibration sweep — the audit run BEFORE anyone
+    * trusts [[SemThr]] (the lsh_tuning_report discipline): per candidate
+    * rung, the within-cell pair volume and the exact dropped-vector count
+    * with its basis-point drop rate. The exists-rule dropped set equals
+    * the distinct per-pair LOSERS (the more-central member of each
+    * qualifying pair), so one pair frame at the loosest rung — built from
+    * the same materialized assignment [[semdedup]] reads — serves every
+    * rung via a 5-row broadcast; no per-rung corpus pass, no re-quantize. */
+  def semdedupSweep(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = semAssigned(spark, dir)
+    val minThr = SemSweepThrs.min
+    val pairs = assigned.as("a").join(assigned.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .select(cosExpr("a.embedding", "b.embedding").as("cos"),
+        when(col("a.ccos") > col("b.ccos")
+            || (col("a.ccos") === col("b.ccos")
+              && col("a.vec_id") > col("b.vec_id")),
+          col("a.vec_id")).otherwise(col("b.vec_id")).as("loser"))
+      .where(col("cos") >= minThr)
+    // every rung is a CONDITIONAL aggregate of the one pair frame (never a
+    // θ-join against the rung list — a conditioned nested loop is lint-
+    // banned and pointless for 5 static rungs), then the 1-row result
+    // unpivots to rung rows
+    val aggCols = SemSweepThrs.zipWithIndex.flatMap { case (t, i) => Seq(
+      coalesce(sum(when(col("cos") >= t, 1L)), lit(0L)).as(s"p_$i"),
+      countDistinct(when(col("cos") >= t, col("loser"))).as(s"d_$i")) }
+    val nVec = assigned.agg(count(lit(1)).as("n_vectors"))
+    val one = pairs.agg(aggCols.head, aggCols.tail: _*)
+      .crossJoin(broadcast(nVec))
+    one.select(explode(array(SemSweepThrs.zipWithIndex.map { case (t, i) =>
+        struct(lit(t).as("thr"), col(s"p_$i").as("n_pairs"),
+          col(s"d_$i").as("n_dropped"),
+          graft.functions.TextFns.bp(col(s"d_$i"),
+            greatest(col("n_vectors"), lit(1L))).as("drop_bp"))
+      }: _*)).as("r"))
+      .select(col("r.thr").as("thr"), col("r.n_pairs").as("n_pairs"),
+        col("r.n_dropped").as("n_dropped"), col("r.drop_bp").as("drop_bp"))
+  }
+  val semdedupSweepSql: String =
+    s"""WITH $ivfCentroidsCte, assigned AS MATERIALIZED (
+       |  SELECT vec_id, cid, embedding,
+       |    CAST(CAST(round(${sqlCos("embedding", "c")}, 6) AS DECIMAL(14,6))
+       |      AS DOUBLE) AS ccos
+       |  FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid, c.c,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqlL2sq("e.embedding", "c.c")}, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cents c
+       |  ) WHERE rn = 1
+       |), pairs AS MATERIALIZED (
+       |  SELECT ${sqlCos("a.embedding", "b.embedding")} AS cos,
+       |    CASE WHEN a.ccos > b.ccos
+       |           OR (a.ccos = b.ccos AND a.vec_id > b.vec_id)
+       |         THEN a.vec_id ELSE b.vec_id END AS loser
+       |  FROM assigned a JOIN assigned b ON a.cid = b.cid
+       |    AND a.vec_id < b.vec_id
+       |  WHERE ${sqlCos("a.embedding", "b.embedding")}
+       |    >= ${SemSweepThrs.min}
+       |), nv AS (SELECT count(*) AS n_vectors FROM assigned),
+       |rungs AS (SELECT CAST(t.thr AS DOUBLE) AS thr FROM (VALUES
+       |  ${SemSweepThrs.map(t => s"($t)").mkString(", ")}) AS t(thr))
+       |SELECT thr, CAST(count(cos) AS BIGINT) AS n_pairs,
+       |  CAST(count(DISTINCT loser) AS BIGINT) AS n_dropped,
+       |  ${graft.functions.TextFns.sqlBp("count(DISTINCT loser)",
+             "greatest(n_vectors, 1)")} AS drop_bp
+       |FROM rungs LEFT JOIN pairs ON cos >= thr CROSS JOIN nv
+       |GROUP BY thr, n_vectors""".stripMargin
 
   val annIvfSql: String =
     s"""WITH $ivfCentroidsCte, q AS (

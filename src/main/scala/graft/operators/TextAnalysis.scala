@@ -286,10 +286,20 @@ object TextAnalysis {
     * (AQE splits), never row amplification. ln values are rounded then
     * summed as DECIMAL so the per-doc sum is exact and order-insensitive
     * across engines (§6 float policy). */
+  private val lmCache = Materialized.register(
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
+
   def lmPerplexity(spark: SparkSession, dir: String): DataFrame =
     // counts come from the shared materialized table; C(w1 ·) derives from
-    // it, so the corpus explode behind the model runs zero extra times
-    lmPerplexityOn(docBigrams(spark, dir), bigramCounts(spark, dir))
+    // it, so the corpus explode behind the model runs zero extra times.
+    // The per-doc score frame is itself a per-corpus artifact (the
+    // perplexity filter's input, also consumed by perplexity_buckets), so
+    // it materializes like the model: the doc-keyed join+rollup runs once
+    // per corpus, steady reads are cache hits
+    Materialized.cached(lmCache, spark, dir) {
+      lmPerplexityOn(docBigrams(spark, dir), bigramCounts(spark, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   /** Join+aggregate core of [[lmPerplexity]], parameterized by the bigram
     * explode and the count table. `private[graft]` for the AQE-skew lock

@@ -281,4 +281,44 @@ class SimilaritySpec extends SparkTestBase {
       assert(least(3) == true)
     }
   }
+
+  test("semdedup_sweep matches brute-force rung counts and the semdedup drop set") {
+    val sfDir = "/root/testdata/sf0.001"
+    def dot(a: Seq[Float], b: Seq[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val cents = Similarity.ivfCentroids(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val assigned = vecs.map { case (id, e) =>
+      val (cid, c) = cents.minBy { case (cid, c) =>
+        (dot(e, e) + dot(c, c) - 2.0 * dot(e, c), cid)
+      }
+      val ccos = BigDecimal(dot(e, c) / (math.sqrt(dot(e, e)) * math.sqrt(dot(c, c))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, e, cid, ccos)
+    }
+    val pairs = for {
+      (ia, ea, ca, xa) <- assigned
+      (ib, eb, cb, xb) <- assigned
+      if ca == cb && ia < ib
+      cos = dot(ea, eb) / (math.sqrt(dot(ea, ea)) * math.sqrt(dot(eb, eb)))
+      if cos >= Similarity.SemSweepThrs.min
+    } yield (cos, if (xa > xb || (xa == xb && ia > ib)) ia else ib)
+    val expected = Similarity.SemSweepThrs.map { thr =>
+      val q = pairs.filter(_._1 >= thr)
+      Seq[Any](thr, q.size.toLong, q.map(_._2).distinct.size.toLong,
+        q.map(_._2).distinct.size.toLong * 10000L / vecs.length)
+    }.toSet
+    val got = collectSet(Similarity.semdedupSweep(spark, sfDir))
+    assert(got == expected)
+    // cross-lock: the rung at SemThr reports exactly semdedup's drop count
+    val nDroppedAtThr = got.find(_(0) == Similarity.SemThr).get(2)
+    val semDrops = Similarity.semdedup(spark, sfDir).where("NOT keep").count()
+    assert(nDroppedAtThr == semDrops)
+  }
 }
