@@ -83,18 +83,20 @@ object Selection {
       |  FROM toks, unnest(list_transform(range(1, len(t)),
       |    i -> t[i] || ' ' || t[i + 1])) AS g(b)
       |  WHERE len(t) >= 2
-      |), c2 AS MATERIALIZED (
+      |), lm_c2 AS MATERIALIZED (
       |  SELECT bigram, count(*) AS n2 FROM bg GROUP BY 1
-      |), c1 AS (
+      |), lm_c1 AS (
       |  SELECT split_part(bigram, ' ', 1) AS w1, sum(n2) AS n1
-      |  FROM c2 GROUP BY 1
+      |  FROM lm_c2 GROUP BY 1
       |), p AS (
       |  SELECT bigram,
       |    CAST(round(ln(CAST(n2 AS DOUBLE) / n1), 4) AS DECIMAL(18,4)) AS lp
-      |  FROM c2 JOIN c1 ON split_part(c2.bigram, ' ', 1) = c1.w1
+      |  FROM lm_c2 JOIN lm_c1 ON split_part(lm_c2.bigram, ' ', 1) = lm_c1.w1
       |)""".stripMargin
-  val perplexityBucketsSql: String =
-    s"""WITH $lmCtes, pp AS (
+  /** lmCtes + per-doc score + tertiles + the bucket projection, reusable
+    * by [[perplexityBucketsSql]] and the composed [[selectedCorpusSql]]. */
+  private val bucketedCtes: String =
+    s"""$lmCtes, pp AS (
        |  SELECT doc_id, count(*) AS n_bigrams,
        |    CAST(CAST(sum(lp) AS DECIMAL(18,4)) AS DOUBLE) AS sum_lp
        |  FROM bg JOIN p USING (bigram) GROUP BY 1
@@ -109,12 +111,15 @@ object Selection {
        |    CAST(CAST(quantile_cont(nll_e4, $TailPct) AS DECIMAL(14,4))
        |      AS DOUBLE) AS t_tail
        |  FROM scored GROUP BY 1
-       |)
-       |SELECT doc_id, s.lang, nll_e4,
-       |  CASE WHEN nll_e4 <= t_head THEN 'head'
-       |       WHEN nll_e4 <= t_tail THEN 'middle'
-       |       ELSE 'tail' END AS bucket
-       |FROM scored s JOIN thr ON s.lang = thr.lang""".stripMargin
+       |), bucketed AS (
+       |  SELECT doc_id, s.lang, nll_e4,
+       |    CASE WHEN nll_e4 <= t_head THEN 'head'
+       |         WHEN nll_e4 <= t_tail THEN 'middle'
+       |         ELSE 'tail' END AS bucket
+       |  FROM scored s JOIN thr ON s.lang = thr.lang
+       |)""".stripMargin
+  val perplexityBucketsSql: String =
+    s"WITH $bucketedCtes SELECT doc_id, lang, nll_e4, bucket FROM bucketed"
 
   // ---- DSIR hashed-unigram importance weights ---------------------------
   /** Hashed feature space size (DSIR's "hashed n-gram" buckets). Bounded
@@ -303,4 +308,68 @@ object Selection {
        |SELECT bigram, n, p_kn,
        |  CAST(row_number() OVER (ORDER BY p_kn DESC, bigram) AS BIGINT) AS rk
        |FROM pkn ORDER BY p_kn DESC, bigram LIMIT $KnTopN""".stripMargin
+
+  // ---- composed end product: the corpus a training run actually reads ----
+  /** CCNet buckets the selection keeps (the tail is dropped). */
+  val SelKeepBuckets: Seq[String] = Seq("head", "middle")
+
+  /** The selection family composed into its end product — one decision row
+    * per document with every signal and the final verdict: keep iff the
+    * perplexity bucket is head/middle (CCNet) AND the document is in the
+    * DSIR top-k resample AND it survives semantic dedup (keep-by-default
+    * when the doc has no embedding). The DSIR criterion is MEMBERSHIP, not
+    * a sign test: the raw-frequency-weighted mean of log(p_t/p_r) is
+    * −KL(p_raw‖p_target) ≤ 0, so weights skew negative on any real corpus
+    * and the paper's actual step — resample a budget of the highest-weight
+    * documents — is the composable gate. Docs too short to score
+    * (<2 tokens) bucket as 'none' and are not selected.
+    *
+    * Scale: all three signal frames are reads of already-materialized
+    * per-corpus artifacts (scored LM frame, 512-slot DSIR literal fold +
+    * TakeOrdered top-k, semdedup assignment); the composition itself is
+    * doc_id-keyed uniform joins — the curated_corpus discipline applied
+    * to selection. */
+  def selectedCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val b = perplexityBuckets(spark, dir).select(col("doc_id"), col("bucket"))
+    val w = dsirWeights(spark, dir).select(col("doc_id"), col("llr"))
+    val top = dsirSelect(spark, dir)
+      .select(col("doc_id"), lit(true).as("dsir_top"))
+    val k = Similarity.semdedup(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("keep").as("sem_keep"))
+    docs(spark, dir).select(col("doc_id"), col("lang"))
+      .join(b, Seq("doc_id"), "left")
+      .join(w, Seq("doc_id"), "left")
+      .join(top, Seq("doc_id"), "left")
+      .join(k, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("bucket"), lit("none")).as("bucket"),
+        coalesce(col("llr"), lit(0.0)).as("llr"),
+        coalesce(col("dsir_top"), lit(false)).as("dsir_top"),
+        coalesce(col("sem_keep"), lit(true)).as("sem_keep"))
+      .withColumn("selected",
+        col("bucket").isin(SelKeepBuckets: _*)
+          && col("dsir_top") && col("sem_keep"))
+  }
+  val selectedCorpusSql: String =
+    s"""WITH $bucketedCtes, $dsirCtes, ${Similarity.semdedupCtes},
+       |sel AS (
+       |  SELECT doc_id FROM w ORDER BY llr DESC, doc_id LIMIT $DsirTopK
+       |), semkeep AS (
+       |  SELECT s.vec_id, d.vec_id IS NULL AS keep
+       |  FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+       |)
+       |SELECT doc.doc_id, doc.lang,
+       |  coalesce(b.bucket, 'none') AS bucket,
+       |  coalesce(w.llr, 0.0) AS llr,
+       |  sel.doc_id IS NOT NULL AS dsir_top,
+       |  coalesce(k.keep, TRUE) AS sem_keep,
+       |  (coalesce(b.bucket, 'none') IN
+       |     (${SelKeepBuckets.map(x => s"'$x'").mkString(", ")})
+       |   AND sel.doc_id IS NOT NULL
+       |   AND coalesce(k.keep, TRUE)) AS selected
+       |FROM documents doc
+       |LEFT JOIN bucketed b ON doc.doc_id = b.doc_id
+       |LEFT JOIN w ON doc.doc_id = w.doc_id
+       |LEFT JOIN sel ON doc.doc_id = sel.doc_id
+       |LEFT JOIN semkeep k ON doc.doc_id = k.vec_id""".stripMargin
 }

@@ -509,8 +509,10 @@ object Similarity {
       .select(col("vec_id"), col("cid"), col("ccos"),
         coalesce(col("keep"), lit(true)).as("keep"))
   }
-  val semdedupSql: String =
-    s"""WITH $ivfCentroidsCte, assigned AS MATERIALIZED (
+  /** Quantizer + assignment + drop-rule CTEs, reusable by [[semdedupSql]]
+    * and Selection's composed selected_corpus oracle. */
+  private[operators] val semdedupCtes: String =
+    s"""$ivfCentroidsCte, assigned AS MATERIALIZED (
        |  SELECT vec_id, cid, embedding,
        |    CAST(CAST(round(${sqlCos("embedding", "c")}, 6) AS DECIMAL(14,6))
        |      AS DOUBLE) AS ccos
@@ -526,7 +528,9 @@ object Similarity {
        |    AND a.vec_id <> b.vec_id
        |    AND (a.ccos < b.ccos OR (a.ccos = b.ccos AND a.vec_id < b.vec_id))
        |    AND ${sqlCos("a.embedding", "b.embedding")} >= $SemThr
-       |)
+       |)""".stripMargin
+  val semdedupSql: String =
+    s"""WITH $semdedupCtes
        |SELECT s.vec_id, s.cid, s.ccos, d.vec_id IS NULL AS keep
        |FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.vec_id""".stripMargin
 

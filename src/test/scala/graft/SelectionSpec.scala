@@ -151,4 +151,34 @@ class SelectionSpec extends SparkTestBase {
     val mass = pkn.collect { case (b, _, p) if b.startsWith(w1 + " ") => p }.sum
     assert(mass < 1.0 + 1e-9)
   }
+
+  // ---- composed end product ----------------------------------------------
+
+  test("selected_corpus composes the three signals exactly, keep-by-default semantics") {
+    val buckets = Selection.perplexityBuckets(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val weights = Selection.dsirWeights(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val top = Selection.dsirSelect(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    val sem = graft.operators.Similarity.semdedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val langs = corpus.map(c => c._1 -> c._2).toMap
+    val expected = langs.keySet.map { id =>
+      val bucket = buckets.getOrElse(id, "none")
+      val keep = sem.getOrElse(id, true)
+      Seq[Any](id, langs(id), bucket, weights.getOrElse(id, 0.0), top(id), keep,
+        Selection.SelKeepBuckets.contains(bucket) && top(id) && keep)
+    }
+    val got = collectSet(Selection.selectedCorpus(spark, dir))
+    assert(got == expected)
+    // the verdict must discriminate at this SF: some kept, some cut, and
+    // every cut is attributable to at least one failing signal
+    val sel = got.count(_(6) == true)
+    assert(sel > 0 && sel < got.size)
+    got.filter(_(6) == false).foreach { r =>
+      assert(!Selection.SelKeepBuckets.contains(r(2))
+        || r(4) == false || r(5) == false)
+    }
+  }
 }
