@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.graft.{CharEntropy, FloatDotProduct, MinhashSig, NormalizeNfc, ShinglePolyHash, SigGroups, Simhash60, SortChars, StringCodepoints, TokenStats, WinnowMins}
+import org.apache.spark.sql.graft.{CharEntropy, DsirLlrE4, FloatDotProduct, MinhashSig, NormalizeNfc, ShinglePolyHash, SigGroups, Simhash60, SortChars, StringCodepoints, TokenStats, WinnowMins}
 
 /** SparkSessionExtensions entry point: registers graft's custom Catalyst
   * expressions as SQL functions and the native as-of join planner strategy.
@@ -34,6 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash60"),
       new ExpressionInfo(classOf[Simhash60].getName, "simhash60"),
       (exprs: Seq[Expression]) => Simhash60(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("dsir_llr_e4"),
+      new ExpressionInfo(classOf[DsirLlrE4].getName, "dsir_llr_e4"),
+      (exprs: Seq[Expression]) => DsirLlrE4(exprs.head, exprs(1))))
     def longOf(e: Expression): Long = e.asInstanceOf[Literal].value match {
       case i: Int => i.toLong
       case l: Long => l

@@ -163,27 +163,35 @@ object Selection {
       }
     })
 
+  /** The fitted model as a dense [[DsirBuckets]]-slot array in exact ×10⁴
+    * integer units — the literal [[dsirWeights]] and the streaming gate
+    * ship to every worker. */
+  private[graft] def dsirModelE4(spark: SparkSession, dir: String): Seq[Long] = {
+    val m = dsirModel(spark, dir).toMap
+    (0 until DsirBuckets).map(b =>
+      (BigDecimal(m.getOrElse(b.toLong, 0.0)) * 10000).toLongExact)
+  }
+
   /** DSIR importance weight per document: Σ over token occurrences of the
     * bucket's log-likelihood ratio (target vs raw unigram models on hashed
     * features). The fitted model densifies to a [[DsirBuckets]]-slot
-    * decimal literal, so scoring is ONE map-only corpus scan — a row-local
-    * fold over the token array with zero exchanges (the lr values are
-    * exact 4-dp decimals, so the fold equals the join+sum formulation the
-    * oracle uses bit-for-bit and the order never matters). At 100 TB the
-    * model is a written artifact fitted once (or on a sample, as the
-    * paper does); the scoring pass is embarrassingly parallel. */
+    * integer-e4 literal and scoring is ONE map-only corpus scan through
+    * the codegen'd [[org.apache.spark.sql.graft.DsirLlrE4]] (zero
+    * exchanges; the e4 long sum is bit-identical to summing the exact
+    * 4-dp decimals the oracle's join+SUM adds, in any order, and
+    * sum_e4/10⁴ in double arithmetic is the correctly-rounded value the
+    * oracle's DECIMAL(18,4)→DOUBLE cast produces — both operands are
+    * exactly representable). At 100 TB the model is a written artifact
+    * fitted once (or on a sample, as the paper does); the scoring pass is
+    * embarrassingly parallel. */
   def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
-    val m = dsirModel(spark, dir).toMap
-    val lrArr = array((0 until DsirBuckets).map(b =>
-      lit(m.getOrElse(b.toLong, 0.0)).cast("decimal(18,4)")): _*)
+    val lrE4 = typedLit(dsirModelE4(spark, dir))
     docs(spark, dir)
       .select(col("doc_id"), TextAnalysis.toks(col("text")).as("__t"))
       .where(size(col("__t")) >= 1)
       .select(col("doc_id"), size(col("__t")).cast("long").as("n_toks"),
-        aggregate(col("__t"), lit(0).cast("decimal(38,4)"),
-          (acc, t) => acc + element_at(lrArr,
-            (md5Long(t) % DsirBuckets.toLong).cast("int") + 1))
-          .cast("decimal(18,4)").cast("double").as("llr"))
+        (org.apache.spark.sql.graft.DsirLlrE4(col("__t"), lrE4)
+          .cast("double") / lit(10000.0)).as("llr"))
   }
   private val dsirCtes =
     s"""tok AS MATERIALIZED (

@@ -217,26 +217,43 @@ object DocsStream {
       .map(b => m.getOrElse(b.toLong, 0.0))
   }
 
+  /** A TRAINED keep threshold for [[dsirGate]]: the reference corpus's
+    * exact (1 − keepFrac)-quantile of per-document DSIR weights, so the
+    * gate admits ~the top keepFrac of reference-like traffic. Train this,
+    * don't default to 0.0 on real corpora: the raw-frequency-weighted mean
+    * of log(p_target/p_raw) is −KL(p_raw‖p_target) ≤ 0, so absolute
+    * weights skew negative everywhere and only a RELATIVE cut selects
+    * (the same insight behind selected_corpus's top-k membership). At
+    * 100 TB: `approx_percentile` or a sampled fit, the
+    * quality_percentile_gate discipline. */
+  def dsirThreshold(spark: org.apache.spark.sql.SparkSession,
+      referenceDir: String, keepFrac: Double = 0.25): Double =
+    graft.operators.Selection.dsirWeights(spark, referenceDir)
+      .agg(expr(s"percentile(llr, ${1.0 - keepFrac})")).collect()(0)
+      .getDouble(0)
+
   /** Stateless DSIR importance gate: keep documents whose hashed-unigram
     * LLR weight (how much more target-like than raw-like the doc reads) is
     * at least `minLlr` — the streaming twin of `Selection.dsirWeights`
-    * plus a threshold, as an ingest filter. The weight is a row-local fold
-    * of exact 4-dp decimals over the token array, so it equals the batch
-    * join+sum bit-for-bit (same rounded values, and exact decimals make
-    * the fold order irrelevant); no state, no shuffle, no explode. */
+    * plus a threshold, as an ingest filter. Pass a [[dsirThreshold]]-
+    * trained cut for real corpora (0.0 is the neutral "more target than
+    * raw" default, which −KL skew makes strict in practice). The weight is
+    * a row-local fold of exact 4-dp decimals over the token array, so it
+    * equals the batch join+sum bit-for-bit (same rounded values, and exact
+    * decimals make the fold order irrelevant); no state, no shuffle, no
+    * explode. */
   def dsirGate(docs: DataFrame, lr: Seq[Double],
       minLlr: Double = 0.0): DataFrame = {
-    val b = graft.operators.Selection.DsirBuckets.toLong
-    val lrArr = array(lr.map(v => lit(v).cast("decimal(18,4)")): _*)
+    // same codegen'd scorer as the batch operator (exact e4 integer units)
+    val lrE4 = typedLit(lr.map(v =>
+      (scala.math.BigDecimal(v) * 10000).toLongExact))
     docs
       .withColumn("__t", filter(
         transform(split(col("text"), WsTokenRe), t => lower(t)), t => t =!= ""))
       .where(size(col("__t")) >= 1)
-      .withColumn("llr", aggregate(col("__t"),
-          lit(0).cast("decimal(38,4)"),
-          (acc, t) => acc + element_at(lrArr,
-            (md5Long(t) % b).cast("int") + 1))
-        .cast("decimal(18,4)").cast("double"))
+      .withColumn("llr",
+        org.apache.spark.sql.graft.DsirLlrE4(col("__t"), lrE4)
+          .cast("double") / lit(10000.0))
       .where(col("llr") >= minLlr)
       .drop("__t")
   }

@@ -385,6 +385,48 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("property: DsirLlrE4 equals the decimal-fold formulation bit for bit") {
+    // the codegen'd scorer replaced an interpreted aggregate/element_at
+    // fold over DECIMAL(18,4) model values; its §6 contract is BIT
+    // equality with that fold — same hash, same bucket, and the final
+    // sum_e4/10⁴ double division is the correctly-rounded value the
+    // decimal narrow+cast produced (both operands exactly representable)
+    val rnd = new scala.util.Random(11)
+    val buckets = 64 // bucket count follows the model array's length
+    val lrE4 = Seq.tabulate(buckets)(_ => (rnd.nextInt(200001) - 100000).toLong)
+    val pool = Seq("alpha", "beta", "Gamma", "δοκιμή", "中文词", "x",
+      "emoji😀", "num123", "tab\tchar")
+    val docs = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(30))(pool(rnd.nextInt(pool.size))))
+    }
+    val df = docs.toDF("id", "toks")
+    val lrArrDec = array(lrE4.map(v =>
+      lit((BigDecimal(v) / 10000).toDouble).cast("decimal(18,4)")): _*)
+    val expected = df.select(col("id"),
+        aggregate(col("toks"), lit(0).cast("decimal(38,4)"),
+          (acc, t) => acc + element_at(lrArrDec,
+            (graft.functions.TextFns.md5Long(t) % buckets.toLong).cast("int") + 1))
+          .cast("decimal(18,4)").cast("double").as("llr"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = df.select(col("id"),
+        (org.apache.spark.sql.graft.DsirLlrE4(col("toks"), typedLit(lrE4))
+          .cast("double") / lit(10000.0)).as("llr"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, v) =>
+      assert(java.lang.Double.doubleToLongBits(got(id))
+        == java.lang.Double.doubleToLongBits(v), s"doc $id llr bits")
+    }
+    // and the SQL registration serves the same expression
+    val viaSql = spark.sql(
+      s"SELECT dsir_llr_e4(array('alpha','中文词'), array(${lrE4.map(v => s"${v}L").mkString(",")}))")
+      .collect()(0).getLong(0)
+    val direct = df.sparkSession.range(1).select(
+      org.apache.spark.sql.graft.DsirLlrE4(
+        typedLit(Seq("alpha", "中文词")), typedLit(lrE4))).collect()(0).getLong(0)
+    assert(viaSql == direct)
+  }
+
   test("property: bpe_pair_counts equals brute-force weighted pair counting") {
     val docGen = Gen.chooseNum(3, 12)
       .flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))

@@ -623,6 +623,33 @@ class SourcesAndStreamingSpec extends SparkTestBase {
     assert(batchKept.nonEmpty && batchKept != batch.keySet)
   }
 
+  test("trained dsir threshold admits the reference top quartile on a real corpus") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val thr = graft.streaming.DocsStream.dsirThreshold(spark, sf)
+    val batch = graft.operators.Selection.dsirWeights(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val batchKept = batch.filter(_._2 >= thr).keySet
+    // ~the top quartile of 500 docs — a 0.0 cut would keep NOTHING here
+    // (weights skew negative by the -KL argument in the scaladoc)
+    assert(batch.values.forall(_ < 0.0))
+    assert(batchKept.size >= 125 && batchKept.size <= 140)
+    val lr = graft.streaming.DocsStream.dsirLrTable(spark, sf)
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val input = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.DocsStream.dsirGate(
+        input.toDF().toDF("doc_id", "text"), lr, thr)
+      .writeStream.format("memory").queryName("dsir_gate_trained")
+      .outputMode("append").start()
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    val streamKept = spark.table("dsir_gate_trained").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    q.stop()
+    assert(streamKept == batchKept)
+  }
+
   test("replay: streaming pack stage equals batch pack_sequences") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"
