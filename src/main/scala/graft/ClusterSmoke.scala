@@ -63,7 +63,8 @@ object ClusterSmoke {
                           // + canonicalize + dedup on executor JVMs
     "perplexity_buckets", // shared bigram model + per-lang tertile broadcast
     "dsir_select",        // bounded-model collect + broadcast rescoring
-    "semdedup")           // per-cell pair semi-join over the cached quantizer
+    "semdedup",           // per-cell pair semi-join over the cached quantizer
+    "selected_corpus")    // three materialized signal families composed
 
   private def warcDocCount(spark: SparkSession): Long =
     graft.sources.WarcSource
