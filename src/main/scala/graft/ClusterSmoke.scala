@@ -64,7 +64,8 @@ object ClusterSmoke {
     "perplexity_buckets", // shared bigram model + per-lang tertile broadcast
     "dsir_select",        // bounded-model collect + broadcast rescoring
     "semdedup",           // per-cell pair semi-join over the cached quantizer
-    "selected_corpus")    // three materialized signal families composed
+    "selected_corpus",    // three materialized signal families composed
+    "bitext_mine")        // bucket-blocked margin-kNN across label groups
 
   private def warcDocCount(spark: SparkSession): Long =
     graft.sources.WarcSource

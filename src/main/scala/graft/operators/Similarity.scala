@@ -1383,4 +1383,109 @@ object Similarity {
        |    AS BIGINT) AS rk
        |  FROM fused)
        |WHERE rk <= $RrfTopN""".stripMargin
+
+  // ---- #37 bitext mining (margin-kNN alignment) --------------------------
+  /** Neighborhood size for the margin normalizer (the papers' k). */
+  val BtKnnK = 4
+  /** Margin acceptance threshold (CCMatrix uses ~1.06; tuned up so the
+    * synthetic corpus yields both mined and rejected sources at every SF). */
+  val BtMarginThr = 1.2
+  /** Stand-in "languages": ground-truth label groups of the embeddings
+    * table play source/target (the same proxy role DsirTargetLang plays). */
+  val BtLabelA = 0
+  val BtLabelB = 1
+
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019; the CCMatrix /
+    * CCAligned recipe): align group-A embeddings to group-B by RELATIVE
+    * similarity — absolute cosine can't separate a true translation from a
+    * hub vector, so each pair's cosine is normalized by the mean of the
+    * two sides' k-NN neighborhoods: margin(x,y) = cos(x,y) / ((avgk(x) +
+    * avgk(y)) / 2); forward mining keeps each source's best-margin target
+    * at margin ≥ [[BtMarginThr]].
+    *
+    * Spark-first shape: candidates come from the SHARED signed-hyperplane
+    * buckets (hamming ≤ 1 probes — the ann_join/dedup_embedding blocking;
+    * never A×B), positive-cosine only, so the k-NN means are averages over
+    * each vector's candidate list (FAISS-kNN's role, approximated the same
+    * way the paper's own index approximates exact kNN, and mirrored
+    * EXACTLY by the oracle so both engines mine the identical set). Per-
+    * side means are bounded windows (partitioned by vector); cosines are
+    * §6-pinned decimals before any mean, and each mean is an exact decimal
+    * SUM cast to DOUBLE over an integer count, so fold order never
+    * matters. At 100 TB the bucket is the partition key on both sides and
+    * every stage keys on va/vb/bucket — no global anything. */
+  def bitextMine(spark: SparkSession, dir: String): DataFrame = {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"),
+        bucketCol("embedding").as("bucket"))
+    val a = e.where(col("label") === BtLabelA)
+      .select(col("vec_id").as("va"), col("embedding").as("ea"),
+        col("bucket").as("ba"))
+    val probeMasks = 0L +: (0 until NumPlanes).map(j => 1L << j)
+    val b = e.where(col("label") === BtLabelB)
+      .select(col("vec_id").as("vb"), col("embedding").as("eb"),
+        explode(array(probeMasks.map(m =>
+          col("bucket").bitwiseXOR(lit(m))): _*)).as("pb"))
+    // each (va, vb) matches at most one probe mask (the XOR values are
+    // distinct), so the candidate set has no duplicate pairs
+    val cand = a.join(b, col("ba") === col("pb"))
+      .select(col("va"), col("vb"),
+        round(cosExpr("ea", "eb"), 6).cast("decimal(14,6)").as("rc"))
+      .where(col("rc") > 0)
+    def sideAvg(key: String, other: String, out: String): DataFrame = {
+      val w = Window.partitionBy(key).orderBy(col("rc").desc, col(other))
+      cand.withColumn("rk", row_number().over(w)).where(col("rk") <= BtKnnK)
+        .groupBy(key)
+        .agg((sum(col("rc")).cast("double") / count(lit(1))).as(out))
+    }
+    val m = cand
+      .join(sideAvg("va", "vb", "ax"), "va")
+      .join(sideAvg("vb", "va", "ay"), "vb")
+      .select(col("va"), col("vb"), col("rc"),
+        round(col("rc").cast("double") / ((col("ax") + col("ay")) / lit(2.0)), 6)
+          .cast("decimal(14,6)").cast("double").as("margin"))
+    val wBest = Window.partitionBy("va").orderBy(col("margin").desc, col("vb"))
+    m.withColumn("brk", row_number().over(wBest))
+      .where(col("brk") === 1 && col("margin") >= BtMarginThr)
+      .select(col("va").as("vec_a"), col("vb").as("vec_b"),
+        col("rc").cast("double").as("cos"), col("margin"))
+  }
+  val bitextMineSql: String = {
+    val masks = (0L +: (0 until NumPlanes).map(j => 1L << j)).mkString(", ")
+    s"""WITH eb AS MATERIALIZED (
+       |  SELECT vec_id, embedding, label,
+       |    ${sqlBucket("embedding")} AS bucket
+       |  FROM embeddings WHERE label IN ($BtLabelA, $BtLabelB)
+       |), cand AS MATERIALIZED (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb,
+       |    CAST(round(${sqlCos("a.embedding", "b.embedding")}, 6)
+       |      AS DECIMAL(14,6)) AS rc
+       |  FROM (SELECT * FROM eb WHERE label = $BtLabelA) a
+       |  JOIN (SELECT vec_id, embedding, xor(bucket, g.m) AS pb
+       |        FROM eb, unnest([$masks]) AS g(m)
+       |        WHERE label = $BtLabelB) b
+       |    ON a.bucket = b.pb
+       |  WHERE CAST(round(${sqlCos("a.embedding", "b.embedding")}, 6)
+       |      AS DECIMAL(14,6)) > 0
+       |), ra AS (
+       |  SELECT va, CAST(sum(rc) AS DOUBLE) / count(*) AS ax FROM (
+       |    SELECT va, rc, row_number() OVER (PARTITION BY va
+       |      ORDER BY rc DESC, vb) AS rk FROM cand)
+       |  WHERE rk <= $BtKnnK GROUP BY va
+       |), rb AS (
+       |  SELECT vb, CAST(sum(rc) AS DOUBLE) / count(*) AS ay FROM (
+       |    SELECT vb, rc, row_number() OVER (PARTITION BY vb
+       |      ORDER BY rc DESC, va) AS rk FROM cand)
+       |  WHERE rk <= $BtKnnK GROUP BY vb
+       |), m AS (
+       |  SELECT va, vb, rc,
+       |    CAST(CAST(round(CAST(rc AS DOUBLE) / ((ax + ay) / 2.0), 6)
+       |      AS DECIMAL(14,6)) AS DOUBLE) AS margin
+       |  FROM cand JOIN ra USING (va) JOIN rb USING (vb)
+       |)
+       |SELECT va AS vec_a, vb AS vec_b, CAST(rc AS DOUBLE) AS cos, margin
+       |FROM (SELECT m.*, row_number() OVER (PARTITION BY va
+       |  ORDER BY margin DESC, vb) AS brk FROM m)
+       |WHERE brk = 1 AND margin >= $BtMarginThr""".stripMargin
+  }
 }

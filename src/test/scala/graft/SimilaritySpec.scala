@@ -321,4 +321,53 @@ class SimilaritySpec extends SparkTestBase {
     val semDrops = Similarity.semdedup(spark, sfDir).where("NOT keep").count()
     assert(nDroppedAtThr == semDrops)
   }
+
+  test("bitext_mine matches a brute-force margin-kNN forward pass at sf0.001") {
+    val sfDir = "/root/testdata/sf0.001"
+    def dot(a: Seq[Float], b: Seq[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def r6(d: Double) =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    import org.apache.spark.sql.functions.col
+    // buckets from the (independently spec'd) hyperplane expression; all
+    // candidate/margin/mining logic below is pure Scala
+    val rows = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"),
+        Similarity.bucketCol("embedding").as("bucket"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2), r.getLong(3)))
+    val as = rows.filter(_._3 == Similarity.BtLabelA)
+    val bs = rows.filter(_._3 == Similarity.BtLabelB)
+    val cand = for {
+      (va, ea, _, ba) <- as
+      (vb, eb, _, bb) <- bs
+      if java.lang.Long.bitCount(ba ^ bb) <= 1
+      rc = r6(dot(ea, eb) / (math.sqrt(dot(ea, ea)) * math.sqrt(dot(eb, eb))))
+      if rc > 0
+    } yield (va, vb, rc)
+    def avgOf(grouped: Map[Long, Seq[(Long, BigDecimal)]]): Map[Long, Double] =
+      grouped.map { case (k, xs) =>
+        val top = xs.sortBy { case (o, rc) => (-rc, o) }.take(Similarity.BtKnnK)
+        k -> (top.map(_._2).sum.toDouble / top.size)
+      }
+    val ax = avgOf(cand.groupBy(_._1).map { case (k, v) =>
+      k -> v.map(x => (x._2, x._3)).toSeq })
+    val ay = avgOf(cand.groupBy(_._2).map { case (k, v) =>
+      k -> v.map(x => (x._1, x._3)).toSeq })
+    val margins = cand.map { case (va, vb, rc) =>
+      (va, vb, rc, r6(rc.toDouble / ((ax(va) + ay(vb)) / 2.0)).toDouble)
+    }
+    val expected = margins.groupBy(_._1).flatMap { case (_, ms) =>
+      val best = ms.minBy { case (_, vb, _, m) => (-m, vb) }
+      if (best._4 >= Similarity.BtMarginThr)
+        Some(Seq[Any](best._1, best._2, best._3.toDouble, best._4))
+      else None
+    }.toSet
+    val got = collectSet(Similarity.bitextMine(spark, sfDir))
+    assert(got == expected)
+    assert(got.nonEmpty && got.size < as.length) // mines some, rejects some
+  }
 }
