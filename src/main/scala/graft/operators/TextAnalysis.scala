@@ -1391,4 +1391,111 @@ object TextAnalysis {
        |  coalesce(string_agg(CASE WHEN rk <= $IdxPostings
        |    THEN CAST(doc_id AS VARCHAR) END, ' ' ORDER BY doc_id), '') AS postings
        |FROM r GROUP BY 1""".stripMargin
+
+  // ---- #25z-b BM25 ranked retrieval --------------------------------------
+  /** Okapi parameters (the Lucene defaults) and a fixed query over the
+    * corpus's own vocabulary. Lucene's +1 idf variant keeps idf > 0, so
+    * score > 0 ⇔ the doc contains a query term. */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25TopN = 20
+  val Bm25Query: Seq[String] = Seq("window", "merge", "scan")
+
+  /** BM25 top-N (Robertson–Spärck Jones / Okapi; Lucene's practical
+    * scoring) — the production lexical ranker the inverted index serves,
+    * complementing hybrid_search_rrf's Jaccard leg. Spark-first shape:
+    * per-doc tf for each query term is ROW-LOCAL (an array scan per term —
+    * no corpus token explode, no shuffle), the corpus statistics (N,
+    * Σlen, per-term df) are ONE map-side-partial aggregation row that
+    * broadcasts back, idf and the tf saturation are computed with
+    * IDENTICAL formula text in both engines, and each per-term score is
+    * §6-rounded to DECIMAL(14,6) BEFORE the cross-term sum so the total
+    * is fold-order free. Top-N is TakeOrderedAndProject + in-array rank
+    * recovery. At 100 TB: two map-only scans and a 1-row broadcast —
+    * nothing shuffles but the k-row merge. */
+  def bm25Topk(spark: SparkSession, dir: String): DataFrame = {
+    val qs = Bm25Query
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id") +: toks(col("text")).as("__t") +: Nil: _*)
+      .select(col("doc_id") +: size(col("__t")).cast("long").as("len_d") +:
+        qs.zipWithIndex.map { case (term, i) =>
+          size(filter(col("__t"), t => t === term)).cast("long").as(s"tf_$i")
+        }: _*)
+    val aggCols = count(lit(1)).as("n_docs") +: sum(col("len_d")).as("sum_len") +:
+      qs.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val statsAgg = base.agg(aggCols.head, aggCols.tail: _*)
+    // score > 0 ⇔ Σtf > 0 (the +1 idf variant keeps idf > 0 and the
+    // saturation term is positive for tf > 0), so the containment filter
+    // is a BASE-side predicate — it pushes below the broadcast join to the
+    // scan instead of becoming a (lint-banned) conditioned nested loop
+    val hits = base.where(
+      qs.indices.map(i => col(s"tf_$i")).reduce(_ + _) > 0)
+    val scored = hits.crossJoin(broadcast(statsAgg))
+      .withColumn("avgdl", expr("CAST(sum_len AS DOUBLE) / n_docs"))
+      .select(col("doc_id") +: col("len_d") +:
+        qs.indices.map { i =>
+          expr(
+            s"""CAST(CAST(round(
+               |  CAST(CAST(round(ln((n_docs - df_$i + 0.5) / (df_$i + 0.5) + 1.0), 6)
+               |    AS DECIMAL(14,6)) AS DOUBLE)
+               |  * ((CAST(tf_$i AS DOUBLE) * ${Bm25K1 + 1.0})
+               |     / (CAST(tf_$i AS DOUBLE)
+               |        + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * (CAST(len_d AS DOUBLE) / avgdl)))),
+               |  6) AS DECIMAL(14,6)) AS DECIMAL(16,6))""".stripMargin
+            ).as(s"s_$i")
+        }: _*)
+      .select(col("doc_id"), col("len_d"),
+        qs.indices.map(i => col(s"s_$i")).reduce(_ + _)
+          .cast("decimal(16,6)").cast("double").as("score"))
+    scored.orderBy(col("score").desc, col("doc_id")).limit(Bm25TopN)
+      .select(struct(negate(col("score")).as("ns"), col("doc_id").as("doc_id"),
+        col("len_d").as("len_d"), col("score").as("score")).as("s"))
+      .agg(array_sort(collect_list(col("s"))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("pos", "s")))
+      .select(col("s.doc_id").as("doc_id"), col("s.len_d").as("len_d"),
+        col("s.score").as("score"), (col("pos") + 1).cast("long").as("rk"))
+  }
+  val bm25TopkSql: String = {
+    val qs = Bm25Query
+    val tfCols = qs.zipWithIndex.map { case (term, i) =>
+      s"len(list_filter(t, x -> x = '$term')) AS tf_$i" }.mkString(",\n      |    ")
+    val dfCols = qs.indices.map(i =>
+      s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(",\n      |    ")
+    val sCols = qs.indices.map { i =>
+      s"""CAST(CAST(round(
+         |      CAST(CAST(round(ln((n_docs - df_$i + 0.5) / (df_$i + 0.5) + 1.0), 6)
+         |        AS DECIMAL(14,6)) AS DOUBLE)
+         |      * ((CAST(tf_$i AS DOUBLE) * ${Bm25K1 + 1.0})
+         |         / (CAST(tf_$i AS DOUBLE)
+         |            + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * (CAST(len_d AS DOUBLE) / avgdl)))),
+         |      6) AS DECIMAL(14,6)) AS DECIMAL(16,6)) AS s_$i""".stripMargin
+    }.mkString(",\n      |    ")
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT doc_id, len(t) AS len_d,
+       |    $tfCols
+       |  FROM (SELECT doc_id, list_filter(list_transform(
+       |      string_split_regex(text, '\\s+'), x -> lower(x)), x -> x <> '') AS t
+       |    FROM documents)
+       |), st0 AS (
+       |  SELECT count(*) AS n_docs, sum(len_d) AS sum_len,
+       |    $dfCols
+       |  FROM base
+       |), st AS (
+       |  SELECT *, CAST(sum_len AS DOUBLE) / n_docs AS avgdl FROM st0
+       |), scored AS (
+       |  SELECT doc_id, len_d,
+       |    $sCols
+       |  FROM base CROSS JOIN st
+       |  WHERE ${qs.indices.map(i => s"tf_$i").mkString(" + ")} > 0
+       |)
+       |SELECT doc_id, len_d, score,
+       |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+       |FROM (
+       |  SELECT doc_id, len_d,
+       |    CAST(CAST(${qs.indices.map(i => s"s_$i").mkString(" + ")}
+       |      AS DECIMAL(16,6)) AS DOUBLE) AS score
+       |  FROM scored)
+       |ORDER BY score DESC, doc_id LIMIT $Bm25TopN""".stripMargin
+  }
 }

