@@ -114,6 +114,122 @@ def main():
             gz.write(urls1)
     print(f"wrote {OUT_URLS}/cc-urls-000.warc and cc-urls-001.warc.gz")
 
+    make_html_fixture()
+
+
+# Third fixture (graft/warc_html): genuine HTML pages backing the
+# `warc_html_extract` driver row — the HTML→text stage every web-corpus
+# pipeline (CCNet / C4 / FineWeb) runs before any quality gate. The
+# expected (title, text) pairs below are derived BY HAND from the page
+# markup under the documented extraction rules (head/script/style/comment
+# blocks dropped, block-closing tags and <br> become newlines, remaining
+# tags become spaces, the core entity set decodes, whitespace collapses),
+# independently of the Scala implementation; n_chars = len(text) is
+# printed by this script for the oracle literal.
+
+PAGE_A = """<!DOCTYPE html>
+<html lang="en">
+<head>
+<title> Site A &amp; Friends </title>
+<style type="text/css">
+body { color: #333; }
+</style>
+<script>
+var trap = "<p>not body text</p>";
+</script>
+</head>
+<body>
+<!-- nav boilerplate: <p>hidden</p> -->
+<h1>Welcome</h1>
+<p>First&nbsp;paragraph with <b>bold</b> and a <a href="/x">link</a>.</p>
+<p>Maths: 3 &lt; 4 &gt; 2, &quot;quoted&quot;, it&#39;s fine.</p>
+<ul>
+<li>alpha</li>
+<li>beta</li>
+</ul>
+</body>
+</html>"""
+# hand-derived: title text lives in <head> so it is NOT body text; inline
+# closing tags (</a>, </b>) become spaces, hence "link ." with the
+# documented space before the period
+PAGE_A_TITLE = "Site A & Friends"
+PAGE_A_TEXT = ("Welcome\n"
+               "First paragraph with bold and a link .\n"
+               "Maths: 3 < 4 > 2, \"quoted\", it's fine.\n"
+               "alpha\n"
+               "beta")
+
+PAGE_B = """<html><body><div>Line one<br>Line two<br/>and &amp; three.</div>
+<script type="text/javascript">document.write("<ul><li>spam</li></ul>");</script>
+</body></html>"""
+# hand-derived: no <title> anywhere -> title ''; both <br> spellings break
+# lines; the fake list markup inside the script string must NOT surface
+PAGE_B_TITLE = ""
+PAGE_B_TEXT = "Line one\nLine two\nand & three."
+
+# plain-text record: no tags, '<' with no closing '>' survives as text,
+# bare '&' (not an entity) survives, runs of spaces collapse
+PLAIN_BODY = "no markup: 1 < 2, just   text &  spaces"
+PLAIN_TITLE = ""
+PLAIN_TEXT = "no markup: 1 < 2, just text & spaces"
+
+PAGE_C = """<html><head><title>C &lt;3 page</title></head><body>
+<table><tr><td>k</td><td>v</td></tr></table>
+<p>Done&nbsp;&nbsp;here.</p>
+</body></html>"""
+# hand-derived: title decodes &lt;; <td> cells join with spaces, </tr> and
+# </table> break lines, double &nbsp; collapses to one space
+PAGE_C_TITLE = "C <3 page"
+PAGE_C_TEXT = "k v\nDone here."
+
+
+def make_html_fixture():
+    out = os.path.join(os.path.dirname(__file__), "..", "src", "main",
+                       "resources", "graft", "warc_html")
+    os.makedirs(out, exist_ok=True)
+
+    def http_typed(body, ctype):
+        return ((f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n\r\n")
+                .encode("ascii") + body.encode("ascii"))
+
+    part0 = (
+        # request record: excluded from documents
+        record("request", "http://site-a.example/index",
+               b"GET /index HTTP/1.1\r\nHost: site-a.example\r\n")
+        + record("response", "http://site-a.example/index",
+                 http_typed(PAGE_A, "text/html"))
+        + record("response", "http://site-b.example/post",
+                 http_typed(PAGE_B, "text/html"))
+        + record("response", "http://plain.example/readme",
+                 http_typed(PLAIN_BODY, "text/plain"))
+        # header-only response: empty body -> empty text, empty title
+        + record("response", "http://site-b.example/empty",
+                 b"HTTP/1.1 204 No Content\r\n\r\n")
+    )
+    with open(os.path.join(out, "cc-html-000.warc"), "wb") as f:
+        f.write(part0)
+
+    part1 = (
+        record("response", "http://site-c.example/nested",
+               http_typed(PAGE_C, "text/html"))
+        # metadata record: excluded from documents
+        + record("metadata", "http://site-c.example/nested",
+                 b"fetchTimeMs: 7\r\n")
+    )
+    with open(os.path.join(out, "cc-html-001.warc.gz"), "wb") as f:
+        with gzip.GzipFile(fileobj=f, mode="wb", mtime=0) as gz:
+            gz.write(part1)
+    print(f"wrote {out}/cc-html-000.warc and cc-html-001.warc.gz")
+    print("expected warc_html_extract rows (url, title, n_chars):")
+    for url, title, text in [
+        ("http://plain.example/readme", PLAIN_TITLE, PLAIN_TEXT),
+        ("http://site-a.example/index", PAGE_A_TITLE, PAGE_A_TEXT),
+        ("http://site-b.example/empty", "", ""),
+        ("http://site-b.example/post", PAGE_B_TITLE, PAGE_B_TEXT),
+        ("http://site-c.example/nested", PAGE_C_TITLE, PAGE_C_TEXT),
+    ]:
+        print(f"  {url!r:36} {title!r:22} {len(text)}")
+
 
 if __name__ == "__main__":
     main()

@@ -57,9 +57,66 @@ object TextFns {
   val Footer1DetectRe = "End of[ th(e|is)]* Project Gutenberg"
   val Footer2Re = "(?s)\\*\\*\\*[^\n]*END OF TH(E|IS) PROJECT GUTENBERG EBOOK[^\n]*\\*\\*\\*.*$"
 
+  /** HTML→text extraction rules — the first stage every web-corpus
+    * pipeline (CCNet/C4/FineWeb) runs over crawl payloads before any
+    * quality gate. Regex-chain extraction (not a DOM parse): deterministic,
+    * row-local, fully codegen'd, and each pattern avoids constructs whose
+    * semantics differ between Java regex (Spark) and RE2 — no
+    * backreferences, no `\s` (RE2 excludes `\x0B`), explicit character
+    * classes only — so an oracle can replay the identical chain. */
+  val HtmlScriptRe  = "(?is)<script\\b[^>]*>.*?</script>"
+  val HtmlStyleRe   = "(?is)<style\\b[^>]*>.*?</style>"
+  val HtmlCommentRe = "(?s)<!--.*?-->"
+  val HtmlHeadRe    = "(?is)<head\\b[^>]*>.*?</head>"
+  /** Block-level closers + `<br>`: these become newlines so paragraph /
+    * list / table-row structure survives for downstream chunking. */
+  val HtmlBlockRe   = "(?i)<br\\b[^>]*>|</(?:p|div|h[1-6]|li|tr|blockquote|section|article|ul|ol|table)[ \\t]*>"
+  val HtmlTagRe     = "(?s)<[^>]*>"
+  val HtmlTitleRe   = "(?is)<title\\b[^>]*>(.*?)</title>"
+
   // ---------------- Column (Spark) side ----------------
 
   def trimNonAlpha(c: Column): Column = regexp_replace(c, TrimRe, "")
+
+  /** Core named/numeric entity set, decoded AFTER tag stripping so a
+    * decoded `&lt;` can never be re-parsed as markup; `&amp;` decodes last
+    * (standard order: `&amp;lt;` is the literal text "&lt;"). Plain
+    * `replace` (StringReplace, codegen'd) — global in Spark and DuckDB. */
+  private[graft] def htmlEntities(c: Column): Column = {
+    val steps = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'", "&amp;" -> "&")
+    steps.foldLeft(c) { case (col, (from, to)) =>
+      replace(col, lit(from), lit(to)) }
+  }
+
+  /** `<title>` text of a raw HTML column: first title element's inner text,
+    * entity-decoded, whitespace-collapsed, trimmed; '' when absent. */
+  def htmlTitle(c: Column): Column = {
+    val raw = regexp_extract(c, HtmlTitleRe, 1)
+    trim(regexp_replace(htmlEntities(raw), "[ \\t\\n\\x0B\\f\\r]+", " "))
+  }
+
+  /** Body text of a raw HTML column. Chain (each step parity-replayable by
+    * an oracle): drop script/style/comment/head blocks → block closers and
+    * `<br>` become newlines → remaining tags become spaces → entities
+    * decode → horizontal whitespace collapses to one space → space/newline
+    * runs collapse to one newline → trim. Non-HTML text passes through
+    * with only whitespace normalization (a lone '<' with no '>' is text).
+    * Row-local and map-only: at 100 TB this is a projection inside
+    * whole-stage codegen, no exchange. */
+  def htmlToText(c: Column): Column = {
+    val noScript = regexp_replace(c, HtmlScriptRe, " ")
+    val noStyle  = regexp_replace(noScript, HtmlStyleRe, " ")
+    val noCmt    = regexp_replace(noStyle, HtmlCommentRe, " ")
+    val noHead   = regexp_replace(noCmt, HtmlHeadRe, " ")
+    val blocks   = regexp_replace(noHead, HtmlBlockRe, "\n")
+    val noTags   = regexp_replace(blocks, HtmlTagRe, " ")
+    val decoded  = htmlEntities(noTags)
+    val hws      = regexp_replace(decoded, "[ \\t\\x0B\\f\\r]+", " ")
+    val lines    = regexp_replace(hws, " ?\\n[ \\n]*", "\n")
+    regexp_replace(lines, "^[ \\n]+|[ \\n]+$", "")
+  }
 
   /** mapphase/map.go:112-127 — drop stopwords and words with non-letters. */
   def isCleanWord(c: Column): Column =

@@ -366,6 +366,11 @@ object WarcSource {
     * same pages plus one exact refetch). */
   lazy val FixtureUrlsDir: String =
     materializeFixture("warc_urls", Seq("cc-urls-000.warc", "cc-urls-001.warc.gz"))
+  /** HTML-page fixture corpus backing `warc_html_extract` (same generator
+    * script; genuine pages with head/script/style/comment blocks, both
+    * `<br>` spellings, entities, a plain-text record and an empty body). */
+  lazy val FixtureHtmlDir: String =
+    materializeFixture("warc_html", Seq("cc-html-000.warc", "cc-html-001.warc.gz"))
 
   /** Driver-contract query: per-host rollup of the committed WARC fixture.
     * Ignores `dir` — WARC is a raw-file source, not an sfDir parquet table
@@ -400,6 +405,50 @@ object WarcSource {
     * normalize + dedup chain: www-strip, scheme case, tracking-query and
     * fragment removal, trailing-slash trim, the min-string keeper, and the
     * exact-refetch case where n_fetches > n_raw_urls. */
+  /** HTML→text extraction over a crawl: [[graft.functions.TextFns.htmlToText]]
+    * + [[graft.functions.TextFns.htmlTitle]] applied to the raw response
+    * bodies — the CCNet/C4/FineWeb first stage, producing the clean text the
+    * whole curation battery (quality gates, dedup, chunking) consumes.
+    * Row-local regex chain inside whole-stage codegen; at 100 TB it is a
+    * map-only projection fused into the WARC scan, no exchange. The
+    * extraction needs the PRE-header-strip raw body only for the title
+    * (titles live in `<head>`), so it reuses the `documents` frame (body
+    * after the HTTP header block) where head/body structure is preserved. */
+  def htmlExtract(docs: DataFrame): DataFrame =
+    docs.select(
+      col("url"),
+      graft.functions.TextFns.htmlTitle(col("text")).as("title"),
+      graft.functions.TextFns.htmlToText(col("text")).as("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+  /** Driver-contract query: HTML extraction over the committed HTML-page
+    * fixture. Ignores `dir` like [[warcHostStats]] — WARC is a raw-file
+    * source, not an sfDir table. */
+  def warcHtmlExtract(spark: SparkSession, dir: String): DataFrame =
+    htmlExtract(documentsFromWarc(spark, FixtureHtmlDir))
+
+  /** Oracle: exact VALUES literal, hand-derived in
+    * scripts/make_warc_fixture.py from the fixture pages' markup under the
+    * documented extraction rules — independently of the Scala regex chain —
+    * so this row checks parse + header-strip + head/script/style/comment
+    * drop + block-newline + tag-space + entity + whitespace semantics
+    * against hand-written strings (incl. the documented "link ." inline-tag
+    * space, the script-string fake markup that must NOT surface, and the
+    * plain-text pass-through). */
+  val warcHtmlExtractSql: String =
+    """SELECT url, title, text, CAST(n_chars AS BIGINT) AS n_chars
+      |FROM (VALUES
+      |  ('http://plain.example/readme', '',
+      |   'no markup: 1 < 2, just text & spaces', 36),
+      |  ('http://site-a.example/index', 'Site A & Friends',
+      |   E'Welcome\nFirst paragraph with bold and a link .\nMaths: 3 < 4 > 2, "quoted", it''s fine.\nalpha\nbeta', 96),
+      |  ('http://site-b.example/empty', '', '', 0),
+      |  ('http://site-b.example/post', '',
+      |   E'Line one\nLine two\nand & three.', 30),
+      |  ('http://site-c.example/nested', 'C <3 page',
+      |   E'k v\nDone here.', 14))
+      |  AS t(url, title, text, n_chars)""".stripMargin
+
   val warcUrlDedupSql: String =
     """SELECT canon_url, keep_url, CAST(n_fetches AS BIGINT) AS n_fetches,
       |  CAST(n_raw_urls AS BIGINT) AS n_raw_urls

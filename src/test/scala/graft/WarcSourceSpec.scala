@@ -451,4 +451,72 @@ class WarcSourceSpec extends SparkTestBase {
     assert(got("alpha.example/b")._2 == 1L)
     assert(got("beta.example/a")._2 == 1L)
   }
+
+  private def extractOne(html: String): (String, String) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val r = Seq(html).toDF("text")
+      .select(graft.functions.TextFns.htmlTitle(col("text")).as("t"),
+        graft.functions.TextFns.htmlToText(col("text")).as("x"))
+      .head()
+    (r.getString(0), r.getString(1))
+  }
+
+  test("htmlToText: scripts/styles/comments/head drop wholesale, entities " +
+      "decode after tag stripping, &amp; decodes last") {
+    val (t1, x1) = extractOne(
+      "<html><head><title>T &amp; U</title><style>p{x:1}</style></head>" +
+        "<body><script>var s=\"<p>fake</p>\";</script>" +
+        "<!-- <b>also fake</b> -->" +
+        "<p>real &amp;lt; text &lt;b&gt;</p></body></html>")
+    assert(t1 == "T & U")
+    // &amp;lt; -> literal "&lt;"; decoded &lt;b&gt; stays TEXT (tags were
+    // already stripped), so "<b>" survives as characters
+    assert(x1 == "real &lt; text <b>")
+    // a SCRIPT-SAFE page: fake markup inside JS strings never surfaces
+    assert(!x1.contains("fake"))
+  }
+
+  test("htmlToText: br variants and block closers become line breaks; " +
+      "inline closers become spaces") {
+    val (_, x) = extractOne(
+      "<div>one<br>two<BR/>three</div><ul><li>a</li><li>b</li></ul>" +
+        "<p>c <i>it</i>.</p>")
+    assert(x == "one\ntwo\nthree\na\nb\nc it .")
+  }
+
+  test("htmlToText: plain text passes through with whitespace collapse; " +
+      "a lone '<' with no '>' is text") {
+    val (t, x) = extractOne("no markup: 1 < 2, just   text &  spaces")
+    assert(t == "")
+    assert(x == "no markup: 1 < 2, just text & spaces")
+    // idempotence on already-extracted text
+    assert(extractOne(x)._2 == x)
+  }
+
+  test("htmlTitle: multiline/attributed titles normalize; absent title " +
+      "is ''") {
+    val (t, _) = extractOne(
+      "<title lang=\"en\">\n  Two\n  Lines\t</title><p>body</p>")
+    assert(t == "Two Lines")
+    assert(extractOne("<p>no title</p>")._1 == "")
+  }
+
+  test("warc_html_extract fixture rows match the hand-derived expectations") {
+    val got = WarcSource.warcHtmlExtract(spark, "")
+      .collect().map(r => r.getAs[String]("url") ->
+        (r.getAs[String]("title"), r.getAs[String]("text"),
+          r.getAs[Long]("n_chars"))).toMap
+    assert(got.size == 5)
+    assert(got("http://site-a.example/index") == (("Site A & Friends",
+      "Welcome\nFirst paragraph with bold and a link .\n" +
+        "Maths: 3 < 4 > 2, \"quoted\", it's fine.\nalpha\nbeta", 96L)))
+    assert(got("http://site-b.example/post") ==
+      (("", "Line one\nLine two\nand & three.", 30L)))
+    assert(got("http://plain.example/readme") ==
+      (("", "no markup: 1 < 2, just text & spaces", 36L)))
+    assert(got("http://site-b.example/empty") == (("", "", 0L)))
+    assert(got("http://site-c.example/nested") ==
+      (("C <3 page", "k v\nDone here.", 14L)))
+  }
 }
