@@ -380,4 +380,94 @@ object Selection {
        |LEFT JOIN w ON doc.doc_id = w.doc_id
        |LEFT JOIN sel ON doc.doc_id = sel.doc_id
        |LEFT JOIN semkeep k ON doc.doc_id = k.vec_id""".stripMargin
+
+  // ---- #35f temperature-mixed language sampling -------------------------
+  /** mT5/PaLM-style temperature mixing (α = 0.5, i.e. q_l ∝ √n_l): flatten
+    * the raw language distribution toward the α-tempered target, realized
+    * as DOWNSAMPLE-ONLY keep rates r_l ∝ q_l/p_l normalized so the most
+    * under-represented language keeps everything — the standard way a
+    * fixed corpus realizes α-sampling without duplication (Xue et al.
+    * 2021, mT5 §3.1). All shares and rates are exact integer basis points
+    * (§6): the only float op is IEEE exactly-rounded sqrt, immediately
+    * rounded and pinned to DECIMAL(14,4) so both engines sum identical
+    * integers; every division is integral. The per-doc keep decision is
+    * the shared deterministic md5 uniform (salted so it decorrelates from
+    * `sample_deterministic`) — row-local.
+    *
+    * Scale: two corpus scans (the per-language count and the keep-filter
+    * count), each a map-side-partial agg on a ~10²-key column, plus
+    * arithmetic over the ≤|langs| stats frame and one broadcast probe —
+    * no corpus shuffle, no per-language window. A 100 TB run would
+    * checkpoint the tiny keeps table between the two passes; here it is
+    * recomputed (the stats frame costs one scan). */
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.ExactMath.intDiv
+    val d = docs(spark, dir)
+    val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val w = counts.withColumn("wi",
+      (round(sqrt(col("n").cast("double")), 4).cast("decimal(14,4)")
+        * lit(10000)).cast("long"))
+    val tot = w.agg(sum(col("n")).as("nn"), sum(col("wi")).as("ww"))
+    val shares = w.crossJoin(broadcast(tot))
+      .withColumn("raw_bp", intDiv(col("n") * lit(10000L), col("nn")))
+      .withColumn("target_bp", intDiv(col("wi") * lit(10000L), col("ww")))
+      .withColumn("rr", intDiv(col("target_bp") * lit(100000000L),
+        greatest(col("raw_bp"), lit(1L))))
+    val keeps = shares
+      .crossJoin(broadcast(shares.agg(max(col("rr")).as("maxrr"))))
+      .withColumn("keep_bp", least(lit(10000L),
+        intDiv(col("rr") * lit(10000L), greatest(col("maxrr"), lit(1L)))))
+      .select(col("lang"), col("n"), col("raw_bp"), col("target_bp"),
+        col("keep_bp"))
+    val kept = d
+      .select(col("lang"), pmod(md5Long(concat_ws("\u0001",
+        col("doc_id").cast("string"), lit("mixtemp"))), lit(10000L)).as("u"))
+      .join(broadcast(keeps.select(col("lang"), col("keep_bp"))), Seq("lang"))
+      .where(col("u") < col("keep_bp"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+    val out = keeps.join(kept, Seq("lang"), "left")
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+    out.crossJoin(broadcast(out.agg(sum(col("n_kept")).as("kt"))))
+      .select(col("lang"), col("n").as("n_docs"), col("raw_bp"),
+        col("target_bp"), col("keep_bp"), col("n_kept"),
+        intDiv(col("n_kept") * lit(10000L), greatest(col("kt"), lit(1L)))
+          .as("achieved_bp"))
+  }
+  val mixTemperatureSql: String =
+    s"""WITH counts AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
+       |), w AS (
+       |  SELECT lang, n,
+       |    CAST(CAST(round(sqrt(CAST(n AS DOUBLE)), 4) AS DECIMAL(14,4))
+       |         * 10000 AS BIGINT) AS wi
+       |  FROM counts
+       |), tot AS (
+       |  SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(wi) AS BIGINT) AS ww
+       |  FROM w
+       |), shares AS (
+       |  SELECT lang, n, (n * 10000) // nn AS raw_bp,
+       |    (wi * 10000) // ww AS target_bp
+       |  FROM w, tot
+       |), rates AS (
+       |  SELECT *, (target_bp * 100000000) // greatest(raw_bp, 1) AS rr
+       |  FROM shares
+       |), keeps AS (
+       |  SELECT lang, n, raw_bp, target_bp,
+       |    least(10000, (rr * 10000) //
+       |      greatest((SELECT MAX(rr) FROM rates), 1)) AS keep_bp
+       |  FROM rates
+       |), kept AS (
+       |  SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_kept
+       |  FROM documents d JOIN keeps k ON d.lang = k.lang
+       |  WHERE ${sqlMd5Long(
+            "concat_ws(chr(1), CAST(d.doc_id AS VARCHAR), 'mixtemp')")}
+       |    % 10000 < k.keep_bp
+       |  GROUP BY d.lang
+       |)
+       |SELECT k.lang, k.n AS n_docs, k.raw_bp, k.target_bp, k.keep_bp,
+       |  coalesce(t.n_kept, 0) AS n_kept,
+       |  (coalesce(t.n_kept, 0) * 10000) //
+       |    greatest((SELECT CAST(SUM(n_kept) AS BIGINT) FROM kept), 1)
+       |    AS achieved_bp
+       |FROM keeps k LEFT JOIN kept t ON k.lang = t.lang""".stripMargin
 }

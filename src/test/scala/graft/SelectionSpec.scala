@@ -181,4 +181,42 @@ class SelectionSpec extends SparkTestBase {
         || r(4) == false || r(5) == false)
     }
   }
+
+  test("mix_temperature matches a brute-force sqrt-tempered rate table " +
+      "and flattens the language distribution") {
+    // brute-force the whole integer pipeline from raw per-lang counts
+    val counts = corpus.groupBy(_._2).map { case (l, xs) => l -> xs.size.toLong }
+    val nn = counts.values.sum
+    val wi = counts.map { case (l, n) =>
+      l -> (round4(math.sqrt(n.toDouble)) * 10000).toLongExact }
+    val ww = wi.values.sum
+    val rawBp = counts.map { case (l, n) => l -> n * 10000 / nn }
+    val targetBp = wi.map { case (l, x) => l -> x * 10000 / ww }
+    val rr = counts.keys.map { l =>
+      l -> targetBp(l) * 100000000L / math.max(rawBp(l), 1L) }.toMap
+    val maxrr = rr.values.max
+    val keepBp = rr.map { case (l, x) => l -> math.min(10000L, x * 10000 / maxrr) }
+    val kept = corpus.groupBy(_._2).map { case (l, xs) =>
+      l -> xs.count { case (id, _, _) =>
+        math.floorMod(md5Long15(s"$id\u0001mixtemp"), 10000L) < keepBp(l) }.toLong
+    }
+    val kt = kept.values.sum
+    val expected = counts.keys.map { l =>
+      Seq[Any](l, counts(l), rawBp(l), targetBp(l), keepBp(l), kept(l),
+        kept(l) * 10000 / math.max(kt, 1L))
+    }.toSet
+    val got = collectSet(Selection.mixTemperature(spark, dir))
+    assert(got == expected)
+    // the mix must actually temper at this SF: the dominant language is
+    // downsampled (keep_bp < 10000), the rarest keeps everything, and the
+    // achieved shares sit between raw and target for the dominant lang
+    val byLang = got.map(r => r(0).asInstanceOf[String] ->
+      r.map(_.asInstanceOf[Any])).toMap
+    val maxLang = counts.maxBy(_._2)._1
+    val minLang = counts.minBy(_._2)._1
+    def f(l: String, i: Int): Long = byLang(l)(i).asInstanceOf[Long]
+    assert(f(maxLang, 4) < 10000L && f(minLang, 4) == 10000L)
+    assert(f(maxLang, 6) < f(maxLang, 2))   // achieved below raw share
+    assert(f(maxLang, 6) >= f(maxLang, 3) - 200) // and near the target
+  }
 }
