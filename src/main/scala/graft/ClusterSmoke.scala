@@ -65,7 +65,11 @@ object ClusterSmoke {
     "dsir_select",        // bounded-model collect + broadcast rescoring
     "semdedup",           // per-cell pair semi-join over the cached quantizer
     "selected_corpus",    // three materialized signal families composed
-    "bitext_mine")        // bucket-blocked margin-kNN across label groups
+    "bitext_mine",        // bucket-blocked margin-kNN across label groups
+    "warc_html_extract",  // HTML fixture: classpath materialization +
+                          // regex extraction chain on executor JVMs
+    "mix_temperature")    // two-pass tempered sampling: stats frame +
+                          // broadcast keep-rate probe across JVMs
 
   private def warcDocCount(spark: SparkSession): Long =
     graft.sources.WarcSource

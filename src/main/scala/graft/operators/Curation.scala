@@ -256,13 +256,13 @@ object Curation {
     val cap = broadcastDocCap(spark)
     val kept = docs(spark, dir)
       .where(col("doc_id") >= ContamProbeDocs)
-      // tokenize ONCE per row; quality and all five language profiles
-      // score the shared array
+      // ONE codegen'd pass per row scores quality and all five language
+      // profiles (TokenProfileHits) — no token array materializes
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-        TextAnalysis.toksCol.as("__toks"))
+        TextAnalysis.profileCol.as("__p"))
       .select(col("doc_id") +: col("lang") +: col("source") +: col("n_chars") +:
-        TextAnalysis.qualityBpIn(col("__toks")).as("quality_bp") +:
-        TextAnalysis.langHitCols: _*)
+        TextAnalysis.qualityBpFrom(col("__p")).as("quality_bp") +:
+        TextAnalysis.langHitColsFrom(col("__p")): _*)
       .withColumn("pred_lang", TextAnalysis.predLangFromHits)
       .where(col("quality_bp") >= CuratedQualityMinBp && col("pred_lang") === "en")
     antiJoinBounded(
@@ -597,21 +597,25 @@ object Curation {
   def docFeatures(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-        col("text"), TextAnalysis.toksCol.as("__toks"))
+        col("text"), TextAnalysis.toksCol.as("__toks"),
+        TextAnalysis.profileCol.as("__p"))
       // token-less (empty/whitespace-only) docs carry no signals, and the
       // oracle's entropy/simhash subqueries produce no row for them — the
       // explicit filter keeps both engines' row sets identical (ADVICE r4)
-      .where(size(col("__toks")) > 0)
+      .where(col("__p").getField("n_toks") > 0)
       .select(Seq(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-        regexp_count(col("text"), lit("\\S+")).cast("long").as("ws_tokens"),
+        // n_toks IS the \S+ run count ws_tokens recounted via regexp
+        col("__p").getField("n_toks").as("ws_tokens"),
         regexp_count(col("text"), lit(BpeTokenRe)).cast("long").as("bpe_tokens"),
-        TextAnalysis.qualityBpIn(col("__toks")).as("quality_bp"),
+        TextAnalysis.qualityBpFrom(col("__p")).as("quality_bp"),
         round(org.apache.spark.sql.graft.CharEntropy(col("text")), 4)
           .cast("decimal(14,4)").cast("double").as("char_entropy"),
+        // simhash needs the distinct token SET — the one remaining consumer
+        // of the materialized array on this scan
         org.apache.spark.sql.graft.Simhash60(array_distinct(col("__toks")))
           .as("simhash"),
         md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
-          .as("canon_hash")) ++ TextAnalysis.langHitCols: _*)
+          .as("canon_hash")) ++ TextAnalysis.langHitColsFrom(col("__p")): _*)
       .withColumn("pred_lang", TextAnalysis.predLangFromHits)
       .drop(TextAnalysis.LangProfiles.map { case (l, _) => s"hits_$l" }: _*)
   val docFeaturesSql: String =
@@ -656,10 +660,11 @@ object Curation {
     * dup-membership list is bounded by the pair graph and broadcasts. */
   def sourceQualityReport(spark: SparkSession, dir: String): DataFrame = {
     val scored = docs(spark, dir)
-      .select(col("source"), col("doc_id"), toks.as("__toks"), col("text"))
-      .where(size(col("__toks")) > 0)
+      .select(col("source"), col("doc_id"), TextAnalysis.profileCol.as("__p"),
+        col("text"))
+      .where(col("__p").getField("n_toks") > 0)
       .select(col("source"), col("doc_id"),
-        TextAnalysis.qualityBpIn(col("__toks")).as("q"),
+        TextAnalysis.qualityBpFrom(col("__p")).as("q"),
         round(org.apache.spark.sql.graft.CharEntropy(col("text")), 4)
           .cast("decimal(8,4)").as("e"))
     val pairs = Dedup.minhashPairs(spark, dir)
@@ -1096,10 +1101,10 @@ object Curation {
 
   def qualityPercentileGate(spark: SparkSession, dir: String): DataFrame = {
     val scored = docs(spark, dir)
-      .select(col("doc_id"), toks.as("__toks"))
-      .where(size(col("__toks")) > 0)
+      .select(col("doc_id"), TextAnalysis.profileCol.as("__p"))
+      .where(col("__p").getField("n_toks") > 0)
       .select(col("doc_id"),
-        TextAnalysis.qualityBpIn(col("__toks")).as("quality_bp"))
+        TextAnalysis.qualityBpFrom(col("__p")).as("quality_bp"))
     val thr = scored.agg(
       expr(s"percentile(quality_bp, $QualityPct)")
         .cast("decimal(14,4)").cast("double").as("q_threshold"))

@@ -45,11 +45,42 @@ object TextAnalysis {
 
   // ---- #22 language ID --------------------------------------------------
   /** Per-language stopword-hit columns over a shared `__toks` array column
-    * (project `toksCol` once; each profile is one array pass). */
+    * (project `toksCol` once; each profile is one array pass). Retained as
+    * the reference chain the codegen'd [[profileCol]] path is spec-locked
+    * against (PropertiesSpec); hot paths read [[langHitColsFrom]]. */
   private[operators] def langHitCols: Seq[Column] =
     LangProfiles.map { case (l, ws) => hitsIn(col("__toks"), ws).as(s"hits_$l") }
 
   private[operators] def toksCol: Column = toks(col("text"))
+
+  /** The stopword list + the five language profiles, in the fixed order the
+    * one-pass [[profileCol]] struct reports them (hits_0 = stopwords). */
+  private[operators] val AllProfiles: Seq[Seq[String]] =
+    Stopwords +: LangProfiles.map(_._2)
+
+  /** ONE codegen'd pass over the raw text: n_toks + stopword hits + all
+    * five language-profile hits (TokenProfileHits). The whole quality/
+    * language family projects this once as `__p` and reads fields —
+    * replacing the interpreted split/transform/filter token array plus one
+    * interpreted array pass per profile on every corpus-scan hot path. */
+  private[operators] def profileCol: Column =
+    org.apache.spark.sql.graft.TokenProfileHits(col("text"), AllProfiles)
+
+  /** The `hits_<lang>` columns read from a projected [[profileCol]] struct
+    * — same names and values as [[langHitCols]], zero array passes. */
+  private[operators] def langHitColsFrom(p: Column): Seq[Column] =
+    LangProfiles.zipWithIndex.map { case ((l, _), i) =>
+      p.getField(s"hits_${i + 1}").as(s"hits_$l") }
+
+  /** [[qualityBpIn]]'s exact integer score read from a projected
+    * [[profileCol]] struct (n = n_toks, stop = hits_0). */
+  private[operators] def qualityBpFrom(p: Column): Column = {
+    val n = p.getField("n_toks")
+    val nStop = p.getField("hits_0")
+    org.apache.spark.sql.graft.ExactMath.intDiv(
+      least(n, lit(50L)) * (n - nStop) * lit(10000L),
+      greatest(n, lit(1L)) * lit(50L))
+  }
 
   /** Argmax over the hit columns with fixed priority order (earlier
     * language wins ties) — shared by langId and curatedCorpus. */
@@ -65,8 +96,8 @@ object TextAnalysis {
 
   def langId(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .select(col("doc_id"), col("lang").as("labeled_lang"), toksCol.as("__toks"))
-      .select(col("doc_id") +: col("labeled_lang") +: langHitCols: _*)
+      .select(col("doc_id"), col("lang").as("labeled_lang"), profileCol.as("__p"))
+      .select(col("doc_id") +: col("labeled_lang") +: langHitColsFrom(col("__p")): _*)
       .withColumn("pred_lang", predLangFromHits)
   private[operators] val sqlLangHitCols: String = LangProfiles
     .map { case (l, ws) => s"${sqlHits("text", ws)} AS hits_$l" }.mkString(",\n  ")
@@ -118,13 +149,17 @@ object TextAnalysis {
     docs(spark, dir).select(
       col("doc_id"),
       length(col("text")).cast("long").as("len_chars"),
-      regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tokens"),
-      hits(col("text"), Stopwords).as("n_stopwords"),
+      profileCol.as("__p"),
       regexp_count(col("text"), lit(PunctRe)).cast("long").as("n_punct"),
       // greatest(…,1) guards: empty docs score 0 instead of throwing under
       // ANSI IntegralDivide / going NULL under DuckDB // (ADVICE r5); every
       // guarded numerator is 0 whenever its denominator is
-    ).withColumn("stopword_bp", bp(col("n_stopwords"), greatest(col("n_tokens"), lit(1L))))
+    ).select(col("doc_id"), col("len_chars"),
+      // n_toks IS the \S+ run count the regexp computed before — one pass
+      col("__p").getField("n_toks").as("n_tokens"),
+      col("__p").getField("hits_0").as("n_stopwords"),
+      col("n_punct"))
+      .withColumn("stopword_bp", bp(col("n_stopwords"), greatest(col("n_tokens"), lit(1L))))
       .withColumn("punct_bp", bp(col("n_punct"), greatest(col("len_chars"), lit(1L))))
       .withColumn("quality_bp",
         org.apache.spark.sql.graft.ExactMath.intDiv(
@@ -1288,8 +1323,8 @@ object TextAnalysis {
     * confusable pairs that drive profile tuning. */
   def langConfusion(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .select(col("lang").as("labeled_lang"), toksCol.as("__toks"))
-      .select(col("labeled_lang") +: langHitCols: _*)
+      .select(col("lang").as("labeled_lang"), profileCol.as("__p"))
+      .select(col("labeled_lang") +: langHitColsFrom(col("__p")): _*)
       .select(col("labeled_lang"), predLangFromHits.as("pred_lang"))
       .groupBy(col("labeled_lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n_docs"))
@@ -1317,7 +1352,7 @@ object TextAnalysis {
   def qualityTrend(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(col("source"), col("doc_id").cast("long").as("x"),
-        qualityBpIn(toksCol).as("y"))
+        qualityBpFrom(profileCol).as("y"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),

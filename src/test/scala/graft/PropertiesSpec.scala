@@ -608,4 +608,38 @@ class PropertiesSpec extends SparkTestBase {
       assert(prunedPushed.forall(_._5.isEmpty), s"trial $trial: pruned blocks not empty")
     }
   }
+
+  test("property: token_profile_hits equals the interpreted lambda chain " +
+      "on adversarial and real text") {
+    import spark.implicits._
+    val profiles = Stopwords +: graft.operators.TextAnalysis.LangProfiles.map(_._2)
+    val adversarial = Seq(
+      "", " ", "\t\n\u000B\u000C\r", "the", "The THE tHe", "  the  and\tof\n",
+      // NBSP is NOT Java-regex \s: "a\u00A0the" must stay ONE token
+      "a\u00A0the", "\u00C9T\u00C9 \u00E9t\u00E9 v\u00E4l Gr\u00F6\u00DFe",
+      "\u7684 \u662F \u5728 x", "de DE dE de,", "-", "\u000Bthe\u000C",
+      "the\r\nand", "el lo Los l\u00E9", "und DER die\fdas")
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text")).as[String].collect().toSeq
+    val df = (adversarial ++ real).toDF("text")
+    // the reference chain, rebuilt here from public pieces (NOT the
+    // production helpers): split/lower/filter + one isin pass per profile
+    val toksCol = filter(transform(split(col("text"), "\\s+"), t => lower(t)),
+      t => t =!= "")
+    val oldCols = size(toksCol).cast("long") +: profiles.map(ws =>
+      size(filter(toksCol, t => t.isin(ws: _*))).cast("long"))
+    val p = org.apache.spark.sql.graft.TokenProfileHits(col("text"), profiles)
+    val newCols = p.getField("n_toks") +: profiles.indices.map(i =>
+      p.getField(s"hits_$i"))
+    val w = oldCols.size
+    val rows = df.select((oldCols ++ newCols).zipWithIndex
+      .map { case (c, i) => c.as(s"c$i") }: _*).collect()
+    assert(rows.length == adversarial.length + real.length)
+    rows.foreach { r =>
+      (0 until w).foreach { i =>
+        assert(r.getLong(i) == r.getLong(i + w),
+          s"field $i diverges on ${r.toString.take(120)}")
+      }
+    }
+  }
 }
