@@ -198,6 +198,50 @@ object Curation {
        |FROM grams JOIN probes USING (gram)
        |WHERE doc_id >= $ContamProbeDocs GROUP BY 1""".stripMargin
 
+  // ---- #25j-b contamination attribution report ---------------------------
+  /** The graded version of [[decontaminate]] — per (corpus doc, probe doc)
+    * pair, how MUCH leaked: shared distinct [[ContamK]]-grams, the doc's
+    * own distinct gram count, and the overlap fraction in exact basis
+    * points. `decontaminate` answers "is it contaminated"; this is the
+    * blame report a curation run reads before deleting — WHICH benchmark
+    * document leaked into which training document, and whether the overlap
+    * is a quoted snippet (low bp) or a near-copy (high bp). Plan shape:
+    * the probe side stays benchmark-bounded and broadcasts with probe ids
+    * retained; the corpus side reads the SAME materialized gram frame as
+    * decontaminate/boilerplate (no new corpus pass); the per-doc distinct
+    * and total roll up on doc_id, and the only new shuffle keys on
+    * (doc_id, probe_id) — bounded by actual hits, never corpus × probes. */
+  def contaminationReport(spark: SparkSession, dir: String): DataFrame = {
+    val grams = TextAnalysis.docGrams(spark, dir, ContamK)
+    val probeGrams = grams.where(col("doc_id") < ContamProbeDocs)
+      .select(col("doc_id").as("probe_id"), col("gram")).distinct()
+    val corpus = grams.where(col("doc_id") >= ContamProbeDocs)
+      .dropDuplicates("doc_id", "gram")
+    val totals = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    corpus.join(broadcast(probeGrams), "gram")
+      .groupBy(col("doc_id"), col("probe_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(totals, "doc_id")
+      .select(col("doc_id"), col("probe_id"), col("n_shared"), col("n_grams"),
+        bp(col("n_shared"), col("n_grams")).as("overlap_bp"))
+  }
+  val contaminationReportSql: String =
+    s"""${TextAnalysis.sqlGramsCte(ContamK)}, dg AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, gram FROM grams
+       |), probes AS (
+       |  SELECT doc_id AS probe_id, gram FROM dg WHERE doc_id < $ContamProbeDocs
+       |), corpus AS (
+       |  SELECT doc_id, gram FROM dg WHERE doc_id >= $ContamProbeDocs
+       |), totals AS (
+       |  SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY 1
+       |), hits AS (
+       |  SELECT c.doc_id, p.probe_id, count(*) AS n_shared
+       |  FROM corpus c JOIN probes p USING (gram) GROUP BY 1, 2
+       |)
+       |SELECT doc_id, probe_id, n_shared, n_grams,
+       |  ${sqlBp("n_shared", "n_grams")} AS overlap_bp
+       |FROM hits JOIN totals USING (doc_id)""".stripMargin
+
   // ---- #25l the end product: a curated training corpus ------------------
   /** The composed curation pipeline every stage above feeds: keep documents
     * that (1) clear the quality threshold, (2) language-ID as English,

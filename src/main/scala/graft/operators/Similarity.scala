@@ -452,6 +452,90 @@ object Similarity {
        |  ${graft.functions.TextFns.sqlBp("max(cl)", "sum(cl)")} AS purity_bp
        |FROM cl GROUP BY 1""".stripMargin
 
+  // ---- #21h cluster topic labels (top TF-IDF terms per cluster) ----------
+  /** What each embedding cluster is ABOUT — the labeling audit every
+    * clustering-driven curation decision runs before trusting cell-level
+    * drops or sampling weights: per cluster, the top terms by
+    * cluster-level TF-IDF, where the "documents" of the IDF are the
+    * clusters themselves (vec_id ≡ doc_id links the modalities, the
+    * semantic_lexical_agreement convention). Plan shape: centroid
+    * assignment is the shared broadcast argmin (map-only over the
+    * embeddings scan); the assignment frame (two ints per doc) joins the
+    * documents scan PER-DOC before tokenization, so the corpus explode
+    * runs once and the only corpus-sized shuffle is the (cid, term)
+    * rollup with map-side partials. Every IDF input after that is
+    * cluster-bounded (≤ |cells|·|vocab| rows). Ranking follows the
+    * tfidf_top_terms discipline — score pinned to DECIMAL(14,4) before
+    * the (score, term) rank so a last-ulp ln() difference between libm
+    * implementations can't flip the order. At 100 TB the per-doc join is
+    * doc-keyed co-located with the embedding store's layout; nothing else
+    * sees a corpus-sized key. */
+  val ClusterTopicsTopN = 5
+  def clusterTopics(spark: SparkSession, dir: String): DataFrame = {
+    val cents = ivfCentroids(spark, dir)
+    val assigned = argminCid(emb(spark, dir), cents, Seq.empty)
+      .withColumnRenamed("vec_id", "doc_id")
+    val terms = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .join(assigned, "doc_id")
+      .select(col("cid"), explode(TextAnalysis.toks(col("text"))).as("term"))
+    val ctf = terms.groupBy("cid", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("clen", sum(col("tf")).over(Window.partitionBy("cid")))
+    val cdf = ctf.groupBy("term").agg(count(lit(1)).as("df"))
+    // nc is a 1-row aggregate collected at plan build (the dsir_select /
+    // stats-pass precedent — O(1) driver state): as a LITERAL, the
+    // df < nc gate is a base-side predicate on the vocab-bounded frame,
+    // not a two-sided comparison that Catalyst would pull into a
+    // lint-banned conditioned BroadcastNestedLoopJoin.
+    val nc = assigned.agg(countDistinct(col("cid"))).collect()(0).getLong(0)
+    val w = Window.partitionBy("cid").orderBy(col("score").desc, col("term"))
+    ctf.join(cdf, "term")
+      // corpus-wide terms (df = nc) label nothing — drop them before the
+      // rank so the report surfaces genuinely discriminative terms
+      .where(col("df") < lit(nc))
+      .withColumn("score",
+        round((col("tf").cast("double") / col("clen"))
+          * log((lit(nc).cast("double") + 1.0) / (col("df").cast("double") + 1.0)), 4)
+          .cast("decimal(14,4)"))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= ClusterTopicsTopN)
+      .select(col("cid"), col("term"), col("score").cast("double").as("score"),
+        col("rk").cast("long").as("rk"))
+  }
+  val clusterTopicsSql: String =
+    s"""WITH $ivfCentroidsCte, assigned AS (
+       |  SELECT vec_id AS doc_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqlL2sq("e.embedding", "c.c")}, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cents c
+       |  ) WHERE rn = 1
+       |), ct AS (
+       |  SELECT x.cid, lower(t.w) AS term
+       |  FROM (SELECT a.cid, d.text FROM documents d
+       |        JOIN assigned a USING (doc_id)) x,
+       |    unnest(string_split_regex(x.text, '\\s+')) AS t(w)
+       |  WHERE t.w <> ''
+       |), ctf AS (
+       |  SELECT cid, term, count(*) AS tf FROM ct GROUP BY 1, 2
+       |), cl AS (
+       |  SELECT *, sum(tf) OVER (PARTITION BY cid) AS clen FROM ctf
+       |), cdf AS (
+       |  SELECT term, count(*) AS df FROM ctf GROUP BY 1
+       |), nc AS (SELECT count(DISTINCT cid) AS nc FROM assigned),
+       |scored AS (
+       |  SELECT cl.cid, cl.term,
+       |    CAST(round((CAST(tf AS DOUBLE) / clen)
+       |      * ln((CAST(nc AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)), 4)
+       |      AS DECIMAL(14,4)) AS score
+       |  FROM cl JOIN cdf USING (term) CROSS JOIN nc
+       |  WHERE df < nc
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY cid
+       |    ORDER BY score DESC, term) AS rk FROM scored
+       |)
+       |SELECT cid, term, CAST(score AS DOUBLE) AS score, CAST(rk AS BIGINT) AS rk
+       |FROM ranked WHERE rk <= $ClusterTopicsTopN""".stripMargin
+
   // ---- #36 SemDeDup semantic deduplication -------------------------------
   /** Pairwise-cosine threshold above which two same-cell embeddings count
     * as semantic duplicates (tuned to the synthetic corpus — max pairwise

@@ -1533,4 +1533,62 @@ object TextAnalysis {
        |  FROM scored)
        |ORDER BY score DESC, doc_id LIMIT $Bm25TopN""".stripMargin
   }
+
+  // ---- #25z-c positional phrase search ------------------------------------
+  /** Exact phrase match over a positional index — the Lucene PhraseQuery
+    * shape: per query term, the (doc, position) postings; consecutive
+    * terms join on `pos₂ = pos₁ + 1` within the doc. A k-term phrase
+    * chains k-1 adjacency joins; the demonstrator runs the 2-term case on
+    * the corpus's own most-frequent bigram (read from the SHARED
+    * materialized bigram frame — non-vacuous at every SF, no new corpus
+    * pass to pick the phrase). Plan shape: the 1-row phrase broadcasts
+    * into each postings scan, so only matching-term positions survive
+    * BEFORE the adjacency shuffle; that join is a composite equi-join on
+    * (doc_id, pos+1) = (doc_id, pos) — co-partitioned, never positional
+    * cross-product. At 100 TB the postings frame is the inverted index's
+    * position payload, doc-bucketed, and a phrase query touches only the
+    * probed terms' postings. Per-doc result: match count + first match
+    * position (0-based). */
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val ph = bigramCounts(spark, dir)
+      .orderBy(col("n").desc, col("bigram")).limit(1)
+      .select(split(col("bigram"), " ").as("ws"))
+      .select(element_at(col("ws"), 1).as("w1"),
+        element_at(col("ws"), 2).as("w2"))
+    val pos = docs(spark, dir)
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "term")))
+    def postings(w: String): DataFrame =
+      pos.join(broadcast(ph), col("term") === col(w))
+        .select(col("doc_id"), col("pos"))
+    postings("w1").as("a").join(postings("w2").as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("b.pos") === col("a.pos") + 1)
+      .select(col("a.doc_id").as("doc_id"), col("a.pos").as("pos"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("pos")).cast("long").as("first_pos"))
+  }
+  val phraseSearchSql: String =
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, list_filter(list_transform(
+       |    string_split_regex(text, '\\s+'), t -> lower(t)), t -> t <> '') AS t
+       |  FROM documents
+       |), bg AS (
+       |  SELECT g.b AS bigram
+       |  FROM toks, unnest(list_transform(range(1, len(t)),
+       |    i -> t[i] || ' ' || t[i + 1])) AS g(b)
+       |  WHERE len(t) >= 2
+       |), ph AS (
+       |  SELECT split_part(bigram, ' ', 1) AS w1, split_part(bigram, ' ', 2) AS w2
+       |  FROM (SELECT bigram, count(*) AS n FROM bg GROUP BY 1
+       |        ORDER BY n DESC, bigram LIMIT 1)
+       |), pos AS MATERIALIZED (
+       |  SELECT doc_id, g.i - 1 AS pos, t[g.i] AS term
+       |  FROM toks, unnest(range(1, len(t) + 1)) AS g(i)
+       |)
+       |SELECT a.doc_id, count(*) AS n_matches, CAST(min(a.pos) AS BIGINT) AS first_pos
+       |FROM pos a
+       |JOIN ph ON a.term = ph.w1
+       |JOIN pos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.term = ph.w2
+       |GROUP BY 1""".stripMargin
 }

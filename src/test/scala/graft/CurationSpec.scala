@@ -34,6 +34,17 @@ class CurationSpec extends SparkTestBase {
     assert(rows(4L) == ((1L, 0L, "totally different short text")))
   }
 
+  test("contamination_report grades per-(doc, probe) overlap in exact bp") {
+    // probes: docs 1,2 (identical text w1..w25 → the same 23 distinct
+    // 3-grams). Doc 3 has 23 distinct grams, 18 of them (w1w2w3..w18w19w20)
+    // shared with EACH probe; doc 4 shares none and must be absent.
+    val got = collectSet(Curation.contaminationReport(spark, dir))
+    val bp = 18L * 10000L / 23L // 7826
+    assert(got == Set(
+      Seq[Any](3L, 1L, 18L, 23L, bp),
+      Seq[Any](3L, 2L, 18L, 23L, bp)))
+  }
+
   test("decontaminate flags docs sharing k-grams with the probe docs") {
     // probe docs are doc_id < 3 → docs 1,2 (and the absent 0); doc 3 shares
     // the w1..w20 3-grams with them, doc 4 shares none

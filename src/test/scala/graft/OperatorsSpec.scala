@@ -80,6 +80,18 @@ class OperatorsSpec extends SparkTestBase {
     assert(rows(2L) == 0)
   }
 
+  test("phrase_search finds consecutive positions of the top corpus bigram") {
+    // bigram counts: "big data" 3 (docs 1×2 + 2×1), "data big" 2 → the
+    // phrase is "big data"; matches at doc1 pos {0,2}, doc2 pos {0}
+    val d = writeDocsFixture(Seq(
+      1L -> "big data big data big",
+      2L -> "Big data rules",   // lowercases into a match at pos 0
+      3L -> "data big nothing", // reversed order: no match
+    ))
+    val got = collectSet(TextAnalysis.phraseSearch(spark, d))
+    assert(got == Set(Seq[Any](1L, 2L, 0L), Seq[Any](2L, 1L, 0L)))
+  }
+
   test("word bigrams count consecutive lowercase pairs") {
     val d = writeDocsFixture(Seq(1L -> "big data big data big", 2L -> "single"))
     val rows = TextAnalysis.wordBigrams(spark, d).collect()

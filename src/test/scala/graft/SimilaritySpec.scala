@@ -370,4 +370,54 @@ class SimilaritySpec extends SparkTestBase {
     assert(got == expected)
     assert(got.nonEmpty && got.size < as.length) // mines some, rejects some
   }
+
+  test("cluster_topics matches a brute-force cluster-level TF-IDF at sf0.001") {
+    val sfDir = "/root/testdata/sf0.001"
+    def dot(a: Seq[Float], b: Seq[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val cents = Similarity.ivfCentroids(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    val assigned = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map { r =>
+        val e = r.getSeq[Float](1)
+        r.getLong(0) -> cents.minBy { case (cid, c) =>
+          (dot(e, e) + dot(c, c) - 2.0 * dot(e, c), cid)
+        }._1
+      }.toMap
+    val nc = assigned.values.toSet.size
+    val terms = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .flatMap { r =>
+        assigned.get(r.getLong(0)).toSeq.flatMap(cid =>
+          r.getString(1).split("\\s+").filter(_.nonEmpty)
+            .map(t => cid -> t.toLowerCase))
+      }
+    val ctf = terms.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val clen = ctf.groupBy(_._1._1).map { case (c, m) => c -> m.values.sum }
+    val df = ctf.keys.groupBy(_._2).map { case (t, ks) => t -> ks.map(_._1).toSet.size }
+    val expected = ctf.keys.toSeq
+      .filter { case (_, t) => df(t) < nc }
+      .map { case (cid, t) =>
+        val score = BigDecimal((ctf((cid, t)).toDouble / clen(cid))
+            * math.log((nc + 1.0) / (df(t) + 1.0)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (cid, t, score)
+      }
+      .groupBy(_._1).flatMap { case (_, rows) =>
+        rows.sortBy { case (_, t, s) => (-s, t) }
+          .take(Similarity.ClusterTopicsTopN).zipWithIndex
+          .map { case ((cid, t, s), i) => Seq[Any](cid, t, s, (i + 1).toLong) }
+      }.toSet
+    val got = collectSet(Similarity.clusterTopics(spark, sfDir))
+    assert(got == expected)
+    // discriminative: some positive scores survive, and no cluster exceeds N
+    assert(got.exists(_(2).asInstanceOf[Double] > 0.0))
+    got.groupBy(_(0)).foreach { case (_, rs) =>
+      assert(rs.size <= Similarity.ClusterTopicsTopN)
+    }
+  }
 }
