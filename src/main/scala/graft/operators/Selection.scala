@@ -400,9 +400,13 @@ object Selection {
     * no corpus shuffle, no per-language window. A 100 TB run would
     * checkpoint the tiny keeps table between the two passes; here it is
     * recomputed (the stats frame costs one scan). */
-  def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
+  /** The per-language keep-rate table (lang, n, raw_bp, target_bp,
+    * keep_bp) behind [[mixTemperature]], derivable from ANY bounded
+    * reference docs frame — exposed for the streaming ingest gate, which
+    * learns rates from a static corpus (a batch job; shares can't be
+    * computed on an unbounded stream) and applies them row-locally. */
+  private[graft] def temperatureKeeps(d: DataFrame): DataFrame = {
     import org.apache.spark.sql.graft.ExactMath.intDiv
-    val d = docs(spark, dir)
     val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
     val w = counts.withColumn("wi",
       (round(sqrt(col("n").cast("double")), 4).cast("decimal(14,4)")
@@ -413,12 +417,25 @@ object Selection {
       .withColumn("target_bp", intDiv(col("wi") * lit(10000L), col("ww")))
       .withColumn("rr", intDiv(col("target_bp") * lit(100000000L),
         greatest(col("raw_bp"), lit(1L))))
-    val keeps = shares
+    shares
       .crossJoin(broadcast(shares.agg(max(col("rr")).as("maxrr"))))
       .withColumn("keep_bp", least(lit(10000L),
         intDiv(col("rr") * lit(10000L), greatest(col("maxrr"), lit(1L)))))
       .select(col("lang"), col("n"), col("raw_bp"), col("target_bp"),
         col("keep_bp"))
+  }
+
+  /** The salted row-local keep predicate shared by the batch sampler and
+    * the streaming gate (decorrelated from `sample_deterministic`). */
+  private[graft] def temperatureKeepCond: org.apache.spark.sql.Column =
+    pmod(md5Long(concat_ws("\u0001",
+      col("doc_id").cast("string"), lit("mixtemp"))), lit(10000L)) <
+      col("keep_bp")
+
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.ExactMath.intDiv
+    val d = docs(spark, dir)
+    val keeps = temperatureKeeps(d)
     val kept = d
       .select(col("lang"), pmod(md5Long(concat_ws("\u0001",
         col("doc_id").cast("string"), lit("mixtemp"))), lit(10000L)).as("u"))

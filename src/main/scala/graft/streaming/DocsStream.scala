@@ -106,6 +106,24 @@ object DocsStream {
       expr(s"(min_lang * $m) div n_lang").as("keep_below"))
   }
 
+  /** mT5 α-sampling as an ingest gate: per-language keep rates learned
+    * from a static reference corpus with `mix_temperature`'s exact integer
+    * arithmetic (a batch job — tempered shares can't be computed on an
+    * unbounded stream), applied to the stream as the SAME salted md5
+    * uniform, so the gate keeps exactly the documents the batch sampler
+    * keeps. Stream-static broadcast join on the ≤|langs|-row rate table +
+    * a stateless row-local filter — no state, no shuffle (the mixGate
+    * pattern; this one flattens toward the α=0.5 target instead of
+    * equalizing to the minimum stratum). */
+  def temperatureGate(docs: DataFrame, keeps: DataFrame): DataFrame =
+    docs.join(broadcast(keeps.select(col("lang"), col("keep_bp"))), "lang")
+      .where(graft.operators.Selection.temperatureKeepCond)
+
+  /** The rate table `temperatureGate` consumes, derived from a static
+    * reference corpus with the batch sampler's arithmetic. */
+  def temperatureRates(reference: DataFrame): DataFrame =
+    graft.operators.Selection.temperatureKeeps(reference)
+
   /** Drop documents more than half of whose segments are already in the
     * standing corpus (exact basis points — §6). */
   val SeenGateMaxBp = 5000L

@@ -458,6 +458,39 @@ class SourcesAndStreamingSpec extends SparkTestBase {
     assert((100L until 103L).forall(streamKept)) // minority stratum all kept
   }
 
+  test("streaming temperature gate keeps exactly the batch sampler's keeps") {
+    import spark.implicits._
+    // skewed mix: 40 en vs 5 de; α=0.5 downsamples en, keeps all de
+    val rows = (0 until 40).map(i => (i.toLong, s"english text $i", "en")) ++
+      (100 until 105).map(i => (i.toLong, s"deutscher text $i", "de"))
+    val fixDir = java.nio.file.Files.createTempDirectory("graft-temp").toString
+    rows.toDF("doc_id", "text", "lang")
+      .selectExpr("doc_id", "text", "lang", "'src0' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/documents.parquet")
+    // the batch report's n_kept per lang is the ground truth the stream
+    // must reproduce document-by-document
+    val report = graft.operators.Selection.mixTemperature(spark, fixDir)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_kept")).toMap
+    val rates = graft.streaming.DocsStream.temperatureRates(
+      spark.read.parquet(s"$fixDir/documents.parquet"))
+    val input = MemoryStream[(Long, String, String)](spark)
+    val df = input.toDF().toDF("doc_id", "text", "lang")
+    val q = graft.streaming.DocsStream.temperatureGate(df, rates)
+      .writeStream.format("memory").queryName("temp_gate")
+      .outputMode("append").start()
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    val streamKept = spark.table("temp_gate").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id")))
+    q.stop()
+    val byLang = streamKept.groupBy(_._1).map { case (l, xs) => l -> xs.size.toLong }
+    assert(byLang.getOrElse("en", 0L) == report("en"))
+    assert(byLang.getOrElse("de", 0L) == report("de"))
+    assert(report("de") == 5L) // rarest language keeps everything
+    assert(report("en") < 40L && report("en") > 0L) // dominant downsampled
+  }
+
   test("streaming gopher gate keeps exactly the batch filter's keep set") {
     import spark.implicits._
     val good = "the and " + Seq.fill(58)("word").mkString(" ")
