@@ -853,6 +853,93 @@ object Relational {
       |    AS DOUBLE) AS revenue
       |FROM orders GROUP BY 1""".stripMargin
 
+  // ---- #34x RFM customer segmentation ------------------------------------
+  /** The classic marketing-analytics rollup: per customer, Recency (days
+    * since last order, relative to the corpus's latest order), Frequency
+    * (order count) and Monetary (exact revenue in e4 fixed point), each
+    * scored 1–3 against corpus-wide tertiles, composed into the familiar
+    * three-digit RFM segment. Plan: one orders scan rolls up per customer
+    * (map-side partials on the custkey agg); the corpus max-day and the
+    * six tertile thresholds are 1-row aggregates that crossJoin back as
+    * UNCONDITIONED broadcasts (projection-only CASE scoring — nothing for
+    * Catalyst to pull into a join condition); thresholds are exact
+    * percentiles over integers pinned to DECIMAL(18,4)→DOUBLE on both
+    * engines (the perplexity_buckets discipline; a 100 TB run swaps in
+    * approx_percentile, same shape). */
+  val RfmLoPct = 0.33
+  val RfmHiPct = 0.67
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "orders")
+      .select(col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day_num"),
+        col("o_totalprice").cast("decimal(18,4)").as("price"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("frequency"),
+        max(col("day_num")).as("last_day"),
+        (sum(col("price")).cast("decimal(18,4)") * lit(10000))
+          .cast("long").as("monetary_e4"))
+    val scored = base
+      .crossJoin(broadcast(base.agg(max(col("last_day")).as("maxd"))))
+      .select(col("o_custkey"), (col("maxd") - col("last_day")).as("recency_days"),
+        col("frequency"), col("monetary_e4"))
+    def pct(c: String, p: Double, as: String) =
+      expr(s"percentile($c, $p)").cast("decimal(18,4)").cast("double").as(as)
+    val thr = scored.agg(
+      pct("recency_days", RfmLoPct, "r1"), pct("recency_days", RfmHiPct, "r2"),
+      pct("frequency", RfmLoPct, "f1"), pct("frequency", RfmHiPct, "f2"),
+      pct("monetary_e4", RfmLoPct, "m1"), pct("monetary_e4", RfmHiPct, "m2"))
+    // recency: LOW is good (3); frequency/monetary: HIGH is good (3)
+    def asc3(c: org.apache.spark.sql.Column, t1: org.apache.spark.sql.Column, t2: org.apache.spark.sql.Column) =
+      when(c <= t1, 3L).when(c <= t2, 2L).otherwise(1L)
+    def desc3(c: org.apache.spark.sql.Column, t1: org.apache.spark.sql.Column, t2: org.apache.spark.sql.Column) =
+      when(c <= t1, 1L).when(c <= t2, 2L).otherwise(3L)
+    scored.crossJoin(broadcast(thr))
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary_e4"),
+        asc3(col("recency_days"), col("r1"), col("r2")).as("r_score"),
+        desc3(col("frequency"), col("f1"), col("f2")).as("f_score"),
+        desc3(col("monetary_e4"), col("m1"), col("m2")).as("m_score"))
+      .withColumn("rfm",
+        col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
+  }
+  val rfmSegmentsSql: String =
+    s"""WITH base AS (
+       |  SELECT o_custkey, count(*) AS frequency,
+       |    max(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)))
+       |      AS last_day,
+       |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4))
+       |      * 10000 AS BIGINT) AS monetary_e4
+       |  FROM orders GROUP BY 1
+       |), scored AS MATERIALIZED (
+       |  SELECT o_custkey,
+       |    CAST((SELECT max(last_day) FROM base) - last_day AS BIGINT)
+       |      AS recency_days,
+       |    frequency, monetary_e4
+       |  FROM base
+       |), thr AS (
+       |  SELECT
+       |    CAST(CAST(quantile_cont(recency_days, $RfmLoPct) AS DECIMAL(18,4)) AS DOUBLE) AS r1,
+       |    CAST(CAST(quantile_cont(recency_days, $RfmHiPct) AS DECIMAL(18,4)) AS DOUBLE) AS r2,
+       |    CAST(CAST(quantile_cont(frequency, $RfmLoPct) AS DECIMAL(18,4)) AS DOUBLE) AS f1,
+       |    CAST(CAST(quantile_cont(frequency, $RfmHiPct) AS DECIMAL(18,4)) AS DOUBLE) AS f2,
+       |    CAST(CAST(quantile_cont(monetary_e4, $RfmLoPct) AS DECIMAL(18,4)) AS DOUBLE) AS m1,
+       |    CAST(CAST(quantile_cont(monetary_e4, $RfmHiPct) AS DECIMAL(18,4)) AS DOUBLE) AS m2
+       |  FROM scored
+       |)
+       |SELECT o_custkey, recency_days, frequency, monetary_e4,
+       |  r_score, f_score, m_score,
+       |  r_score * 100 + f_score * 10 + m_score AS rfm
+       |FROM (
+       |  SELECT s.*,
+       |    CAST(CASE WHEN recency_days <= r1 THEN 3
+       |              WHEN recency_days <= r2 THEN 2 ELSE 1 END AS BIGINT) AS r_score,
+       |    CAST(CASE WHEN frequency <= f1 THEN 1
+       |              WHEN frequency <= f2 THEN 2 ELSE 3 END AS BIGINT) AS f_score,
+       |    CAST(CASE WHEN monetary_e4 <= m1 THEN 1
+       |              WHEN monetary_e4 <= m2 THEN 2 ELSE 3 END AS BIGINT) AS m_score
+       |  FROM scored s, thr)""".stripMargin
+
   // ---- #34q shipping priority (TPC-H Q3 shape) ---------------------------
   /** The classic segment-filtered two-fact top-N: revenue of not-yet-shipped
     * lineitems for BUILDING-segment customers' pre-cutoff orders, top 10

@@ -257,6 +257,68 @@ object Similarity {
        |GROUP BY 1""".stripMargin
   }
 
+  // ---- #21m kNN label-vote classification audit --------------------------
+  /** Does the embedding space carry the semantic signal the cluster-level
+    * decisions assume? Classify each probe by the MAJORITY label of its
+    * [[JoinK]] bucket-blocked neighbors (vote ties → smaller label) and
+    * compare to the probe's own ground-truth label — the kNN-probe
+    * accuracy audit run before trusting embedding-driven curation. Plan:
+    * neighbors are [[annJoin]]'s bucket-blocked batch join unchanged
+    * (QueryN probes broadcast, never corpus × corpus); the label join and
+    * the vote/argmax aggregations all operate on ≤ QueryN·k rows. The
+    * argmax is a single min_by over (−votes, label) — deterministic, no
+    * window. */
+  def knnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val labels = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val pred = annJoin(spark, dir)
+      .join(labels, "vec_id")
+      .groupBy(col("qid"), col("label")).agg(count(lit(1)).as("v"))
+      .groupBy(col("qid"))
+      .agg(min_by(col("label"), struct(negate(col("v")), col("label")))
+          .as("pred_label"),
+        sum(col("v")).as("n_votes"), max(col("v")).as("n_top"))
+    pred
+      .join(labels.select(col("vec_id").as("qid"),
+        col("label").as("true_label")), "qid")
+      .select(col("qid"), col("true_label"), col("pred_label"),
+        col("n_votes"), col("n_top"),
+        (col("pred_label") === col("true_label")).as("correct"))
+  }
+  val knnClassifySql: String = {
+    val masks = (0L +: (0 until NumPlanes).map(j => 1L << j))
+      .mkString("[", ", ", "]")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, ${sqlBucket("embedding")} AS bucket
+       |  FROM embeddings
+       |), q AS (
+       |  SELECT qid, qv, xor(qbucket, m.m) AS pb FROM (
+       |    SELECT vec_id AS qid, embedding AS qv, bucket AS qbucket FROM e
+       |    ORDER BY vec_id LIMIT $QueryN
+       |  ), unnest($masks) AS m(m)
+       |), nb AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT q.qid, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY ${sqlCos("e.embedding", "q.qv")} DESC, e.vec_id) AS rk
+       |    FROM e JOIN q ON e.bucket = q.pb AND e.vec_id <> q.qid
+       |  ) WHERE rk <= $JoinK
+       |), votes AS (
+       |  SELECT n.qid, CAST(l.label AS BIGINT) AS label, count(*) AS v
+       |  FROM nb n JOIN embeddings l ON n.vec_id = l.vec_id GROUP BY 1, 2
+       |), pred AS (
+       |  SELECT qid, label AS pred_label, n_votes, n_top FROM (
+       |    SELECT qid, label, v,
+       |      CAST(sum(v) OVER (PARTITION BY qid) AS BIGINT) AS n_votes,
+       |      CAST(max(v) OVER (PARTITION BY qid) AS BIGINT) AS n_top,
+       |      row_number() OVER (PARTITION BY qid ORDER BY v DESC, label) AS rn
+       |    FROM votes) WHERE rn = 1
+       |)
+       |SELECT p.qid, CAST(t.label AS BIGINT) AS true_label, p.pred_label,
+       |  p.n_votes, p.n_top, p.pred_label = CAST(t.label AS BIGINT) AS correct
+       |FROM pred p JOIN embeddings t ON p.qid = t.vec_id""".stripMargin
+  }
+
   // ---- #21b IVF ANN: learned centroids (one Lloyd pass) -----------------
   /** Coarse quantizer: seed centroids = first IvfK vectors (deterministic
     * training sample), one relational Lloyd refinement (assign → per-dim

@@ -243,6 +243,37 @@ object TextAnalysis {
        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens
        |FROM documents""".stripMargin
 
+  // ---- #24b tokenizer fertility by language ------------------------------
+  /** Tokens-per-word by language — the tokenizer-fairness audit behind
+    * every multilingual vocab decision (mT5/BLOOM/NLLB report exactly
+    * this): languages the BPE-ish tokenizer fragments harder pay more
+    * sequence length per word, which silently reweights the training mix
+    * and the per-language context budget. Fertility = BPE-ish tokens per
+    * whitespace word, in exact basis points (§6). Plan: the same two
+    * row-local regexp counts as `token_count`, rolled up on the ~10²-key
+    * lang column — one map-only scan with map-side partials, nothing
+    * corpus-sized past the scan. */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("lang"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("ws"),
+        regexp_count(col("text"), lit(BpeTokenRe)).cast("long").as("bpe"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("ws_tokens"),
+        sum(col("bpe")).as("bpe_tokens"))
+      .select(col("lang"), col("n_docs"), col("ws_tokens"), col("bpe_tokens"),
+        bp(col("bpe_tokens"), greatest(col("ws_tokens"), lit(1L)))
+          .as("fertility_bp"))
+  val tokenizerFertilitySql: String =
+    s"""SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS ws_tokens,
+       |  CAST(sum(len(regexp_extract_all(text,
+       |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS bpe_tokens,
+       |  ${sqlBp(
+            "sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))",
+            "greatest(sum(len(regexp_extract_all(text, '\\S+'))), 1)")}
+       |    AS fertility_bp
+       |FROM documents GROUP BY 1""".stripMargin
+
   // ---- TF-IDF top terms per document ------------------------------------
   // rank on (rounded score, term) so a last-ulp ln() difference between
   // libm implementations can't flip the ordering.

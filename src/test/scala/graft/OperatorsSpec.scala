@@ -543,6 +543,65 @@ class OperatorsSpec extends SparkTestBase {
     assert(z == 3.0)
   }
 
+  test("tokenizer_fertility charges punctuation-heavy languages more tokens") {
+    val d = java.nio.file.Files.createTempDirectory("graft-fert").toString
+    Seq((1L, "Hello, world! 123", "en"), (2L, "Hi there.", "en"),
+        (3L, "abc def", "de"))
+      .toDF("doc_id", "text", "lang")
+      .selectExpr("doc_id", "text", "lang", "'src0' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = TextAnalysis.tokenizerFertility(spark, d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // en: "Hello, world! 123" → ws 3 / bpe 5; "Hi there." → ws 2 / bpe 3
+    assert(got == Map(
+      "en" -> ((2L, 5L, 8L, 16000L)),
+      "de" -> ((1L, 2L, 2L, 10000L))))
+  }
+
+  test("rfm_segments scores corpus tertiles exactly (brute force at sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = spark.read.parquet(s"$dir/orders.parquet")
+      .selectExpr("o_custkey",
+        "CAST(datediff(to_date(o_orderdate), DATE '1970-01-01') AS BIGINT) AS day_num",
+        "o_totalprice")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val base = rows.groupBy(_._1).map { case (ck, xs) =>
+      val rev = xs.map(x => BigDecimal(x._3)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum
+      (ck, xs.length.toLong, xs.map(_._2).max,
+        (rev * 10000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }.toSeq
+    val maxDay = base.map(_._3).max
+    val scored = base.map { case (ck, f, last, m) => (ck, maxDay - last, f, m) }
+    // Spark `percentile`: linear interpolation at p*(n-1), then the
+    // operator's DECIMAL(18,4) pin
+    def pctl(xs: Seq[Long], p: Double): Double = {
+      val s = xs.sorted
+      val r = p * (s.length - 1)
+      val lo = math.floor(r).toInt; val hi = math.ceil(r).toInt
+      val v = s(lo) + (r - lo) * (s(hi) - s(lo)).toDouble
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def thr(sel: ((Long, Long, Long, Long)) => Long) =
+      (pctl(scored.map(sel), Relational.RfmLoPct),
+        pctl(scored.map(sel), Relational.RfmHiPct))
+    val (r1, r2) = thr(_._2); val (f1, f2) = thr(_._3); val (m1, m2) = thr(_._4)
+    def asc3(v: Long, t1: Double, t2: Double) =
+      if (v <= t1) 3L else if (v <= t2) 2L else 1L
+    def desc3(v: Long, t1: Double, t2: Double) =
+      if (v <= t1) 1L else if (v <= t2) 2L else 3L
+    val expected = scored.map { case (ck, rec, f, m) =>
+      val (rs, fs, ms) = (asc3(rec, r1, r2), desc3(f, f1, f2), desc3(m, m1, m2))
+      Seq[Any](ck, rec, f, m, rs, fs, ms, rs * 100 + fs * 10 + ms)
+    }.toSet
+    val got = collectSet(Relational.rfmSegments(spark, dir))
+    assert(got == expected)
+    // non-vacuous: more than one segment occupied
+    assert(got.map(_(7)).size > 1)
+  }
+
   test("customer_lifetime rolls up first/last day, count and exact revenue") {
     val d = java.nio.file.Files.createTempDirectory("graft-clv").toString
     Seq(

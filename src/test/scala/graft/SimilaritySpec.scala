@@ -371,6 +371,26 @@ class SimilaritySpec extends SparkTestBase {
     assert(got.nonEmpty && got.size < as.length) // mines some, rejects some
   }
 
+  test("knn_classify majority-votes annJoin's neighbors deterministically") {
+    val sfDir = "/root/testdata/sf0.001"
+    val labels = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val nb = Similarity.annJoin(spark, sfDir)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = nb.groupBy(_._1).map { case (qid, xs) =>
+      val votes = xs.map(x => labels(x._2)).groupBy(identity)
+        .map { case (l, v) => l -> v.size.toLong }
+      val pl = votes.toSeq.minBy { case (l, v) => (-v, l) }._1
+      Seq[Any](qid, labels(qid), pl, votes.values.sum, votes.values.max,
+        pl == labels(qid))
+    }.toSet
+    val got = collectSet(Similarity.knnClassify(spark, sfDir))
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("cluster_topics matches a brute-force cluster-level TF-IDF at sf0.001") {
     val sfDir = "/root/testdata/sf0.001"
     def dot(a: Seq[Float], b: Seq[Float]): Double = {
