@@ -68,8 +68,12 @@ object ClusterSmoke {
     "bitext_mine",        // bucket-blocked margin-kNN across label groups
     "warc_html_extract",  // HTML fixture: classpath materialization +
                           // regex extraction chain on executor JVMs
-    "mix_temperature")    // two-pass tempered sampling: stats frame +
+    "mix_temperature",    // two-pass tempered sampling: stats frame +
                           // broadcast keep-rate probe across JVMs
+    "cluster_topics",     // driver-collected nc literal + broadcast
+                          // centroid assignment joined per-doc across JVMs
+    "phrase_search")      // materialized bigram frame → 1-row phrase
+                          // broadcast → positional adjacency shuffle
 
   private def warcDocCount(spark: SparkSession): Long =
     graft.sources.WarcSource

@@ -502,4 +502,30 @@ class ScaleSpec extends SparkTestBase {
       s"assignment frame is not shared across the pair join:\n$plan")
     assert(plan.contains("LeftSemi"), s"drop rule lost its semi-join shape:\n$plan")
   }
+
+  test("r9 audits keep their scale shapes: phrase postings filter before the " +
+      "adjacency shuffle; rfm joins all broadcast") {
+    // phrase_search: the 1-row phrase reaches each postings scan as a
+    // BroadcastHashJoin (selective term filter BEFORE any shuffle), and the
+    // adjacency join is a real equi-join — no nested loop, no cartesian
+    val pp = planOf("phrase_search").split("== Initial Plan ==").head
+    assert(pp.contains("BroadcastHashJoin"),
+      s"phrase broadcast filter missing:\n$pp")
+    assert(!pp.contains("NestedLoop") && !pp.contains("CartesianProduct"),
+      s"phrase adjacency join lost its equi shape:\n$pp")
+    // rfm_segments: the max-day and threshold rows attach as UNCONDITIONED
+    // broadcasts; nothing plans a SortMergeJoin over the customer rollup
+    val rp = planOf("rfm_segments").split("== Initial Plan ==").head
+    assert(!rp.contains("SortMergeJoin"),
+      s"rfm_segments shuffled a 1-row broadcast side:\n$rp")
+    // cluster_topics: nc is a literal (no join for it — the centroid
+    // lineage's UNCONDITIONED cross broadcasts are the lint-allowed Lloyd
+    // shape), and the per-cluster top-N window is cid-partitioned, never
+    // a global window over the vocab frame
+    val cp = planOf("cluster_topics").split("== Initial Plan ==").head
+    assert(!cp.contains("CartesianProduct"),
+      s"cluster_topics planned a cartesian:\n$cp")
+    assert(cp.contains("windowspecdefinition(cid"),
+      s"cluster_topics rank window lost its cid partitioning:\n$cp")
+  }
 }
