@@ -598,6 +598,52 @@ object Similarity {
        |SELECT cid, term, CAST(score AS DOUBLE) AS score, CAST(rk AS BIGINT) AS rk
        |FROM ranked WHERE rk <= $ClusterTopicsTopN""".stripMargin
 
+  // ---- #21p cluster × source mix ------------------------------------------
+  /** Which sources feed which semantic clusters — the contingency a
+    * cluster-aware mixing decision reads next to [[clusterTopics]]' labels:
+    * per (cid, source), member count plus the share of the cluster and the
+    * share of the source, both in exact basis points (§6). Assignment is
+    * the shared broadcast argmin; the per-doc source attach is a doc-keyed
+    * equi-join (co-located with the embedding store's layout at 100 TB);
+    * everything after the (cid, source) rollup operates on
+    * ≤ |cells|·|sources| rows, where the two share windows are bounded
+    * frames, not corpus windows. */
+  def clusterSourceMix(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = argminCid(emb(spark, dir), ivfCentroids(spark, dir), Seq.empty)
+      .withColumnRenamed("vec_id", "doc_id")
+    val wc = Window.partitionBy("cid")
+    val ws = Window.partitionBy("source")
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"))
+      .join(assigned, "doc_id")
+      .groupBy(col("cid"), col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("cluster_total", sum(col("n_docs")).over(wc))
+      .withColumn("source_total", sum(col("n_docs")).over(ws))
+      .select(col("cid"), col("source"), col("n_docs"),
+        graft.functions.TextFns.bp(col("n_docs"), col("cluster_total"))
+          .as("cluster_share_bp"),
+        graft.functions.TextFns.bp(col("n_docs"), col("source_total"))
+          .as("source_share_bp"))
+  }
+  val clusterSourceMixSql: String =
+    s"""WITH $ivfCentroidsCte, assigned AS (
+       |  SELECT vec_id AS doc_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqlL2sq("e.embedding", "c.c")}, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cents c
+       |  ) WHERE rn = 1
+       |), cs AS (
+       |  SELECT a.cid, d.source, count(*) AS n_docs
+       |  FROM documents d JOIN assigned a USING (doc_id) GROUP BY 1, 2
+       |)
+       |SELECT cid, source, n_docs,
+       |  (n_docs * 10000) // CAST(sum(n_docs) OVER (PARTITION BY cid)
+       |    AS BIGINT) AS cluster_share_bp,
+       |  (n_docs * 10000) // CAST(sum(n_docs) OVER (PARTITION BY source)
+       |    AS BIGINT) AS source_share_bp
+       |FROM cs""".stripMargin
+
   // ---- #36 SemDeDup semantic deduplication -------------------------------
   /** Pairwise-cosine threshold above which two same-cell embeddings count
     * as semantic duplicates (tuned to the synthetic corpus — max pairwise

@@ -230,6 +230,92 @@ object TextAnalysis {
        |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin
   }
 
+  // ---- #23c scorer agreement (quality gate vs hashed classifier) --------
+  /** Before swapping one quality filter for another, measure where they
+    * DISAGREE: the 2×2 contingency between the exact quality gate
+    * (quality_bp ≥ the curated-corpus threshold) and the hashed-classifier
+    * keep (clf_mean_e3 ≥ 0) over every document, plus observed agreement
+    * (exact bp) and Cohen's κ (one IEEE division of exact integer bp
+    * quantities, rounded and DECIMAL-pinned — §6). ONE corpus scan: both
+    * signals are row-local (the codegen'd profile pass + the hashed-
+    * unigram fold), then a 1-row aggregation with map-side partials —
+    * nothing past the scan at any scale. */
+  def scorerAgreement(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.ExactMath.intDiv
+    val sig = docs(spark, dir).select(
+        profileCol.as("__p"),
+        aggregate(
+          transform(toks(col("text")), t =>
+            pmod(md5Long(concat(lit(ClfSeed), lit("\u0001"), t)), lit(2001L))),
+          lit(0L), (a, x) => a + x).as("s"))
+      .select(
+        (qualityBpFrom(col("__p")) >= lit(Curation.CuratedQualityMinBp)).as("qk"),
+        ((intDiv(col("s"), greatest(col("__p").getField("n_toks"), lit(1L)))
+          - lit(1000L)) >= 0L).as("ck"))
+    sig.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("qk") && col("ck"), 1L).otherwise(0L)).as("both_keep"),
+        sum(when(col("qk") && !col("ck"), 1L).otherwise(0L)).as("quality_only"),
+        sum(when(!col("qk") && col("ck"), 1L).otherwise(0L)).as("clf_only"),
+        sum(when(!col("qk") && !col("ck"), 1L).otherwise(0L)).as("both_drop"))
+      .withColumn("po_bp",
+        bp(col("both_keep") + col("both_drop"), greatest(col("n_docs"), lit(1L))))
+      // chance agreement from the two marginal keep rates, computed IN BP
+      // SPACE (intermediates bounded by 10^8 — overflow-safe at any corpus)
+      .withColumn("pq_bp",
+        bp(col("both_keep") + col("quality_only"), greatest(col("n_docs"), lit(1L))))
+      .withColumn("pc_bp",
+        bp(col("both_keep") + col("clf_only"), greatest(col("n_docs"), lit(1L))))
+      .withColumn("pe_bp", intDiv(
+        col("pq_bp") * col("pc_bp")
+          + (lit(10000L) - col("pq_bp")) * (lit(10000L) - col("pc_bp")),
+        lit(10000L)))
+      .select(col("n_docs"), col("both_keep"), col("quality_only"),
+        col("clf_only"), col("both_drop"), col("po_bp").as("agreement_bp"),
+        round((col("po_bp") - col("pe_bp")).cast("double")
+            / greatest(lit(10000L) - col("pe_bp"), lit(1L)).cast("double"), 4)
+          .cast("decimal(14,4)").cast("double").as("kappa"))
+  }
+  lazy val scorerAgreementSql: String = {
+    val wgt = sqlMd5Long(s"concat('$ClfSeed', chr(1), tok)") + " % 2001"
+    s"""WITH tok AS (
+       |  SELECT doc_id, lower(t.w) AS tok
+       |  FROM documents d, unnest(string_split_regex(d.text, '\\s+')) AS t(w)
+       |  WHERE t.w <> ''
+       |), agg AS (
+       |  SELECT doc_id, count(*) AS n, sum($wgt) AS s
+       |  FROM tok GROUP BY 1
+       |), sig AS (
+       |  SELECT
+       |    ($sqlQualityBpExpr) >= ${Curation.CuratedQualityMinBp} AS qk,
+       |    (coalesce(s, 0) // greatest(coalesce(n, 0), 1) - 1000) >= 0 AS ck
+       |  FROM documents d LEFT JOIN agg USING (doc_id)
+       |), c AS (
+       |  SELECT count(*) AS n_docs,
+       |    CAST(sum(CASE WHEN qk AND ck THEN 1 ELSE 0 END) AS BIGINT) AS both_keep,
+       |    CAST(sum(CASE WHEN qk AND NOT ck THEN 1 ELSE 0 END) AS BIGINT) AS quality_only,
+       |    CAST(sum(CASE WHEN NOT qk AND ck THEN 1 ELSE 0 END) AS BIGINT) AS clf_only,
+       |    CAST(sum(CASE WHEN NOT qk AND NOT ck THEN 1 ELSE 0 END) AS BIGINT) AS both_drop
+       |  FROM sig
+       |), m AS (
+       |  SELECT *,
+       |    ${sqlBp("both_keep + both_drop", "greatest(n_docs, 1)")} AS po_bp,
+       |    ${sqlBp("both_keep + quality_only", "greatest(n_docs, 1)")} AS pq_bp,
+       |    ${sqlBp("both_keep + clf_only", "greatest(n_docs, 1)")} AS pc_bp
+       |  FROM c
+       |), p AS (
+       |  SELECT *, (pq_bp * pc_bp + (10000 - pq_bp) * (10000 - pc_bp))
+       |    // 10000 AS pe_bp
+       |  FROM m
+       |)
+       |SELECT n_docs, both_keep, quality_only, clf_only, both_drop,
+       |  po_bp AS agreement_bp,
+       |  CAST(CAST(round(CAST(po_bp - pe_bp AS DOUBLE)
+       |    / CAST(greatest(10000 - pe_bp, 1) AS DOUBLE), 4) AS DECIMAL(14,4))
+       |    AS DOUBLE) AS kappa
+       |FROM p""".stripMargin
+  }
+
   // ---- #24 token counting ----------------------------------------------
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(

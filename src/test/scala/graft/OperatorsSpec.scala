@@ -543,6 +543,34 @@ class OperatorsSpec extends SparkTestBase {
     assert(z == 3.0)
   }
 
+  test("scorer_agreement cross-tabulates the two oracled scorers exactly") {
+    val dir = "/root/testdata/sf0.001"
+    // ground truth composed from the two independently-oracled operators
+    val q = TextAnalysis.qualityScore(spark, dir)
+      .select("doc_id", "quality_bp").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1) >= graft.operators.Curation.CuratedQualityMinBp)).toMap
+    val c = TextAnalysis.classifierScore(spark, dir)
+      .select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(q.keySet == c.keySet)
+    val a = q.count { case (id, qk) => qk && c(id) }.toLong
+    val b = q.count { case (id, qk) => qk && !c(id) }.toLong
+    val x = q.count { case (id, qk) => !qk && c(id) }.toLong
+    val d = q.count { case (id, qk) => !qk && !c(id) }.toLong
+    val n = q.size.toLong
+    val po = (a + d) * 10000L / n
+    val pq = (a + b) * 10000L / n
+    val pc = (a + x) * 10000L / n
+    val pe = (pq * pc + (10000L - pq) * (10000L - pc)) / 10000L
+    val kappa = BigDecimal((po - pe).toDouble / math.max(10000L - pe, 1L).toDouble)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = collectSet(TextAnalysis.scorerAgreement(spark, dir))
+    assert(got == Set(Seq[Any](n, a, b, x, d, po, kappa)))
+    // the contingency is non-degenerate: both scorers disagree somewhere
+    assert(b > 0L && x > 0L)
+  }
+
   test("tokenizer_fertility charges punctuation-heavy languages more tokens") {
     val d = java.nio.file.Files.createTempDirectory("graft-fert").toString
     Seq((1L, "Hello, world! 123", "en"), (2L, "Hi there.", "en"),

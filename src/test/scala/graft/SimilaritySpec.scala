@@ -371,6 +371,37 @@ class SimilaritySpec extends SparkTestBase {
     assert(got.nonEmpty && got.size < as.length) // mines some, rejects some
   }
 
+  test("cluster_source_mix computes exact bp shares of cluster and source") {
+    val sfDir = "/root/testdata/sf0.001"
+    def dot(a: Seq[Float], b: Seq[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val cents = Similarity.ivfCentroids(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    val assigned = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map { r =>
+        val e = r.getSeq[Float](1)
+        r.getLong(0) -> cents.minBy { case (cid, c) =>
+          (dot(e, e) + dot(c, c) - 2.0 * dot(e, c), cid)
+        }._1
+      }.toMap
+    val pairs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source").collect()
+      .flatMap(r => assigned.get(r.getLong(0)).map(cid => (cid, r.getString(1))))
+    val n = pairs.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val ct = n.groupBy(_._1._1).map { case (c, m) => c -> m.values.sum }
+    val st = n.groupBy(_._1._2).map { case (sr, m) => sr -> m.values.sum }
+    val expected = n.map { case ((cid, src), nd) =>
+      Seq[Any](cid, src, nd, nd * 10000L / ct(cid), nd * 10000L / st(src))
+    }.toSet
+    val got = collectSet(Similarity.clusterSourceMix(spark, sfDir))
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("knn_classify majority-votes annJoin's neighbors deterministically") {
     val sfDir = "/root/testdata/sf0.001"
     val labels = spark.read.parquet(s"$sfDir/embeddings.parquet")
