@@ -685,6 +685,42 @@ object Dedup {
        |SELECT doc_id FROM documents
        |WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)""".stripMargin
 
+  // ---- #16c per-source duplication inflation ------------------------------
+  /** How much of each feed is duplicate weight — the per-source view of
+    * the drop decision (dedup_report shows WHICH feeds overlap; this shows
+    * what each feed LOSES): per source, doc count, near-dup drops
+    * (non-representative component members), survivors, and the drop rate
+    * in exact bp. The dropped list is bounded by the pair graph and joins
+    * the pruned (doc_id, source) scan; the rollup runs on ~10¹ source
+    * keys with map-side partials. */
+  def dupInflationBySource(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"), col("source"))
+      .join(droppedDocs(spark, dir).withColumn("dropped", lit(1L)),
+        Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("dropped"), lit(0L))).as("n_dropped"))
+      .select(col("source"), col("n_docs"), col("n_dropped"),
+        (col("n_docs") - col("n_dropped")).as("n_survivors"),
+        graft.functions.TextFns.bp(col("n_dropped"), col("n_docs"))
+          .as("drop_bp"))
+  lazy val dupInflationBySourceSql: String =
+    s"""WITH comp AS (
+       |  ${dedupComponentsSql.linesIterator.mkString("\n  ")}
+       |), drp AS (
+       |  SELECT doc_id FROM comp WHERE doc_id <> component
+       |)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dropped,
+       |  CAST(count(*) - sum(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_survivors,
+       |  ${graft.functions.TextFns.sqlBp(
+            "sum(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END)",
+            "count(*)")} AS drop_bp
+       |FROM documents doc LEFT JOIN drp d ON doc.doc_id = d.doc_id
+       |GROUP BY 1""".stripMargin
+
   // ---- #16b cross-source duplication report ------------------------------
   /** Where does duplication come from? Near-dup pair counts per unordered
     * source pair — the diagnostic that tells a curation run which feeds

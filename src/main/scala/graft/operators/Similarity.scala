@@ -726,6 +726,59 @@ object Similarity {
        |SELECT s.vec_id, s.cid, s.ccos, d.vec_id IS NULL AS keep
        |FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.vec_id""".stripMargin
 
+  // ---- #21q embedding outlier audit (per-cell 2σ on centroid cosine) -----
+  /** Garbage/poisoning detector over the embedding space: a vector whose
+    * centroid-cosine sits more than 2σ from ITS CELL's mean is flagged —
+    * the per-cell analogue of event_anomalies, run before trusting
+    * cell-level curation. The test is EXACT integer arithmetic end to end:
+    * ccos is already a pinned 6-decimal value (the materialized semdedup
+    * assignment), recovered as an e6 integer, and |x−μ| > 2σ is evaluated
+    * as (x·n−S)² > 4·(n·Q−S²) over DECIMAL(38,0) — no float anywhere, so
+    * the flag set is bit-identical in both engines. Per-cell moments are
+    * one agg on ≤IvfK keys that broadcasts back; Q aggregates in decimal
+    * so the sum can't overflow at any corpus size. */
+  def embeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e6 = semAssigned(spark, dir)
+      .select(col("vec_id"), col("cid"), col("ccos"),
+        round(col("ccos") * lit(1000000L), 0).cast("long").as("v"))
+    val stats = e6.groupBy(col("cid")).agg(
+      count(lit(1)).as("n"), sum(col("v")).as("s"),
+      sum(col("v").cast("decimal(19,0)") * col("v").cast("decimal(19,0)"))
+        .cast("decimal(38,0)").as("q"))
+    val d = (col("v") * col("n") - col("s")).cast("decimal(38,0)")
+    val lhs = d * d
+    val rhs = (col("n").cast("decimal(38,0)") * col("q")
+      - col("s").cast("decimal(38,0)") * col("s").cast("decimal(38,0)")) * lit(4)
+    e6.join(broadcast(stats), "cid")
+      .select(col("vec_id"), col("cid"), col("ccos"), col("n").as("n_cell"),
+        (lhs > rhs).as("outlier"))
+  }
+  val embeddingOutliersSql: String =
+    s"""WITH $ivfCentroidsCte, assigned AS MATERIALIZED (
+       |  SELECT vec_id, cid,
+       |    CAST(CAST(round(${sqlCos("embedding", "c")}, 6) AS DECIMAL(14,6))
+       |      AS DOUBLE) AS ccos
+       |  FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid, c.c,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqlL2sq("e.embedding", "c.c")}, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cents c
+       |  ) WHERE rn = 1
+       |), e6 AS MATERIALIZED (
+       |  SELECT vec_id, cid, ccos,
+       |    CAST(round(ccos * 1000000, 0) AS BIGINT) AS v
+       |  FROM assigned
+       |), st AS (
+       |  SELECT cid, count(*) AS n, CAST(sum(v) AS BIGINT) AS s,
+       |    sum(CAST(v AS HUGEINT) * v) AS q
+       |  FROM e6 GROUP BY 1
+       |)
+       |SELECT e.vec_id, e.cid, e.ccos, CAST(st.n AS BIGINT) AS n_cell,
+       |  (CAST(e.v AS HUGEINT) * st.n - st.s)
+       |    * (CAST(e.v AS HUGEINT) * st.n - st.s)
+       |    > 4 * (st.n * st.q - CAST(st.s AS HUGEINT) * st.s) AS outlier
+       |FROM e6 e JOIN st USING (cid)""".stripMargin
+
   /** Threshold rungs the sweep audits (finite decimals → identical double
     * constants both engines). */
   val SemSweepThrs: Seq[Double] = Seq(0.30, 0.35, 0.40, 0.45, 0.50)

@@ -1337,6 +1337,33 @@ object TextAnalysis {
       |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
       |FROM documents GROUP BY 1""".stripMargin
 
+  // ---- #25o-b length × quality calibration curve --------------------------
+  /** Does the quality score just proxy length? The calibration curve a
+    * curation run reads before composing a length filter WITH a quality
+    * gate: per power-of-two length bucket (length_histogram's integer
+    * bucketing — no float near a boundary), doc count and the exact mean /
+    * min / max quality bp. Mean is integer division of exact sums (§6).
+    * One corpus scan: the codegen'd profile pass scores each row, then a
+    * ≤64-key map-side-partial agg. */
+  def lengthQualityCurve(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(length(bin(col("n_chars"))).cast("long").as("len_bucket"),
+        qualityBpFrom(profileCol).as("q"))
+      .groupBy(col("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        org.apache.spark.sql.graft.ExactMath.intDiv(
+          sum(col("q")), greatest(count(lit(1)), lit(1L))).as("mean_quality_bp"),
+        min(col("q")).as("min_quality_bp"),
+        max(col("q")).as("max_quality_bp"))
+  val lengthQualityCurveSql: String =
+    s"""SELECT CAST(length(bin(n_chars)) AS BIGINT) AS len_bucket,
+       |  count(*) AS n_docs,
+       |  CAST(sum($sqlQualityBpExpr) // greatest(count(*), 1) AS BIGINT)
+       |    AS mean_quality_bp,
+       |  CAST(min($sqlQualityBpExpr) AS BIGINT) AS min_quality_bp,
+       |  CAST(max($sqlQualityBpExpr) AS BIGINT) AS max_quality_bp
+       |FROM documents GROUP BY 1""".stripMargin
+
   // ---- #25 winnowing fingerprints (k=5 char-grams, window w=4) ----------
   // Map-only: ShinglePolyHash emits the k-gram hash array in-row and
   // WinnowMins takes the sorted distinct sliding-window minima in one
@@ -1375,6 +1402,71 @@ object TextAnalysis {
        |    x -> CAST(x AS VARCHAR)), 'string_agg', ' ') AS fp
        |FROM wins WHERE pos <= len - ${FpK - 1} - ${FpW - 1}
        |GROUP BY doc_id""".stripMargin
+
+  // ---- #19x winnowing fingerprint overlap (MOSS-style near-dup) ----------
+  /** The THIRD near-dup algorithm family beside minhash-LSH and simhash:
+    * MOSS-style winnowing overlap (Schleimer et al. 2003) — two documents
+    * are near-dups when they share selected k-gram window minima. Pairs
+    * come from an equi-join on the fingerprint hash with the LSH bucket
+    * discipline (a hash shared by more than [[WinnowBucketCap]] docs is
+    * boilerplate, dropped BEFORE the self-join — candidates bounded by
+    * |hashes|·cap², never all-pairs); overlap is reported as shared
+    * fingerprints over the smaller doc's fingerprint count, in exact bp.
+    * ONE corpus scan computes (n_fp, exploded hashes) from the same
+    * codegen'd WinnowMins∘ShinglePolyHash projection as `fingerprint`. */
+  val WinnowBucketCap = 64
+  val WinnowMinShared = 2L
+  def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    val fp = docs(spark, dir)
+      .where(length(col("text")) >= FpK + FpW - 1)
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.WinnowMins(
+          org.apache.spark.sql.graft.ShinglePolyHash(
+            col("text"), FpK, Dedup.ShingleB, Dedup.P), FpW).as("wm"))
+      .select(col("doc_id"), size(col("wm")).cast("long").as("n_fp"),
+        explode(col("wm")).as("h"))
+    val capped = fp
+      .withColumn("m", count(lit(1)).over(Window.partitionBy("h")))
+      .where(col("m") <= WinnowBucketCap)
+    capped.as("a").join(capped.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        min(least(col("a.n_fp"), col("b.n_fp"))).as("min_fp"))
+      .where(col("n_shared") >= WinnowMinShared)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("min_fp"),
+        bp(col("n_shared"), col("min_fp")).as("overlap_bp"))
+  }
+  val winnowPairsSql: String =
+    s"""WITH grams AS (
+       |  SELECT d.doc_id, length(d.text) AS len, g.pos,
+       |    ${Dedup.sqlShingleHash("d.text", "g.pos")} AS h
+       |  FROM documents d, unnest(range(1, length(d.text) - ${FpK - 1} + 1)) AS g(pos)
+       |  WHERE length(d.text) >= ${FpK + FpW - 1}
+       |), wins AS (
+       |  SELECT doc_id, len, pos,
+       |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |                 ROWS BETWEEN CURRENT ROW AND ${FpW - 1} FOLLOWING) AS wmin
+       |  FROM grams
+       |), fp AS MATERIALIZED (
+       |  SELECT doc_id, wmin AS h,
+       |    CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_fp
+       |  FROM (
+       |    SELECT DISTINCT doc_id, wmin FROM wins
+       |    WHERE pos <= len - ${FpK - 1} - ${FpW - 1}
+       |  )
+       |), capped AS (
+       |  SELECT * FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY h) AS m FROM fp
+       |  ) WHERE m <= $WinnowBucketCap
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  count(*) AS n_shared,
+       |  CAST(min(least(a.n_fp, b.n_fp)) AS BIGINT) AS min_fp,
+       |  ${sqlBp("count(*)", "min(least(a.n_fp, b.n_fp))")} AS overlap_bp
+       |FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2
+       |HAVING count(*) >= $WinnowMinShared""".stripMargin
 
   // ---- #25ad heavy hitters: sketch candidates + exact confirm ------------
   /** Per-source top-[[HhTopN]] tokens by the canonical two-pass

@@ -4,6 +4,23 @@ import graft.operators.Dedup
 
 class DedupSpec extends SparkTestBase {
 
+  test("dup_inflation_by_source rolls up the oracled component drops per feed") {
+    val dir = "/root/testdata/sf0.001"
+    val dropped = graft.operators.Dedup.dedupComponents(spark, dir).collect()
+      .filter(r => r.getLong(0) != r.getLong(1)).map(_.getLong(0)).toSet
+    val expected = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).map { case (src, xs) =>
+        val nd = xs.count(x => dropped(x._1)).toLong
+        Seq[Any](src, xs.length.toLong, nd, xs.length - nd,
+          nd * 10000L / xs.length)
+      }.toSet
+    val got = collectSet(graft.operators.Dedup.dupInflationBySource(spark, dir))
+    assert(got == expected)
+    assert(got.exists(_(2).asInstanceOf[Long] > 0L))
+  }
+
   private val base =
     "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill nearby"
   private lazy val dir = writeDocsFixture(Seq(

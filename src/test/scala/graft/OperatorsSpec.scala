@@ -543,6 +543,48 @@ class OperatorsSpec extends SparkTestBase {
     assert(z == 3.0)
   }
 
+  test("winnow_pairs shares bucket-capped fingerprints like the oracled frame") {
+    val dir = "/root/testdata/sf0.001"
+    // ground truth composed from the oracled fingerprint query
+    val fp = TextAnalysis.fingerprint(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(2).split(" ").filter(_.nonEmpty).map(_.toLong).toSet).toMap
+    val bucketN = fp.toSeq.flatMap { case (id, hs) => hs.map(h => h -> id) }
+      .groupBy(_._1).map { case (h, xs) => h -> xs.size }
+    val keep = (h: Long) => bucketN(h) <= TextAnalysis.WinnowBucketCap
+    val ids = fp.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      shared = (fp(a) & fp(b)).count(keep)
+      if shared >= TextAnalysis.WinnowMinShared
+      minFp = math.min(fp(a).size, fp(b).size).toLong
+    } yield Seq[Any](a, b, shared.toLong, minFp,
+      shared.toLong * 10000L / minFp)).toSet
+    val got = collectSet(TextAnalysis.winnowPairs(spark, dir))
+    assert(got == expected)
+    assert(got.nonEmpty && got.size < ids.length * (ids.length - 1) / 2)
+  }
+
+  test("length_quality_curve buckets the oracled quality scores exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val q = TextAnalysis.qualityScore(spark, dir)
+      .select("doc_id", "quality_bp").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lens = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val expected = lens.groupBy { case (_, n) =>
+      java.lang.Long.toBinaryString(n).length.toLong
+    }.map { case (b, xs) =>
+      val qs = xs.map(x => q(x._1))
+      Seq[Any](b, xs.length.toLong, qs.sum / qs.length, qs.min, qs.max)
+    }.toSet
+    val got = collectSet(TextAnalysis.lengthQualityCurve(spark, dir))
+    assert(got == expected)
+    assert(got.size > 1)
+  }
+
   test("scorer_agreement cross-tabulates the two oracled scorers exactly") {
     val dir = "/root/testdata/sf0.001"
     // ground truth composed from the two independently-oracled operators

@@ -371,6 +371,28 @@ class SimilaritySpec extends SparkTestBase {
     assert(got.nonEmpty && got.size < as.length) // mines some, rejects some
   }
 
+  test("embedding_outliers flags exactly the >2-sigma centroid cosines per cell") {
+    val sfDir = "/root/testdata/sf0.001"
+    // ground truth composed from the oracled semdedup assignment frame
+    val rows = Similarity.semdedup(spark, sfDir)
+      .select("vec_id", "cid", "ccos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val e6 = rows.map { case (id, cid, c) =>
+      (id, cid, c, BigInt(math.round(c * 1000000.0))) }
+    val byCell = e6.groupBy(_._2)
+    val expected = e6.map { case (id, cid, c, v) =>
+      val vs = byCell(cid).map(_._4)
+      val n = BigInt(vs.length); val s = vs.sum
+      val q = vs.map(x => x * x).sum
+      val d = v * n - s
+      Seq[Any](id, cid, c, vs.length.toLong, d * d > (n * q - s * s) * 4)
+    }.toSet
+    val got = collectSet(Similarity.embeddingOutliers(spark, sfDir))
+    assert(got == expected)
+    // the detector actually fires and actually passes at this SF
+    assert(got.exists(_(4) == true) && got.exists(_(4) == false))
+  }
+
   test("cluster_source_mix computes exact bp shares of cluster and source") {
     val sfDir = "/root/testdata/sf0.001"
     def dot(a: Seq[Float], b: Seq[Float]): Double = {
