@@ -527,5 +527,13 @@ class ScaleSpec extends SparkTestBase {
       s"cluster_topics planned a cartesian:\n$cp")
     assert(cp.contains("windowspecdefinition(cid"),
       s"cluster_topics rank window lost its cid partitioning:\n$cp")
+    // winnow_pairs: the bucket cap filters on the h-partitioned window
+    // count BEFORE the self-join (the LSH drop-before-join discipline),
+    // and the pair join is an equi-join on the fingerprint hash
+    val wp = planOf("winnow_pairs").split("== Initial Plan ==").head
+    assert(wp.contains("windowspecdefinition(h"),
+      s"winnow_pairs lost the pre-join bucket-cap window:\n$wp")
+    assert(!wp.contains("NestedLoop") && !wp.contains("CartesianProduct"),
+      s"winnow_pairs pair join lost its equi shape:\n$wp")
   }
 }
