@@ -242,6 +242,38 @@ object Curation {
        |  ${sqlBp("n_shared", "n_grams")} AS overlap_bp
        |FROM hits JOIN totals USING (doc_id)""".stripMargin
 
+  // ---- #25n-b reproducible train/val/test split ---------------------------
+  /** The split every training run needs and every engineer re-implements:
+    * deterministic train/val/test assignment by salted md5 on doc_id —
+    * content- and order-independent, reproducible across runs/engines, no
+    * RNG state (the sample_deterministic discipline, its own salt so the
+    * splits decorrelate from every other hash decision). Thresholds are
+    * integer e4 rates on the shared uniform; the per-doc row also carries
+    * the uniform so downstream re-splitting is auditable. Map-only — one
+    * projection, no shuffle at any scale. */
+  val SplitTrainBp = 9000L
+  val SplitValBp = 9500L
+  def trainSplit(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        pmod(md5Long(concat_ws("\u0001",
+          col("doc_id").cast("string"), lit("split"))), lit(10000L)).as("u"))
+      .withColumn("split",
+        when(col("u") < SplitTrainBp, "train")
+          .when(col("u") < SplitValBp, "val").otherwise("test"))
+  val trainSplitSql: String =
+    s"""SELECT doc_id, source,
+       |  ${sqlMd5Long("concat_ws(chr(1), CAST(doc_id AS VARCHAR), 'split')")}
+       |    % 10000 AS u,
+       |  CASE WHEN ${sqlMd5Long(
+            "concat_ws(chr(1), CAST(doc_id AS VARCHAR), 'split')")} % 10000
+       |         < $SplitTrainBp THEN 'train'
+       |       WHEN ${sqlMd5Long(
+            "concat_ws(chr(1), CAST(doc_id AS VARCHAR), 'split')")} % 10000
+       |         < $SplitValBp THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents""".stripMargin
+
   // ---- #25l the end product: a curated training corpus ------------------
   /** The composed curation pipeline every stage above feeds: keep documents
     * that (1) clear the quality threshold, (2) language-ID as English,

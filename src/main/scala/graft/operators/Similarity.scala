@@ -257,6 +257,59 @@ object Similarity {
        |GROUP BY 1""".stripMargin
   }
 
+  // ---- #21r hard-negative mining (retrieval training prep) ---------------
+  /** Contrastive-retrieval training data (DPR/Contriever prep): per probe,
+    * the top-[[JoinK]] most-similar candidates whose cosine stays BELOW
+    * the near-dup ceiling ([[Dedup.CosineThreshold]] — at or above it the
+    * candidate is a likely positive, dedup_embedding's own pair rule), so
+    * the mined rows are hard negatives: as similar as possible without
+    * being the same content. Same bucket-blocked batch join as [[annJoin]]
+    * (QueryN probes broadcast, never corpus × corpus); the ceiling reads
+    * the RAW IEEE cosine (§6 — identical op sequence both engines) and
+    * only the emitted value is decimal-pinned. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).withColumn("bucket", bucketCol("embedding"))
+    val probeMasks = 0L +: (0 until NumPlanes).map(j => 1L << j)
+    val q = e.orderBy("vec_id").limit(QueryN)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("bucket").as("qbucket"))
+      .select(col("qid"), col("qv"),
+        explode(array(probeMasks.map(m => col("qbucket").bitwiseXOR(lit(m))): _*))
+          .as("pb"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    e.join(broadcast(q), col("bucket") === col("pb") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cosExpr("embedding", "qv").as("cos"))
+      .where(col("cos") < Dedup.CosineThreshold)
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= JoinK)
+      .select(col("qid"), col("vec_id"),
+        round(col("cos"), 4).cast("decimal(14,4)").cast("double").as("cos"),
+        col("rk").cast("long").as("rk"))
+  }
+  val hardNegativesSql: String = {
+    val masks = (0L +: (0 until NumPlanes).map(j => 1L << j))
+      .mkString("[", ", ", "]")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, ${sqlBucket("embedding")} AS bucket
+       |  FROM embeddings
+       |), q AS (
+       |  SELECT qid, qv, xor(qbucket, m.m) AS pb FROM (
+       |    SELECT vec_id AS qid, embedding AS qv, bucket AS qbucket FROM e
+       |    ORDER BY vec_id LIMIT $QueryN
+       |  ), unnest($masks) AS m(m)
+       |), scored AS (
+       |  SELECT q.qid, e.vec_id, ${sqlCos("e.embedding", "q.qv")} AS cos
+       |  FROM e JOIN q ON e.bucket = q.pb AND e.vec_id <> q.qid
+       |), ranked AS (
+       |  SELECT qid, vec_id, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+       |  FROM scored WHERE cos < ${Dedup.CosineThreshold}
+       |)
+       |SELECT qid, vec_id,
+       |  CAST(CAST(round(cos, 4) AS DECIMAL(14,4)) AS DOUBLE) AS cos,
+       |  CAST(rk AS BIGINT) AS rk
+       |FROM ranked WHERE rk <= $JoinK""".stripMargin
+  }
+
   // ---- #21m kNN label-vote classification audit --------------------------
   /** Does the embedding space carry the semantic signal the cluster-level
     * decisions assume? Classify each probe by the MAJORITY label of its

@@ -34,6 +34,29 @@ class CurationSpec extends SparkTestBase {
     assert(rows(4L) == ((1L, 0L, "totally different short text")))
   }
 
+  test("train_split assigns deterministic md5 splits at the e4 thresholds") {
+    val sfDir = "/root/testdata/sf0.001"
+    def md5Long(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val expected = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map { r =>
+        val id = r.getLong(0)
+        val u = md5Long(s"$id\u0001split") % 10000L
+        val split = if (u < Curation.SplitTrainBp) "train"
+          else if (u < Curation.SplitValBp) "val" else "test"
+        Seq[Any](id, r.getString(1), u, split)
+      }.toSet
+    val got = collectSet(Curation.trainSplit(spark, sfDir))
+    assert(got == expected)
+    val byS = got.groupBy(_(3)).map { case (k, v) => k -> v.size }
+    assert(byS.keySet == Set("train", "val", "test"))
+    assert(byS("train") > byS("val") && byS("train") > byS("test"))
+  }
+
   test("contamination_report grades per-(doc, probe) overlap in exact bp") {
     // probes: docs 1,2 (identical text w1..w25 → the same 23 distinct
     // 3-grams). Doc 3 has 23 distinct grams, 18 of them (w1w2w3..w18w19w20)

@@ -371,6 +371,40 @@ class SimilaritySpec extends SparkTestBase {
     assert(got.nonEmpty && got.size < as.length) // mines some, rejects some
   }
 
+  test("hard_negatives mines top-k below the near-dup ceiling (brute force)") {
+    val sfDir = "/root/testdata/sf0.001"
+    def dot(a: Seq[Float], b: Seq[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val planes = Similarity.Planes.map(_.map(_.toFloat))
+    def bucket(e: Seq[Float]): Long =
+      (0 until Similarity.NumPlanes).map(j =>
+        if (dot(e, planes(j)) > 0.0) 1L << j else 0L).sum
+    val withB = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1).map { case (id, e) => (id, e, bucket(e)) }
+    val masks = 0L +: (0 until Similarity.NumPlanes).map(j => 1L << j)
+    def r4(d: Double) =
+      BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = withB.take(Similarity.QueryN).flatMap { case (qid, qv, qb) =>
+      val probes = masks.map(qb ^ _).toSet
+      withB.collect { case (id, e, b) if id != qid && probes(b) =>
+          (id, dot(e, qv) / (math.sqrt(dot(e, e)) * math.sqrt(dot(qv, qv)))) }
+        .filter(_._2 < Dedup.CosineThreshold)
+        .sortBy { case (id, c) => (-c, id) }
+        .take(Similarity.JoinK).zipWithIndex
+        .map { case ((id, c), i) => Seq[Any](qid, id, r4(c), (i + 1).toLong) }
+    }.toSet
+    val got = collectSet(Similarity.hardNegatives(spark, sfDir))
+    assert(got == expected)
+    // every mined row is genuinely below the positive ceiling
+    assert(got.nonEmpty &&
+      got.forall(_(2).asInstanceOf[Double] < Dedup.CosineThreshold))
+  }
+
   test("embedding_outliers flags exactly the >2-sigma centroid cosines per cell") {
     val sfDir = "/root/testdata/sf0.001"
     // ground truth composed from the oracled semdedup assignment frame
