@@ -721,6 +721,40 @@ object Dedup {
        |FROM documents doc LEFT JOIN drp d ON doc.doc_id = d.doc_id
        |GROUP BY 1""".stripMargin
 
+  // ---- #16d train/test near-dup leakage audit -----------------------------
+  /** Does the eval split leak through near-duplicates? Exact-match
+    * decontamination misses paraphrased/near-dup leakage — this audit
+    * counts minhash near-dup pairs per unordered split pair of the
+    * reproducible [[Curation.trainSplit]] assignment, flagging the
+    * cross-split rows (a train↔test pair means the test doc's content is
+    * effectively in training). The pair graph is bounded and BROADCASTS
+    * into two joins against the map-only split frame (the dedup_report
+    * shape); the rollup runs on ≤ 6 unordered split-pair keys. */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val sp = Curation.trainSplit(spark, dir).select(col("doc_id"), col("split"))
+    sp.as("a").join(broadcast(minhashPairs(spark, dir)),
+        col("doc_a") === col("a.doc_id"))
+      .join(sp.as("b"), col("doc_b") === col("b.doc_id"))
+      .groupBy(least(col("a.split"), col("b.split")).as("split_x"),
+        greatest(col("a.split"), col("b.split")).as("split_y"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leak", col("split_x") =!= col("split_y"))
+  }
+  lazy val splitLeakageSql: String =
+    s"""WITH pairs AS (
+       |  ${dedupMinhashSql.linesIterator.mkString("\n  ")}
+       |), sp AS (
+       |  ${Curation.trainSplitSql.linesIterator.mkString("\n  ")}
+       |)
+       |SELECT least(sa.split, sb.split) AS split_x,
+       |  greatest(sa.split, sb.split) AS split_y,
+       |  count(*) AS n_pairs,
+       |  least(sa.split, sb.split) <> greatest(sa.split, sb.split) AS leak
+       |FROM pairs
+       |JOIN sp sa ON doc_a = sa.doc_id
+       |JOIN sp sb ON doc_b = sb.doc_id
+       |GROUP BY 1, 2""".stripMargin
+
   // ---- #16b cross-source duplication report ------------------------------
   /** Where does duplication come from? Near-dup pair counts per unordered
     * source pair — the diagnostic that tells a curation run which feeds

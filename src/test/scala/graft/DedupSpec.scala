@@ -4,6 +4,25 @@ import graft.operators.Dedup
 
 class DedupSpec extends SparkTestBase {
 
+  test("split_leakage counts cross-split near-dup pairs from the oracled graph") {
+    val dir = "/root/testdata/sf0.001"
+    val split = graft.operators.Curation.trainSplit(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val pairs = graft.operators.Dedup.minhashPairs(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = pairs.groupBy { case (a, b) =>
+      val (sa, sb) = (split(a), split(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.map { case ((x, y), xs) =>
+      Seq[Any](x, y, xs.length.toLong, x != y)
+    }.toSet
+    val got = collectSet(graft.operators.Dedup.splitLeakage(spark, dir))
+    assert(got == expected)
+    // the audit finds genuine cross-split leakage on this corpus
+    assert(got.exists(_(3) == true))
+  }
+
   test("dup_inflation_by_source rolls up the oracled component drops per feed") {
     val dir = "/root/testdata/sf0.001"
     val dropped = graft.operators.Dedup.dedupComponents(spark, dir).collect()
