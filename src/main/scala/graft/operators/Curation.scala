@@ -253,14 +253,62 @@ object Curation {
     * projection, no shuffle at any scale. */
   val SplitTrainBp = 9000L
   val SplitValBp = 9500L
+  /** The salted split uniform and label, row-local on doc_id — shared by
+    * trainSplit and the balance audit so "the split" has one definition. */
+  private[operators] def splitU: org.apache.spark.sql.Column =
+    pmod(md5Long(concat_ws("\u0001",
+      col("doc_id").cast("string"), lit("split"))), lit(10000L))
+  private[operators] def splitLabel(u: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(u < SplitTrainBp, "train").when(u < SplitValBp, "val").otherwise("test")
   def trainSplit(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .select(col("doc_id"), col("source"),
-        pmod(md5Long(concat_ws("\u0001",
-          col("doc_id").cast("string"), lit("split"))), lit(10000L)).as("u"))
-      .withColumn("split",
-        when(col("u") < SplitTrainBp, "train")
-          .when(col("u") < SplitValBp, "val").otherwise("test"))
+      .select(col("doc_id"), col("source"), splitU.as("u"))
+      .withColumn("split", splitLabel(col("u")))
+
+  // ---- #25n-c split balance audit ------------------------------------------
+  /** Is the split stratification-fair? Per (split, language): doc count,
+    * the language's share WITHIN the split, and its share of the corpus —
+    * an iid split shows split_share ≈ corpus_share per language;
+    * `delta_bp` is the signed gap. Everything after the one corpus scan
+    * (row-local split label + a (split, lang) rollup with map-side
+    * partials) operates on ≤ |splits|·|langs| rows: the two share windows
+    * are bounded frames and the corpus total is a 1-row UNCONDITIONED
+    * broadcast. */
+  def splitBalance(spark: SparkSession, dir: String): DataFrame = {
+    val cells = docs(spark, dir)
+      .select(col("lang"), splitLabel(splitU).as("split"))
+      .groupBy(col("split"), col("lang")).agg(count(lit(1)).as("n_docs"))
+    val ws = org.apache.spark.sql.expressions.Window.partitionBy("split")
+    val wl = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    cells
+      .withColumn("split_total", sum(col("n_docs")).over(ws))
+      .withColumn("lang_total", sum(col("n_docs")).over(wl))
+      .crossJoin(broadcast(cells.agg(sum(col("n_docs")).as("corpus_total"))))
+      .select(col("split"), col("lang"), col("n_docs"),
+        bp(col("n_docs"), col("split_total")).as("split_share_bp"),
+        bp(col("lang_total"), col("corpus_total")).as("corpus_share_bp"))
+      .withColumn("delta_bp", col("split_share_bp") - col("corpus_share_bp"))
+  }
+  val splitBalanceSql: String = {
+    val u = sqlMd5Long("concat_ws(chr(1), CAST(doc_id AS VARCHAR), 'split')") + " % 10000"
+    s"""WITH cells AS (
+       |  SELECT CASE WHEN $u < $SplitTrainBp THEN 'train'
+       |              WHEN $u < $SplitValBp THEN 'val' ELSE 'test' END AS split,
+       |    lang, count(*) AS n_docs
+       |  FROM documents GROUP BY 1, 2
+       |), w AS (
+       |  SELECT *,
+       |    CAST(sum(n_docs) OVER (PARTITION BY split) AS BIGINT) AS split_total,
+       |    CAST(sum(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS lang_total
+       |  FROM cells
+       |), t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS corpus_total FROM cells)
+       |SELECT split, lang, n_docs,
+       |  ${sqlBp("n_docs", "split_total")} AS split_share_bp,
+       |  ${sqlBp("lang_total", "corpus_total")} AS corpus_share_bp,
+       |  ${sqlBp("n_docs", "split_total")} - ${sqlBp("lang_total", "corpus_total")}
+       |    AS delta_bp
+       |FROM w, t""".stripMargin
+  }
   val trainSplitSql: String =
     s"""SELECT doc_id, source,
        |  ${sqlMd5Long("concat_ws(chr(1), CAST(doc_id AS VARCHAR), 'split')")}

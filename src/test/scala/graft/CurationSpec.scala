@@ -57,6 +57,29 @@ class CurationSpec extends SparkTestBase {
     assert(byS("train") > byS("val") && byS("train") > byS("test"))
   }
 
+  test("split_balance shares reconcile with the oracled split assignment") {
+    val sfDir = "/root/testdata/sf0.001"
+    val split = Curation.trainSplit(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val langs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => (split(r.getLong(0)), r.getString(1)))
+    val n = langs.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val st = n.groupBy(_._1._1).map { case (sp, m) => sp -> m.values.sum }
+    val lt = n.groupBy(_._1._2).map { case (l, m) => l -> m.values.sum }
+    val tot = langs.length.toLong
+    val expected = n.map { case ((sp, l), c) =>
+      val ss = c * 10000L / st(sp); val cs = lt(l) * 10000L / tot
+      Seq[Any](sp, l, c, ss, cs, ss - cs)
+    }.toSet
+    val got = collectSet(Curation.splitBalance(spark, sfDir))
+    assert(got == expected)
+    // the big split tracks the corpus mix tightly; every lang appears in train
+    val train = got.filter(_(0) == "train")
+    assert(train.size == lt.size)
+    assert(train.forall(r => math.abs(r(5).asInstanceOf[Long]) < 500L))
+  }
+
   test("contamination_report grades per-(doc, probe) overlap in exact bp") {
     // probes: docs 1,2 (identical text w1..w25 → the same 23 distinct
     // 3-grams). Doc 3 has 23 distinct grams, 18 of them (w1w2w3..w18w19w20)
