@@ -72,8 +72,12 @@ object ClusterSmoke {
                           // broadcast keep-rate probe across JVMs
     "cluster_topics",     // driver-collected nc literal + broadcast
                           // centroid assignment joined per-doc across JVMs
-    "phrase_search")      // materialized bigram frame → 1-row phrase
+    "phrase_search",      // materialized bigram frame → 1-row phrase
                           // broadcast → positional adjacency shuffle
+    "scorer_agreement",   // TokenProfileHits reference-object lookup map
+                          // rebuilt on executor classloaders + hashed fold
+    "split_leakage")      // pair-graph broadcast × row-local split frame
+                          // joined twice across JVMs
 
   private def warcDocCount(spark: SparkSession): Long =
     graft.sources.WarcSource
