@@ -4,7 +4,27 @@ parquet dumps against DuckDB running SparkEntry.oracleSql on the same tables.
 Usage: check_correctness.py <sfDir> <verifyOutDir>
 """
 import sys, json, os, hashlib, time
+# subprocess/tempfile at MODULE scope (VERDICT r9 #1): importing them lazily
+# inside run_oracle_subprocess meant a transient _posixsubprocess mmap
+# ImportError (seen right after a big JVM exit) killed the WHOLE gate instead
+# of costing one retry. Import once, up front, with one retry for the same
+# transient mmap failure.
+for _attempt in range(2):
+    try:
+        import subprocess, tempfile
+        break
+    except ImportError:
+        if _attempt == 1:
+            raise
+        time.sleep(10)
 import duckdb
+
+# r7 and r9 each lost 6 green rows to a single long-lived DuckDB connection
+# whose allocator wedged mid-run (8-16 KB allocation failures on oracles that
+# individually pass at 1 GB). Recycle the connection every N oracles so
+# allocator state can't accumulate across the whole 167-query run; sf0.01
+# connect cost is trivial.
+CON_RECYCLE_EVERY = int(os.environ.get("GRAFT_CON_RECYCLE", "20"))
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -78,7 +98,6 @@ def run_oracle_subprocess(sf_dir, sql, mem=None):
     """Last-resort OOM escalation: run one oracle in a FRESH python process
     (fresh DuckDB allocator) with a raised memory budget + spill dir.
     Returns (cols, types, rows) or None."""
-    import subprocess, tempfile
     mem = mem or os.environ.get("GRAFT_DUCKDB_RETRY_MEM", "24GB")
     with tempfile.NamedTemporaryFile("w", suffix=".sql", delete=False) as f:
         f.write(sql)
@@ -127,10 +146,25 @@ def main(sf_dir, out_dir):
             time.sleep(5 * (attempt + 1))
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
+    n_since_recycle = 0
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
             continue
+        _CURRENT[0] = name
+        # proactive recycle (VERDICT r9 #1): don't let one connection serve
+        # all 167 oracles — allocator state accumulates and wedges mid-run
+        # even when no single oracle needs the budget.
+        n_since_recycle += 1
+        if n_since_recycle > CON_RECYCLE_EVERY:
+            old = con
+            con = reconnect(sf_dir, con)
+            if con is not old:
+                try:
+                    old.close()
+                except Exception:
+                    pass
+            n_since_recycle = 1
         s_err = None
         for attempt in range(3):
             try:
@@ -226,5 +260,17 @@ def main(sf_dir, out_dir):
         return 1
     return 0 if n_ok == len(results) else 1
 
+# name of the oracle being processed, surfaced on any fatal exit so a
+# crashed gate run still says WHERE it died (VERDICT r9 #1d)
+_CURRENT = [None]
+
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    try:
+        sys.exit(main(sys.argv[1], sys.argv[2]))
+    except SystemExit:
+        raise
+    except BaseException:
+        if _CURRENT[0]:
+            print(f"== FATAL while processing query: {_CURRENT[0]}",
+                  file=sys.stderr)
+        raise

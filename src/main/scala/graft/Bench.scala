@@ -97,7 +97,9 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.values.map(_._1).filter(_ >= 0).sum
     val firstTotal = results.values.map(_._2).filter(_ >= 0).sum
-    def f2(d: Double) = f"$d%.2f"
+    // explicit ROOT locale (ADVICE r9): under a comma-decimal default locale
+    // f"$d%.2f" renders 0,95 and makes both bench JSON lines unparseable
+    def f2(d: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     val telemetry = s""""wall_sec":${f2(wallSec)},"cpu_sec":${f2(cpuSec)},""" +
       s""""cpu_util":${f2(if (wallSec > 0 && cpuSec >= 0) cpuSec / wallSec else -1.0)},""" +
       s""""gc_ms":$gcDeltaMs,"load_before":${f2(loadBefore)},"load_after":${f2(loadAfter)},""" +

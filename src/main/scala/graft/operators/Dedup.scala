@@ -487,8 +487,20 @@ object Dedup {
     * is exactly as durable as local mode itself. */
   private[graft] def durableFinish(spark: SparkSession, tag: String,
       df: DataFrame): DataFrame = {
-    val base = spark.conf.getOption("graft.scratchDir").getOrElse(
-      s"${sys.props("java.io.tmpdir")}/graft-scratch-${spark.sparkContext.applicationId}")
+    val base = spark.conf.getOption("graft.scratchDir").getOrElse {
+      // ADVICE r9: on a real multi-node cluster the java.io.tmpdir default
+      // is NOT shared storage — executors would commit parquet parts to
+      // their own local disks and the read-back would silently return
+      // partial labels. Fail fast instead of computing wrong data.
+      // local-cluster[...] (the multi-JVM smoke) is single-host, so its
+      // tmpdir IS shared; everything else needs an explicit scratchDir.
+      val master = spark.sparkContext.master
+      require(spark.sparkContext.isLocal || master.startsWith("local-cluster"),
+        s"graft.scratchDir must point at shared storage (HDFS/S3/NFS) when " +
+          s"running on a multi-node cluster (master=$master); the " +
+          "java.io.tmpdir fallback is only correct on a single host")
+      s"${sys.props("java.io.tmpdir")}/graft-scratch-${spark.sparkContext.applicationId}"
+    }
     val path = s"$base/$tag"
     df.write.mode("overwrite").parquet(path)
     spark.read.parquet(path).persist(StorageLevel.MEMORY_AND_DISK)

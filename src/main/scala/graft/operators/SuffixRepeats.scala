@@ -170,22 +170,34 @@ object SuffixRepeats {
       get(col("cps"), col("pos") + lit(from + i)).cast("long") * lit(1L << shift)
     }.reduce(_ + _)
 
-  /** Run `body` with adaptive execution off. Construction queries are
-    * fixed-shape (np-partition range shuffle + gpos equi-join on uniform
-    * keys): there is no skew or size surprise for AQE to adapt to, but its
-    * stage-by-stage materialization costs a driver planning round-trip per
-    * exchange — ~L·stages round-trips across the doubling loop, pure
-    * overhead on an indexing job whose plans are known upfront. Reader
-    * queries over the finished levels keep the session's AQE setting. */
-  private def withoutAqe[A](spark: SparkSession)(body: => A): A = {
+  /** Run `body` with adaptive execution off, in a CLONED session handed to
+    * the body. Construction queries are fixed-shape (np-partition range
+    * shuffle + gpos equi-join on uniform keys): there is no skew or size
+    * surprise for AQE to adapt to, but its stage-by-stage materialization
+    * costs a driver planning round-trip per exchange — ~L·stages
+    * round-trips across the doubling loop, pure overhead on an indexing
+    * job whose plans are known upfront.
+    *
+    * Why a clone (ADVICE r9): toggling AQE on the SHARED session conf
+    * leaked to concurrent queries on other threads for the whole (long)
+    * construction, and two concurrent constructions could race the
+    * save/restore. The clone shares the SparkContext, block manager and
+    * cache but owns an isolated SQLConf; the parent's runtime conf is
+    * copied over so construction sees the same shuffle sizing. After
+    * construction the clone's AQE is restored to the parent's setting so
+    * READER queries over the escaped level frames (which belong to the
+    * clone via `df.sparkSession`) keep the session's adaptive behavior. */
+  private def withoutAqe[A](spark: SparkSession)(body: SparkSession => A): A = {
     val key = "spark.sql.adaptive.enabled"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "false")
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try s.conf.set(k, v)
+      catch { case _: Exception => () } // static/immutable entries
     }
+    s.conf.set(key, "false")
+    try body(s)
+    finally s.conf.set(key,
+      spark.conf.getOption(key).getOrElse("true"))
   }
 
   /** Census one packed-key frame (doc_id, k): the spectrum numbers for a
@@ -214,8 +226,8 @@ object SuffixRepeats {
     * level-cutoff rule; the pack width adapts to the corpus's widest
     * codepoint, see [[CensusChain]]). */
   private[operators] def censuses(spark: SparkSession, dir: String): CensusChain =
-    censusCache.getOrElseUpdate(Materialized.sessionKey(spark, dir), withoutAqe(spark) {
-      val base = charFrame(spark, dir)
+    censusCache.getOrElseUpdate(Materialized.sessionKey(spark, dir), withoutAqe(spark) { cs =>
+      val base = charFrame(cs, dir)
       val (c1, maxCp) =
         packedCensus(1L, base.select(col("doc_id"), col("ch").as("k")))
       val bits = 64 - java.lang.Long.numberOfLeadingZeros(math.max(maxCp, 1L))
@@ -245,8 +257,8 @@ object SuffixRepeats {
     levelsCache.getOrElseUpdate(Materialized.sessionKey(spark, dir), {
       val chain = censuses(spark, dir)
       if (!chain.fullChain) Seq.empty
-      else withoutAqe(spark) {
-        val base = charFrame(spark, dir)
+      else withoutAqe(spark) { cs =>
+        val base = charFrame(cs, dir)
         var block = chain.rankStart
         val half = (block / 2).toInt
         val startIn = base.where(col("pos") + block <= col("doc_len"))

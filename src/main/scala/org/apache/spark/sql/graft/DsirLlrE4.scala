@@ -53,6 +53,10 @@ object DsirLlrE4 {
   /** One linear pass: 60-bit md5 per token, bucket lookup, long sum. */
   def compute(arr: ArrayData, lr: ArrayData): Long = {
     val buckets = lr.numElements()
+    // registered as a user-callable SQL function: an empty model array must
+    // yield a clean 0 score, not an ArithmeticException in `h % buckets`
+    // crashing the task (ADVICE r9)
+    if (buckets == 0) return 0L
     var sum = 0L
     val n = arr.numElements()
     var i = 0
