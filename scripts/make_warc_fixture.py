@@ -115,6 +115,7 @@ def main():
     print(f"wrote {OUT_URLS}/cc-urls-000.warc and cc-urls-001.warc.gz")
 
     make_html_fixture()
+    make_block_fixture()
 
 
 # Third fixture (graft/warc_html): genuine HTML pages backing the
@@ -181,6 +182,59 @@ PAGE_C = """<html><head><title>C &lt;3 page</title></head><body>
 # </table> break lines, double &nbsp; collapses to one space
 PAGE_C_TITLE = "C <3 page"
 PAGE_C_TEXT = "k v\nDone here."
+
+
+# Fourth fixture (graft/warc_block): hosts exercising the URL/domain
+# blocklist gate (`url_filter` driver row) — the C4/RefinedWeb badlist
+# filter that runs before anything else touches the bytes. Blocklist
+# entries (WarcSource.UrlBlocklist): 'tracker.example' (registered-domain
+# rule) and 'spam.good.example' (exact-host rule). An entry blocks host h
+# iff h == entry OR h ends with '.' + entry (dot-boundary: the lookalike
+# 'nottracker.example' must NOT match 'tracker.example'). Expected audit
+# rows, derived BY HAND from the URLs below (host = lowercased URL host,
+# '' when absent; rule = the MOST SPECIFIC matching entry, '' when clean):
+#
+#   url                                   host                    blocked rule
+#   ''                                    ''                      false   ''
+#   http://ads.tracker.example/pixel      ads.tracker.example     true    tracker.example
+#   http://good.example/page              good.example            false   ''
+#   http://localhost/x                    localhost               false   ''
+#   http://nottracker.example/ok          nottracker.example      false   ''
+#   http://shop.spam.good.example/buy2    shop.spam.good.example  true    spam.good.example
+#   http://spam.good.example/buy          spam.good.example       true    spam.good.example
+#   http://tracker.example/lp             tracker.example         true    tracker.example
+#   https://Deep.Sub.TRACKER.example/x    deep.sub.tracker.example true   tracker.example
+def make_block_fixture():
+    out = os.path.join(os.path.dirname(__file__), "..", "src", "main",
+                       "resources", "graft", "warc_block")
+    os.makedirs(out, exist_ok=True)
+    part0 = (
+        # request record: excluded from documents
+        record("request", "http://good.example/page",
+               b"GET /page HTTP/1.1\r\nHost: good.example\r\n")
+        + record("response", "http://good.example/page", http("good page"))
+        + record("response", "http://tracker.example/lp", http("tracker lp"))
+        + record("response", "http://ads.tracker.example/pixel", http("pixel"))
+        # case-insensitive host normalization on a deep subdomain
+        + record("response", "https://Deep.Sub.TRACKER.example/x", http("deep"))
+        # lookalike host: suffix match must respect the dot boundary
+        + record("response", "http://nottracker.example/ok", http("lookalike"))
+    )
+    with open(os.path.join(out, "cc-block-000.warc"), "wb") as f:
+        f.write(part0)
+    part1 = (
+        record("response", "http://spam.good.example/buy", http("spam host"))
+        + record("response", "http://shop.spam.good.example/buy2",
+                 http("spam sub"))
+        # single-label host: the suffix chain degenerates to [host]
+        + record("response", "http://localhost/x", http("local"))
+        # no WARC-Target-URI: url '', host '', clean
+        + record("response", None, http("no url"))
+    )
+    with open(os.path.join(out, "cc-block-001.warc.gz"), "wb") as f:
+        with gzip.GzipFile(fileobj=f, mode="wb", mtime=0) as gz:
+            gz.write(part1)
+    print(f"wrote {out}/cc-block-000.warc and cc-block-001.warc.gz")
 
 
 def make_html_fixture():

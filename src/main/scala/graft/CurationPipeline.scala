@@ -49,13 +49,23 @@ object CurationPipeline {
   /** Runs the pipeline; returns the manifest row counts. */
   def run(spark: SparkSession, sfDir: String, outDir: String): Map[String, Long] = {
     import graft.operators.Curation
+    import org.apache.spark.sql.functions._
     // stage 1: curation (quality + language + dedup + decontamination
     // gates, all oracle-verified individually) — survivors keep their text
     // via a doc_id equi-join back to the raw table (co-hash join at scale)
     val survivors = Curation.curatedCorpus(spark, sfDir).select("doc_id")
     val corpusDir = s"$outDir/corpus"
+    // stage 1.5: Gopher/RefinedWeb intra-doc repetition removal — each
+    // survivor's OWN duplicated lines drop (trim_repeated_lines, itself
+    // oracle-verified); n_chars re-derives from the trimmed text so every
+    // downstream length signal sees the text that actually ships
     spark.read.parquet(s"$sfDir/documents.parquet")
       .join(survivors, "doc_id")
+      .join(Curation.trimRepeatedLines(spark, sfDir)
+        .select(col("doc_id"), col("trimmed_text")), "doc_id")
+      .select(col("doc_id"), col("trimmed_text").as("text"), col("lang"),
+        col("source"),
+        length(col("trimmed_text")).cast("long").as("n_chars"))
       .write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
 
     // stage 2: batch preparation over the curated corpus directory
@@ -98,7 +108,11 @@ object CurationPipeline {
   def runFromWarc(spark: SparkSession, warcDir: String, outDir: String): Map[String, Long] = {
     import org.apache.spark.sql.functions._
     val rawDir = s"$outDir/raw"
-    val warcDocs = graft.sources.WarcSource.documentsFromWarc(spark, warcDir)
+    // first stage of every production crawl pipeline: the URL/domain
+    // blocklist gate — blocked hosts never cost a quality score, a dedup
+    // probe or a byte of corpus storage (url_filter, oracle-verified)
+    val warcDocs = graft.sources.WarcSource.urlFilter(
+      graft.sources.WarcSource.documentsFromWarc(spark, warcDir))
     warcDocs
       .select(col("doc_id"),
         lit("und").as("lang"),

@@ -120,6 +120,63 @@ object Curation {
        |    AS trimmed_text
        |FROM marked GROUP BY 1""".stripMargin
 
+  // ---- within-doc repeated-line trimming (Gopher/RefinedWeb) -------------
+  /** INTRA-document line dedup — the Gopher/RefinedWeb repetition-removal
+    * end product `trim_segments` is NOT: where trim_segments drops
+    * segments duplicated across the CORPUS, this drops each document's
+    * OWN duplicated lines (nav bars, repeated boilerplate rows, copy-paste
+    * stutter), keeping the FIRST occurrence of every distinct line.
+    * `repetition_stats` measures this signal; this operator produces the
+    * trimmed text. Lines split on '\n' exactly (empty lines are lines:
+    * the second and later blank separators collapse, which is the
+    * documented Gopher behavior for duplicate-line removal).
+    *
+    * Scale: the first-occurrence mark is a (doc_id, line-hash)-keyed
+    * min-position window — keys are doc-local so the exchange is uniform
+    * and NEVER hotter than the doc's own line count; reassembly is the
+    * same doc-keyed sorted-struct rebuild as trim_segments. Two
+    * corpus-sized exchanges total, the operator's inherent cost (an
+    * adversarial all-duplicate-lines doc costs its own line count, capped
+    * by doc length — no cross-doc amplification by construction). */
+  def trimRepeatedLines(spark: SparkSession, dir: String): DataFrame = {
+    val lines = docs(spark, dir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\n", -1)).as(Seq("pos", "line")))
+    lines
+      // first occurrence per (doc, line): min(pos) over the 8-byte line
+      // hash — the window key is the hash on BOTH engines so a collision
+      // (astronomically unlikely) cannot make them disagree
+      .withColumn("first_pos", min(col("pos")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"), md5Long(col("line")))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("pos") > col("first_pos"), 1L).otherwise(0L))
+          .as("n_dropped"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(when(col("pos") === col("first_pos"),
+            struct(col("pos"), col("line"))))),
+          s => s.getField("line"))).as("trimmed_text"))
+  }
+  val trimRepeatedLinesSql: String =
+    s"""WITH lx AS (
+       |  SELECT doc_id, string_split(text, chr(10)) AS l FROM documents
+       |), lines AS (
+       |  SELECT doc_id, CAST(g.i AS BIGINT) AS pos, l[g.i] AS line
+       |  FROM lx, unnest(range(1, len(l) + 1)) AS g(i)
+       |), marked AS (
+       |  SELECT doc_id, pos, line,
+       |    min(pos) OVER (PARTITION BY doc_id, ${sqlMd5Long("line")})
+       |      AS first_pos
+       |  FROM lines
+       |)
+       |SELECT doc_id, count(*) AS n_lines,
+       |  CAST(sum(CASE WHEN pos > first_pos THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dropped,
+       |  coalesce(string_agg(line, chr(10) ORDER BY pos)
+       |    FILTER (WHERE pos = first_pos), '') AS trimmed_text
+       |FROM marked GROUP BY 1""".stripMargin
+
   /** Per-doc duplication profile: how many of the doc's segments also occur
     * elsewhere in the corpus (counting every occurrence of a segment whose
     * corpus-wide count exceeds 1). The aggregate a curation pipeline

@@ -255,27 +255,40 @@ object Selection {
     * round to 6 decimals and narrow through DECIMAL(14,6) so ordering and
     * the top-N cutoff are bit-identical across engines (doc discipline:
     * SURVEY §6). */
+  /** FULL Kneser–Ney probability table (bigram, n, p_kn), materialized per
+    * (session, corpus): [[knBigramTop]] reads its top rows and
+    * [[knPerplexity]] scores every document against it — the smoothed
+    * model IS the reusable artifact a production CCNet-style filter trains
+    * once and scores with everywhere (at 100 TB: a parquet table the size
+    * of the vocabulary's bigram support, written once). */
+  private val knModelCache = Materialized.register(
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
+  private[operators] def knModel(spark: SparkSession, dir: String): DataFrame =
+    Materialized.cached(knModelCache, spark, dir) {
+      val c2 = TextAnalysis.bigramCounts(spark, dir)
+        .select(col("bigram"), col("n"),
+          substring_index(col("bigram"), " ", 1).as("w1"),
+          substring_index(col("bigram"), " ", -1).as("w2"))
+      val c1 = c2.groupBy("w1")
+        .agg(sum(col("n")).as("n1"), count(lit(1)).as("nfollow"))
+      val cont = c2.groupBy("w2").agg(count(lit(1)).as("ncont"))
+      val types = c2.agg(count(lit(1)).as("t_types"))
+      c2.join(c1.hint("shuffle_hash"), "w1")
+        .join(cont.hint("shuffle_hash"), "w2")
+        .crossJoin(broadcast(types))
+        .select(col("bigram"), col("n"),
+          round(
+            greatest(col("n").cast("double") - KnDiscount, lit(0d))
+                / col("n1").cast("double")
+              + (lit(KnDiscount) * col("nfollow").cast("double")
+                / col("n1").cast("double"))
+                * (col("ncont").cast("double") / col("t_types").cast("double")),
+            6).cast("decimal(14,6)").cast("double").as("p_kn"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   def knBigramTop(spark: SparkSession, dir: String): DataFrame = {
-    val c2 = TextAnalysis.bigramCounts(spark, dir)
-      .select(col("bigram"), col("n"),
-        substring_index(col("bigram"), " ", 1).as("w1"),
-        substring_index(col("bigram"), " ", -1).as("w2"))
-    val c1 = c2.groupBy("w1")
-      .agg(sum(col("n")).as("n1"), count(lit(1)).as("nfollow"))
-    val cont = c2.groupBy("w2").agg(count(lit(1)).as("ncont"))
-    val types = c2.agg(count(lit(1)).as("t_types"))
-    val pkn = c2
-      .join(c1.hint("shuffle_hash"), "w1")
-      .join(cont.hint("shuffle_hash"), "w2")
-      .crossJoin(broadcast(types))
-      .select(col("bigram"), col("n"),
-        round(
-          greatest(col("n").cast("double") - KnDiscount, lit(0d))
-              / col("n1").cast("double")
-            + (lit(KnDiscount) * col("nfollow").cast("double")
-              / col("n1").cast("double"))
-              * (col("ncont").cast("double") / col("t_types").cast("double")),
-          6).cast("decimal(14,6)").cast("double").as("p_kn"))
+    val pkn = knModel(spark, dir)
     pkn.orderBy(col("p_kn").desc, col("bigram")).limit(KnTopN)
       .select(struct(negate(col("p_kn")).as("np"), col("bigram").as("bigram"),
         col("n").as("n"), col("p_kn").as("p_kn")).as("s"))
@@ -284,13 +297,15 @@ object Selection {
       .select(col("s.bigram").as("bigram"), col("s.n").as("n"),
         col("s.p_kn").as("p_kn"), (col("pos") + 1).cast("long").as("rk"))
   }
-  val knBigramTopSql: String =
-    s"""WITH toks AS (
+  /** Shared CTE chain of the KN model (identical math to [[knModel]]);
+    * `bg` carries doc_id so the scoring queries can join back to it. */
+  private val knCtes: String =
+    s"""toks AS (
        |  SELECT doc_id, list_filter(list_transform(
        |    string_split_regex(text, '\\s+'), t -> lower(t)), t -> t <> '') AS t
        |  FROM documents
-       |), bg AS (
-       |  SELECT g.b AS bigram
+       |), bg AS MATERIALIZED (
+       |  SELECT doc_id, g.b AS bigram
        |  FROM toks, unnest(list_transform(range(1, len(t)),
        |    i -> t[i] || ' ' || t[i + 1])) AS g(b)
        |  WHERE len(t) >= 2
@@ -304,7 +319,7 @@ object Selection {
        |  SELECT w2, count(*) AS ncont FROM c2 GROUP BY 1
        |), types AS (
        |  SELECT count(*) AS t_types FROM c2
-       |), pkn AS (
+       |), pkn AS MATERIALIZED (
        |  SELECT bigram, n, CAST(CAST(round(
        |      greatest(CAST(n AS DOUBLE) - $KnDiscount, 0.0)
        |          / CAST(n1 AS DOUBLE)
@@ -312,10 +327,97 @@ object Selection {
        |          * (CAST(ncont AS DOUBLE) / CAST(t_types AS DOUBLE)),
        |      6) AS DECIMAL(14,6)) AS DOUBLE) AS p_kn
        |  FROM c2 JOIN c1 USING (w1) JOIN cont USING (w2) CROSS JOIN types
-       |)
+       |)""".stripMargin
+  val knBigramTopSql: String =
+    s"""WITH $knCtes
        |SELECT bigram, n, p_kn,
        |  CAST(row_number() OVER (ORDER BY p_kn DESC, bigram) AS BIGINT) AS rk
        |FROM pkn ORDER BY p_kn DESC, bigram LIMIT $KnTopN""".stripMargin
+
+  // ---- Kneser–Ney document scoring (the production CCNet filter) --------
+  /** Score each document under the SMOOTHED Kneser–Ney bigram model — what
+    * the production CCNet filter actually scores with ([[lmPerplexity]]
+    * scores the raw MLE model; smoothing is what makes the score
+    * transferable to text the model hasn't memorized). Same output shape
+    * and §6 discipline as `lm_perplexity`: per-bigram lp = ln(p_kn)
+    * rounded to exact 4-dp decimals, so the per-doc sum is deterministic
+    * under any fold order; `ppl = exp(-sum_lp/n_bigrams)` is derivable by
+    * any consumer. Docs with <2 tokens have no bigrams and no row.
+    *
+    * Scale: scoring is the map-side join of the corpus bigram explode
+    * against the materialized [[knModel]] — the model is
+    * vocabulary-bounded but too big to broadcast at 100 TB, hence the
+    * pinned shuffle_hash; one doc-keyed rollup finishes. The model itself
+    * amortizes across every scoring run (and is shared with
+    * `kn_bigram_top`). */
+  private val knPplCache = Materialized.register(
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
+  def knPerplexity(spark: SparkSession, dir: String): DataFrame =
+    Materialized.cached(knPplCache, spark, dir) {
+      val p = knModel(spark, dir).select(col("bigram"),
+        round(log(col("p_kn")), 4).cast("decimal(18,4)").as("lp"))
+      TextAnalysis.docBigrams(spark, dir)
+        .join(p.hint("shuffle_hash"), "bigram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("lp")).cast("decimal(18,4)").cast("double").as("sum_lp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+  /** knCtes + the per-bigram log-prob projection, shared with
+    * [[knBucketsSql]]. */
+  private val knScoreCtes: String =
+    s"""$knCtes, p AS (
+       |  SELECT bigram, CAST(round(ln(p_kn), 4) AS DECIMAL(18,4)) AS lp
+       |  FROM pkn
+       |)""".stripMargin
+  val knPerplexitySql: String =
+    s"""WITH $knScoreCtes
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  CAST(CAST(sum(lp) AS DECIMAL(18,4)) AS DOUBLE) AS sum_lp
+       |FROM bg JOIN p USING (bigram) GROUP BY 1""".stripMargin
+
+  /** CCNet bucketing under the KN model — [[perplexityBuckets]] with the
+    * smoothed score: per-language head/middle/tail tertiles over the
+    * KN nll. Same exact-integer nll_e4 and broadcast-threshold shape. */
+  def knBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val scored = knPerplexity(spark, dir)
+      .join(docs(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"),
+        expr("CAST(round(-sum_lp * 10000, 0) AS BIGINT) div n_bigrams")
+          .as("nll_e4"))
+    val thr = scored.groupBy("lang").agg(
+      expr(s"percentile(nll_e4, $HeadPct)")
+        .cast("decimal(14,4)").cast("double").as("t_head"),
+      expr(s"percentile(nll_e4, $TailPct)")
+        .cast("decimal(14,4)").cast("double").as("t_tail"))
+    scored.join(broadcast(thr), "lang")
+      .select(col("doc_id"), col("lang"), col("nll_e4"),
+        when(col("nll_e4") <= col("t_head"), "head")
+          .when(col("nll_e4") <= col("t_tail"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+  val knBucketsSql: String =
+    s"""WITH $knScoreCtes, kpp AS (
+       |  SELECT doc_id, count(*) AS n_bigrams,
+       |    CAST(CAST(sum(lp) AS DECIMAL(18,4)) AS DOUBLE) AS sum_lp
+       |  FROM bg JOIN p USING (bigram) GROUP BY 1
+       |), scored AS MATERIALIZED (
+       |  SELECT d.doc_id, d.lang,
+       |    CAST(round(-sum_lp * 10000, 0) AS BIGINT) // n_bigrams AS nll_e4
+       |  FROM kpp JOIN documents d ON kpp.doc_id = d.doc_id
+       |), thr AS (
+       |  SELECT lang,
+       |    CAST(CAST(quantile_cont(nll_e4, $HeadPct) AS DECIMAL(14,4))
+       |      AS DOUBLE) AS t_head,
+       |    CAST(CAST(quantile_cont(nll_e4, $TailPct) AS DECIMAL(14,4))
+       |      AS DOUBLE) AS t_tail
+       |  FROM scored GROUP BY 1
+       |)
+       |SELECT doc_id, s.lang, nll_e4,
+       |  CASE WHEN nll_e4 <= t_head THEN 'head'
+       |       WHEN nll_e4 <= t_tail THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM scored s JOIN thr ON s.lang = thr.lang""".stripMargin
 
   // ---- composed end product: the corpus a training run actually reads ----
   /** CCNet buckets the selection keeps (the tail is dropped). */

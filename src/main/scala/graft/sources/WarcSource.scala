@@ -257,16 +257,18 @@ object WarcSource {
         regexp_replace(col("block").cast("string"),
           "(?s)^.*?(\r?\n){2}", "").as("text"))
 
-  /** Continuous crawl→curation feed: [[documentsFromWarcStream]] wired
-    * into [[graft.streaming.DocsStream.ingestPipeline]] (quality gate →
-    * watermarked content dedup), with the WARC capture timestamp as event
-    * time. This is the full production shape end-to-end: a fetcher drops
-    * `.warc.gz` files in a landing directory, and curated novel documents
-    * stream out the other side — no batch reprocessing of the whole
-    * corpus per increment. */
+  /** Continuous crawl→curation feed: [[documentsFromWarcStream]] through
+    * the [[urlFilter]] blocklist gate (the first stage of every production
+    * crawl pipeline — blocked hosts never cost a quality score or a dedup
+    * probe) into [[graft.streaming.DocsStream.ingestPipeline]] (quality
+    * gate → watermarked content dedup), with the WARC capture timestamp as
+    * event time. This is the full production shape end-to-end: a fetcher
+    * drops `.warc.gz` files in a landing directory, and curated novel
+    * documents stream out the other side — no batch reprocessing of the
+    * whole corpus per increment. */
   def warcIngestStream(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.DocsStream.ingestPipeline(
-      documentsFromWarcStream(spark, dir)
+      urlFilter(documentsFromWarcStream(spark, dir))
         .withColumn("ingest_ts", to_timestamp(col("warc_date"))))
 
   /** Archival WRITE path — the sink half of the V2 connector
@@ -316,6 +318,66 @@ object WarcSource {
     regexp_replace(noQuery, "/$", "")
   }
 
+  // ---- URL/domain blocklist gate (C4/RefinedWeb badlist filter) ---------
+  /** The committed blocklist backing the `url_filter` driver row: one
+    * registered-domain entry (blocks the domain and every subdomain) and
+    * one exact-host-shaped entry (suffix semantics still apply — its
+    * subdomains block too, which is what badlists intend). Production
+    * lists (C4's badwords-domains, RefinedWeb's blocklists) are the same
+    * shape, just longer. */
+  val UrlBlocklist: Seq[String] = Seq("tracker.example", "spam.good.example")
+
+  /** The dot-boundary suffix chain of a host: `a.b.example.com` →
+    * `[a.b.example.com, b.example.com, example.com]` (every suffix with
+    * ≥2 labels; a single-label host degenerates to `[host]`). Matching an
+    * entry against this chain is exact-host AND registered-domain-suffix
+    * matching in one membership test, with the dot boundary built in —
+    * `nottracker.example` can never match entry `tracker.example` (the
+    * classic endsWith bug). Row-local array math inside codegen. */
+  def hostSuffixes(host: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    when(n >= 2,
+      transform(sequence(lit(0), n - 2),
+        i => array_join(slice(labels, i + 1, n), ".")))
+      .otherwise(array(host))
+  }
+
+  /** The MOST SPECIFIC blocklist entry matching the url's host, or '' when
+    * clean (the suffix chain lists the host itself first). The list rides
+    * as a literal array — row-local, zero exchange, the right shape for
+    * lists up to a few thousand entries; a PSL-scale list (C4's ~400k
+    * domains) swaps the literal for `explode(hostSuffixes)` + a broadcast
+    * equi-join on the suffix + a doc-keyed anti join, same semantics. */
+  def urlBlockRule(url: org.apache.spark.sql.Column,
+      blocklist: Seq[String]): org.apache.spark.sql.Column = {
+    val entries = array(blocklist.map(lit): _*)
+    coalesce(
+      get(filter(hostSuffixes(hostCol(url)), s => array_contains(entries, s)),
+        lit(0)),
+      lit(""))
+  }
+
+  /** First-stage crawl gate: drop every document whose URL host matches the
+    * blocklist (exact host or any registered-domain suffix). This is the
+    * filter production pipelines run BEFORE anything else touches the
+    * bytes — map-only, fused into the scan, so blocked hosts never cost a
+    * parse or a shuffle downstream. */
+  def urlFilter(docs: DataFrame,
+      blocklist: Seq[String] = UrlBlocklist): DataFrame =
+    docs.where(urlBlockRule(col("url"), blocklist) === "")
+
+  /** Audit form of [[urlFilter]]: one verdict row per document — host,
+    * blocked flag and the matched rule ('' when clean). What a curation
+    * run logs so a blocked-host census is reviewable. */
+  def urlFilterAudit(docs: DataFrame,
+      blocklist: Seq[String] = UrlBlocklist): DataFrame =
+    docs
+      .select(col("url"), hostCol(col("url")).as("host"),
+        urlBlockRule(col("url"), blocklist).as("rule"))
+      .select(col("url"), col("host"), (col("rule") =!= "").as("blocked"),
+        col("rule"))
+
   /** URL-level exact dedup over any frame with a `url` column: one row per
     * canonical URL with the kept representative (min url string — a
     * deterministic choice), fetch count and distinct raw spellings. The
@@ -348,7 +410,7 @@ object WarcSource {
     * the query works from any working directory and from an assembled jar;
     * binaryFile needs a filesystem path, so they are materialized once per
     * JVM into a temp dir, byte-for-byte. */
-  private def materializeFixture(sub: String, files: Seq[String]): String = {
+  private[sources] def materializeFixture(sub: String, files: Seq[String]): String = {
     val d = java.nio.file.Files.createTempDirectory(s"graft-$sub-fixture")
     d.toFile.deleteOnExit()
     files.foreach { name =>
@@ -371,6 +433,12 @@ object WarcSource {
     * `<br>` spellings, entities, a plain-text record and an empty body). */
   lazy val FixtureHtmlDir: String =
     materializeFixture("warc_html", Seq("cc-html-000.warc", "cc-html-001.warc.gz"))
+  /** Blocklist fixture corpus backing `url_filter` (same generator script;
+    * blocked domain + subdomains, a dot-boundary lookalike, an exact-host
+    * entry with its own subdomain, host-case variants, a single-label host
+    * and a no-URL record). */
+  lazy val FixtureBlockDir: String =
+    materializeFixture("warc_block", Seq("cc-block-000.warc", "cc-block-001.warc.gz"))
 
   /** Driver-contract query: per-host rollup of the committed WARC fixture.
     * Ignores `dir` — WARC is a raw-file source, not an sfDir parquet table
@@ -448,6 +516,38 @@ object WarcSource {
       |  ('http://site-c.example/nested', 'C <3 page',
       |   E'k v\nDone here.', 14))
       |  AS t(url, title, text, n_chars)""".stripMargin
+
+  /** Driver-contract query: blocklist verdicts ([[urlFilterAudit]] under
+    * [[UrlBlocklist]]) over the committed blocklist fixture. Ignores `dir`
+    * like [[warcHostStats]] — WARC is a raw-file source, not an sfDir
+    * table. */
+  def urlFilterQ(spark: SparkSession, dir: String): DataFrame =
+    urlFilterAudit(documentsFromWarc(spark, FixtureBlockDir))
+
+  /** Oracle: exact VALUES literal, hand-derived in
+    * scripts/make_warc_fixture.py from the fixture's URLs and the
+    * documented blocklist semantics — independently of hostSuffixes /
+    * urlBlockRule — so this row checks host normalization, the
+    * dot-boundary suffix match (the lookalike must stay clean), the
+    * most-specific-rule report, the single-label degenerate chain and the
+    * no-URL record. */
+  val urlFilterSql: String =
+    """SELECT url, host, blocked, rule FROM (VALUES
+      |  ('', '', false, ''),
+      |  ('http://ads.tracker.example/pixel', 'ads.tracker.example', true,
+      |   'tracker.example'),
+      |  ('http://good.example/page', 'good.example', false, ''),
+      |  ('http://localhost/x', 'localhost', false, ''),
+      |  ('http://nottracker.example/ok', 'nottracker.example', false, ''),
+      |  ('http://shop.spam.good.example/buy2', 'shop.spam.good.example', true,
+      |   'spam.good.example'),
+      |  ('http://spam.good.example/buy', 'spam.good.example', true,
+      |   'spam.good.example'),
+      |  ('http://tracker.example/lp', 'tracker.example', true,
+      |   'tracker.example'),
+      |  ('https://Deep.Sub.TRACKER.example/x', 'deep.sub.tracker.example',
+      |   true, 'tracker.example'))
+      |  AS t(url, host, blocked, rule)""".stripMargin
 
   val warcUrlDedupSql: String =
     """SELECT canon_url, keep_url, CAST(n_fetches AS BIGINT) AS n_fetches,

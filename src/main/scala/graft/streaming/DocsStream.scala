@@ -370,6 +370,18 @@ object DocsStream {
       .toDF("doc_id", "host", "text")
   }
 
+  /** URL/domain blocklist admission gate — the streaming twin of
+    * [[graft.sources.WarcSource.urlFilter]] (the C4/RefinedWeb badlist
+    * filter every production crawl runs FIRST). Stateless and map-only:
+    * the blocklist rides as a literal array inside codegen, so blocked
+    * hosts are dropped at the scan before any stateful operator (quality,
+    * dedup, host cap) holds a byte for them. Input needs a `url` column;
+    * batch≡stream by construction since both call the same expression
+    * (locked by spec). */
+  def urlBlockGate(docs: DataFrame,
+      blocklist: Seq[String] = graft.sources.WarcSource.UrlBlocklist): DataFrame =
+    graft.sources.WarcSource.urlFilter(docs, blocklist)
+
   /** The composed ingest pipeline: quality gate → content dedup — what a
     * training-data feed runs before documents reach the corpus store.
     * With a probe set, decontamination runs between the two. */

@@ -34,6 +34,34 @@ class CurationSpec extends SparkTestBase {
     assert(rows(4L) == ((1L, 0L, "totally different short text")))
   }
 
+  test("trim_repeated_lines keeps exactly each doc's first line occurrences") {
+    val sf = "/root/testdata/sf0.001"
+    val expected = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect().map { r =>
+        val lines = r.getString(1).split("\n", -1)
+        val seen = scala.collection.mutable.HashSet.empty[String]
+        val kept = lines.filter(seen.add)
+        Seq[Any](r.getLong(0), lines.length.toLong,
+          (lines.length - kept.length).toLong, kept.mkString("\n"))
+      }.toSet
+    assert(collectSet(Curation.trimRepeatedLines(spark, sf)) == expected)
+  }
+
+  test("trim_repeated_lines adversarial docs: all-duplicate, all-blank, interleaved") {
+    val d = writeDocsFixture(Seq(
+      1L -> "a\na\na\na", // all lines identical: one survives
+      2L -> "\n\n\n", // four empty lines: blank separators collapse to one
+      3L -> "solo", // nothing to trim
+      4L -> "x\ny\nx\ny\nz")) // interleaved repeats: order of firsts kept
+    val got = Curation.trimRepeatedLines(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(1L) == ((4L, 3L, "a")))
+    assert(got(2L) == ((4L, 3L, "")))
+    assert(got(3L) == ((1L, 0L, "solo")))
+    assert(got(4L) == ((5L, 2L, "x\ny\nz")))
+  }
+
   test("train_split assigns deterministic md5 splits at the e4 thresholds") {
     val sfDir = "/root/testdata/sf0.001"
     def md5Long(s: String): Long = {

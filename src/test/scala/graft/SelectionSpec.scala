@@ -152,6 +152,54 @@ class SelectionSpec extends SparkTestBase {
     assert(mass < 1.0 + 1e-9)
   }
 
+  test("kn_perplexity matches an independent in-memory KN scorer; " +
+      "kn_buckets tertile-cuts it per language") {
+    // the smoothed model, re-derived from scratch (no shared Spark code)
+    val byDoc = corpus.map { case (id, _, t) =>
+      id -> t.sliding(2).filter(_.length == 2).map(p => p(0) + " " + p(1)).toSeq
+    }.filter(_._2.nonEmpty)
+    val c2 = byDoc.flatMap(_._2).groupBy(identity)
+      .map { case (b, xs) => b -> xs.size.toLong }
+    val c1 = c2.toSeq.groupBy(_._1.split(" ", 2)(0))
+      .map { case (w, xs) => w -> (xs.map(_._2).sum, xs.size.toLong) }
+    val cont = c2.toSeq.groupBy(_._1.split(" ", 2)(1))
+      .map { case (w, xs) => w -> xs.size.toLong }
+    val tTypes = c2.size.toDouble
+    val lp = c2.map { case (b, n) =>
+      val Array(w1, w2) = b.split(" ", 2)
+      val (n1, nfollow) = c1(w1)
+      val p = math.max(n - Selection.KnDiscount, 0d) / n1 +
+        (Selection.KnDiscount * nfollow / n1) * (cont(w2) / tTypes)
+      val p6 = BigDecimal(p).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      b -> round4(math.log(p6))
+    }
+    val sumLp = byDoc.map { case (id, bs) => id -> bs.map(lp).sum }.toMap
+    val expected = byDoc.map { case (id, bs) =>
+      Seq[Any](id, bs.size.toLong, sumLp(id).toDouble)
+    }.toSet
+    assert(collectSet(Selection.knPerplexity(spark, dir)) == expected)
+
+    // tertile buckets over the KN nll, per language
+    val langOf = corpus.map(c => c._1 -> c._2).toMap
+    val nll = byDoc.map { case (id, bs) =>
+      id -> (-sumLp(id) * 10000).toLongExact / bs.size
+    }.toMap
+    val thr = nll.toSeq.groupBy { case (id, _) => langOf(id) }
+      .map { case (l, xs) =>
+        val sorted = xs.map(_._2).sorted.toIndexedSeq
+        l -> ((pct(sorted, Selection.HeadPct), pct(sorted, Selection.TailPct)))
+      }
+    val expB = nll.map { case (id, v) =>
+      val (h, t) = thr(langOf(id))
+      Seq[Any](id, langOf(id), v,
+        if (v <= h) "head" else if (v <= t) "middle" else "tail")
+    }.toSet
+    assert(collectSet(Selection.knBuckets(spark, dir)) == expB)
+    // the smoothed score must actually differ from the MLE one somewhere —
+    // otherwise this operator family would be redundant with lm_perplexity
+    assert(nll.exists { case (id, v) => bruteNllE4.get(id).exists(_ != v) })
+  }
+
   // ---- composed end product ----------------------------------------------
 
   test("selected_corpus composes the three signals exactly, keep-by-default semantics") {

@@ -74,6 +74,19 @@ class SourcesAndStreamingSpec extends SparkTestBase {
     assert(viaJsonl == viaParquet && viaJsonl.nonEmpty)
   }
 
+  test("jsonl_ingest: the committed fixture reads gz+plain parts, unicode, " +
+      "escapes, and the corrupt line as exactly one all-null row") {
+    val got = graft.sources.JsonlSource.jsonlIngest(spark, "")
+      .collect().map(_.toSeq)
+    assert(got.length == 6)
+    assert(got.count(_.forall(_ == null)) == 1) // PERMISSIVE corrupt line
+    val byId = got.filter(_.head != null)
+      .map(r => r.head.asInstanceOf[Long] -> r).toMap
+    assert(byId(4L)(4) == "unicode ü ß")
+    assert(byId(5L)(4) == "tab\tand\nnewline")
+    assert(byId(3L)(4) == "" && byId(3L)(3) == 0L)
+  }
+
   test("streaming windowed counts with watermark") {
     val input = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
     val df = input.toDF().toDF("ts", "event_type", "value")

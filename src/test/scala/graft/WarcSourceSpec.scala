@@ -452,6 +452,53 @@ class WarcSourceSpec extends SparkTestBase {
     assert(got("beta.example/a")._2 == 1L)
   }
 
+  test("url_filter: dot-boundary blocklist verdicts on the committed fixture; " +
+      "the gate keeps exactly the audit's clean set") {
+    val docs = WarcSource.documentsFromWarc(spark, WarcSource.FixtureBlockDir)
+    val audit = WarcSource.urlFilterAudit(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2), r.getString(3)))
+    val byUrl = audit.map(a => a._1 -> a).toMap
+    // the lookalike host must survive the registered-domain rule (the
+    // classic endsWith-without-the-dot bug)
+    assert(byUrl("http://nottracker.example/ok")._3 == false)
+    // a deep subdomain with mixed case is blocked by the domain rule
+    assert(byUrl("https://Deep.Sub.TRACKER.example/x") ==
+      (("https://Deep.Sub.TRACKER.example/x", "deep.sub.tracker.example",
+        true, "tracker.example")))
+    // the MOST SPECIFIC matching entry is the one reported
+    assert(byUrl("http://shop.spam.good.example/buy2")._4 == "spam.good.example")
+    // single-label host and the no-URL record stay clean
+    assert(byUrl("http://localhost/x")._3 == false)
+    assert(byUrl("")._3 == false && byUrl("")._2 == "")
+    // gate ≡ audit: urlFilter keeps exactly the clean URLs
+    val kept = WarcSource.urlFilter(docs)
+      .select("url").collect().map(_.getString(0)).toSet
+    // 4 clean of 9: good.example, the lookalike, localhost, the no-URL row
+    assert(kept == audit.filter(!_._3).map(_._1).toSet && kept.size == 4)
+  }
+
+  test("urlBlockGate streaming twin replays equal to the batch url filter") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = Seq(
+      (1L, "http://good.example/a", "keep me"),
+      (2L, "http://ads.tracker.example/p", "drop me"),
+      (3L, "http://nottracker.example/b", "keep me too"),
+      (4L, "http://spam.good.example/c", "drop me too"))
+    val input = MemoryStream[(Long, String, String)](spark)
+    val q = graft.streaming.DocsStream.urlBlockGate(
+      input.toDF().toDF("doc_id", "url", "text"))
+      .writeStream.format("memory").queryName("urlgate")
+      .outputMode("append").start()
+    input.addData(rows: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("urlgate")
+      .collect().map(_.getLong(0)).toSet
+    val batch = WarcSource.urlFilter(rows.toDF("doc_id", "url", "text"))
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed == batch && batch == Set(1L, 3L))
+  }
+
   private def extractOne(html: String): (String, String) = {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
