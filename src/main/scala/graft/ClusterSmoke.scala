@@ -76,12 +76,40 @@ object ClusterSmoke {
                           // broadcast → positional adjacency shuffle
     "scorer_agreement",   // TokenProfileHits reference-object lookup map
                           // rebuilt on executor classloaders + hashed fold
-    "split_leakage")      // pair-graph broadcast × row-local split frame
+    "split_leakage",      // pair-graph broadcast × row-local split frame
                           // joined twice across JVMs
+    "url_filter",         // blocklist fixture: classpath materialization +
+                          // literal-array suffix match on executor JVMs
+    "jsonl_ingest",       // JSONL fixture: gz+plain parts + PERMISSIVE
+                          // corrupt-row handling on executor classloaders
+    "kn_perplexity",      // materialized KN model joined corpus-wide
+    "trim_repeated_lines")// doc-local line-hash window + sorted rebuild
 
   private def warcDocCount(spark: SparkSession): Long =
     graft.sources.WarcSource
       .documentsFromWarc(spark, graft.sources.WarcSource.FixtureDir).count()
+
+  /** Value-level frame fingerprint (VERDICT r9 #6): row-count equality
+    * alone would pass a cross-JVM VALUE divergence (a non-deterministic
+    * fold order, a locale-dependent format). Each row canonicalizes to a
+    * name-sorted, null-marked string, hashes to sha256, and the first 15
+    * hex digits fold through an order-free multiplicity-sensitive SUM
+    * (decimal(38,0): no overflow, and this is an intra-Spark compare so
+    * the driver's no-DECIMAL output rule doesn't apply). One distributed
+    * aggregate per query — no driver-side collect of the frame. */
+  private def fingerprint(df: org.apache.spark.sql.DataFrame): (Long, String) = {
+    import org.apache.spark.sql.functions._
+    val cols = df.columns.sorted.map(c =>
+      coalesce(col(c).cast("string"), lit("NULL")))
+    val r = df
+      .select(sha2(concat_ws("\u001f", cols.toSeq: _*), 256).as("h"))
+      .select(expr("CAST(conv(substring(h, 1, 15), 16, 10) AS BIGINT)").as("hl"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("hl").cast("decimal(38,0)")).as("s"))
+      .collect()(0)
+    (r.getLong(0),
+      Option(r.getDecimal(1)).map(_.toBigInteger.toString).getOrElse("0"))
+  }
 
   private def sessionBase(): SparkSession.Builder = SparkSession.builder()
     .config("spark.sql.shuffle.partitions", "8")
@@ -101,7 +129,7 @@ object ClusterSmoke {
       .appName("graft-cluster-smoke-local").getOrCreate()
     val expected =
       try SmokeQueries.map(q =>
-        q -> SparkEntry.queries(q)(local, sfDir).count()).toMap
+        q -> fingerprint(SparkEntry.queries(q)(local, sfDir))).toMap
       finally local.stop()
 
     // Pass 2 — the same queries on two real worker processes.
@@ -110,7 +138,7 @@ object ClusterSmoke {
       .getOrCreate()
     try {
       val got = SmokeQueries.map(q =>
-        q -> SparkEntry.queries(q)(spark, sfDir).count()).toMap
+        q -> fingerprint(SparkEntry.queries(q)(spark, sfDir))).toMap
       // WARC sink round-trip: the DSv2 WriteBuilder/WriterFactory must
       // serialize to real executor JVMs, temps must publish via driver-side
       // job commit, and the V2 reader must see exactly the written records
@@ -128,12 +156,12 @@ object ClusterSmoke {
       val executors = spark.sparkContext.statusTracker.getExecutorInfos
         .map(_.host()).length
       val counts = SmokeQueries
-        .map(q => s""""$q":${got(q)}""").mkString(",")
+        .map(q => s""""$q":[${got(q)._1},"${got(q)._2}"]""").mkString(",")
       println(s"""{"smoke":"local-cluster[2,4,2048]",$counts,"warc_sink_roundtrip":$sinkRt,"executors":$executors}""")
       SmokeQueries.foreach { q =>
-        require(got(q) > 0, s"$q returned no rows on local-cluster")
+        require(got(q)._1 > 0, s"$q returned no rows on local-cluster")
         require(got(q) == expected(q),
-          s"$q: local-cluster rows ${got(q)} != local[4] rows ${expected(q)}")
+          s"$q: local-cluster (rows,fp) ${got(q)} != local[4] ${expected(q)}")
       }
       require(sinkRt == warcDocCount(spark),
         "warc sink round-trip lost records on local-cluster")

@@ -247,46 +247,142 @@ object SuffixRepeats {
       CensusChain(bits, ladder, specs.toSeq)
     })
 
+  // ---- per-level checkpointing (build resumability, VERDICT r9 #7) ------
+  /** Scratch base for the per-level checkpoints, or None when
+    * checkpointing is off. Engaged when `graft.scratchDir` is configured
+    * (the cluster deployment signal — executor/cache loss is routine
+    * there and a mid-build loss must not recompute from the corpus) or
+    * `graft.suffixCheckpoint=true` forces it (specs, local durability).
+    * Off by default in plain local runs: there a cache loss IS a process
+    * loss, and the per-level parquet writes would tax the build for a
+    * resume that can never happen. The tag keys on the CORPUS PATH (not
+    * the session) so a restarted driver resumes; mutating a corpus under
+    * the same path requires clearing the scratch dir, the standard
+    * checkpoint contract. */
+  private def levelCkptBase(spark: SparkSession, dir: String): Option[String] = {
+    val enabled =
+      spark.conf.getOption("graft.suffixCheckpoint").exists(_.toBoolean) ||
+        spark.conf.getOption("graft.scratchDir").isDefined
+    if (!enabled) None
+    else {
+      val base = spark.conf.getOption("graft.scratchDir").getOrElse(
+        s"${sys.props("java.io.tmpdir")}/graft-scratch-${spark.sparkContext.applicationId}")
+      Some(s"$base/suffix-${(dir.hashCode & 0x7fffffff).toHexString}")
+    }
+  }
+
+  /** A level is COMPLETED only once its marker exists — the marker is
+    * written after the parquet job commits, so a crash mid-write leaves
+    * an uncommitted directory that resume ignores and overwrites. The
+    * marker byte carries the level's hasValidDup flag (loop-continuation
+    * state). Hadoop FS API: works on local fs and HDFS/S3 alike. */
+  private def markerPath(levelDir: String) =
+    new org.apache.hadoop.fs.Path(s"$levelDir/_graft_level_done")
+  private def writeMarker(spark: SparkSession, levelDir: String,
+      dup: Boolean): Unit = {
+    val p = markerPath(levelDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val o = fs.create(p, true)
+    try o.writeBytes(if (dup) "1" else "0") finally o.close()
+  }
+  private def readMarker(spark: SparkSession, levelDir: String): Option[Boolean] = {
+    val p = markerPath(levelDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(in.readByte() == '1') finally in.close()
+    }
+  }
+
+  /** Finish one constructed level: with checkpointing on, the active set
+    * is written to scratch and the level REROOTS at the file scan (the
+    * durableFinish discipline) — the sort cache is released immediately,
+    * so an executor loss recomputes from a bounded parquet read, never
+    * from the corpus; without, the level stays the cache-backed frame. */
+  private def finishLevel(spark: SparkSession, ckpt: Option[String],
+      block: Long, r: RangeRank.Ranked): Level = ckpt match {
+    case None => Level(block, r.frame, r.hasValidDup, r.storage)
+    case Some(base) =>
+      val p = s"$base/level-$block"
+      r.frame.write.mode("overwrite").parquet(p)
+      writeMarker(spark, p, r.hasValidDup)
+      r.storage.unpersist(blocking = false)
+      Level(block, spark.read.parquet(p), r.hasValidDup,
+        spark.sparkContext.emptyRDD)
+  }
+
+  /** The consecutive chain of COMPLETED levels on scratch, from rankStart
+    * up — what a resumed build starts from instead of the corpus. */
+  private def loadCompletedLevels(spark: SparkSession, base: String,
+      rankStart: Long): Seq[Level] = {
+    val out = scala.collection.mutable.ListBuffer.empty[Level]
+    var b = rankStart
+    var go = true
+    while (go && b > 0 && b <= MaxBlock) {
+      val p = s"$base/level-$b"
+      readMarker(spark, p) match {
+        case Some(dup) =>
+          out += Level(b, spark.read.parquet(p), dup,
+            spark.sparkContext.emptyRDD)
+          go = dup // after a no-dup level no further level was ever built
+          b *= 2
+        case None => go = false
+      }
+    }
+    out.toSeq
+  }
+
   /** Ranked doubling levels from the chain's rankStart up, materialized
     * per (session, corpus); empty when the census chain already died (then
     * the censuses fully describe the spectrum). Construction stops when a
     * level has no within-document duplicate block (longer repeats are then
     * impossible — the flag falls out of the rank pass itself), or at
-    * [[MaxBlock]]. */
+    * [[MaxBlock]]. With checkpointing engaged ([[levelCkptBase]]) each
+    * completed level's active set lands on scratch and a rebuild — same
+    * session after a cache drop, or a restarted driver — RESUMES from the
+    * last completed level instead of recomputing the whole ladder from
+    * the corpus (byte-identical continuation: the next level derives only
+    * from the previous level's rows, which the parquet read-back
+    * preserves exactly). */
   private[operators] def levels(spark: SparkSession, dir: String): Seq[Level] =
     levelsCache.getOrElseUpdate(Materialized.sessionKey(spark, dir), {
       val chain = censuses(spark, dir)
       if (!chain.fullChain) Seq.empty
       else withoutAqe(spark) { cs =>
-        val base = charFrame(cs, dir)
-        var block = chain.rankStart
-        val half = (block / 2).toInt
-        val startIn = base.where(col("pos") + block <= col("doc_len"))
-          .select(col("gpos"), col("doc_id"), col("pos"), col("doc_len"),
-            packKey(chain.bits, 0, half).as("k1"),
-            packKey(chain.bits, half, half).as("k2"))
-        var cur = RangeRank.rankLevel(startIn, numKeys = 2, block = block)
+        val ckpt = levelCkptBase(spark, dir)
         val out = scala.collection.mutable.ListBuffer.empty[Level]
-        out += Level(block, cur.frame, cur.hasValidDup, cur.storage)
-        while (cur.hasValidDup && block < MaxBlock) {
-        val t = cur.frame
-        val shifted = t.select((col("gpos") - block).as("gpos"),
-          col("rank").as("rank2"))
-        // a missing successor is frozen (unique block — the synthetic key
-        // -(successor gpos)-2 preserves that uniqueness, disjoint from real
-        // ranks >= 1) or past its document's end (then THIS row is invalid
-        // at 2*block and the filter below drops it anyway); rows invalid at
-        // the doubled length can never be reported or serve a valid
-        // successor, so they exit before the sort
-        val paired = t.join(shifted, Seq("gpos"), "left")
-          .where(col("pos") + lit(2 * block) <= col("doc_len"))
-          .select(col("gpos"), col("doc_id"), col("pos"), col("doc_len"),
-            col("rank"),
-            coalesce(col("rank2"), -(col("gpos") + lit(block)) - lit(2))
-              .as("rank2"))
-          block = block * 2
-          cur = RangeRank.rankLevel(paired, numKeys = 2, block = block)
-          out += Level(block, cur.frame, cur.hasValidDup, cur.storage)
+        ckpt.foreach(base =>
+          out ++= loadCompletedLevels(cs, base, chain.rankStart))
+        if (out.isEmpty) {
+          val base = charFrame(cs, dir)
+          val block = chain.rankStart
+          val half = (block / 2).toInt
+          val startIn = base.where(col("pos") + block <= col("doc_len"))
+            .select(col("gpos"), col("doc_id"), col("pos"), col("doc_len"),
+              packKey(chain.bits, 0, half).as("k1"),
+              packKey(chain.bits, half, half).as("k2"))
+          out += finishLevel(cs, ckpt, block,
+            RangeRank.rankLevel(startIn, numKeys = 2, block = block))
+        }
+        while (out.last.hasDup && out.last.block < MaxBlock) {
+          val Level(block, t, _, _) = out.last
+          val shifted = t.select((col("gpos") - block).as("gpos"),
+            col("rank").as("rank2"))
+          // a missing successor is frozen (unique block — the synthetic key
+          // -(successor gpos)-2 preserves that uniqueness, disjoint from real
+          // ranks >= 1) or past its document's end (then THIS row is invalid
+          // at 2*block and the filter below drops it anyway); rows invalid at
+          // the doubled length can never be reported or serve a valid
+          // successor, so they exit before the sort
+          val paired = t.join(shifted, Seq("gpos"), "left")
+            .where(col("pos") + lit(2 * block) <= col("doc_len"))
+            .select(col("gpos"), col("doc_id"), col("pos"), col("doc_len"),
+              col("rank"),
+              coalesce(col("rank2"), -(col("gpos") + lit(block)) - lit(2))
+                .as("rank2"))
+          out += finishLevel(cs, ckpt, block * 2,
+            RangeRank.rankLevel(paired, numKeys = 2, block = block * 2))
         }
         out.toSeq
       }

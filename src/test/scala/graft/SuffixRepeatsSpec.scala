@@ -136,6 +136,59 @@ class SuffixRepeatsSpec extends SparkTestBase {
     }
   }
 
+  test("level checkpointing: a mid-build loss resumes from the last " +
+      "completed level with identical spectrum output") {
+    val shared = "THE LONGEST SHARED RUN OF TEXT IN THIS CORPUS " +
+      "REPEATS FOR QUITE A WHILE INDEED YES IT DOES"
+    val docs = Seq(
+      1L -> s"prefix one $shared trailer alpha",
+      2L -> s"different lead-in $shared and a different tail",
+      3L -> "unrelated filler content qqq zzz")
+    val dir = writeDocsFixture(docs)
+    // baseline: plain build, no checkpointing
+    val baseline = collectSet(SuffixRepeats.suffixRepeats(spark, dir))
+    assert(baseline.nonEmpty)
+
+    // checkpointed build: every completed level lands on scratch
+    val s1 = spark.newSession()
+    s1.conf.set("graft.suffixCheckpoint", "true")
+    assert(collectSet(SuffixRepeats.suffixRepeats(s1, dir)) == baseline)
+    val scratch = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft-scratch-" +
+        s"${spark.sparkContext.applicationId}/suffix-" +
+        (dir.hashCode & 0x7fffffff).toHexString)
+    val levelDirs = scratch.listFiles()
+      .filter(_.getName.startsWith("level-"))
+      .sortBy(_.getName.stripPrefix("level-").toLong)
+    // the long shared run forces several ranked doubling levels
+    assert(levelDirs.length >= 3, s"only ${levelDirs.toSeq} on scratch")
+    levelDirs.foreach(d =>
+      assert(new java.io.File(d, "_graft_level_done").exists()))
+
+    // simulate the mid-build crash: the last TWO levels vanish (one of
+    // them a with-duplicates level, so real reconstruction work remains)
+    def rmRf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmRf))
+      f.delete()
+    }
+    levelDirs.takeRight(2).foreach(rmRf)
+    val killed = levelDirs.takeRight(2)
+      .map(_.getName.stripPrefix("level-").toLong)
+
+    // a fresh session (nothing cached) resumes from the surviving levels
+    // and completes with the identical spectrum
+    val s2 = spark.newSession()
+    s2.conf.set("graft.suffixCheckpoint", "true")
+    assert(collectSet(SuffixRepeats.suffixRepeats(s2, dir)) == baseline)
+    // the killed levels were rebuilt and re-committed to scratch
+    killed.foreach(b => assert(
+      new java.io.File(scratch, s"level-$b/_graft_level_done").exists(),
+      s"level-$b not recommitted"))
+    // and longest_repeat over the resumed (file-backed) levels stays exact
+    val lr = SuffixRepeats.longestRepeat(s2, dir).collect()(0)
+    assert(lr.getLong(0) == bruteLongest(docs).toLong)
+  }
+
   test("longest_repeat degenerates cleanly: no repeated character at all") {
     val dir = writeDocsFixture(Seq(1L -> "abcdefg", 2L -> "hijklmn"))
     val r = SuffixRepeats.longestRepeat(spark, dir).collect()(0)
