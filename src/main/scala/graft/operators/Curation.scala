@@ -177,6 +177,62 @@ object Curation {
        |    FILTER (WHERE pos = first_pos), '') AS trimmed_text
        |FROM marked GROUP BY 1""".stripMargin
 
+  /** A line is "common" when it occurs this many times corpus-wide — the
+    * C4 rule's threshold (Raffel et al. 2020 discard spans occurring
+    * repeatedly across the dataset; 3 is the usual line-level cut: twice
+    * can be quotation, three times is boilerplate). */
+  val CommonLineMin = 3L
+
+  /** CORPUS-level common-line trimming — the C4/CCNet complement of
+    * [[trimRepeatedLines]] (within-doc) and [[trimSegments]] (fixed
+    * 20-token segments): drop every line whose CORPUS-wide occurrence
+    * count reaches [[CommonLineMin]] (cookie banners, nav bars, licence
+    * lines shared across pages), keep the rest in order.
+    *
+    * Scale: deliberately NOT the count-over-window shape trim_segments
+    * uses — at line granularity the hot keys are real (a blank line or
+    * "Home" occurs billions of times at 100 TB) and a window partition
+    * cannot split, while a JOIN can: the count table is a map-side-partial
+    * groupBy on the 8-byte line hash (hot keys collapse to one row per
+    * partition before the exchange), and the count join back is an
+    * AQE-skew-splittable shuffle_hash equi-join. Two corpus exchanges +
+    * the doc-keyed rebuild — the honest price of corpus-wide line
+    * identity. */
+  def trimCommonLines(spark: SparkSession, dir: String): DataFrame = {
+    val lines = docs(spark, dir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\n", -1)).as(Seq("pos", "line")))
+      .withColumn("lh", md5Long(col("line")))
+    val common = lines.groupBy("lh").agg(count(lit(1)).as("n"))
+      .where(col("n") >= CommonLineMin)
+    lines
+      .join(common.hint("shuffle_hash"), Seq("lh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("n").isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(when(col("n").isNull,
+            struct(col("pos"), col("line"))))),
+          s => s.getField("line"))).as("trimmed_text"))
+  }
+  val trimCommonLinesSql: String =
+    s"""WITH lx AS (
+       |  SELECT doc_id, string_split(text, chr(10)) AS l FROM documents
+       |), lines AS MATERIALIZED (
+       |  SELECT doc_id, CAST(g.i AS BIGINT) AS pos, l[g.i] AS line,
+       |    ${sqlMd5Long("l[g.i]")} AS lh
+       |  FROM lx, unnest(range(1, len(l) + 1)) AS g(i)
+       |), common AS (
+       |  SELECT lh, count(*) AS n FROM lines GROUP BY 1
+       |  HAVING count(*) >= $CommonLineMin
+       |)
+       |SELECT doc_id, count(*) AS n_lines,
+       |  CAST(sum(CASE WHEN n IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dropped,
+       |  coalesce(string_agg(line, chr(10) ORDER BY pos)
+       |    FILTER (WHERE n IS NULL), '') AS trimmed_text
+       |FROM lines LEFT JOIN common USING (lh) GROUP BY 1""".stripMargin
+
   /** Per-doc duplication profile: how many of the doc's segments also occur
     * elsewhere in the corpus (counting every occurrence of a segment whose
     * corpus-wide count exceeds 1). The aggregate a curation pipeline

@@ -62,6 +62,22 @@ class CurationSpec extends SparkTestBase {
     assert(got(4L) == ((5L, 2L, "x\ny\nz")))
   }
 
+  test("trim_common_lines drops corpus-common lines exactly at the threshold") {
+    val d = writeDocsFixture(Seq(
+      1L -> "shared\nunique one\nshared", // 'shared' corpus count = 3
+      2L -> "shared\nunique two",
+      3L -> "twice\nonly here", // 'twice' corpus count = 2: BELOW the cut
+      4L -> "twice\nalso solo"))
+    val got = Curation.trimCommonLines(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(Curation.CommonLineMin == 3L)
+    assert(got(1L) == ((3L, 2L, "unique one"))) // both 'shared' copies drop
+    assert(got(2L) == ((2L, 1L, "unique two")))
+    assert(got(3L) == ((2L, 0L, "twice\nonly here"))) // 2 < 3: kept
+    assert(got(4L) == ((2L, 0L, "twice\nalso solo")))
+  }
+
   test("train_split assigns deterministic md5 splits at the e4 thresholds") {
     val sfDir = "/root/testdata/sf0.001"
     def md5Long(s: String): Long = {
