@@ -305,6 +305,44 @@ class ScaleSpec extends SparkTestBase {
     assert(globals.isEmpty, "repeat_coverage gained a global window")
   }
 
+  test("r10 operators keep their claimed scale shapes: url_filter map-only, " +
+      "kn scoring hash-joins the model, line trims never broadcast the corpus") {
+    // url_filter: literal-array suffix match fused into the scan — zero
+    // exchange, blocked hosts never cost a shuffle
+    val uf = graft.sources.WarcSource.urlFilter(
+      spark.read.parquet(s"$sf/documents.parquet")
+        .selectExpr("doc_id", "concat('http://h', doc_id, '.example/p') AS url",
+          "text"))
+    assert(!uf.queryExecution.executedPlan.toString.contains("Exchange"),
+      "url_filter gained a shuffle")
+
+    // kn_perplexity: the KN model is vocabulary-bounded but too big to
+    // ship at 100 TB — the scoring join must stay a shuffle_hash join
+    val kp = SparkEntry.queries("kn_perplexity")(spark, sf)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(kp.contains("ShuffledHashJoin"), s"kn model join degraded:\n$kp")
+    assert(!kp.contains("BroadcastHashJoin"),
+      s"kn scoring broadcasts a corpus-scaled side:\n$kp")
+
+    // trim_repeated_lines: the first-occurrence window is (doc, hash)-keyed
+    // — no unpartitioned window can appear (typed check)
+    val trl = SparkEntry.queries("trim_repeated_lines")(spark, sf)
+      .queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }
+    assert(trl.isEmpty, "trim_repeated_lines gained a global window")
+
+    // trim_common_lines: deliberately the JOIN shape (AQE-skew-splittable),
+    // never a window, and neither corpus-derived side broadcasts
+    val tcl = SparkEntry.queries("trim_common_lines")(spark, sf)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(tcl.contains("ShuffledHashJoin"),
+      s"trim_common_lines lost the skew-splittable join:\n$tcl")
+    assert(!tcl.contains("BroadcastHashJoin") && !tcl.contains("WindowExec"),
+      s"trim_common_lines degraded:\n$tcl")
+  }
+
   test("parts_copurchase is one scan through two exchanges") {
     // r8 reformulation: the self-join re-derived the distinct frame in
     // four branches (4 scans / 4 exchanges); now the distinct, the
