@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** TRAINED document classification (SURVEY.md §2 #38) — the supervised
+  * complement of the heuristic `lang_id` profile gate: a multinomial
+  * Naive Bayes classifier trained on the corpus's own labels, the exact
+  * shape of the fastText-style classifiers production curation pipelines
+  * train on seed corpora (CCNet's language filter, FineWeb-Edu's quality
+  * classifier) reduced to closed-form counting so every number is exact
+  * and oracle-checkable — no SGD, no RNG, no iteration.
+  *
+  * Math (add-one smoothing; class c, token t, doc d with per-token counts
+  * cnt and length len_d = Σ cnt):
+  *
+  * {{{
+  *   score(d,c) = ln P(c) + Σ_t cnt·ln(n_{c,t} + 1) − len_d·ln(n_c + V)
+  * }}}
+  *
+  * expanded so the smoothed likelihood splits into a SPARSE term (only
+  * OBSERVED (c,t) pairs contribute — ln(0+1) = 0 drops out) and a
+  * class-constant normalizer applied per document in closed form. That
+  * split is the whole scale story: the model is the sparse per-class
+  * token-count table (the same size class as the corpus vocabulary, a
+  * columnar artifact at 100 TB — never the dense vocab×class matrix), the
+  * scoring join touches each doc token's ≤|classes| observed rows, and
+  * the normalizer rides a |classes|-row broadcast.
+  *
+  * §6 float policy: ln values round to exact 4-dp decimals, so per-doc
+  * sums are fold-order free; integer token counts multiply decimals
+  * exactly; final scores surface as exact e4 BIGINTs and the argmax
+  * compares integers with a lexicographic class tie-break — bit-identical
+  * across engines.
+  */
+object Classify {
+
+  private def docs(spark: SparkSession, dir: String) =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Per-(doc, token) occurrence counts under the shared tokenizer —
+    * the corpus-sized frame both training and scoring read; materialized
+    * once per (session, corpus). */
+  private val tokCache = Materialized.register(
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
+  private def docTokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Materialized.cached(tokCache, spark, dir) {
+      docs(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(filter(transform(split(col("text"), "\\s+"), t => lower(t)),
+            t => t =!= "")).as("t"))
+        .groupBy("doc_id", "lang", "t")
+        .agg(count(lit(1)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** Multinomial NB classification of every document against the model
+    * trained on the corpus's own lang labels (self-training is the
+    * demonstrator; a production run trains on a labeled seed corpus and
+    * scores the crawl — same plan, two different input dirs). Output:
+    * (doc_id, lang, pred_lang, score_e4) — the true label rides along so
+    * [[nbConfusion]] and accuracy audits are projections. */
+  private val predCache = Materialized.register(
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
+  def nbClassify(spark: SparkSession, dir: String): DataFrame =
+    // the per-doc prediction frame is itself a per-corpus artifact (the
+    // confusion census and any downstream gate read it), so it
+    // materializes like the model: train+score runs once per corpus
+    Materialized.cached(predCache, spark, dir) {
+      nbClassifyUncached(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  private def nbClassifyUncached(spark: SparkSession, dir: String): DataFrame = {
+    val tc = docTokenCounts(spark, dir)
+    // sparse model: observed (class, token) counts
+    val ct = tc.groupBy(col("lang").as("c"), col("t"))
+      .agg(sum(col("cnt")).as("n"))
+    // class table: doc prior + token-mass normalizer (|classes| rows)
+    val nDocs = docs(spark, dir).count()
+    val vocab = tc.select("t").distinct().count()
+    val cls = docs(spark, dir).groupBy(col("lang").as("c"))
+      .agg(count(lit(1)).as("c_docs"))
+      .join(ct.groupBy("c").agg(sum(col("n")).as("c_toks")), "c")
+      .select(col("c"),
+        round(log(col("c_docs").cast("double") / lit(nDocs.toDouble)), 4)
+          .cast("decimal(18,4)").as("ln_prior"),
+        round(log((col("c_toks") + lit(vocab)).cast("double")), 4)
+          .cast("decimal(18,4)").as("ln_z"))
+    // sparse per-(doc, class) likelihood term: only observed (c,t) rows
+    val lnl = ct.select(col("c"), col("t"),
+      round(log((col("n") + 1L).cast("double")), 4)
+        .cast("decimal(18,4)").as("lnl"))
+    val sparse = tc
+      .join(lnl.hint("shuffle_hash"), "t")
+      .groupBy(col("doc_id"), col("c"))
+      .agg(sum(col("cnt") * col("lnl")).cast("decimal(28,4)").as("s_obs"))
+    // every (doc, class) pair gets the closed-form base terms; the sparse
+    // term joins in (absent ⇒ no vocabulary overlap with the class ⇒ 0)
+    val base = tc.groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("cnt")).as("len"))
+      .crossJoin(broadcast(cls))
+    val scored = base
+      .join(sparse, Seq("doc_id", "c"), "left")
+      .select(col("doc_id"), col("lang"), col("c"),
+        ((coalesce(col("s_obs"), lit(0).cast("decimal(28,4)"))
+          + col("ln_prior") - col("len") * col("ln_z")) * lit(10000))
+          .cast("long").as("score_e4"))
+    // argmax: doc-keyed window, integer score desc, class-name tie-break
+    import org.apache.spark.sql.expressions.Window
+    scored
+      .withColumn("rk", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("score_e4").desc, col("c"))))
+      .where(col("rk") === 1)
+      .select(col("doc_id"), col("lang"), col("c").as("pred_lang"),
+        col("score_e4"))
+  }
+  /** Shared CTE chain of the NB model + per-doc scores. */
+  private val nbCtes: String =
+    """tc AS MATERIALIZED (
+      |  SELECT doc_id, lang, g.t AS t, count(*) AS cnt
+      |  FROM (SELECT doc_id, lang, list_filter(list_transform(
+      |          string_split_regex(text, '\s+'), x -> lower(x)),
+      |          x -> x <> '') AS toks FROM documents),
+      |    unnest(toks) AS g(t)
+      |  GROUP BY 1, 2, 3
+      |), ct AS MATERIALIZED (
+      |  SELECT lang AS c, t, sum(cnt) AS n FROM tc GROUP BY 1, 2
+      |), consts AS (
+      |  SELECT (SELECT count(*) FROM documents) AS n_docs,
+      |    (SELECT count(DISTINCT t) FROM tc) AS vocab
+      |), cls AS MATERIALIZED (
+      |  SELECT c,
+      |    CAST(round(ln(CAST(c_docs AS DOUBLE) / n_docs), 4)
+      |      AS DECIMAL(18,4)) AS ln_prior,
+      |    CAST(round(ln(CAST(c_toks + vocab AS DOUBLE)), 4)
+      |      AS DECIMAL(18,4)) AS ln_z
+      |  FROM (SELECT lang AS c, count(*) AS c_docs FROM documents GROUP BY 1)
+      |    JOIN (SELECT c, sum(n) AS c_toks FROM ct GROUP BY 1) USING (c)
+      |    CROSS JOIN consts
+      |), lnl AS (
+      |  SELECT c, t,
+      |    CAST(round(ln(CAST(n + 1 AS DOUBLE)), 4) AS DECIMAL(18,4)) AS lnl
+      |  FROM ct
+      |), sparse AS (
+      |  SELECT doc_id, c, CAST(sum(cnt * lnl) AS DECIMAL(28,4)) AS s_obs
+      |  FROM tc JOIN lnl USING (t) GROUP BY 1, 2
+      |), base AS (
+      |  SELECT doc_id, lang, sum(cnt) AS len FROM tc GROUP BY 1, 2
+      |), scored AS MATERIALIZED (
+      |  SELECT doc_id, lang, c,
+      |    CAST((coalesce(s_obs, CAST(0 AS DECIMAL(28,4)))
+      |      + ln_prior - len * ln_z) * 10000 AS BIGINT) AS score_e4
+      |  FROM base CROSS JOIN cls
+      |  LEFT JOIN sparse USING (doc_id, c)
+      |), pred AS (
+      |  SELECT doc_id, lang, c AS pred_lang, score_e4,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score_e4 DESC, c) AS rk
+      |  FROM scored
+      |)""".stripMargin
+  val nbClassifySql: String =
+    s"""WITH $nbCtes
+       |SELECT doc_id, lang, pred_lang, score_e4 FROM pred WHERE rk = 1""".stripMargin
+
+  /** Confusion matrix + per-cell share of the trained classifier against
+    * the true labels — the audit that says whether the trained model even
+    * beats the `lang_id` heuristic before anyone gates on it. |classes|²
+    * rows, exact bp. */
+  def nbConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val pred = nbClassify(spark, dir)
+    val total = pred.count()
+    pred.groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("lang"), col("pred_lang"), col("n_docs"),
+        graft.functions.TextFns.bp(col("n_docs"), lit(total)).as("share_bp"))
+  }
+  val nbConfusionSql: String =
+    s"""WITH $nbCtes, p AS (
+       |  SELECT doc_id, lang, pred_lang FROM pred WHERE rk = 1
+       |), tot AS (SELECT count(*) AS n FROM p)
+       |SELECT lang, pred_lang, count(*) AS n_docs,
+       |  ${graft.functions.TextFns.sqlBp("count(*)", "(SELECT n FROM tot)")}
+       |    AS share_bp
+       |FROM p GROUP BY 1, 2""".stripMargin
+}

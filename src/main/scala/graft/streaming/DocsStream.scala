@@ -382,6 +382,23 @@ object DocsStream {
       blocklist: Seq[String] = graft.sources.WarcSource.UrlBlocklist): DataFrame =
     graft.sources.WarcSource.urlFilter(docs, blocklist)
 
+  /** Stateless within-doc repeated-line trim — the streaming twin of
+    * [[graft.operators.Curation.trimRepeatedLines]]. A document's lines
+    * all live in its own row, so the first-occurrence filter is ROW-LOCAL
+    * array math (no state, no shuffle — composes anywhere in the ingest
+    * chain): keep line i iff it doesn't appear among lines 0..i-1.
+    * Quadratic in the doc's own line count, which a stream's per-document
+    * admission sizes bound; the batch operator uses the hash-window shape
+    * instead so a pathological million-line document can't pin one task.
+    * Equality with the batch rebuild is spec-locked. */
+  def lineTrimStage(docs: DataFrame): DataFrame = {
+    val lines = split(col("text"), "\n", -1)
+    val kept = filter(lines, (x, i) =>
+      when(i === 0, lit(true))
+        .otherwise(array_position(slice(lines, lit(1), i), x) === lit(0)))
+    docs.withColumn("text", array_join(kept, "\n"))
+  }
+
   /** The composed ingest pipeline: quality gate → content dedup — what a
     * training-data feed runs before documents reach the corpus store.
     * With a probe set, decontamination runs between the two. */

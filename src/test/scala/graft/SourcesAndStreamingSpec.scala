@@ -74,6 +74,28 @@ class SourcesAndStreamingSpec extends SparkTestBase {
     assert(viaJsonl == viaParquet && viaJsonl.nonEmpty)
   }
 
+  test("lineTrimStage replays equal to the batch trim_repeated_lines rebuild") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = Seq(
+      (1L, "a\na\na\na"), (2L, "\n\n\n"), (3L, "solo"),
+      (4L, "x\ny\nx\ny\nz"), (5L, "keep\nme\nkeep\nnow"))
+    // batch reference: the oracled operator over the same docs
+    val d = writeDocsFixture(rows)
+    val batch = graft.operators.Curation.trimRepeatedLines(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    // stream: the stateless row-local stage
+    val input = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.DocsStream.lineTrimStage(
+      input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("linetrim")
+      .outputMode("append").start()
+    input.addData(rows: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("linetrim").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed == batch)
+  }
+
   test("jsonl_ingest: the committed fixture reads gz+plain parts, unicode, " +
       "escapes, and the corrupt line as exactly one all-null row") {
     val got = graft.sources.JsonlSource.jsonlIngest(spark, "")
