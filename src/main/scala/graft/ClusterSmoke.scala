@@ -83,7 +83,10 @@ object ClusterSmoke {
     "jsonl_ingest",       // JSONL fixture: gz+plain parts + PERMISSIVE
                           // corrupt-row handling on executor classloaders
     "kn_perplexity",      // materialized KN model joined corpus-wide
-    "trim_repeated_lines")// doc-local line-hash window + sorted rebuild
+    "trim_repeated_lines",// doc-local line-hash window + sorted rebuild
+    "trim_common_lines",  // corpus-wide line census + skew-splittable join
+    "nb_classify")        // trained NB: sparse model join + class broadcast
+                          // + argmax window across executor JVMs
 
   private def warcDocCount(spark: SparkSession): Long =
     graft.sources.WarcSource
