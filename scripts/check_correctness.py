@@ -266,6 +266,16 @@ _CURRENT = [None]
 
 if __name__ == "__main__":
     try:
+        # hang watchdog: the gate prints everything at the END, so an
+        # environment-level stall (post-JVM allocator pressure has produced
+        # both silent hangs and thread-local allocation aborts) looks like
+        # an empty log. Dump all stacks every 5 minutes — diagnostic only,
+        # never kills the run.
+        try:
+            import faulthandler
+            faulthandler.dump_traceback_later(300, repeat=True, exit=False)
+        except Exception:
+            pass
         sys.exit(main(sys.argv[1], sys.argv[2]))
     except SystemExit:
         raise
