@@ -62,6 +62,32 @@ def frame_fingerprint(cols, types, rows):
         ("\x1f".join(typed_cols) + "\n" + "\n".join(lines)).encode()).hexdigest()
     return sorted(cols), len(rows), h
 
+def _connect_with_timeout(timeout_s=60):
+    """duckdb.connect() can HANG (not raise) when the box is in an
+    allocation stall — observed live: a gate run blocked >10 min inside a
+    reconnect while the faulthandler watchdog showed the stack parked at
+    the reconnect call. Run the connect on a daemon thread with a timeout
+    so a stall becomes a retryable exception instead of an infinite hang
+    (the abandoned daemon thread cannot block interpreter exit)."""
+    import threading, queue
+    q = queue.Queue()
+    def run():
+        try:
+            q.put(duckdb.connect())
+        except BaseException as e:  # noqa: BLE001 - marshalled to caller
+            q.put(e)
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    try:
+        r = q.get(timeout=timeout_s)
+    except queue.Empty:
+        raise RuntimeError(f"duckdb.connect() hung >{timeout_s}s "
+                           "(allocation stall)")
+    if isinstance(r, BaseException):
+        raise r
+    return r
+
+
 def fresh_con(sf_dir):
     # Pin a budget + spill dir: under concurrent JVM memory pressure DuckDB
     # otherwise fails sporadically with "Out of Memory Error: Failed to
@@ -70,7 +96,7 @@ def fresh_con(sf_dir):
     # 6GB default keeps concurrent-JVM sf0.01 gating stable; the manual
     # sf0.1 sweep should raise it (GRAFT_DUCKDB_MEM=48GB) — at sf0.1 the
     # heavy gram/span oracles spill hundreds of GB under the 6GB pin.
-    con = duckdb.connect()
+    con = _connect_with_timeout()
     con.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '6GB')}'")
     con.execute("SET temp_directory='/tmp/graft_duckdb_spill'")
     for t in TABLES:
