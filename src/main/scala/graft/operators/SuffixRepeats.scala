@@ -568,6 +568,28 @@ object SuffixRepeats {
        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
   }
 
+  /** ExactSubstr coverage (bp of the doc's chars inside ≥64-char corpus
+    * repeats) at which a document drops — the Lee et al. 2022 doc-level
+    * criterion: past ~20% duplicated text the doc is template/mirror mass,
+    * not prose. */
+  val SubstrDropBp = 2000L
+
+  /** The EXACTSUBSTR drop gate as an end product — `repeat_coverage`
+    * composed into the keep/drop verdict the dedup literature actually
+    * applies (repeat_coverage is the measurement; this is the decision
+    * row a curation run anti-joins on). Free beyond the measurement: one
+    * row-local comparison on the cached coverage frame. */
+  def substrDedup(spark: SparkSession, dir: String): DataFrame =
+    repeatCoverage(spark, dir)
+      .select(col("doc_id"), col("n_chars"), col("covered_bp"),
+        (col("covered_bp") < SubstrDropBp).as("keep"))
+  val substrDedupSql: String =
+    s"""SELECT doc_id, n_chars, covered_bp,
+       |  covered_bp < $SubstrDropBp AS keep
+       |FROM (
+       |${repeatCoverageSql.linesIterator.map("  " + _).mkString("\n")}
+       |)""".stripMargin
+
   /** DuckDB oracle for the SPECTRUM: though the Spark side derives it from
     * the iterative doubling ranks, the OUTPUT is independently computable
     * by brute force — explode every in-document window at each power-of-two

@@ -189,6 +189,19 @@ class SuffixRepeatsSpec extends SparkTestBase {
     assert(lr.getLong(0) == bruteLongest(docs).toLong)
   }
 
+  test("substr_dedup keeps exactly the docs under the coverage threshold, " +
+      "and the threshold discriminates on the real corpus") {
+    val sfd = "/root/testdata/sf0.001"
+    val cov = SuffixRepeats.repeatCoverage(spark, sfd).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val got = SuffixRepeats.substrDedup(spark, sfd).collect()
+    assert(got.length == cov.size)
+    got.foreach(r => assert(r.getBoolean(3) ==
+      (cov(r.getLong(0)) < SuffixRepeats.SubstrDropBp)))
+    assert(got.exists(_.getBoolean(3)) && got.exists(!_.getBoolean(3)),
+      "threshold must keep some docs and drop some at this SF")
+  }
+
   test("longest_repeat degenerates cleanly: no repeated character at all") {
     val dir = writeDocsFixture(Seq(1L -> "abcdefg", 2L -> "hijklmn"))
     val r = SuffixRepeats.longestRepeat(spark, dir).collect()(0)
