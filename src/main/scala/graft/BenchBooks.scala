@@ -23,7 +23,11 @@ object BenchBooks {
       n = graft.sources.GutenbergSource.anagramsFromBooks(spark, booksDir).count()
       (System.nanoTime() - t0) / 1e9
     }
-    println(f"""{"metric":"anagrams_from_books","groups":$n,"value":${times.min}%.3f,"first_run":${times.head}%.3f,"unit":"sec"}""")
+    // explicit ROOT locale: a comma-decimal default locale would render
+    // 1,873 and break the JSON line (the Bench.f2 fix, applied here too)
+    def f3(d: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    println(s"""{"metric":"anagrams_from_books","groups":$n,"value":${f3(times.min)},"first_run":${f3(times.head)},"unit":"sec"}""")
     spark.stop()
   }
 }

@@ -56,12 +56,14 @@ object CurationPipeline {
     val survivors = Curation.curatedCorpus(spark, sfDir).select("doc_id")
     val corpusDir = s"$outDir/corpus"
     // stage 1.5: Gopher/RefinedWeb intra-doc repetition removal — each
-    // survivor's OWN duplicated lines drop (trim_repeated_lines, itself
-    // oracle-verified); n_chars re-derives from the trimmed text so every
-    // downstream length signal sees the text that actually ships
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    // survivor's OWN duplicated lines drop (the oracled trim_repeated_lines
+    // rebuild, applied to the SURVIVOR-joined frame so the explode/window
+    // never runs for dropped documents); n_chars re-derives from the
+    // trimmed text so every downstream length signal sees what ships
+    val rawSurvivors = spark.read.parquet(s"$sfDir/documents.parquet")
       .join(survivors, "doc_id")
-      .join(Curation.trimRepeatedLines(spark, sfDir)
+    rawSurvivors
+      .join(Curation.trimRepeatedLinesOf(rawSurvivors)
         .select(col("doc_id"), col("trimmed_text")), "doc_id")
       .select(col("doc_id"), col("trimmed_text").as("text"), col("lang"),
         col("source"),

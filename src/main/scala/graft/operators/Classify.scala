@@ -47,8 +47,11 @@ object Classify {
     Materialized.cached(tokCache, spark, dir) {
       docs(spark, dir)
         .select(col("doc_id"), col("lang"),
-          explode(filter(transform(split(col("text"), "\\s+"), t => lower(t)),
-            t => t =!= "")).as("t"))
+          // the ONE corpus tokenizer convention (TextFns.WsTokenRe) — a
+          // private regex literal here would silently drift if it changes
+          explode(filter(transform(
+            split(col("text"), graft.functions.TextFns.WsTokenRe),
+            t => lower(t)), t => t =!= "")).as("t"))
         .groupBy("doc_id", "lang", "t")
         .agg(count(lit(1)).as("cnt"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -138,8 +138,14 @@ object Curation {
     * corpus-sized exchanges total, the operator's inherent cost (an
     * adversarial all-duplicate-lines doc costs its own line count, capped
     * by doc length — no cross-doc amplification by construction). */
-  def trimRepeatedLines(spark: SparkSession, dir: String): DataFrame = {
-    val lines = docs(spark, dir)
+  def trimRepeatedLines(spark: SparkSession, dir: String): DataFrame =
+    trimRepeatedLinesOf(docs(spark, dir))
+
+  /** [[trimRepeatedLines]] over any (doc_id, text) frame — what
+    * CurationPipeline calls on the SURVIVOR-joined corpus so the explode/
+    * window/rebuild never runs for documents curation already dropped. */
+  private[graft] def trimRepeatedLinesOf(d: DataFrame): DataFrame = {
+    val lines = d
       .select(col("doc_id"),
         posexplode(split(col("text"), "\n", -1)).as(Seq("pos", "line")))
     lines

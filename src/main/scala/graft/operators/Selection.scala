@@ -350,12 +350,23 @@ object Selection {
     * pinned shuffle_hash; one doc-keyed rollup finishes. The model itself
     * amortizes across every scoring run (and is shared with
     * `kn_bigram_top`). */
+  /** Probability floor for scoring: p_kn is rounded to 6 decimals, so its
+    * smallest NONZERO value is 1e-6 — but a rare transition out of a very
+    * frequent word (n1 beyond ~5·10⁵) rounds to exactly 0.000000, and
+    * ln(0) is NULL on Spark (silently dropping the doc's rarest bigram
+    * from the sum) while DuckDB raises. Clamping up to the rounding
+    * grid's own floor keeps both engines defined and identical, and a
+    * floor probability for ultra-rare transitions is standard LM scoring
+    * practice. */
+  val KnPFloor = 0.000001
+
   private val knPplCache = Materialized.register(
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
   def knPerplexity(spark: SparkSession, dir: String): DataFrame =
     Materialized.cached(knPplCache, spark, dir) {
       val p = knModel(spark, dir).select(col("bigram"),
-        round(log(col("p_kn")), 4).cast("decimal(18,4)").as("lp"))
+        round(log(greatest(col("p_kn"), lit(KnPFloor))), 4)
+          .cast("decimal(18,4)").as("lp"))
       TextAnalysis.docBigrams(spark, dir)
         .join(p.hint("shuffle_hash"), "bigram")
         .groupBy("doc_id")
@@ -367,7 +378,8 @@ object Selection {
     * [[knBucketsSql]]. */
   private val knScoreCtes: String =
     s"""$knCtes, p AS (
-       |  SELECT bigram, CAST(round(ln(p_kn), 4) AS DECIMAL(18,4)) AS lp
+       |  SELECT bigram,
+       |    CAST(round(ln(greatest(p_kn, $KnPFloor)), 4) AS DECIMAL(18,4)) AS lp
        |  FROM pkn
        |)""".stripMargin
   val knPerplexitySql: String =

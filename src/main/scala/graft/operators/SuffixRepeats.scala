@@ -258,7 +258,9 @@ object SuffixRepeats {
     * resume that can never happen. The tag keys on the CORPUS PATH (not
     * the session) so a restarted driver resumes; mutating a corpus under
     * the same path requires clearing the scratch dir, the standard
-    * checkpoint contract. */
+    * checkpoint contract. Concurrent builds of the SAME corpus against
+    * one scratchDir race the overwrite+marker protocol — serialize them
+    * externally (one indexing job per corpus, the normal deployment). */
   private def levelCkptBase(spark: SparkSession, dir: String): Option[String] = {
     val enabled =
       spark.conf.getOption("graft.suffixCheckpoint").exists(_.toBoolean) ||
@@ -267,7 +269,13 @@ object SuffixRepeats {
     else {
       val base = spark.conf.getOption("graft.scratchDir").getOrElse(
         s"${sys.props("java.io.tmpdir")}/graft-scratch-${spark.sparkContext.applicationId}")
-      Some(s"$base/suffix-${(dir.hashCode & 0x7fffffff).toHexString}")
+      // tag = md5 of the FULL corpus path, not String.hashCode: 31 bits
+      // collide trivially, and two colliding corpus dirs under one shared
+      // scratchDir would silently resume from each other's levels
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val tag = md.digest(dir.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(16)
+      Some(s"$base/suffix-$tag")
     }
   }
 

@@ -153,10 +153,11 @@ class SuffixRepeatsSpec extends SparkTestBase {
     val s1 = spark.newSession()
     s1.conf.set("graft.suffixCheckpoint", "true")
     assert(collectSet(SuffixRepeats.suffixRepeats(s1, dir)) == baseline)
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(16)
     val scratch = new java.io.File(
       s"${sys.props("java.io.tmpdir")}/graft-scratch-" +
-        s"${spark.sparkContext.applicationId}/suffix-" +
-        (dir.hashCode & 0x7fffffff).toHexString)
+        s"${spark.sparkContext.applicationId}/suffix-$tag")
     val levelDirs = scratch.listFiles()
       .filter(_.getName.startsWith("level-"))
       .sortBy(_.getName.stripPrefix("level-").toLong)
