@@ -171,7 +171,8 @@ class SelectionSpec extends SparkTestBase {
       val p = math.max(n - Selection.KnDiscount, 0d) / n1 +
         (Selection.KnDiscount * nfollow / n1) * (cont(w2) / tTypes)
       val p6 = BigDecimal(p).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      b -> round4(math.log(p6))
+      // the scoring floor (Selection.KnPFloor): p6 can round to exactly 0
+      b -> round4(math.log(math.max(p6, Selection.KnPFloor)))
     }
     val sumLp = byDoc.map { case (id, bs) => id -> bs.map(lp).sum }.toMap
     val expected = byDoc.map { case (id, bs) =>
