@@ -26,6 +26,15 @@ import duckdb
 # connect cost is trivial.
 CON_RECYCLE_EVERY = int(os.environ.get("GRAFT_CON_RECYCLE", "20"))
 
+# GRAFT_SUBPROCESS_ALL=1: run EVERY oracle in its own short-lived process
+# (the escalation path made the default). Slower (~2 s spawn per oracle) but
+# categorically immune to the in-process failure family seen at sf0.1/48GB:
+# the buffer-pool wedge across sequential heavy oracles AND the post-OOM
+# state where even spawning a Python thread hits MemoryError. The big-SF
+# manual sweep should set this; the driver's sf0.01/6GB gate keeps the
+# fast in-process path.
+SUBPROCESS_ALL = os.environ.get("GRAFT_SUBPROCESS_ALL", "") == "1"
+
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -214,6 +223,29 @@ def main(sf_dir, out_dir):
         if name not in oracle:
             results[name] = {"rows": len(s_rows), "rows_only": True,
                              "ok": len(s_rows) > 0}
+            continue
+        if SUBPROCESS_ALL:
+            ctr = run_oracle_subprocess(
+                sf_dir, oracle[name],
+                mem=os.environ.get("GRAFT_DUCKDB_MEM", "6GB"))
+            if ctr is None:  # one retry: spawn hiccups are transient here
+                ctr = run_oracle_subprocess(
+                    sf_dir, oracle[name],
+                    mem=os.environ.get("GRAFT_DUCKDB_RETRY_MEM", "24GB"))
+            if ctr is None:
+                results[name] = {"error": "oracle failed in subprocess"}
+                continue
+            o_cols, o_types, o_rows = ctr
+            sc, sn, sh = frame_fingerprint(s_cols, s_types, s_rows)
+            oc, on, oh = frame_fingerprint(o_cols, o_types, o_rows)
+            bad_types = (banned_types(s_cols, s_types)
+                         + banned_types(o_cols, o_types))
+            results[name] = {
+                "rows_match": sn == on, "schema_match": sc == oc,
+                "hash_match": sh == oh, "rows": sn, "oracle_rows": on,
+                "type_policy_ok": not bad_types,
+                "ok": sn == on and sc == oc and sh == oh and not bad_types,
+            }
             continue
         # Transient OOM ("Failed to allocate block") is an infra condition,
         # not a mismatch — retry before recording an error.
