@@ -1,9 +1,24 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate: compare Verify.scala's
 parquet dumps against DuckDB running SparkEntry.oracleSql on the same tables.
-Usage: check_correctness.py <sfDir> <verifyOutDir>
+Usage: check_correctness.py <sfDir> <verifyOutDir> [--fresh]
+
+Wedge-resilience (VERDICT r10 #1 — three rounds of infra ate the record):
+ * every oracle's verdict is appended as ONE flushed+fsync'd JSONL line to
+   <verifyOutDir>/gate_progress.jsonl the moment it completes, so a kill -9
+   mid-run loses at most the in-flight oracle;
+ * re-invocation RESUMES by default: already-green oracles from a progress
+   file whose tag matches (same oracle_sql.json bytes + same Verify parquet
+   mtimes) are not re-run; pass --fresh to ignore prior progress
+   (--resume is accepted as an explicit no-op for symmetry);
+ * a stall watchdog dumps the PARTIAL result dict to stdout and exits(3) if
+   no oracle completes for GRAFT_STALL_SECS (default 900) — a wedged DuckDB
+   allocator now costs the tail of the run, never the whole record;
+ * SIGTERM likewise dumps partial results before dying.
+The stdout contract is unchanged: exactly one JSON object (the full —
+possibly partial-under-stall — per-query result dict).
 """
-import sys, json, os, hashlib, time
+import sys, json, os, hashlib, time, threading, signal
 # subprocess/tempfile at MODULE scope (VERDICT r9 #1): importing them lazily
 # inside run_oracle_subprocess meant a transient _posixsubprocess mmap
 # ImportError (seen right after a big JVM exit) killed the WHOLE gate instead
@@ -22,7 +37,7 @@ import duckdb
 # r7 and r9 each lost 6 green rows to a single long-lived DuckDB connection
 # whose allocator wedged mid-run (8-16 KB allocation failures on oracles that
 # individually pass at 1 GB). Recycle the connection every N oracles so
-# allocator state can't accumulate across the whole 167-query run; sf0.01
+# allocator state can't accumulate across the whole 176-query run; sf0.01
 # connect cost is trivial.
 CON_RECYCLE_EVERY = int(os.environ.get("GRAFT_CON_RECYCLE", "20"))
 
@@ -34,6 +49,10 @@ CON_RECYCLE_EVERY = int(os.environ.get("GRAFT_CON_RECYCLE", "20"))
 # manual sweep should set this; the driver's sf0.01/6GB gate keeps the
 # fast in-process path.
 SUBPROCESS_ALL = os.environ.get("GRAFT_SUBPROCESS_ALL", "") == "1"
+
+# No-progress window before the watchdog dumps partial results and exits.
+# 900 s clears the heaviest sf0.1 spill oracle (~5 min) with 3x headroom.
+STALL_SECS = int(os.environ.get("GRAFT_STALL_SECS", "900"))
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -76,22 +95,47 @@ def _connect_with_timeout(timeout_s=60):
     allocation stall — observed live: a gate run blocked >10 min inside a
     reconnect while the faulthandler watchdog showed the stack parked at
     the reconnect call. Run the connect on a daemon thread with a timeout
-    so a stall becomes a retryable exception instead of an infinite hang
-    (the abandoned daemon thread cannot block interpreter exit)."""
-    import threading, queue
-    q = queue.Queue()
+    so a stall becomes a retryable exception instead of an infinite hang.
+
+    Late-completion protocol (ADVICE r10): a connect that finishes AFTER
+    the consumer timed out must not leak native allocator state. The lock
+    makes hand-off vs abandonment a single atomic decision: the worker
+    only enqueues while the consumer has not marked the slot taken; a
+    worker that loses the race closes its connection itself, and a
+    consumer that times out does one locked drain so a connection already
+    enqueued is used rather than stranded."""
+    import queue
+    q = queue.Queue(maxsize=1)
+    lock = threading.Lock()
+    state = {"taken": False, "delivered": False}
     def run():
         try:
-            q.put(duckdb.connect())
+            c = duckdb.connect()
         except BaseException as e:  # noqa: BLE001 - marshalled to caller
             q.put(e)
+            return
+        with lock:
+            if not state["taken"]:
+                q.put(c)
+                state["delivered"] = True
+                return
+        try:
+            c.close()
+        except Exception:
+            pass
     t = threading.Thread(target=run, daemon=True)
     t.start()
     try:
         r = q.get(timeout=timeout_s)
     except queue.Empty:
-        raise RuntimeError(f"duckdb.connect() hung >{timeout_s}s "
-                           "(allocation stall)")
+        with lock:
+            state["taken"] = True
+            delivered = state["delivered"]
+        if delivered:
+            r = q.get_nowait()  # worker enqueued in the race window
+        else:
+            raise RuntimeError(f"duckdb.connect() hung >{timeout_s}s "
+                               "(allocation stall)")
     if isinstance(r, BaseException):
         raise r
     return r
@@ -166,7 +210,92 @@ def run_oracle_subprocess(sf_dir, sql, mem=None):
         os.unlink(sql_path)
 
 
-def main(sf_dir, out_dir):
+# ---- wedge-resilient record keeping ----------------------------------------
+
+# name of the oracle being processed, surfaced on any fatal exit so a
+# crashed gate run still says WHERE it died (VERDICT r9 #1d)
+_CURRENT = [None]
+# shared with the watchdog thread: accumulated results + last-progress stamp
+_RESULTS = {}
+_LAST_PROGRESS = [time.time()]
+_DUMP_LOCK = threading.Lock()
+_DUMPED = [False]
+
+
+def _dump_results(reason, code):
+    """Print the (possibly partial) result dict to stdout exactly once.
+    Called from normal end-of-run, the stall watchdog, and SIGTERM."""
+    with _DUMP_LOCK:
+        if _DUMPED[0]:
+            return
+        _DUMPED[0] = True
+    print(json.dumps(_RESULTS, indent=1, default=str))
+    sys.stdout.flush()
+    n_ok = sum(1 for r in _RESULTS.values() if r.get("ok"))
+    print(f"== {n_ok}/{len(_RESULTS)} ok", file=sys.stderr)
+    if reason:
+        print(f"== PARTIAL ({reason}) at query: {_CURRENT[0]}", file=sys.stderr)
+    sys.stderr.flush()
+    if code is not None:
+        os._exit(code)
+
+
+def _progress_tag(sf_dir, out_dir, name, oracle_sql):
+    """PER-QUERY resume identity. A green line is reusable only while this
+    query's oracle SQL and its Verify parquet dump are both unchanged —
+    the dump is pinned by the file names+mtimes inside its dir, so a
+    re-run of Verify (full or filtered) invalidates exactly the queries it
+    rewrote and nothing else."""
+    h = hashlib.sha256()
+    h.update(os.path.abspath(sf_dir).encode())
+    h.update(name.encode())
+    h.update((oracle_sql or "\x00rows-only").encode())
+    d = os.path.join(out_dir, name)
+    try:
+        for f in sorted(os.listdir(d)):
+            st = os.stat(os.path.join(d, f))
+            h.update(f"{f}|{st.st_size}|{int(st.st_mtime)}".encode())
+    except OSError:
+        pass
+    return h.hexdigest()[:16]
+
+
+def _load_progress(path, tags):
+    """Prior green verdicts whose per-query tag still matches (corrupt/
+    partial trailing lines — a kill mid-write — are skipped, not fatal)."""
+    resumed = {}
+    if not os.path.exists(path):
+        return resumed
+    try:
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    rec = json.loads(line)
+                except Exception:
+                    continue
+                name = rec.get("name")
+                if (name in tags and rec.get("tag") == tags[name]
+                        and rec.get("result", {}).get("ok")):
+                    resumed[name] = rec["result"]
+    except Exception:
+        return {}
+    return resumed
+
+
+def _watchdog():
+    """If no oracle completes for STALL_SECS, assume the allocator wedged,
+    dump everything recorded so far, and exit(3). Partial > empty: r10's
+    official record was {} for 176 locally-green queries."""
+    while True:
+        time.sleep(15)
+        if time.time() - _LAST_PROGRESS[0] > STALL_SECS:
+            _dump_results(f"stalled >{STALL_SECS}s", 3)
+
+
+def main(sf_dir, out_dir, fresh=False):
     # the initial connect can race a just-exited Spark JVM's memory release
     # (seen r8: CREATE VIEW failed to malloc 1.5 KB seconds after Verify
     # finished) — retry with backoff before giving up
@@ -179,16 +308,52 @@ def main(sf_dir, out_dir):
             if attempt == 4:
                 raise
             time.sleep(5 * (attempt + 1))
-    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    results = {}
+    oracle_bytes = open(f"{out_dir}/oracle_sql.json", "rb").read()
+    oracle = json.loads(oracle_bytes)
+    results = _RESULTS
+    tags = {name: _progress_tag(sf_dir, out_dir, name, oracle.get(name))
+            for name in sorted(os.listdir(out_dir))
+            if os.path.isdir(os.path.join(out_dir, name))}
+    progress_path = os.environ.get("GRAFT_GATE_PROGRESS",
+                                   os.path.join(out_dir, "gate_progress.jsonl"))
+    if fresh:
+        try:
+            os.unlink(progress_path)
+        except FileNotFoundError:
+            pass
+    else:
+        results.update(_load_progress(progress_path, tags))
+        if results:
+            print(f"== resumed {len(results)} green oracles from "
+                  f"{progress_path}", file=sys.stderr, flush=True)
+    progress_f = open(progress_path, "a")
+
+    def emit(name, result):
+        results[name] = result
+        progress_f.write(json.dumps(
+            {"tag": tags.get(name), "name": name, "result": result},
+            default=str) + "\n")
+        progress_f.flush()
+        os.fsync(progress_f.fileno())
+        _LAST_PROGRESS[0] = time.time()
+        print(f"== gate: {name} "
+              f"{'ok' if result.get('ok') else 'FAIL'}",
+              file=sys.stderr, flush=True)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    signal.signal(signal.SIGTERM,
+                  lambda *_: _dump_results("SIGTERM", 143))
+
     n_since_recycle = 0
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
             continue
+        if name in results and results[name].get("ok"):
+            continue  # resumed green — never re-run more than once
         _CURRENT[0] = name
         # proactive recycle (VERDICT r9 #1): don't let one connection serve
-        # all 167 oracles — allocator state accumulates and wedges mid-run
+        # all 176 oracles — allocator state accumulates and wedges mid-run
         # even when no single oracle needs the budget.
         n_since_recycle += 1
         if n_since_recycle > CON_RECYCLE_EVERY:
@@ -218,11 +383,11 @@ def main(sf_dir, out_dir):
                 time.sleep(2)
                 con = reconnect(sf_dir, con)
         if s_err is not None:
-            results[name] = {"error": f"spark result unreadable: {s_err}"}
+            emit(name, {"error": f"spark result unreadable: {s_err}"})
             continue
         if name not in oracle:
-            results[name] = {"rows": len(s_rows), "rows_only": True,
-                             "ok": len(s_rows) > 0}
+            emit(name, {"rows": len(s_rows), "rows_only": True,
+                        "ok": len(s_rows) > 0})
             continue
         if SUBPROCESS_ALL:
             ctr = run_oracle_subprocess(
@@ -233,19 +398,19 @@ def main(sf_dir, out_dir):
                     sf_dir, oracle[name],
                     mem=os.environ.get("GRAFT_DUCKDB_RETRY_MEM", "24GB"))
             if ctr is None:
-                results[name] = {"error": "oracle failed in subprocess"}
+                emit(name, {"error": "oracle failed in subprocess"})
                 continue
             o_cols, o_types, o_rows = ctr
             sc, sn, sh = frame_fingerprint(s_cols, s_types, s_rows)
             oc, on, oh = frame_fingerprint(o_cols, o_types, o_rows)
             bad_types = (banned_types(s_cols, s_types)
                          + banned_types(o_cols, o_types))
-            results[name] = {
+            emit(name, {
                 "rows_match": sn == on, "schema_match": sc == oc,
                 "hash_match": sh == oh, "rows": sn, "oracle_rows": on,
                 "type_policy_ok": not bad_types,
                 "ok": sn == on and sc == oc and sh == oh and not bad_types,
-            }
+            })
             continue
         # Transient OOM ("Failed to allocate block") is an infra condition,
         # not a mismatch — retry before recording an error.
@@ -280,26 +445,25 @@ def main(sf_dir, out_dir):
                 o_err = None
             con = reconnect(sf_dir, con)  # this process's con may still be wedged
         if o_err is not None:
-            results[name] = {"error": f"oracle failed: {o_err}"}
+            emit(name, {"error": f"oracle failed: {o_err}"})
             continue
         sc, sn, sh = frame_fingerprint(s_cols, s_types, s_rows)
         oc, on, oh = frame_fingerprint(o_cols, o_types, o_rows)
         bad_types = banned_types(s_cols, s_types) + banned_types(o_cols, o_types)
-        results[name] = {
+        result = {
             "rows_match": sn == on, "schema_match": sc == oc,
             "hash_match": sh == oh, "rows": sn, "oracle_rows": on,
             "type_policy_ok": not bad_types,
             "ok": sn == on and sc == oc and sh == oh and not bad_types,
         }
         if bad_types:
-            results[name]["banned_types"] = bad_types
+            result["banned_types"] = bad_types
         if sh != oh and sc == oc and sn == on:
             st = {c: t for c, t in zip(s_cols, s_types)}
             ot = {c: t for c, t in zip(o_cols, o_types)}
             mism = {c: [st[c], ot[c]] for c in st if st[c] != ot.get(c, st[c])}
             if mism:
-                results[name]["type_mismatch"] = mism
-        if sh != oh and sc == oc and sn == on:
+                result["type_mismatch"] = mism
             # find first differing row for debugging
             order = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
             oorder = sorted(range(len(o_cols)), key=lambda i: o_cols[i])
@@ -307,34 +471,32 @@ def main(sf_dir, out_dir):
             ol = sorted("\x1f".join(norm_cell(r[i]) for i in oorder) for r in o_rows)
             for a, b in zip(sl, ol):
                 if a != b:
-                    results[name]["first_diff"] = {"spark": a[:300], "oracle": b[:300]}
+                    result["first_diff"] = {"spark": a[:300], "oracle": b[:300]}
                     break
+        emit(name, result)
+    _CURRENT[0] = None
     n_ok = sum(1 for r in results.values() if r.get("ok"))
-    print(json.dumps(results, indent=1, default=str))
-    print(f"== {n_ok}/{len(results)} ok", file=sys.stderr)
+    _dump_results(None, None)
     if not results:
         # an empty Verify output dir must not read as a vacuous pass
         print("== FAIL: no result directories found", file=sys.stderr)
         return 1
     return 0 if n_ok == len(results) else 1
 
-# name of the oracle being processed, surfaced on any fatal exit so a
-# crashed gate run still says WHERE it died (VERDICT r9 #1d)
-_CURRENT = [None]
-
 if __name__ == "__main__":
     try:
-        # hang watchdog: the gate prints everything at the END, so an
-        # environment-level stall (post-JVM allocator pressure has produced
-        # both silent hangs and thread-local allocation aborts) looks like
-        # an empty log. Dump all stacks every 5 minutes — diagnostic only,
-        # never kills the run.
+        # hang watchdog: environment-level stalls (post-JVM allocator
+        # pressure has produced both silent hangs and thread-local
+        # allocation aborts) — dump all stacks every 5 minutes, diagnostic
+        # only; the STALL_SECS watchdog above is the one that acts.
         try:
             import faulthandler
             faulthandler.dump_traceback_later(300, repeat=True, exit=False)
         except Exception:
             pass
-        sys.exit(main(sys.argv[1], sys.argv[2]))
+        args = [a for a in sys.argv[1:] if not a.startswith("--")]
+        flags = {a for a in sys.argv[1:] if a.startswith("--")}
+        sys.exit(main(args[0], args[1], fresh="--fresh" in flags))
     except SystemExit:
         raise
     except BaseException:

@@ -62,8 +62,20 @@ object CurationPipeline {
     // trimmed text so every downstream length signal sees what ships
     val rawSurvivors = spark.read.parquet(s"$sfDir/documents.parquet")
       .join(survivors, "doc_id")
-    rawSurvivors
-      .join(Curation.trimRepeatedLinesOf(rawSurvivors)
+    // stage 1.25: C4 content rules FIRST (Raffel et al. 2020 §2.2 — the
+    // map-only line filter plus the lorem-ipsum/brace/few-sentences doc
+    // gate), so the trim stage below never windows over lines the content
+    // rules already condemned. Survivor docs whose drop_reason is non-empty
+    // leave the corpus here.
+    val c4 = Curation.c4LineFiltersOf(rawSurvivors)
+      .where(col("drop_reason") === "")
+      .select(col("doc_id"), col("filtered_text"))
+    val c4Survivors = rawSurvivors
+      .join(c4, "doc_id")
+      .select(col("doc_id"), col("filtered_text").as("text"),
+        col("lang"), col("source"))
+    c4Survivors
+      .join(Curation.trimRepeatedLinesOf(c4Survivors)
         .select(col("doc_id"), col("trimmed_text")), "doc_id")
       .select(col("doc_id"), col("trimmed_text").as("text"), col("lang"),
         col("source"),

@@ -99,9 +99,15 @@ object Classify {
       .groupBy(col("doc_id"), col("c"))
       .agg(sum(col("cnt") * col("lnl")).cast("decimal(28,4)").as("s_obs"))
     // every (doc, class) pair gets the closed-form base terms; the sparse
-    // term joins in (absent ⇒ no vocabulary overlap with the class ⇒ 0)
-    val base = tc.groupBy(col("doc_id"), col("lang"))
-      .agg(sum(col("cnt")).as("len"))
+    // term joins in (absent ⇒ no vocabulary overlap with the class ⇒ 0).
+    // Rooted at documents, not the token frame (ADVICE r10): a doc whose
+    // text tokenizes to NOTHING still gets a row — len=0 makes the
+    // normalizer term vanish and it scores on the class prior alone, so
+    // "classification of every document" holds literally.
+    val base = docs(spark, dir).select(col("doc_id"), col("lang"))
+      .join(tc.groupBy(col("doc_id")).agg(sum(col("cnt")).as("len")),
+        Seq("doc_id"), "left")
+      .na.fill(0L, Seq("len"))
       .crossJoin(broadcast(cls))
     val scored = base
       .join(sparse, Seq("doc_id", "c"), "left")
@@ -149,7 +155,9 @@ object Classify {
       |  SELECT doc_id, c, CAST(sum(cnt * lnl) AS DECIMAL(28,4)) AS s_obs
       |  FROM tc JOIN lnl USING (t) GROUP BY 1, 2
       |), base AS (
-      |  SELECT doc_id, lang, sum(cnt) AS len FROM tc GROUP BY 1, 2
+      |  SELECT d.doc_id, d.lang, coalesce(l.len, 0) AS len
+      |  FROM documents d LEFT JOIN (
+      |    SELECT doc_id, sum(cnt) AS len FROM tc GROUP BY 1) l USING (doc_id)
       |), scored AS MATERIALIZED (
       |  SELECT doc_id, lang, c,
       |    CAST((coalesce(s_obs, CAST(0 AS DECIMAL(28,4)))

@@ -239,6 +239,161 @@ object Curation {
        |    FILTER (WHERE n IS NULL), '') AS trimmed_text
        |FROM lines LEFT JOIN common USING (lh) GROUP BY 1""".stripMargin
 
+  // ---- C4 line-level content heuristics (Raffel et al. 2020 §2.2) --------
+  /** The C4 cleaning rules every C4-descendant corpus runs — CONTENT rules,
+    * the complement of the three duplication trims above (which drop lines
+    * by repetition, not by what they say). Pinned variant:
+    *
+    * Line kept iff ALL of: (a) it ends — after right-trim — in terminal
+    * punctuation `. ! ? "`; (b) it has ≥ [[C4MinLineWords]] whitespace
+    * words; (c) it contains none of [[C4BannedPhrases]] case-insensitively
+    * (the paper's "javascript" rule plus the cookie/policy boilerplate
+    * phrases its descendants — RefinedWeb, FineWeb — added).
+    *
+    * Document dropped iff: raw text contains "lorem ipsum"
+    * (case-insensitive) or a curly brace `{` (the paper's code-page rule),
+    * or the kept lines carry fewer than [[C4MinSentences]] sentences
+    * (sentence count pinned as occurrences of `. ! ?` in the kept text —
+    * deterministic and engine-agnostic, unlike a sentence splitter).
+    * Reason precedence: lorem_ipsum > brace > few_sentences.
+    *
+    * Scale: MAP-ONLY — the line split, keep-filter and rebuild are
+    * higher-order array functions inside one projection; no explode, no
+    * shuffle, nothing leaves the row. At 100 TB this runs at scan speed. */
+  val C4MinLineWords = 3
+  val C4MinSentences = 5
+  val C4BannedPhrases: Seq[String] =
+    Seq("javascript", "cookie", "privacy policy", "terms of use")
+
+  private def c4Keep(l: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val words = size(filter(split(l, WsTokenRe), w => w =!= ""))
+    rtrim(l).rlike("[.!?\"]$") &&
+      words >= C4MinLineWords &&
+      !C4BannedPhrases.map(p => instr(lower(l), p) > 0).reduce(_ || _)
+  }
+
+  /** Sentence count of a text column: occurrences of `. ! ?`. */
+  private def sentCount(t: org.apache.spark.sql.Column) =
+    ((length(t) - length(replace(t, lit(".")))) +
+      (length(t) - length(replace(t, lit("!")))) +
+      (length(t) - length(replace(t, lit("?"))))).cast("long")
+
+  def c4LineFilters(spark: SparkSession, dir: String): DataFrame =
+    c4LineFiltersOf(docs(spark, dir))
+
+  /** [[c4LineFilters]] over any (doc_id, text) frame — what
+    * CurationPipeline calls on the survivor-joined corpus. */
+  private[graft] def c4LineFiltersOf(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), col("text"),
+        split(col("text"), "\n", -1).as("ls"))
+      .select(col("doc_id"), col("text"),
+        size(col("ls")).cast("long").as("n_lines"),
+        filter(col("ls"), c4Keep _).as("kept"))
+      .select(col("doc_id"), col("text"), col("n_lines"),
+        size(col("kept")).cast("long").as("n_kept_lines"),
+        array_join(col("kept"), "\n").as("ktext"))
+      .withColumn("n_sentences", sentCount(col("ktext")))
+      .withColumn("drop_reason",
+        when(instr(lower(col("text")), "lorem ipsum") > 0, "lorem_ipsum")
+          .when(instr(col("text"), "{") > 0, "brace")
+          .when(col("n_sentences") < C4MinSentences, "few_sentences")
+          .otherwise(""))
+      .select(col("doc_id"), col("n_lines"), col("n_kept_lines"),
+        col("n_sentences"), col("drop_reason"),
+        when(col("drop_reason") === "", col("ktext"))
+          .otherwise("").as("filtered_text"))
+
+  private def sqlC4Keep(l: String): String = {
+    val banned = C4BannedPhrases
+      .map(p => s"contains(lower($l), '$p')").mkString(" OR ")
+    s"""regexp_matches(rtrim($l), '[.!?"]$$') AND len(list_filter(
+       |      string_split_regex($l, '\\s+'), w -> w <> '')) >= $C4MinLineWords
+       |      AND NOT ($banned)""".stripMargin
+  }
+  private def sqlSentCount(t: String): String =
+    s"CAST((length($t) - length(replace($t, '.', ''))) + " +
+      s"(length($t) - length(replace($t, '!', ''))) + " +
+      s"(length($t) - length(replace($t, '?', ''))) AS BIGINT)"
+  val c4LineFiltersSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, text,
+       |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+       |    coalesce(array_to_string(list_filter(string_split(text, chr(10)),
+       |      l -> ${sqlC4Keep("l")}), chr(10)), '') AS ktext,
+       |    CAST(len(list_filter(string_split(text, chr(10)),
+       |      l -> ${sqlC4Keep("l")})) AS BIGINT) AS n_kept_lines
+       |  FROM documents
+       |), g AS (
+       |  SELECT doc_id, text, n_lines, n_kept_lines, ktext,
+       |    ${sqlSentCount("ktext")} AS n_sentences
+       |  FROM f
+       |)
+       |SELECT doc_id, n_lines, n_kept_lines, n_sentences,
+       |  CASE WHEN contains(lower(text), 'lorem ipsum') THEN 'lorem_ipsum'
+       |       WHEN contains(text, '{') THEN 'brace'
+       |       WHEN n_sentences < $C4MinSentences THEN 'few_sentences'
+       |       ELSE '' END AS drop_reason,
+       |  CASE WHEN contains(lower(text), 'lorem ipsum') OR contains(text, '{')
+       |         OR n_sentences < $C4MinSentences THEN ''
+       |       ELSE ktext END AS filtered_text
+       |FROM g""".stripMargin
+
+  // ---- paragraph-grain Gopher repetition (Rae et al. 2021 §A1.1) ---------
+  /** Within-document duplicate-PARAGRAPH profile — the grain the Gopher
+    * repetition thresholds are actually stated on (`repetition_stats` is
+    * token-level, the trim family is line/segment-level). Paragraphs split
+    * on the literal `\n\n` delimiter; whitespace-only paragraphs are not
+    * paragraphs (blank runs between real paragraphs would otherwise count
+    * as duplicates of each other). Docs with zero non-empty paragraphs
+    * emit no row. Per doc: paragraph count, repeat occurrences beyond each
+    * distinct paragraph's first, and the exact-bp fractions Gopher gates
+    * on — dup-paragraph share, dup-paragraph CHARACTER share, and the
+    * character mass of the single most frequent paragraph.
+    *
+    * Scale: the group key is (doc_id, paragraph-hash) — doc-local, so the
+    * exchange is uniform and bounded by each doc's own paragraph count;
+    * the per-doc rollup reuses the same partitioning. The 8-byte hash
+    * ships instead of paragraph text. No cross-doc amplification. */
+  def paragraphRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val paras = docs(spark, dir)
+      .select(col("doc_id"),
+        explode(filter(split(col("text"), "\n\n", -1), p => trim(p) =!= ""))
+          .as("p"))
+      .select(col("doc_id"), md5Long(col("p")).as("ph"),
+        length(col("p")).cast("long").as("plen"))
+    paras.groupBy("doc_id", "ph")
+      .agg(count(lit(1)).as("n"), max(col("plen")).as("plen"))
+      .groupBy("doc_id")
+      .agg(sum(col("n")).as("n_paragraphs"),
+        sum(col("n") - 1L).as("n_dup_paragraphs"),
+        sum(col("n") * col("plen")).as("total_chars"),
+        sum((col("n") - 1L) * col("plen")).as("dup_chars"),
+        max(col("n") * col("plen")).as("top_chars"))
+      .select(col("doc_id"), col("n_paragraphs"), col("n_dup_paragraphs"),
+        bp(col("n_dup_paragraphs"), col("n_paragraphs")).as("dup_para_bp"),
+        bp(col("dup_chars"), col("total_chars")).as("dup_char_bp"),
+        bp(col("top_chars"), col("total_chars")).as("top_para_char_bp"))
+  }
+  val paragraphRepetitionSql: String =
+    s"""WITH px AS (
+       |  SELECT doc_id, list_filter(string_split(text, chr(10) || chr(10)),
+       |    p -> trim(p) <> '') AS ps
+       |  FROM documents
+       |), paras AS (
+       |  SELECT doc_id, ${sqlMd5Long("g.p")} AS ph,
+       |    CAST(length(g.p) AS BIGINT) AS plen
+       |  FROM px, unnest(ps) AS g(p)
+       |), grouped AS (
+       |  SELECT doc_id, ph, count(*) AS n, max(plen) AS plen
+       |  FROM paras GROUP BY 1, 2
+       |)
+       |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_paragraphs,
+       |  CAST(sum(n - 1) AS BIGINT) AS n_dup_paragraphs,
+       |  ${sqlBp("sum(n - 1)", "sum(n)")} AS dup_para_bp,
+       |  ${sqlBp("sum((n - 1) * plen)", "sum(n * plen)")} AS dup_char_bp,
+       |  ${sqlBp("max(n * plen)", "sum(n * plen)")} AS top_para_char_bp
+       |FROM grouped GROUP BY 1""".stripMargin
+
   /** Per-doc duplication profile: how many of the doc's segments also occur
     * elsewhere in the corpus (counting every occurrence of a segment whose
     * corpus-wide count exceeds 1). The aggregate a curation pipeline

@@ -184,9 +184,15 @@ object SuffixRepeats {
     * save/restore. The clone shares the SparkContext, block manager and
     * cache but owns an isolated SQLConf; the parent's runtime conf is
     * copied over so construction sees the same shuffle sizing. After
-    * construction the clone's AQE is restored to the parent's setting so
+    * construction the clone's AQE is restored to the parent's EFFECTIVE
+    * setting (sessionState.conf — not a hardcoded default, ADVICE r10) so
     * READER queries over the escaped level frames (which belong to the
-    * clone via `df.sparkSession`) keep the session's adaptive behavior. */
+    * clone via `df.sparkSession`) keep the session's adaptive behavior.
+    *
+    * Conf-snapshot caveat: the clone copies the parent's runtime conf
+    * ONCE, here. Runtime conf the parent changes later (e.g. shuffle
+    * partitions) never reaches reader queries over the escaped level
+    * frames — they keep the values in force when the build started. */
   private def withoutAqe[A](spark: SparkSession)(body: SparkSession => A): A = {
     val key = "spark.sql.adaptive.enabled"
     val s = spark.newSession()
@@ -197,7 +203,7 @@ object SuffixRepeats {
     s.conf.set(key, "false")
     try body(s)
     finally s.conf.set(key,
-      spark.conf.getOption(key).getOrElse("true"))
+      spark.sessionState.conf.adaptiveExecutionEnabled.toString)
   }
 
   /** Census one packed-key frame (doc_id, k): the spectrum numbers for a
@@ -255,12 +261,13 @@ object SuffixRepeats {
     * `graft.suffixCheckpoint=true` forces it (specs, local durability).
     * Off by default in plain local runs: there a cache loss IS a process
     * loss, and the per-level parquet writes would tax the build for a
-    * resume that can never happen. The tag keys on the CORPUS PATH (not
-    * the session) so a restarted driver resumes; mutating a corpus under
-    * the same path requires clearing the scratch dir, the standard
-    * checkpoint contract. Concurrent builds of the SAME corpus against
-    * one scratchDir race the overwrite+marker protocol — serialize them
-    * externally (one indexing job per corpus, the normal deployment). */
+    * resume that can never happen. Resume across a DRIVER restart only
+    * works in the `graft.scratchDir`-configured mode — the tmpdir
+    * fallback embeds the applicationId, so there a checkpoint survives
+    * cache drops within one application and nothing more. Concurrent
+    * builds of the SAME corpus against one scratchDir race the
+    * overwrite+marker protocol — serialize them externally (one indexing
+    * job per corpus, the normal deployment). */
   private def levelCkptBase(spark: SparkSession, dir: String): Option[String] = {
     val enabled =
       spark.conf.getOption("graft.suffixCheckpoint").exists(_.toBoolean) ||
@@ -269,13 +276,40 @@ object SuffixRepeats {
     else {
       val base = spark.conf.getOption("graft.scratchDir").getOrElse(
         s"${sys.props("java.io.tmpdir")}/graft-scratch-${spark.sparkContext.applicationId}")
-      // tag = md5 of the FULL corpus path, not String.hashCode: 31 bits
-      // collide trivially, and two colliding corpus dirs under one shared
-      // scratchDir would silently resume from each other's levels
+      // tag = md5 of the FULL corpus path PLUS a content fingerprint of
+      // the corpus files (ADVICE r10): the path alone let an in-place
+      // rewrite of documents.parquet silently resume from stale levels
+      // and return wrong spectra. Any file added/removed/resized/rewritten
+      // changes the tag, so a mutated corpus gets a fresh build instead.
+      // Not String.hashCode: 31 bits collide trivially, and two colliding
+      // corpora under one shared scratchDir would silently resume from
+      // each other's levels.
       val md = java.security.MessageDigest.getInstance("MD5")
-      val tag = md.digest(dir.getBytes("UTF-8"))
+      val tag = md.digest(
+        (dir + "\n" + corpusFingerprint(spark, dir)).getBytes("UTF-8"))
         .map(b => f"$b%02x").mkString.take(16)
       Some(s"$base/suffix-$tag")
+    }
+  }
+
+  /** Cheap corpus identity: name|size|mtime of every file under the
+    * corpus's documents.parquet (file or directory — Hadoop listFiles
+    * handles both), sorted for determinism. One FS listing per build —
+    * no data is read. mtime granularity is the FS's (1 s on many local
+    * filesystems): a same-second same-size in-place rewrite can in theory
+    * slip through, the standard make-style staleness caveat. */
+  private def corpusFingerprint(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "absent"
+    else {
+      val it = fs.listFiles(p, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val st = it.next()
+        buf += s"${st.getPath.getName}|${st.getLen}|${st.getModificationTime}"
+      }
+      buf.sorted.mkString("\n")
     }
   }
 
