@@ -46,8 +46,25 @@ object CurationPipeline {
     spark.stop()
   }
 
-  /** Runs the pipeline; returns the manifest row counts. */
-  def run(spark: SparkSession, sfDir: String, outDir: String): Map[String, Long] = {
+  /** Runs the pipeline; returns the manifest row counts. C4 content rules
+    * run when `graft.c4Rules=true` (see the 4-arg overload). */
+  def run(spark: SparkSession, sfDir: String, outDir: String): Map[String, Long] =
+    run(spark, sfDir, outDir,
+      c4Rules = spark.conf.getOption("graft.c4Rules").exists(_.toBoolean))
+
+  /** Runs the pipeline; returns the manifest row counts.
+    *
+    * `c4Rules` switches the C4 content stage (Raffel et al. 2020 §2.2 —
+    * line-level terminal-punctuation/min-words/boilerplate-phrase rules
+    * plus the lorem-ipsum/brace/few-sentences document gate). It defaults
+    * ON for the crawl path ([[runFromWarc]] — C4 is a WEB-page cleaning
+    * recipe and every C4-descendant crawl corpus runs it) and OFF for
+    * pre-structured parquet corpora, where prose-shape rules are the
+    * corpus owner's call (`graft.c4Rules=true` opts in): on a corpus with
+    * no sentence punctuation the few-sentences gate would legitimately
+    * condemn everything. */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+      c4Rules: Boolean): Map[String, Long] = {
     import graft.operators.Curation
     import org.apache.spark.sql.functions._
     // stage 1: curation (quality + language + dedup + decontamination
@@ -62,18 +79,21 @@ object CurationPipeline {
     // trimmed text so every downstream length signal sees what ships
     val rawSurvivors = spark.read.parquet(s"$sfDir/documents.parquet")
       .join(survivors, "doc_id")
-    // stage 1.25: C4 content rules FIRST (Raffel et al. 2020 §2.2 — the
-    // map-only line filter plus the lorem-ipsum/brace/few-sentences doc
-    // gate), so the trim stage below never windows over lines the content
-    // rules already condemned. Survivor docs whose drop_reason is non-empty
-    // leave the corpus here.
-    val c4 = Curation.c4LineFiltersOf(rawSurvivors)
-      .where(col("drop_reason") === "")
-      .select(col("doc_id"), col("filtered_text"))
-    val c4Survivors = rawSurvivors
-      .join(c4, "doc_id")
-      .select(col("doc_id"), col("filtered_text").as("text"),
-        col("lang"), col("source"))
+    // stage 1.25 (when on): C4 content rules FIRST (the map-only line
+    // filter plus the lorem-ipsum/brace/few-sentences doc gate), so the
+    // trim stage below never windows over lines the content rules already
+    // condemned. Survivor docs whose drop_reason is non-empty leave the
+    // corpus here.
+    val c4Survivors =
+      if (!c4Rules) rawSurvivors.select("doc_id", "text", "lang", "source")
+      else {
+        val c4 = Curation.c4LineFiltersOf(rawSurvivors)
+          .where(col("drop_reason") === "")
+          .select(col("doc_id"), col("filtered_text"))
+        rawSurvivors.join(c4, "doc_id")
+          .select(col("doc_id"), col("filtered_text").as("text"),
+            col("lang"), col("source"))
+      }
     c4Survivors
       .join(Curation.trimRepeatedLinesOf(c4Survivors)
         .select(col("doc_id"), col("trimmed_text")), "doc_id")
@@ -134,7 +154,11 @@ object CurationPipeline {
         length(col("text")).cast("long").as("n_chars"),
         col("text"))
       .write.mode("overwrite").parquet(s"$rawDir/documents.parquet")
-    val counts = run(spark, rawDir, outDir)
+    // crawl corpora run the full C4 recipe by default (opt out with
+    // graft.c4Rules=false) — see the run() overload's rationale
+    val counts = run(spark, rawDir, outDir,
+      c4Rules = spark.conf.getOption("graft.c4Rules")
+        .map(_.toBoolean).getOrElse(true))
     // archive-out: the curated survivors re-archived through the WARC
     // SINK as `outDir/archive/part-*.warc` — crawl in, curated crawl out,
     // both ends of the pipeline in the same immutable container format.

@@ -39,6 +39,34 @@ class CurationPipelineSpec extends SparkTestBase {
     manifest.foreach { case (k, v) => assert(txt.contains(s""""$k":$v""")) }
   }
 
+  test("c4 stage drops condemned docs and filters lines before the trim") {
+    // all three docs clear the quality/lang/dedup gates; only the C4
+    // content rules tell them apart — 25+ non-stopword tokens each, no
+    // cross-doc duplication, ids above the contamination probe range
+    val docA = (1 to 30).map(i =>
+      s"alpha beta gamma delta epsilon zeta line$i stands tall.").mkString("\n")
+    val docB = (1 to 30).map(i =>
+      s"plain word$i list without punctuation").mkString("\n") // 0 kept lines
+    val goodC = (1 to 5).map(i => s"solid unique sentence number $i reads fine.")
+    val docC = (goodC ++ Seq("please accept cookie banners.", "short.",
+      "no punct here")).mkString("\n")
+    val dir = writeDocsFixture(Seq(1000L -> docA, 1001L -> docB, 1002L -> docC))
+
+    val out0 = java.nio.file.Files.createTempDirectory("graft-c4-off").toString
+    val m0 = CurationPipeline.run(spark, dir, out0, c4Rules = false)
+    assert(m0("curated_docs") == 3) // without C4 all three survive
+
+    val out1 = java.nio.file.Files.createTempDirectory("graft-c4-on").toString
+    val m1 = CurationPipeline.run(spark, dir, out1, c4Rules = true)
+    assert(m1("curated_docs") == 2) // docB: no line survives → few_sentences
+    val corpus = spark.read.parquet(s"$out1/corpus/documents.parquet")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+      .toMap
+    assert(corpus.keySet == Set(1000L, 1002L))
+    assert(corpus(1000L) == docA) // every line passes, all distinct
+    assert(corpus(1002L) == goodC.mkString("\n")) // junk lines filtered out
+  }
+
   test("warc -> documents -> curate runs the raw-crawl path end-to-end") {
     // a tiny crawl: one long English page that clears the quality/lang
     // gates, one short low-quality page, one header-only empty response
@@ -48,8 +76,11 @@ class CurationPipelineSpec extends SparkTestBase {
         ++ block ++ "\r\n\r\n".getBytes("ISO-8859-1"))
     def http(body: String): Array[Byte] =
       ("HTTP/1.1 200 OK\r\n\r\n" + body).getBytes("UTF-8")
+    // newline-separated SENTENCES: the crawl path now runs the C4 content
+    // rules by default, so the good page must clear them too (terminal
+    // punctuation, >=3 words/line, >=5 sentences) on top of quality/lang
     val good = Iterator.tabulate(60)(i =>
-      s"the quick brown fox and word$i of it").mkString(" ")
+      s"the quick brown fox jumps over word$i dog.").mkString("\n")
     val warcDir = java.nio.file.Files.createTempDirectory("graft-warc-e2e")
     java.nio.file.Files.write(warcDir.resolve("crawl.warc"),
       record("response", "http://good.example/page", http(good)) ++

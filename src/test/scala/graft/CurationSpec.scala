@@ -78,6 +78,64 @@ class CurationSpec extends SparkTestBase {
     assert(got(4L) == ((2L, 0L, "twice\nalso solo")))
   }
 
+  test("c4_line_filters discriminates rule by rule (hand-counted fixture)") {
+    val goodFive = Seq(
+      "Good sentence number one stands here.",
+      "Good sentence number two stands here!",
+      "Does sentence number three stand here?",
+      "He said the fourth sentence \"now.\"",
+      "Good sentence number five stands here.   ") // trailing ws: rtrim keeps it
+    val doc1 = goodFive.mkString("\n") // clean: everything kept
+    val doc2 = (Seq(
+      "No terminal punctuation here", // rule (a)
+      "Too short.", // rule (b): 2 words
+      "This line mentions javascript heavily today.", // rule (c)
+      "Please accept our cookie settings now.", // rule (c)
+      "We updated our privacy policy yesterday.", // rule (c)
+      "Read the terms of use first.") ++ goodFive).mkString("\n")
+    val doc3 = Seq( // doc rule precedence: lorem_ipsum beats brace AND few_sentences
+      "Valid sentence here it is.",
+      "We love Lorem Ipsum dearly.", // case-insensitive doc gate
+      "Brace { also appears here.").mkString("\n")
+    val doc4 = ("This config uses { braces } heavily." +: goodFive).mkString("\n")
+    val doc5 = goodFive.take(4).mkString("\n") // 4 sentences: one short of the gate
+    val doc6 = "One. Two. Three. Four. Five." // 5 sentences on a single line
+    val d = writeDocsFixture(Seq(1L -> doc1, 2L -> doc2, 3L -> doc3,
+      4L -> doc4, 5L -> doc5, 6L -> doc6))
+    val got = Curation.c4LineFilters(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))).toMap
+    assert(Curation.C4MinSentences == 5 && Curation.C4MinLineWords == 3)
+    assert(got(1L) == ((5L, 5L, 5L, "", doc1)))
+    assert(got(2L) == ((11L, 5L, 5L, "", goodFive.mkString("\n"))))
+    assert(got(3L) == ((3L, 3L, 3L, "lorem_ipsum", "")))
+    assert(got(4L) == ((6L, 6L, 6L, "brace", "")))
+    assert(got(5L) == ((4L, 4L, 4L, "few_sentences", "")))
+    assert(got(6L) == ((1L, 1L, 5L, "", doc6)))
+  }
+
+  test("paragraph_repetition: blank paragraphs skipped, exact bp shares") {
+    val d = writeDocsFixture(Seq(
+      1L -> "aaa\n\nbbb\n\naaa", // one repeat of a 3-char paragraph
+      2L -> "one para only",
+      3L -> "x\n\n\n\ny", // empty split piece between the \n\n pair
+      4L -> "p q\n\np q\n\np q", // all three the same
+      5L -> "a\n\n   \n\nb", // whitespace-only paragraph is not a paragraph
+      6L -> "", // no paragraphs at all: no row
+      7L -> "dup\n\nlongerpara\n\ndup")) // top mass is the UNIQUE long one
+    val got = Curation.paragraphRepetition(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(!got.contains(6L))
+    assert(got(1L) == ((3L, 1L, 3333L, 3333L, 6666L)))
+    assert(got(2L) == ((1L, 0L, 0L, 0L, 10000L)))
+    assert(got(3L) == ((2L, 0L, 0L, 0L, 5000L)))
+    assert(got(4L) == ((3L, 2L, 6666L, 6666L, 10000L)))
+    assert(got(5L) == ((2L, 0L, 0L, 0L, 5000L)))
+    // doc 7: chars = 3+3+10 = 16; dup chars = 3 → 1875; top = 10 → 6250
+    assert(got(7L) == ((3L, 1L, 3333L, 1875L, 6250L)))
+  }
+
   test("train_split assigns deterministic md5 splits at the e4 thresholds") {
     val sfDir = "/root/testdata/sf0.001"
     def md5Long(s: String): Long = {
