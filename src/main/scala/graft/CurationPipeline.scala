@@ -115,9 +115,22 @@ object CurationPipeline {
       name -> spark.read.parquet(s"$outDir/$name").count()
     }
 
+    // stage 3: interchange export — the curated corpus as deterministic
+    // sharded .jsonl.gz with a per-shard manifest (what a training run
+    // actually consumes; oracle-verified as jsonl_write)
+    val exported = graft.sources.JsonlSource.exportJsonl(
+      spark.read.parquet(s"$corpusDir/documents.parquet"),
+      s"$outDir/export_jsonl")
+    val exportDocs = exported.agg(
+      org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.sum("docs"),
+        org.apache.spark.sql.functions.lit(0L)))
+      .collect()(0).getLong(0)
+
     val manifest = (Map(
       "raw_docs" -> spark.read.parquet(s"$sfDir/documents.parquet").count(),
-      "curated_docs" -> spark.read.parquet(s"$corpusDir/documents.parquet").count())
+      "curated_docs" -> spark.read.parquet(s"$corpusDir/documents.parquet").count(),
+      "exported_docs" -> exportDocs)
       ++ stageCounts)
     writeManifest(outDir, manifest)
     manifest

@@ -63,7 +63,7 @@ object TextAnalysis {
     * language family projects this once as `__p` and reads fields —
     * replacing the interpreted split/transform/filter token array plus one
     * interpreted array pass per profile on every corpus-scan hot path. */
-  private[operators] def profileCol: Column =
+  private[graft] def profileCol: Column =
     org.apache.spark.sql.graft.TokenProfileHits(col("text"), AllProfiles)
 
   /** The `hits_<lang>` columns read from a projected [[profileCol]] struct
@@ -74,7 +74,7 @@ object TextAnalysis {
 
   /** [[qualityBpIn]]'s exact integer score read from a projected
     * [[profileCol]] struct (n = n_toks, stop = hits_0). */
-  private[operators] def qualityBpFrom(p: Column): Column = {
+  private[graft] def qualityBpFrom(p: Column): Column = {
     val n = p.getField("n_toks")
     val nStop = p.getField("hits_0")
     org.apache.spark.sql.graft.ExactMath.intDiv(

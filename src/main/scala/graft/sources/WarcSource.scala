@@ -404,6 +404,74 @@ object WarcSource {
       .agg(count(lit(1)).as("n_docs"),
         sum(length(col("text")).cast("long")).as("n_chars"))
 
+  /** Registered domain of a host under the SAME dot-boundary suffix-chain
+    * definition the blocklist matches on ([[hostSuffixes]]): its last —
+    * least specific — entry, i.e. the 2-label suffix (`a.b.example.com` →
+    * `example.com`); single-label and empty hosts map to themselves. One
+    * shared definition means a domain blocked by `url_filter` and a domain
+    * rolled up by [[domainStats]] can never disagree about what "domain"
+    * means. (A production deployment swaps this for a Public Suffix List
+    * lookup — a broadcast join against the ~9k-rule PSL — without touching
+    * the rollup shape.) */
+  def registeredDomain(host: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    element_at(hostSuffixes(host), -1)
+
+  /** Per-registered-domain rollup — the grain crawl curation actually
+    * caps, blocks and samples by (host stats over-split: one SEO farm
+    * spans thousands of subdomain hosts). Per domain: doc count, distinct
+    * host count, text mass and mean heuristic quality (exact integer bp —
+    * sum//count, both engines integral).
+    *
+    * Scale: the domain key is row-local array math fused into the scan;
+    * ONE uniform-key exchange aggregates (count-distinct hosts rides the
+    * same grouping via partial aggregation). Domain cardinality ≈ millions
+    * — the result is a small table. */
+  def domainStats(docs: DataFrame): DataFrame =
+    docs
+      .select(hostCol(col("url")).as("host"),
+        length(col("text")).cast("long").as("n_chars"),
+        graft.operators.TextAnalysis.qualityBpFrom(
+          graft.operators.TextAnalysis.profileCol).as("quality_bp"))
+      .groupBy(registeredDomain(col("host")).as("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("host")).as("n_hosts"),
+        sum(col("n_chars")).as("n_chars"),
+        org.apache.spark.sql.graft.ExactMath.intDiv(
+          sum(col("quality_bp")), count(lit(1))).as("avg_quality_bp"))
+
+  /** Driver-contract query: [[domainStats]] over the committed blocklist
+    * fixture (its hosts span deep subdomains, a lookalike, a single-label
+    * host and a no-URL record — the registered-domain edge cases).
+    * Ignores `dir` like [[warcHostStats]]. */
+  def domainStatsQ(spark: SparkSession, dir: String): DataFrame =
+    domainStats(documentsFromWarc(spark, FixtureBlockDir))
+
+  /** Oracle: exact VALUES literal, hand-derived from the block fixture's
+    * URLs and body strings (scripts/make_warc_fixture.py) under the
+    * documented rules — independently of hostSuffixes/registeredDomain and
+    * of the Scala quality expression. Quality per doc is
+    * least(n,50)·(n−nStop)·10000 // (max(n,1)·50) with nStop counted
+    * against the shared 151-entry stopword list; stopword-free 1-token
+    * bodies score 200 and 2-token bodies 400 ("no url" carries the one
+    * stopword hit, "no"):
+    *   ''                  : "no url"(200)                              → 200
+    *   good.example        : "good page"(400) "spam host"(400) "spam sub"(400) → 400
+    *   localhost           : "local"(200)                               → 200
+    *   nottracker.example  : "lookalike"(200)                           → 200
+    *   tracker.example     : "tracker lp"(400) "pixel"(200) "deep"(200) → 800//3 = 266 */
+  val domainStatsSql: String =
+    """SELECT domain, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(n_hosts AS BIGINT) AS n_hosts,
+      |  CAST(n_chars AS BIGINT) AS n_chars,
+      |  CAST(avg_quality_bp AS BIGINT) AS avg_quality_bp
+      |FROM (VALUES
+      |  ('', 1, 1, 6, 200),
+      |  ('good.example', 3, 3, 26, 400),
+      |  ('localhost', 1, 1, 5, 200),
+      |  ('nottracker.example', 1, 1, 9, 200),
+      |  ('tracker.example', 3, 3, 19, 266))
+      |  AS t(domain, n_docs, n_hosts, n_chars, avg_quality_bp)""".stripMargin
+
   /** Committed fixture corpus backing the driver-contract row (generated
     * once by scripts/make_warc_fixture.py; two files, one gzipped). The
     * files live ON THE MAIN CLASSPATH (src/main/resources/graft/warc) so

@@ -549,6 +549,31 @@ class WarcSourceSpec extends SparkTestBase {
     assert(extractOne("<p>no title</p>")._1 == "")
   }
 
+  test("registeredDomain: 2-label suffix, degenerate hosts, one definition " +
+      "with the blocklist chain") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val got = Seq("a.b.example.com", "example.com", "localhost", "",
+      "deep.sub.tracker.example").toDF("h")
+      .select(WarcSource.registeredDomain(col("h"))).as[String].collect()
+    assert(got.toSeq == Seq("example.com", "example.com", "localhost", "",
+      "tracker.example"))
+  }
+
+  test("domain_stats rolls the block fixture up to registered domains " +
+      "with exact mean quality") {
+    val got = WarcSource.domainStatsQ(spark, "")
+      .collect().map(r => r.getAs[String]("domain") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_hosts"),
+          r.getAs[Long]("n_chars"), r.getAs[Long]("avg_quality_bp")))).toMap
+    assert(got == Map(
+      "" -> ((1L, 1L, 6L, 200L)),
+      "good.example" -> ((3L, 3L, 26L, 400L)),
+      "localhost" -> ((1L, 1L, 5L, 200L)),
+      "nottracker.example" -> ((1L, 1L, 9L, 200L)),
+      "tracker.example" -> ((3L, 3L, 19L, 266L))))
+  }
+
   test("warc_html_extract fixture rows match the hand-derived expectations") {
     val got = WarcSource.warcHtmlExtract(spark, "")
       .collect().map(r => r.getAs[String]("url") ->
