@@ -15,8 +15,13 @@ class EntrySpec extends SparkTestBase {
     // an iterative fixpoint with driver-side round control (brute-forced
     // in SuffixRepeatsSpec). suffix_repeats' SPECTRUM, by contrast, has a
     // window-explode brute-force oracle and is fully gated.
+    // unigram_vocab/encode/fertility: EM fixpoint over collected per-round
+    // state — the bpe_merges no-single-SQL argument; brute-forced from
+    // scratch in PipelineOpsSpec (unigram_seed_counts, the round-0
+    // statistic, IS fully oracled)
     val rowsOnly = Set("partition_stats", "approx_stats", "bpe_merges",
-      "bpe_encode", "dup_pagerank", "longest_repeat")
+      "bpe_encode", "dup_pagerank", "longest_repeat",
+      "unigram_vocab", "unigram_encode", "unigram_fertility")
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == rowsOnly)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Similarity, TextAnalysis}
+import graft.operators.{Similarity, TextAnalysis, Unigram}
 
 /** Specs for the round-3 pipeline operators: repetition stats, boilerplate
   * n-gram detection, corpus mixing report, cluster purity. */
@@ -204,6 +204,113 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got == exp)
     // merges actually compress: fewer symbols than characters somewhere
     assert(got.exists(r => r._4 < r._3))
+  }
+
+  test("unigram seed/vocab/encode/fertility match an independent " +
+      "from-scratch EM + Viterbi") {
+    val docTexts = Seq(
+      1L -> "banana banana bandana anna",
+      2L -> "nab banana anana x9 !!") // non-[a-z]+ words are not trained on
+    val d = writeDocsFixture(docTexts)
+
+    // ---- independent reference (no shared operator code) ----
+    val words = docTexts.flatMap(_._2.toLowerCase.split("\\s+"))
+      .filter(_.matches("[a-z]+"))
+    val wf: Map[String, Long] =
+      words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // seed: occurrence-weighted substrings (len 1..4)
+    val seedCnt = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, f) <- wf; i <- 0 until w.length;
+         n <- 1 to math.min(4, w.length - i)) {
+      val p = w.substring(i, i + n)
+      seedCnt(p) = seedCnt.getOrElse(p, 0L) + f
+    }
+    val chars = seedCnt.keySet.filter(_.length == 1).toSet
+    var usage: Map[String, Long] =
+      (seedCnt.filter(_._1.length == 1) ++
+        seedCnt.toSeq.filter(_._1.length >= 2)
+          .sortBy { case (p, c) => (-c, p) }.take(256)).toMap
+    def scores(u: Map[String, Long]): Map[String, Double] = {
+      val w = u.map { case (p, c) =>
+        p -> (if (p.length == 1) math.max(c, 1L) else c) }
+      val t = w.values.sum.toDouble
+      w.map { case (p, x) => p -> math.log(x / t) }
+    }
+    def vit(w: String, sc: Map[String, Double]): Vector[String] = {
+      val n = w.length
+      val best = Array.fill(n + 1)(Double.NegativeInfinity); best(0) = 0.0
+      val back = new Array[Int](n + 1)
+      for (i <- 1 to n) {
+        for (l <- 1 to math.min(4, i))
+          sc.get(w.substring(i - l, i)) match {
+            case Some(s) if best(i - l) + s > best(i) =>
+              best(i) = best(i - l) + s; back(i) = l
+            case _ => ()
+          }
+        if (back(i) == 0) { best(i) = best(i - 1) - 100.0; back(i) = 1 }
+      }
+      var j = n
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      while (j > 0) { val l = back(j); w.substring(j - l, j) +=: out; j -= l }
+      out.toVector
+    }
+    for (_ <- 1 to Unigram.UnigramEmRounds) {
+      val sc = scores(usage)
+      val used = scala.collection.mutable.Map.empty[String, Long]
+      for ((w, f) <- wf; p <- vit(w, sc))
+        used(p) = used.getOrElse(p, 0L) + f
+      usage = chars.map(c => c -> used.getOrElse(c, 0L)).toMap ++
+        used.toMap.filter { case (p, u) => p.length >= 2 && u > 0 }
+    }
+    val finalVocab = chars.map(c => c -> usage.getOrElse(c, 0L)).toMap ++
+      usage.toSeq.filter(_._1.length >= 2).sortBy { case (p, u) => (-u, p) }
+        .take(math.max(Unigram.UnigramVocabK - chars.size, 0))
+    val fsc = scores(finalVocab)
+
+    // seed counts (the oracled round-0 row)
+    val expSeed = seedCnt.toSeq.sortBy { case (p, c) => (-c, p) }
+      .take(Unigram.UnigramSeedTopN)
+    val gotSeed = Unigram.unigramSeedCounts(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(gotSeed == expSeed)
+
+    // trained vocabulary, rank for rank
+    val expVocab = finalVocab.toSeq.sortBy { case (p, u) => (-u, p) }
+      .zipWithIndex.map { case ((p, u), ix) =>
+        (ix + 1L, p, p.length.toLong, u, math.round(fsc(p) * 10000.0)) }
+    val gotVocab = Unigram.unigramVocab(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(gotVocab == expVocab)
+    assert(gotVocab.exists(v => v._3 >= 2 && v._4 > 0)) // multi pieces trained
+
+    // encode∘train parity per document
+    val expEnc = docTexts.map { case (id, t) =>
+      val ws = t.toLowerCase.split("\\s+").filter(_.matches("[a-z]+"))
+      (id, ws.length.toLong, ws.map(_.length.toLong).sum,
+        ws.map(w => vit(w, fsc).length.toLong).sum)
+    }.toSet
+    val gotEnc = Unigram.unigramEncode(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(gotEnc == expEnc)
+    assert(gotEnc.exists(r => r._4 < r._3)) // compresses below char count
+
+    // fertility: one src0 row reconciling both encodes' per-doc rollups
+    val bpeByDoc = TextAnalysis.bpeEncode(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val uniByDoc = gotEnc.map(r => (r._1, (r._2, r._3, r._4))).toMap
+    val w0 = uniByDoc.values.map(_._1).sum
+    val exp = (("src0", uniByDoc.size.toLong, w0,
+      uniByDoc.values.map(_._2).sum, bpeByDoc.values.sum,
+      uniByDoc.values.map(_._3).sum,
+      bpeByDoc.values.sum * 100L / w0,
+      uniByDoc.values.map(_._3).sum * 100L / w0))
+    val fert = Unigram.unigramFertility(spark, d).collect()
+    assert(fert.length == 1)
+    val r = fert.head
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)) == exp)
   }
 
   test("oov_stats counts tokens outside the top-k vocabulary") {
