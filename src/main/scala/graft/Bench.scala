@@ -67,8 +67,16 @@ object Bench {
     // projections vanish from the plan), so a map-only query would bench
     // an empty row-count scan instead of its real work. The noop sink
     // evaluates every output row fully and discards it.
+    // Contention guard (VERDICT r10 #7): BENCH_r10 on a box with ~5 cores
+    // already busy (load_before 4.76) read as a 73% regression that a
+    // quiet-box same-commit re-run fully reversed. When the box is already
+    // loaded at startup, take a THIRD steady pass per query and report
+    // min-of-3 — one extra sample is cheap insurance against a busy
+    // neighbor landing inside a 2-pass window. The `passes` telemetry
+    // field records which mode ran.
+    val passes = if (loadBefore > 2.0) 3 else 2
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val runs = (1 to 2).map { _ =>
+      val runs = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
         val ok = try {
           fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true
@@ -103,7 +111,8 @@ object Bench {
     val telemetry = s""""wall_sec":${f2(wallSec)},"cpu_sec":${f2(cpuSec)},""" +
       s""""cpu_util":${f2(if (wallSec > 0 && cpuSec >= 0) cpuSec / wallSec else -1.0)},""" +
       s""""gc_ms":$gcDeltaMs,"load_before":${f2(loadBefore)},"load_after":${f2(loadAfter)},""" +
-      s""""host_cpus":${Runtime.getRuntime.availableProcessors}"""
+      s""""host_cpus":${Runtime.getRuntime.availableProcessors},""" +
+      s""""passes":$passes"""
     // every headline scalar FIRST, the two long per-query maps LAST: the
     // driver's capture truncated BENCH_r04's tail, losing 16 timings AND
     // the totals — a clipped line now still carries every summary field.

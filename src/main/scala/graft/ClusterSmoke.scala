@@ -85,8 +85,17 @@ object ClusterSmoke {
     "kn_perplexity",      // materialized KN model joined corpus-wide
     "trim_repeated_lines",// doc-local line-hash window + sorted rebuild
     "trim_common_lines",  // corpus-wide line census + skew-splittable join
-    "nb_classify")        // trained NB: sparse model join + class broadcast
+    "nb_classify",        // trained NB: sparse model join + class broadcast
                           // + argmax window across executor JVMs
+    "substr_dedup",       // ExactSubstr doc gate over the cached coverage
+                          // frame — proves the r10 level cache + row-local
+                          // gate survive executor serialization
+    "jsonl_write",        // distributed sharded gz write, partition-
+                          // discovered re-read and manifest agg across JVMs
+    "unigram_encode",     // EM-trained score-table broadcasts per round +
+                          // vocabulary-frame Viterbi map on executors
+    "domain_stats")       // WARC fixture + suffix-chain domain key +
+                          // codegen'd quality profile on executor JVMs
 
   private def warcDocCount(spark: SparkSession): Long =
     graft.sources.WarcSource
