@@ -303,6 +303,19 @@ object Curation {
         when(col("drop_reason") === "", col("ktext"))
           .otherwise("").as("filtered_text"))
 
+  /** [[c4LineFilters]] as a row-local GATE: drop condemned docs, replace
+    * `text` with the filtered lines, keep every other column — the shape
+    * the composed pipelines and the streaming twin consume. Pure
+    * projection + filter (stateless, no shuffle), so batch≡stream by
+    * construction. */
+  private[graft] def c4GateOf(d: DataFrame): DataFrame = {
+    val kept = filter(split(col("text"), "\n", -1), c4Keep _)
+    val ktext = array_join(kept, "\n")
+    val dropped = instr(lower(col("text")), "lorem ipsum") > 0 ||
+      instr(col("text"), "{") > 0 || sentCount(ktext) < C4MinSentences
+    d.where(!dropped).withColumn("text", ktext)
+  }
+
   private def sqlC4Keep(l: String): String = {
     val banned = C4BannedPhrases
       .map(p => s"contains(lower($l), '$p')").mkString(" OR ")

@@ -367,6 +367,26 @@ object WarcSource {
       blocklist: Seq[String] = UrlBlocklist): DataFrame =
     docs.where(urlBlockRule(col("url"), blocklist) === "")
 
+  /** [[urlFilter]] for a PSL-SCALE blocklist (C4's ~400k badlist domains —
+    * far beyond a codegen literal array): documents explode their
+    * dot-boundary suffix chain (≤ host-label-count rows each, typically
+    * ≤5) and LEFT SEMI join the blocklist table on the suffix; a doc-keyed
+    * LEFT ANTI join back keeps the clean documents. Same semantics as the
+    * literal-array rule — spec-locked equal verdicts. The blocklist side
+    * is left to Spark's size-based join choice (it broadcasts while the
+    * ~few-MB list fits and degrades to a shuffle beyond) rather than
+    * hand-pinned, since PSL-scale sits near the broadcast threshold.
+    * `blocklist` contract: one `entry` column of lowercase exact-host or
+    * registered-domain strings, the [[UrlBlocklist]] semantics. */
+  def urlFilterLarge(docs: DataFrame, blocklist: DataFrame): DataFrame = {
+    val hits = docs
+      .select(col("doc_id"),
+        explode(hostSuffixes(hostCol(col("url")))).as("entry"))
+      .join(blocklist.select(col("entry")), Seq("entry"), "left_semi")
+      .select("doc_id").distinct()
+    docs.join(hits, Seq("doc_id"), "left_anti")
+  }
+
   /** Audit form of [[urlFilter]]: one verdict row per document — host,
     * blocked flag and the matched rule ('' when clean). What a curation
     * run logs so a blocked-host census is reviewable. */

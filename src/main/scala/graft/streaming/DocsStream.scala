@@ -382,6 +382,16 @@ object DocsStream {
       blocklist: Seq[String] = graft.sources.WarcSource.UrlBlocklist): DataFrame =
     graft.sources.WarcSource.urlFilter(docs, blocklist)
 
+  /** Stateless C4 content gate — the streaming twin of the batch
+    * `c4_line_filters` (Raffel et al. 2020 §2.2): the SAME row-local
+    * expression chain (terminal-punctuation / min-words / banned-phrase
+    * line rules, lorem-ipsum / brace / few-sentences doc gates), so
+    * batch≡stream by construction (spec-locked). Kept documents flow on
+    * with their FILTERED text; map-only, composes anywhere before the
+    * stateful stages. */
+  def c4Gate(docs: DataFrame): DataFrame =
+    graft.operators.Curation.c4GateOf(docs)
+
   /** Stateless within-doc repeated-line trim — the streaming twin of
     * [[graft.operators.Curation.trimRepeatedLines]]. A document's lines
     * all live in its own row, so the first-occurrence filter is ROW-LOCAL

@@ -343,6 +343,40 @@ class ScaleSpec extends SparkTestBase {
       s"trim_common_lines degraded:\n$tcl")
   }
 
+  test("r11 operators keep their claimed scale shapes: c4 rules map-only, " +
+      "paragraph repetition join-free and doc-keyed") {
+    // c4_line_filters: higher-order array functions inside one projection
+    // — zero exchange, the rules run at scan speed
+    val c4 = SparkEntry.queries("c4_line_filters")(spark, sf)
+    assert(!c4.queryExecution.executedPlan.toString.contains("Exchange"),
+      "c4_line_filters gained a shuffle")
+
+    // paragraph_repetition: two doc-keyed aggregations, no join, no window
+    // (a global window or a corpus self-join would be the scale killers)
+    val pr = SparkEntry.queries("paragraph_repetition")(spark, sf)
+      .queryExecution.executedPlan
+    assert(pr.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "paragraph_repetition gained a window")
+    assert(!pr.toString.contains("Join"),
+      "paragraph_repetition gained a join")
+
+    // domain_stats: row-local domain key + aggregation — no join either
+    val ds = SparkEntry.queries("domain_stats")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!ds.contains("Join"), "domain_stats gained a join")
+
+    // unigram serving join must not broadcast the corpus-derived side's
+    // PARENT (the token stream); the vocab side is the broadcastable one.
+    // Assert no cartesian/BNLJ rather than pin the join strategy — the
+    // vocab side is legitimately either broadcast or shuffled by size.
+    val ue = SparkEntry.queries("unigram_encode")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!ue.contains("CartesianProduct") &&
+      !ue.contains("BroadcastNestedLoopJoin"),
+      "unigram_encode degraded to an unkeyed join")
+  }
+
   test("parts_copurchase is one scan through two exchanges") {
     // r8 reformulation: the self-join re-derived the distinct frame in
     // four branches (4 scans / 4 exchanges); now the distinct, the

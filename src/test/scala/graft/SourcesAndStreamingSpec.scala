@@ -124,6 +124,35 @@ class SourcesAndStreamingSpec extends SparkTestBase {
     assert(persisted == manifest)
   }
 
+  test("c4Gate streaming twin replays equal to the batch c4_line_filters " +
+      "keep set and filtered text") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val five = (1 to 5).map(i => s"Solid sentence number $i reads fine.")
+    val rows = Seq(
+      1L -> five.mkString("\n"), // clean: kept, text unchanged
+      2L -> (five :+ "dropped cookie banner line.").mkString("\n"), // filtered
+      3L -> "no terminal punctuation anywhere at all", // few_sentences: dropped
+      4L -> (five :+ "curly { brace.").mkString("\n"), // brace doc gate: dropped
+      5L -> (five :+ "we love lorem ipsum too.").mkString("\n")) // dropped
+    val d = writeDocsFixture(rows)
+    // batch reference: the oracled operator's keep set + filtered text
+    val batch = graft.operators.Curation.c4LineFilters(spark, d).collect()
+      .filter(_.getString(4) == "")
+      .map(r => r.getLong(0) -> r.getString(5)).toMap
+    val input = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.DocsStream.c4Gate(
+      input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("c4gate")
+      .outputMode("append").start()
+    input.addData(rows: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("c4gate").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(streamed == batch)
+    assert(streamed.keySet == Set(1L, 2L)) // the gate actually discriminates
+    assert(streamed(2L) == five.mkString("\n")) // banned line filtered out
+  }
+
   test("lineTrimStage replays equal to the batch trim_repeated_lines rebuild") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val rows = Seq(

@@ -136,6 +136,55 @@ class SuffixRepeatsSpec extends SparkTestBase {
     }
   }
 
+  /** Independent twin of the operator's checkpoint tag: md5 of the corpus
+    * PATH plus a name|size|mtime fingerprint of every file under its
+    * documents.parquet (ADVICE r10 — path alone let an in-place rewrite
+    * resume stale levels). */
+  private def ckptTag(dir: String): String = {
+    val root = new java.io.File(s"$dir/documents.parquet")
+    def files(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq).getOrElse(Nil).flatMap(files)
+      // Hadoop's local FS is checksummed: its listing HIDES the .crc
+      // sidecar files java.io sees — exclude dot-files to match
+      else if (f.getName.startsWith(".")) Nil
+      else Seq(f)
+    val fp =
+      if (!root.exists) "absent"
+      else files(root).map(f => s"${f.getName}|${f.length}|${f.lastModified}")
+        .sorted.mkString("\n")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest((dir + "\n" + fp).getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(16)
+  }
+
+  test("checkpoint tag fingerprints corpus content: an in-place rewrite " +
+      "never resumes stale levels") {
+    val dir = writeDocsFixture(Seq(
+      1L -> "abcabcabcabc shared shared shared tail",
+      2L -> "abcabcabcabc again here"))
+    val s1 = spark.newSession()
+    s1.conf.set("graft.suffixCheckpoint", "true")
+    val r1 = collectSet(SuffixRepeats.suffixRepeats(s1, dir))
+    assert(r1.nonEmpty)
+    // rewrite the corpus IN PLACE under the same path
+    import spark.implicits._
+    Seq(1L -> "zz qq zz", 2L -> "totally different now").toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'src0' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // ground truth for the rewritten corpus: a plain uncheckpointed build
+    val truth = collectSet(SuffixRepeats.suffixRepeats(spark.newSession(), dir))
+    // a fresh checkpointing session must NOT resume the old corpus's
+    // levels — the content fingerprint changed, so the tag did too
+    val s2 = spark.newSession()
+    s2.conf.set("graft.suffixCheckpoint", "true")
+    val r2 = collectSet(SuffixRepeats.suffixRepeats(s2, dir))
+    assert(r2 == truth, "stale-checkpoint resume: spectrum is not the " +
+      "rewritten corpus's")
+    assert(r2 != r1) // the corpora genuinely differ, so the spectra must
+  }
+
   test("level checkpointing: a mid-build loss resumes from the last " +
       "completed level with identical spectrum output") {
     val shared = "THE LONGEST SHARED RUN OF TEXT IN THIS CORPUS " +
@@ -153,11 +202,9 @@ class SuffixRepeatsSpec extends SparkTestBase {
     val s1 = spark.newSession()
     s1.conf.set("graft.suffixCheckpoint", "true")
     assert(collectSet(SuffixRepeats.suffixRepeats(s1, dir)) == baseline)
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(16)
     val scratch = new java.io.File(
       s"${sys.props("java.io.tmpdir")}/graft-scratch-" +
-        s"${spark.sparkContext.applicationId}/suffix-$tag")
+        s"${spark.sparkContext.applicationId}/suffix-${ckptTag(dir)}")
     val levelDirs = scratch.listFiles()
       .filter(_.getName.startsWith("level-"))
       .sortBy(_.getName.stripPrefix("level-").toLong)

@@ -560,6 +560,22 @@ class WarcSourceSpec extends SparkTestBase {
       "tracker.example"))
   }
 
+  test("urlFilterLarge (PSL-scale suffix join) keeps exactly the " +
+      "literal-array rule's survivors") {
+    import spark.implicits._
+    val docs = WarcSource.documentsFromWarc(spark, WarcSource.FixtureBlockDir)
+    val expected = WarcSource.urlFilter(docs).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val bl = WarcSource.UrlBlocklist.toDF("entry")
+    val got = WarcSource.urlFilterLarge(docs, bl).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(got == expected && got.nonEmpty)
+    assert(docs.count() > got.size) // the fixture really blocks something
+    // an empty blocklist table blocks nothing
+    assert(WarcSource.urlFilterLarge(docs,
+      Seq.empty[String].toDF("entry")).count() == docs.count())
+  }
+
   test("domain_stats rolls the block fixture up to registered domains " +
       "with exact mean quality") {
     val got = WarcSource.domainStatsQ(spark, "")
