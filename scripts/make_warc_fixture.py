@@ -285,5 +285,58 @@ def make_html_fixture():
         print(f"  {url!r:36} {title!r:22} {len(text)}")
 
 
+# Sixth fixture (graft/warc_links): anchor-rich pages backing the
+# `html_links` driver row — the crawl-graph extraction every Common Crawl
+# derivative ships (outlinks + anchor text). Extraction rules (pinned):
+# only double-quoted href attributes match (the dominant crawl form — the
+# single-quoted page below proves the pin); (?is) so tags match in any
+# case across lines; anchor text = inner tags -> spaces, entities decoded,
+# whitespace collapsed, trimmed; <a> without href is not a link. Expected
+# rows, derived BY HAND from the markup below:
+#
+#   url                       href                        anchor
+#   http://hub.example/start  http://alpha.example/a      Alpha & Co
+#   http://hub.example/start  /local/page                 the local page
+#   http://hub.example/start  http://beta.example/b?q=1   beta list
+#   http://upper.example/g    HTTP://Gamma.example/G      Gamma Page
+#   (http://nolinks.example/t and http://squote.example/s yield no rows)
+PAGE_LINKS_HUB = (
+    '<html><body>\n'
+    '<p>See <a href="http://alpha.example/a">Alpha &amp; Co</a> and\n'
+    '<a class="x" href="/local/page">the <b>local</b> page</a>.</p>\n'
+    '<a href="http://beta.example/b?q=1">beta  list</a>\n'
+    '<a name="x">no href anchor</a>\n'
+    '</body></html>')
+PAGE_LINKS_UPPER = '<HTML><BODY><A HREF="HTTP://Gamma.example/G">Gamma\nPage</A></BODY></HTML>'
+PAGE_LINKS_NONE = '<html><body><p>plain text, zero anchors</p></body></html>'
+PAGE_LINKS_SQUOTE = "<html><body><a href='/sq'>single quoted is not matched</a></body></html>"
+
+
+def make_links_fixture():
+    out = os.path.join(os.path.dirname(__file__), "..", "src", "main",
+                       "resources", "graft", "warc_links")
+    os.makedirs(out, exist_ok=True)
+    part0 = (
+        record("request", "http://hub.example/start",
+               b"GET /start HTTP/1.1\r\nHost: hub.example\r\n")
+        + record("response", "http://hub.example/start",
+                 http(PAGE_LINKS_HUB))
+        + record("response", "http://nolinks.example/t",
+                 http(PAGE_LINKS_NONE))
+    )
+    with open(os.path.join(out, "cc-links-000.warc"), "wb") as f:
+        f.write(part0)
+    part1 = (
+        record("response", "http://upper.example/g", http(PAGE_LINKS_UPPER))
+        + record("response", "http://squote.example/s",
+                 http(PAGE_LINKS_SQUOTE))
+    )
+    with open(os.path.join(out, "cc-links-001.warc.gz"), "wb") as f:
+        with gzip.GzipFile(fileobj=f, mode="wb", mtime=0) as gz:
+            gz.write(part1)
+    print(f"wrote {out}/cc-links-000.warc and cc-links-001.warc.gz")
+
+
 if __name__ == "__main__":
     main()
+    make_links_fixture()

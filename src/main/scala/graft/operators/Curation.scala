@@ -239,6 +239,61 @@ object Curation {
        |    FILTER (WHERE n IS NULL), '') AS trimmed_text
        |FROM lines LEFT JOIN common USING (lh) GROUP BY 1""".stripMargin
 
+  /** CORPUS-WIDE paragraph dedup-trim — CCNet's ACTUAL dedup grain (Wenzek
+    * et al. 2020 dedup paragraphs across shards, keeping one occurrence):
+    * every paragraph occurrence that is not the corpus-FIRST occurrence of
+    * its hash drops; first = lexicographic min (doc_id, pos), pinned and
+    * engine-neutral (both engines order structs lexicographically). This
+    * completes the grain matrix: within-doc lines (`trim_repeated_lines`),
+    * corpus lines (`trim_common_lines`), fixed segments (`trim_segments`),
+    * and now corpus paragraphs. Unlike `paragraph_repetition` (a measure),
+    * empty paragraphs are occurrences here — the first blank survives,
+    * later blanks drop, exactly like any other duplicated paragraph.
+    *
+    * Scale: the first-occurrence table is a map-side-partialed min(struct)
+    * groupBy on the 8-byte hash (hot keys collapse to one row per
+    * partition before the exchange); the join back is AQE-skew-splittable
+    * shuffle_hash — the same deliberate JOIN-not-window choice as
+    * `trim_common_lines`, because blank/boilerplate paragraphs are real
+    * hot keys at 100 TB. */
+  def trimCommonParagraphs(spark: SparkSession, dir: String): DataFrame = {
+    val paras = docs(spark, dir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\n\n", -1)).as(Seq("pos", "para")))
+      .withColumn("ph", md5Long(col("para")))
+    val firsts = paras.groupBy("ph")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+    paras
+      .join(firsts.hint("shuffle_hash"), Seq("ph"))
+      .withColumn("keep",
+        col("f.doc_id") === col("doc_id") && col("f.pos") === col("pos"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_paragraphs"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_dropped"),
+        concat_ws("\n\n", transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("pos"), col("para"))))),
+          s => s.getField("para"))).as("trimmed_text"))
+  }
+  val trimCommonParagraphsSql: String =
+    s"""WITH px AS (
+       |  SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps
+       |  FROM documents
+       |), paras AS MATERIALIZED (
+       |  SELECT doc_id, CAST(g.i AS BIGINT) AS pos, ps[g.i] AS para,
+       |    ${sqlMd5Long("ps[g.i]")} AS ph
+       |  FROM px, unnest(range(1, len(ps) + 1)) AS g(i)
+       |), firsts AS (
+       |  SELECT ph, min(struct_pack(d := doc_id, p := pos)) AS f
+       |  FROM paras GROUP BY 1
+       |)
+       |SELECT doc_id, count(*) AS n_paragraphs,
+       |  CAST(sum(CASE WHEN NOT (f.d = doc_id AND f.p = pos) THEN 1 ELSE 0
+       |    END) AS BIGINT) AS n_dropped,
+       |  coalesce(string_agg(para, chr(10) || chr(10) ORDER BY pos)
+       |    FILTER (WHERE f.d = doc_id AND f.p = pos), '') AS trimmed_text
+       |FROM paras JOIN firsts USING (ph) GROUP BY 1""".stripMargin
+
   // ---- C4 line-level content heuristics (Raffel et al. 2020 §2.2) --------
   /** The C4 cleaning rules every C4-descendant corpus runs — CONTENT rules,
     * the complement of the three duplication trims above (which drop lines

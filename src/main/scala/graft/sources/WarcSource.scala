@@ -527,6 +527,12 @@ object WarcSource {
     * and a no-URL record). */
   lazy val FixtureBlockDir: String =
     materializeFixture("warc_block", Seq("cc-block-000.warc", "cc-block-001.warc.gz"))
+  /** Anchor-rich fixture corpus backing `html_links` (same generator
+    * script; multi-link page with nested/entity/whitespace anchors, an
+    * href-less anchor, uppercase multiline tags, a link-free page and a
+    * single-quoted href that must NOT match). */
+  lazy val FixtureLinksDir: String =
+    materializeFixture("warc_links", Seq("cc-links-000.warc", "cc-links-001.warc.gz"))
 
   /** Driver-contract query: per-host rollup of the committed WARC fixture.
     * Ignores `dir` — WARC is a raw-file source, not an sfDir parquet table
@@ -604,6 +610,54 @@ object WarcSource {
       |  ('http://site-c.example/nested', 'C <3 page',
       |   E'k v\nDone here.', 14))
       |  AS t(url, title, text, n_chars)""".stripMargin
+
+  /** Double-quoted-href anchor elements: group 1 = href value, group 2 =
+    * inner markup up to the first closing tag. Case-insensitive, dot
+    * matches newlines; single-quoted hrefs and href-less anchors are NOT
+    * links by this pin (the fixture proves both). Java-regex and RE2
+    * compatible (lazy quantifiers, no backreferences). */
+  private val HtmlAnchorRe =
+    "(?is)<a\\s[^>]*?href\\s*=\\s*\"([^\"]*)\"[^>]*>(.*?)</a>"
+
+  /** Outlink extraction over a crawl — the link-graph product every
+    * Common Crawl derivative ships (host ranking, seed discovery, anchor
+    * corpora): one row per anchor with the RAW href (resolution policy is
+    * the consumer's) and the cleaned anchor text (inner tags → spaces,
+    * the shared entity decode, whitespace collapsed, trimmed).
+    *
+    * Scale: two `regexp_extract_all` projections + a positional explode —
+    * row-local inside whole-stage codegen, no exchange; output volume is
+    * the corpus's link count. href and anchor pair by match index (same
+    * pattern, two capture groups — the arrays are always equal-length). */
+  def htmlLinks(docs: DataFrame): DataFrame =
+    docs
+      .select(col("url"),
+        regexp_extract_all(col("text"), lit(HtmlAnchorRe), lit(1)).as("hs"),
+        regexp_extract_all(col("text"), lit(HtmlAnchorRe), lit(2)).as("ts"))
+      .select(col("url"), col("ts"), posexplode(col("hs")).as(Seq("i", "href")))
+      .select(col("url"), col("href"),
+        trim(regexp_replace(graft.functions.TextFns.htmlEntities(
+          regexp_replace(element_at(col("ts"), col("i") + 1),
+            "<[^>]*>", " ")), "\\s+", " ")).as("anchor"))
+
+  /** Driver-contract query: [[htmlLinks]] over the committed link fixture.
+    * Ignores `dir` like [[warcHostStats]]. */
+  def htmlLinksQ(spark: SparkSession, dir: String): DataFrame =
+    htmlLinks(documentsFromWarc(spark, FixtureLinksDir))
+
+  /** Oracle: exact VALUES literal, hand-derived in
+    * scripts/make_warc_fixture.py from the link fixture's markup under the
+    * documented extraction rules — independently of the Scala regex — so
+    * this row checks the double-quote pin (the single-quoted page yields
+    * nothing), the href-less anchor skip, case/multiline tags, nested
+    * inner markup, entity decode and whitespace collapse. */
+  val htmlLinksSql: String =
+    """SELECT url, href, anchor FROM (VALUES
+      |  ('http://hub.example/start', '/local/page', 'the local page'),
+      |  ('http://hub.example/start', 'http://alpha.example/a', 'Alpha & Co'),
+      |  ('http://hub.example/start', 'http://beta.example/b?q=1', 'beta list'),
+      |  ('http://upper.example/g', 'HTTP://Gamma.example/G', 'Gamma Page'))
+      |  AS t(url, href, anchor)""".stripMargin
 
   /** Driver-contract query: blocklist verdicts ([[urlFilterAudit]] under
     * [[UrlBlocklist]]) over the committed blocklist fixture. Ignores `dir`

@@ -136,6 +136,26 @@ class CurationSpec extends SparkTestBase {
     assert(got(7L) == ((3L, 1L, 3333L, 1875L, 6250L)))
   }
 
+  test("trim_common_paragraphs keeps exactly the corpus-first occurrence " +
+      "of every paragraph, blanks included") {
+    val d = writeDocsFixture(Seq(
+      1L -> "shared\n\nunique one", // corpus-first 'shared': kept
+      2L -> "prefix\n\nshared", // later 'shared': dropped
+      3L -> "shared\n\nshared", // both occurrences later than doc 1's
+      4L -> "solo only",
+      5L -> "a\n\n\n\nb", // first blank paragraph in the corpus: kept
+      6L -> "c\n\n\n\nd")) // its blank is a later occurrence: dropped
+    val got = Curation.trimCommonParagraphs(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(1L) == ((2L, 0L, "shared\n\nunique one")))
+    assert(got(2L) == ((2L, 1L, "prefix")))
+    assert(got(3L) == ((2L, 2L, "")))
+    assert(got(4L) == ((1L, 0L, "solo only")))
+    assert(got(5L) == ((3L, 0L, "a\n\n\n\nb"))) // blank kept: rebuilt intact
+    assert(got(6L) == ((3L, 1L, "c\n\nd"))) // blank dropped
+  }
+
   test("train_split assigns deterministic md5 splits at the e4 thresholds") {
     val sfDir = "/root/testdata/sf0.001"
     def md5Long(s: String): Long = {

@@ -590,6 +590,21 @@ class WarcSourceSpec extends SparkTestBase {
       "tracker.example" -> ((3L, 3L, 19L, 266L))))
   }
 
+  test("html_links extracts exactly the double-quoted-href anchors with " +
+      "cleaned anchor text") {
+    val got = WarcSource.htmlLinksQ(spark, "").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("http://hub.example/start", "http://alpha.example/a", "Alpha & Co"),
+      ("http://hub.example/start", "/local/page", "the local page"),
+      ("http://hub.example/start", "http://beta.example/b?q=1", "beta list"),
+      ("http://upper.example/g", "HTTP://Gamma.example/G", "Gamma Page")))
+    // the single-quoted page and the link-free page yield nothing, and the
+    // href-less <a name=...> anchor on the hub page was not a link
+    assert(!got.exists(_._1.contains("squote")))
+    assert(!got.exists(_._1.contains("nolinks")))
+  }
+
   test("warc_html_extract fixture rows match the hand-derived expectations") {
     val got = WarcSource.warcHtmlExtract(spark, "")
       .collect().map(r => r.getAs[String]("url") ->
