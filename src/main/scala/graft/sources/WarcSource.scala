@@ -659,6 +659,46 @@ object WarcSource {
       |  ('http://upper.example/g', 'HTTP://Gamma.example/G', 'Gamma Page'))
       |  AS t(url, href, anchor)""".stripMargin
 
+  /** Registered-domain link graph over [[htmlLinks]] output — the
+    * host-ranking substrate (PageRank seeds, spam-farm detection, seed
+    * discovery run on exactly this edge list at crawl scale). Target
+    * resolution pinned: an href with a scheme resolves to its own host;
+    * anything else (rooted or relative path, fragment) stays on the
+    * source page's host. Both endpoints roll up to the SHARED
+    * registered-domain definition ([[registeredDomain]] — the blocklist's
+    * suffix chain), so blocklist, domain rollup and link graph agree on
+    * what a domain is. One uniform (src, dst)-keyed aggregation over the
+    * row-local extraction; edge cardinality ≈ distinct domain pairs. */
+  def linkGraph(docs: DataFrame): DataFrame = {
+    val links = htmlLinks(docs)
+    val dstHost = when(col("href").rlike("(?i)^[a-z][a-z0-9+.-]*://"),
+      hostCol(col("href"))).otherwise(hostCol(col("url")))
+    links
+      .select(registeredDomain(hostCol(col("url"))).as("src_domain"),
+        registeredDomain(dstHost).as("dst_domain"))
+      .groupBy("src_domain", "dst_domain")
+      .agg(count(lit(1)).as("n_links"))
+  }
+
+  /** Driver-contract query: [[linkGraph]] over the committed link fixture.
+    * Ignores `dir` like [[warcHostStats]]. */
+  def linkGraphQ(spark: SparkSession, dir: String): DataFrame =
+    linkGraph(documentsFromWarc(spark, FixtureLinksDir))
+
+  /** Oracle: exact VALUES literal, hand-derived from the link fixture
+    * (scripts/make_warc_fixture.py): the hub's two absolute links resolve
+    * to their own domains, its rooted `/local/page` stays on hub.example,
+    * and the uppercase page's scheme-cased href normalizes to
+    * gamma.example. */
+  val linkGraphSql: String =
+    """SELECT src_domain, dst_domain, CAST(n_links AS BIGINT) AS n_links
+      |FROM (VALUES
+      |  ('hub.example', 'alpha.example', 1),
+      |  ('hub.example', 'beta.example', 1),
+      |  ('hub.example', 'hub.example', 1),
+      |  ('upper.example', 'gamma.example', 1))
+      |  AS t(src_domain, dst_domain, n_links)""".stripMargin
+
   /** Driver-contract query: blocklist verdicts ([[urlFilterAudit]] under
     * [[UrlBlocklist]]) over the committed blocklist fixture. Ignores `dir`
     * like [[warcHostStats]] — WARC is a raw-file source, not an sfDir
