@@ -462,6 +462,85 @@ object Curation {
        |  ${sqlBp("max(n * plen)", "sum(n * plen)")} AS top_para_char_bp
        |FROM grouped GROUP BY 1""".stripMargin
 
+  /** The n-gram sizes Gopher's repetition table thresholds (top-n-gram
+    * char fraction for 2–4, dup-n-gram char fraction for 5+; Rae et al.
+    * 2021 table A1). One shared explode covers all six. */
+  val GopherNs: Seq[Int] = Seq(2, 3, 4, 5, 6, 7)
+
+  /** WITHIN-document n-gram repetition signals at the Gopher grains —
+    * the n-gram complement of `repetition_stats` (unigram) and
+    * [[paragraphRepetition]] (paragraph): per (doc, n), the character MASS
+    * of the single heaviest n-gram and of all duplicated n-grams, in exact
+    * bp of the doc's token characters. Masses count every occurrence, so
+    * overlapping repeats can push past 10⁴ on degenerate docs ("a a a a"
+    * at n=2) — pinned and documented; Gopher's positional-coverage variant
+    * is what the threshold consumers approximate anyway, and mass is
+    * exactly reproducible on both engines with integer math.
+    *
+    * Scale: ONE token-array projection explodes all six gram sizes in a
+    * single pass (6·tokens rows of 8-byte hashes + two ints — no gram
+    * TEXT ships); both aggregations are doc-local-keyed, so exchanges are
+    * uniform and bounded by per-doc gram counts. */
+  def gopherRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val grams = docs(spark, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .where(size(col("toks")) >= 1)
+      .select(col("doc_id"),
+        expr("aggregate(toks, CAST(0 AS BIGINT), (a, x) -> a + length(x))")
+          .as("tok_chars"),
+        explode(expr(
+          s"""flatten(transform(array(${GopherNs.mkString(", ")}), n ->
+             |  filter(transform(sequence(1, size(toks)), i ->
+             |    IF(i + n - 1 <= size(toks),
+             |      struct(n AS n,
+             |        CAST(conv(substring(md5(concat_ws(' ',
+             |          slice(toks, i, n))), 1, 15), 16, 10) AS BIGINT) AS gh,
+             |        CAST(aggregate(slice(toks, i, n), CAST(0 AS BIGINT),
+             |          (a, x) -> a + length(x)) AS BIGINT) AS glen),
+             |      CAST(NULL AS STRUCT<n: INT, gh: BIGINT, glen: BIGINT>))),
+             |    s -> s IS NOT NULL)))""".stripMargin)).as("g"))
+      .select(col("doc_id"), col("tok_chars"), col("g.n").as("n"),
+        col("g.gh").as("gh"), col("g.glen").as("glen"))
+    grams
+      .groupBy("doc_id", "tok_chars", "n", "gh")
+      .agg(count(lit(1)).as("c"), max(col("glen")).as("glen"))
+      .groupBy("doc_id", "tok_chars", "n")
+      .agg(sum(col("c")).as("n_grams"),
+        max(col("c") * col("glen")).as("top_mass"),
+        coalesce(sum(when(col("c") >= 2, col("c") * col("glen"))), lit(0L))
+          .as("dup_mass"))
+      .select(col("doc_id"), col("n").cast("long").as("n"), col("n_grams"),
+        bp(col("top_mass"), col("tok_chars")).as("top_char_bp"),
+        bp(col("dup_mass"), col("tok_chars")).as("dup_char_bp"))
+  }
+  val gopherRepetitionSql: String =
+    s"""WITH toksx AS (
+       |  SELECT doc_id, list_filter(list_transform(
+       |    string_split_regex(text, '\\s+'), x -> lower(x)), x -> x <> '') AS t
+       |  FROM documents
+       |), basex AS (
+       |  SELECT doc_id, t, CAST(list_aggr(list_transform(t, x -> length(x)),
+       |    'sum') AS BIGINT) AS tok_chars
+       |  FROM toksx WHERE len(t) >= 1
+       |), grams AS MATERIALIZED (
+       |  SELECT doc_id, tok_chars, g.n AS n,
+       |    ${sqlMd5Long("list_aggr(t[h.i : h.i + g.n - 1], 'string_agg', ' ')")}
+       |      AS gh,
+       |    CAST(list_aggr(list_transform(t[h.i : h.i + g.n - 1],
+       |      x -> length(x)), 'sum') AS BIGINT) AS glen
+       |  FROM basex,
+       |    unnest([${GopherNs.mkString(", ")}]) AS g(n),
+       |    unnest(range(1, greatest(len(t) - g.n + 1, 0) + 1)) AS h(i)
+       |), cnt AS (
+       |  SELECT doc_id, tok_chars, n, gh, count(*) AS c, max(glen) AS glen
+       |  FROM grams GROUP BY 1, 2, 3, 4
+       |)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS n_grams,
+       |  ${sqlBp("max(c * glen)", "tok_chars")} AS top_char_bp,
+       |  ${sqlBp("coalesce(sum(CASE WHEN c >= 2 THEN c * glen END), 0)",
+            "tok_chars")} AS dup_char_bp
+       |FROM cnt GROUP BY doc_id, tok_chars, n""".stripMargin
+
   /** Per-doc duplication profile: how many of the doc's segments also occur
     * elsewhere in the corpus (counting every occurrence of a segment whose
     * corpus-wide count exceeds 1). The aggregate a curation pipeline

@@ -156,6 +156,30 @@ class CurationSpec extends SparkTestBase {
     assert(got(6L) == ((3L, 1L, "c\n\nd"))) // blank dropped
   }
 
+  test("gopher_repetition: exact top/dup n-gram char masses per grain") {
+    val d = writeDocsFixture(Seq(
+      1L -> "spam spam spam eggs", // 4 toks, 16 chars
+      2L -> "a a a a")) // overlap-mass > 10000 by design (documented)
+    val got = Curation.gopherRepetition(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // doc 1, n=2: grams (spam spam)x2 glen 8, (spam eggs)x1 glen 8
+    //   top = 2*8=16 -> 10000; dup = 16 -> 10000
+    assert(got((1L, 2L)) == ((3L, 10000L, 10000L)))
+    // n=3: two distinct grams of glen 12, each once -> top 12 -> 7500, dup 0
+    assert(got((1L, 3L)) == ((2L, 7500L, 0L)))
+    // n=4: one gram mass 16 -> 10000, dup 0
+    assert(got((1L, 4L)) == ((1L, 10000L, 0L)))
+    // n exceeding the doc's token count emits no row
+    assert(!got.contains((1L, 5L)))
+    // doc 2 (4 chars), n=2: (a a)x3 glen 2 -> mass 6 -> 15000 (overlap > 1)
+    assert(got((2L, 2L)) == ((3L, 15000L, 15000L)))
+    // doc 2, n=3: (a a a)x2 glen 3 -> mass 6 -> 15000
+    assert(got((2L, 3L)) == ((2L, 15000L, 15000L)))
+    // doc 2, n=4: single occurrence -> top 4/4 -> 10000, dup 0
+    assert(got((2L, 4L)) == ((1L, 10000L, 0L)))
+  }
+
   test("train_split assigns deterministic md5 splits at the e4 thresholds") {
     val sfDir = "/root/testdata/sf0.001"
     def md5Long(s: String): Long = {
