@@ -697,6 +697,47 @@ object Dedup {
        |SELECT doc_id FROM documents
        |WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)""".stripMargin
 
+  /** Quality-argmax cluster representatives — the keep policy production
+    * dedup actually ships (RefinedWeb/FineWeb keep the best-scoring
+    * member of a near-dup cluster, not an arbitrary one; `dedup_survivors`
+    * is the min-id policy): one row per component with the member of
+    * highest heuristic quality (tie: min doc_id), its score, and the
+    * cluster size. The two policies' delta is auditable by joining this
+    * against `dedup_survivors`.
+    *
+    * Scale: the component frame is pair-graph-bounded; quality rides the
+    * one-pass codegen'd profile through a doc_id equi-join; the window is
+    * component-keyed, so its partitions are cluster-sized — never global. */
+  def dedupBestSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val q = docs(spark, dir).select(col("doc_id"),
+      TextAnalysis.qualityBpFrom(TextAnalysis.profileCol).as("quality_bp"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
+    dedupComponents(spark, dir)
+      .join(q, Seq("doc_id"))
+      .withColumn("n_members", count(lit(1)).over(w))
+      .withColumn("rk", row_number().over(
+        w.orderBy(col("quality_bp").desc, col("doc_id"))))
+      .where(col("rk") === 1)
+      .select(col("component"), col("doc_id"), col("quality_bp"),
+        col("n_members"))
+  }
+  lazy val dedupBestSurvivorsSql: String =
+    s"""WITH comp AS (
+       |  ${dedupComponentsSql.linesIterator.mkString("\n  ")}
+       |), q AS (
+       |  SELECT doc_id, ${TextAnalysis.sqlQualityBpExpr} AS quality_bp
+       |  FROM documents
+       |), j AS (
+       |  SELECT component, c.doc_id AS doc_id, quality_bp,
+       |    count(*) OVER (PARTITION BY component) AS n_members,
+       |    row_number() OVER (PARTITION BY component
+       |      ORDER BY quality_bp DESC, c.doc_id) AS rk
+       |  FROM comp c JOIN q USING (doc_id)
+       |)
+       |SELECT component, doc_id, quality_bp, CAST(n_members AS BIGINT)
+       |  AS n_members
+       |FROM j WHERE rk = 1""".stripMargin
+
   // ---- #16c per-source duplication inflation ------------------------------
   /** How much of each feed is duplicate weight — the per-source view of
     * the drop decision (dedup_report shows WHICH feeds overlap; this shows

@@ -431,6 +431,64 @@ object Selection {
        |       ELSE 'tail' END AS bucket
        |FROM scored s JOIN thr ON s.lang = thr.lang""".stripMargin
 
+  /** Min-K% fraction (percent of a doc's bigrams in its "most surprising"
+    * tail — Shi et al. 2023 use K=20). */
+  val MinkPct = 20L
+
+  /** Min-K% Prob membership signal (Shi et al. 2023, "Detecting
+    * Pretraining Data from Large Language Models"): per document, the mean
+    * negative log-probability of its K% MOST SURPRISING bigrams under the
+    * trained KN model. A member document scores low even at its worst
+    * tokens (the model has seen them); a non-member's tail stays
+    * surprising — the statistic eval-contamination audits threshold on.
+    * Exact integer math end-to-end: the shared 4-dp KN log-probs become
+    * e4 nll ints, the per-doc tail is an array slice of the doc's own
+    * (bounded) sorted score list, and the mean is integral division on
+    * non-negative operands (§6-safe on both engines).
+    *
+    * Scale: the scoring join is the same shuffle_hash-pinned
+    * vocabulary-bounded model join as `kn_perplexity`; the per-doc
+    * collect_list is doc-bounded (a document's own bigram count), never
+    * corpus-bounded. */
+  def minkProb(spark: SparkSession, dir: String): DataFrame = {
+    val p = knModel(spark, dir).select(col("bigram"),
+      (round(log(greatest(col("p_kn"), lit(KnPFloor))), 4)
+        .cast("decimal(18,4)") * lit(-10000)).cast("long").as("nll_e4"))
+    TextAnalysis.docBigrams(spark, dir)
+      .join(p.hint("shuffle_hash"), "bigram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        array_sort(collect_list(col("nll_e4"))).as("nlls"))
+      .withColumn("k",
+        greatest(expr(s"(n_bigrams * $MinkPct) div 100"), lit(1L)))
+      .withColumn("mink_sum_nll_e4", expr(
+        """aggregate(slice(nlls, CAST(n_bigrams - k + 1 AS INT),
+          |  CAST(k AS INT)), CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin))
+      .select(col("doc_id"), col("n_bigrams"), col("k"),
+        col("mink_sum_nll_e4"),
+        org.apache.spark.sql.graft.ExactMath.intDiv(
+          col("mink_sum_nll_e4"), col("k")).as("mink_mean_nll_e4"))
+  }
+  val minkProbSql: String =
+    s"""WITH $knScoreCtes, nb AS (
+       |  SELECT doc_id, CAST(-lp * 10000 AS BIGINT) AS nll_e4
+       |  FROM bg JOIN p USING (bigram)
+       |), agg AS (
+       |  SELECT doc_id, count(*) AS n_bigrams,
+       |    list_sort(list(nll_e4)) AS nlls
+       |  FROM nb GROUP BY 1
+       |), cut AS (
+       |  SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       |    greatest((n_bigrams * $MinkPct) // 100, 1) AS k, nlls
+       |  FROM agg
+       |)
+       |SELECT doc_id, n_bigrams, CAST(k AS BIGINT) AS k,
+       |  CAST(list_aggr(nlls[n_bigrams - k + 1 : n_bigrams], 'sum')
+       |    AS BIGINT) AS mink_sum_nll_e4,
+       |  CAST(list_aggr(nlls[n_bigrams - k + 1 : n_bigrams], 'sum')
+       |    AS BIGINT) // CAST(k AS BIGINT) AS mink_mean_nll_e4
+       |FROM cut""".stripMargin
+
   // ---- composed end product: the corpus a training run actually reads ----
   /** CCNet buckets the selection keeps (the tail is dropped). */
   val SelKeepBuckets: Seq[String] = Seq("head", "middle")

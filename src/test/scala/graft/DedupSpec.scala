@@ -23,6 +23,33 @@ class DedupSpec extends SparkTestBase {
     assert(got.exists(_(3) == true))
   }
 
+  test("dedup_best_survivors picks the quality argmax per component " +
+      "(independent quality reimplementation)") {
+    val dir = "/root/testdata/sf0.001"
+    val comp = graft.operators.Dedup.dedupComponents(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(comp.nonEmpty)
+    // independent quality: least(n,50)·(n−nStop)·10⁴ // (max(n,1)·50) over
+    // lowercased whitespace tokens against the shared stopword list
+    val stop = graft.functions.TextFns.Stopwords.toSet
+    def q(text: String): Long = {
+      val tk = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val n = tk.length.toLong
+      val ns = tk.count(stop).toLong
+      math.min(n, 50L) * (n - ns) * 10000L / (math.max(n, 1L) * 50L)
+    }
+    val qual = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> q(r.getString(1))).toMap
+    val expected = comp.groupBy(_._2).map { case (c, xs) =>
+      val members = xs.map(_._1)
+      val best = members.minBy(id => (-qual(id), id))
+      Seq[Any](c, best, qual(best), members.length.toLong)
+    }.toSet
+    assert(collectSet(
+      graft.operators.Dedup.dedupBestSurvivors(spark, dir)) == expected)
+  }
+
   test("dup_inflation_by_source rolls up the oracled component drops per feed") {
     val dir = "/root/testdata/sf0.001"
     val dropped = graft.operators.Dedup.dedupComponents(spark, dir).collect()

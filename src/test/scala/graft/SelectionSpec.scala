@@ -201,6 +201,43 @@ class SelectionSpec extends SparkTestBase {
     assert(nll.exists { case (id, v) => bruteNllE4.get(id).exists(_ != v) })
   }
 
+  test("mink_prob matches a brute-force min-K% tail over the KN scores") {
+    val byDoc = corpus.map { case (id, _, t) =>
+      id -> t.sliding(2).filter(_.length == 2).map(p => p(0) + " " + p(1)).toSeq
+    }.filter(_._2.nonEmpty)
+    val c2 = byDoc.flatMap(_._2).groupBy(identity)
+      .map { case (b, xs) => b -> xs.size.toLong }
+    val c1 = c2.toSeq.groupBy(_._1.split(" ", 2)(0))
+      .map { case (w, xs) => w -> (xs.map(_._2).sum, xs.size.toLong) }
+    val cont = c2.toSeq.groupBy(_._1.split(" ", 2)(1))
+      .map { case (w, xs) => w -> xs.size.toLong }
+    val tTypes = c2.size.toDouble
+    val nllE4 = c2.map { case (b, n) =>
+      val Array(w1, w2) = b.split(" ", 2)
+      val (n1c, nfollow) = c1(w1)
+      val p = math.max(n - Selection.KnDiscount, 0d) / n1c +
+        (Selection.KnDiscount * nfollow / n1c) * (cont(w2) / tTypes)
+      val p6 = BigDecimal(p).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+      b -> (round4(math.log(math.max(p6, Selection.KnPFloor))) * -10000)
+        .toLongExact
+    }
+    val expected = byDoc.map { case (id, bs) =>
+      val nlls = bs.map(nllE4).sorted
+      val n = bs.size.toLong
+      val k = math.max(n * Selection.MinkPct / 100, 1L)
+      val sum = nlls.takeRight(k.toInt).sum
+      Seq[Any](id, n, k, sum, sum / k)
+    }.toSet
+    assert(collectSet(Selection.minkProb(spark, dir)) == expected)
+    // the K% tail mean strictly exceeds the overall mean for at least one
+    // doc — the membership signal separates from plain perplexity
+    val full = byDoc.map { case (id, bs) =>
+      id -> bs.map(nllE4).sum / bs.size }.toMap
+    assert(expected.exists(r =>
+      r(4).asInstanceOf[Long] > full(r(0).asInstanceOf[Long])))
+  }
+
   // ---- composed end product ----------------------------------------------
 
   test("selected_corpus composes the three signals exactly, keep-by-default semantics") {
