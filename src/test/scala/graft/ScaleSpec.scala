@@ -377,6 +377,49 @@ class ScaleSpec extends SparkTestBase {
       "unigram_encode degraded to an unkeyed join")
   }
 
+  test("r11b operators keep their claimed scale shapes: paragraph trim " +
+      "joins, gram repetition window-free, mink model join pinned") {
+    // trim_common_paragraphs: the deliberate JOIN shape (hot paragraph
+    // keys must stay AQE-splittable) — never a window, never a broadcast
+    // of a corpus-derived side
+    val tcp = SparkEntry.queries("trim_common_paragraphs")(spark, sf)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(tcp.contains("ShuffledHashJoin"),
+      s"trim_common_paragraphs lost the skew-splittable join:\n$tcp")
+    assert(!tcp.contains("BroadcastHashJoin") && !tcp.contains("WindowExec"),
+      s"trim_common_paragraphs degraded:\n$tcp")
+
+    // gopher_repetition: one explode + two doc-local aggregations — no
+    // window, no join
+    val gr = SparkEntry.queries("gopher_repetition")(spark, sf)
+      .queryExecution.executedPlan
+    assert(gr.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty && !gr.toString.contains("Join"),
+      "gopher_repetition gained a window or join")
+
+    // mink_prob: the KN model join must stay the shuffle_hash-pinned
+    // vocabulary join (never broadcast a corpus-scaled side at 100 TB)
+    val mk = SparkEntry.queries("mink_prob")(spark, sf)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(mk.contains("ShuffledHashJoin"), s"mink model join degraded:\n$mk")
+
+    // dedup_best_survivors: the ranking window must be component-keyed —
+    // no global (unpartitioned) window can appear
+    val bs = SparkEntry.queries("dedup_best_survivors")(spark, sf)
+      .queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }
+    assert(bs.isEmpty, "dedup_best_survivors gained a global window")
+
+    // link_graph: row-local extraction + one pair-keyed aggregation,
+    // no join anywhere
+    val lg = SparkEntry.queries("link_graph")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!lg.contains("Join"), "link_graph gained a join")
+  }
+
   test("parts_copurchase is one scan through two exchanges") {
     // r8 reformulation: the self-join re-derived the distinct frame in
     // four branches (4 scans / 4 exchanges); now the distinct, the
