@@ -541,6 +541,68 @@ object Curation {
             "tok_chars")} AS dup_char_bp
        |FROM cnt GROUP BY doc_id, tok_chars, n""".stripMargin
 
+  /** Gopher A1 repetition thresholds in bp: top-n-gram char share for
+    * n=2–4 (20/18/16%), dup-n-gram char share for n=5–7 (15/14/13%). */
+  val GopherRepMaxBp: Map[Int, Long] =
+    Map(2 -> 2000L, 3 -> 1800L, 4 -> 1600L,
+      5 -> 1500L, 6 -> 1400L, 7 -> 1300L)
+
+  /** The composed Gopher repetition GATE — the keep/drop verdict the
+    * [[gopherRepetition]] statistics exist for (Rae et al. 2021 table A1:
+    * a doc drops when ANY grain exceeds its threshold; n=2–4 gate on the
+    * top-gram share, n=5–7 on the duplicated-gram share). Every document
+    * gets a row: docs too short to have any n-gram trivially keep, and
+    * `worst_rule` names the smallest violated grain ('' when clean) so a
+    * drop is attributable. Row-local thresholding + one doc-keyed rollup
+    * on top of the shared statistics frame. */
+  def gopherRepetitionGate(spark: SparkSession, dir: String): DataFrame = {
+    val rep = gopherRepetition(spark, dir)
+    val thr = GopherRepMaxBp.toSeq.sortBy(_._1)
+      .foldLeft(lit(null).cast("long")) { case (acc, (n, t)) =>
+        when(col("n") === n, t).otherwise(acc) }
+    val metric = when(col("n") <= 4, col("top_char_bp"))
+      .otherwise(col("dup_char_bp"))
+    val v = rep
+      .select(col("doc_id"), col("n"), (metric > thr).as("viol"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("viol"), 1L).otherwise(0L)).as("nv"),
+        min(when(col("viol"), col("n"))).as("mn"))
+    docs(spark, dir).select("doc_id")
+      .join(v, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nv"), lit(0L)).as("n_violations"),
+        (coalesce(col("nv"), lit(0L)) === 0L).as("keep"),
+        coalesce(
+          when(col("mn").isNotNull, concat(
+            when(col("mn") <= 4, lit("top_")).otherwise(lit("dup_")),
+            col("mn").cast("string"), lit("gram"))),
+          lit("")).as("worst_rule"))
+  }
+  lazy val gopherRepetitionGateSql: String = {
+    val thrCase = GopherRepMaxBp.toSeq.sortBy(_._1)
+      .map { case (n, t) => s"WHEN n = $n THEN $t" }.mkString(" ")
+    s"""WITH rep AS (
+       |  SELECT * FROM (
+       |    ${gopherRepetitionSql.linesIterator.mkString("\n    ")}
+       |  )
+       |), v AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN (CASE WHEN n <= 4 THEN top_char_bp
+       |        ELSE dup_char_bp END) > (CASE $thrCase END)
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS nv,
+       |    min(CASE WHEN (CASE WHEN n <= 4 THEN top_char_bp
+       |        ELSE dup_char_bp END) > (CASE $thrCase END)
+       |      THEN n END) AS mn
+       |  FROM rep GROUP BY 1
+       |)
+       |SELECT d.doc_id, coalesce(nv, 0) AS n_violations,
+       |  coalesce(nv, 0) = 0 AS keep,
+       |  coalesce(CASE WHEN mn IS NOT NULL THEN
+       |    concat(CASE WHEN mn <= 4 THEN 'top_' ELSE 'dup_' END,
+       |      CAST(mn AS VARCHAR), 'gram') END, '') AS worst_rule
+       |FROM documents d LEFT JOIN v ON d.doc_id = v.doc_id""".stripMargin
+  }
+
   /** Per-doc duplication profile: how many of the doc's segments also occur
     * elsewhere in the corpus (counting every occurrence of a segment whose
     * corpus-wide count exceeds 1). The aggregate a curation pipeline

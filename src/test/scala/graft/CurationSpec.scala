@@ -180,6 +180,36 @@ class CurationSpec extends SparkTestBase {
     assert(got((2L, 4L)) == ((1L, 10000L, 0L)))
   }
 
+  test("gopher_repetition_gate drops at the exact grain thresholds and " +
+      "names the smallest violated grain") {
+    assert(Curation.GopherRepMaxBp(2) == 2000L)
+    val d = writeDocsFixture(Seq(
+      // doc 1: clean long prose — all shares far below every threshold
+      1L -> (1 to 40).map(i => s"w$i").mkString(" "),
+      // doc 2: "spam spam spam eggs" tops n=2 at 10000 > 2000 AND n=4 at
+      // 10000 > 1600 — worst_rule must be the SMALLEST grain (top_2gram)
+      2L -> "spam spam spam eggs",
+      // doc 3: single token — no n-gram rows at all, trivially kept
+      3L -> "solo",
+      // doc 4: dup-5-gram violation without a top-2..4 one: a 10-token
+      // doc whose 5-gram repeats but whose 2-grams stay under 20%
+      4L -> ((1 to 15).map(i => s"u$i") ++ (1 to 15).map(i => s"u$i")
+        ++ (1 to 40).map(i => s"v$i")).mkString(" ")))
+    val got = Curation.gopherRepetitionGate(spark, d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(2), r.getString(3)))).toMap
+    assert(got(1L) == ((0L, true, "")))
+    assert(got(2L)._2 == false && got(2L)._3 == "top_2gram")
+    assert(got(3L) == ((0L, true, "")))
+    assert(got(4L)._2 == false && got(4L)._3.startsWith("dup_"))
+    // doc 4 really is clean at the top-2..4 grains (the dup grains alone
+    // condemned it)
+    val rep4 = Curation.gopherRepetition(spark, d).collect()
+      .filter(r => r.getLong(0) == 4L && r.getLong(1) <= 4)
+    assert(rep4.forall(r =>
+      r.getLong(3) <= Curation.GopherRepMaxBp(r.getLong(1).toInt)))
+  }
+
   test("train_split assigns deterministic md5 splits at the e4 thresholds") {
     val sfDir = "/root/testdata/sf0.001"
     def md5Long(s: String): Long = {
