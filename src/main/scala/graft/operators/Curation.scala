@@ -905,6 +905,65 @@ object Curation {
        |  AND doc_id NOT IN (SELECT doc_id FROM dropped)
        |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin
 
+  /** One-row corpus DATA CARD — the headline table every corpus release
+    * ships (docs, bytes-of-text, exact-dup count, language/source
+    * diversity, mean quality, token mass, vocabulary size, tokens/doc):
+    * the first thing a consumer reads and the cheapest regression check
+    * between corpus versions. Two single-pass aggregations (the doc scan
+    * with the codegen'd quality profile; the shared materialized term
+    * frame) cross-joined as 1-row frames — no corpus-sized shuffle beyond
+    * the term frame it reuses. */
+  def corpusCard(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val base = d.select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"), md5Long(col("text")).as("th"),
+        TextAnalysis.qualityBpFrom(TextAnalysis.profileCol).as("q"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        countDistinct(col("th")).as("n_distinct_texts"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("q")).as("sq"))
+    val toksAgg = TextAnalysis.termCounts(spark, dir)
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n_tokens"),
+        count(lit(1)).as("vocab_size"))
+    base.crossJoin(toksAgg)
+      .select(col("n_docs"), col("n_chars"),
+        (col("n_docs") - col("n_distinct_texts")).as("n_exact_dups"),
+        col("n_langs"), col("n_sources"),
+        bp(col("sq"), greatest(col("n_docs") * lit(10000L), lit(1L)))
+          .as("mean_quality_bp"),
+        col("n_tokens"), col("vocab_size"),
+        org.apache.spark.sql.graft.ExactMath.intDiv(col("n_tokens"),
+          greatest(col("n_docs"), lit(1L))).as("tokens_per_doc"))
+  }
+  val corpusCardSql: String =
+    s"""WITH base AS (
+       |  SELECT count(*) AS n_docs,
+       |    CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS n_chars,
+       |    count(DISTINCT ${sqlMd5Long("text")}) AS n_distinct_texts,
+       |    count(DISTINCT lang) AS n_langs,
+       |    count(DISTINCT source) AS n_sources,
+       |    coalesce(sum(${TextAnalysis.sqlQualityBpExpr}), 0) AS sq
+       |  FROM documents
+       |), t AS (
+       |  SELECT doc_id, lower(g.w) AS tok
+       |  FROM documents, unnest(string_split_regex(text, '\\s+')) AS g(w)
+       |  WHERE g.w <> ''
+       |), ta AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+       |    count(DISTINCT tok) AS vocab_size
+       |  FROM t
+       |)
+       |SELECT n_docs, n_chars,
+       |  CAST(n_docs - n_distinct_texts AS BIGINT) AS n_exact_dups,
+       |  n_langs, n_sources,
+       |  ${sqlBp("sq", "greatest(n_docs * 10000, 1)")} AS mean_quality_bp,
+       |  n_tokens, vocab_size,
+       |  CAST(n_tokens AS BIGINT) // greatest(CAST(n_docs AS BIGINT), 1)
+       |    AS tokens_per_doc
+       |FROM base, ta""".stripMargin
+
   // ---- #25m stratified deterministic sampling (corpus mixing) -----------
   /** Equalize the language mix: sample each language down to the size of the
     * smallest one, deterministically. Per-lang keep-rate = min_count/n_lang,
