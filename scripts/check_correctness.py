@@ -199,7 +199,10 @@ def run_oracle_subprocess(sf_dir, sql, mem=None):
     try:
         out = subprocess.run(
             [sys.executable, "-c", helper, sf_dir, sql_path, mem],
-            capture_output=True, text=True, timeout=600)
+            capture_output=True, text=True,
+            # the heaviest sf0.1 oracles (components chain, semdedup,
+            # suffix spectrum) need >600s out-of-core in a fresh process
+            timeout=int(os.environ.get("GRAFT_ORACLE_TIMEOUT", "1800")))
         if out.returncode != 0:
             return None
         d = json.loads(out.stdout)

@@ -481,38 +481,66 @@ object Curation {
     * single pass (6·tokens rows of 8-byte hashes + two ints — no gram
     * TEXT ships); both aggregations are doc-local-keyed, so exchanges are
     * uniform and bounded by per-doc gram counts. */
-  def gopherRepetition(spark: SparkSession, dir: String): DataFrame = {
-    val grams = docs(spark, dir)
+  private val gopherRepCache = Materialized.register(
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
+  def gopherRepetition(spark: SparkSession, dir: String): DataFrame =
+    // per-corpus artifact (the gate row and any threshold consumer re-read
+    // it): materialize once per (session, corpus) like the gram frames
+    Materialized.cached(gopherRepCache, spark, dir) {
+      gopherRepetitionUncached(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  private def gopherRepetitionUncached(spark: SparkSession, dir: String): DataFrame =
+    // ROW-LOCAL formulation: a doc's grams all live in its own row, so the
+    // per-(doc, n) masses never need a shuffle — sort the gram (hash, len)
+    // pairs inside the row and fold run-lengths in one pass (max run mass
+    // = top, Σ mass of runs ≥2 = dup). The first cut was the obvious
+    // explode + two groupBys; at sf0.1 that shuffled ~6·tokens hash rows
+    // twice and cost 16 s steady — this shape is ZERO-exchange (the only
+    // post-scan operator is the 6-rows-per-doc explode) and the 100 TB
+    // story collapses to "runs at scan speed".
+    docs(spark, dir)
       .select(col("doc_id"), toks.as("toks"))
       .where(size(col("toks")) >= 1)
       .select(col("doc_id"),
         expr("aggregate(toks, CAST(0 AS BIGINT), (a, x) -> a + length(x))")
           .as("tok_chars"),
         explode(expr(
-          s"""flatten(transform(array(${GopherNs.mkString(", ")}), n ->
-             |  filter(transform(sequence(1, size(toks)), i ->
-             |    IF(i + n - 1 <= size(toks),
-             |      struct(n AS n,
-             |        CAST(conv(substring(md5(concat_ws(' ',
-             |          slice(toks, i, n))), 1, 15), 16, 10) AS BIGINT) AS gh,
-             |        CAST(aggregate(slice(toks, i, n), CAST(0 AS BIGINT),
-             |          (a, x) -> a + length(x)) AS BIGINT) AS glen),
-             |      CAST(NULL AS STRUCT<n: INT, gh: BIGINT, glen: BIGINT>))),
-             |    s -> s IS NOT NULL)))""".stripMargin)).as("g"))
-      .select(col("doc_id"), col("tok_chars"), col("g.n").as("n"),
-        col("g.gh").as("gh"), col("g.glen").as("glen"))
-    grams
-      .groupBy("doc_id", "tok_chars", "n", "gh")
-      .agg(count(lit(1)).as("c"), max(col("glen")).as("glen"))
-      .groupBy("doc_id", "tok_chars", "n")
-      .agg(sum(col("c")).as("n_grams"),
-        max(col("c") * col("glen")).as("top_mass"),
-        coalesce(sum(when(col("c") >= 2, col("c") * col("glen"))), lit(0L))
-          .as("dup_mass"))
-      .select(col("doc_id"), col("n").cast("long").as("n"), col("n_grams"),
-        bp(col("top_mass"), col("tok_chars")).as("top_char_bp"),
-        bp(col("dup_mass"), col("tok_chars")).as("dup_char_bp"))
-  }
+          s"""filter(transform(array(${GopherNs.mkString(", ")}), n ->
+             |  IF(size(toks) < n, NULL,
+             |    named_struct(
+             |      'n', CAST(n AS BIGINT),
+             |      'n_grams', CAST(size(toks) - n + 1 AS BIGINT),
+             |      'agg', aggregate(
+             |        array_sort(transform(sequence(1, size(toks) - n + 1),
+             |          i -> named_struct(
+             |            'gh', CAST(conv(substring(md5(concat_ws(' ',
+             |              slice(toks, i, n))), 1, 15), 16, 10) AS BIGINT),
+             |            'glen', CAST(aggregate(slice(toks, i, n),
+             |              CAST(0 AS BIGINT), (a, x) -> a + length(x))
+             |              AS BIGINT)))),
+             |        named_struct('prev', CAST(-1 AS BIGINT),
+             |          'run', CAST(0 AS BIGINT), 'rglen', CAST(0 AS BIGINT),
+             |          'top', CAST(0 AS BIGINT), 'dup', CAST(0 AS BIGINT)),
+             |        (a, x) -> IF(x.gh = a.prev,
+             |          named_struct('prev', a.prev, 'run',
+             |            a.run + CAST(1 AS BIGINT), 'rglen', a.rglen,
+             |            'top', a.top, 'dup', a.dup),
+             |          named_struct('prev', x.gh, 'run', CAST(1 AS BIGINT),
+             |            'rglen', x.glen,
+             |            'top', greatest(a.top, a.run * a.rglen),
+             |            'dup', a.dup + IF(a.run >= 2, a.run * a.rglen,
+             |              CAST(0 AS BIGINT)))),
+             |        a -> named_struct(
+             |          'top', greatest(a.top, a.run * a.rglen),
+             |          'dup', a.dup + IF(a.run >= 2, a.run * a.rglen,
+             |            CAST(0 AS BIGINT))))))),
+             |  s -> s IS NOT NULL)""".stripMargin)).as("g"))
+      .select(col("doc_id"), col("g.n").as("n"),
+        col("g.n_grams").as("n_grams"),
+        bp(col("g.agg.top"), col("tok_chars")).as("top_char_bp"),
+        bp(col("g.agg.dup"), col("tok_chars")).as("dup_char_bp"))
   val gopherRepetitionSql: String =
     s"""WITH toksx AS (
        |  SELECT doc_id, list_filter(list_transform(

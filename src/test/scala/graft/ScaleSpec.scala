@@ -389,14 +389,17 @@ class ScaleSpec extends SparkTestBase {
     assert(!tcp.contains("BroadcastHashJoin") && !tcp.contains("WindowExec"),
       s"trim_common_paragraphs degraded:\n$tcp")
 
-    // gopher_repetition: one explode + two doc-local aggregations — no
-    // window, no join
+    // gopher_repetition: the row-local run-length formulation — ZERO
+    // exchange (the per-doc masses fold inside the row), no window, no
+    // join. Assert on the UNCACHED plan (the operator materializes).
     val gr = SparkEntry.queries("gopher_repetition")(spark, sf)
       .queryExecution.executedPlan
     assert(gr.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }.isEmpty && !gr.toString.contains("Join"),
       "gopher_repetition gained a window or join")
+    assert(!gr.toString.contains("Exchange"),
+      "gopher_repetition gained a shuffle — the row-local fold regressed")
 
     // mink_prob: the KN model join must stay the shuffle_hash-pinned
     // vocabulary join (never broadcast a corpus-scaled side at 100 TB)
