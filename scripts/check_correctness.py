@@ -289,12 +289,31 @@ def _load_progress(path, tags):
 
 
 def _watchdog():
-    """If no oracle completes for STALL_SECS, assume the allocator wedged,
-    dump everything recorded so far, and exit(3). Partial > empty: r10's
-    official record was {} for 176 locally-green queries."""
+    """If no oracle completes for STALL_SECS, assume the allocator wedged.
+    First escalation: RE-EXEC this gate once in subprocess-per-oracle mode
+    (immune to the in-process stall family — observed live r11:
+    duckdb.connect blocked inside pthread-create); the progress file makes
+    the re-exec resume every green oracle, so the driver still gets a FULL
+    record from its single invocation. If we already re-exec'd (or exec
+    itself fails under the same pressure), dump the partial record and
+    exit(3). Partial > empty: r10's official record was {} for 176
+    locally-green queries."""
     while True:
         time.sleep(15)
         if time.time() - _LAST_PROGRESS[0] > STALL_SECS:
+            if os.environ.get("GRAFT_STALL_REEXEC") != "1":
+                print(f"== STALL >{STALL_SECS}s at {_CURRENT[0]}: re-exec "
+                      "in subprocess-per-oracle mode (resuming greens)",
+                      file=sys.stderr, flush=True)
+                env = dict(os.environ,
+                           GRAFT_STALL_REEXEC="1", GRAFT_SUBPROCESS_ALL="1")
+                # never re-exec with --fresh: the wipe (if any) already
+                # happened and the whole point is resuming the greens
+                argv = [a for a in sys.argv if a != "--fresh"]
+                try:
+                    os.execve(sys.executable, [sys.executable] + argv, env)
+                except Exception:
+                    pass  # exec failed under the same pressure — fall through
             _dump_results(f"stalled >{STALL_SECS}s", 3)
 
 
