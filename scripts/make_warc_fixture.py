@@ -296,15 +296,19 @@ def make_html_fixture():
 #
 #   url                       href                        anchor
 #   http://hub.example/start  http://alpha.example/a      Alpha & Co
+#   http://hub.example/start  http://alpha.example/a2     Alpha & Co
 #   http://hub.example/start  /local/page                 the local page
 #   http://hub.example/start  http://beta.example/b?q=1   beta list
 #   http://upper.example/g    HTTP://Gamma.example/G      Gamma Page
 #   (http://nolinks.example/t and http://squote.example/s yield no rows)
+# The second alpha link repeats the SAME anchor text at a different href,
+# so the anchor_texts rollup has a domain with n_links=2, n_unique=1.
 PAGE_LINKS_HUB = (
     '<html><body>\n'
     '<p>See <a href="http://alpha.example/a">Alpha &amp; Co</a> and\n'
     '<a class="x" href="/local/page">the <b>local</b> page</a>.</p>\n'
     '<a href="http://beta.example/b?q=1">beta  list</a>\n'
+    '<a href="http://alpha.example/a2">Alpha &amp; Co</a>\n'
     '<a name="x">no href anchor</a>\n'
     '</body></html>')
 PAGE_LINKS_UPPER = '<HTML><BODY><A HREF="HTTP://Gamma.example/G">Gamma\nPage</A></BODY></HTML>'

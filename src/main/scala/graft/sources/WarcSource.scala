@@ -655,6 +655,7 @@ object WarcSource {
     """SELECT url, href, anchor FROM (VALUES
       |  ('http://hub.example/start', '/local/page', 'the local page'),
       |  ('http://hub.example/start', 'http://alpha.example/a', 'Alpha & Co'),
+      |  ('http://hub.example/start', 'http://alpha.example/a2', 'Alpha & Co'),
       |  ('http://hub.example/start', 'http://beta.example/b?q=1', 'beta list'),
       |  ('http://upper.example/g', 'HTTP://Gamma.example/G', 'Gamma Page'))
       |  AS t(url, href, anchor)""".stripMargin
@@ -669,16 +670,59 @@ object WarcSource {
     * suffix chain), so blocklist, domain rollup and link graph agree on
     * what a domain is. One uniform (src, dst)-keyed aggregation over the
     * row-local extraction; edge cardinality ≈ distinct domain pairs. */
-  def linkGraph(docs: DataFrame): DataFrame = {
-    val links = htmlLinks(docs)
-    val dstHost = when(col("href").rlike("(?i)^[a-z][a-z0-9+.-]*://"),
+  /** Target host of a link row (pinned resolution, shared by
+    * [[linkGraph]] and [[anchorTexts]]): an href with a scheme resolves
+    * to its own host; anything else stays on the source page's host. */
+  private def dstHostCol: org.apache.spark.sql.Column =
+    when(col("href").rlike("(?i)^[a-z][a-z0-9+.-]*://"),
       hostCol(col("href"))).otherwise(hostCol(col("url")))
-    links
+
+  def linkGraph(docs: DataFrame): DataFrame =
+    htmlLinks(docs)
       .select(registeredDomain(hostCol(col("url"))).as("src_domain"),
-        registeredDomain(dstHost).as("dst_domain"))
+        registeredDomain(dstHostCol).as("dst_domain"))
       .groupBy("src_domain", "dst_domain")
       .agg(count(lit(1)).as("n_links"))
-  }
+
+  /** Per-destination-domain ANCHOR-TEXT rollup — the anchor corpus view
+    * (inbound anchor text is the classic external description of a page;
+    * retrieval training and site classification both consume it): per
+    * target domain, inbound link count, distinct anchor strings, and the
+    * dominant anchor (max count, lexicographic tie) with its count.
+    * Empty anchors (image links) are not text and are excluded. Two
+    * uniform domain-keyed aggregations; the argmax is an order-free
+    * min(struct(−count, anchor)) — no window. */
+  def anchorTexts(docs: DataFrame): DataFrame =
+    htmlLinks(docs)
+      .where(col("anchor") =!= "")
+      .select(registeredDomain(dstHostCol).as("dst_domain"), col("anchor"))
+      .groupBy("dst_domain", "anchor")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("dst_domain")
+      .agg(sum(col("c")).as("n_links"),
+        count(lit(1)).as("n_unique_anchors"),
+        min(struct((-col("c")).as("nc"), col("anchor").as("a"))).as("t"))
+      .select(col("dst_domain"), col("n_links"), col("n_unique_anchors"),
+        col("t.a").as("top_anchor"), (-col("t.nc")).as("top_count"))
+
+  /** Driver-contract query: [[anchorTexts]] over the committed link
+    * fixture. Ignores `dir` like [[warcHostStats]]. */
+  def anchorTextsQ(spark: SparkSession, dir: String): DataFrame =
+    anchorTexts(documentsFromWarc(spark, FixtureLinksDir))
+
+  /** Oracle: exact VALUES literal, hand-derived from the link fixture —
+    * alpha.example carries the duplicate-anchor case (two hrefs, one
+    * anchor string). */
+  val anchorTextsSql: String =
+    """SELECT dst_domain, CAST(n_links AS BIGINT) AS n_links,
+      |  CAST(n_unique_anchors AS BIGINT) AS n_unique_anchors,
+      |  top_anchor, CAST(top_count AS BIGINT) AS top_count
+      |FROM (VALUES
+      |  ('alpha.example', 2, 1, 'Alpha & Co', 2),
+      |  ('beta.example', 1, 1, 'beta list', 1),
+      |  ('gamma.example', 1, 1, 'Gamma Page', 1),
+      |  ('hub.example', 1, 1, 'the local page', 1))
+      |  AS t(dst_domain, n_links, n_unique_anchors, top_anchor, top_count)""".stripMargin
 
   /** Driver-contract query: [[linkGraph]] over the committed link fixture.
     * Ignores `dir` like [[warcHostStats]]. */
@@ -693,7 +737,7 @@ object WarcSource {
   val linkGraphSql: String =
     """SELECT src_domain, dst_domain, CAST(n_links AS BIGINT) AS n_links
       |FROM (VALUES
-      |  ('hub.example', 'alpha.example', 1),
+      |  ('hub.example', 'alpha.example', 2),
       |  ('hub.example', 'beta.example', 1),
       |  ('hub.example', 'hub.example', 1),
       |  ('upper.example', 'gamma.example', 1))

@@ -596,6 +596,7 @@ class WarcSourceSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
     assert(got == Set(
       ("http://hub.example/start", "http://alpha.example/a", "Alpha & Co"),
+      ("http://hub.example/start", "http://alpha.example/a2", "Alpha & Co"),
       ("http://hub.example/start", "/local/page", "the local page"),
       ("http://hub.example/start", "http://beta.example/b?q=1", "beta list"),
       ("http://upper.example/g", "HTTP://Gamma.example/G", "Gamma Page")))
