@@ -187,6 +187,10 @@ def run_oracle_subprocess(sf_dir, sql, mem=None):
         "con = duckdb.connect()\n"
         "con.execute(f\"SET memory_limit='{mem}'\")\n"
         "con.execute(\"SET temp_directory='/tmp/graft_duckdb_spill'\")\n"
+        # DuckDB's progress bar writes to STDOUT on queries >2s and would
+        # corrupt the JSON hand-off (found live r11: every >2s oracle
+        # "failed in subprocess" while short ones passed)
+        "con.execute('SET enable_progress_bar=false')\n"
         f"for t in {TABLES!r}:\n"
         "    p = f'{sf}/{t}.parquet'\n"
         "    if os.path.exists(p):\n"
@@ -205,7 +209,9 @@ def run_oracle_subprocess(sf_dir, sql, mem=None):
             timeout=int(os.environ.get("GRAFT_ORACLE_TIMEOUT", "1800")))
         if out.returncode != 0:
             return None
-        d = json.loads(out.stdout)
+        # belt and braces: parse from the first '{' so any residual
+        # stdout noise ahead of the JSON can't fail the hand-off
+        d = json.loads(out.stdout[out.stdout.index("{"):])
         return d["cols"], d["types"], [tuple(r) for r in d["rows"]]
     except Exception:
         return None
