@@ -491,6 +491,17 @@ object Curation {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** Row-local token-character total of a `toks` array column. */
+  private[graft] def tokCharsCol: org.apache.spark.sql.Column =
+    expr("aggregate(toks, CAST(0 AS BIGINT), (a, x) -> a + length(x))")
+
+  /** Row-local per-grain repetition stats of a `toks` array column — one
+    * struct per n ∈ [[GopherNs]] the doc is long enough for (see
+    * [[gopherRepetition]] for the run-length-fold derivation). Shared by
+    * the batch operator and the streaming gate so they cannot diverge. */
+  private[graft] def gopherRepStatsArr: org.apache.spark.sql.Column =
+    expr(gopherFoldExprSql)
+
   private def gopherRepetitionUncached(spark: SparkSession, dir: String): DataFrame =
     // ROW-LOCAL formulation: a doc's grams all live in its own row, so the
     // per-(doc, n) masses never need a shuffle — sort the gram (hash, len)
@@ -504,9 +515,14 @@ object Curation {
       .select(col("doc_id"), toks.as("toks"))
       .where(size(col("toks")) >= 1)
       .select(col("doc_id"),
-        expr("aggregate(toks, CAST(0 AS BIGINT), (a, x) -> a + length(x))")
-          .as("tok_chars"),
-        explode(expr(
+        tokCharsCol.as("tok_chars"),
+        explode(gopherRepStatsArr).as("g"))
+      .select(col("doc_id"), col("g.n").as("n"),
+        col("g.n_grams").as("n_grams"),
+        bp(col("g.agg.top"), col("tok_chars")).as("top_char_bp"),
+        bp(col("g.agg.dup"), col("tok_chars")).as("dup_char_bp"))
+
+  private val gopherFoldExprSql: String = (
           s"""filter(transform(array(${GopherNs.mkString(", ")}), n ->
              |  IF(size(toks) < n, NULL,
              |    named_struct(
@@ -536,11 +552,7 @@ object Curation {
              |          'top', greatest(a.top, a.run * a.rglen),
              |          'dup', a.dup + IF(a.run >= 2, a.run * a.rglen,
              |            CAST(0 AS BIGINT))))))),
-             |  s -> s IS NOT NULL)""".stripMargin)).as("g"))
-      .select(col("doc_id"), col("g.n").as("n"),
-        col("g.n_grams").as("n_grams"),
-        bp(col("g.agg.top"), col("tok_chars")).as("top_char_bp"),
-        bp(col("g.agg.dup"), col("tok_chars")).as("dup_char_bp"))
+             |  s -> s IS NOT NULL)""".stripMargin)
   val gopherRepetitionSql: String =
     s"""WITH toksx AS (
        |  SELECT doc_id, list_filter(list_transform(
@@ -606,6 +618,26 @@ object Curation {
             col("mn").cast("string"), lit("gram"))),
           lit("")).as("worst_rule"))
   }
+  /** [[gopherRepetitionGate]] as a row-local FILTER over any (…, text)
+    * frame — the shape the streaming twin consumes. The violation test is
+    * the same shared fold ([[gopherRepStatsArr]]) compared in integer
+    * cross-multiplied form (mass·10⁴ > thr·tok_chars — no division), so
+    * batch and stream cannot disagree. Stateless, no shuffle. */
+  private[graft] def gopherRepGateOf(d: DataFrame): DataFrame = {
+    val thrOf = (g: org.apache.spark.sql.Column) =>
+      GopherRepMaxBp.toSeq.sortBy(_._1)
+        .foldLeft(lit(null).cast("long")) { case (acc, (n, t)) =>
+          when(g.getField("n") === n, t).otherwise(acc) }
+    val violated = exists(gopherRepStatsArr, g => {
+      val mass = when(g.getField("n") <= 4, g.getField("agg").getField("top"))
+        .otherwise(g.getField("agg").getField("dup"))
+      mass * lit(10000L) > thrOf(g) * tokCharsCol
+    })
+    d.withColumn("toks", toks)
+      .where(!violated)
+      .drop("toks")
+  }
+
   lazy val gopherRepetitionGateSql: String = {
     val thrCase = GopherRepMaxBp.toSeq.sortBy(_._1)
       .map { case (n, t) => s"WHEN n = $n THEN $t" }.mkString(" ")

@@ -392,6 +392,15 @@ object DocsStream {
   def c4Gate(docs: DataFrame): DataFrame =
     graft.operators.Curation.c4GateOf(docs)
 
+  /** Stateless Gopher REPETITION gate — the streaming twin of the batch
+    * `gopher_repetition_gate` (drop a document when any n-gram grain
+    * exceeds its A1 threshold). The per-grain masses fold row-locally
+    * (the same shared expression as the batch operator), so the gate is
+    * a pure filter: no state, no shuffle, batch≡stream by construction
+    * (spec-locked keep sets). */
+  def gopherRepGate(docs: DataFrame): DataFrame =
+    graft.operators.Curation.gopherRepGateOf(docs)
+
   /** Stateless within-doc repeated-line trim — the streaming twin of
     * [[graft.operators.Curation.trimRepeatedLines]]. A document's lines
     * all live in its own row, so the first-occurrence filter is ROW-LOCAL

@@ -153,6 +153,31 @@ class SourcesAndStreamingSpec extends SparkTestBase {
     assert(streamed(2L) == five.mkString("\n")) // banned line filtered out
   }
 
+  test("gopherRepGate streaming twin keeps exactly the batch gate's " +
+      "keep set") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = Seq(
+      1L -> (1 to 40).map(i => s"w$i").mkString(" "), // clean
+      2L -> "spam spam spam eggs", // top-2gram violation
+      3L -> "solo", // too short for any grain: trivially kept
+      4L -> ((1 to 15).map(i => s"u$i") ++ (1 to 15).map(i => s"u$i")
+        ++ (1 to 40).map(i => s"v$i")).mkString(" ")) // dup-grain violation
+    val d = writeDocsFixture(rows)
+    val batchKeep = graft.operators.Curation.gopherRepetitionGate(spark, d)
+      .collect().filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    val input = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.DocsStream.gopherRepGate(
+      input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("gophergate")
+      .outputMode("append").start()
+    input.addData(rows: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("gophergate").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(streamed == batchKeep)
+    assert(streamed == Set(1L, 3L)) // the gate really discriminates
+  }
+
   test("lineTrimStage replays equal to the batch trim_repeated_lines rebuild") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val rows = Seq(
