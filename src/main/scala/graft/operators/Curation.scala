@@ -1920,4 +1920,266 @@ object Curation {
       |    AS DOUBLE) AS char_entropy
       |FROM documents d JOIN cnt ON d.doc_id = cnt.doc_id
       |GROUP BY d.doc_id, d.text""".stripMargin
+
+  // ---- #25ab-b encoding-damage (mojibake) audit ---------------------------
+  /** Per-source encoding-health report — the audit a crawl pipeline runs
+    * before trusting its decode stage (the reason ftfy exists). Three
+    * row-local artifact classes, each pinned:
+    *  - `fffd_hits`: U+FFFD replacement characters (a decoder already gave
+    *    up — the unambiguous smoking gun);
+    *  - `double_enc_hits`: the visible faces of UTF-8 bytes re-decoded as
+    *    Latin-1/cp1252 — occurrences of 'Ã' (0xC3 lead byte), 'Â' (0xC2),
+    *    and the two-char 'â€' (the 0xE2 0x80 prefix every curly
+    *    quote/dash mangles into); counted by length-delta under literal
+    *    replace, so multi-char markers count once per occurrence;
+    *  - `ctrl_hits`: C0 control characters other than \t \n \r (binary
+    *    spill / transfer corruption).
+    * Rolled up per source: docs scanned, docs with ANY artifact, exact-bp
+    * affected share, and the three hit totals — the table that tells you
+    * WHICH feed's decoder is broken.
+    *
+    * Scale: all three counters are row-local character arithmetic fused
+    * into the scan projection; the rollup is one map-side-partial agg on
+    * the ~10²-key source column. Map-only + one uniform exchange. */
+  val MojibakeDoubleEncMarkers: Seq[String] =
+    Seq("Ã", "Â", "â€")
+  private val Fffd = "�"
+  private val CtrlRe = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+
+  /** Occurrences of literal `s` in `t` (length delta / marker length). */
+  private def occ(t: org.apache.spark.sql.Column, s: String) =
+    org.apache.spark.sql.graft.ExactMath.intDiv(
+      length(t) - length(replace(t, lit(s))), lit(s.length.toLong))
+
+  def mojibakeStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("source"),
+        occ(col("text"), Fffd).as("fffd"),
+        MojibakeDoubleEncMarkers.map(occ(col("text"), _)).reduce(_ + _)
+          .as("dbl"),
+        regexp_count(col("text"), lit(CtrlRe)).cast("long").as("ctrl"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("fffd") + col("dbl") + col("ctrl") > 0, 1L)
+          .otherwise(0L)).as("n_affected"),
+        sum(col("fffd")).as("fffd_hits"),
+        sum(col("dbl")).as("double_enc_hits"),
+        sum(col("ctrl")).as("ctrl_hits"))
+      .select(col("source"), col("n_docs"), col("n_affected"),
+        bp(col("n_affected"), col("n_docs")).as("affected_bp"),
+        col("fffd_hits"), col("double_enc_hits"), col("ctrl_hits"))
+  val mojibakeStatsSql: String = {
+    def sqlOcc(s: String) =
+      s"(length(text) - length(replace(text, ${sqlLit(s)}, ''))) // ${s.length}"
+    val dbl = MojibakeDoubleEncMarkers.map(sqlOcc).mkString(" + ")
+    s"""WITH perdoc AS (
+       |  SELECT source,
+       |    ${sqlOcc(Fffd)} AS fffd,
+       |    $dbl AS dbl,
+       |    CAST(len(regexp_extract_all(text, '$CtrlRe')) AS BIGINT) AS ctrl
+       |  FROM documents
+       |), agg AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN fffd + dbl + ctrl > 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_affected,
+       |    CAST(sum(fffd) AS BIGINT) AS fffd_hits,
+       |    CAST(sum(dbl) AS BIGINT) AS double_enc_hits,
+       |    CAST(sum(ctrl) AS BIGINT) AS ctrl_hits
+       |  FROM perdoc GROUP BY source
+       |)
+       |SELECT source, n_docs, n_affected,
+       |  ${sqlBp("n_affected", "n_docs")} AS affected_bp,
+       |  fffd_hits, double_enc_hits, ctrl_hits
+       |FROM agg""".stripMargin
+  }
+
+  // ---- #25w-b code-likeness detection -------------------------------------
+  /** Per-document code-likeness profile + verdict — the filter web-corpus
+    * curation runs to keep source code out of a prose corpus (or to route
+    * it to a code corpus). Pinned row-local signals:
+    *  - `code_line_bp`: share of lines that end (right-trimmed) in one of
+    *    `{ } ; = )` or start (left-trimmed) with `//`, `#`, `import `,
+    *    `def `, `return ` or `}` — the line shapes prose essentially never
+    *    produces;
+    *  - `indent_line_bp`: share of lines opening with a tab or ≥4 spaces
+    *    (block indentation);
+    *  - `sym_char_bp`: `{ } ; = ( ) < > [ ]` characters per character;
+    *  - `kw_hits`: whitespace tokens in [[CodeKeywords]] (lowered).
+    * `is_code` = code_line_bp ≥ 3000 ∨ indent_line_bp ≥ 3000 ∨
+    * (kw_hits ≥ 3 ∧ sym_char_bp ≥ 200) — thresholds pinned, each signal
+    * reported so a consumer can re-threshold without rescanning.
+    *
+    * Scale: MAP-ONLY — line split, predicates and counters are
+    * higher-order array functions inside one projection; nothing leaves
+    * the row (the c4_line_filters shape). Runs at scan speed at 100 TB. */
+  val CodeKeywords: Seq[String] = Seq("def", "function", "return", "import",
+    "class", "const", "var", "void", "int", "public", "static")
+  val CodeLineBpMin = 3000L
+  val CodeKwMin = 3L
+  val CodeSymBpMin = 200L
+  private val CodeTailRe = "[{};=)]$"
+  private val CodeHeadRe = "^(//|#|import |def |return |\\})"
+  private val IndentRe = "^(\t|    )"
+  private val SymCharRe = "[{};=()<>\\[\\]]"
+
+  def codeDetect(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .where(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        split(col("text"), "\n", -1).as("ls"),
+        filter(transform(split(col("text"), WsTokenRe), t => lower(t)),
+          t => t =!= "").as("t"))
+      .select(col("doc_id"),
+        size(col("ls")).cast("long").as("n_lines"),
+        size(filter(col("ls"), l => rtrim(l).rlike(CodeTailRe) ||
+          ltrim(l).rlike(CodeHeadRe))).cast("long").as("code_lines"),
+        size(filter(col("ls"), l => l.rlike(IndentRe))).cast("long")
+          .as("indent_lines"),
+        regexp_count(col("text"), lit(SymCharRe)).cast("long").as("sym_chars"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(filter(col("t"), w => w.isin(CodeKeywords: _*))).cast("long")
+          .as("kw_hits"))
+      .select(col("doc_id"), col("n_lines"),
+        bp(col("code_lines"), col("n_lines")).as("code_line_bp"),
+        bp(col("indent_lines"), col("n_lines")).as("indent_line_bp"),
+        bp(col("sym_chars"), col("n_chars")).as("sym_char_bp"),
+        col("kw_hits"))
+      .withColumn("is_code",
+        (col("code_line_bp") >= CodeLineBpMin ||
+          col("indent_line_bp") >= CodeLineBpMin ||
+          (col("kw_hits") >= CodeKwMin && col("sym_char_bp") >= CodeSymBpMin))
+          .cast("long"))
+  val codeDetectSql: String = {
+    val kws = CodeKeywords.map(sqlLit).mkString("(", ", ", ")")
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+       |    CAST(len(list_filter(string_split(text, chr(10)),
+       |      l -> regexp_matches(rtrim(l), '$CodeTailRe')
+       |        OR regexp_matches(ltrim(l), '$CodeHeadRe'))) AS BIGINT)
+       |      AS code_lines,
+       |    CAST(len(list_filter(string_split(text, chr(10)),
+       |      l -> regexp_matches(l, '$IndentRe'))) AS BIGINT) AS indent_lines,
+       |    CAST(len(regexp_extract_all(text, '$SymCharRe')) AS BIGINT)
+       |      AS sym_chars,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len(list_filter(list_transform(
+       |      string_split_regex(text, '\\s+'), t -> lower(t)),
+       |      t -> t IN $kws)) AS BIGINT) AS kw_hits
+       |  FROM documents WHERE length(text) > 0
+       |), bps AS (
+       |  SELECT doc_id, n_lines,
+       |    ${sqlBp("code_lines", "n_lines")} AS code_line_bp,
+       |    ${sqlBp("indent_lines", "n_lines")} AS indent_line_bp,
+       |    ${sqlBp("sym_chars", "n_chars")} AS sym_char_bp,
+       |    kw_hits
+       |  FROM base
+       |)
+       |SELECT *, CAST(CASE WHEN code_line_bp >= $CodeLineBpMin
+       |    OR indent_line_bp >= $CodeLineBpMin
+       |    OR (kw_hits >= $CodeKwMin AND sym_char_bp >= $CodeSymBpMin)
+       |  THEN 1 ELSE 0 END AS BIGINT) AS is_code
+       |FROM bps""".stripMargin
+  }
+
+  // ---- #25d-b word-blocklist document gate --------------------------------
+  /** The C4 "bad words" document gate (Raffel et al. 2020 drop any page
+    * containing a word from the List-of-Dirty-Naughty-Obscene list): a doc
+    * with ANY blocklisted whitespace token (lowered) drops. Every document
+    * gets a verdict row — total blocklisted-token occurrences, the FIRST
+    * blocklisted token in document order (so drops are attributable, the
+    * url_filter convention), and keep ∈ {0,1}. The committed [[WordBlocklist]]
+    * stands in for the production list exactly as `url_filter`'s domain
+    * list does; the mechanics — membership of the shared token frame
+    * against a broadcast-scale literal set — are list-size-independent
+    * (a real list is ~400 entries; a huge one would swap `isin` for a
+    * broadcast join without changing the row contract).
+    *
+    * Scale: MAP-ONLY — tokenization and membership are one fused
+    * projection, nothing leaves the row. */
+  val WordBlocklist: Seq[String] = Seq("vector", "casino", "spam")
+
+  def wordBlocklistGate(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        filter(filter(transform(split(col("text"), WsTokenRe),
+          t => lower(t)), t => t =!= ""), w => w.isin(WordBlocklist: _*))
+          .as("hits"))
+      .select(col("doc_id"),
+        size(col("hits")).cast("long").as("n_hits"),
+        coalesce(try_element_at(col("hits"), lit(1)), lit("")).as("first_hit"))
+      .withColumn("keep", (col("n_hits") === 0L).cast("long"))
+  val wordBlocklistGateSql: String = {
+    val bl = WordBlocklist.map(sqlLit).mkString("(", ", ", ")")
+    s"""WITH hits AS (
+       |  SELECT doc_id, list_filter(list_filter(list_transform(
+       |    string_split_regex(text, '\\s+'), t -> lower(t)), t -> t <> ''),
+       |    w -> w IN $bl) AS hits
+       |  FROM documents
+       |)
+       |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_hits,
+       |  coalesce(hits[1], '') AS first_hit,
+       |  CAST(CASE WHEN len(hits) = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM hits""".stripMargin
+  }
+
+  /** [[wordBlocklistGate]] as a row-local gate over any (…, text) frame —
+    * drop blocklisted docs, keep every column. Stateless projection +
+    * filter, so batch≡stream by construction (DocsStream twin). */
+  private[graft] def blocklistGateOf(d: DataFrame): DataFrame =
+    d.where(size(filter(filter(transform(split(col("text"), WsTokenRe),
+      t => lower(t)), t => t =!= ""), w => w.isin(WordBlocklist: _*))) === 0)
+
+  // ---- #25l-b curation-stage corpus diff ----------------------------------
+  /** The release-engineering diff between a corpus version and the output
+    * of a curation stage — the first table a data-release review reads
+    * ("this stage dropped 12 % of src7 and rewrote 40 % of it — why?").
+    * Diffed stage pinned to the C4 line filter (the repo's most
+    * text-rewriting gate): per (source, status) with
+    * status ∈ dropped (stage condemned the doc) / changed (doc survived
+    * with rewritten text) / unchanged, doc counts and exact-bp share of
+    * the source. Because the stage is row-local, the WHOLE diff is one
+    * scan: status is computed next to the text it describes — no
+    * before/after join, no second corpus read (the general two-snapshot
+    * diff is this same rollup after a doc_id-keyed outer join).
+    *
+    * Scale: one map-only status projection + one uniform agg on the
+    * ~10²-key (source, status) pair; the per-source share is a window over
+    * the ≤3-row status groups of each source. */
+  def stageDiff(spark: SparkSession, dir: String): DataFrame = {
+    val kept = filter(split(col("text"), "\n", -1), c4Keep _)
+    val ktext = array_join(kept, "\n")
+    val dropped = instr(lower(col("text")), "lorem ipsum") > 0 ||
+      instr(col("text"), "{") > 0 || sentCount(ktext) < C4MinSentences
+    val byStatus = docs(spark, dir)
+      .select(col("source"),
+        when(dropped, "dropped")
+          .when(ktext =!= col("text"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy(col("source"), col("status")).agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    byStatus.select(col("source"), col("status"), col("n_docs"),
+      bp(col("n_docs"), sum(col("n_docs")).over(w)).as("share_bp"))
+  }
+  val stageDiffSql: String =
+    s"""WITH st AS (
+       |  SELECT source,
+       |    CASE WHEN contains(lower(text), 'lorem ipsum') OR contains(text, '{')
+       |        OR ${sqlSentCount(
+            s"coalesce(array_to_string(list_filter(string_split(text, chr(10)), " +
+              s"l -> ${sqlC4Keep("l")}), chr(10)), '')")} < $C4MinSentences
+       |      THEN 'dropped'
+       |      WHEN coalesce(array_to_string(list_filter(
+       |          string_split(text, chr(10)), l -> ${sqlC4Keep("l")}),
+       |          chr(10)), '') <> text THEN 'changed'
+       |      ELSE 'unchanged' END AS status
+       |  FROM documents
+       |), agg AS (
+       |  SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM st GROUP BY 1, 2
+       |)
+       |SELECT source, status, n_docs,
+       |  ${sqlBp("n_docs",
+          "CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT)")} AS share_bp
+       |FROM agg""".stripMargin
 }

@@ -391,6 +391,62 @@ object Relational {
       |JOIN nation ON s_nationkey = n_nationkey
       |GROUP BY 1, 2""".stripMargin
 
+  // ---- TPC-H Q14-style promotion-effect rollup ---------------------------
+  /** Monthly promotion share of revenue (the Q14 statistic, kept per
+    * ship-month instead of Q14's single-month filter so one pass yields
+    * the whole trend): revenue = extendedprice·(1−discount) under the
+    * same DECIMAL(18,4) narrowing as q1_agg/brand_revenue; the share is
+    * an EXACT basis-point ratio — the 4-dp decimal sums are ×10⁴-scaled
+    * to integers (exact by construction) and divided integrally, never a
+    * double÷double (§6).
+    *
+    * Scale: part is dimension-sized → broadcast onto the fact scan (only
+    * p_type is read — column pruning matters at 10⁹ parts); ONE uniform
+    * ~10²-key month agg with map-side partials. No fact shuffle at all. */
+  def promoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.ExactMath.intDiv
+    val rev = (col("l_extendedprice").cast("decimal(18,4)")
+      * (lit(BigDecimal(1)).cast("decimal(18,4)")
+        - col("l_discount").cast("decimal(18,4)")))
+    t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part").select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev).otherwise(
+          lit(BigDecimal(0)).cast("decimal(18,4)")))
+          .cast("decimal(18,4)").as("promo_dec"),
+        sum(rev).cast("decimal(18,4)").as("total_dec"),
+        count(lit(1)).as("n_items"))
+      .select(col("ship_month"),
+        col("promo_dec").cast("double").as("promo_revenue"),
+        col("total_dec").cast("double").as("total_revenue"),
+        intDiv((col("promo_dec") * lit(10000)).cast("long") * lit(10000L),
+          greatest((col("total_dec") * lit(10000)).cast("long"), lit(1L)))
+          .as("promo_bp"),
+        col("n_items"))
+  }
+  val promoRevenueSql: String =
+    """WITH m AS (
+      |  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+      |    CAST(sum(CASE WHEN p_type = 'PROMO'
+      |      THEN CAST(l_extendedprice AS DECIMAL(18,4))
+      |        * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+      |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS promo_dec,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+      |      * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+      |      AS DECIMAL(18,4)) AS total_dec,
+      |    count(*) AS n_items
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1
+      |)
+      |SELECT ship_month, CAST(promo_dec AS DOUBLE) AS promo_revenue,
+      |  CAST(total_dec AS DOUBLE) AS total_revenue,
+      |  (CAST(promo_dec * 10000 AS BIGINT) * 10000)
+      |    // greatest(CAST(total_dec * 10000 AS BIGINT), 1) AS promo_bp,
+      |  n_items
+      |FROM m""".stripMargin
+
   // ---- #34g funnel conversion (event-path analytics) ---------------------
   /** View→purchase funnel over the events stream: per user, the first view
     * and first purchase timestamps; converted = first purchase strictly

@@ -659,4 +659,70 @@ object Selection {
        |    greatest((SELECT CAST(SUM(n_kept) AS BIGINT) FROM kept), 1)
        |    AS achieved_bp
        |FROM keeps k LEFT JOIN kept t ON k.lang = t.lang""".stripMargin
+
+  // ---- #35j epoch plan (token-budget mixing schedule) --------------------
+  /** The table a training run is actually configured from: given a total
+    * token budget and the α=0.5 temperature mix over per-source TOKEN
+    * mass (the `mix_temperature` recipe at the grain schedulers consume —
+    * sources, weighted by tokens rather than docs), how many tokens each
+    * source contributes and how many EPOCHS over that source this implies
+    * (>1×10⁴ e4 = the source repeats; ≪1×10⁴ = it is subsampled). The
+    * budget is the pinned [[EpochPlanBudgetTokens]] constant — a real run
+    * passes its own; every downstream number is exact integer math on it
+    * (§6: the only float op is the same round(sqrt,4)→DECIMAL pin
+    * `mix_temperature` uses, so both engines weight identical integers).
+    *
+    * Scale: ONE corpus scan reduced to a ~10²-row per-source frame
+    * (map-side-partial agg on the source key), then arithmetic over that
+    * bounded frame with two 1-row broadcast totals — no corpus shuffle,
+    * no window. */
+  val EpochPlanBudgetTokens = 1000000L
+
+  def epochPlan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.ExactMath.intDiv
+    val per = docs(spark, dir)
+      .select(col("source"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      .withColumn("wi",
+        (round(sqrt(col("n_tokens").cast("double")), 4).cast("decimal(14,4)")
+          * lit(10000)).cast("long"))
+    val tot = per.agg(sum(col("n_tokens")).as("tt"), sum(col("wi")).as("ww"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        intDiv(col("n_tokens") * lit(10000L), greatest(col("tt"), lit(1L)))
+          .as("raw_bp"),
+        intDiv(col("wi") * lit(10000L), greatest(col("ww"), lit(1L)))
+          .as("target_bp"))
+      .withColumn("target_tokens",
+        intDiv(lit(EpochPlanBudgetTokens) * col("target_bp"), lit(10000L)))
+      .withColumn("epochs_e4",
+        intDiv(col("target_tokens") * lit(10000L),
+          greatest(col("n_tokens"), lit(1L))))
+  }
+  val epochPlanSql: String =
+    s"""WITH per AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents GROUP BY source
+       |), w AS (
+       |  SELECT *, CAST(CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 4)
+       |    AS DECIMAL(14,4)) * 10000 AS BIGINT) AS wi
+       |  FROM per
+       |), tot AS (
+       |  SELECT CAST(sum(n_tokens) AS BIGINT) AS tt,
+       |    CAST(sum(wi) AS BIGINT) AS ww FROM w
+       |), shares AS (
+       |  SELECT source, n_docs, n_tokens,
+       |    (n_tokens * 10000) // greatest(tt, 1) AS raw_bp,
+       |    (wi * 10000) // greatest(ww, 1) AS target_bp
+       |  FROM w, tot
+       |)
+       |SELECT source, n_docs, n_tokens, raw_bp, target_bp,
+       |  ($EpochPlanBudgetTokens * target_bp) // 10000 AS target_tokens,
+       |  ((($EpochPlanBudgetTokens * target_bp) // 10000) * 10000)
+       |    // greatest(n_tokens, 1) AS epochs_e4
+       |FROM shares""".stripMargin
 }

@@ -530,6 +530,115 @@ object TextAnalysis {
        |    '$LongDigitsRe', '<NUM>', 'g')) AS redacted_md5
        |FROM documents""".stripMargin
 
+  // ---- #25d-b per-source PII audit ---------------------------------------
+  /** The PII exposure report a data-release review reads BEFORE deciding
+    * what `redact_pii` must rewrite (that operator redacts; this one
+    * answers "which feed is leaking what"): per source — docs scanned,
+    * docs with ANY hit, exact-bp affected share, and per-class totals for
+    * four pinned detectors. Classes (Java-regex ≡ RE2, shared verbatim
+    * with the oracle): emails ([[EmailRe]] — the redaction pin), IPv4
+    * dotted quads (word-bounded 1-3 digit octets), SSN-shaped 3-2-4 digit
+    * groups (word-bounded), and [[LongDigitsRe]] runs (phone/account/card
+    * material) counted on EMAIL-SCRUBBED text — a user1234567@… address
+    * must not inflate the digit-run tally too (ipv4/ssn can't collide
+    * with 7+-digit runs: their dots/dashes break every run).
+    *
+    * Scale: four row-local regexp counters fused into the scan projection
+    * + ONE uniform source-keyed agg (the mojibake_stats shape). */
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val SsnRe = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+
+  def piiStats(spark: SparkSession, dir: String): DataFrame = {
+    val scrubbed = regexp_replace(col("text"), EmailRe, " ")
+    docs(spark, dir)
+      .select(col("source"),
+        regexp_count(col("text"), lit(EmailRe)).cast("long").as("email"),
+        regexp_count(col("text"), lit(Ipv4Re)).cast("long").as("ipv4"),
+        regexp_count(col("text"), lit(SsnRe)).cast("long").as("ssn"),
+        regexp_count(scrubbed, lit(LongDigitsRe)).cast("long").as("digits"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("email") + col("ipv4") + col("ssn") + col("digits") > 0,
+          1L).otherwise(0L)).as("n_affected"),
+        sum(col("email")).as("email_hits"),
+        sum(col("ipv4")).as("ipv4_hits"),
+        sum(col("ssn")).as("ssn_hits"),
+        sum(col("digits")).as("digit_run_hits"))
+      .select(col("source"), col("n_docs"), col("n_affected"),
+        bp(col("n_affected"), col("n_docs")).as("affected_bp"),
+        col("email_hits"), col("ipv4_hits"), col("ssn_hits"),
+        col("digit_run_hits"))
+  }
+  val piiStatsSql: String =
+    s"""WITH perdoc AS (
+       |  SELECT source,
+       |    CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS email,
+       |    CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS BIGINT) AS ipv4,
+       |    CAST(len(regexp_extract_all(text, '$SsnRe')) AS BIGINT) AS ssn,
+       |    CAST(len(regexp_extract_all(regexp_replace(text,
+       |      '$EmailRe', ' ', 'g'), '$LongDigitsRe')) AS BIGINT) AS digits
+       |  FROM documents
+       |), agg AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN email + ipv4 + ssn + digits > 0
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_affected,
+       |    CAST(sum(email) AS BIGINT) AS email_hits,
+       |    CAST(sum(ipv4) AS BIGINT) AS ipv4_hits,
+       |    CAST(sum(ssn) AS BIGINT) AS ssn_hits,
+       |    CAST(sum(digits) AS BIGINT) AS digit_run_hits
+       |  FROM perdoc GROUP BY source
+       |)
+       |SELECT source, n_docs, n_affected,
+       |  ${sqlBp("n_affected", "n_docs")} AS affected_bp,
+       |  email_hits, ipv4_hits, ssn_hits, digit_run_hits
+       |FROM agg""".stripMargin
+
+  // ---- #25d-d license-marker detection ------------------------------------
+  /** Per-document license detection by pinned marker phrase — the router a
+    * compliance-aware corpus build runs (keep permissive, quarantine
+    * copyleft, respect CC terms). Families and their unambiguous marker
+    * phrases (case-insensitive substring, [[LicenseMarkers]] order is the
+    * PRECEDENCE when several match — a MIT-licensed file quoting the GPL
+    * name reports 'mit' because the grant phrase is the stronger signal):
+    * mit (the grant sentence), apache, gpl, cc_by, gutenberg. Docs with no
+    * marker report ''. `n_families` counts how many DISTINCT families
+    * matched so multi-license texts are flaggable.
+    *
+    * Scale: MAP-ONLY — five lowered instr probes fused into the scan. */
+  val LicenseMarkers: Seq[(String, String)] = Seq(
+    "mit" -> "permission is hereby granted, free of charge",
+    "apache" -> "licensed under the apache license",
+    "gpl" -> "gnu general public license",
+    "cc_by" -> "creative commons attribution",
+    "gutenberg" -> "project gutenberg license")
+
+  def licenseDetect(spark: SparkSession, dir: String): DataFrame = {
+    val lt = lower(col("text"))
+    val hits = LicenseMarkers.map { case (fam, phrase) =>
+      fam -> (instr(lt, phrase) > 0)
+    }
+    docs(spark, dir)
+      .select(col("doc_id"),
+        hits.reverse.foldLeft(lit("")) { case (acc, (fam, hit)) =>
+          when(hit, fam).otherwise(acc)
+        }.as("license"),
+        hits.map { case (_, hit) => when(hit, 1L).otherwise(0L) }
+          .reduce(_ + _).as("n_families"))
+  }
+  val licenseDetectSql: String = {
+    val precedence = LicenseMarkers.reverse.foldLeft("''") {
+      case (acc, (fam, phrase)) =>
+        s"CASE WHEN contains(lower(text), ${sqlLit(phrase)}) " +
+          s"THEN ${sqlLit(fam)} ELSE $acc END"
+    }
+    val counts = LicenseMarkers.map { case (_, phrase) =>
+      s"CASE WHEN contains(lower(text), ${sqlLit(phrase)}) THEN 1 ELSE 0 END"
+    }.mkString(" + ")
+    s"""SELECT doc_id, $precedence AS license,
+       |  CAST($counts AS BIGINT) AS n_families
+       |FROM documents""".stripMargin
+  }
+
   // ---- word bigram counts (corpus n-gram statistics) --------------------
   val BigramTopN = 50
 
@@ -1800,4 +1909,67 @@ object TextAnalysis {
        |JOIN ph ON a.term = ph.w1
        |JOIN pos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.term = ph.w2
        |GROUP BY 1""".stripMargin
+
+  // ---- #23e readability scoring -------------------------------------------
+  /** Flesch–Kincaid grade level per document — the classic complexity
+    * signal education-targeted filters (FineWeb-Edu-style) threshold on.
+    * Pinned, engine-agnostic variant of the three inputs:
+    *  - words: `\S+` runs;
+    *  - sentences: occurrences of `. ! ?` (the c4_line_filters sentence
+    *    pin), floored at 1 so sentence-less prose still scores;
+    *  - syllables: `[aeiouy]+` vowel groups over the lowered text — the
+    *    standard dictionary-free heuristic.
+    * Outputs are exact ×10² fixed-point integers (§6): words/sentence,
+    * syllables/word, and the grade `0.39·w/s + 11.8·syl/w − 15.59`
+    * evaluated as ONE integral division of exact integers — the possibly
+    * negative numerator is offset by +10⁶·den so truncating (Spark `div`)
+    * and flooring (DuckDB `//`) division agree, then shifted back.
+    *
+    * Scale: MAP-ONLY — three regexp counters fused into the scan
+    * projection; nothing leaves the row. */
+  def readability(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.ExactMath.intDiv
+    docs(spark, dir)
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("n_words"),
+        ((length(col("text")) - length(replace(col("text"), lit(".")))) +
+          (length(col("text")) - length(replace(col("text"), lit("!")))) +
+          (length(col("text")) - length(replace(col("text"), lit("?")))))
+          .cast("long").as("n_sentences"),
+        regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long")
+          .as("n_syllables"))
+      .where(col("n_words") > 0)
+      .withColumn("s1", greatest(col("n_sentences"), lit(1L)))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        intDiv(col("n_words") * lit(100L), col("s1")).as("wps_e2"),
+        intDiv(col("n_syllables") * lit(100L), col("n_words")).as("spw_e2"),
+        (intDiv(
+          lit(39L) * col("n_words") * col("n_words") +
+            lit(1180L) * col("n_syllables") * col("s1") -
+            lit(1559L) * col("n_words") * col("s1") +
+            lit(1000000L) * col("n_words") * col("s1"),
+          col("n_words") * col("s1")) - lit(1000000L)).as("fk_grade_e2"))
+  }
+  val readabilitySql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
+       |    CAST((length(text) - length(replace(text, '.', '')))
+       |      + (length(text) - length(replace(text, '!', '')))
+       |      + (length(text) - length(replace(text, '?', ''))) AS BIGINT)
+       |      AS n_sentences,
+       |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+       |      AS n_syllables
+       |  FROM documents
+       |), s AS (
+       |  SELECT *, greatest(n_sentences, 1) AS s1 FROM base WHERE n_words > 0
+       |)
+       |SELECT doc_id, n_words, n_sentences, n_syllables,
+       |  (n_words * 100) // s1 AS wps_e2,
+       |  (n_syllables * 100) // n_words AS spw_e2,
+       |  ((39 * n_words * n_words + 1180 * n_syllables * s1
+       |    - 1559 * n_words * s1 + 1000000 * n_words * s1)
+       |   // (n_words * s1)) - 1000000 AS fk_grade_e2
+       |FROM s""".stripMargin
 }

@@ -392,6 +392,15 @@ object DocsStream {
   def c4Gate(docs: DataFrame): DataFrame =
     graft.operators.Curation.c4GateOf(docs)
 
+  /** Stateless word-blocklist gate — the streaming twin of the batch
+    * `word_blocklist_gate` (the C4 bad-words doc rule): the SAME row-local
+    * token-membership expression
+    * ([[graft.operators.Curation.blocklistGateOf]]), so batch≡stream by
+    * construction (spec-locked keep sets). Map-only; composes anywhere
+    * before the stateful stages. */
+  def blocklistGate(docs: DataFrame): DataFrame =
+    graft.operators.Curation.blocklistGateOf(docs)
+
   /** Stateless Gopher REPETITION gate — the streaming twin of the batch
     * `gopher_repetition_gate` (drop a document when any n-gram grain
     * exceeds its A1 threshold). The per-grain masses fold row-locally

@@ -692,4 +692,86 @@ class CurationSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     assert(viaSql == Map("a" -> 4, "b" -> 4, "c" -> 2))
   }
+
+  test("mojibake_stats counts each artifact class once per occurrence") {
+    val d = writeDocsFixture(Seq(
+      1L -> "clean text here.",
+      2L -> "badly decoded Ã© and Ã¨ words", // two 0xC3 lead-byte faces
+      3L -> "lost �� bytes", // two replacement chars
+      4L -> "a â€™quote and â€” dash", // two 0xE2 0x80 prefixes
+      5L -> "ctrl\u0001char\u0002here", // two C0 controls (not \t \n \r)
+      6L -> "mixed Â nbsp and � char")) // one of each of two families
+    val got = Curation.mojibakeStats(spark, d).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getString(0) == "src0")
+    assert(r.getLong(1) == 6L) // n_docs
+    assert(r.getLong(2) == 5L) // n_affected: every doc but #1
+    assert(r.getLong(3) == 8333L) // exact-bp floor of 5/6
+    assert(r.getLong(4) == 3L) // fffd: 2 (doc3) + 1 (doc6)
+    assert(r.getLong(5) == 5L) // double-enc: 2 + 2 + 1 (docs 2, 4, 6)
+    assert(r.getLong(6) == 2L) // ctrl: doc5
+  }
+
+  test("mojibake tab/newline/cr are NOT control-char artifacts") {
+    val d = writeDocsFixture(Seq(1L -> "a\tb\nc\rd."))
+    val r = Curation.mojibakeStats(spark, d).collect()(0)
+    assert((r.getLong(2), r.getLong(6)) == ((0L, 0L)))
+  }
+
+  test("code_detect flags code by line shape and by keyword+symbol density") {
+    val codeDoc = "def add(a, b) {\n    return a + b;\n}"
+    val kwDoc = "function return class int x = y"
+    val proseDoc = "This is a plain sentence about nothing special."
+    val d = writeDocsFixture(Seq(1L -> codeDoc, 2L -> kwDoc, 3L -> proseDoc))
+    val got = Curation.codeDetect(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // codeDoc: 3 lines all code-shaped ({, ;, } tails), 1 block-indented,
+    // kw tokens 'def' + 'return'; is_code via the line rule
+    val codeSyms = codeDoc.count("{};=()<>[]".contains(_)).toLong
+    assert(got(1L) == ((3L, 10000L, 3333L,
+      codeSyms * 10000L / codeDoc.length, 2L, 1L)))
+    // kwDoc: prose-shaped single line, but 4 keywords + '=' density →
+    // is_code via the keyword path (needs BOTH kw count and the sym floor)
+    val kwSyms = kwDoc.count("{};=()<>[]".contains(_)).toLong
+    val kwSymBp = kwSyms * 10000L / kwDoc.length
+    assert(kwSymBp >= Curation.CodeSymBpMin)
+    assert(got(2L) == ((1L, 0L, 0L, kwSymBp, 4L, 1L)))
+    assert(got(3L) == ((1L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("word_blocklist_gate drops on any blocklisted token, names the first") {
+    val d = writeDocsFixture(Seq(
+      1L -> "clean words only",
+      2L -> "a vector of spam and more vector stuff",
+      3L -> "Casino night"))
+    val got = Curation.wordBlocklistGate(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2),
+        r.getLong(3)))).toMap
+    assert(got(1L) == ((0L, "", 1L)))
+    assert(got(2L) == ((3L, "vector", 0L))) // first in DOCUMENT order
+    assert(got(3L) == ((1L, "casino", 0L))) // membership is case-insensitive
+  }
+
+  test("stage_diff classifies dropped/changed/unchanged with exact shares") {
+    val five = (1 to 5).map(i => s"Solid sentence number $i reads fine.")
+    val d = writeDocsFixture(Seq(
+      1L -> five.mkString("\n"), // every line survives: unchanged
+      2L -> (five :+ "cookie banner line here.").mkString("\n"), // changed
+      3L -> (five :+ "curly { brace.").mkString("\n"), // doc gate: dropped
+      4L -> five.mkString("\n"))) // unchanged
+    val got = Curation.stageDiff(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      ("src0", "unchanged") -> ((2L, 5000L)),
+      ("src0", "changed") -> ((1L, 2500L)),
+      ("src0", "dropped") -> ((1L, 2500L))))
+    // consistency with the stage itself: stage_diff's dropped count is
+    // exactly the docs c4_line_filters condemns
+    val dropped = Curation.c4LineFilters(spark, d).collect()
+      .count(_.getString(4) != "")
+    assert(dropped.toLong == got(("src0", "dropped"))._1)
+  }
 }

@@ -887,4 +887,79 @@ class OperatorsSpec extends SparkTestBase {
     // the saturation must matter: ranking differs from raw tf ordering
     assert(got.size == Bm25TopN)
   }
+
+  test("readability: hand-computed Flesch-Kincaid, floor semantics, " +
+      "sentence floor") {
+    val d = writeDocsFixture(Seq(
+      1L -> "The cat sat. The dog ran fast!",
+      2L -> "no punctuation here",
+      3L -> ""))
+    val got = TextAnalysis.readability(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(!got.contains(3L)) // wordless docs emit no row
+    // doc1: 7 words, 2 sentences, 7 vowel groups →
+    // grade = 0.39*3.5 + 11.8*1 - 15.59 = -2.425 → e2 FLOOR = -243
+    // (the negative-numerator offset must floor, not truncate toward 0)
+    assert(got(1L) == ((7L, 2L, 7L, 350L, 100L, -243L)))
+    // doc2: no terminal punctuation → sentence count floored at 1;
+    // 3 words, 6 vowel groups ('o' | 'u','ua','io' | 'e','e')
+    assert(got(2L) == ((3L, 0L, 6L, 300L, 200L, 918L)))
+  }
+
+  test("pii_stats: per-class counts, digit runs disjoint from emails") {
+    val d = writeDocsFixture(Seq(
+      1L -> "contact user1234567@example.com now",
+      2L -> "server at 192.168.100.200 up today",
+      3L -> "ssn 123-45-6789 leaked once",
+      4L -> "card 12345678901234 on file",
+      5L -> "clean text with no numbers."))
+    val r = TextAnalysis.piiStats(spark, d).collect()(0)
+    assert(r.getString(0) == "src0")
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((5L, 4L, 8000L)))
+    // the email's embedded 7-digit run must NOT also count as a digit run,
+    // and ipv4/ssn punctuation breaks runs by construction
+    assert((r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)) ==
+      ((1L, 1L, 1L, 1L)))
+  }
+
+  test("license_detect: marker families, precedence, multi-family count") {
+    val d = writeDocsFixture(Seq(
+      1L -> ("Permission is hereby granted, free of charge, to any person " +
+        "... it also quotes the GNU General Public License by name."),
+      2L -> "This work is licensed under the Apache License, Version 2.0.",
+      3L -> "Distributed under the GNU General Public License v3.",
+      4L -> "Released under a Creative Commons Attribution 4.0 licence.",
+      5L -> "See the Project Gutenberg License online for details.",
+      6L -> "No license text at all here."))
+    val got = TextAnalysis.licenseDetect(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == (("mit", 2L))) // the grant phrase wins over quoted GPL
+    assert(got(2L) == (("apache", 1L)))
+    assert(got(3L) == (("gpl", 1L)))
+    assert(got(4L) == (("cc_by", 1L)))
+    assert(got(5L) == (("gutenberg", 1L)))
+    assert(got(6L) == (("", 0L)))
+  }
+
+  test("promo_revenue: monthly promo share as exact bp of decimal sums") {
+    val d = java.nio.file.Files.createTempDirectory("graft-q14").toString
+    Seq((1L, "p1", "PROMO", 1, 1.0), (2L, "p2", "STANDARD", 1, 1.0))
+      .toDF("p_partkey", "p_name", "p_type", "p_size", "p_retailprice")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/part.parquet")
+    Seq(
+      (10L, 1L, 1L, 1, 1.0, 100.0, 0.1, 0.0, "N", "O", "1995-06-03"),
+      (10L, 2L, 1L, 2, 1.0, 50.0, 0.0, 0.0, "N", "O", "1995-06-20"),
+      (11L, 1L, 1L, 1, 1.0, 200.0, 0.25, 0.0, "N", "O", "1995-07-01"))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val got = Relational.promoRevenue(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    // 1995-06: promo 90 of 140 → floor(900000·10⁴/1400000) = 6428 bp
+    assert(got("1995-06") == ((90.0, 140.0, 6428L, 2L)))
+    assert(got("1995-07") == ((150.0, 150.0, 10000L, 1L)))
+  }
 }

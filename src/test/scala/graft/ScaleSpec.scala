@@ -654,4 +654,66 @@ class ScaleSpec extends SparkTestBase {
     assert(!wp.contains("NestedLoop") && !wp.contains("CartesianProduct"),
       s"winnow_pairs pair join lost its equi shape:\n$wp")
   }
+
+  test("r11c operators keep their claimed scale shapes: row-local audits " +
+      "map-only, stage diff one agg, epoch plan corpus-shuffle-free") {
+    // code_detect / word_blocklist_gate / readability: fused row-local
+    // projections — ZERO exchange, they run at scan speed at 100 TB
+    for (q <- Seq("code_detect", "word_blocklist_gate", "readability")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"$q gained a shuffle:\n$plan")
+    }
+
+    // mojibake_stats: row-local counters + ONE uniform source-keyed agg
+    val mj = SparkEntry.queries("mojibake_stats")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(mj).size <= 1 &&
+      !mj.contains("Join"), s"mojibake_stats grew beyond one exchange:\n$mj")
+
+    // stage_diff: row-local status + one (source,status) agg + a
+    // source-PARTITIONED window over the <=3-row status groups — no join,
+    // no global window
+    val sd = SparkEntry.queries("stage_diff")(spark, sf)
+      .queryExecution.executedPlan
+    assert(sd.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }.isEmpty && !sd.toString.contains("Join"),
+      "stage_diff gained a global window or a join")
+
+    // epoch_plan: one corpus scan reduced by a map-side-partial agg on
+    // source; everything after operates on the bounded per-source frame
+    // (broadcast totals) — no corpus-sized join, no window
+    val ep = SparkEntry.queries("epoch_plan")(spark, sf)
+      .queryExecution.executedPlan
+    assert(ep.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "epoch_plan gained a window")
+    assert(!ep.toString.contains("SortMergeJoin") &&
+      !ep.toString.contains("ShuffledHashJoin"),
+      "epoch_plan's bounded-frame arithmetic gained a corpus shuffle join")
+  }
+
+  test("r11d operators keep their claimed scale shapes: pii/license " +
+      "row-local, promo fact never shuffles before the agg") {
+    // license_detect: five lowered instr probes in one projection — zero
+    // exchange; pii_stats: four regexp counters + ONE source-keyed agg
+    val ld = SparkEntry.queries("license_detect")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!ld.contains("Exchange"), s"license_detect gained a shuffle:\n$ld")
+    val pii = SparkEntry.queries("pii_stats")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(pii).size <= 1 &&
+      !pii.contains("Join"), s"pii_stats grew beyond one exchange:\n$pii")
+
+    // promo_revenue: part is the broadcast side; the lineitem fact must
+    // reach the month agg without any pre-agg shuffle join
+    val pr = SparkEntry.queries("promo_revenue")(spark, sf)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(pr.contains("BroadcastHashJoin"),
+      s"promo_revenue lost the broadcast dim join:\n$pr")
+    assert(!pr.contains("SortMergeJoin") && !pr.contains("ShuffledHashJoin"),
+      s"promo_revenue shuffles the fact before the agg:\n$pr")
+  }
 }

@@ -305,4 +305,29 @@ class SelectionSpec extends SparkTestBase {
     assert(f(maxLang, 6) < f(maxLang, 2))   // achieved below raw share
     assert(f(maxLang, 6) >= f(maxLang, 3) - 200) // and near the target
   }
+
+  test("epoch_plan: exact temperature-weighted token budget on a " +
+      "controlled two-source fixture") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-epoch").toString
+    Seq(
+      (1L, "a b c d e f g h", "en", "big"),
+      (2L, "i j k l m n o p", "en", "big"),
+      (3L, "q r s t", "en", "small"))
+      .toDF("doc_id", "text", "lang", "source")
+      .selectExpr("doc_id", "text", "lang", "source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val got = Selection.epochPlan(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // big: 16 tokens (wi = sqrt*1e4 = 40000), small: 4 (wi = 20000);
+    // tt = 20, ww = 60000; budget = 1,000,000 tokens
+    assert(Selection.EpochPlanBudgetTokens == 1000000L)
+    assert(got("big") == ((2L, 16L, 8000L, 6666L, 666600L, 416625000L)))
+    assert(got("small") == ((1L, 4L, 2000L, 3333L, 333300L, 833250000L)))
+    // temperature compresses the mix toward uniform: the big source's
+    // target share sits below its raw share, the small one's above
+    assert(got("big")._4 < got("big")._3 && got("small")._4 > got("small")._3)
+  }
 }

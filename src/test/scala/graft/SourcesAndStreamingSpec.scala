@@ -1080,4 +1080,28 @@ class SourcesAndStreamingSpec extends SparkTestBase {
     assert(sg.keySet == Set("eilnst"))
     assert(sg("eilnst").split(" ").toSet == Set("listen", "silent"))
   }
+
+  test("blocklistGate streaming twin keeps exactly the batch " +
+      "word_blocklist_gate keep set") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = Seq(
+      1L -> "clean words only",
+      2L -> "a vector appears here",
+      3L -> "plain SPAM shouting", // lowered token membership
+      4L -> "nothing bad at all")
+    val d = writeDocsFixture(rows)
+    val batchKeep = graft.operators.Curation.wordBlocklistGate(spark, d)
+      .collect().filter(_.getLong(3) == 1L).map(_.getLong(0)).toSet
+    val input = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.DocsStream.blocklistGate(
+      input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("blgate")
+      .outputMode("append").start()
+    input.addData(rows: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("blgate").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(streamed == batchKeep)
+    assert(streamed == Set(1L, 4L)) // the gate actually discriminates
+  }
 }
