@@ -19,9 +19,14 @@ class EntrySpec extends SparkTestBase {
     // state — the bpe_merges no-single-SQL argument; brute-forced from
     // scratch in PipelineOpsSpec (unigram_seed_counts, the round-0
     // statistic, IS fully oracled)
+    // wordpiece_merges/encode: iterative likelihood-argmax fixpoint + the
+    // greedy encode over its result — the bpe_merges argument; brute-forced
+    // from scratch in PipelineOpsSpec (wordpiece_pair_scores, the round-0
+    // statistic, IS fully oracled)
     val rowsOnly = Set("partition_stats", "approx_stats", "bpe_merges",
       "bpe_encode", "dup_pagerank", "longest_repeat",
-      "unigram_vocab", "unigram_encode", "unigram_fertility")
+      "unigram_vocab", "unigram_encode", "unigram_fertility",
+      "wordpiece_merges", "wordpiece_encode")
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == rowsOnly)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }

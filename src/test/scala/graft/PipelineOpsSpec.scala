@@ -366,4 +366,114 @@ class PipelineOpsSpec extends SparkTestBase {
     // every cell must be label-pure: members of one cell share one label
     assert(purity.forall(r => r.getLong(3) == 10000L))
   }
+
+  test("wordpiece pair scores/merges/encode match an independent " +
+      "from-scratch likelihood trainer + greedy encoder") {
+    val docTexts = Seq(
+      1L -> "banana banana banana queen quick",
+      2L -> "ban queue x7 !!") // non-[a-z]+ words are not trained on
+    val d = writeDocsFixture(docTexts)
+
+    // ---- independent reference (no shared operator code) ----
+    val words = docTexts.flatMap(_._2.toLowerCase.split("\\s+"))
+      .filter(_.matches("[a-z]+"))
+    val wf: Map[String, Long] =
+      words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def symsOf(w: String): Vector[String] =
+      w.substring(0, 1) +: (1 until w.length).map(i => "##" + w(i)).toVector
+    def applyMerge(s: Vector[String], l: String, r: String): Vector[String] = {
+      val fused = l + r.stripPrefix("##")
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == l && s(i + 1) == r) {
+          out += fused; i += 2
+        } else { out += s(i); i += 1 }
+      }
+      out.toVector
+    }
+    def stats(st: Map[String, (Long, Vector[String])])
+        : (Map[(String, String), Long], Map[String, Long]) = {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      val sc = scala.collection.mutable.Map.empty[String, Long]
+      for ((_, (f, sy)) <- st) {
+        sy.foreach(x => sc(x) = sc.getOrElse(x, 0L) + f)
+        sy.sliding(2).filter(_.length == 2).foreach { pr =>
+          pc((pr(0), pr(1))) = pc.getOrElse((pr(0), pr(1)), 0L) + f }
+      }
+      (pc.toMap, sc.toMap)
+    }
+    var state: Map[String, (Long, Vector[String])] =
+      wf.map { case (w, f) => w -> ((f, symsOf(w))) }
+    val charInv = state.values.flatMap(_._2).toSet
+    val (pc0, sc0) = stats(state)
+    val countArgmax = pc0.toSeq
+      .sortBy { case ((l, r), c) => (-c, l, r) }.head._1
+    val expMerges = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, String, String, String, Long, Long)]
+    var round = 1
+    var done = false
+    while (round <= graft.operators.Wordpiece.WpMergeRounds && !done) {
+      val (pc, sc) = stats(state)
+      if (pc.isEmpty) done = true
+      else {
+        val best = pc.toSeq.map { case ((l, r), c) =>
+          (l, r, c, c * 1000000L / (sc(l) * sc(r))) }
+          .sortBy { case (l, r, c, scr) => (-scr, -c, l, r) }.head
+        expMerges += ((round.toLong, best._1, best._2,
+          best._1 + best._2.stripPrefix("##"), best._3, best._4))
+        state = state.map { case (w, (f, sy)) =>
+          w -> ((f, applyMerge(sy, best._1, best._2))) }
+        round += 1
+      }
+    }
+
+    // the round-0 oracled row: top pairs by (score, count, l, r)
+    val expPairs = pc0.toSeq.map { case ((l, r), c) =>
+      (l, r, c, c * 1000000L / (sc0(l) * sc0(r))) }
+      .sortBy { case (l, r, c, scr) => (-scr, -c, l, r) }
+      .take(graft.operators.Wordpiece.WpPairTopN)
+    val gotPairs = graft.operators.Wordpiece.wordpiecePairScores(spark, d)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(gotPairs == expPairs)
+
+    // full merge table, round for round
+    val gotMerges = graft.operators.Wordpiece.wordpieceMerges(spark, d)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4), r.getLong(5))).toSeq.sortBy(_._1)
+    assert(gotMerges == expMerges.toSeq)
+    // the likelihood objective genuinely differs from raw-count BPE:
+    // round 1 must NOT pick the highest-count pair here
+    assert((expMerges.head._2, expMerges.head._3) != countArgmax)
+
+    // greedy longest-match encode under the trained inventory
+    val vocab = charInv ++ expMerges.map(_._4)
+    val maxLen = (vocab.map(_.stripPrefix("##").length) + 1).max
+    def gEnc(w: String): Option[Long] = {
+      var i = 0; var n = 0L
+      while (i < w.length) {
+        var l = math.min(maxLen, w.length - i); var m = 0
+        while (l >= 1 && m == 0) {
+          val cand = if (i == 0) w.substring(0, l)
+            else "##" + w.substring(i, i + l)
+          if (vocab.contains(cand)) m = l else l -= 1
+        }
+        if (m == 0) return None
+        i += m; n += 1
+      }
+      Some(n)
+    }
+    val expEnc = docTexts.map { case (id, t) =>
+      val ws = t.toLowerCase.split("\\s+").filter(_.matches("[a-z]+"))
+      val encs = ws.map(gEnc)
+      (id, ws.length.toLong, ws.map(_.length.toLong).sum,
+        encs.map(_.getOrElse(1L)).sum, encs.count(_.isEmpty).toLong)
+    }.toSet
+    val gotEnc = graft.operators.Wordpiece.wordpieceEncode(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(gotEnc == expEnc)
+    assert(gotEnc.exists(r => r._4 < r._3)) // compresses below char count
+  }
 }

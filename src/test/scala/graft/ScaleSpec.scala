@@ -715,5 +715,13 @@ class ScaleSpec extends SparkTestBase {
       s"promo_revenue lost the broadcast dim join:\n$pr")
     assert(!pr.contains("SortMergeJoin") && !pr.contains("ShuffledHashJoin"),
       s"promo_revenue shuffles the fact before the agg:\n$pr")
+
+    // wordpiece_encode: the corpus token stream must equi-join the encoded
+    // vocabulary - no cartesian/BNLJ degradation (the unigram_encode pin)
+    val wp = SparkEntry.queries("wordpiece_encode")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!wp.contains("CartesianProduct") &&
+      !wp.contains("BroadcastNestedLoopJoin"),
+      "wordpiece_encode degraded to an unkeyed join")
   }
 }
