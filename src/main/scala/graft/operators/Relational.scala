@@ -396,15 +396,17 @@ object Relational {
     * ship-month instead of Q14's single-month filter so one pass yields
     * the whole trend): revenue = extendedprice·(1−discount) under the
     * same DECIMAL(18,4) narrowing as q1_agg/brand_revenue; the share is
-    * an EXACT basis-point ratio — the 4-dp decimal sums are ×10⁴-scaled
-    * to integers (exact by construction) and divided integrally, never a
-    * double÷double (§6).
+    * ONE IEEE division of the two exact decimal sums, rounded and pinned
+    * to DECIMAL(14,4) (the §6 policy for ratios whose integer scaling
+    * would overflow: promo×10⁸ passes 2⁶³ around TPC-H SF100, and DuckDB
+    * defines no exact integral division on decimals — its `//` degrades
+    * to double — so the scorer_agreement/kappa treatment applies, not
+    * the bp one).
     *
     * Scale: part is dimension-sized → broadcast onto the fact scan (only
     * p_type is read — column pruning matters at 10⁹ parts); ONE uniform
     * ~10²-key month agg with map-side partials. No fact shuffle at all. */
   def promoRevenue(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.graft.ExactMath.intDiv
     val rev = (col("l_extendedprice").cast("decimal(18,4)")
       * (lit(BigDecimal(1)).cast("decimal(18,4)")
         - col("l_discount").cast("decimal(18,4)")))
@@ -421,9 +423,11 @@ object Relational {
       .select(col("ship_month"),
         col("promo_dec").cast("double").as("promo_revenue"),
         col("total_dec").cast("double").as("total_revenue"),
-        intDiv((col("promo_dec") * lit(10000)).cast("long") * lit(10000L),
-          greatest((col("total_dec") * lit(10000)).cast("long"), lit(1L)))
-          .as("promo_bp"),
+        when(col("total_dec") === lit(BigDecimal(0)).cast("decimal(18,4)"),
+          lit(0.0))
+          .otherwise(round(col("promo_dec").cast("double") * lit(10000.0)
+            / col("total_dec").cast("double"), 4))
+          .cast("decimal(14,4)").cast("double").as("promo_share"),
         col("n_items"))
   }
   val promoRevenueSql: String =
@@ -442,8 +446,10 @@ object Relational {
       |)
       |SELECT ship_month, CAST(promo_dec AS DOUBLE) AS promo_revenue,
       |  CAST(total_dec AS DOUBLE) AS total_revenue,
-      |  (CAST(promo_dec * 10000 AS BIGINT) * 10000)
-      |    // greatest(CAST(total_dec * 10000 AS BIGINT), 1) AS promo_bp,
+      |  CAST(CAST(CASE WHEN total_dec = 0 THEN 0.0
+      |    ELSE round(CAST(promo_dec AS DOUBLE) * 10000.0
+      |      / CAST(total_dec AS DOUBLE), 4) END
+      |    AS DECIMAL(14,4)) AS DOUBLE) AS promo_share,
       |  n_items
       |FROM m""".stripMargin
 

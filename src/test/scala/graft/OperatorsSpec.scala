@@ -957,9 +957,10 @@ class OperatorsSpec extends SparkTestBase {
       .coalesce(1).write.mode("overwrite").parquet(s"$d/lineitem.parquet")
     val got = Relational.promoRevenue(spark, d).collect()
       .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2),
-        r.getLong(3), r.getLong(4)))).toMap
-    // 1995-06: promo 90 of 140 → floor(900000·10⁴/1400000) = 6428 bp
-    assert(got("1995-06") == ((90.0, 140.0, 6428L, 2L)))
-    assert(got("1995-07") == ((150.0, 150.0, 10000L, 1L)))
+        r.getDouble(3), r.getLong(4)))).toMap
+    // 1995-06: promo 90 of 140 → round4(900000/140) = 6428.5714 (the
+    // DECIMAL(14,4)-pinned IEEE share — §6's overflow-safe ratio policy)
+    assert(got("1995-06") == ((90.0, 140.0, 6428.5714, 2L)))
+    assert(got("1995-07") == ((150.0, 150.0, 10000.0, 1L)))
   }
 }
