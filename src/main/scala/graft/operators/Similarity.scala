@@ -1786,4 +1786,94 @@ object Similarity {
        |  ORDER BY margin DESC, vb) AS brk FROM m)
        |WHERE brk = 1 AND margin >= $BtMarginThr""".stripMargin
   }
+
+  // ---- #25j-c semantic decontamination (embedding-space probe overlap) ----
+  /** The embedding complement of `decontaminate`: exact n-gram overlap
+    * misses paraphrased benchmark leakage; this audit flags every TRAIN
+    * vector whose cosine to ANY probe vector reaches the shared
+    * [[Dedup.CosineThreshold]]. Probe set pinned to vec_id %
+    * [[SemDecontProbeMod]] == 0 (the held-out-benchmark stand-in, the
+    * `decontaminate` convention); for each contaminated vector: how many
+    * probes it hits, the closest probe (ties on probe id) and the pinned
+    * cosine. Candidates come from the SAME two signed-hyperplane bucket
+    * tables `dedup_embedding` blocks on — probe side explodes the ±1-bit
+    * masks, so the oracle mirrors the blocking exactly and both engines
+    * score the identical candidate set.
+    *
+    * Scale: the probe side is benchmark-bounded → BROADCAST with its mask
+    * explode; the corpus side streams through the bucket equi-join (never
+    * all-pairs, never a corpus shuffle). A larger probe set swaps the
+    * broadcast for the IVF serving index (`ann_ivf`) without changing the
+    * row contract. */
+  val SemDecontProbeMod = 10L
+
+  def semanticDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id") +: col("embedding") +:
+      (0 until NumTables).map(t =>
+        bucketColT("embedding", t).as(s"bucket$t")): _*)
+    val probeMasks = 0L +: (0 until NumPlanes).map(j => 1L << j)
+    val train = e.where(pmod(col("vec_id"), lit(SemDecontProbeMod)) =!= 0)
+    val probes = e.where(pmod(col("vec_id"), lit(SemDecontProbeMod)) === 0)
+    def tableCand(t: Int): DataFrame = {
+      val p = probes.select(col("vec_id").as("probe_id"),
+        col("embedding").as("pv"),
+        explode(array(probeMasks.map(m =>
+          col(s"bucket$t").bitwiseXOR(lit(m))): _*)).as("pb"))
+      train.as("a").join(broadcast(p), col(s"a.bucket$t") === col("pb"))
+        .select(col("a.vec_id").as("vec_id"), col("probe_id"),
+          cosExpr("embedding", "pv").as("cos_raw"))
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+    (0 until NumTables).map(tableCand).reduce(_ union _)
+      .dropDuplicates("vec_id", "probe_id")
+      // §6: threshold/rank on the RAW cosine (bit-identical IEEE math in
+      // both engines over the identical candidate set); only the emitted
+      // value is rounded to a pinned decimal
+      .where(col("cos_raw") >= Dedup.CosineThreshold)
+      .withColumn("n_probe_hits", count(lit(1)).over(w))
+      .withColumn("rk", row_number().over(
+        w.orderBy(col("cos_raw").desc, col("probe_id"))))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("n_probe_hits"),
+        col("probe_id").as("best_probe"),
+        round(col("cos_raw"), 4).cast("decimal(14,4)").cast("double")
+          .as("cos"))
+  }
+  lazy val semanticDecontaminateSql: String = {
+    val cos = s"(${sqlDotExpr("a.embedding", "p.pv")}) / " +
+      s"(sqrt(${sqlDotExpr("a.embedding", "a.embedding")}) * " +
+      s"sqrt(${sqlDotExpr("p.pv", "p.pv")}))"
+    val masks = (0L +: (0 until NumPlanes).map(j => 1L << j))
+      .mkString("[", ", ", "]")
+    val bucketCols = (0 until NumTables)
+      .map(t => s"${sqlBucketT("embedding", t)} AS bucket$t")
+      .mkString(",\n    ")
+    val tableSelects = (0 until NumTables).map { t =>
+      s"""SELECT a.vec_id, p.probe_id, $cos AS cos_raw
+         |  FROM t a JOIN (
+         |    SELECT vec_id AS probe_id, embedding AS pv,
+         |      xor(bucket$t, m.m) AS pb
+         |    FROM q, unnest($masks) AS m(m)
+         |  ) p ON a.bucket$t = p.pb""".stripMargin
+    }.mkString("\n  UNION\n  ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    $bucketCols
+       |  FROM embeddings
+       |), t AS (SELECT * FROM e WHERE vec_id % $SemDecontProbeMod <> 0),
+       |q AS (SELECT * FROM e WHERE vec_id % $SemDecontProbeMod = 0),
+       |cand AS (
+       |  $tableSelects
+       |), kept AS (
+       |  SELECT vec_id, probe_id, cos_raw,
+       |    count(*) OVER (PARTITION BY vec_id) AS n_probe_hits,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos_raw DESC, probe_id) AS rk
+       |  FROM cand WHERE cos_raw >= ${Dedup.CosineThreshold}
+       |)
+       |SELECT vec_id, CAST(n_probe_hits AS BIGINT) AS n_probe_hits,
+       |  probe_id AS best_probe,
+       |  CAST(CAST(round(cos_raw, 4) AS DECIMAL(14,4)) AS DOUBLE) AS cos
+       |FROM kept WHERE rk = 1""".stripMargin
+  }
 }

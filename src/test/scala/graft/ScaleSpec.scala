@@ -723,5 +723,17 @@ class ScaleSpec extends SparkTestBase {
     assert(!wp.contains("CartesianProduct") &&
       !wp.contains("BroadcastNestedLoopJoin"),
       "wordpiece_encode degraded to an unkeyed join")
+
+    // semantic_decontaminate: the benchmark-bounded probe side must
+    // BROADCAST into the bucket equi-join; the corpus side never
+    // cartesians and never shuffles into a corpus-x-probe SMJ
+    val sd = SparkEntry.queries("semantic_decontaminate")(spark, sf)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(sd.contains("BroadcastHashJoin"),
+      s"semantic_decontaminate lost the broadcast probe join:\n$sd")
+    assert(!sd.contains("CartesianProduct") &&
+      !sd.contains("BroadcastNestedLoopJoin") &&
+      !sd.contains("SortMergeJoin"),
+      s"semantic_decontaminate degraded to an unblocked join:\n$sd")
   }
 }

@@ -527,4 +527,55 @@ class SimilaritySpec extends SparkTestBase {
       assert(rs.size <= Similarity.ClusterTopicsTopN)
     }
   }
+
+  test("semantic_decontaminate flags the probe-adjacent train vectors " +
+      "on the hand fixture") {
+    // fixture: vec 0 is the only probe (0 % 10 == 0); 1 = same direction
+    // (cos 1), 2 = close (cos 1/sqrt(1.04)), 3 = orthogonal, 4 = opposite
+    val got = Similarity.semanticDecontaminate(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == ((1L, 0L, 1.0)))
+    assert(got(2L) == ((1L, 0L, 0.9806)))
+  }
+
+  test("semantic_decontaminate matches a brute force mirroring the " +
+      "two-table blocking at sf0.001") {
+    val sfDir = "/root/testdata/sf0.001"
+    def dot(a: Seq[Float], b: Seq[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val planes = Similarity.Planes.map(_.map(_.toFloat))
+    def bucketT(e: Seq[Float], t: Int): Long =
+      (0 until Similarity.NumPlanes).map(j =>
+        if (dot(e, planes(t * Similarity.NumPlanes + j)) > 0.0) 1L << j
+        else 0L).sum
+    val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val masks = 0L +: (0 until Similarity.NumPlanes).map(j => 1L << j)
+    val probes = all.filter(_._1 % Similarity.SemDecontProbeMod == 0)
+    val train = all.filter(_._1 % Similarity.SemDecontProbeMod != 0)
+    def r4(d: Double) =
+      BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = train.flatMap { case (id, e) =>
+      val cands = probes.filter { case (_, pv) =>
+        (0 until Similarity.NumTables).exists(t =>
+          masks.exists(m => bucketT(e, t) == (bucketT(pv, t) ^ m)))
+      }.map { case (pid, pv) =>
+        (pid, dot(e, pv) / (math.sqrt(dot(e, e)) * math.sqrt(dot(pv, pv))))
+      }.filter(_._2 >= Dedup.CosineThreshold)
+      if (cands.isEmpty) None
+      else {
+        val best = cands.sortBy { case (pid, c) => (-c, pid) }.head
+        Some(Seq[Any](id, cands.length.toLong, best._1, r4(best._2)))
+      }
+    }.toSet
+    val got = collectSet(Similarity.semanticDecontaminate(spark, sfDir))
+    assert(got == expected)
+    assert(got.nonEmpty) // the audit actually fires at this SF
+  }
 }
