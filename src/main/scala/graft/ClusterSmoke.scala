@@ -94,8 +94,17 @@ object ClusterSmoke {
                           // discovered re-read and manifest agg across JVMs
     "unigram_encode",     // EM-trained score-table broadcasts per round +
                           // vocabulary-frame Viterbi map on executors
-    "domain_stats")       // WARC fixture + suffix-chain domain key +
+    "domain_stats",       // WARC fixture + suffix-chain domain key +
                           // codegen'd quality profile on executor JVMs
+    "wordpiece_merges",   // per-round likelihood argmax: two bounded aggs
+                          // + broadcast symbol counts across JVMs
+    "wordpiece_encode",   // trained-inventory broadcast + greedy
+                          // longest-match vocabulary map on executors
+    "semantic_decontaminate", // probe-side broadcast + two-table bucket
+                          // equi-join + per-vec window across JVMs
+    "stage_diff",         // row-local C4 status + source-partitioned share
+    "promo_revenue")      // broadcast dim join + month agg + pinned IEEE
+                          // share across executor JVMs
 
   private def warcDocCount(spark: SparkSession): Long =
     graft.sources.WarcSource

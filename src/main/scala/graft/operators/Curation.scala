@@ -1257,13 +1257,18 @@ object Curation {
     * batch query and `DocsStream.gopherGate` so the two cannot drift. */
   private[graft] def gopherKeepIn(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val n = size(t).cast("long")
+    // n=0 already fails the token-count bound, but under ANSI mode the
+    // ratio terms must never divide by it (a zero-token doc reaching the
+    // stream gate or the ensemble would otherwise THROW, not drop) — the
+    // greatest() guard is a semantic no-op for every n ≥ 1
+    val n1 = greatest(n, lit(1L)).cast("double")
     val sumLen = aggregate(transform(t, w => length(w).cast("long")),
       lit(0L), (a, x) => a + x)
     val nAlpha = size(filter(t, w => w.rlike("\\p{L}"))).cast("long")
     val stops = size(filter(t, w => w.isin(GopherStops: _*))).cast("long")
     n.between(GopherMinTokens, GopherMaxTokens) &&
-      (sumLen.cast("double") / n).between(GopherMinAvgLen, GopherMaxAvgLen) &&
-      nAlpha.cast("double") / n > GopherMinAlphaFrac &&
+      (sumLen.cast("double") / n1).between(GopherMinAvgLen, GopherMaxAvgLen) &&
+      nAlpha.cast("double") / n1 > GopherMinAlphaFrac &&
       stops >= GopherMinStopHits
   }
 
@@ -2129,6 +2134,101 @@ object Curation {
   private[graft] def blocklistGateOf(d: DataFrame): DataFrame =
     d.where(size(filter(filter(transform(split(col("text"), WsTokenRe),
       t => lower(t)), t => t =!= ""), w => w.isin(WordBlocklist: _*))) === 0)
+
+  // ---- #23f quality-gate ensemble -----------------------------------------
+  /** Majority vote of the three independent row-local keep families — the
+    * ensemble production pipelines actually ship (no single heuristic is
+    * trusted alone; DCLM/FineWeb-style recipes stack them): the Gopher
+    * document filter ([[gopherKeepIn]] — the stream-gate predicate
+    * verbatim), the C4 content gate (lorem-ipsum/brace/few-sentences over
+    * the line-filtered text, the `c4_line_filters` doc rule verbatim), and
+    * the hashed-classifier keep (clf_mean_e3 ≥ 0, `classifier_score`'s
+    * rule verbatim). Every document gets all three votes plus the
+    * majority verdict, so disagreement is auditable per family
+    * (scorer_agreement quantifies pairwise κ; this is the decision row).
+    *
+    * Scale: ALL THREE families are pure functions of the row — one fused
+    * projection, zero exchange, scan speed at 100 TB (ScaleSpec-locked). */
+  private def ensembleVotes: (org.apache.spark.sql.Column,
+      org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val tk = toks
+    val kept = filter(split(col("text"), "\n", -1), c4Keep _)
+    val ktext = array_join(kept, "\n")
+    val c4k = !(instr(lower(col("text")), "lorem ipsum") > 0 ||
+      instr(col("text"), "{") > 0 || sentCount(ktext) < C4MinSentences)
+    val clfMean = org.apache.spark.sql.graft.ExactMath.intDiv(
+      aggregate(transform(tk, t => pmod(md5Long(concat(
+        lit(TextAnalysis.ClfSeed), lit("\u0001"), t)), lit(2001L))),
+        lit(0L), (a, x) => a + x),
+      greatest(size(tk).cast("long"), lit(1L))) - lit(1000L)
+    (gopherKeepIn(tk).cast("long"), c4k.cast("long"),
+      (clfMean >= 0L).cast("long"))
+  }
+
+  def qualityEnsemble(spark: SparkSession, dir: String): DataFrame = {
+    val (g, c, f) = ensembleVotes
+    docs(spark, dir)
+      .select(col("doc_id"), g.as("gopher_keep"), c.as("c4_keep"),
+        f.as("clf_keep"))
+      .withColumn("n_votes",
+        col("gopher_keep") + col("c4_keep") + col("clf_keep"))
+      .withColumn("keep", (col("n_votes") >= 2L).cast("long"))
+  }
+  val qualityEnsembleSql: String = {
+    val stops = GopherStops.map(sqlLit).mkString("(", ", ", ")")
+    val wgt = sqlMd5Long(s"concat('${TextAnalysis.ClfSeed}', chr(1), x)") +
+      " % 2001"
+    val ktext = s"coalesce(array_to_string(list_filter(string_split(text, " +
+      s"chr(10)), l -> ${sqlC4Keep("l")}), chr(10)), '')"
+    s"""WITH t AS (
+       |  SELECT doc_id, text, list_filter(list_transform(
+       |    string_split_regex(text, '\\s+'), x -> lower(x)), x -> x <> '')
+       |    AS tk
+       |  FROM documents
+       |), v AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(tk) BETWEEN $GopherMinTokens AND $GopherMaxTokens
+       |      AND CAST(coalesce(list_sum(list_transform(tk, w -> length(w))),
+       |        0) AS DOUBLE) / greatest(len(tk), 1)
+       |        BETWEEN $GopherMinAvgLen AND $GopherMaxAvgLen
+       |      AND CAST(len(list_filter(tk, w -> regexp_matches(w, '\\p{L}')))
+       |        AS DOUBLE) / greatest(len(tk), 1) > $GopherMinAlphaFrac
+       |      AND len(list_filter(tk, w -> w IN $stops)) >= $GopherMinStopHits
+       |    THEN 1 ELSE 0 END AS gopher_keep,
+       |    CASE WHEN contains(lower(text), 'lorem ipsum')
+       |        OR contains(text, '{')
+       |        OR ${sqlSentCount(ktext)} < $C4MinSentences
+       |    THEN 0 ELSE 1 END AS c4_keep,
+       |    CASE WHEN (coalesce(list_sum(list_transform(tk, x -> $wgt)), 0)
+       |        // greatest(len(tk), 1)) - 1000 >= 0
+       |    THEN 1 ELSE 0 END AS clf_keep
+       |  FROM t
+       |)
+       |SELECT doc_id, CAST(gopher_keep AS BIGINT) AS gopher_keep,
+       |  CAST(c4_keep AS BIGINT) AS c4_keep,
+       |  CAST(clf_keep AS BIGINT) AS clf_keep,
+       |  CAST(gopher_keep + c4_keep + clf_keep AS BIGINT) AS n_votes,
+       |  CAST(CASE WHEN gopher_keep + c4_keep + clf_keep >= 2
+       |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM v""".stripMargin
+  }
+
+  /** [[qualityEnsemble]] as a row-local majority gate over any (…, text)
+    * frame — stateless filter, batch≡stream by construction (DocsStream
+    * twin). */
+  private[graft] def ensembleGateOf(d: DataFrame): DataFrame = {
+    val (g, c, f) = ensembleVotes
+    d.where(g + c + f >= 2L)
+  }
+
+  /** [[mojibakeStats]]' artifact classes as a row-local drop gate over any
+    * (…, text) frame: any U+FFFD / double-encode face / C0 control drops
+    * the doc (the quarantine stage of a decode-health pipeline).
+    * Stateless, batch≡stream by construction (DocsStream twin). */
+  private[graft] def mojibakeGateOf(d: DataFrame): DataFrame =
+    d.where(occ(col("text"), Fffd) +
+      MojibakeDoubleEncMarkers.map(occ(col("text"), _)).reduce(_ + _) +
+      regexp_count(col("text"), lit(CtrlRe)) === 0)
 
   // ---- #25l-b curation-stage corpus diff ----------------------------------
   /** The release-engineering diff between a corpus version and the output

@@ -401,6 +401,32 @@ object DocsStream {
   def blocklistGate(docs: DataFrame): DataFrame =
     graft.operators.Curation.blocklistGateOf(docs)
 
+  /** Stateless quality-ensemble gate — the streaming twin of the batch
+    * `quality_ensemble` majority vote (Gopher + C4 + hashed classifier,
+    * the SAME three row-local expressions), so batch≡stream by
+    * construction (spec-locked keep sets). Map-only. */
+  def ensembleGate(docs: DataFrame): DataFrame =
+    graft.operators.Curation.ensembleGateOf(docs)
+
+  /** Stateless encoding-damage quarantine — the streaming twin of
+    * `mojibake_stats`' artifact classes as a drop rule (any U+FFFD /
+    * double-encode face / C0 control drops the doc). Map-only,
+    * batch≡stream by construction (spec-locked). */
+  def mojibakeGate(docs: DataFrame): DataFrame =
+    graft.operators.Curation.mojibakeGateOf(docs)
+
+  /** Stateless PII-redaction stage — the streaming twin of `redact_pii`'s
+    * rewrite (emails → &lt;EMAIL&gt;, long digit runs → &lt;NUM&gt;, the
+    * SAME two regexes): documents flow on with redacted text. Map-only
+    * projection, batch≡stream by construction (spec-locked against the
+    * batch operator's redacted_md5). */
+  def redactStage(docs: DataFrame): DataFrame =
+    docs.withColumn("text", org.apache.spark.sql.functions.regexp_replace(
+      org.apache.spark.sql.functions.regexp_replace(
+        org.apache.spark.sql.functions.col("text"),
+        graft.operators.TextAnalysis.EmailRe, "<EMAIL>"),
+      graft.operators.TextAnalysis.LongDigitsRe, "<NUM>"))
+
   /** Stateless Gopher REPETITION gate — the streaming twin of the batch
     * `gopher_repetition_gate` (drop a document when any n-gram grain
     * exceeds its A1 threshold). The per-grain masses fold row-locally

@@ -774,4 +774,56 @@ class CurationSpec extends SparkTestBase {
       .count(_.getString(4) != "")
     assert(dropped.toLong == got(("src0", "dropped"))._1)
   }
+
+  test("quality_ensemble: three independent votes + majority, brute-forced") {
+    // pass-all candidate: 60 tokens, mean word len in [3,10], alpha-rich,
+    // stopwords present, lines end in '.', >=5 sentences, no brace/lorem
+    val goodText = (1 to 6).map(i =>
+      "the quick brown foxes jumped over with many lazy dogs today.")
+      .mkString("\n")
+    val fixture = Seq(
+      1L -> goodText,
+      2L -> "the of and that short.", // gopher fails (too few tokens)
+      3L -> (goodText + "\ncurly { brace."), // c4 doc gate fails
+      4L -> "") // token-less: every family votes drop
+    val d = writeDocsFixture(fixture)
+
+    // independent reference votes
+    def md5mod(tok: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(("clf\u0001" + tok).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(h.substring(0, 15), 16) % 2001L + 2001L) % 2001L
+    }
+    val stops = Set("the", "be", "to", "of", "and", "that", "have", "with")
+    val expected = fixture.map { case (id, text) =>
+      val tk = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val gopher = tk.length >= 50 && tk.length <= 100000 &&
+        { val m = tk.map(_.length.toLong).sum.toDouble / tk.length
+          m >= 3.0 && m <= 10.0 } &&
+        tk.count(_.exists(_.isLetter)).toDouble / tk.length > 0.8 &&
+        tk.count(stops) >= 2
+      val keptLines = text.split("\n", -1).filter { l =>
+        l.replaceAll("\\s+$", "").matches("(?s).*[.!?\"]$") &&
+          l.split("\\s+").count(_.nonEmpty) >= 3 &&
+          !Seq("javascript", "cookie", "privacy policy", "terms of use")
+            .exists(l.toLowerCase.contains)
+      }.mkString("\n")
+      val sent = keptLines.count(c => c == '.' || c == '!' || c == '?')
+      val c4 = !(text.toLowerCase.contains("lorem ipsum") ||
+        text.contains("{") || sent < 5)
+      val clf = tk.nonEmpty &&
+        (tk.map(md5mod).sum / tk.length - 1000L) >= 0
+      val votes = Seq(gopher, c4, clf).count(identity).toLong
+      (id, if (gopher) 1L else 0L, if (c4) 1L else 0L, if (clf) 1L else 0L,
+        votes, if (votes >= 2) 1L else 0L)
+    }.toSet
+    val got = Curation.qualityEnsemble(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == expected)
+    // the fixture discriminates: doc 1 keeps, docs 2 and 4 drop
+    val byId = got.map(t => t._1 -> t._6).toMap
+    assert(byId(1L) == 1L && byId(2L) == 0L && byId(4L) == 0L)
+  }
 }

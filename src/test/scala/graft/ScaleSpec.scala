@@ -735,5 +735,12 @@ class ScaleSpec extends SparkTestBase {
       !sd.contains("BroadcastNestedLoopJoin") &&
       !sd.contains("SortMergeJoin"),
       s"semantic_decontaminate degraded to an unblocked join:\n$sd")
+
+    // quality_ensemble: all three vote families are row-local — one fused
+    // projection, ZERO exchange
+    val qe = SparkEntry.queries("quality_ensemble")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!qe.contains("Exchange"),
+      s"quality_ensemble gained a shuffle:\n$qe")
   }
 }

@@ -1104,4 +1104,64 @@ class SourcesAndStreamingSpec extends SparkTestBase {
     assert(streamed == batchKeep)
     assert(streamed == Set(1L, 4L)) // the gate actually discriminates
   }
+
+  test("ensembleGate / mojibakeGate / redactStage streaming twins replay " +
+      "equal to their batch operators") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val good = (1 to 6).map(_ =>
+      "the quick brown foxes jumped over with many lazy dogs today.")
+      .mkString("\n")
+    val rows = Seq(
+      1L -> good, // majority keep
+      2L -> "too short.", // gopher + clf drop
+      3L -> (good + " curly { brace"), // c4 drops, gopher+clf decide
+      4L -> "mail me at bob12345678@example.com or call 123456789 now")
+    val d = writeDocsFixture(rows)
+
+    def replay(name: String,
+        stage: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+        : Map[Long, String] = {
+      val input = MemoryStream[(Long, String)](spark)
+      val q = stage(input.toDF().toDF("doc_id", "text"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      input.addData(rows: _*)
+      q.processAllAvailable(); q.stop()
+      spark.table(name).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    }
+
+    // ensemble: streamed keep set == batch majority keeps
+    val batchKeep = graft.operators.Curation.qualityEnsemble(spark, d)
+      .collect().filter(_.getLong(5) == 1L).map(_.getLong(0)).toSet
+    assert(replay("ensgate", graft.streaming.DocsStream.ensembleGate)
+      .keySet == batchKeep)
+
+    // mojibake: a corrupted doc drops, clean ones pass
+    val rowsM = rows :+ (5L -> "broken Ã© face")
+    val dm = writeDocsFixture(rowsM)
+    val batchClean = graft.operators.Curation.mojibakeStats(spark, dm)
+    assert(batchClean.collect()(0).getLong(2) == 1L) // exactly one affected
+    val inputM = MemoryStream[(Long, String)](spark)
+    val qm = graft.streaming.DocsStream.mojibakeGate(
+      inputM.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("mojigate")
+      .outputMode("append").start()
+    inputM.addData(rowsM: _*)
+    qm.processAllAvailable(); qm.stop()
+    assert(spark.table("mojigate").collect().map(_.getAs[Long]("doc_id"))
+      .toSet == Set(1L, 2L, 3L, 4L))
+
+    // redact: streamed rewritten text hashes to the batch redacted_md5
+    val batchMd5 = graft.operators.TextAnalysis.redactPii(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val streamed = replay("redactstage", graft.streaming.DocsStream.redactStage)
+    assert(streamed.keySet == rows.map(_._1).toSet) // a stage, not a gate
+    streamed.foreach { case (id, text) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(h == batchMd5(id), s"doc $id redaction diverged")
+    }
+    assert(streamed(4L).contains("<EMAIL>") && streamed(4L).contains("<NUM>"))
+  }
 }
