@@ -264,4 +264,41 @@ object Wordpiece {
         sum(col("n_syms")).cast("long").as("n_wp_syms"),
         sum(col("unk")).cast("long").as("n_unk_words"))
   }
+
+  /** Three-way fertility face-off of the trained tokenizer families per
+    * source feed (rows-only — all three encodes ride argmax/EM fixpoints):
+    * words, characters, total pieces under BPE, unigram-LM AND WordPiece,
+    * each as exact integer pieces-per-100-words — the single table a
+    * tokenizer bake-off is decided from. Extends `unigram_fertility`
+    * (BPE vs unigram) with the WordPiece column; all three per-doc frames
+    * join on the uniform doc_id key and roll up to the ~10²-key source
+    * grain. Spec-locked column-for-column against `unigram_fertility`. */
+  def tokenizerFaceoff(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.ExactMath.intDiv
+    val uni = Unigram.unigramEncode(spark, dir)
+      .select(col("doc_id"), col("n_words"), col("n_chars"),
+        col("n_uni_syms"))
+    val bpe = TextAnalysis.bpeEncode(spark, dir)
+      .select(col("doc_id"), col("n_bpe_syms"))
+    val wp = wordpieceEncode(spark, dir)
+      .select(col("doc_id"), col("n_wp_syms"))
+    val src = docs(spark, dir).select(col("doc_id"), col("source"))
+    uni.join(bpe, Seq("doc_id")).join(wp, Seq("doc_id"))
+      .join(src, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_bpe_syms")).as("bpe_syms"),
+        sum(col("n_uni_syms")).as("uni_syms"),
+        sum(col("n_wp_syms")).as("wp_syms"))
+      .select(col("source"), col("n_docs"), col("n_words"), col("n_chars"),
+        col("bpe_syms"), col("uni_syms"), col("wp_syms"),
+        intDiv(col("bpe_syms") * lit(100L), col("n_words"))
+          .as("bpe_per_100w"),
+        intDiv(col("uni_syms") * lit(100L), col("n_words"))
+          .as("uni_per_100w"),
+        intDiv(col("wp_syms") * lit(100L), col("n_words"))
+          .as("wp_per_100w"))
+  }
 }

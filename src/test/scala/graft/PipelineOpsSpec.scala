@@ -476,4 +476,28 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(gotEnc == expEnc)
     assert(gotEnc.exists(r => r._4 < r._3)) // compresses below char count
   }
+
+  test("tokenizer_faceoff reconciles column-for-column with " +
+      "unigram_fertility and the wordpiece per-doc rollup") {
+    val d = writeDocsFixture(Seq(
+      1L -> "banana banana bandana anna",
+      2L -> "nab banana anana x9 !!"))
+    val fert = Unigram.unigramFertility(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    val wpByDoc = graft.operators.Wordpiece.wordpieceEncode(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val got = graft.operators.Wordpiece.tokenizerFaceoff(spark, d).collect()
+    assert(got.length == 1)
+    val r = got.head
+    val f = fert("src0")
+    // shared columns agree exactly with unigram_fertility
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(7), r.getLong(8)) ==
+      (("src0", f._1, f._2, f._3, f._4, f._5, f._6, f._7)))
+    // the wordpiece column is the per-doc rollup and its exact fertility
+    val wpSum = wpByDoc.values.sum
+    assert(r.getLong(6) == wpSum)
+    assert(r.getLong(9) == wpSum * 100L / f._2)
+  }
 }
