@@ -725,4 +725,45 @@ object Selection {
        |  ((($EpochPlanBudgetTokens * target_bp) // 10000) * 10000)
        |    // greatest(n_tokens, 1) AS epochs_e4
        |FROM shares""".stripMargin
+
+  // ---- #35k reference-model excess loss -----------------------------------
+  /** RHO-style excess-loss signal (Lin et al. 2024 select tokens/documents
+    * by loss-under-training-model MINUS loss-under-reference-model): per
+    * document, the exact-e4 nll under the raw MLE bigram LM and under the
+    * Kneser–Ney-smoothed reference, and their difference. A large positive
+    * excess marks text whose probability mass exists only through raw
+    * memorization of corpus-specific bigrams (the smoothing discount
+    * hits it hardest) — the documents a curation pass inspects first;
+    * near-zero excess marks text both models explain. Both scorers are
+    * the EXISTING oracled operators' frames verbatim, so the delta cannot
+    * drift from its parts.
+    *
+    * Scale: both per-doc score frames are materialized once per corpus
+    * (the `lm_perplexity` / `kn_perplexity` caches) and join on the
+    * uniform doc_id key — no new corpus pass at all. */
+  def excessLoss(spark: SparkSession, dir: String): DataFrame = {
+    val mle = TextAnalysis.lmPerplexity(spark, dir).select(col("doc_id"),
+      expr("CAST(round(-sum_lp * 10000, 0) AS BIGINT) div n_bigrams")
+        .as("nll_mle_e4"))
+    val kn = knPerplexity(spark, dir).select(col("doc_id"),
+      expr("CAST(round(-sum_lp * 10000, 0) AS BIGINT) div n_bigrams")
+        .as("nll_kn_e4"))
+    mle.join(kn, Seq("doc_id"))
+      .withColumn("excess_e4", col("nll_kn_e4") - col("nll_mle_e4"))
+  }
+  val excessLossSql: String =
+    s"""WITH mle AS (
+       |  ${TextAnalysis.lmPerplexitySql.linesIterator.mkString("\n  ")}
+       |), knq AS (
+       |  ${knPerplexitySql.linesIterator.mkString("\n  ")}
+       |)
+       |SELECT m.doc_id,
+       |  CAST(round(-m.sum_lp * 10000, 0) AS BIGINT) // m.n_bigrams
+       |    AS nll_mle_e4,
+       |  CAST(round(-k.sum_lp * 10000, 0) AS BIGINT) // k.n_bigrams
+       |    AS nll_kn_e4,
+       |  (CAST(round(-k.sum_lp * 10000, 0) AS BIGINT) // k.n_bigrams)
+       |    - (CAST(round(-m.sum_lp * 10000, 0) AS BIGINT) // m.n_bigrams)
+       |    AS excess_e4
+       |FROM mle m JOIN knq k USING (doc_id)""".stripMargin
 }

@@ -330,4 +330,37 @@ class SelectionSpec extends SparkTestBase {
     // target share sits below its raw share, the small one's above
     assert(got("big")._4 < got("big")._3 && got("small")._4 > got("small")._3)
   }
+
+  test("excess_loss is exactly the KN-minus-MLE per-doc nll delta") {
+    // independent KN nll (re-derived as in the kn_perplexity test)
+    val byDoc = corpus.map { case (id, _, t) =>
+      id -> t.sliding(2).filter(_.length == 2).map(p => p(0) + " " + p(1)).toSeq
+    }.filter(_._2.nonEmpty)
+    val c2 = byDoc.flatMap(_._2).groupBy(identity)
+      .map { case (b, xs) => b -> xs.size.toLong }
+    val c1 = c2.toSeq.groupBy(_._1.split(" ", 2)(0))
+      .map { case (w, xs) => w -> ((xs.map(_._2).sum, xs.size.toLong)) }
+    val cont = c2.toSeq.groupBy(_._1.split(" ", 2)(1))
+      .map { case (w, xs) => w -> xs.size.toLong }
+    val tTypes = c2.size.toDouble
+    val lp = c2.map { case (b, n) =>
+      val Array(w1, w2) = b.split(" ", 2)
+      val (n1, nfollow) = c1(w1)
+      val pr = math.max(n - Selection.KnDiscount, 0d) / n1 +
+        (Selection.KnDiscount * nfollow / n1) * (cont(w2) / tTypes)
+      val p6 = BigDecimal(pr).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+      b -> round4(math.log(math.max(p6, Selection.KnPFloor)))
+    }
+    val knE4 = byDoc.map { case (id, bs) =>
+      id -> (-bs.map(lp).sum * 10000).toLongExact / bs.size
+    }.toMap
+    val expected = knE4.map { case (id, kn) =>
+      Seq[Any](id, bruteNllE4(id), kn, kn - bruteNllE4(id))
+    }.toSet
+    assert(collectSet(Selection.excessLoss(spark, dir)) == expected)
+    // smoothing must cost something somewhere: excess is non-zero for at
+    // least one doc and the delta column is internally consistent
+    assert(knE4.exists { case (id, kn) => kn != bruteNllE4(id) })
+  }
 }
