@@ -627,14 +627,29 @@ object Dedup {
     * the spec can drive it with a hand-built graph. Every node must appear
     * as a src (symmetrize first): then out-degrees are ≥ 1 and no mass
     * dangles. */
+  /** `nodes`: optional one-column ("src") node universe. Default (None,
+    * the dup-graph path) derives nodes from edge sources — correct there
+    * because the near-dup graph is symmetrized, so every node has
+    * out-edges. A DIRECTED graph (the crawl link graph) must pass the
+    * full src∪dst universe or pure-sink nodes would get no rank row;
+    * sinks keep out-degree 0, contribute nothing, and their teleport mass
+    * simply vanishes (the standard dangling-mass-dropped simplification —
+    * ranks are comparable, not a stochastic-matrix fixpoint; pinned). */
   private[graft] def pagerankOn(edges: DataFrame,
-      tag: String = s"pagerank-adhoc-${java.util.UUID.randomUUID()}"): DataFrame = {
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      tag: String = s"pagerank-adhoc-${java.util.UUID.randomUUID()}",
+      nodes: Option[DataFrame] = None): DataFrame = {
+    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val deg = nodes match {
+      case None => outDeg
+      case Some(ns) => ns.select(col("src")).distinct()
+        .join(outDeg, Seq("src"), "left")
+        .select(col("src"), coalesce(col("deg"), lit(0L)).as("deg"))
+    }
     val n = deg.count()
     if (n == 0)
       return deg.select(col("src").as("doc_id"), col("deg").as("degree"),
         lit(0.0).as("pr"))
-    val edgesW = edges.join(deg, "src")
+    val edgesW = edges.join(deg.where(col("deg") > 0), "src")
     val ckpts = scala.collection.mutable.ListBuffer.empty[org.apache.spark.rdd.RDD[_]]
     var ranks = deg.select(col("src").as("doc"), lit(1.0 / n).as("pr"))
       .localCheckpoint(false)

@@ -729,6 +729,40 @@ object WarcSource {
   def linkGraphQ(spark: SparkSession, dir: String): DataFrame =
     linkGraph(documentsFromWarc(spark, FixtureLinksDir))
 
+  // ---- registered-domain PageRank (crawl ranking product) ----------------
+  /** PageRank over the registered-domain link graph — the host-ranking
+    * table every crawl derivative ships (seed prioritization, spam-farm
+    * demotion; Common Crawl publishes exactly this grain). Pinned variant:
+    * nodes are the src∪dst domain universe (pure sinks get a rank row —
+    * unlike the symmetric dup graph, a directed crawl graph has them);
+    * edges are the DISTINCT domain pairs with self-links dropped (a site
+    * linking itself is navigation, not endorsement); the iteration is the
+    * shared [[graft.operators.Dedup.pagerankOn]] loop (fixed rounds,
+    * damping 0.85, dangling mass dropped — documented there).
+    *
+    * Scale: the domain graph is aggregated once (corpus → ~10⁶ domain
+    * rows); each round is one bounded join+agg over DOMAIN-grain frames —
+    * never the corpus. Rows-only like `dup_pagerank` (iterative fixpoint);
+    * brute-forced against an independent in-memory PageRank in
+    * WarcSourceSpec. */
+  def domainPagerank(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val edges = linkGraph(docs)
+      .where(col("src_domain") =!= col("dst_domain"))
+      .select(col("src_domain").as("src"), col("dst_domain").as("dst"))
+      .distinct()
+    val nodes = edges.select(col("src"))
+      .union(edges.select(col("dst").as("src")))
+    graft.operators.Dedup.pagerankOn(edges, nodes = Some(nodes))
+      .select(col("doc_id").as("domain"), col("degree").as("out_degree"),
+        col("pr"))
+  }
+
+  /** Driver-contract query (rows-only): [[domainPagerank]] over the
+    * committed link fixture. Ignores `dir` like [[warcHostStats]]. */
+  def domainPagerankQ(spark: SparkSession, dir: String): DataFrame =
+    domainPagerank(documentsFromWarc(spark, FixtureLinksDir))
+
   /** Oracle: exact VALUES literal, hand-derived from the link fixture
     * (scripts/make_warc_fixture.py): the hub's two absolute links resolve
     * to their own domains, its rooted `/local/page` stays on hub.example,

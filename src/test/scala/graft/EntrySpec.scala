@@ -26,7 +26,8 @@ class EntrySpec extends SparkTestBase {
     val rowsOnly = Set("partition_stats", "approx_stats", "bpe_merges",
       "bpe_encode", "dup_pagerank", "longest_repeat",
       "unigram_vocab", "unigram_encode", "unigram_fertility",
-      "wordpiece_merges", "wordpiece_encode", "tokenizer_faceoff")
+      "wordpiece_merges", "wordpiece_encode", "tokenizer_faceoff",
+      "domain_pagerank")
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == rowsOnly)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }

@@ -623,4 +623,41 @@ class WarcSourceSpec extends SparkTestBase {
     assert(got("http://site-c.example/nested") ==
       (("C <3 page", "k v\nDone here.", 14L)))
   }
+
+  test("domain_pagerank matches an independent in-memory PageRank over " +
+      "the fixture's domain graph, sinks included") {
+    val docs = graft.sources.WarcSource.documentsFromWarc(
+      spark, graft.sources.WarcSource.FixtureLinksDir)
+    // edge universe from the separately-oracled link_graph row
+    val edges = graft.sources.WarcSource.linkGraph(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .filter { case (a, b) => a != b }.distinct
+    val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct.sorted
+    val n = nodes.length
+    val outDeg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    var pr = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to graft.operators.Dedup.PrRounds) {
+      val inflow = edges.groupBy(_._2).view.mapValues(_.map { case (s, _) =>
+        pr(s) / outDeg(s) }.sum).toMap
+      pr = nodes.map(d => d ->
+        ((1.0 - graft.operators.Dedup.PrDamp) / n +
+          graft.operators.Dedup.PrDamp * inflow.getOrElse(d, 0.0))).toMap
+    }
+    def r6(d: Double) =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = nodes.map(d =>
+      Seq[Any](d, outDeg.getOrElse(d, 0L), r6(pr(d)))).toSet
+    val got = collectSet(
+      graft.sources.WarcSource.domainPagerankQ(spark, ""))
+    assert(got == expected)
+    // a pure sink (no outlinks) still ranks, and endorsement discriminates:
+    // the doubly-endorsed domain out-ranks the singly-endorsed ones (mass
+    // SHRINKS each round here — dangling mass is dropped by design, so no
+    // rank need exceed the uniform prior)
+    assert(expected.exists(_(1) == 0L))
+    val inbound = edges.groupBy(_._2).view.mapValues(_.length).toMap
+    val topByPr = pr.maxBy(_._2)._1
+    assert(inbound(topByPr) == inbound.values.max)
+    assert(pr.values.toSet.size > 1)
+  }
 }
