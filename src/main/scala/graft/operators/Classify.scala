@@ -194,4 +194,166 @@ object Classify {
        |  ${graft.functions.TextFns.sqlBp("count(*)", "(SELECT n FROM tot)")}
        |    AS share_bp
        |FROM p GROUP BY 1, 2""".stripMargin
+
+  // ---- #38c trained logistic regression (discriminative complement) ------
+  /** Hashed-feature LOGISTIC-REGRESSION classifier — the discriminative
+    * complement of the generative NB above, and the actual shape of the
+    * fastText-style quality/language gates big curation runs train
+    * (CCNet, DCLM): binary label y = (lang == [[LrTargetLang]]), features
+    * are RAW token counts hashed into [[LrBuckets]] buckets, trained by
+    * [[LrRounds]] full-batch gradient-descent rounds. Reduced to a
+    * DETERMINISTIC fixpoint so the spec can brute-force every number:
+    *  - the per-doc margin is an EXACT decimal dot product — weights are
+    *    6-dp decimals, counts are integers, and the decimal SUM is
+    *    fold-order free (no IEEE accumulation anywhere distributed);
+    *  - σ(margin) is computed per row (one Math.exp — row-local, not
+    *    accumulated) and the residual σ−y is ROUNDED to a 6-dp decimal
+    *    BEFORE the gradient sums, so each round's gradient is again an
+    *    exact, order-free decimal aggregation;
+    *  - the weight update runs driver-side in plain BigDecimal
+    *    (w −= rate·g/N, HALF_UP at 6 dp) over the ≤[[LrBuckets]]+1-row
+    *    collected gradient — the Lloyd/BPE bounded-collect pattern.
+    *
+    * Driver checks: `logreg_grad0` — the round-0 gradient direction per
+    * bucket (σ(0)=1/2 exactly, so it is the class-split token mass, no
+    * float anywhere) — is fully oracled; `logreg_train` (the weight
+    * table) and `logreg_score` (per-doc probability + verdict) are
+    * rows-only BY DESIGN (iterative fixpoint, the bpe_merges argument)
+    * and brute-forced from scratch in ClassifySpec.
+    *
+    * Scale: per round ONE pass over the bucketed doc-feature frame
+    * (corpus-bounded, materialized once) + a ≤65-row collect; scoring is
+    * one broadcast join. */
+  val LrBuckets = 64
+  val LrRounds = 8
+  val LrTargetLang = "en"
+  val LrSalt = "lr"
+  private val LrRate = BigDecimal("0.5")
+
+  /** Per-(doc, y, bucket) integer feature counts — the frame training and
+    * scoring read; materialized once per (session, corpus). */
+  private val lrFeatCache = Materialized.register(
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
+  private def lrFeatures(spark: SparkSession, dir: String): DataFrame =
+    Materialized.cached(lrFeatCache, spark, dir) {
+      docTokenCounts(spark, dir)
+        .select(col("doc_id"),
+          (col("lang") === LrTargetLang).cast("long").as("y"),
+          pmod(graft.functions.TextFns.md5Long(
+            concat(lit(LrSalt), lit("\u0001"), col("t"))),
+            lit(LrBuckets.toLong)).as("b"),
+          col("cnt"))
+        .groupBy("doc_id", "y", "b").agg(sum(col("cnt")).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** Driver-contract query (oracled): the round-0 gradient direction per
+    * hashed bucket — at w=0, σ=1/2 exactly, so the gradient is
+    * (neg−pos)/2N per bucket: pure integer class-split token mass. */
+  def logregGrad0(spark: SparkSession, dir: String): DataFrame =
+    lrFeatures(spark, dir)
+      .groupBy(col("b").as("bucket"))
+      .agg(sum(when(col("y") === 1L, col("cnt")).otherwise(0L)).as("pos_toks"),
+        sum(when(col("y") === 0L, col("cnt")).otherwise(0L)).as("neg_toks"))
+      .select(col("bucket"), col("pos_toks").cast("long").as("pos_toks"),
+        col("neg_toks").cast("long").as("neg_toks"),
+        (col("neg_toks") - col("pos_toks")).cast("long").as("diff"))
+  val logregGrad0Sql: String = {
+    val b = graft.functions.TextFns.sqlMd5Long(
+      s"concat('$LrSalt', chr(1), t)") + s" % $LrBuckets"
+    s"""WITH tok AS (
+       |  SELECT doc_id, CASE WHEN lang = '$LrTargetLang' THEN 1 ELSE 0 END
+       |    AS y, $b AS bucket
+       |  FROM documents d, unnest(list_filter(list_transform(
+       |    string_split_regex(d.text, '\\s+'), x -> lower(x)),
+       |    x -> x <> '')) AS g(t)
+       |)
+       |SELECT bucket,
+       |  CAST(sum(y) AS BIGINT) AS pos_toks,
+       |  CAST(sum(1 - y) AS BIGINT) AS neg_toks,
+       |  CAST(sum(1 - y) - sum(y) AS BIGINT) AS diff
+       |FROM tok GROUP BY 1""".stripMargin
+  }
+
+  /** The trained weight vector (bias at index −1), cached per (session,
+    * corpus). */
+  private val lrWeightsCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Map[Long, BigDecimal]]
+  Materialized.registerClearable(() => lrWeightsCache.clear())
+
+  private[operators] def lrTrainedWeights(spark: SparkSession,
+      dir: String): Map[Long, BigDecimal] =
+    lrWeightsCache.getOrElseUpdate(Materialized.sessionKey(spark, dir), {
+      val feats = lrFeatures(spark, dir)
+      val n = feats.select("doc_id").distinct().count()
+      var w: Map[Long, BigDecimal] =
+        ((-1L) +: (0L until LrBuckets.toLong)).map(_ -> BigDecimal(0)).toMap
+      if (n == 0) return w
+      for (_ <- 1 to LrRounds) {
+        val resid = lrResiduals(feats, w)
+        // gradient: exact decimal sums over the rounded residuals
+        val gB = resid.join(feats, Seq("doc_id"))
+          .groupBy(col("b"))
+          .agg(sum(col("resid") * col("cnt")).as("g"))
+          .collect().map(r => r.getLong(0) ->
+            BigDecimal(r.getDecimal(1))).toMap
+        val g0 = BigDecimal(resid.agg(sum(col("resid"))).collect()(0)
+          .getDecimal(0))
+        w = w.map { case (b, wb) =>
+          val g = if (b == -1L) g0 else gB.getOrElse(b, BigDecimal(0))
+          b -> (wb - (LrRate * g / n)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        }
+      }
+      w
+    })
+
+  /** Per-doc 6-dp residual σ(margin)−y under weight map `w`: the margin is
+    * an exact decimal dot product; only σ touches a double, row-locally. */
+  private def lrResiduals(feats: DataFrame,
+      w: Map[Long, BigDecimal]): DataFrame = {
+    val spark = feats.sparkSession
+    import spark.implicits._
+    val wDf = broadcast(w.toSeq.filter(_._1 >= 0)
+      .map { case (b, v) => (b, v.underlying()) }
+      .toDF("b", "wb")
+      .select(col("b"), col("wb").cast("decimal(12,6)").as("wb")))
+    val bias = w(-1L)
+    feats.join(wDf, Seq("b"))
+      .groupBy(col("doc_id"), col("y"))
+      .agg((sum(col("wb") * col("cnt")).cast("decimal(28,6)")
+        + lit(bias.underlying()).cast("decimal(28,6)")).as("m"))
+      .select(col("doc_id"), col("y"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("m").cast("double")))
+          - col("y").cast("double"), 6).cast("decimal(12,6)").as("resid"))
+  }
+
+  /** Driver-contract query (rows-only): the trained weight table —
+    * bucket (−1 = bias) and the exact-e6 weight. */
+  def logregTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    lrTrainedWeights(spark, dir).toSeq.sortBy(_._1)
+      .map { case (b, v) => (b, (v * 1000000).toLongExact) }
+      .toDF("bucket", "weight_e6")
+  }
+
+  /** Driver-contract query (rows-only): per-doc probability under the
+    * trained model + the keep verdict — the gate a production run ships.
+    * score is the 6-dp-pinned σ(margin); pred = score ≥ 1/2. */
+  def logregScore(spark: SparkSession, dir: String): DataFrame = {
+    val w = lrTrainedWeights(spark, dir)
+    val spark2 = spark
+    import spark2.implicits._
+    val wDf = broadcast(w.toSeq.filter(_._1 >= 0)
+      .map { case (b, v) => (b, v.underlying()) }
+      .toDF("b", "wb")
+      .select(col("b"), col("wb").cast("decimal(12,6)").as("wb")))
+    lrFeatures(spark, dir).join(wDf, Seq("b"))
+      .groupBy(col("doc_id"), col("y"))
+      .agg((sum(col("wb") * col("cnt")).cast("decimal(28,6)")
+        + lit(w(-1L).underlying()).cast("decimal(28,6)")).as("m"))
+      .select(col("doc_id"), col("y"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("m").cast("double"))), 6)
+          .cast("decimal(12,6)").cast("double").as("score"))
+      .withColumn("pred", (col("score") >= 0.5).cast("long"))
+  }
 }

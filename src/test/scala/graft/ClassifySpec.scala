@@ -91,4 +91,138 @@ class ClassifySpec extends SparkTestBase {
     assert(conf.forall(c => c._1 == c._2))
     assert(conf.map(_._3).sum == 8L)
   }
+
+  test("logreg grad0/train/score match an independent from-scratch " +
+      "full-batch GD, and separate a strong-signal fixture") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-lr").toString
+    val rows = Seq(
+      (1L, "alpha beta alpha good words", "en"),
+      (2L, "alpha beta beta fine words", "en"),
+      (3L, "alpha alpha beta beta nice", "en"),
+      (4L, "gamma delta gamma junk words", "fr"),
+      (5L, "gamma delta delta junk stuff", "fr"),
+      (6L, "delta gamma gamma delta odd", "fr"))
+    rows.toDF("doc_id", "text", "lang")
+      .selectExpr("doc_id", "text", "lang", "'s' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+
+    // ---- independent reference ----
+    def md5mod(tok: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(("lr\u0001" + tok).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val v = java.lang.Long.parseLong(h.substring(0, 15), 16) %
+        Classify.LrBuckets
+      (v + Classify.LrBuckets) % Classify.LrBuckets
+    }
+    val feats = rows.map { case (id, text, lang) =>
+      val cnt = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .groupBy(md5mod).view.mapValues(_.length.toLong).toMap
+      (id, if (lang == Classify.LrTargetLang) 1L else 0L, cnt)
+    }
+    val n = feats.size
+    var w: Map[Long, BigDecimal] =
+      ((-1L) +: (0L until Classify.LrBuckets.toLong))
+        .map(_ -> BigDecimal(0)).toMap
+    def sig(m: BigDecimal): Double = 1.0 / (1.0 + math.exp(-m.toDouble))
+    for (_ <- 1 to Classify.LrRounds) {
+      val resid = feats.map { case (id, y, cnt) =>
+        val m = cnt.map { case (b, c) => w(b) * c }.sum + w(-1L)
+        (id, y, cnt, BigDecimal(sig(m) - y)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      }
+      val g = scala.collection.mutable.Map.empty[Long, BigDecimal]
+        .withDefaultValue(BigDecimal(0))
+      resid.foreach { case (_, _, cnt, r) =>
+        g(-1L) += r
+        cnt.foreach { case (b, c) => g(b) += r * c }
+      }
+      w = w.map { case (b, wb) =>
+        b -> (wb - (BigDecimal("0.5") * g(b) / n))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }
+    }
+    // grad0 (the oracled round-0 statistic): class-split token mass
+    val expG0 = feats.flatMap { case (_, y, cnt) =>
+      cnt.map { case (b, c) => (b, y, c) } }
+      .groupBy(_._1).map { case (b, xs) =>
+        val pos = xs.filter(_._2 == 1L).map(_._3).sum
+        val neg = xs.filter(_._2 == 0L).map(_._3).sum
+        Seq[Any](b, pos, neg, neg - pos)
+      }.toSet
+    assert(collectSet(Classify.logregGrad0(spark, d)) == expG0)
+    // weight table, entry for entry
+    val expW = w.toSeq.sortBy(_._1)
+      .map { case (b, v) => (b, (v * 1000000).toLongExact) }
+    val gotW = Classify.logregTrain(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(gotW == expW)
+    // per-doc scores, doc for doc
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expS = feats.map { case (id, y, cnt) =>
+      val m = cnt.map { case (b, c) => w(b) * c }.sum + w(-1L)
+      val sc = r6(sig(m))
+      Seq[Any](id, y, sc, if (sc >= 0.5) 1L else 0L)
+    }.toSet
+    assert(collectSet(Classify.logregScore(spark, d)) == expS)
+    // the trained model actually separates the planted signal
+    val byPred = Classify.logregScore(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    assert(byPred.forall { case (_, (y, pred)) => y == pred })
+    val scores = Classify.logregScore(spark, d).collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    assert(scores.filter(_._1 == 1L).map(_._2).min >
+      scores.filter(_._1 == 0L).map(_._2).max)
+  }
+
+  test("logreg parity holds on the real sf0.001 corpus (weak signal)") {
+    val dir = "/root/testdata/sf0.001"
+    // exact reproduction of the distributed fixpoint in plain Scala
+    def md5mod(tok: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(("lr\u0001" + tok).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val v = java.lang.Long.parseLong(h.substring(0, 15), 16) %
+        Classify.LrBuckets
+      (v + Classify.LrBuckets) % Classify.LrBuckets
+    }
+    val feats = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang", "text").collect().toSeq
+      .map { r =>
+        val cnt = r.getString(2).toLowerCase.split("\\s+")
+          .filter(_.nonEmpty)
+          .groupBy(md5mod).view.mapValues(_.length.toLong).toMap
+        (r.getLong(0),
+          if (r.getString(1) == Classify.LrTargetLang) 1L else 0L, cnt)
+      }.filter(_._3.nonEmpty)
+    val n = feats.size
+    var w: Map[Long, BigDecimal] =
+      ((-1L) +: (0L until Classify.LrBuckets.toLong))
+        .map(_ -> BigDecimal(0)).toMap
+    def sig(m: BigDecimal): Double = 1.0 / (1.0 + math.exp(-m.toDouble))
+    for (_ <- 1 to Classify.LrRounds) {
+      val g = scala.collection.mutable.Map.empty[Long, BigDecimal]
+        .withDefaultValue(BigDecimal(0))
+      feats.foreach { case (_, y, cnt) =>
+        val m = cnt.map { case (b, c) => w(b) * c }.sum + w(-1L)
+        val r = BigDecimal(sig(m) - y)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        g(-1L) += r
+        cnt.foreach { case (b, c) => g(b) += r * c }
+      }
+      w = w.map { case (b, wb) =>
+        b -> (wb - (BigDecimal("0.5") * g(b) / n))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }
+    }
+    val expW = w.toSeq.sortBy(_._1)
+      .map { case (b, v) => (b, (v * 1000000).toLongExact) }
+    val gotW = Classify.logregTrain(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(gotW == expW)
+    assert(gotW.exists(_._2 != 0L)) // the fixpoint actually moved
+  }
 }
