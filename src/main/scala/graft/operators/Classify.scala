@@ -288,8 +288,9 @@ object Classify {
       val n = feats.select("doc_id").distinct().count()
       var w: Map[Long, BigDecimal] =
         ((-1L) +: (0L until LrBuckets.toLong)).map(_ -> BigDecimal(0)).toMap
-      if (n == 0) return w
-      for (_ <- 1 to LrRounds) {
+      // empty corpus: zero weights, zero rounds (a `return` here would be
+      // a NonLocalReturnControl throw through getOrElseUpdate — uncached)
+      for (_ <- 1 to (if (n == 0) 0 else LrRounds)) {
         val resid = lrResiduals(feats, w)
         // gradient: exact decimal sums over the rounded residuals
         val gB = resid.join(feats, Seq("doc_id"))
@@ -355,5 +356,32 @@ object Classify {
         round(lit(1.0) / (lit(1.0) + exp(-col("m").cast("double"))), 6)
           .cast("decimal(12,6)").cast("double").as("score"))
       .withColumn("pred", (col("score") >= 0.5).cast("long"))
+  }
+
+  /** Driver-contract query (rows-only — reads the GD fixpoint): the
+    * binary-classifier evaluation card — confusion counts on the training
+    * corpus plus exact-bp precision, recall and F1 (β=1, computed as one
+    * integral division of exact integers: 2·tp·10⁴ / (2·tp + fp + fn)).
+    * ONE row; the audit that says whether the trained gate beats the
+    * base rate before anyone ships it. */
+  def logregEval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.ExactMath.intDiv
+    logregScore(spark, dir)
+      .agg(sum(when(col("y") === 1L && col("pred") === 1L, 1L).otherwise(0L))
+        .as("tp"),
+        sum(when(col("y") === 0L && col("pred") === 1L, 1L).otherwise(0L))
+          .as("fp"),
+        sum(when(col("y") === 1L && col("pred") === 0L, 1L).otherwise(0L))
+          .as("fn"),
+        sum(when(col("y") === 0L && col("pred") === 0L, 1L).otherwise(0L))
+          .as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        intDiv(col("tp") * lit(10000L),
+          greatest(col("tp") + col("fp"), lit(1L))).as("precision_bp"),
+        intDiv(col("tp") * lit(10000L),
+          greatest(col("tp") + col("fn"), lit(1L))).as("recall_bp"),
+        intDiv(col("tp") * lit(20000L),
+          greatest(col("tp") * 2 + col("fp") + col("fn"), lit(1L)))
+          .as("f1_bp"))
   }
 }

@@ -225,4 +225,21 @@ class ClassifySpec extends SparkTestBase {
     assert(gotW == expW)
     assert(gotW.exists(_._2 != 0L)) // the fixpoint actually moved
   }
+
+  test("logreg_eval reconciles exactly with the per-doc score frame") {
+    val dir = "/root/testdata/sf0.001"
+    val sc = Classify.logregScore(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(3)))
+    val tp = sc.count(x => x._1 == 1L && x._2 == 1L).toLong
+    val fp = sc.count(x => x._1 == 0L && x._2 == 1L).toLong
+    val fn = sc.count(x => x._1 == 1L && x._2 == 0L).toLong
+    val tn = sc.count(x => x._1 == 0L && x._2 == 0L).toLong
+    val r = Classify.logregEval(spark, dir).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((tp, fp, fn, tn)))
+    assert(r.getLong(4) == tp * 10000 / math.max(tp + fp, 1L))
+    assert(r.getLong(5) == tp * 10000 / math.max(tp + fn, 1L))
+    assert(r.getLong(6) == tp * 20000 / math.max(tp * 2 + fp + fn, 1L))
+    assert(tp + fp + fn + tn == sc.length.toLong)
+  }
 }
