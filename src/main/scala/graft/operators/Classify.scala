@@ -281,7 +281,7 @@ object Classify {
     .empty[(String, String), Map[Long, BigDecimal]]
   Materialized.registerClearable(() => lrWeightsCache.clear())
 
-  private[operators] def lrTrainedWeights(spark: SparkSession,
+  private[graft] def lrTrainedWeights(spark: SparkSession,
       dir: String): Map[Long, BigDecimal] =
     lrWeightsCache.getOrElseUpdate(Materialized.sessionKey(spark, dir), {
       val feats = lrFeatures(spark, dir)

@@ -420,6 +420,40 @@ object DocsStream {
     * SAME two regexes): documents flow on with redacted text. Map-only
     * projection, batch≡stream by construction (spec-locked against the
     * batch operator's redacted_md5). */
+  /** Stateless TRAINED-classifier gate — the streaming twin of the batch
+    * `logreg_score` verdict: score each arriving document under the
+    * batch-trained weight table (passed in, like [[mixGate]]'s rates —
+    * training is a batch job; a stream can't see the corpus) and keep
+    * docs with σ(margin) ≥ 1/2 ⇔ margin ≥ 0. The margin folds EXACTLY as
+    * the batch does — per-token 6-dp decimal weight lookups summed in a
+    * decimal accumulator (order-free by exactness) — so the keep set
+    * cannot drift from `logreg_score.pred` (spec-locked). Tokenless docs
+    * score on the bias alone here; the batch frame omits them (it is
+    * keyed by the feature frame) — documented asymmetry. Map-only. */
+  def classifierGate(docs: DataFrame,
+      weights: Map[Long, BigDecimal]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val bs = weights.filter(_._1 >= 0).toSeq.sortBy(_._1)
+    val wMap = map_from_arrays(
+      array(bs.map(b => lit(b._1)): _*),
+      array(bs.map(b =>
+        lit(b._2.underlying()).cast("decimal(12,6)")): _*))
+    val toks = filter(transform(
+      split(col("text"), graft.functions.TextFns.WsTokenRe),
+      t => lower(t)), t => t =!= "")
+    val margin = aggregate(toks,
+      lit(weights(-1L).underlying()).cast("decimal(28,6)"),
+      // decimal + widens to (29,6); the accumulator lambda must return
+      // the accumulator type, so narrow back (magnitudes are ~1e3 —
+      // nowhere near 28-digit overflow)
+      (acc, t) => (acc + element_at(wMap,
+        pmod(graft.functions.TextFns.md5Long(concat(
+          lit(graft.operators.Classify.LrSalt), lit("\u0001"), t)),
+          lit(graft.operators.Classify.LrBuckets.toLong)))
+        .cast("decimal(28,6)")).cast("decimal(28,6)"))
+    docs.where(margin >= lit(java.math.BigDecimal.ZERO).cast("decimal(28,6)"))
+  }
+
   def redactStage(docs: DataFrame): DataFrame =
     docs.withColumn("text", org.apache.spark.sql.functions.regexp_replace(
       org.apache.spark.sql.functions.regexp_replace(

@@ -742,5 +742,14 @@ class ScaleSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!qe.contains("Exchange"),
       s"quality_ensemble gained a shuffle:\n$qe")
+
+    // logreg_score: the 65-row weight table must BROADCAST onto the
+    // materialized feature frame — never a corpus-side shuffle join
+    val lr = SparkEntry.queries("logreg_score")(spark, sf)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(lr.contains("BroadcastHashJoin"),
+      s"logreg_score lost the broadcast weight join:\n$lr")
+    assert(!lr.contains("SortMergeJoin"),
+      s"logreg_score gained a corpus shuffle join:\n$lr")
   }
 }

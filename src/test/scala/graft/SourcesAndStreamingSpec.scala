@@ -1164,4 +1164,34 @@ class SourcesAndStreamingSpec extends SparkTestBase {
     }
     assert(streamed(4L).contains("<EMAIL>") && streamed(4L).contains("<NUM>"))
   }
+
+  test("classifierGate streaming twin keeps exactly logreg_score's " +
+      "pred=1 set under the batch-trained weights") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-lrgate").toString
+    val rows = Seq(
+      (1L, "alpha beta alpha good words", "en"),
+      (2L, "alpha beta beta fine words", "en"),
+      (3L, "gamma delta gamma junk words", "fr"),
+      (4L, "gamma delta delta junk stuff", "fr"))
+    rows.toDF("doc_id", "text", "lang")
+      .selectExpr("doc_id", "text", "lang", "'s' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val batchKeep = graft.operators.Classify.logregScore(spark, d)
+      .collect().filter(_.getLong(3) == 1L).map(_.getLong(0)).toSet
+    val w = graft.operators.Classify.lrTrainedWeights(spark, d)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.DocsStream.classifierGate(
+      input.toDF().toDF("doc_id", "text"), w)
+      .writeStream.format("memory").queryName("lrgate")
+      .outputMode("append").start()
+    input.addData(rows.map(r => (r._1, r._2)): _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("lrgate").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(streamed == batchKeep)
+    assert(streamed == Set(1L, 2L)) // the gate actually discriminates
+  }
 }
