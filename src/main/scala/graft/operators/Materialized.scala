@@ -17,7 +17,7 @@ object Materialized {
   private val clearables = scala.collection.mutable.ListBuffer.empty[() => Unit]
 
   /** Called once per cache at object init; returns the cache for inline use. */
-  private[operators] def register(
+  private[graft] def register(
       c: TrieMap[(String, String), DataFrame]): TrieMap[(String, String), DataFrame] =
     caches.synchronized { caches += c; c }
 
@@ -41,7 +41,7 @@ object Materialized {
     * frame would leak storage with no owner (ADVICE r3). putIfAbsent
     * resolves the race and the loser is explicitly unpersisted. `build`
     * must return an already-persisted frame. */
-  private[operators] def cached(cache: TrieMap[(String, String), DataFrame],
+  private[graft] def cached(cache: TrieMap[(String, String), DataFrame],
       spark: SparkSession, dir: String)(build: => DataFrame): DataFrame = {
     val key = sessionKey(spark, dir)
     cache.get(key) match {
