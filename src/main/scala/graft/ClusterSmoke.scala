@@ -103,8 +103,12 @@ object ClusterSmoke {
     "semantic_decontaminate", // probe-side broadcast + two-table bucket
                           // equi-join + per-vec window across JVMs
     "stage_diff",         // row-local C4 status + source-partitioned share
-    "promo_revenue")      // broadcast dim join + month agg + pinned IEEE
+    "promo_revenue",      // broadcast dim join + month agg + pinned IEEE
                           // share across executor JVMs
+    "logreg_score",       // driver-trained decimal weights broadcast into
+                          // the bucketed-feature join across JVMs
+    "domain_pagerank")    // directed rank loop w/ explicit node universe +
+                          // per-round checkpoints across executor JVMs
 
   private def warcDocCount(spark: SparkSession): Long =
     graft.sources.WarcSource
