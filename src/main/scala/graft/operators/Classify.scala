@@ -384,4 +384,23 @@ object Classify {
           greatest(col("tp") * 2 + col("fp") + col("fn"), lit(1L)))
           .as("f1_bp"))
   }
+
+  /** Driver-contract query (rows-only — reads the GD fixpoint): the
+    * reliability (calibration) curve — per score decile, how many docs
+    * land there and what fraction is actually positive (exact bp). A
+    * well-calibrated gate has pos_bp tracking the decile; a cliff means
+    * the 1/2 threshold is in the wrong place. Scores are 6-dp-pinned so
+    * the decile assignment is engine-stable; score 1.0 folds into the
+    * top decile. One ≤10-key aggregation over the score frame. */
+  def logregCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.ExactMath.intDiv
+    logregScore(spark, dir)
+      .select(least(floor(col("score") * 10).cast("long"), lit(9L))
+        .as("decile"), col("y"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"))
+      .select(col("decile"), col("n_docs"), col("n_pos").cast("long")
+        .as("n_pos"),
+        intDiv(col("n_pos") * lit(10000L), col("n_docs")).as("pos_bp"))
+  }
 }

@@ -242,4 +242,19 @@ class ClassifySpec extends SparkTestBase {
     assert(r.getLong(6) == tp * 20000 / math.max(tp * 2 + fp + fn, 1L))
     assert(tp + fp + fn + tn == sc.length.toLong)
   }
+
+  test("logreg_calibration reconciles decile-for-decile with the scores") {
+    val dir = "/root/testdata/sf0.001"
+    val sc = Classify.logregScore(spark, dir).collect()
+      .map(r => (r.getDouble(2), r.getLong(1)))
+    val exp = sc.groupBy { case (s, _) => math.min((s * 10).toLong, 9L) }
+      .map { case (d, xs) =>
+        val pos = xs.map(_._2).sum
+        Seq[Any](d, xs.length.toLong, pos, pos * 10000 / xs.length)
+      }.toSet
+    assert(collectSet(Classify.logregCalibration(spark, dir)) == exp)
+    val total = Classify.logregCalibration(spark, dir).collect()
+      .map(_.getLong(1)).sum
+    assert(total == sc.length.toLong)
+  }
 }

@@ -27,7 +27,8 @@ class EntrySpec extends SparkTestBase {
       "bpe_encode", "dup_pagerank", "longest_repeat",
       "unigram_vocab", "unigram_encode", "unigram_fertility",
       "wordpiece_merges", "wordpiece_encode", "tokenizer_faceoff",
-      "domain_pagerank", "logreg_train", "logreg_score", "logreg_eval")
+      "domain_pagerank", "logreg_train", "logreg_score", "logreg_eval",
+      "logreg_calibration")
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == rowsOnly)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
