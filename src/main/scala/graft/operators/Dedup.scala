@@ -737,21 +737,33 @@ object Dedup {
         col("n_members"))
   }
   lazy val dedupBestSurvivorsSql: String =
-    s"""WITH comp AS (
+    // Spill-friendly shape (VERDICT r11 #1: this oracle OOM'd the loaded
+    // driver box): the quality expression is evaluated ONLY for docs in
+    // the pair-graph-bounded comp frame (the r11 CTE profiled all of
+    // `documents` first), and the two corpus windows are replaced by one
+    // bounded GROUP BY + a semi-join back — group-hash aggregation goes
+    // out-of-core in DuckDB where a window partition materializes. comp is
+    // referenced twice → MATERIALIZED so the recursive label propagation
+    // runs once, not per reference.
+    s"""WITH comp AS MATERIALIZED (
        |  ${dedupComponentsSql.linesIterator.mkString("\n  ")}
        |), q AS (
        |  SELECT doc_id, ${TextAnalysis.sqlQualityBpExpr} AS quality_bp
        |  FROM documents
+       |  WHERE doc_id IN (SELECT doc_id FROM comp)
        |), j AS (
-       |  SELECT component, c.doc_id AS doc_id, quality_bp,
-       |    count(*) OVER (PARTITION BY component) AS n_members,
-       |    row_number() OVER (PARTITION BY component
-       |      ORDER BY quality_bp DESC, c.doc_id) AS rk
+       |  SELECT component, c.doc_id AS doc_id, quality_bp
        |  FROM comp c JOIN q USING (doc_id)
+       |), best AS (
+       |  SELECT component, count(*) AS n_members,
+       |    max(quality_bp) AS best_bp
+       |  FROM j GROUP BY 1
        |)
-       |SELECT component, doc_id, quality_bp, CAST(n_members AS BIGINT)
-       |  AS n_members
-       |FROM j WHERE rk = 1""".stripMargin
+       |SELECT j.component, min(j.doc_id) AS doc_id, b.best_bp AS quality_bp,
+       |  CAST(b.n_members AS BIGINT) AS n_members
+       |FROM j JOIN best b ON j.component = b.component
+       |  AND j.quality_bp = b.best_bp
+       |GROUP BY 1, 3, 4""".stripMargin
 
   // ---- #16c per-source duplication inflation ------------------------------
   /** How much of each feed is duplicate weight — the per-source view of

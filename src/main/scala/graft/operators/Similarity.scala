@@ -617,7 +617,15 @@ object Similarity {
         col("rk").cast("long").as("rk"))
   }
   val clusterTopicsSql: String =
-    s"""WITH $ivfCentroidsCte, assigned AS (
+    // Spill-friendly shape (VERDICT r11 #1: this oracle OOM'd the loaded
+    // driver box): `assigned` and `ctf` are each referenced twice →
+    // MATERIALIZED so neither the argmin scan nor the corpus-sized term
+    // rollup runs twice; the per-cluster length is a ≤|cells|-row GROUP BY
+    // joined back instead of a window over the corpus-vocab frame (hash
+    // aggregation goes out-of-core where a window partition materializes).
+    // Only the final ≤|cells|·|vocab| rank keeps a window, on the bounded
+    // frame.
+    s"""WITH $ivfCentroidsCte, assigned AS MATERIALIZED (
        |  SELECT vec_id AS doc_id, cid FROM (
        |    SELECT e.vec_id, c.cid,
        |      row_number() OVER (PARTITION BY e.vec_id
@@ -630,19 +638,19 @@ object Similarity {
        |        JOIN assigned a USING (doc_id)) x,
        |    unnest(string_split_regex(x.text, '\\s+')) AS t(w)
        |  WHERE t.w <> ''
-       |), ctf AS (
+       |), ctf AS MATERIALIZED (
        |  SELECT cid, term, count(*) AS tf FROM ct GROUP BY 1, 2
-       |), cl AS (
-       |  SELECT *, sum(tf) OVER (PARTITION BY cid) AS clen FROM ctf
+       |), clen AS (
+       |  SELECT cid, sum(tf) AS clen FROM ctf GROUP BY 1
        |), cdf AS (
        |  SELECT term, count(*) AS df FROM ctf GROUP BY 1
        |), nc AS (SELECT count(DISTINCT cid) AS nc FROM assigned),
        |scored AS (
-       |  SELECT cl.cid, cl.term,
+       |  SELECT ctf.cid, ctf.term,
        |    CAST(round((CAST(tf AS DOUBLE) / clen)
        |      * ln((CAST(nc AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)), 4)
        |      AS DECIMAL(14,4)) AS score
-       |  FROM cl JOIN cdf USING (term) CROSS JOIN nc
+       |  FROM ctf JOIN clen USING (cid) JOIN cdf USING (term) CROSS JOIN nc
        |  WHERE df < nc
        |), ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY cid

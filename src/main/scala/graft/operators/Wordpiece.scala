@@ -94,7 +94,7 @@ object Wordpiece {
     * the exact ×10⁶ likelihood ratio. The symbol frame is piece-bounded →
     * broadcast onto the pair frame. */
   private def scoredPairs(symsDf: DataFrame): DataFrame = {
-    import org.apache.spark.sql.graft.ExactMath.intDiv
+    import org.apache.spark.sql.graft.ExactMath.intDivWide
     val (pairs, syms) = roundStats(symsDf)
     pairs
       .join(broadcast(syms.select(col("sym").as("l"),
@@ -102,8 +102,11 @@ object Wordpiece {
       .join(broadcast(syms.select(col("sym").as("r"),
         col("sym_count").as("r_count"))), Seq("r"))
       .select(col("l"), col("r"), col("pair_count"),
-        intDiv(col("pair_count") * lit(1000000L),
-          col("l_count") * col("r_count")).as("score_e6"))
+        // intDivWide, not intDiv: at 100 TB two frequent symbols carry
+        // ~1e10 mass each, so l_count*r_count overflows Long — the
+        // products are formed in DECIMAL(38,0) (ADVICE r11)
+        intDivWide(col("pair_count"), lit(1000000L),
+          col("l_count"), col("r_count")).as("score_e6"))
   }
 
   /** Driver-contract query (oracled, the `bpe_pair_counts` pattern): the

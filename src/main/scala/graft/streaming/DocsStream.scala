@@ -415,19 +415,19 @@ object DocsStream {
   def mojibakeGate(docs: DataFrame): DataFrame =
     graft.operators.Curation.mojibakeGateOf(docs)
 
-  /** Stateless PII-redaction stage — the streaming twin of `redact_pii`'s
-    * rewrite (emails → &lt;EMAIL&gt;, long digit runs → &lt;NUM&gt;, the
-    * SAME two regexes): documents flow on with redacted text. Map-only
-    * projection, batch≡stream by construction (spec-locked against the
-    * batch operator's redacted_md5). */
   /** Stateless TRAINED-classifier gate — the streaming twin of the batch
     * `logreg_score` verdict: score each arriving document under the
     * batch-trained weight table (passed in, like [[mixGate]]'s rates —
     * training is a batch job; a stream can't see the corpus) and keep
-    * docs with σ(margin) ≥ 1/2 ⇔ margin ≥ 0. The margin folds EXACTLY as
-    * the batch does — per-token 6-dp decimal weight lookups summed in a
-    * decimal accumulator (order-free by exactness) — so the keep set
-    * cannot drift from `logreg_score.pred` (spec-locked). Tokenless docs
+    * docs the batch would keep: pred = round(σ(margin), 6dp) ≥ 1/2 —
+    * the SAME rounded-sigmoid threshold `logreg_score.pred` applies, not
+    * the raw margin ≥ 0 (HALF_UP at 6 dp maps margins of −1e-6/−2e-6 to
+    * σ = 0.500000, which the batch KEEPS — thresholding on the raw
+    * margin would drop them and drift the keep set). The margin folds
+    * EXACTLY as the batch does — per-token 6-dp decimal weight lookups
+    * summed in a decimal accumulator (order-free by exactness) — so the
+    * keep set cannot drift from `logreg_score.pred` (spec-locked
+    * including the σ-rounds-to-exactly-0.5 boundary). Tokenless docs
     * score on the bias alone here; the batch frame omits them (it is
     * keyed by the feature frame) — documented asymmetry. Map-only. */
   def classifierGate(docs: DataFrame,
@@ -451,9 +451,16 @@ object DocsStream {
           lit(graft.operators.Classify.LrSalt), lit("\u0001"), t)),
           lit(graft.operators.Classify.LrBuckets.toLong)))
         .cast("decimal(28,6)")).cast("decimal(28,6)"))
-    docs.where(margin >= lit(java.math.BigDecimal.ZERO).cast("decimal(28,6)"))
+    docs.where(
+      round(lit(1.0) / (lit(1.0) + exp(-margin.cast("double"))), 6)
+        >= lit(0.5))
   }
 
+  /** Stateless PII-redaction stage — the streaming twin of `redact_pii`'s
+    * rewrite (emails → &lt;EMAIL&gt;, long digit runs → &lt;NUM&gt;, the
+    * SAME two regexes): documents flow on with redacted text. Map-only
+    * projection, batch≡stream by construction (spec-locked against the
+    * batch operator's redacted_md5). */
   def redactStage(docs: DataFrame): DataFrame =
     docs.withColumn("text", org.apache.spark.sql.functions.regexp_replace(
       org.apache.spark.sql.functions.regexp_replace(

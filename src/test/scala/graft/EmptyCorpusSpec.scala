@@ -67,4 +67,18 @@ class EmptyCorpusSpec extends SparkTestBase {
     assert(failures.isEmpty,
       s"queries failing on degenerate rows:\n${failures.mkString("\n")}")
   }
+
+  test("logreg_eval degrades to an all-zero card on an empty corpus, " +
+      "never a NULL row (ADVICE r11)") {
+    val rows = graft.operators.Classify.logregEval(spark, emptyDir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    // getLong on any NULL cell throws — the exact consumer the card must
+    // not break; all seven columns must be concrete zeros
+    Seq("tp", "fp", "fn", "tn", "precision_bp", "recall_bp", "f1_bp")
+      .foreach { c =>
+        assert(!r.isNullAt(r.fieldIndex(c)), s"$c is NULL on empty corpus")
+        assert(r.getLong(r.fieldIndex(c)) == 0L, s"$c nonzero on empty corpus")
+      }
+  }
 }

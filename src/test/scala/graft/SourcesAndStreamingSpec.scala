@@ -1193,5 +1193,25 @@ class SourcesAndStreamingSpec extends SparkTestBase {
       .map(_.getAs[Long]("doc_id")).toSet
     assert(streamed == batchKeep)
     assert(streamed == Set(1L, 2L)) // the gate actually discriminates
+
+    // Boundary (ADVICE r11): a raw margin of exactly −1e-6 has
+    // σ = 0.49999999975, which HALF_UP-rounds to 0.500000 at 6 dp — the
+    // batch pred KEEPS it. The stream must threshold on the same rounded
+    // sigmoid, not the raw margin sign, or this doc drifts. Hand-built
+    // weights: bias −0.000001, every bucket 0 ⇒ every doc's margin is
+    // exactly −0.000001.
+    val zeroW = (0L until graft.operators.Classify.LrBuckets.toLong)
+      .map(_ -> BigDecimal("0.000000")).toMap +
+      (-1L -> BigDecimal("-0.000001"))
+    val inputB = MemoryStream[(Long, String)](spark)
+    val qb = graft.streaming.DocsStream.classifierGate(
+      inputB.toDF().toDF("doc_id", "text"), zeroW)
+      .writeStream.format("memory").queryName("lrgateb")
+      .outputMode("append").start()
+    inputB.addData((9L, "any words at all"))
+    qb.processAllAvailable(); qb.stop()
+    assert(spark.table("lrgateb").collect()
+      .map(_.getAs[Long]("doc_id")).toSet == Set(9L),
+      "margin −1e-6 rounds to σ=0.500000 and must be kept")
   }
 }
