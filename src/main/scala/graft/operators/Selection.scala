@@ -489,6 +489,231 @@ object Selection {
        |    AS BIGINT) // CAST(k AS BIGINT) AS mink_mean_nll_e4
        |FROM cut""".stripMargin
 
+  // ---- Kneser–Ney trigram model (#35l–n: the CCNet production order) ----
+  /** Interpolated Kneser–Ney with TRIGRAM context — the model order a
+    * production CCNet-style filter actually ships (KenLM trains 5-gram;
+    * trigram is the first order where the backoff RECURSION appears, and
+    * each further order is the same closed-form step). Full chain, all
+    * from two materialized type/count tables:
+    *
+    *   P₃(w₃|w₁w₂) = max(c₃−D,0)/c(w₁w₂·)
+    *                 + D·N₁₊(w₁w₂·)/c(w₁w₂·) · P₂(w₃|w₂)
+    *   P₂(w₃|w₂)   = max(N₁₊(·w₂w₃)−D,0)/N₁₊(·w₂·)
+    *                 + D·N₁₊(w₂·)/N₁₊(·w₂·) · P_c(w₃)
+    *   P_c(w₃)     = N₁₊(·w₃)/N₁₊(··)
+    *
+    * with the lower orders on CONTINUATION counts (trigram types for the
+    * middle layer, bigram types for the unigram layer) — the defining KN
+    * property. Each probability level is rounded to 6 decimals and pinned
+    * through DECIMAL(14,6) before feeding the next (§6: the interpolation
+    * is then arithmetic on engine-identical doubles, so the full chain is
+    * bit-stable across engines).
+    *
+    * Scale: every aggregate is a grouped rollup of the materialized
+    * trigram-count table (trigram-type-bounded — the vocabulary-frame
+    * discipline; the corpus explode behind it runs ONCE) or of the shared
+    * bigram table; the five model joins are type-keyed shuffle_hash joins
+    * between type-bounded frames, and the 1-row type total broadcasts.
+    * Nothing after the count tables sees a corpus-sized key. */
+  private val kn3ModelCache = Materialized.register(
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
+  private[operators] def kn3Model(spark: SparkSession, dir: String): DataFrame =
+    Materialized.cached(kn3ModelCache, spark, dir) {
+      def pin(c: org.apache.spark.sql.Column) =
+        round(c, 6).cast("decimal(14,6)").cast("double")
+      val c3 = TextAnalysis.trigramCounts(spark, dir)
+        .select(col("trigram"), col("n"),
+          substring_index(col("trigram"), " ", 2).as("ctx"),
+          substring_index(substring_index(col("trigram"), " ", 2), " ", -1)
+            .as("w2"),
+          substring_index(col("trigram"), " ", -1).as("w3"))
+      val cctx = c3.groupBy("ctx")
+        .agg(sum(col("n")).as("n_ctx"), count(lit(1)).as("nfollow3"))
+      val contBg = c3.groupBy("w2", "w3").agg(count(lit(1)).as("n1p_w2w3"))
+      val midTot = contBg.groupBy("w2").agg(sum(col("n1p_w2w3")).as("n1p_mid"))
+      val c2 = TextAnalysis.bigramCounts(spark, dir)
+        .select(substring_index(col("bigram"), " ", 1).as("b1"),
+          substring_index(col("bigram"), " ", -1).as("b2"))
+      val follow2 = c2.groupBy(col("b1").as("w2"))
+        .agg(count(lit(1)).as("nfollow2"))
+      val cont1 = c2.groupBy(col("b2").as("w3")).agg(count(lit(1)).as("ncont1"))
+      val types = c2.agg(count(lit(1)).as("t_types"))
+      val pCont = pin(col("ncont1").cast("double") / col("t_types").cast("double"))
+      val pMid = pin(
+        greatest(col("n1p_w2w3").cast("double") - KnDiscount, lit(0d))
+            / col("n1p_mid").cast("double")
+          + (lit(KnDiscount) * col("nfollow2").cast("double")
+            / col("n1p_mid").cast("double")) * col("p_cont"))
+      val p3 = pin(
+        greatest(col("n").cast("double") - KnDiscount, lit(0d))
+            / col("n_ctx").cast("double")
+          + (lit(KnDiscount) * col("nfollow3").cast("double")
+            / col("n_ctx").cast("double")) * col("p_mid"))
+      c3.join(cctx.hint("shuffle_hash"), "ctx")
+        .join(contBg.hint("shuffle_hash"), Seq("w2", "w3"))
+        .join(midTot.hint("shuffle_hash"), "w2")
+        .join(follow2.hint("shuffle_hash"), "w2")
+        .join(cont1.hint("shuffle_hash"), "w3")
+        .crossJoin(broadcast(types))
+        .withColumn("p_cont", pCont)
+        .withColumn("p_mid", pMid)
+        .select(col("trigram"), col("n"), p3.as("p_kn3"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** Driver-contract query: top-[[KnTopN]] smoothed trigram probabilities
+    * — the `kn_bigram_top` shape one order up (TakeOrderedAndProject +
+    * in-array rank recovery; no unpartitioned window). */
+  def kn3TrigramTop(spark: SparkSession, dir: String): DataFrame =
+    kn3Model(spark, dir)
+      .orderBy(col("p_kn3").desc, col("trigram")).limit(KnTopN)
+      .select(struct(negate(col("p_kn3")).as("np"),
+        col("trigram").as("trigram"), col("n").as("n"),
+        col("p_kn3").as("p_kn3")).as("s"))
+      .agg(array_sort(collect_list(col("s"))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("pos", "s")))
+      .select(col("s.trigram").as("trigram"), col("s.n").as("n"),
+        col("s.p_kn3").as("p_kn3"), (col("pos") + 1).cast("long").as("rk"))
+
+  /** Shared CTE chain of the trigram KN model — identical math to
+    * [[kn3Model]]; `tg` carries doc_id for the scoring queries. */
+  private val kn3Ctes: String =
+    s"""toks AS (
+       |  SELECT doc_id, list_filter(list_transform(
+       |    string_split_regex(text, '\\s+'), t -> lower(t)), t -> t <> '') AS t
+       |  FROM documents
+       |), tg AS MATERIALIZED (
+       |  SELECT doc_id, g.tri AS trigram
+       |  FROM toks, unnest(list_transform(range(1, len(t) - 1),
+       |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g(tri)
+       |  WHERE len(t) >= 3
+       |), c3 AS MATERIALIZED (
+       |  SELECT trigram, count(*) AS n,
+       |    split_part(trigram, ' ', 1) || ' ' || split_part(trigram, ' ', 2)
+       |      AS ctx,
+       |    split_part(trigram, ' ', 2) AS w2,
+       |    split_part(trigram, ' ', 3) AS w3
+       |  FROM tg GROUP BY 1
+       |), cctx AS (
+       |  SELECT ctx, sum(n) AS n_ctx, count(*) AS nfollow3 FROM c3 GROUP BY 1
+       |), contbg AS MATERIALIZED (
+       |  SELECT w2, w3, count(*) AS n1p_w2w3 FROM c3 GROUP BY 1, 2
+       |), midtot AS (
+       |  SELECT w2, sum(n1p_w2w3) AS n1p_mid FROM contbg GROUP BY 1
+       |), bg2 AS MATERIALIZED (
+       |  SELECT DISTINCT g.b AS bigram
+       |  FROM toks, unnest(list_transform(range(1, len(t)),
+       |    i -> t[i] || ' ' || t[i + 1])) AS g(b)
+       |  WHERE len(t) >= 2
+       |), follow2 AS (
+       |  SELECT split_part(bigram, ' ', 1) AS w2, count(*) AS nfollow2
+       |  FROM bg2 GROUP BY 1
+       |), cont1 AS (
+       |  SELECT split_part(bigram, ' ', 2) AS w3, count(*) AS ncont1
+       |  FROM bg2 GROUP BY 1
+       |), types2 AS (SELECT count(*) AS t_types FROM bg2),
+       |pkn3 AS MATERIALIZED (
+       |  SELECT trigram, n, CAST(CAST(round(
+       |      greatest(CAST(n AS DOUBLE) - $KnDiscount, 0.0)
+       |          / CAST(n_ctx AS DOUBLE)
+       |        + ($KnDiscount * CAST(nfollow3 AS DOUBLE)
+       |          / CAST(n_ctx AS DOUBLE))
+       |          * CAST(CAST(round(
+       |              greatest(CAST(n1p_w2w3 AS DOUBLE) - $KnDiscount, 0.0)
+       |                  / CAST(n1p_mid AS DOUBLE)
+       |                + ($KnDiscount * CAST(nfollow2 AS DOUBLE)
+       |                  / CAST(n1p_mid AS DOUBLE))
+       |                  * CAST(CAST(round(
+       |                      CAST(ncont1 AS DOUBLE) / CAST(t_types AS DOUBLE),
+       |                    6) AS DECIMAL(14,6)) AS DOUBLE),
+       |            6) AS DECIMAL(14,6)) AS DOUBLE),
+       |    6) AS DECIMAL(14,6)) AS DOUBLE) AS p_kn3
+       |  FROM c3 JOIN cctx USING (ctx) JOIN contbg USING (w2, w3)
+       |    JOIN midtot USING (w2) JOIN follow2 USING (w2)
+       |    JOIN cont1 USING (w3) CROSS JOIN types2
+       |)""".stripMargin
+  val kn3TrigramTopSql: String =
+    s"""WITH $kn3Ctes
+       |SELECT trigram, n, p_kn3,
+       |  CAST(row_number() OVER (ORDER BY p_kn3 DESC, trigram) AS BIGINT)
+       |    AS rk
+       |FROM pkn3 ORDER BY p_kn3 DESC, trigram LIMIT $KnTopN""".stripMargin
+
+  /** Trigram-KN document scoring — `kn_perplexity` one order up: per-doc
+    * trigram count and the sum of 4-dp-pinned ln(p) (floored at
+    * [[KnPFloor]], the shared rounding-grid floor). Docs with <3 tokens
+    * have no trigrams and no row. Same shuffle_hash model join + one
+    * doc-keyed rollup; the model amortizes across every scoring run. */
+  private val kn3PplCache = Materialized.register(
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
+  def kn3Perplexity(spark: SparkSession, dir: String): DataFrame =
+    Materialized.cached(kn3PplCache, spark, dir) {
+      val p = kn3Model(spark, dir).select(col("trigram"),
+        round(log(greatest(col("p_kn3"), lit(KnPFloor))), 4)
+          .cast("decimal(18,4)").as("lp"))
+      TextAnalysis.docTrigrams(spark, dir)
+        .join(p.hint("shuffle_hash"), "trigram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_trigrams"),
+          sum(col("lp")).cast("decimal(18,4)").cast("double").as("sum_lp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+  private val kn3ScoreCtes: String =
+    s"""$kn3Ctes, p3s AS (
+       |  SELECT trigram,
+       |    CAST(round(ln(greatest(p_kn3, $KnPFloor)), 4) AS DECIMAL(18,4))
+       |      AS lp
+       |  FROM pkn3
+       |)""".stripMargin
+  val kn3PerplexitySql: String =
+    s"""WITH $kn3ScoreCtes
+       |SELECT doc_id, count(*) AS n_trigrams,
+       |  CAST(CAST(sum(lp) AS DECIMAL(18,4)) AS DOUBLE) AS sum_lp
+       |FROM tg JOIN p3s USING (trigram) GROUP BY 1""".stripMargin
+
+  /** CCNet bucketing under the trigram model — per-language
+    * head/middle/tail tertiles over the KN-3 nll; the exact-integer
+    * nll_e4 + broadcast-threshold shape of [[knBuckets]]. */
+  def kn3Buckets(spark: SparkSession, dir: String): DataFrame = {
+    val scored = kn3Perplexity(spark, dir)
+      .join(docs(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"),
+        expr("CAST(round(-sum_lp * 10000, 0) AS BIGINT) div n_trigrams")
+          .as("nll_e4"))
+    val thr = scored.groupBy("lang").agg(
+      expr(s"percentile(nll_e4, $HeadPct)")
+        .cast("decimal(14,4)").cast("double").as("t_head"),
+      expr(s"percentile(nll_e4, $TailPct)")
+        .cast("decimal(14,4)").cast("double").as("t_tail"))
+    scored.join(broadcast(thr), "lang")
+      .select(col("doc_id"), col("lang"), col("nll_e4"),
+        when(col("nll_e4") <= col("t_head"), "head")
+          .when(col("nll_e4") <= col("t_tail"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+  val kn3BucketsSql: String =
+    s"""WITH $kn3ScoreCtes, kpp AS (
+       |  SELECT doc_id, count(*) AS n_trigrams,
+       |    CAST(CAST(sum(lp) AS DECIMAL(18,4)) AS DOUBLE) AS sum_lp
+       |  FROM tg JOIN p3s USING (trigram) GROUP BY 1
+       |), scored AS MATERIALIZED (
+       |  SELECT d.doc_id, d.lang,
+       |    CAST(round(-sum_lp * 10000, 0) AS BIGINT) // n_trigrams AS nll_e4
+       |  FROM kpp JOIN documents d ON kpp.doc_id = d.doc_id
+       |), thr AS (
+       |  SELECT lang,
+       |    CAST(CAST(quantile_cont(nll_e4, $HeadPct) AS DECIMAL(14,4))
+       |      AS DOUBLE) AS t_head,
+       |    CAST(CAST(quantile_cont(nll_e4, $TailPct) AS DECIMAL(14,4))
+       |      AS DOUBLE) AS t_tail
+       |  FROM scored GROUP BY 1
+       |)
+       |SELECT doc_id, s.lang, nll_e4,
+       |  CASE WHEN nll_e4 <= t_head THEN 'head'
+       |       WHEN nll_e4 <= t_tail THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM scored s JOIN thr ON s.lang = thr.lang""".stripMargin
+
   // ---- composed end product: the corpus a training run actually reads ----
   /** CCNet buckets the selection keeps (the tail is dropped). */
   val SelKeepBuckets: Seq[String] = Seq("head", "middle")

@@ -667,6 +667,34 @@ object TextAnalysis {
         .groupBy("bigram").agg(count(lit(1)).as("n"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Per-doc consecutive word TRIPLES — the corpus-sized explode behind
+    * the trigram KN model ([[Selection.kn3Model]]). Same tokenization as
+    * [[docBigrams]]; space-joined keys so `split_part`/`substring_index`
+    * recover the context on both engines. */
+  private[graft] def docTrigrams(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        filter(transform(split(col("text"), WsTokenRe), t => lower(t)),
+          t => t =!= "").as("toks"))
+      .where(size(col("toks")) >= 3) // sequence(1,1) ok, but gate like bigrams
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(2, size(toks) - 1), " +
+          "i -> concat(toks[i-2], ' ', toks[i-1], ' ', toks[i]))"))
+        .as("trigram"))
+
+  private val trigramCache = Materialized.register(
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
+
+  /** Corpus trigram counts, materialized once per (session, corpus) —
+    * trigram-type-bounded (the vocabulary-frame discipline: every KN-3
+    * aggregate derives from THIS table, so the corpus explode behind it
+    * runs once, not once per consumer). */
+  private[operators] def trigramCounts(spark: SparkSession, dir: String): DataFrame =
+    Materialized.cached(trigramCache, spark, dir)(
+      docTrigrams(spark, dir)
+        .groupBy("trigram").agg(count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   def wordBigrams(spark: SparkSession, dir: String): DataFrame =
     bigramCounts(spark, dir)
       // top-N via orderBy+limit → TakeOrderedAndProject (per-partition

@@ -363,4 +363,108 @@ class SelectionSpec extends SparkTestBase {
     // least one doc and the delta column is internally consistent
     assert(knE4.exists { case (id, kn) => kn != bruteNllE4(id) })
   }
+
+  // ---- trigram Kneser–Ney -------------------------------------------------
+
+  /** From-scratch interpolated trigram KN: every table re-derived from the
+    * raw tokens with plain collections, each probability level pinned at
+    * 6 dp like the operator documents. */
+  private lazy val bruteKn3: Map[String, (Long, Double)] = {
+    val d = Selection.KnDiscount
+    def pin6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val tri = corpus.flatMap(_._3.sliding(3).filter(_.length == 3)
+      .map(_.mkString(" ")))
+    val c3 = tri.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val cctx = c3.toSeq.groupBy { case (t, _) =>
+      val a = t.split(" ", 3); a(0) + " " + a(1) }
+      .map { case (ctx, xs) => ctx -> ((xs.map(_._2).sum, xs.size.toLong)) }
+    val contBg = c3.keysIterator.map(_.split(" ", 3)).toSeq
+      .groupBy(a => (a(1), a(2))).map { case (k, xs) => k -> xs.size.toLong }
+    val midTot = contBg.toSeq.groupBy(_._1._1)
+      .map { case (w2, xs) => w2 -> xs.map(_._2).sum }
+    val bigrams = corpus.flatMap(_._3.sliding(2).filter(_.length == 2)
+      .map(p => p(0) + " " + p(1))).distinct
+    val follow2 = bigrams.map(_.split(" ", 2)).groupBy(_(0))
+      .map { case (w, xs) => w -> xs.size.toLong }
+    val cont1 = bigrams.map(_.split(" ", 2)).groupBy(_(1))
+      .map { case (w, xs) => w -> xs.size.toLong }
+    val tTypes = bigrams.size.toDouble
+    c3.map { case (t, n) =>
+      val a = t.split(" ", 3)
+      val (nctx, nf3) = cctx(a(0) + " " + a(1))
+      val pc = pin6(cont1(a(2)) / tTypes)
+      val pm = pin6(
+        math.max(contBg((a(1), a(2))) - d, 0d) / midTot(a(1)) +
+          (d * follow2(a(1)) / midTot(a(1))) * pc)
+      t -> ((n, pin6(math.max(n - d, 0d) / nctx + (d * nf3 / nctx) * pm)))
+    }
+  }
+
+  test("kn3_trigram_top matches brute-force interpolated trigram KN") {
+    val expected = bruteKn3.toSeq
+      .sortBy { case (t, (_, p)) => (-p, t) }.take(Selection.KnTopN)
+      .zipWithIndex
+      .map { case ((t, (n, p)), i) => Seq[Any](t, n, p, (i + 1).toLong) }
+      .toSet
+    assert(collectSet(Selection.kn3TrigramTop(spark, dir)) == expected)
+    // smoothing sanity one order up: the probability mass P₃(·|ctx) over
+    // the observed continuations of one context stays below 1
+    val ctx = bruteKn3.keysIterator.next().split(" ", 3).take(2).mkString(" ")
+    val mass = bruteKn3.collect {
+      case (t, (_, p)) if t.startsWith(ctx + " ") => p }.sum
+    assert(mass < 1.0 + 1e-9)
+  }
+
+  test("kn3_perplexity + kn3_buckets match the independent scorer") {
+    val lp = bruteKn3.map { case (t, (_, p)) =>
+      t -> round4(math.log(math.max(p, Selection.KnPFloor)))
+    }
+    val byDoc = corpus.map { case (id, _, t) =>
+      id -> t.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+    }.filter(_._2.nonEmpty)
+    val sumLp = byDoc.map { case (id, ts) => id -> ts.map(lp).sum }.toMap
+    val expected = byDoc.map { case (id, ts) =>
+      Seq[Any](id, ts.size.toLong, sumLp(id).toDouble)
+    }.toSet
+    assert(collectSet(Selection.kn3Perplexity(spark, dir)) == expected)
+
+    val langOf = corpus.map(c => c._1 -> c._2).toMap
+    val nll = byDoc.map { case (id, ts) =>
+      id -> (-sumLp(id) * 10000).toLongExact / ts.size
+    }.toMap
+    val thr = nll.toSeq.groupBy { case (id, _) => langOf(id) }
+      .map { case (l, xs) =>
+        val sorted = xs.map(_._2).sorted.toIndexedSeq
+        l -> ((pct(sorted, Selection.HeadPct), pct(sorted, Selection.TailPct)))
+      }
+    val expB = nll.map { case (id, v) =>
+      val (h, t) = thr(langOf(id))
+      Seq[Any](id, langOf(id), v,
+        if (v <= h) "head" else if (v <= t) "middle" else "tail")
+    }.toSet
+    assert(collectSet(Selection.kn3Buckets(spark, dir)) == expB)
+  }
+
+  test("kn3 discriminates where the bigram model cannot: deterministic " +
+      "trigram structure under ambiguous bigram context") {
+    // 10×"a b c" + 10×"d b e": after "b", the bigram model splits mass
+    // between c and e (~1/2 each); the trigram context "a b" is
+    // deterministic. The probe doc must score a strictly lower mean nll
+    // under the trigram model.
+    val d = java.nio.file.Files.createTempDirectory("graft-kn3disc").toString
+    import spark.implicits._
+    val rows = (1L to 10L).map(i => (i, "a b c")) ++
+      (11L to 20L).map(i => (i, "d b e")) :+ (99L, "a b c")
+    rows.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'s' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val r3 = Selection.kn3Perplexity(spark, d).where("doc_id = 99").collect()(0)
+    val r2 = Selection.knPerplexity(spark, d).where("doc_id = 99").collect()(0)
+    val nll3 = -r3.getAs[Double]("sum_lp") / r3.getAs[Long]("n_trigrams")
+    val nll2 = -r2.getAs[Double]("sum_lp") / r2.getAs[Long]("n_bigrams")
+    assert(nll3 < nll2,
+      s"trigram mean nll $nll3 should beat bigram $nll2 on this corpus")
+  }
 }
