@@ -23,8 +23,13 @@ class EntrySpec extends SparkTestBase {
     // greedy encode over its result — the bpe_merges argument; brute-forced
     // from scratch in PipelineOpsSpec (wordpiece_pair_scores, the round-0
     // statistic, IS fully oracled)
+    // bbpe_merges/encode: byte-level BPE — the same iterative-argmax
+    // no-single-SQL argument as bpe_merges; brute-forced from scratch in
+    // PipelineOpsSpec (bbpe_pair_counts, the round-0 statistic, IS
+    // fully oracled)
     val rowsOnly = Set("partition_stats", "approx_stats", "bpe_merges",
-      "bpe_encode", "dup_pagerank", "longest_repeat",
+      "bpe_encode", "bbpe_merges", "bbpe_encode",
+      "dup_pagerank", "longest_repeat",
       "unigram_vocab", "unigram_encode", "unigram_fertility",
       "wordpiece_merges", "wordpiece_encode", "tokenizer_faceoff",
       "domain_pagerank", "logreg_train", "logreg_score", "logreg_eval",

@@ -206,6 +206,111 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got.exists(r => r._4 < r._3))
   }
 
+  // ---- byte-level BPE -----------------------------------------------------
+
+  /** Independent byte symbolization: UTF-8 bytes as uppercase hex pairs —
+    * no shared code with the operator (String.format, not hex()). */
+  private def hexOf(w: String): Vector[String] =
+    w.getBytes("UTF-8").toVector.map(b => f"${b & 0xff}%02X")
+
+  /** Unicode + punctuation + case corpus: multibyte UTF-8 ("héllo" has a
+    * 2-byte é; "né" twice), symbols, digits — everything the char-level
+    * families exclude and byte-level must train on. */
+  private val bbpeDocs = Seq(
+    1L -> "héllo héllo banana banana Banana",
+    2L -> "a+b a+b x9! né né héllo",
+    3L -> "né ☃ banana")
+
+  test("bbpe_pair_counts weights byte pairs by raw-word frequency " +
+      "(unicode multibyte included)") {
+    val d = writeDocsFixture(bbpeDocs)
+    val wf = bbpeDocs.flatMap(_._2.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, f) <- wf; s = hexOf(w); i <- 0 until s.length - 1)
+      counts(s(i) + s(i + 1)) = counts.getOrElse(s(i) + s(i + 1), 0L) + f
+    val exp = counts.toSeq.sortBy { case (p, c) => (-c, p) }
+      .take(graft.operators.Bbpe.BbpePairTopN)
+      .map { case (p, c) => Seq[Any](p, c) }.toSet
+    assert(collectSet(graft.operators.Bbpe.bbpePairCounts(spark, d)) == exp)
+    // the é pair (C3 A9) must be in the table — multibyte chars ARE pairs
+    assert(counts.contains("C3A9"))
+  }
+
+  test("bbpe_merges matches an independent byte-level BPE, round for round") {
+    val d = writeDocsFixture(bbpeDocs)
+    val got = graft.operators.Bbpe.bbpeMerges(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    val wf = bbpeDocs.flatMap(_._2.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var seqs: Map[Vector[String], Long] = wf.toSeq
+      .filter(_._1.getBytes("UTF-8").length >= 2)
+      .groupBy(x => hexOf(x._1)).view.mapValues(_.map(_._2).sum).toMap
+    val exp = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long)]
+    var round = 1L
+    var done = false
+    while (round <= graft.operators.Bbpe.BbpeMergeRounds && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((s, f) <- seqs; i <- 0 until s.length - 1)
+        counts((s(i), s(i + 1))) = counts.getOrElse((s(i), s(i + 1)), 0L) + f
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), cnt) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        exp += ((round, l, r, l + r, cnt))
+        seqs = seqs.groupMapReduce { case (s, _) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < s.length) {
+            if (i + 1 < s.length && s(i) == l && s(i + 1) == r) {
+              out += (l + r); i += 2
+            } else { out += s(i); i += 1 }
+          }
+          out.result()
+        }(_._2)(_ + _)
+        round += 1
+      }
+    }
+    assert(got.nonEmpty && got == exp.toSeq)
+    // at least one merged symbol spans >2 bytes (merge-of-merge exercised)
+    assert(got.exists(_._4.length > 4))
+  }
+
+  test("bbpe_encode has ZERO OOV: every raw token rolls up, unicode and " +
+      "punctuation included, and merges compress") {
+    val d = writeDocsFixture(bbpeDocs)
+    val merges = graft.operators.Bbpe.bbpeMerges(spark, d).collect()
+      .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.nonEmpty)
+    def enc(w: String): Vector[String] =
+      merges.foldLeft(hexOf(w)) { case (s, (l, r)) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < s.length) {
+          if (i + 1 < s.length && s(i) == l && s(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += s(i); i += 1 }
+        }
+        out.result()
+      }
+    val exp = bbpeDocs.map { case (id, t) =>
+      val ws = t.split("\\s+").filter(_.nonEmpty)
+      (id, ws.length.toLong,
+        ws.map(_.getBytes("UTF-8").length.toLong).sum,
+        ws.map(w => enc(w).length.toLong).sum)
+    }.toSet
+    val got = graft.operators.Bbpe.bbpeEncode(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == exp)
+    // zero OOV: n_words equals the raw whitespace token count everywhere
+    // (the char-level bpe_encode drops "a+b", "x9!", "☃" — this must not)
+    assert(got.map(_._2).sum == bbpeDocs.map(_._2.split("\\s+")
+      .count(_.nonEmpty).toLong).sum)
+    assert(got.exists(r => r._4 < r._3)) // compression happened
+  }
+
   test("unigram seed/vocab/encode/fertility match an independent " +
       "from-scratch EM + Viterbi") {
     val docTexts = Seq(
