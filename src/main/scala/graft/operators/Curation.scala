@@ -2282,4 +2282,105 @@ object Curation {
        |  ${sqlBp("n_docs",
           "CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT)")} AS share_bp
        |FROM agg""".stripMargin
+
+  // ---- #25l-d corpus-release diff (two-snapshot census) -------------------
+  /** What changed between two corpus VERSIONS — the release review
+    * [[stageDiff]] cannot do (it diff's ONE row-local stage in-scan; this
+    * compares two arbitrary snapshots): per source, how many docs were
+    * added / removed / changed (same doc_id, different content hash) /
+    * unchanged, plus both versions' totals. Removed/changed/unchanged
+    * attribute to the OLD source, added to the new.
+    *
+    * Scale: two PRUNED scans — each side ships only (doc_id, source,
+    * md5(text)), the 16-byte content hash computed inside the scan
+    * projection, never the text — into ONE doc_id-keyed full-outer
+    * shuffle join (uniform key: doc_id), then a ≤|sources|-key rollup
+    * with map-side partials. At 100 TB this is the minimal shape a
+    * two-version diff admits: both versions must be read once, and
+    * nothing after the scans carries more than 3 narrow columns. */
+  private[graft] def corpusDiffOf(oldDocs: DataFrame,
+      newDocs: DataFrame): DataFrame = {
+    val a = oldDocs.select(col("doc_id"), col("source").as("source_a"),
+      md5(col("text")).as("h_a"))
+    val b = newDocs.select(col("doc_id"), col("source").as("source_b"),
+      md5(col("text")).as("h_b"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("source_a"), col("source_b")).as("source"),
+        when(col("h_a").isNull, "added")
+          .when(col("h_b").isNull, "removed")
+          .when(col("h_a") =!= col("h_b"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy("source")
+      .agg(
+        sum(when(col("status") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("status") === "removed", 1L).otherwise(0L))
+          .as("n_removed"),
+        sum(when(col("status") === "changed", 1L).otherwise(0L))
+          .as("n_changed"),
+        sum(when(col("status") === "unchanged", 1L).otherwise(0L))
+          .as("n_unchanged"))
+      .select(col("source"), col("n_added"), col("n_removed"),
+        col("n_changed"), col("n_unchanged"),
+        (col("n_removed") + col("n_changed") + col("n_unchanged"))
+          .as("n_old"),
+        (col("n_added") + col("n_changed") + col("n_unchanged"))
+          .as("n_new"))
+  }
+
+  /** Truncation policy of the simulated next release ([[corpusDiff]]). */
+  val DiffMaxChars = 300
+
+  /** Driver-contract query: [[corpusDiffOf]] between the raw corpus and a
+    * deterministic "next release" built from the three edits a real
+    * release ships — a takedown list (doc_id % 13 == 3 → removed), a
+    * max-length policy (text truncated to [[DiffMaxChars]] chars — longer
+    * docs → changed, shorter → unchanged) and an `errata` slice of
+    * re-keyed docs (doc_id % 101 == 7, shifted by 10⁹ — disjoint ids →
+    * added), so all four statuses are live in one oracled row. */
+  def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val next = d.where(col("doc_id") % 13 =!= 3)
+      .select(col("doc_id"), col("source"),
+        substring(col("text"), 1, DiffMaxChars).as("text"))
+    val added = d.where(col("doc_id") % 101 === 7)
+      .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+        lit("errata").as("source"), col("text"))
+    corpusDiffOf(d, next.unionByName(added))
+  }
+  val corpusDiffSql: String = {
+    s"""WITH newc AS (
+       |  SELECT doc_id, source, substr(text, 1, $DiffMaxChars) AS text
+       |  FROM documents
+       |  WHERE doc_id % 13 <> 3
+       |  UNION ALL
+       |  SELECT doc_id + 1000000000, 'errata', text FROM documents
+       |  WHERE doc_id % 101 = 7
+       |), a AS (
+       |  SELECT doc_id, source, md5(text) AS h FROM documents
+       |), b AS (
+       |  SELECT doc_id, source, md5(text) AS h FROM newc
+       |), j AS (
+       |  SELECT coalesce(a.source, b.source) AS source,
+       |    CASE WHEN a.h IS NULL THEN 'added'
+       |         WHEN b.h IS NULL THEN 'removed'
+       |         WHEN a.h <> b.h THEN 'changed'
+       |         ELSE 'unchanged' END AS status
+       |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+       |), agg AS (
+       |  SELECT source,
+       |    CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_added,
+       |    CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_removed,
+       |    CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_changed,
+       |    CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_unchanged
+       |  FROM j GROUP BY 1
+       |)
+       |SELECT source, n_added, n_removed, n_changed, n_unchanged,
+       |  n_removed + n_changed + n_unchanged AS n_old,
+       |  n_added + n_changed + n_unchanged AS n_new
+       |FROM agg""".stripMargin
+  }
 }

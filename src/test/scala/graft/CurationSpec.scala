@@ -826,4 +826,23 @@ class CurationSpec extends SparkTestBase {
     val byId = got.map(t => t._1 -> t._6).toMap
     assert(byId(1L) == 1L && byId(2L) == 0L && byId(4L) == 0L)
   }
+
+  test("corpus_diff: all four statuses, per-source, on hand-built " +
+      "snapshots") {
+    import spark.implicits._
+    // old: docs 1-4 across two sources; new: 1 unchanged, 2 changed text,
+    // 3 removed, 5 added (new source) — 4 stays unchanged in source s2
+    val oldC = Seq((1L, "s1", "alpha text"), (2L, "s1", "beta text"),
+      (3L, "s1", "gamma text"), (4L, "s2", "delta text"))
+      .toDF("doc_id", "source", "text")
+    val newC = Seq((1L, "s1", "alpha text"), (2L, "s1", "beta REVISED"),
+      (4L, "s2", "delta text"), (5L, "s3", "fresh text"))
+      .toDF("doc_id", "source", "text")
+    val got = collectSet(Curation.corpusDiffOf(oldC, newC))
+    val expected = Set(
+      Seq[Any]("s1", 0L, 1L, 1L, 1L, 3L, 2L), // removed 3, changed 2, kept 1
+      Seq[Any]("s2", 0L, 0L, 0L, 1L, 1L, 1L), // 4 untouched
+      Seq[Any]("s3", 1L, 0L, 0L, 0L, 0L, 1L)) // 5 added
+    assert(got == expected)
+  }
 }
