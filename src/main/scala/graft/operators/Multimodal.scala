@@ -117,6 +117,267 @@ object Multimodal {
     })
   }
 
+  // ---- perceptual image hashing (pHash + dHash) ---------------------------
+
+  case class ImageHash(doc_id: Long, width: Long, height: Long,
+                       phash: String, dhash: String)
+
+  /** Integer milli-luma grid (299r+587g+114b per pixel — exact). */
+  private def lumaGridOf(img: java.awt.image.BufferedImage): Array[Array[Long]] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val g = Array.ofDim[Long](h, w)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        g(y)(x) = 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+          114L * (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    g
+  }
+
+  /** Box-partition boundaries: floor(i·len/n), i = 0..n. */
+  private def bounds(len: Int, n: Int): Array[Int] =
+    Array.tabulate(n + 1)(i => (i.toLong * len / n).toInt)
+
+  /** (sum, count) of each cell of an nx×ny box partition of the grid. */
+  private def boxSums(lm: Array[Array[Long]], nx: Int, ny: Int)
+      : (Array[Array[Long]], Array[Array[Long]]) = {
+    val (h, w) = (lm.length, lm(0).length)
+    val (xs, ys) = (bounds(w, nx), bounds(h, ny))
+    val sums = Array.ofDim[Long](ny, nx)
+    val cnts = Array.ofDim[Long](ny, nx)
+    var j = 0
+    while (j < ny) {
+      var i = 0
+      while (i < nx) {
+        var s = 0L
+        var y = ys(j)
+        while (y < ys(j + 1)) {
+          var x = xs(i)
+          while (x < xs(i + 1)) { s += lm(y)(x); x += 1 }
+          y += 1
+        }
+        sums(j)(i) = s
+        cnts(j)(i) = (ys(j + 1) - ys(j)).toLong * (xs(i + 1) - xs(i))
+        i += 1
+      }
+      j += 1
+    }
+    (sums, cnts)
+  }
+
+  /** dHash: 9×8 box grid, bit[j·8+i] = 1 iff mean(j,i) < mean(j,i+1) —
+    * the comparison is EXACT (cross-multiplied integer sums in BigInt:
+    * sums of a ~10⁸-px frame would overflow the Long product), so the
+    * hash is engine- and libm-independent. */
+  private[graft] def dhashOf(lm: Array[Array[Long]]): Long = {
+    val (sums, cnts) = boxSums(lm, 9, 8)
+    var bits = 0L
+    var j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        if (BigInt(sums(j)(i)) * cnts(j)(i + 1)
+            < BigInt(sums(j)(i + 1)) * cnts(j)(i))
+          bits |= 1L << (j * 8 + i)
+        i += 1
+      }
+      j += 1
+    }
+    bits
+  }
+
+  /** pHash: 32×32 box-mean of the luma grid (double mean = sum/cnt), 2-D
+    * DCT-II, top-left 8×8 coefficients minus DC (63 values, scanned
+    * v-major), thresholded at the median (sorted index 31) — bit i set
+    * iff coef > median, bit 63 always 0. The scripts/make_image_fixture.py
+    * oracle asserts every fixture coefficient sits >1e-6 relative distance
+    * from its median, so a 1-ulp libm cos() difference between the JVM and
+    * the oracle's CPython cannot flip a pinned bit. Accumulation order
+    * (y-major, `acc += m·cos_u·cos_v`) is part of the hash definition. */
+  private[graft] def phashOf(lm: Array[Array[Long]]): Long = {
+    val (sums, cnts) = boxSums(lm, 32, 32)
+    val m = Array.tabulate(32, 32)((j, i) => sums(j)(i).toDouble / cnts(j)(i))
+    val cosT = Array.tabulate(8, 32)((u, x) =>
+      math.cos(math.Pi * (2 * x + 1) * u / 64))
+    val coefs = new Array[Double](63)
+    var k = 0
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        if (!(u == 0 && v == 0)) {
+          var acc = 0.0
+          var y = 0
+          while (y < 32) {
+            var x = 0
+            while (x < 32) { acc += m(y)(x) * cosT(u)(x) * cosT(v)(y); x += 1 }
+            y += 1
+          }
+          coefs(k) = acc
+          k += 1
+        }
+        u += 1
+      }
+      v += 1
+    }
+    val med = coefs.sorted.apply(31)
+    var bits = 0L
+    var i = 0
+    while (i < 63) {
+      if (coefs(i) > med) bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+
+  /** Perceptual hashes of decodable images: the decode→grayscale→box-
+    * downsample→DCT/gradient pipeline every production image-dedup run
+    * (the LAION pattern) executes before any byte-level dedup can help —
+    * re-encodes and resizes change every byte but not these hashes. Same
+    * typed mapPartitions plumbing as the other decoders: executor-side,
+    * fixed schema, one decoder call per blob; at 100 TB a map-only pass
+    * over the blob column. */
+  def imageHashes(blobs: org.apache.spark.sql.Dataset[DocBlob]): org.apache.spark.sql.Dataset[ImageHash] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.flatMap { r =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.blob))
+      if (img == null) Iterator.empty
+      else {
+        val lm = lumaGridOf(img)
+        Iterator.single(ImageHash(r.doc_id, img.getWidth.toLong,
+          img.getHeight.toLong,
+          f"${phashOf(lm)}%016x", f"${dhashOf(lm)}%016x"))
+      }
+    })
+  }
+
+  // ---- committed PNG fixture corpus (driver rows for the image family) ----
+  /** Fixture materializer (the WarcSource classpath pattern): committed
+    * PNGs → one temp dir per JVM. Generated + hand-oracled by
+    * scripts/make_image_fixture.py. */
+  private lazy val FixtureImageDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-images-fixture")
+    d.toFile.deleteOnExit()
+    (0 to 4).foreach { i =>
+      val in = getClass.getResourceAsStream(s"/graft/images/img$i.png")
+      require(in != null, s"classpath fixture /graft/images/img$i.png missing")
+      try java.nio.file.Files.copy(in, d.resolve(s"img$i.png"))
+      finally in.close()
+    }
+    d.toString
+  }
+
+  /** The fixture corpus as typed blobs; doc_id = the digit in imgN.png. */
+  private[graft] def imageBlobs(spark: SparkSession): org.apache.spark.sql.Dataset[DocBlob] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(FixtureImageDir)
+      .select(
+        regexp_extract(col("path"), "img(\\d+)\\.png$", 1).cast("long")
+          .as("doc_id"),
+        col("content").as("blob"))
+      .as[DocBlob]
+  }
+
+  /** Driver-contract query: perceptual hashes over the committed PNG
+    * fixture. Ignores `dir` — images are a raw-file source, not an sfDir
+    * parquet table (the warc_host_stats pattern). */
+  def imagePhash(spark: SparkSession, dir: String): DataFrame =
+    imageHashes(imageBlobs(spark)).toDF()
+
+  /** Oracle: exact VALUES literal from scripts/make_image_fixture.py's
+    * independent pure-Python pipeline (stdlib PNG encode, its own luma /
+    * box / DCT / median code — no shared implementation), so this row
+    * checks real PNG decode + both hash definitions end-to-end. img1 is a
+    * byte-level re-encode and img2 a true 2× resize of img0: identical
+    * phash by construction — the property that makes the hash a dedup
+    * key. */
+  val imagePhashSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(w AS BIGINT) AS width,
+      |  CAST(h AS BIGINT) AS height, phash, dhash
+      |FROM (VALUES
+      |  (0, 64, 64, '44c33b56bb5b44a1', '4fc7871f3f0b177f'),
+      |  (1, 64, 64, '44c33b56bb5b44a1', '4fc7871f3f0b177f'),
+      |  (2, 32, 32, '44c33b56bb5b44a1', '0fc5871f3f0b1f7f'),
+      |  (3, 64, 64, '4e1cf64d396303b8', '3ce6c60f1e79e787'),
+      |  (4, 64, 64, '08d72ab50ae70a3f', '52ad52a552ad52a5'))
+      |  AS t(doc_id, w, h, phash, dhash)""".stripMargin
+
+  /** Driver-contract query: REAL exact-integer image decode over the
+    * committed fixture — width, height, pixel count and the exact
+    * milli-luma total (integers end-to-end, §6-proof; the spec-only
+    * decodeImages rounds a double mean). */
+  def imageMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    imageBlobs(spark).mapPartitions(_.flatMap { r =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.blob))
+      if (img == null) Iterator.empty
+      else {
+        val lm = lumaGridOf(img)
+        Iterator.single((r.doc_id, img.getWidth.toLong, img.getHeight.toLong,
+          img.getWidth.toLong * img.getHeight,
+          lm.iterator.map(_.sum).sum))
+      }
+    }).toDF("doc_id", "width", "height", "n_pixels", "luma_milli_total")
+  }
+  /** Oracle: exact VALUES literal (same generator derivation). */
+  val imageMetaSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(w AS BIGINT) AS width,
+      |  CAST(h AS BIGINT) AS height, CAST(np AS BIGINT) AS n_pixels,
+      |  CAST(lum AS BIGINT) AS luma_milli_total
+      |FROM (VALUES
+      |  (0, 64, 64, 4096, 567038368),
+      |  (1, 64, 64, 4096, 567038368),
+      |  (2, 32, 32, 1024, 141418013),
+      |  (3, 64, 64, 4096, 498371605),
+      |  (4, 64, 64, 4096, 544178990))
+      |  AS t(doc_id, w, h, np, lum)""".stripMargin
+
+  /** Near-dup pair threshold (bits of the 63-bit pHash). */
+  val PhashMaxHamming = 10
+
+  /** Driver-contract query: perceptual near-dup pairs over the fixture —
+    * the banded-blocking dedup the simhash family runs, on image content:
+    * the 64-bit pHash splits into 4×16-bit bands; pairs sharing ≥1 band
+    * are candidates (one self-join on the (band_ix, band_val) key — never
+    * all-pairs); candidates verify by exact hamming ≤ [[PhashMaxHamming]].
+    * At 100 TB the candidate key is the band value: uniform, bounded by
+    * true near-dup density exactly like `dedup_simhash` (same argument,
+    * SURVEY §2 #18). */
+  def dedupImage(spark: SparkSession, dir: String): DataFrame = {
+    val h = imageHashes(imageBlobs(spark)).toDF()
+      .select(col("doc_id"),
+        expr("CAST(conv(phash, 16, 10) AS BIGINT)").as("bits"))
+    val banded = h.select(col("doc_id"), col("bits"),
+      explode(expr(
+        "transform(sequence(0, 3), " +
+          "k -> struct(k AS band_ix, " +
+          "shiftright(bits, CAST(16 * k AS INT)) & 65535 AS band_val))"))
+        .as("b"))
+      .select(col("doc_id"), col("bits"), col("b.band_ix"), col("b.band_val"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band_ix") === col("y.band_ix")
+          && col("x.band_val") === col("y.band_val")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("bit_count(x.bits ^ y.bits)").cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= PhashMaxHamming)
+  }
+  /** Oracle: exact VALUES literal — the generator's independent banding +
+    * hamming over its own hashes: the two copy-pairs and the resize pair
+    * survive; every distinct-image pair fails both the band block and the
+    * threshold. */
+  val dedupImageSql: String =
+    """SELECT CAST(a AS BIGINT) AS doc_a, CAST(b AS BIGINT) AS doc_b,
+      |  CAST(h AS BIGINT) AS hamming
+      |FROM (VALUES (0, 1, 0), (0, 2, 0), (1, 2, 0)) AS t(a, b, h)""".stripMargin
+
   // ---- REAL video demux: MJPEG-in-AVI -------------------------------------
   case class VideoFrame(doc_id: Long, frame_idx: Long, width: Long,
                         height: Long, avg_luma: Double)

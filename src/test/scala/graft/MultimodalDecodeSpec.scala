@@ -147,4 +147,89 @@ class MultimodalDecodeSpec extends SparkTestBase {
     val chunks = Multimodal.aviVideoChunks(avi)
     assert(chunks.length == 1 && chunks.head.sameElements(good))
   }
+
+  // ---- perceptual image hashing --------------------------------------------
+
+  /** Structured test image (JDK-synthesized, independent of the committed
+    * fixture): gradients + integer-hash noise so the DCT spectrum has no
+    * knife-edge median ties. */
+  private def patternPng(w: Int, h: Int, salt: Int, jpeg: Boolean = false,
+      inverted: Boolean = false): Array[Byte] = {
+    def nz(x: Int, y: Int, s: Int): Int = {
+      var v = x * 2654435761L + y * 40503L + s * 69069L
+      v &= 0xffffffffL; v ^= v >> 13; v = (v * 1274126177L) & 0xffffffffL
+      ((v >> 8) % 97).toInt
+    }
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 3 + y + nz(x, y, salt)) % 256
+      val g = (x + y * 2 + nz(x, y, salt + 1)) % 256
+      val b = (x * 2 + y * 3 + nz(x, y, salt + 2)) % 256
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    // structure: a bright block — the low-frequency content pHash keys on.
+    // `inverted` moves it and flips it dark: a perceptually DIFFERENT
+    // image (a different noise salt alone is perceptually the SAME image
+    // and correctly hashes equal — verified while writing this test)
+    if (inverted)
+      for (y <- 5 * h / 8 until 7 * h / 8; x <- 0 until 2 * w / 5)
+        img.setRGB(x, y, 0x0a1410)
+    else
+      for (y <- h / 8 until 3 * h / 8; x <- w / 5 until 4 * w / 5)
+        img.setRGB(x, y, 0xfaf0e6)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, if (jpeg) "jpg" else "png", out)
+    out.toByteArray
+  }
+
+  private def hashOf(blobs: Seq[DocBlob]): Map[Long, (Long, Long)] =
+    Multimodal.imageHashes(blobs.toDS()).collect()
+      .map(h => h.doc_id -> ((java.lang.Long.parseUnsignedLong(h.phash, 16),
+        java.lang.Long.parseUnsignedLong(h.dhash, 16)))).toMap
+
+  test("imageHashes: re-encode (PNG→JPEG) and 2× resize stay near; " +
+      "distinct images stay far; undecodable blobs drop") {
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val base = patternPng(64, 64, 1)
+    // JPEG re-encode: LOSSY — pixels change slightly, hashes must not move
+    // far (the property byte-level dedup lacks entirely)
+    val jpeg = patternPng(64, 64, 1, jpeg = true)
+    // independent JDK-side 2× box resize of the same pattern: render the
+    // pattern at 32×32 via averaging the 64×64 pixels
+    val img64 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(base))
+    val small = new java.awt.image.BufferedImage(32, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 32) {
+      var (r, g, b) = (0, 0, 0)
+      for (dy <- 0 to 1; dx <- 0 to 1) {
+        val p = img64.getRGB(2 * x + dx, 2 * y + dy)
+        r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+      }
+      small.setRGB(x, y, ((r / 4) << 16) | ((g / 4) << 8) | (b / 4))
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(small, "png", out)
+    val hs = hashOf(Seq(DocBlob(1L, base), DocBlob(2L, jpeg),
+      DocBlob(3L, out.toByteArray), DocBlob(4L, patternPng(64, 64, 77, inverted = true)),
+      DocBlob(5L, "not an image".getBytes)))
+    assert(hs.keySet == Set(1L, 2L, 3L, 4L))
+    assert(ham(hs(1L)._1, hs(2L)._1) <= Multimodal.PhashMaxHamming,
+      s"JPEG re-encode drifted ${ham(hs(1L)._1, hs(2L)._1)} phash bits")
+    assert(ham(hs(1L)._1, hs(3L)._1) <= Multimodal.PhashMaxHamming,
+      s"2x resize drifted ${ham(hs(1L)._1, hs(3L)._1)} phash bits")
+    assert(ham(hs(1L)._1, hs(4L)._1) > Multimodal.PhashMaxHamming,
+      "distinct images must not collide")
+    assert(ham(hs(1L)._2, hs(4L)._2) > Multimodal.PhashMaxHamming,
+      "distinct images must not dhash-collide")
+  }
+
+  test("dedup_image pairs exactly the copy/resize cluster of the " +
+      "committed fixture") {
+    val got = Multimodal.dedupImage(spark, "ignored").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((0L, 1L, 0L), (0L, 2L, 0L), (1L, 2L, 0L)))
+    // and the full hash table carries all 5 fixture images
+    assert(Multimodal.imagePhash(spark, "ignored").count() == 5)
+  }
 }
