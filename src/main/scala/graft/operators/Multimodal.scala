@@ -351,8 +351,12 @@ object Multimodal {
     * SURVEY §2 #18). */
   def dedupImage(spark: SparkSession, dir: String): DataFrame = {
     val h = imageHashes(imageBlobs(spark)).toDF()
+      // unsigned 64-bit parse: two 32-bit halves recombined (a hash with
+      // bit 63 set overflows a direct signed conv->BIGINT cast)
       .select(col("doc_id"),
-        expr("CAST(conv(phash, 16, 10) AS BIGINT)").as("bits"))
+        expr("shiftleft(CAST(conv(substring(phash, 1, 8), 16, 10) AS BIGINT), 32)"
+          + " | CAST(conv(substring(phash, 9, 8), 16, 10) AS BIGINT)")
+          .as("bits"))
     val banded = h.select(col("doc_id"), col("bits"),
       explode(expr(
         "transform(sequence(0, 3), " +
@@ -374,6 +378,168 @@ object Multimodal {
     * survive; every distinct-image pair fails both the band block and the
     * threshold. */
   val dedupImageSql: String =
+    """SELECT CAST(a AS BIGINT) AS doc_a, CAST(b AS BIGINT) AS doc_b,
+      |  CAST(h AS BIGINT) AS hamming
+      |FROM (VALUES (0, 1, 0), (0, 2, 0), (1, 2, 0)) AS t(a, b, h)""".stripMargin
+
+  // ---- audio fingerprint dedup ---------------------------------------------
+
+  case class AudioFp(doc_id: Long, sample_rate: Long, n_frames: Long,
+                     fp: String)
+
+  /** Fingerprint segment count (64 energy-gradient bits need 65). */
+  val AudioFpSegments = 65
+
+  /** 64-bit energy-gradient fingerprint of a PCM s16 sample sequence:
+    * split into [[AudioFpSegments]] segments with integer boundaries
+    * floor(i·n/65); energy_i = Σ sample² (exact Long — safe to ~6·10⁷
+    * samples per segment, i.e. multi-hour audio); bit i = 1 iff
+    * energy_i < energy_{i+1}. Exact-integer end-to-end, so invariant
+    * under re-containering (PCM-derived) and uniform amplitude scaling
+    * (energies scale together — comparisons survive), the two edits an
+    * audio corpus actually contains duplicated under (the chromaprint
+    * blocking idea with the dHash comparison discipline). */
+  private[graft] def audioFpOf(samples: Array[Int]): Long = {
+    val n = samples.length
+    val en = new Array[Long](AudioFpSegments)
+    var i = 0
+    while (i < AudioFpSegments) {
+      val from = (i.toLong * n / AudioFpSegments).toInt
+      val to = ((i + 1).toLong * n / AudioFpSegments).toInt
+      var s = 0L
+      var k = from
+      while (k < to) { s += samples(k).toLong * samples(k); k += 1 }
+      en(i) = s
+      i += 1
+    }
+    var bits = 0L
+    i = 0
+    while (i < AudioFpSegments - 1) {
+      if (en(i) < en(i + 1)) bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+
+  /** Audio fingerprints of decodable PCM-s16 audio blobs (WAV/AIFF/AU via
+    * the JDK reader): the map-only decode→fingerprint pass an audio-dedup
+    * run executes. Same typed mapPartitions plumbing as the image hashes. */
+  def audioFingerprints(blobs: org.apache.spark.sql.Dataset[DocBlob]): org.apache.spark.sql.Dataset[AudioFp] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.flatMap { r =>
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.blob))
+        val fmt = in.getFormat
+        if (fmt.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+            || fmt.getSampleSizeInBits != 16) { in.close(); Iterator.empty }
+        else {
+          val bytes = in.readAllBytes()
+          in.close()
+          val n = bytes.length / 2
+          val samples = new Array[Int](n)
+          var k = 0
+          while (k < n) {
+            val lo = bytes(2 * k) & 0xff
+            val hi = bytes(2 * k + 1).toInt
+            samples(k) =
+              if (fmt.isBigEndian) ((bytes(2 * k).toInt << 8) | (bytes(2 * k + 1) & 0xff))
+              else ((hi << 8) | lo)
+            k += 1
+          }
+          Iterator.single(AudioFp(r.doc_id, fmt.getSampleRate.toLong,
+            n.toLong / fmt.getChannels, f"${audioFpOf(samples)}%016x"))
+        }
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException =>
+          Iterator.empty
+      }
+    })
+  }
+
+  /** Committed WAV fixture (scripts/make_audio_fixture.py): snd1 is a
+    * re-containered byte-copy of snd0 (extra LIST chunk), snd2 an
+    * amplitude-halved copy, snd3/snd4 distinct envelopes. */
+  private lazy val FixtureAudioDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-audio-fixture")
+    d.toFile.deleteOnExit()
+    (0 to 4).foreach { i =>
+      val in = getClass.getResourceAsStream(s"/graft/audio/snd$i.wav")
+      require(in != null, s"classpath fixture /graft/audio/snd$i.wav missing")
+      try java.nio.file.Files.copy(in, d.resolve(s"snd$i.wav"))
+      finally in.close()
+    }
+    d.toString
+  }
+
+  private[graft] def audioBlobs(spark: SparkSession): org.apache.spark.sql.Dataset[DocBlob] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(FixtureAudioDir)
+      .select(
+        regexp_extract(col("path"), "snd(\\d+)\\.wav$", 1).cast("long")
+          .as("doc_id"),
+        col("content").as("blob"))
+      .as[DocBlob]
+  }
+
+  /** Driver-contract query: fingerprints over the committed WAV fixture.
+    * Ignores `dir` (raw-file source; the warc_host_stats pattern). */
+  def audioFingerprint(spark: SparkSession, dir: String): DataFrame =
+    audioFingerprints(audioBlobs(spark)).toDF()
+
+  /** Oracle: exact VALUES literal from scripts/make_audio_fixture.py's
+    * independent pure-Python derivation (its own WAV writer and energy
+    * code) — checks real WAV parse + PCM decode + the fingerprint
+    * definition end-to-end; rows 0/1/2 prove container- and
+    * amplitude-invariance. */
+  val audioFingerprintSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(sr AS BIGINT) AS sample_rate, CAST(nf AS BIGINT) AS n_frames,
+      |  fp
+      |FROM (VALUES
+      |  (0, 8000, 6500, '4cacb2cd32d2cd35'),
+      |  (1, 8000, 6500, '4cacb2cd32d2cd35'),
+      |  (2, 8000, 6500, '4cacb2cd32d2cd35'),
+      |  (3, 8000, 6500, '1c659734c59674d3'),
+      |  (4, 8000, 5000, 'b3469971cd346597'))
+      |  AS t(doc_id, sr, nf, fp)""".stripMargin
+
+  /** Near-dup pair threshold (bits of the 64-bit fingerprint). */
+  val AudioMaxHamming = 5
+
+  /** Driver-contract query: banded audio near-dup pairs — the
+    * [[dedupImage]] blocking (4×16-bit bands → candidates → exact
+    * hamming ≤ [[AudioMaxHamming]]) over the audio fingerprint. Same
+    * 100 TB argument as `dedup_simhash`: the band key is uniform and
+    * candidate volume is bounded by true near-dup density. */
+  def dedupAudio(spark: SparkSession, dir: String): DataFrame = {
+    val h = audioFingerprints(audioBlobs(spark)).toDF()
+      // unsigned 64-bit parse (bit 63 IS used here): 32-bit halves
+      .select(col("doc_id"),
+        expr("shiftleft(CAST(conv(substring(fp, 1, 8), 16, 10) AS BIGINT), 32)"
+          + " | CAST(conv(substring(fp, 9, 8), 16, 10) AS BIGINT)")
+          .as("bits"))
+    val banded = h.select(col("doc_id"), col("bits"),
+      explode(expr(
+        "transform(sequence(0, 3), " +
+          "k -> struct(k AS band_ix, " +
+          "shiftright(bits, CAST(16 * k AS INT)) & 65535 AS band_val))"))
+        .as("b"))
+      .select(col("doc_id"), col("bits"), col("b.band_ix"), col("b.band_val"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band_ix") === col("y.band_ix")
+          && col("x.band_val") === col("y.band_val")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("bit_count(x.bits ^ y.bits)").cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= AudioMaxHamming)
+  }
+  /** Oracle: exact VALUES literal — the generator's independent banding:
+    * the re-containered and amplitude-halved copies pair with the base,
+    * distinct envelopes pair with nothing. */
+  val dedupAudioSql: String =
     """SELECT CAST(a AS BIGINT) AS doc_a, CAST(b AS BIGINT) AS doc_b,
       |  CAST(h AS BIGINT) AS hamming
       |FROM (VALUES (0, 1, 0), (0, 2, 0), (1, 2, 0)) AS t(a, b, h)""".stripMargin

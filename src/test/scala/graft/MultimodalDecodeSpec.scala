@@ -224,6 +224,70 @@ class MultimodalDecodeSpec extends SparkTestBase {
       "distinct images must not dhash-collide")
   }
 
+  // ---- audio fingerprinting -------------------------------------------------
+
+  test("audioFingerprints: amplitude halving and re-containering keep the " +
+      "fingerprint; a different envelope moves it far; non-PCM16 drops") {
+    def ham(a: String, b: String) =
+      java.lang.Long.bitCount(java.lang.Long.parseUnsignedLong(a, 16) ^
+        java.lang.Long.parseUnsignedLong(b, 16))
+    // JDK-synthesized signal, independent of the committed fixture: a
+    // seeded up/down amplitude ladder (adjacent segment energies ~6x apart)
+    def signal(n: Int, seed: Int): Array[Int] = {
+      val segs = Array.tabulate(66)(i => i * n / 65)
+      val out = new Array[Int](n)
+      var a = 900 + (seed * 997) % 2200
+      for (i <- 0 until 65) {
+        for (k <- segs(i) until segs(i + 1)) {
+          val v = (if (k % 7 < 4) a else -a) + ((k * (seed + 3)) % 101) - 50
+          out(k) = math.max(-32768, math.min(32767, v))
+        }
+        var h = (i.toLong * 2654435761L + seed * 40503L) & 0xffffffffL
+        h ^= h >> 13
+        val up = ((h >> 5) & 1) == 1
+        val nu = if (a * 5 / 2 <= 26000) a * 5 / 2 else -1
+        val nd = if (a * 2 / 5 >= 900) a * 2 / 5 else -1
+        a = if (up && nu > 0) nu else if (!up && nd > 0) nd
+            else if (nu > 0) nu else nd
+      }
+      out
+    }
+    def wav(samples: Array[Int]): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.indices.foreach { i =>
+        pcm(2 * i) = (samples(i) & 0xff).toByte
+        pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      }
+      val in = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(in,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val base = signal(6000, 2)
+    val fps = Multimodal.audioFingerprints(Seq(
+      DocBlob(1L, wav(base)),
+      DocBlob(2L, wav(base.map(_ / 2))),
+      DocBlob(3L, wav(signal(6000, 11))),
+      DocBlob(4L, "not audio at all".getBytes)).toDS())
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(fps.keySet == Set(1L, 2L, 3L))
+    assert(fps(1L).n_frames == 6000L && fps(1L).sample_rate == 8000L)
+    assert(fps(1L).fp == fps(2L).fp, "amplitude halving moved the fp")
+    assert(ham(fps(1L).fp, fps(3L).fp) > Multimodal.AudioMaxHamming,
+      "distinct envelopes must not collide")
+  }
+
+  test("dedup_audio pairs exactly the copy cluster of the committed " +
+      "fixture (re-containered + amplitude-halved)") {
+    val got = Multimodal.dedupAudio(spark, "ignored").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((0L, 1L, 0L), (0L, 2L, 0L), (1L, 2L, 0L)))
+    assert(Multimodal.audioFingerprint(spark, "ignored").count() == 5)
+  }
+
   test("dedup_image pairs exactly the copy/resize cluster of the " +
       "committed fixture") {
     val got = Multimodal.dedupImage(spark, "ignored").collect()
