@@ -107,8 +107,19 @@ object ClusterSmoke {
                           // share across executor JVMs
     "logreg_score",       // driver-trained decimal weights broadcast into
                           // the bucketed-feature join across JVMs
-    "domain_pagerank")    // directed rank loop w/ explicit node universe +
+    "domain_pagerank",    // directed rank loop w/ explicit node universe +
                           // per-round checkpoints across executor JVMs
+    "kn3_perplexity",     // materialized TRIGRAM KN model: five type-keyed
+                          // joins + corpus-wide scoring join across JVMs
+    "bbpe_encode",        // byte-level merge-table broadcast + hex-symbol
+                          // vocabulary map on executor classloaders
+    "corpus_diff",        // two pruned scans full-outer joined on doc_id
+    "image_phash",        // PNG fixture: classpath materialization + JDK
+                          // decode + DCT hashing on executor JVMs
+    "dedup_image",        // banded pHash self-join across JVMs
+    "audio_fingerprint",  // WAV fixture: classpath materialization + PCM
+                          // parse + integer energy fold on executors
+    "dedup_audio")        // banded fingerprint self-join across JVMs
 
   private def warcDocCount(spark: SparkSession): Long =
     graft.sources.WarcSource
