@@ -72,6 +72,9 @@ HEAVY_ORACLES = {
     "semdedup", "semdedup_sweep", "dup_span_stats", "dup_span_exact",
     "suffix_repeats", "repeat_coverage", "substr_dedup",
     "trim_common_paragraphs", "corpus_diff",
+    # trigram-KN oracles materialize the per-doc trigram explode (~3x the
+    # corpus token count) plus the bigram type frame
+    "kn3_trigram_top", "kn3_perplexity", "kn3_buckets",
 }
 
 

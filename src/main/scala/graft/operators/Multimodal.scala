@@ -243,11 +243,27 @@ object Multimodal {
     * typed mapPartitions plumbing as the other decoders: executor-side,
     * fixed schema, one decoder call per blob; at 100 TB a map-only pass
     * over the blob column. */
+  /** Smallest frame the hashes are defined on: below the 32×32 pHash grid
+    * a box cell would be EMPTY (0-count ⇒ NaN mean ⇒ a poisoned all-zero
+    * hash that false-clusters every tiny image together). Production
+    * image dedup drops sub-icon frames before hashing for the same
+    * reason. */
+  val MinHashDim = 32
+
+  /** Corrupt-blob guard shared by the real decoders: ImageIO.read returns
+    * null only for UNRECOGNIZED formats — a valid PNG signature with a
+    * truncated/corrupt body THROWS, and at 100 TB one bad blob must cost
+    * one skipped row, never a 4-strike task abort. */
+  private def decodeOrNull(blob: Array[Byte]): java.awt.image.BufferedImage =
+    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+    catch { case scala.util.control.NonFatal(_) => null }
+
   def imageHashes(blobs: org.apache.spark.sql.Dataset[DocBlob]): org.apache.spark.sql.Dataset[ImageHash] = {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions(_.flatMap { r =>
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.blob))
-      if (img == null) Iterator.empty
+      val img = decodeOrNull(r.blob)
+      if (img == null || img.getWidth < MinHashDim || img.getHeight < MinHashDim)
+        Iterator.empty
       else {
         val lm = lumaGridOf(img)
         Iterator.single(ImageHash(r.doc_id, img.getWidth.toLong,
@@ -315,7 +331,7 @@ object Multimodal {
   def imageMeta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     imageBlobs(spark).mapPartitions(_.flatMap { r =>
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.blob))
+      val img = decodeOrNull(r.blob) // corrupt blob ⇒ skipped row, not abort
       if (img == null) Iterator.empty
       else {
         val lm = lumaGridOf(img)
@@ -349,14 +365,18 @@ object Multimodal {
     * At 100 TB the candidate key is the band value: uniform, bounded by
     * true near-dup density exactly like `dedup_simhash` (same argument,
     * SURVEY §2 #18). */
-  def dedupImage(spark: SparkSession, dir: String): DataFrame = {
-    val h = imageHashes(imageBlobs(spark)).toDF()
-      // unsigned 64-bit parse: two 32-bit halves recombined (a hash with
-      // bit 63 set overflows a direct signed conv->BIGINT cast)
-      .select(col("doc_id"),
-        expr("shiftleft(CAST(conv(substring(phash, 1, 8), 16, 10) AS BIGINT), 32)"
-          + " | CAST(conv(substring(phash, 9, 8), 16, 10) AS BIGINT)")
-          .as("bits"))
+  /** Shared banded-hamming near-dup join over a (doc_id, <hexCol>) frame —
+    * the one blocking plan both media dedups run: unsigned 64-bit parse
+    * (two 32-bit halves recombined — a hash with bit 63 set overflows a
+    * direct signed conv→BIGINT cast), explode into 4×16-bit bands,
+    * equi-self-join on the (band_ix, band_val) key (never all-pairs),
+    * verify by exact hamming ≤ maxHamming. */
+  private def bandedHammingPairs(hashes: DataFrame, hexCol: String,
+      maxHamming: Int): DataFrame = {
+    val h = hashes.select(col("doc_id"),
+      expr(s"shiftleft(CAST(conv(substring($hexCol, 1, 8), 16, 10) AS BIGINT), 32)"
+        + s" | CAST(conv(substring($hexCol, 9, 8), 16, 10) AS BIGINT)")
+        .as("bits"))
     val banded = h.select(col("doc_id"), col("bits"),
       explode(expr(
         "transform(sequence(0, 3), " +
@@ -371,8 +391,12 @@ object Multimodal {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         expr("bit_count(x.bits ^ y.bits)").cast("long").as("hamming"))
       .distinct()
-      .where(col("hamming") <= PhashMaxHamming)
+      .where(col("hamming") <= maxHamming)
   }
+
+  def dedupImage(spark: SparkSession, dir: String): DataFrame =
+    bandedHammingPairs(imageHashes(imageBlobs(spark)).toDF(), "phash",
+      PhashMaxHamming)
   /** Oracle: exact VALUES literal — the generator's independent banding +
     * hamming over its own hashes: the two copy-pairs and the resize pair
     * survive; every distinct-image pair fails both the band block and the
@@ -435,8 +459,7 @@ object Multimodal {
             javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
             || fmt.getSampleSizeInBits != 16) { in.close(); Iterator.empty }
         else {
-          val bytes = in.readAllBytes()
-          in.close()
+          val bytes = try in.readAllBytes() finally in.close()
           val n = bytes.length / 2
           val samples = new Array[Int](n)
           var k = 0
@@ -452,8 +475,11 @@ object Multimodal {
             n.toLong / fmt.getChannels, f"${audioFpOf(samples)}%016x"))
         }
       } catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException =>
-          Iterator.empty
+        // NonFatal, not just UnsupportedAudioFileException: a RECOGNIZED
+        // container with a malformed body throws IOException from the
+        // reader — one corrupt blob must cost one skipped row, never a
+        // 4-strike task abort at 100 TB
+        case scala.util.control.NonFatal(_) => Iterator.empty
       }
     })
   }
@@ -513,29 +539,10 @@ object Multimodal {
     * hamming ≤ [[AudioMaxHamming]]) over the audio fingerprint. Same
     * 100 TB argument as `dedup_simhash`: the band key is uniform and
     * candidate volume is bounded by true near-dup density. */
-  def dedupAudio(spark: SparkSession, dir: String): DataFrame = {
-    val h = audioFingerprints(audioBlobs(spark)).toDF()
-      // unsigned 64-bit parse (bit 63 IS used here): 32-bit halves
-      .select(col("doc_id"),
-        expr("shiftleft(CAST(conv(substring(fp, 1, 8), 16, 10) AS BIGINT), 32)"
-          + " | CAST(conv(substring(fp, 9, 8), 16, 10) AS BIGINT)")
-          .as("bits"))
-    val banded = h.select(col("doc_id"), col("bits"),
-      explode(expr(
-        "transform(sequence(0, 3), " +
-          "k -> struct(k AS band_ix, " +
-          "shiftright(bits, CAST(16 * k AS INT)) & 65535 AS band_val))"))
-        .as("b"))
-      .select(col("doc_id"), col("bits"), col("b.band_ix"), col("b.band_val"))
-    banded.as("x").join(banded.as("y"),
-        col("x.band_ix") === col("y.band_ix")
-          && col("x.band_val") === col("y.band_val")
-          && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        expr("bit_count(x.bits ^ y.bits)").cast("long").as("hamming"))
-      .distinct()
-      .where(col("hamming") <= AudioMaxHamming)
-  }
+  def dedupAudio(spark: SparkSession, dir: String): DataFrame =
+    bandedHammingPairs(audioFingerprints(audioBlobs(spark)).toDF(), "fp",
+      AudioMaxHamming)
+
   /** Oracle: exact VALUES literal — the generator's independent banding:
     * the re-containered and amplitude-halved copies pair with the base,
     * distinct envelopes pair with nothing. */

@@ -578,7 +578,9 @@ object Selection {
   /** Shared CTE chain of the trigram KN model — identical math to
     * [[kn3Model]]; `tg` carries doc_id for the scoring queries. */
   private val kn3Ctes: String =
-    s"""toks AS (
+    // toks MATERIALIZED: BOTH consumers (tg, bg2) are corpus-sized scans —
+    // inlining would run the full-corpus regex tokenization twice
+    s"""toks AS MATERIALIZED (
        |  SELECT doc_id, list_filter(list_transform(
        |    string_split_regex(text, '\\s+'), t -> lower(t)), t -> t <> '') AS t
        |  FROM documents

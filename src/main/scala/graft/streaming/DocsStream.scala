@@ -446,10 +446,17 @@ object DocsStream {
       // decimal + widens to (29,6); the accumulator lambda must return
       // the accumulator type, so narrow back (magnitudes are ~1e3 —
       // nowhere near 28-digit overflow)
-      (acc, t) => (acc + element_at(wMap,
+      // coalesce: a bucket ABSENT from the weights map must contribute 0
+      // — the batch logreg_score inner-joins features to the weight
+      // table, so an unknown bucket adds nothing there; without the guard
+      // element_at yields NULL, NULL-poisons the whole margin and
+      // silently DROPS the doc (keep-set drift for any caller passing a
+      // pruned weight map).
+      (acc, t) => (acc + coalesce(element_at(wMap,
         pmod(graft.functions.TextFns.md5Long(concat(
           lit(graft.operators.Classify.LrSalt), lit("\u0001"), t)),
-          lit(graft.operators.Classify.LrBuckets.toLong)))
+          lit(graft.operators.Classify.LrBuckets.toLong))),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(12,6)"))
         .cast("decimal(28,6)")).cast("decimal(28,6)"))
     docs.where(
       round(lit(1.0) / (lit(1.0) + exp(-margin.cast("double"))), 6)

@@ -210,9 +210,16 @@ class MultimodalDecodeSpec extends SparkTestBase {
     }
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(small, "png", out)
+    // 6: below the 32x32 hash grid — an empty box cell would NaN-poison
+    // the DCT into an all-zero hash that false-clusters every tiny image,
+    // so sub-grid frames must be SKIPPED, not hashed. 7: a recognized PNG
+    // signature with a truncated body THROWS in ImageIO (null is only for
+    // unrecognized formats) — one corrupt blob must cost one skipped row.
+    val corrupt = base.take(base.length / 2)
     val hs = hashOf(Seq(DocBlob(1L, base), DocBlob(2L, jpeg),
       DocBlob(3L, out.toByteArray), DocBlob(4L, patternPng(64, 64, 77, inverted = true)),
-      DocBlob(5L, "not an image".getBytes)))
+      DocBlob(5L, "not an image".getBytes),
+      DocBlob(6L, patternPng(20, 20, 1)), DocBlob(7L, corrupt)))
     assert(hs.keySet == Set(1L, 2L, 3L, 4L))
     assert(ham(hs(1L)._1, hs(2L)._1) <= Multimodal.PhashMaxHamming,
       s"JPEG re-encode drifted ${ham(hs(1L)._1, hs(2L)._1)} phash bits")
@@ -267,13 +274,18 @@ class MultimodalDecodeSpec extends SparkTestBase {
       out.toByteArray
     }
     val base = signal(6000, 2)
+    // 5: a recognized RIFF header with a truncated body — the reader
+    // throws IOException, which must cost one skipped row, not a job abort
+    val truncated = wav(base).take(60)
     val fps = Multimodal.audioFingerprints(Seq(
       DocBlob(1L, wav(base)),
       DocBlob(2L, wav(base.map(_ / 2))),
       DocBlob(3L, wav(signal(6000, 11))),
-      DocBlob(4L, "not audio at all".getBytes)).toDS())
+      DocBlob(4L, "not audio at all".getBytes),
+      DocBlob(5L, truncated)).toDS())
       .collect().map(f => f.doc_id -> f).toMap
-    assert(fps.keySet == Set(1L, 2L, 3L))
+    assert(!fps.contains(4L) && fps.keySet.subsetOf(Set(1L, 2L, 3L, 5L)))
+    assert(Set(1L, 2L, 3L).subsetOf(fps.keySet))
     assert(fps(1L).n_frames == 6000L && fps(1L).sample_rate == 8000L)
     assert(fps(1L).fp == fps(2L).fp, "amplitude halving moved the fp")
     assert(ham(fps(1L).fp, fps(3L).fp) > Multimodal.AudioMaxHamming,

@@ -1213,5 +1213,21 @@ class SourcesAndStreamingSpec extends SparkTestBase {
     assert(spark.table("lrgateb").collect()
       .map(_.getAs[Long]("doc_id")).toSet == Set(9L),
       "margin −1e-6 rounds to σ=0.500000 and must be kept")
+
+    // Pruned weight map (code-review r12): a bucket ABSENT from the map
+    // must contribute 0 to the margin — the batch inner join's semantics —
+    // not NULL-poison it and silently drop the doc. One positive-bias
+    // weight map with NO token buckets: every doc must still be KEPT.
+    val prunedW = Map(-1L -> BigDecimal("0.100000"))
+    val inputP = MemoryStream[(Long, String)](spark)
+    val qp = graft.streaming.DocsStream.classifierGate(
+      inputP.toDF().toDF("doc_id", "text"), prunedW)
+      .writeStream.format("memory").queryName("lrgatep")
+      .outputMode("append").start()
+    inputP.addData((11L, "tokens with no trained bucket"))
+    qp.processAllAvailable(); qp.stop()
+    assert(spark.table("lrgatep").collect()
+      .map(_.getAs[Long]("doc_id")).toSet == Set(11L),
+      "unknown buckets must contribute 0, not NULL-drop the doc")
   }
 }
