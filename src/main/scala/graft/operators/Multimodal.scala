@@ -74,8 +74,8 @@ object Multimodal {
   def decodeImages(blobs: org.apache.spark.sql.Dataset[DocBlob]): org.apache.spark.sql.Dataset[ImageMeta] = {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions(_.flatMap { r =>
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.blob))
-      if (img == null) Iterator.empty // not an image this JDK can decode
+      val img = decodeOrNull(r.blob) // unrecognized OR corrupt -> skipped
+      if (img == null) Iterator.empty
       else {
         val (w, h, avg) = lumaOf(img)
         Iterator.single(ImageMeta(r.doc_id, w.toLong, h.toLong,
@@ -98,7 +98,7 @@ object Multimodal {
       targetW: Int, targetH: Int): org.apache.spark.sql.Dataset[ResizedImage] = {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions(_.flatMap { r =>
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.blob))
+      val img = decodeOrNull(r.blob) // unrecognized OR corrupt -> skipped
       if (img == null) Iterator.empty
       else {
         val out = new java.awt.image.BufferedImage(targetW, targetH,
@@ -609,7 +609,7 @@ object Multimodal {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions(_.flatMap { r =>
       aviVideoChunks(r.blob).iterator.zipWithIndex.flatMap { case (chunk, i) =>
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(chunk))
+        val img = decodeOrNull(chunk) // corrupt frame -> skipped, not abort
         if (img == null) Iterator.empty
         else {
           val (w, h, avg) = lumaOf(img)

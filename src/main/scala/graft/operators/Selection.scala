@@ -993,4 +993,93 @@ object Selection {
        |    - (CAST(round(-m.sum_lp * 10000, 0) AS BIGINT) // m.n_bigrams)
        |    AS excess_e4
        |FROM mle m JOIN knq k USING (doc_id)""".stripMargin
+
+  // ---- #35o DoReMi-style domain reweighting --------------------------------
+  /** Excess-loss-driven domain (source) weights — DoReMi (Xie et al. 2023)
+    * reduced to its one-shot closed form over a fixed reference-model
+    * pair: each source's baseline token share is multiplicatively boosted
+    * by exp(mean excess loss) and renormalized, up-weighting the domains
+    * the smoothed reference finds hardest relative to the MLE — the
+    * mixing decision the iterative DoReMi proxy-training loop converges
+    * toward, computable exactly from the two ALREADY-materialized scoring
+    * frames ([[excessLoss]]'s inputs).
+    *
+    * §6 discipline: token counts and the e4 excess sums are exact
+    * integers; the mean-excess→exp boost is ONE deterministic IEEE
+    * division feeding the transcendental, pinned DECIMAL(14,6); each raw
+    * weight pins to DECIMAL(18,8) BEFORE the cross-source total, so the
+    * normalizing SUM is exact decimal (fold-order-free) and the final
+    * share is one IEEE division of engine-identical values.
+    *
+    * Scale: per-source token mass is a map-only projection + one
+    * ~10¹-key rollup; the excess rollup joins the materialized per-doc
+    * scores to a pruned (doc_id, source) scan on the uniform doc key;
+    * everything after runs on the ≤|sources| frame (the windows are
+    * bounded, not corpus windows). */
+  def domainReweight(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.ExactMath.intDiv
+    val toksPerDoc = docs(spark, dir).select(col("source"),
+      size(filter(transform(split(col("text"),
+        graft.functions.TextFns.WsTokenRe), t => lower(t)), t => t =!= ""))
+        .cast("long").as("n_toks"))
+      .groupBy("source").agg(sum(col("n_toks")).as("n_tokens"))
+    val excess = excessLoss(spark, dir)
+      .join(docs(spark, dir).select(col("doc_id"), col("source")), "doc_id")
+      .groupBy("source").agg(count(lit(1)).as("n_scored"),
+        sum(col("excess_e4")).as("sum_excess_e4"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val joined = toksPerDoc.join(excess, Seq("source"))
+      .withColumn("tok_total", sum(col("n_tokens")).over(w))
+      .withColumn("boost",
+        round(exp((col("sum_excess_e4").cast("double")
+          / col("n_scored").cast("double")) / 10000.0), 6)
+          .cast("decimal(14,6)").cast("double"))
+      .withColumn("w_raw",
+        round((col("n_tokens").cast("double") / col("tok_total").cast("double"))
+          * col("boost"), 8).cast("decimal(18,8)"))
+    joined
+      .withColumn("w_total", sum(col("w_raw")).over(w).cast("decimal(28,8)"))
+      .select(col("source"), col("n_tokens"),
+        col("n_scored").cast("long").as("n_scored"),
+        col("sum_excess_e4").cast("long").as("sum_excess_e4"),
+        intDiv(col("n_tokens") * lit(10000L), col("tok_total"))
+          .as("baseline_share_bp"),
+        col("boost"),
+        round(col("w_raw").cast("double") / col("w_total").cast("double"), 6)
+          .cast("decimal(14,6)").cast("double").as("weight"))
+  }
+  val domainReweightSql: String =
+    s"""WITH ex AS (
+       |  ${excessLossSql.linesIterator.mkString("\n  ")}
+       |), tok AS (
+       |  SELECT source, CAST(sum(len(list_filter(list_transform(
+       |    string_split_regex(text, '\\s+'), t -> lower(t)),
+       |    t -> t <> ''))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1
+       |), exs AS (
+       |  SELECT d.source, count(*) AS n_scored,
+       |    CAST(sum(excess_e4) AS BIGINT) AS sum_excess_e4
+       |  FROM ex JOIN documents d USING (doc_id) GROUP BY 1
+       |), j AS (
+       |  SELECT source, n_tokens, n_scored, sum_excess_e4,
+       |    sum(n_tokens) OVER () AS tok_total,
+       |    CAST(CAST(round(exp((CAST(sum_excess_e4 AS DOUBLE)
+       |      / CAST(n_scored AS DOUBLE)) / 10000.0), 6) AS DECIMAL(14,6))
+       |      AS DOUBLE) AS boost
+       |  FROM tok JOIN exs USING (source)
+       |), wr AS (
+       |  SELECT *, CAST(round((CAST(n_tokens AS DOUBLE)
+       |      / CAST(tok_total AS DOUBLE)) * boost, 8) AS DECIMAL(18,8))
+       |      AS w_raw
+       |  FROM j
+       |)
+       |SELECT source, n_tokens, CAST(n_scored AS BIGINT) AS n_scored,
+       |  sum_excess_e4,
+       |  CAST((n_tokens * 10000) // tok_total AS BIGINT)
+       |    AS baseline_share_bp,
+       |  boost,
+       |  CAST(CAST(round(CAST(w_raw AS DOUBLE)
+       |    / CAST(CAST(sum(w_raw) OVER () AS DECIMAL(28,8)) AS DOUBLE), 6)
+       |    AS DECIMAL(14,6)) AS DOUBLE) AS weight
+       |FROM wr""".stripMargin
 }

@@ -285,8 +285,16 @@ object Wordpiece {
       .select(col("doc_id"), col("n_bpe_syms"))
     val wp = wordpieceEncode(spark, dir)
       .select(col("doc_id"), col("n_wp_syms"))
+    // the byte-level family counts over its OWN token universe (ALL raw
+    // whitespace tokens, not the [a-z]+ subset the char-level trio share)
+    // — its fertility is reported per 100 RAW words so the face-off shows
+    // both the subset and the total-coverage economics (r12)
+    val bbpe = Bbpe.bbpeEncode(spark, dir)
+      .select(col("doc_id"), col("n_words").as("n_raw_words"),
+        col("n_bbpe_syms"))
     val src = docs(spark, dir).select(col("doc_id"), col("source"))
     uni.join(bpe, Seq("doc_id")).join(wp, Seq("doc_id"))
+      .join(bbpe, Seq("doc_id"))
       .join(src, Seq("doc_id"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -294,14 +302,19 @@ object Wordpiece {
         sum(col("n_chars")).as("n_chars"),
         sum(col("n_bpe_syms")).as("bpe_syms"),
         sum(col("n_uni_syms")).as("uni_syms"),
-        sum(col("n_wp_syms")).as("wp_syms"))
+        sum(col("n_wp_syms")).as("wp_syms"),
+        sum(col("n_raw_words")).as("raw_words"),
+        sum(col("n_bbpe_syms")).as("bbpe_syms"))
       .select(col("source"), col("n_docs"), col("n_words"), col("n_chars"),
         col("bpe_syms"), col("uni_syms"), col("wp_syms"),
+        col("raw_words"), col("bbpe_syms"),
         intDiv(col("bpe_syms") * lit(100L), col("n_words"))
           .as("bpe_per_100w"),
         intDiv(col("uni_syms") * lit(100L), col("n_words"))
           .as("uni_per_100w"),
         intDiv(col("wp_syms") * lit(100L), col("n_words"))
-          .as("wp_per_100w"))
+          .as("wp_per_100w"),
+        intDiv(col("bbpe_syms") * lit(100L), col("raw_words"))
+          .as("bbpe_per_100w"))
   }
 }

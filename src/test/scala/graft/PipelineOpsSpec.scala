@@ -592,17 +592,28 @@ class PipelineOpsSpec extends SparkTestBase {
         r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
     val wpByDoc = graft.operators.Wordpiece.wordpieceEncode(spark, d)
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val bbpeByDoc = graft.operators.Bbpe.bbpeEncode(spark, d)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3))))
+      .toMap
     val got = graft.operators.Wordpiece.tokenizerFaceoff(spark, d).collect()
     assert(got.length == 1)
     val r = got.head
     val f = fert("src0")
     // shared columns agree exactly with unigram_fertility
     assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
-      r.getLong(4), r.getLong(5), r.getLong(7), r.getLong(8)) ==
+      r.getLong(4), r.getLong(5), r.getLong(9), r.getLong(10)) ==
       (("src0", f._1, f._2, f._3, f._4, f._5, f._6, f._7)))
     // the wordpiece column is the per-doc rollup and its exact fertility
     val wpSum = wpByDoc.values.sum
     assert(r.getLong(6) == wpSum)
-    assert(r.getLong(9) == wpSum * 100L / f._2)
+    assert(r.getLong(11) == wpSum * 100L / f._2)
+    // the byte-level columns are bbpe_encode's rollup on ITS OWN token
+    // universe: ALL raw whitespace tokens ("x9", "!!" included), so
+    // raw_words strictly exceeds the char-trio's [a-z]+ word count here
+    val rawWords = bbpeByDoc.values.map(_._1).sum
+    val bbpeSum = bbpeByDoc.values.map(_._2).sum
+    assert(r.getLong(7) == rawWords && r.getLong(8) == bbpeSum)
+    assert(r.getLong(7) > r.getLong(2))
+    assert(r.getLong(12) == bbpeSum * 100L / rawWords)
   }
 }

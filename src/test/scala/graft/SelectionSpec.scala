@@ -446,6 +446,63 @@ class SelectionSpec extends SparkTestBase {
     assert(collectSet(Selection.kn3Buckets(spark, dir)) == expB)
   }
 
+  test("domain_reweight matches a from-scratch DoReMi closed form and " +
+      "up-weights the hardest domain") {
+    val srcOf = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // per-doc excess (KN − MLE nll_e4), re-derived from the two existing
+    // brute-force models
+    val byDoc = corpus.map { case (id, _, t) =>
+      id -> t.sliding(2).filter(_.length == 2).map(p => p(0) + " " + p(1)).toSeq
+    }.filter(_._2.nonEmpty)
+    val c2 = byDoc.flatMap(_._2).groupBy(identity)
+      .map { case (b, xs) => b -> xs.size.toLong }
+    val c1 = c2.toSeq.groupBy(_._1.split(" ", 2)(0))
+      .map { case (w, xs) => w -> ((xs.map(_._2).sum, xs.size.toLong)) }
+    val cont = c2.toSeq.groupBy(_._1.split(" ", 2)(1))
+      .map { case (w, xs) => w -> xs.size.toLong }
+    val tTypes = c2.size.toDouble
+    val lpKn = c2.map { case (b, n) =>
+      val Array(w1, w2) = b.split(" ", 2)
+      val (n1, nfollow) = c1(w1)
+      val pr = math.max(n - Selection.KnDiscount, 0d) / n1 +
+        (Selection.KnDiscount * nfollow / n1) * (cont(w2) / tTypes)
+      val p6 = BigDecimal(pr).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+      b -> round4(math.log(math.max(p6, Selection.KnPFloor)))
+    }
+    val excess = byDoc.map { case (id, bs) =>
+      id -> ((-bs.map(lpKn).sum * 10000).toLongExact / bs.size
+        - bruteNllE4(id))
+    }
+    val nToks = corpus.groupBy(c => srcOf(c._1)).view
+      .mapValues(_.map(_._3.length.toLong).sum).toMap
+    val exsBySrc = excess.groupBy { case (id, _) => srcOf(id) }
+      .map { case (s, xs) => s -> ((xs.size.toLong, xs.map(_._2).sum)) }
+    val total = nToks.values.sum
+    def pin(d: Double, s: Int) =
+      BigDecimal(d).setScale(s, BigDecimal.RoundingMode.HALF_UP)
+    val wRaw = exsBySrc.map { case (s, (n, sumE)) =>
+      val boost = pin(math.exp((sumE.toDouble / n) / 10000.0), 6).toDouble
+      s -> ((boost, pin((nToks(s).toDouble / total) * boost, 8)))
+    }
+    val wTotal = wRaw.values.map(_._2).sum
+    val expected = exsBySrc.map { case (s, (n, sumE)) =>
+      val (boost, raw) = wRaw(s)
+      Seq[Any](s, nToks(s), n, sumE, nToks(s) * 10000L / total, boost,
+        pin(raw.toDouble / wTotal.toDouble, 6).toDouble)
+    }.toSet
+    val got = collectSet(Selection.domainReweight(spark, dir))
+    assert(got == expected)
+    // direction: the max-mean-excess source's weight beats its baseline
+    // share (in bp), i.e. the reweight actually up-weights hard domains
+    val hardest = exsBySrc.maxBy { case (_, (n, sumE)) => sumE.toDouble / n }._1
+    val row = got.find(_.head == hardest).get
+    assert(row(6).asInstanceOf[Double] * 10000
+      > row(4).asInstanceOf[Long].toDouble)
+  }
+
   test("kn3 discriminates where the bigram model cannot: deterministic " +
       "trigram structure under ambiguous bigram context") {
     // 10×"a b c" + 10×"d b e": after "b", the bigram model splits mass
