@@ -752,4 +752,57 @@ class ScaleSpec extends SparkTestBase {
     assert(!lr.contains("SortMergeJoin"),
       s"logreg_score gained a corpus shuffle join:\n$lr")
   }
+
+  test("r12 operators keep their claimed scale shapes: kn3 model type-" +
+      "keyed, banded media dedup equi-joined, corpus_diff one outer join") {
+    // kn3_trigram_top: type-keyed model joins, partial top-k — never a
+    // cartesian, never a global window over the trigram table. (A
+    // condition-FREE BroadcastNestedLoopJoin is expected: the 1-row type
+    // total crossJoins in, the knModel pattern — the global PlanLint
+    // verifies no BNLJ anywhere carries a condition.)
+    val k3 = planOf("kn3_trigram_top")
+    assert(!k3.contains("CartesianProduct"),
+      s"kn3 model degraded to a cartesian:\n$k3")
+    assert(k3.contains("TakeOrderedAndProject"),
+      s"kn3_trigram_top lost its partial top-k:\n$k3")
+
+    // bbpe_pair_counts: partial heap, no window (the bpe_pair_counts pin)
+    val bp = planOf("bbpe_pair_counts")
+    assert(bp.contains("TakeOrderedAndProject") && !bp.contains("Window"),
+      s"bbpe_pair_counts lost its partial top-k:\n$bp")
+
+    // bbpe_encode: the corpus token stream must EQUI-join the encoded
+    // vocabulary — no cartesian/BNLJ degradation (the bpe_encode pin)
+    val be = planOf("bbpe_encode")
+    assert(!be.contains("CartesianProduct") &&
+      !be.contains("BroadcastNestedLoopJoin"),
+      s"bbpe_encode degraded to an unkeyed join:\n$be")
+
+    // corpus_diff: exactly ONE join (the doc_id full outer) and both scans
+    // pruned to 3 narrow columns — the text column must never survive the
+    // scan projection (md5 computes inside it)
+    val cd = SparkEntry.queries("corpus_diff")(spark, sf)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert("FullOuter".r.findAllIn(cd).size == 1,
+      s"corpus_diff lost its single full-outer shape:\n$cd")
+    assert(!cd.contains("CartesianProduct") && !cd.contains("Window"),
+      s"corpus_diff picked up a scale-fatal operator:\n$cd")
+
+    // dedup_image / dedup_audio: the band block is an EQUI-self-join —
+    // never all-pairs (no cartesian, no conditioned BNLJ)
+    Seq("dedup_image", "dedup_audio").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q degraded to an all-pairs join:\n$p")
+    }
+
+    // domain_reweight: both corpus passes end in ~10¹-key rollups; the
+    // only windows run on the bounded source frame (never corpus keys).
+    // (Condition-free BNLJ expected via the cached KN model's 1-row type
+    // total — the kn3 note above; the global PlanLint covers conditions.)
+    val dr = planOf("domain_reweight")
+    assert(!dr.contains("CartesianProduct"),
+      s"domain_reweight degraded to a cartesian:\n$dr")
+  }
 }
