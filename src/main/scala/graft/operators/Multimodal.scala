@@ -408,6 +408,78 @@ object Multimodal {
 
   // ---- audio fingerprint dedup ---------------------------------------------
 
+  // ---- video near-dup (frame-level perceptual hashing) ---------------------
+
+  case class VideoFrameHash(doc_id: Long, frame_idx: Long, phash: String)
+
+  /** Per-frame pHash of every decodable MJPEG-AVI video frame — the
+    * substrate of video near-dup (two re-encodes of the same video share
+    * near-identical frame hashes even though every byte differs). Same
+    * demux walk as [[demuxVideo]]; frames below the hash grid or with
+    * corrupt JPEG bytes are skipped like their image counterparts. */
+  def videoFrameHashes(blobs: org.apache.spark.sql.Dataset[DocBlob]): org.apache.spark.sql.Dataset[VideoFrameHash] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.flatMap { r =>
+      aviVideoChunks(r.blob).iterator.zipWithIndex.flatMap { case (chunk, i) =>
+        val img = decodeOrNull(chunk)
+        if (img == null || img.getWidth < MinHashDim
+            || img.getHeight < MinHashDim) Iterator.empty
+        else Iterator.single(VideoFrameHash(r.doc_id, i.toLong,
+          f"${phashOf(lumaGridOf(img))}%016x"))
+      }
+    })
+  }
+
+  /** Matched-frame threshold: a candidate video pair is a near-dup when at
+    * least this fraction (in bp) of the SMALLER video's frames match. */
+  val VideoMatchMinBp = 5000L
+
+  /** Video near-dup pairs: band-block the per-frame pHashes (the
+    * [[dedupImage]] blocking, frame-grain), verify frame pairs at
+    * hamming ≤ [[PhashMaxHamming]], then roll matched DISTINCT frame
+    * indexes up to the video pair and keep pairs covering ≥
+    * [[VideoMatchMinBp]] of the smaller side. Scale: the band key is
+    * uniform over frame-hash space, candidate volume bounded by true
+    * frame-level near-dup density; the rollup keys on (video_a, video_b)
+    * — pair-graph-bounded, never all-pairs of videos. */
+  def videoNearDupPairs(blobs: org.apache.spark.sql.Dataset[DocBlob]): DataFrame = {
+    import org.apache.spark.sql.graft.ExactMath.intDiv
+    val fr = videoFrameHashes(blobs).toDF()
+      .select(col("doc_id"), col("frame_idx"),
+        expr("shiftleft(CAST(conv(substring(phash, 1, 8), 16, 10) AS BIGINT), 32)"
+          + " | CAST(conv(substring(phash, 9, 8), 16, 10) AS BIGINT)")
+          .as("bits"))
+    val nFrames = fr.groupBy(col("doc_id")).agg(count(lit(1)).as("n_frames"))
+    val banded = fr.select(col("doc_id"), col("frame_idx"), col("bits"),
+      explode(expr(
+        "transform(sequence(0, 3), " +
+          "k -> struct(k AS band_ix, " +
+          "shiftright(bits, CAST(16 * k AS INT)) & 65535 AS band_val))"))
+        .as("b"))
+      .select(col("doc_id"), col("frame_idx"), col("bits"),
+        col("b.band_ix"), col("b.band_val"))
+    val matched = banded.as("x").join(banded.as("y"),
+        col("x.band_ix") === col("y.band_ix")
+          && col("x.band_val") === col("y.band_val")
+          && col("x.doc_id") < col("y.doc_id"))
+      .where(expr("bit_count(x.bits ^ y.bits)") <= PhashMaxHamming)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.frame_idx").as("frame_a"))
+      .distinct()
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_matched"))
+    matched
+      .join(nFrames.select(col("doc_id").as("doc_a"),
+        col("n_frames").as("frames_a")), Seq("doc_a"))
+      .join(nFrames.select(col("doc_id").as("doc_b"),
+        col("n_frames").as("frames_b")), Seq("doc_b"))
+      .withColumn("match_bp", intDiv(col("n_matched") * lit(10000L),
+        least(col("frames_a"), col("frames_b"))))
+      .where(col("match_bp") >= VideoMatchMinBp)
+      .select(col("doc_a"), col("doc_b"), col("n_matched"),
+        col("frames_a"), col("frames_b"), col("match_bp"))
+  }
+
   case class AudioFp(doc_id: Long, sample_rate: Long, n_frames: Long,
                      fp: String)
 

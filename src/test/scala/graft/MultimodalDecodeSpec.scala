@@ -231,6 +231,44 @@ class MultimodalDecodeSpec extends SparkTestBase {
       "distinct images must not dhash-collide")
   }
 
+  // ---- video near-dup --------------------------------------------------------
+
+  test("videoNearDupPairs: the same frames re-encoded at a different JPEG " +
+      "quality pair up fully; a different video pairs with nothing") {
+    def jpegOf(png: Array[Byte], quality: Float): Array[Byte] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val p = w.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+      w.setOutput(ios)
+      w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      w.dispose(); ios.close()
+      out.toByteArray
+    }
+    // three structured 64x64 frames per video. Matching is SET-based
+    // (any frame to any frame), so the distinct video must differ from A
+    // in EVERY frame's structure — all its frames use the inverted block
+    // (noise-salt variation alone is perceptually the same frame and
+    // correctly matches; verified while writing this test)
+    def frames(seed: Int, quality: Float, inv: Boolean): Seq[Array[Byte]] =
+      (0 to 2).map(i => jpegOf(patternPng(64, 64, seed + 20 * i,
+        inverted = inv), quality))
+    val vidA = aviBytes(frames(1, 0.9f, inv = false))
+    val vidB = aviBytes(frames(1, 0.5f, inv = false)) // re-encode: same content
+    val vidC = aviBytes(frames(500, 0.9f, inv = true)) // different content
+    val got = Multimodal.videoNearDupPairs(Seq(
+      DocBlob(1L, vidA), DocBlob(2L, vidB), DocBlob(3L, vidC)).toDS())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(got == List((1L, 2L, 3L)),
+      s"expected exactly the re-encode pair with all 3 frames matched: $got")
+    // and the frame-hash substrate carries all 9 decodable frames
+    assert(Multimodal.videoFrameHashes(Seq(DocBlob(1L, vidA),
+      DocBlob(2L, vidB), DocBlob(3L, vidC)).toDS()).count() == 9)
+  }
+
   // ---- audio fingerprinting -------------------------------------------------
 
   test("audioFingerprints: amplitude halving and re-containering keep the " +
