@@ -513,8 +513,19 @@ object Dedup {
   def dedupComponents(spark: SparkSession, dir: String): DataFrame =
     Materialized.cached(compCache, spark, dir) {
       // The pair graph comes pre-materialized — no LSH re-execution here.
-      val pairs = minhashPairs(spark, dir)
+      componentsOfPairs(spark, minhashPairs(spark, dir),
+        scratchTag("components", spark, dir))
+    }
+
+  /** Min-label + pointer-jumping connected components over ANY
+    * (doc_a, doc_b) pair frame — the loop [[dedupComponents]] always ran,
+    * factored (r12) so the media near-dup pair graphs (image/audio) get
+    * the same checkpoint-disciplined clustering. Returns (doc_id,
+    * component); only docs in the pair graph appear. */
+  private[operators] def componentsOfPairs(spark: SparkSession,
+      pairs: DataFrame, tag: String): DataFrame = {
       val edges = pairs
+        .select(col("doc_a"), col("doc_b"))
         .union(pairs.select(col("doc_b"), col("doc_a")))
         .toDF("src", "dst")
       val ckpts = scala.collection.mutable.ListBuffer.empty[org.apache.spark.rdd.RDD[_]]
@@ -567,12 +578,12 @@ object Dedup {
       // O(rounds × |graph|) of block-manager storage that clearAll() could
       // never reach AND leaves the labels recomputable from the file scan
       // even if every cached block is lost (DedupSpec locks the recompute).
-      val result = durableFinish(spark, scratchTag("components", spark, dir),
+      val result = durableFinish(spark, tag,
         labels.select(col("doc").as("doc_id"), col("lbl").as("component")))
       result.count()
       ckpts.foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
       result
-    }
+  }
   val dedupComponentsSql: String =
     s"""WITH RECURSIVE pairs AS (
        |  ${dedupMinhashSql.linesIterator.mkString("\n  ")}

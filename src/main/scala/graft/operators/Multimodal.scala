@@ -480,6 +480,27 @@ object Multimodal {
         col("frames_a"), col("frames_b"), col("match_bp"))
   }
 
+  /** Driver-contract query: connected CLUSTERS of the image near-dup pair
+    * graph — the end product a media dedup run keeps (pairs → transitive
+    * clusters → one representative per cluster), via the SAME min-label +
+    * pointer-jumping loop the text dedup family uses
+    * ([[Dedup.componentsOfPairs]] — checkpoint-per-round, durable finish).
+    * Only docs in the pair graph appear; the representative is the
+    * min-id member, i.e. `component` itself. */
+  def imageDupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.componentsOfPairs(spark,
+      dedupImage(spark, dir).select(col("doc_a"), col("doc_b")),
+      "image-components-fixture")
+      .orderBy(col("doc_id"))
+
+  /** Oracle: exact VALUES literal — the fixture's three copies form ONE
+    * transitive cluster labeled by its min id; the two distinct images
+    * are absent (no pairs). */
+  val imageDupClustersSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(component AS BIGINT) AS component
+      |FROM (VALUES (0, 0), (1, 0), (2, 0)) AS t(doc_id, component)""".stripMargin
+
   case class AudioFp(doc_id: Long, sample_rate: Long, n_frames: Long,
                      fp: String)
 
