@@ -829,4 +829,152 @@ object WarcSource {
       |  ('beta.example', 'http://beta.example/', 2, 2),
       |  ('beta.example/page', 'http://beta.example/page?id=1', 2, 2))
       |  AS t(canon_url, keep_url, n_fetches, n_raw_urls)""".stripMargin
+
+  // ---- robots.txt compliance gate (RFC 9309) ------------------------------
+  /** The crawler identity the gate evaluates (CCBot-style named agent). */
+  val RobotsAgent = "graftbot"
+
+  /** robots.txt fixture corpus backing `robots_rules`/`robots_gate`
+    * (scripts/make_robots_fixture.py; hand-derived VALUES oracles): group
+    * selection trap (a host with both `*` and agent-specific groups),
+    * empty-Disallow allow-all idiom, a host with no robots.txt, and a
+    * host whose only group names a DIFFERENT agent with no `*` fallback. */
+  lazy val FixtureRobotsDir: String =
+    materializeFixture("warc_robots",
+      Seq("cc-robots-000.warc", "cc-robots-001.warc.gz"))
+
+  /** Parse one robots.txt body into (agent, rule, prefix) rows under the
+    * RFC 9309 semantics this operator pins: `#` comments stripped, keys
+    * case-insensitive, CONSECUTIVE User-agent lines share the following
+    * rule lines (a User-agent line after rules starts a new group), any
+    * non-User-agent key ends a User-agent run, and an EMPTY Allow/Disallow
+    * value is no rule at all (the allow-all idiom). Executor-side plain
+    * parsing — the WARC-record-parse pattern; robots bodies are KB-sized. */
+  private[graft] def parseRobots(body: String): Seq[(String, String, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    var agents = List.empty[String]
+    var inUaRun = false
+    body.split("\r?\n").iterator
+      .map(l => l.takeWhile(_ != '#').trim)
+      .filter(_.nonEmpty)
+      .foreach { line =>
+        val ix = line.indexOf(':')
+        if (ix > 0) {
+          val key = line.substring(0, ix).trim.toLowerCase
+          val value = line.substring(ix + 1).trim
+          key match {
+            case "user-agent" =>
+              if (inUaRun) agents = value.toLowerCase :: agents
+              else { agents = List(value.toLowerCase); inUaRun = true }
+            case "allow" | "disallow" =>
+              inUaRun = false
+              if (value.nonEmpty)
+                agents.reverse.foreach(a => out += ((a, key, value)))
+            case _ => inUaRun = false // crawl-delay etc. bind to the group
+          }
+        }
+      }
+    out.toSeq
+  }
+
+  /** The parsed rule table of every robots.txt response in a crawl frame:
+    * (host, agent, rule, prefix). Map-only executor parse over the
+    * KB-bounded robots bodies — at 100 TB the table is host-bounded
+    * (~rules per domain), the columnar artifact every fetch-compliance
+    * join reads. */
+  private[graft] def robotsRulesOf(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs
+      .select(hostCol(col("url")).as("host"), col("text"))
+      .where(lower(col("url")).rlike("^[^?#]*/robots\\.txt$"))
+      .as[(String, String)]
+      .flatMap { case (host, text) =>
+        parseRobots(text).map { case (a, r, p) => (host, a, r, p) } }
+      .toDF("host", "agent", "rule", "prefix")
+  }
+
+  /** Driver-contract query: the rule table of the committed robots
+    * fixture. Ignores `dir` (raw-file source; the warc_host_stats
+    * pattern). */
+  def robotsRules(spark: SparkSession, dir: String): DataFrame =
+    robotsRulesOf(spark, documentsFromWarc(spark, FixtureRobotsDir))
+
+  /** Oracle: exact VALUES literal, hand-derived in
+    * scripts/make_robots_fixture.py from the fixture bodies — checks the
+    * full parse chain: comment strip (incl. trailing comments), group
+    * accumulation across consecutive User-agent lines, group restart
+    * after rules, case folding, and the empty-Disallow drop (b.example
+    * contributes NO rows). */
+  val robotsRulesSql: String =
+    """SELECT host, agent, rule, prefix
+      |FROM (VALUES
+      |  ('a.example', '*', 'disallow', '/private/'),
+      |  ('a.example', '*', 'allow', '/private/ok'),
+      |  ('a.example', '*', 'disallow', '/tmp'),
+      |  ('a.example', 'graftbot', 'disallow', '/graft-only/'),
+      |  ('d.example', 'otherbot', 'disallow', '/'))
+      |  AS t(host, agent, rule, prefix)""".stripMargin
+
+  /** Per-page robots verdicts for `agent` under RFC 9309 group selection
+    * and precedence: the agent-specific group if the host has one, else
+    * the `*` group, else no rules; among prefix-matching rules the
+    * LONGEST prefix wins, Allow wins a length tie, and no match means
+    * allowed.
+    *
+    * Scale shape: the rule table is host-bounded (never broadcast at
+    * 100 TB — ~10⁸ domains × rules) and equi-joins the page frame on the
+    * uniform host key with the startswith predicate evaluated in the
+    * join; the per-URL argmax is one min(struct) aggregation keyed by
+    * doc_id — no window over the corpus, no all-pairs. */
+  private[graft] def robotsVerdicts(pages: DataFrame, rules: DataFrame,
+      agent: String): DataFrame = {
+    val hostsSpecific = rules.where(col("agent") === agent)
+      .select(col("host")).distinct().withColumn("has_specific", lit(true))
+    val eff = rules.join(hostsSpecific, Seq("host"), "left")
+      .where(col("agent") ===
+        when(coalesce(col("has_specific"), lit(false)), lit(agent))
+          .otherwise(lit("*")))
+      .select(col("host"), col("rule"), col("prefix"))
+    val p = pages.select(col("url"), hostCol(col("url")).as("host"),
+      coalesce(nullif(regexp_extract(col("url"),
+        "^[A-Za-z]+://[^/]+(/.*)?$", 1), lit("")), lit("/")).as("path"))
+    p.as("p").join(eff.as("r"),
+        col("p.host") === col("r.host")
+          && expr("startswith(p.path, r.prefix)"), "left")
+      .groupBy(col("url"), col("p.host").as("host"), col("path"))
+      .agg(min(when(col("r.prefix").isNotNull,
+        struct(negate(length(col("r.prefix"))).as("nl"),
+          when(col("r.rule") === "allow", 0).otherwise(1).as("ro"),
+          col("r.rule").as("rule"), col("r.prefix").as("prefix"))))
+        .as("best"))
+      .select(col("url"), col("host"), col("path"),
+        (col("best").isNull || col("best.rule") === "allow").as("allowed"),
+        coalesce(col("best.prefix"), lit("")).as("matched_prefix"))
+  }
+
+  /** Driver-contract query: [[robotsVerdicts]] for [[RobotsAgent]] over
+    * the committed fixture's PAGE responses (robots.txt bodies excluded —
+    * the gate governs content fetches). */
+  def robotsGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documentsFromWarc(spark, FixtureRobotsDir)
+    robotsVerdicts(
+      docs.where(!lower(col("url")).rlike("^[^?#]*/robots\\.txt$")),
+      robotsRulesOf(spark, docs), RobotsAgent)
+  }
+
+  /** Oracle: exact VALUES literal (hand-derived, see the generator's
+    * docstring) — pins the group-selection trap (a.example/private/x is
+    * ALLOWED for graftbot because its specific group replaces `*`), the
+    * agent-gated disallow, the empty-Disallow allow-all, the
+    * no-robots-at-all default, and the no-`*`-fallback default. */
+  val robotsGateSql: String =
+    """SELECT url, host, path, allowed, matched_prefix
+      |FROM (VALUES
+      |  ('http://a.example/graft-only/secret', 'a.example',
+      |   '/graft-only/secret', false, '/graft-only/'),
+      |  ('http://a.example/private/x', 'a.example', '/private/x', true, ''),
+      |  ('http://b.example/anything', 'b.example', '/anything', true, ''),
+      |  ('http://c.example/whatever', 'c.example', '/whatever', true, ''),
+      |  ('http://d.example/page', 'd.example', '/page', true, ''))
+      |  AS t(url, host, path, allowed, matched_prefix)""".stripMargin
 }

@@ -660,4 +660,67 @@ class WarcSourceSpec extends SparkTestBase {
     assert(inbound(topByPr) == inbound.values.max)
     assert(pr.values.toSet.size > 1)
   }
+
+  // ---- robots.txt (RFC 9309) -----------------------------------------------
+
+  test("parseRobots: orphan rules, consecutive UA runs, group restarts, " +
+      "comments and empty values") {
+    // rules BEFORE any User-agent line have no group and are dropped
+    assert(WarcSource.parseRobots("Disallow: /early\n").isEmpty)
+    // consecutive UA lines share the rules; a later UA starts a NEW group
+    val multi = WarcSource.parseRobots(
+      """User-agent: A
+        |User-agent: B
+        |Disallow: /x
+        |User-agent: C
+        |Disallow: /y""".stripMargin)
+    assert(multi == Seq(("a", "disallow", "/x"), ("b", "disallow", "/x"),
+      ("c", "disallow", "/y")))
+    // a non-UA key ends the UA run: D starts fresh, not joining A/B/C
+    val broken = WarcSource.parseRobots(
+      """User-agent: A
+        |Crawl-delay: 5
+        |User-agent: D
+        |Allow: /z""".stripMargin)
+    assert(broken == Seq(("d", "allow", "/z")))
+    // comments (whole-line and trailing) and empty values drop
+    assert(WarcSource.parseRobots(
+      "# all of it\nUser-agent: *\nDisallow: /a # tail\nAllow:\n") ==
+      Seq(("*", "disallow", "/a")))
+  }
+
+  test("robotsVerdicts: longest prefix wins and Allow wins a length tie") {
+    import spark.implicits._
+    val rules = Seq(
+      ("e.example", "*", "disallow", "/p/"),
+      ("e.example", "*", "allow", "/p/ok/"),      // longer: overrides
+      ("e.example", "*", "disallow", "/t/ok"),    // equal length as next
+      ("e.example", "*", "allow", "/t/ok"))       // tie -> allow wins
+      .toDF("host", "agent", "rule", "prefix")
+    val pages = Seq(
+      "http://e.example/p/ok/page",  // allow /p/ok/ (len 6) beats /p/ (3)
+      "http://e.example/p/other",    // disallow /p/
+      "http://e.example/t/okay",     // tie at /t/ok -> allowed
+      "http://e.example/",           // no match -> allowed
+      "http://f.example/anything")   // host without rules -> allowed
+      .toDF("url")
+    val got = WarcSource.robotsVerdicts(pages, rules, "graftbot")
+      .collect().map(r => r.getString(0) ->
+        ((r.getBoolean(3), r.getString(4)))).toMap
+    assert(got("http://e.example/p/ok/page") == ((true, "/p/ok/")))
+    assert(got("http://e.example/p/other") == ((false, "/p/")))
+    assert(got("http://e.example/t/okay") == ((true, "/t/ok")))
+    assert(got("http://e.example/") == ((true, "")))
+    assert(got("http://f.example/anything") == ((true, "")))
+  }
+
+  test("robots_gate fixture verdicts: the group-selection trap holds") {
+    val got = WarcSource.robotsGate(spark, "ignored").collect()
+      .map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    // graftbot's specific group REPLACES '*' on a.example: /private/x is
+    // allowed for graftbot even though '*' disallows it
+    assert(got("http://a.example/private/x"))
+    assert(!got("http://a.example/graft-only/secret"))
+    assert(got("http://d.example/page")) // no '*' fallback group
+  }
 }
