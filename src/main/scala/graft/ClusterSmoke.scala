@@ -119,7 +119,10 @@ object ClusterSmoke {
     "dedup_image",        // banded pHash self-join across JVMs
     "audio_fingerprint",  // WAV fixture: classpath materialization + PCM
                           // parse + integer energy fold on executors
-    "dedup_audio")        // banded fingerprint self-join across JVMs
+    "dedup_audio",        // banded fingerprint self-join across JVMs
+    "image_dup_clusters", // components loop over the banded pair graph
+    "robots_gate")        // robots fixture: classpath materialization +
+                          // host-keyed rule join on executor JVMs
 
   private def warcDocCount(spark: SparkSession): Long =
     graft.sources.WarcSource

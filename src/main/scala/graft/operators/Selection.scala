@@ -1027,9 +1027,13 @@ object Selection {
       .join(docs(spark, dir).select(col("doc_id"), col("source")), "doc_id")
       .groupBy("source").agg(count(lit(1)).as("n_scored"),
         sum(col("excess_e4")).as("sum_excess_e4"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy()
-    val joined = toksPerDoc.join(excess, Seq("source"))
-      .withColumn("tok_total", sum(col("n_tokens")).over(w))
+    // cross-source totals as BROADCAST 1-row aggregates, not unpartitioned
+    // windows (the repo-wide lint bans WindowExec with an empty partition
+    // spec — even on this bounded frame, the broadcast shape is the one
+    // that generalizes)
+    val base = toksPerDoc.join(excess, Seq("source"))
+    val tokTotal = base.agg(sum(col("n_tokens")).as("tok_total"))
+    val joined = base.crossJoin(broadcast(tokTotal))
       .withColumn("boost",
         round(exp((col("sum_excess_e4").cast("double")
           / col("n_scored").cast("double")) / 10000.0), 6)
@@ -1037,8 +1041,9 @@ object Selection {
       .withColumn("w_raw",
         round((col("n_tokens").cast("double") / col("tok_total").cast("double"))
           * col("boost"), 8).cast("decimal(18,8)"))
-    joined
-      .withColumn("w_total", sum(col("w_raw")).over(w).cast("decimal(28,8)"))
+    val wTotal = joined
+      .agg(sum(col("w_raw")).cast("decimal(28,8)").as("w_total"))
+    joined.crossJoin(broadcast(wTotal))
       .select(col("source"), col("n_tokens"),
         col("n_scored").cast("long").as("n_scored"),
         col("sum_excess_e4").cast("long").as("sum_excess_e4"),
