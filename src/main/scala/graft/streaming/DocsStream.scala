@@ -401,6 +401,56 @@ object DocsStream {
   def blocklistGate(docs: DataFrame): DataFrame =
     graft.operators.Curation.blocklistGateOf(docs)
 
+  /** Per-host RESOLVED robots rule sets for one agent — the batch
+    * artifact [[robotsGateStage]] consumes (robots fetches are a separate
+    * slow loop; a stream can't aggregate the rule table itself): RFC 9309
+    * group selection applied (the agent-specific group if the host has
+    * one, else `*`), rules packed into ONE array per host sorted by
+    * (prefix length desc, Allow first) — precedence becomes first-match,
+    * so the stream side needs no aggregation at all. Host-bounded. */
+  def robotsRuleSets(rules: DataFrame, agent: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val hostsSpecific = rules.where(col("agent") === agent)
+      .select(col("host")).distinct().withColumn("has_specific", lit(true))
+    rules.join(hostsSpecific, Seq("host"), "left")
+      .where(col("agent") ===
+        when(coalesce(col("has_specific"), lit(false)), lit(agent))
+          .otherwise(lit("*")))
+      .groupBy(col("host"))
+      .agg(array_sort(collect_list(struct(
+        negate(length(col("prefix"))).as("nl"),
+        when(col("rule") === "allow", 0).otherwise(1).as("ro"),
+        col("rule").as("rule"), col("prefix").as("prefix"))))
+        .as("rules"))
+  }
+
+  /** Ingest-time robots.txt compliance gate — the streaming twin of the
+    * batch `robots_gate`, with IDENTICAL verdicts by construction
+    * (spec-locked keep sets): the resolved per-host rule array joins
+    * stream-static on the host key (host-bounded — a plain equi-join,
+    * deliberately NOT a broadcast: 10⁸ domains are not a mixGate rate
+    * table), and precedence is a row-local FIRST-MATCH over the
+    * pre-sorted array (longest prefix, Allow on ties — the ordering is
+    * baked into the artifact). No rules row / no matching prefix ⇒
+    * allowed. Stateless: join + filter, no aggregation. */
+  def robotsGateStage(docs: DataFrame, ruleSets: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val path = coalesce(nullif(regexp_extract(col("url"),
+      "^[A-Za-z]+://[^/]+(/.*)?$", 1), lit("")), lit("/"))
+    // get(), not [0]: ANSI mode throws on indexing an EMPTY filtered array
+    val firstMatch = expr(
+      "get(filter(rules, r -> startswith(__path, r.prefix)), 0)")
+    docs
+      .withColumn("__host",
+        graft.sources.WarcSource.hostCol(col("url")))
+      .withColumn("__path", path)
+      .join(ruleSets.withColumnRenamed("host", "__host"),
+        Seq("__host"), "left")
+      .where(col("rules").isNull || firstMatch.isNull
+        || firstMatch.getField("rule") === "allow")
+      .drop("__host", "__path", "rules")
+  }
+
   /** Stateless quality-ensemble gate — the streaming twin of the batch
     * `quality_ensemble` majority vote (Gopher + C4 + hashed classifier,
     * the SAME three row-local expressions), so batch≡stream by

@@ -714,6 +714,31 @@ class WarcSourceSpec extends SparkTestBase {
     assert(got("http://f.example/anything") == ((true, "")))
   }
 
+  test("robotsGateStage (streaming) keeps exactly the batch robots_gate " +
+      "allow set over the fixture") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val fixtureDocs = WarcSource.robotsGate(spark, "ignored")
+    val batchAllow = fixtureDocs.collect()
+      .filter(_.getBoolean(3)).map(_.getString(0)).toSet
+    val batchAll = fixtureDocs.collect().map(_.getString(0)).toSet
+    val rules = WarcSource.robotsRules(spark, "ignored")
+    val ruleSets = graft.streaming.DocsStream
+      .robotsRuleSets(rules, WarcSource.RobotsAgent)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.DocsStream.robotsGateStage(
+      input.toDF().toDF("doc_id", "url"), ruleSets)
+      .writeStream.format("memory").queryName("robotsgate")
+      .outputMode("append").start()
+    input.addData(batchAll.toSeq.sorted.zipWithIndex
+      .map { case (u, i) => (i.toLong, u) }: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("robotsgate").collect()
+      .map(_.getAs[String]("url")).toSet
+    assert(streamed == batchAllow,
+      s"stream keep set $streamed != batch allow set $batchAllow")
+  }
+
   test("robots_gate fixture verdicts: the group-selection trap holds") {
     val got = WarcSource.robotsGate(spark, "ignored").collect()
       .map(r => r.getString(0) -> r.getBoolean(3)).toMap
