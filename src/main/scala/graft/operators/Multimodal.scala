@@ -487,10 +487,18 @@ object Multimodal {
     * ([[Dedup.componentsOfPairs]] — checkpoint-per-round, durable finish).
     * Only docs in the pair graph appear; the representative is the
     * min-id member, i.e. `component` itself. */
+  private val imgCompCache = Materialized.register(
+    scala.collection.concurrent.TrieMap.empty[(String, String),
+      org.apache.spark.sql.DataFrame])
+
   def imageDupClusters(spark: SparkSession, dir: String): DataFrame =
-    Dedup.componentsOfPairs(spark,
-      dedupImage(spark, dir).select(col("doc_a"), col("doc_b")),
-      "image-components-fixture")
+    // Materialized per session like the text components: the loop's
+    // per-round fixed job cost (checkpoint + count) re-paid per call
+    // benched at 1.65 s steady on a 3-pair graph before the cache
+    Materialized.cached(imgCompCache, spark, dir)(
+      Dedup.componentsOfPairs(spark,
+        dedupImage(spark, dir).select(col("doc_a"), col("doc_b")),
+        "image-components-fixture"))
       .orderBy(col("doc_id"))
 
   /** Oracle: exact VALUES literal — the fixture's three copies form ONE
