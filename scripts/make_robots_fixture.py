@@ -25,16 +25,25 @@ Hosts:
   d.example   only an 'otherbot' group -> graftbot falls back to '*',
               which does not exist -> allow all
 
-Expected robots_rules rows (host, agent, rule, prefix):
+Expected robots_rules rows (host, agent, rule, prefix) — 'group' rows
+mark group PRESENCE (an empty agent-specific group must still win group
+selection):
+  ('a.example', '*', 'group', ''),
+  ('a.example', 'graftbot', 'group', ''),
+  ('b.example', '*', 'group', ''),
+  ('d.example', 'otherbot', 'group', ''),
   ('a.example', '*', 'disallow', '/private/'),
   ('a.example', '*', 'allow', '/private/ok'),
   ('a.example', '*', 'disallow', '/tmp'),
   ('a.example', 'graftbot', 'disallow', '/graft-only/'),
+  ('a.example', 'graftbot', 'disallow', '/*.zip$'),
   ('d.example', 'otherbot', 'disallow', '/'),
 
 Expected robots_gate rows for agent 'graftbot'
 (url, host, path, allowed, matched_prefix):
   a.example/private/x        -> allowed (graftbot group only; no match)
+  a.example/files/x.zip      -> DISALLOWED via the RFC 9309 wildcard+anchor
+                                rule /*.zip$
   a.example/graft-only/secret-> DISALLOWED via /graft-only/
   b.example/anything         -> allowed (empty-value rule dropped)
   c.example/whatever         -> allowed (no robots.txt)
@@ -69,6 +78,7 @@ Disallow: /tmp
 
 User-agent: GraftBot
 Disallow: /graft-only/   # trailing comment
+Disallow: /*.zip$
 """
 
 ROBOTS_B = """User-agent: *
@@ -91,6 +101,8 @@ def main():
                  http("agent-gated page", b"text/html"))
         + record("response", "http://b.example/anything",
                  http("open page b", b"text/html"))
+        + record("response", "http://a.example/files/x.zip",
+                 http("zipped artifact", b"application/zip"))
     )
     with open(os.path.join(OUT, "cc-robots-000.warc"), "wb") as f:
         f.write(part0)

@@ -507,7 +507,7 @@ object Dedup {
   }
 
   /** Scratch-path tag unique to (session instance, corpus dir). */
-  private def scratchTag(name: String, spark: SparkSession, dir: String): String =
+  private[operators] def scratchTag(name: String, spark: SparkSession, dir: String): String =
     s"$name-${(Materialized.sessionKey(spark, dir).hashCode & 0x7fffffff).toHexString}"
 
   def dedupComponents(spark: SparkSession, dir: String): DataFrame =

@@ -365,25 +365,32 @@ object Multimodal {
     * At 100 TB the candidate key is the band value: uniform, bounded by
     * true near-dup density exactly like `dedup_simhash` (same argument,
     * SURVEY §2 #18). */
-  /** Shared banded-hamming near-dup join over a (doc_id, <hexCol>) frame —
-    * the one blocking plan both media dedups run: unsigned 64-bit parse
-    * (two 32-bit halves recombined — a hash with bit 63 set overflows a
-    * direct signed conv→BIGINT cast), explode into 4×16-bit bands,
-    * equi-self-join on the (band_ix, band_val) key (never all-pairs),
-    * verify by exact hamming ≤ maxHamming. */
-  private def bandedHammingPairs(hashes: DataFrame, hexCol: String,
-      maxHamming: Int): DataFrame = {
-    val h = hashes.select(col("doc_id"),
-      expr(s"shiftleft(CAST(conv(substring($hexCol, 1, 8), 16, 10) AS BIGINT), 32)"
-        + s" | CAST(conv(substring($hexCol, 9, 8), 16, 10) AS BIGINT)")
-        .as("bits"))
-    val banded = h.select(col("doc_id"), col("bits"),
-      explode(expr(
+  /** Unsigned 64-bit parse of a 16-hex-char column: two 32-bit halves
+    * recombined — a hash with bit 63 set overflows a direct signed
+    * conv→BIGINT cast. Shared by every banded consumer. */
+  private def unsignedBits(hexCol: String) =
+    expr(s"shiftleft(CAST(conv(substring($hexCol, 1, 8), 16, 10) AS BIGINT), 32)"
+      + s" | CAST(conv(substring($hexCol, 9, 8), 16, 10) AS BIGINT)")
+
+  /** Explode a `bits` column into 4×16-bit (band_ix, band_val) rows,
+    * carrying every other column through. */
+  private def bandExplode(withBits: DataFrame): DataFrame =
+    withBits.withColumn("b", explode(expr(
         "transform(sequence(0, 3), " +
           "k -> struct(k AS band_ix, " +
-          "shiftright(bits, CAST(16 * k AS INT)) & 65535 AS band_val))"))
-        .as("b"))
-      .select(col("doc_id"), col("bits"), col("b.band_ix"), col("b.band_val"))
+          "shiftright(bits, CAST(16 * k AS INT)) & 65535 AS band_val))")))
+      .withColumn("band_ix", col("b.band_ix"))
+      .withColumn("band_val", col("b.band_val")).drop("b")
+
+  /** Shared banded-hamming near-dup join over a (doc_id, <hexCol>) frame —
+    * the one blocking plan both media dedups run: [[unsignedBits]] parse,
+    * [[bandExplode]] into 4×16-bit bands, equi-self-join on the
+    * (band_ix, band_val) key (never all-pairs), verify by exact
+    * hamming ≤ maxHamming. */
+  private def bandedHammingPairs(hashes: DataFrame, hexCol: String,
+      maxHamming: Int): DataFrame = {
+    val banded = bandExplode(
+      hashes.select(col("doc_id"), unsignedBits(hexCol).as("bits")))
     banded.as("x").join(banded.as("y"),
         col("x.band_ix") === col("y.band_ix")
           && col("x.band_val") === col("y.band_val")
@@ -430,15 +437,17 @@ object Multimodal {
     })
   }
 
-  /** Matched-frame threshold: a candidate video pair is a near-dup when at
-    * least this fraction (in bp) of the SMALLER video's frames match. */
+  /** Matched-frame threshold: a candidate video pair is a near-dup when
+    * at least this fraction (in bp) of BOTH sides' frames match. */
   val VideoMatchMinBp = 5000L
 
   /** Video near-dup pairs: band-block the per-frame pHashes (the
-    * [[dedupImage]] blocking, frame-grain), verify frame pairs at
-    * hamming ≤ [[PhashMaxHamming]], then roll matched DISTINCT frame
-    * indexes up to the video pair and keep pairs covering ≥
-    * [[VideoMatchMinBp]] of the smaller side. Scale: the band key is
+    * [[dedupImage]] blocking via the shared [[bandExplode]], frame-grain),
+    * verify frame pairs at hamming ≤ [[PhashMaxHamming]], then roll
+    * matched DISTINCT frame indexes up PER SIDE and keep pairs where BOTH
+    * sides' coverage reaches [[VideoMatchMinBp]] — one-sided coverage
+    * (review r12: a 60-frame static scene all matching ONE frame of a
+    * 10-frame clip) cannot fake a near-dup. Scale: the band key is
     * uniform over frame-hash space, candidate volume bounded by true
     * frame-level near-dup density; the rollup keys on (video_a, video_b)
     * — pair-graph-bounded, never all-pairs of videos. */
@@ -446,37 +455,27 @@ object Multimodal {
     import org.apache.spark.sql.graft.ExactMath.intDiv
     val fr = videoFrameHashes(blobs).toDF()
       .select(col("doc_id"), col("frame_idx"),
-        expr("shiftleft(CAST(conv(substring(phash, 1, 8), 16, 10) AS BIGINT), 32)"
-          + " | CAST(conv(substring(phash, 9, 8), 16, 10) AS BIGINT)")
-          .as("bits"))
+        unsignedBits("phash").as("bits"))
     val nFrames = fr.groupBy(col("doc_id")).agg(count(lit(1)).as("n_frames"))
-    val banded = fr.select(col("doc_id"), col("frame_idx"), col("bits"),
-      explode(expr(
-        "transform(sequence(0, 3), " +
-          "k -> struct(k AS band_ix, " +
-          "shiftright(bits, CAST(16 * k AS INT)) & 65535 AS band_val))"))
-        .as("b"))
-      .select(col("doc_id"), col("frame_idx"), col("bits"),
-        col("b.band_ix"), col("b.band_val"))
+    val banded = bandExplode(fr)
     val matched = banded.as("x").join(banded.as("y"),
         col("x.band_ix") === col("y.band_ix")
           && col("x.band_val") === col("y.band_val")
           && col("x.doc_id") < col("y.doc_id"))
       .where(expr("bit_count(x.bits ^ y.bits)") <= PhashMaxHamming)
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.frame_idx").as("frame_a"))
-      .distinct()
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_matched"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(countDistinct(col("x.frame_idx")).as("matched_a"),
+        countDistinct(col("y.frame_idx")).as("matched_b"))
     matched
       .join(nFrames.select(col("doc_id").as("doc_a"),
         col("n_frames").as("frames_a")), Seq("doc_a"))
       .join(nFrames.select(col("doc_id").as("doc_b"),
         col("n_frames").as("frames_b")), Seq("doc_b"))
-      .withColumn("match_bp", intDiv(col("n_matched") * lit(10000L),
-        least(col("frames_a"), col("frames_b"))))
+      .withColumn("match_bp", least(
+        intDiv(col("matched_a") * lit(10000L), col("frames_a")),
+        intDiv(col("matched_b") * lit(10000L), col("frames_b"))))
       .where(col("match_bp") >= VideoMatchMinBp)
-      .select(col("doc_a"), col("doc_b"), col("n_matched"),
+      .select(col("doc_a"), col("doc_b"), col("matched_a"), col("matched_b"),
         col("frames_a"), col("frames_b"), col("match_bp"))
   }
 
@@ -498,7 +497,10 @@ object Multimodal {
     Materialized.cached(imgCompCache, spark, dir)(
       Dedup.componentsOfPairs(spark,
         dedupImage(spark, dir).select(col("doc_a"), col("doc_b")),
-        "image-components-fixture"))
+        // session-scoped tag (review r12): a constant path would let two
+        // sessions' durableFinish overwrites race each other's
+        // recompute-from-scratch reads
+        Dedup.scratchTag("imgcomponents", spark, dir)))
       .orderBy(col("doc_id"))
 
   /** Oracle: exact VALUES literal — the fixture's three copies form ONE

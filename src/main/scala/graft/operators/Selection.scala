@@ -1030,13 +1030,19 @@ object Selection {
     // cross-source totals as BROADCAST 1-row aggregates, not unpartitioned
     // windows (the repo-wide lint bans WindowExec with an empty partition
     // spec — even on this bounded frame, the broadcast shape is the one
-    // that generalizes)
-    val base = toksPerDoc.join(excess, Seq("source"))
+    // that generalizes).
+    // LEFT join (review r12): a source with zero SCORED docs (all docs
+    // <2 tokens) must keep its weight row at a NEUTRAL boost (exp(0)=1 —
+    // no excess signal) and its tokens in tok_total, not silently vanish
+    // and inflate every other source's share.
+    val base = toksPerDoc.join(excess, Seq("source"), "left")
+      .withColumn("n_scored", coalesce(col("n_scored"), lit(0L)))
+      .withColumn("sum_excess_e4", coalesce(col("sum_excess_e4"), lit(0L)))
     val tokTotal = base.agg(sum(col("n_tokens")).as("tok_total"))
     val joined = base.crossJoin(broadcast(tokTotal))
       .withColumn("boost",
         round(exp((col("sum_excess_e4").cast("double")
-          / col("n_scored").cast("double")) / 10000.0), 6)
+          / greatest(col("n_scored"), lit(1L)).cast("double")) / 10000.0), 6)
           .cast("decimal(14,6)").cast("double"))
       .withColumn("w_raw",
         round((col("n_tokens").cast("double") / col("tok_total").cast("double"))
@@ -1066,12 +1072,15 @@ object Selection {
        |    CAST(sum(excess_e4) AS BIGINT) AS sum_excess_e4
        |  FROM ex JOIN documents d USING (doc_id) GROUP BY 1
        |), j AS (
-       |  SELECT source, n_tokens, n_scored, sum_excess_e4,
+       |  SELECT source, n_tokens,
+       |    coalesce(n_scored, 0) AS n_scored,
+       |    CAST(coalesce(sum_excess_e4, 0) AS BIGINT) AS sum_excess_e4,
        |    sum(n_tokens) OVER () AS tok_total,
-       |    CAST(CAST(round(exp((CAST(sum_excess_e4 AS DOUBLE)
-       |      / CAST(n_scored AS DOUBLE)) / 10000.0), 6) AS DECIMAL(14,6))
-       |      AS DOUBLE) AS boost
-       |  FROM tok JOIN exs USING (source)
+       |    CAST(CAST(round(exp((CAST(coalesce(sum_excess_e4, 0) AS DOUBLE)
+       |      / CAST(greatest(coalesce(n_scored, 0), 1) AS DOUBLE))
+       |      / 10000.0), 6)
+       |      AS DECIMAL(14,6)) AS DOUBLE) AS boost
+       |  FROM tok LEFT JOIN exs USING (source)
        |), wr AS (
        |  SELECT *, CAST(round((CAST(n_tokens AS DOUBLE)
        |      / CAST(tok_total AS DOUBLE)) * boost, 8) AS DECIMAL(18,8))

@@ -846,12 +846,19 @@ object WarcSource {
   /** Parse one robots.txt body into (agent, rule, prefix) rows under the
     * RFC 9309 semantics this operator pins: `#` comments stripped, keys
     * case-insensitive, CONSECUTIVE User-agent lines share the following
-    * rule lines (a User-agent line after rules starts a new group), any
-    * non-User-agent key ends a User-agent run, and an EMPTY Allow/Disallow
-    * value is no rule at all (the allow-all idiom). Executor-side plain
-    * parsing — the WARC-record-parse pattern; robots bodies are KB-sized. */
+    * rule lines, a User-agent line after Allow/Disallow rules starts a
+    * NEW group, and OTHER records (Crawl-delay, Sitemap, …) neither end
+    * a User-agent run nor start groups (§2.2.4: they MUST NOT interfere
+    * with group formation). An EMPTY Allow/Disallow value is no rule at
+    * all (the allow-all idiom) — but the GROUP still exists, so every
+    * agent named by any User-agent line also emits one
+    * (agent, 'group', '') presence row: group selection must see an
+    * empty agent-specific group (= allow everything for that agent), not
+    * fall back to `*` (review r12). Executor-side plain parsing — the
+    * WARC-record-parse pattern; robots bodies are KB-sized. */
   private[graft] def parseRobots(body: String): Seq[(String, String, String)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
     var agents = List.empty[String]
     var inUaRun = false
     body.split("\r?\n").iterator
@@ -866,27 +873,45 @@ object WarcSource {
             case "user-agent" =>
               if (inUaRun) agents = value.toLowerCase :: agents
               else { agents = List(value.toLowerCase); inUaRun = true }
+              seen += value.toLowerCase
             case "allow" | "disallow" =>
               inUaRun = false
               if (value.nonEmpty)
                 agents.reverse.foreach(a => out += ((a, key, value)))
-            case _ => inUaRun = false // crawl-delay etc. bind to the group
+            case _ => () // Crawl-delay/Sitemap: MUST NOT interfere (§2.2.4)
           }
         }
       }
-    out.toSeq
+    seen.toSeq.map(a => (a, "group", "")) ++ out.toSeq
+  }
+
+  /** RFC 9309 §2.2.3 rule-to-regex translation: regex metachars escaped,
+    * `*` matches any octet sequence, a TRAILING `$` anchors the match at
+    * the path's end; anchored at the path start. Plain prefixes compile
+    * to plain anchored literals, so startswith semantics are unchanged
+    * where no special char appears. */
+  private[graft] def robotsPattern(prefix: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val escaped = regexp_replace(prefix,
+      "([\\\\.\\[\\]\\{\\}\\(\\)\\+\\-\\?\\^\\$\\|])", "\\\\$1")
+    val starred = regexp_replace(escaped, "\\*", ".*")
+    val anchored = regexp_replace(starred, "\\\\\\$$", "\\$")
+    concat(lit("^"), anchored)
   }
 
   /** The parsed rule table of every robots.txt response in a crawl frame:
-    * (host, agent, rule, prefix). Map-only executor parse over the
-    * KB-bounded robots bodies — at 100 TB the table is host-bounded
-    * (~rules per domain), the columnar artifact every fetch-compliance
-    * join reads. */
+    * (host, agent, rule, prefix) — rule ∈ {'group', 'allow', 'disallow'};
+    * 'group' rows mark GROUP PRESENCE (an agent-specific group with zero
+    * rules must still win group selection). robots.txt is matched by its
+    * URL PATH, so cache-busting query strings ('/robots.txt?cb=1') still
+    * count (review r12). Map-only executor parse over KB-bounded bodies —
+    * at 100 TB the table is host-bounded, the columnar compliance
+    * artifact. */
   private[graft] def robotsRulesOf(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     docs
       .select(hostCol(col("url")).as("host"), col("text"))
-      .where(lower(col("url")).rlike("^[^?#]*/robots\\.txt$"))
+      .where(lower(coalesce(parse_url(col("url"), lit("PATH")), lit("")))
+        === "/robots.txt")
       .as[(String, String)]
       .flatMap { case (host, text) =>
         parseRobots(text).map { case (a, r, p) => (host, a, r, p) } }
@@ -903,44 +928,63 @@ object WarcSource {
     * scripts/make_robots_fixture.py from the fixture bodies — checks the
     * full parse chain: comment strip (incl. trailing comments), group
     * accumulation across consecutive User-agent lines, group restart
-    * after rules, case folding, and the empty-Disallow drop (b.example
-    * contributes NO rows). */
+    * after rules, group-presence rows, case folding, the wildcard rule
+    * surviving verbatim, and the empty-Disallow drop (b.example
+    * contributes its presence row but NO rule rows). */
   val robotsRulesSql: String =
     """SELECT host, agent, rule, prefix
       |FROM (VALUES
+      |  ('a.example', '*', 'group', ''),
+      |  ('a.example', 'graftbot', 'group', ''),
+      |  ('b.example', '*', 'group', ''),
+      |  ('d.example', 'otherbot', 'group', ''),
       |  ('a.example', '*', 'disallow', '/private/'),
       |  ('a.example', '*', 'allow', '/private/ok'),
       |  ('a.example', '*', 'disallow', '/tmp'),
       |  ('a.example', 'graftbot', 'disallow', '/graft-only/'),
+      |  ('a.example', 'graftbot', 'disallow', '/*.zip$'),
       |  ('d.example', 'otherbot', 'disallow', '/'))
       |  AS t(host, agent, rule, prefix)""".stripMargin
 
+  /** RFC 9309 group selection, shared by the batch verdicts and the
+    * streaming rule-set artifact (one definition — batch≡stream by
+    * construction): the agent-specific group's RULES if the host has such
+    * a group (presence decided by 'group' rows, so an EMPTY specific
+    * group correctly yields zero rules instead of falling back to `*`),
+    * else the `*` group's rules, else nothing. Emits (host, rule, prefix,
+    * pattern) with the §2.2.3 wildcard regex precompiled. */
+  private[graft] def effectiveRules(rules: DataFrame, agent: String): DataFrame = {
+    val hostsSpecific = rules.where(col("agent") === agent)
+      .select(col("host")).distinct().withColumn("has_specific", lit(true))
+    rules.join(hostsSpecific, Seq("host"), "left")
+      .where(col("rule") =!= "group"
+        && col("agent") ===
+          when(coalesce(col("has_specific"), lit(false)), lit(agent))
+            .otherwise(lit("*")))
+      .select(col("host"), col("rule"), col("prefix"),
+        robotsPattern(col("prefix")).as("pattern"))
+  }
+
   /** Per-page robots verdicts for `agent` under RFC 9309 group selection
-    * and precedence: the agent-specific group if the host has one, else
-    * the `*` group, else no rules; among prefix-matching rules the
-    * LONGEST prefix wins, Allow wins a length tie, and no match means
-    * allowed.
+    * ([[effectiveRules]]) and precedence: among MATCHING rules (§2.2.3
+    * wildcard semantics — `*` any octets, trailing `$` end-anchor, via
+    * the precompiled pattern) the LONGEST rule wins, Allow wins a length
+    * tie, and no match means allowed.
     *
     * Scale shape: the rule table is host-bounded (never broadcast at
     * 100 TB — ~10⁸ domains × rules) and equi-joins the page frame on the
-    * uniform host key with the startswith predicate evaluated in the
-    * join; the per-URL argmax is one min(struct) aggregation keyed by
-    * doc_id — no window over the corpus, no all-pairs. */
+    * uniform host key with the match predicate evaluated in the join;
+    * the per-URL argmax is one min(struct) aggregation — no window over
+    * the corpus, no all-pairs. */
   private[graft] def robotsVerdicts(pages: DataFrame, rules: DataFrame,
       agent: String): DataFrame = {
-    val hostsSpecific = rules.where(col("agent") === agent)
-      .select(col("host")).distinct().withColumn("has_specific", lit(true))
-    val eff = rules.join(hostsSpecific, Seq("host"), "left")
-      .where(col("agent") ===
-        when(coalesce(col("has_specific"), lit(false)), lit(agent))
-          .otherwise(lit("*")))
-      .select(col("host"), col("rule"), col("prefix"))
+    val eff = effectiveRules(rules, agent)
     val p = pages.select(col("url"), hostCol(col("url")).as("host"),
       coalesce(nullif(regexp_extract(col("url"),
         "^[A-Za-z]+://[^/]+(/.*)?$", 1), lit("")), lit("/")).as("path"))
     p.as("p").join(eff.as("r"),
         col("p.host") === col("r.host")
-          && expr("startswith(p.path, r.prefix)"), "left")
+          && expr("regexp_like(p.path, r.pattern)"), "left")
       .groupBy(col("url"), col("p.host").as("host"), col("path"))
       .agg(min(when(col("r.prefix").isNotNull,
         struct(negate(length(col("r.prefix"))).as("nl"),
@@ -953,23 +997,27 @@ object WarcSource {
   }
 
   /** Driver-contract query: [[robotsVerdicts]] for [[RobotsAgent]] over
-    * the committed fixture's PAGE responses (robots.txt bodies excluded —
-    * the gate governs content fetches). */
+    * the committed fixture's PAGE responses (robots.txt bodies excluded
+    * by PATH — the gate governs content fetches). */
   def robotsGate(spark: SparkSession, dir: String): DataFrame = {
     val docs = documentsFromWarc(spark, FixtureRobotsDir)
     robotsVerdicts(
-      docs.where(!lower(col("url")).rlike("^[^?#]*/robots\\.txt$")),
+      docs.where(lower(coalesce(parse_url(col("url"), lit("PATH")), lit("")))
+        =!= "/robots.txt"),
       robotsRulesOf(spark, docs), RobotsAgent)
   }
 
   /** Oracle: exact VALUES literal (hand-derived, see the generator's
     * docstring) — pins the group-selection trap (a.example/private/x is
     * ALLOWED for graftbot because its specific group replaces `*`), the
-    * agent-gated disallow, the empty-Disallow allow-all, the
-    * no-robots-at-all default, and the no-`*`-fallback default. */
+    * agent-gated disallow, the §2.2.3 wildcard+anchor rule catching
+    * /files/x.zip, the empty-Disallow allow-all, the no-robots-at-all
+    * default, and the no-`*`-fallback default. */
   val robotsGateSql: String =
     """SELECT url, host, path, allowed, matched_prefix
       |FROM (VALUES
+      |  ('http://a.example/files/x.zip', 'a.example', '/files/x.zip',
+      |   false, '/*.zip$'),
       |  ('http://a.example/graft-only/secret', 'a.example',
       |   '/graft-only/secret', false, '/graft-only/'),
       |  ('http://a.example/private/x', 'a.example', '/private/x', true, ''),

@@ -404,23 +404,21 @@ object DocsStream {
   /** Per-host RESOLVED robots rule sets for one agent — the batch
     * artifact [[robotsGateStage]] consumes (robots fetches are a separate
     * slow loop; a stream can't aggregate the rule table itself): RFC 9309
-    * group selection applied (the agent-specific group if the host has
-    * one, else `*`), rules packed into ONE array per host sorted by
-    * (prefix length desc, Allow first) — precedence becomes first-match,
-    * so the stream side needs no aggregation at all. Host-bounded. */
+    * group selection via the SHARED
+    * [[graft.sources.WarcSource.effectiveRules]] (one definition —
+    * batch≡stream by construction, incl. the empty-specific-group and
+    * wildcard-pattern semantics), rules packed into ONE array per host
+    * sorted by (rule length desc, Allow first) — precedence becomes
+    * first-match, so the stream side needs no aggregation. Host-bounded. */
   def robotsRuleSets(rules: DataFrame, agent: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val hostsSpecific = rules.where(col("agent") === agent)
-      .select(col("host")).distinct().withColumn("has_specific", lit(true))
-    rules.join(hostsSpecific, Seq("host"), "left")
-      .where(col("agent") ===
-        when(coalesce(col("has_specific"), lit(false)), lit(agent))
-          .otherwise(lit("*")))
+    graft.sources.WarcSource.effectiveRules(rules, agent)
       .groupBy(col("host"))
       .agg(array_sort(collect_list(struct(
         negate(length(col("prefix"))).as("nl"),
         when(col("rule") === "allow", 0).otherwise(1).as("ro"),
-        col("rule").as("rule"), col("prefix").as("prefix"))))
+        col("rule").as("rule"), col("prefix").as("prefix"),
+        col("pattern").as("pattern"))))
         .as("rules"))
   }
 
@@ -430,16 +428,17 @@ object DocsStream {
     * stream-static on the host key (host-bounded — a plain equi-join,
     * deliberately NOT a broadcast: 10⁸ domains are not a mixGate rate
     * table), and precedence is a row-local FIRST-MATCH over the
-    * pre-sorted array (longest prefix, Allow on ties — the ordering is
-    * baked into the artifact). No rules row / no matching prefix ⇒
-    * allowed. Stateless: join + filter, no aggregation. */
+    * pre-sorted array under the same precompiled §2.2.3 wildcard
+    * patterns (longest rule, Allow on ties — the ordering is baked into
+    * the artifact). No rules row / no matching rule ⇒ allowed.
+    * Stateless: join + filter, no aggregation. */
   def robotsGateStage(docs: DataFrame, ruleSets: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     val path = coalesce(nullif(regexp_extract(col("url"),
       "^[A-Za-z]+://[^/]+(/.*)?$", 1), lit("")), lit("/"))
     // get(), not [0]: ANSI mode throws on indexing an EMPTY filtered array
     val firstMatch = expr(
-      "get(filter(rules, r -> startswith(__path, r.prefix)), 0)")
+      "get(filter(rules, r -> regexp_like(__path, r.pattern)), 0)")
     docs
       .withColumn("__host",
         graft.sources.WarcSource.hostCol(col("url")))

@@ -234,7 +234,8 @@ class MultimodalDecodeSpec extends SparkTestBase {
   // ---- video near-dup --------------------------------------------------------
 
   test("videoNearDupPairs: the same frames re-encoded at a different JPEG " +
-      "quality pair up fully; a different video pairs with nothing") {
+      "quality pair up fully; different and one-sided videos pair with " +
+      "nothing") {
     def jpegOf(png: Array[Byte], quality: Float): Array[Byte] = {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
       val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
@@ -248,25 +249,56 @@ class MultimodalDecodeSpec extends SparkTestBase {
       w.dispose(); ios.close()
       out.toByteArray
     }
-    // three structured 64x64 frames per video. Matching is SET-based
-    // (any frame to any frame), so the distinct video must differ from A
-    // in EVERY frame's structure — all its frames use the inverted block
-    // (noise-salt variation alone is perceptually the same frame and
-    // correctly matches; verified while writing this test)
-    def frames(seed: Int, quality: Float, inv: Boolean): Seq[Array[Byte]] =
-      (0 to 2).map(i => jpegOf(patternPng(64, 64, seed + 20 * i,
-        inverted = inv), quality))
-    val vidA = aviBytes(frames(1, 0.9f, inv = false))
-    val vidB = aviBytes(frames(1, 0.5f, inv = false)) // re-encode: same content
-    val vidC = aviBytes(frames(500, 0.9f, inv = true)) // different content
+    // three STRUCTURALLY distinct frame styles (noise-salt variation alone
+    // is perceptually the same frame and correctly matches): bright block,
+    // dark inverted block, coarse checkerboard
+    def stylePng(salt: Int, style: Int): Array[Byte] = {
+      def nz(x: Int, y: Int, s: Int): Int = {
+        var v = x * 2654435761L + y * 40503L + s * 69069L
+        v &= 0xffffffffL; v ^= v >> 13; v = (v * 1274126177L) & 0xffffffffL
+        ((v >> 8) % 97).toInt
+      }
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val r = (x * 3 + y + nz(x, y, salt)) % 256
+        val g = (x + y * 2 + nz(x, y, salt + 1)) % 256
+        val b = (x * 2 + y * 3 + nz(x, y, salt + 2)) % 256
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      }
+      style match {
+        case 0 => for (y <- 8 until 24; x <- 12 until 52)
+          img.setRGB(x, y, 0xfaf0e6)
+        case 1 => for (y <- 40 until 56; x <- 0 until 26)
+          img.setRGB(x, y, 0x0a1410)
+        case _ => for (y <- 0 until 64; x <- 0 until 64)
+          if (((x / 16) + (y / 16)) % 2 == 0) img.setRGB(x, y, 0xc8c8c8)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    def vid(salts: Seq[Int], styles: Seq[Int], q: Float): Array[Byte] =
+      aviBytes(salts.zip(styles).map { case (sa, st) =>
+        jpegOf(stylePng(sa, st), q) })
+    val vidA = vid(Seq(1, 21, 41), Seq(0, 1, 2), 0.9f)
+    val vidB = vid(Seq(1, 21, 41), Seq(0, 1, 2), 0.5f) // re-encode: same scenes
+    val vidC = vid(Seq(500, 520, 540), Seq(1, 1, 1), 0.9f) // one shared style
+    // one-sided trap (review r12): a 6-frame static scene all matching
+    // ONE of vidA's three structures — 6/6 coverage on D's side but only
+    // 1/3 on A's, so the bidirectional threshold must exclude the pair
+    val vidD = vid(Seq.fill(6)(1), Seq.fill(6)(0), 0.9f)
     val got = Multimodal.videoNearDupPairs(Seq(
-      DocBlob(1L, vidA), DocBlob(2L, vidB), DocBlob(3L, vidC)).toDS())
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
-    assert(got == List((1L, 2L, 3L)),
-      s"expected exactly the re-encode pair with all 3 frames matched: $got")
-    // and the frame-hash substrate carries all 9 decodable frames
+      DocBlob(1L, vidA), DocBlob(2L, vidB), DocBlob(3L, vidC),
+      DocBlob(4L, vidD)).toDS())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toList
+    assert(got == List((1L, 2L, 3L, 3L)),
+      s"expected exactly the re-encode pair with 3/3 frames both sides: $got")
+    // and the frame-hash substrate carries all 15 decodable frames
     assert(Multimodal.videoFrameHashes(Seq(DocBlob(1L, vidA),
-      DocBlob(2L, vidB), DocBlob(3L, vidC)).toDS()).count() == 9)
+      DocBlob(2L, vidB), DocBlob(3L, vidC), DocBlob(4L, vidD)).toDS())
+      .count() == 15)
   }
 
   // ---- audio fingerprinting -------------------------------------------------

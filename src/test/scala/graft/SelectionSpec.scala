@@ -503,6 +503,29 @@ class SelectionSpec extends SparkTestBase {
       > row(4).asInstanceOf[Long].toDouble)
   }
 
+  test("domain_reweight keeps an UNSCORED source at neutral boost instead " +
+      "of silently dropping it (review r12)") {
+    import spark.implicits._
+    // source s2's only doc is single-token: no bigrams -> no excess rows
+    val d = java.nio.file.Files.createTempDirectory("graft-drw").toString
+    Seq((1L, "alpha beta alpha beta gamma", "s1"),
+        (2L, "beta gamma alpha beta alpha", "s1"),
+        (3L, "solo", "s2"))
+      .toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'en' AS lang", "source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val rows = Selection.domainReweight(spark, d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("s1", "s2"), "unscored source vanished")
+    val s2 = rows("s2")
+    assert(s2.getLong(2) == 0L && s2.getLong(3) == 0L) // n_scored, excess
+    assert(s2.getDouble(5) == 1.0, "neutral boost must be exp(0) = 1")
+    // and its token joins the denominator: shares sum to ~10000 bp
+    val shareSum = rows.values.map(_.getLong(4)).sum
+    assert(shareSum >= 9998L && shareSum <= 10000L)
+  }
+
   test("kn3 discriminates where the bigram model cannot: deterministic " +
       "trigram structure under ambiguous bigram context") {
     // 10×"a b c" + 10×"d b e": after "b", the bigram model splits mass

@@ -664,29 +664,76 @@ class WarcSourceSpec extends SparkTestBase {
   // ---- robots.txt (RFC 9309) -----------------------------------------------
 
   test("parseRobots: orphan rules, consecutive UA runs, group restarts, " +
-      "comments and empty values") {
+      "non-interfering records, comments, empty values, presence rows") {
     // rules BEFORE any User-agent line have no group and are dropped
     assert(WarcSource.parseRobots("Disallow: /early\n").isEmpty)
-    // consecutive UA lines share the rules; a later UA starts a NEW group
+    // consecutive UA lines share the rules; a later UA (after rules)
+    // starts a NEW group; every named agent gets a presence row
     val multi = WarcSource.parseRobots(
       """User-agent: A
         |User-agent: B
         |Disallow: /x
         |User-agent: C
         |Disallow: /y""".stripMargin)
-    assert(multi == Seq(("a", "disallow", "/x"), ("b", "disallow", "/x"),
+    assert(multi == Seq(("a", "group", ""), ("b", "group", ""),
+      ("c", "group", ""),
+      ("a", "disallow", "/x"), ("b", "disallow", "/x"),
       ("c", "disallow", "/y")))
-    // a non-UA key ends the UA run: D starts fresh, not joining A/B/C
-    val broken = WarcSource.parseRobots(
+    // RFC 9309 §2.2.4: OTHER records (Crawl-delay, Sitemap) MUST NOT
+    // interfere with group formation — A and D SHARE the rule here
+    val nonInterfering = WarcSource.parseRobots(
       """User-agent: A
         |Crawl-delay: 5
         |User-agent: D
         |Allow: /z""".stripMargin)
-    assert(broken == Seq(("d", "allow", "/z")))
-    // comments (whole-line and trailing) and empty values drop
+    assert(nonInterfering == Seq(("a", "group", ""), ("d", "group", ""),
+      ("a", "allow", "/z"), ("d", "allow", "/z")))
+    // comments (whole-line and trailing) and empty values drop — but the
+    // group presence row survives an all-empty group
     assert(WarcSource.parseRobots(
       "# all of it\nUser-agent: *\nDisallow: /a # tail\nAllow:\n") ==
-      Seq(("*", "disallow", "/a")))
+      Seq(("*", "group", ""), ("*", "disallow", "/a")))
+  }
+
+  test("robotsVerdicts: an EMPTY agent-specific group wins group " +
+      "selection (allow-all), never falling back to '*'") {
+    import spark.implicits._
+    // host forbids everything for '*' but has an empty graftbot group
+    val rules = Seq(
+      ("g.example", "graftbot", "group", ""),
+      ("g.example", "*", "group", ""),
+      ("g.example", "*", "disallow", "/"))
+      .toDF("host", "agent", "rule", "prefix")
+    val pages = Seq("http://g.example/anything").toDF("url")
+    val got = WarcSource.robotsVerdicts(pages, rules, "graftbot").collect()
+    assert(got.length == 1 && got(0).getBoolean(3),
+      "empty specific group must allow everything, not fall back to '*'")
+  }
+
+  test("robotsVerdicts: RFC 9309 wildcard '*' and trailing '$' match, " +
+      "and regex metachars in rules stay literal") {
+    import spark.implicits._
+    val rules = Seq(
+      ("w.example", "*", "disallow", "/*.pdf$"),
+      ("w.example", "*", "disallow", "/a+b/"),   // '+' must stay literal
+      ("w.example", "*", "disallow", "/mid*end"))
+      .toDF("host", "agent", "rule", "prefix")
+    val pages = Seq(
+      "http://w.example/docs/report.pdf",   // wildcard+anchor -> disallowed
+      "http://w.example/docs/report.pdfx",  // anchor: NOT at end -> allowed
+      "http://w.example/a+b/file",          // literal '+' -> disallowed
+      "http://w.example/ab/file",           // '+' not a regex op -> allowed
+      "http://w.example/middle-to-end",     // inner wildcard -> disallowed
+      "http://w.example/midway")            // no 'end' suffix -> allowed
+      .toDF("url")
+    val got = WarcSource.robotsVerdicts(pages, rules, "graftbot").collect()
+      .map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(!got("http://w.example/docs/report.pdf"))
+    assert(got("http://w.example/docs/report.pdfx"))
+    assert(!got("http://w.example/a+b/file"))
+    assert(got("http://w.example/ab/file"))
+    assert(!got("http://w.example/middle-to-end"))
+    assert(got("http://w.example/midway"))
   }
 
   test("robotsVerdicts: longest prefix wins and Allow wins a length tie") {
@@ -746,6 +793,7 @@ class WarcSourceSpec extends SparkTestBase {
     // allowed for graftbot even though '*' disallows it
     assert(got("http://a.example/private/x"))
     assert(!got("http://a.example/graft-only/secret"))
+    assert(!got("http://a.example/files/x.zip")) // wildcard+anchor rule
     assert(got("http://d.example/page")) // no '*' fallback group
   }
 }
