@@ -79,13 +79,20 @@ HEAVY_ORACLES = {
 
 
 def _halve_mem(mem):
-    """'6GB' -> '3GB' (floor 1). Accepts GB/MB suffixes; anything
-    unparseable falls back to 2GB."""
+    """'6GB' -> '3GB', '6.5GiB' -> '3GiB', '6000M' -> '3000MB' (floor 1).
+    Accepts fractional values and GB/GiB/MB/MiB/G/M suffixes; anything
+    unparseable falls back to 2GB WITH a warning (ADVICE r12: a silent
+    fallback could run a heavy-oracle retry on far less memory than the
+    operator intended)."""
     import re
-    m = re.fullmatch(r"(\d+)\s*([GM]B)", mem.strip(), re.IGNORECASE)
+    import sys
+    m = re.fullmatch(r"(\d+(?:\.\d+)?)\s*([GM])(?:I?B)?", mem.strip(),
+                     re.IGNORECASE)
     if not m:
+        print(f"warning: unparseable GRAFT_DUCKDB_MEM {mem!r}; "
+              "retry falls back to 2GB", file=sys.stderr)
         return "2GB"
-    return f"{max(1, int(m.group(1)) // 2)}{m.group(2).upper()}"
+    return f"{max(1, int(float(m.group(1)) // 2))}{m.group(2).upper()}B"
 
 def norm_cell(v):
     if v is None:

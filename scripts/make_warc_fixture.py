@@ -341,6 +341,115 @@ def make_links_fixture():
     print(f"wrote {out}/cc-links-000.warc and cc-links-001.warc.gz")
 
 
+# Seventh + eighth fixtures (graft/wet, graft/wat): the OTHER two formats
+# Common Crawl publishes alongside WARC (VERDICT r12 #2). Both are the same
+# Content-Length-framed record walk — only the record type and block
+# payload differ:
+#
+#   WET  - `conversion` records; block = the EXTRACTED PLAIN TEXT of the
+#          page (no HTTP headers). This fixture's bodies are the HAND-
+#          DERIVED extraction strings of the graft/warc_html pages
+#          (PAGE_*_TEXT above), so a conformance spec can assert
+#          documentsFromWet(wet) == htmlExtract(documentsFromWarc(html))
+#          text-for-text by URL.
+#   WAT  - `metadata` records; block = a JSON envelope
+#          (Envelope.Payload-Metadata.HTTP-Response-Metadata.{Response-
+#          Message.Status, Headers.Content-Type, HTML-Metadata.{Head.
+#          Title, Links[{path,url,text}]}}). This fixture's Links arrays
+#          are the HAND-DERIVED link rows of the graft/warc_links pages,
+#          so wat_outlinks must equal html_links row-for-row.
+#
+# Expected wet_host_stats rollup (conversion records only; text = whole
+# block; host = lowercased URL host):
+#
+#   host            n_docs  n_chars
+#   plain.example   1       36
+#   site-a.example  1       96
+#   site-b.example  2       30      (30 "Line one..." + 0 empty)
+#   site-c.example  1       14
+#
+# Expected wat_page_meta rows (url, status, content_type, title, n_links):
+#
+#   http://hub.example/start    200  text/html  ''           4
+#   http://nolinks.example/t    200  text/html  ''           0
+#   http://squote.example/s     404  text/html  Not Found    0
+#   http://upper.example/g      200  text/html  Upper Gamma  1
+def make_wet_wat_fixture():
+    import json
+    out_wet = os.path.join(os.path.dirname(__file__), "..", "src", "main",
+                           "resources", "graft", "wet")
+    out_wat = os.path.join(os.path.dirname(__file__), "..", "src", "main",
+                           "resources", "graft", "wat")
+    os.makedirs(out_wet, exist_ok=True)
+    os.makedirs(out_wat, exist_ok=True)
+
+    def conversion(url, text):
+        return record("conversion", url, text.encode("ascii"))
+
+    # warcinfo preamble (real WET/WAT files start with one; must be
+    # excluded by the conversion/metadata type filter)
+    info = record("warcinfo", None, b"software: graft-fixture\r\n")
+
+    wet0 = (info
+            + conversion("http://site-a.example/index", PAGE_A_TEXT)
+            + conversion("http://site-b.example/post", PAGE_B_TEXT)
+            + conversion("http://plain.example/readme", PLAIN_TEXT))
+    with open(os.path.join(out_wet, "cc-000.warc.wet"), "wb") as f:
+        f.write(wet0)
+    wet1 = (conversion("http://site-b.example/empty", "")
+            + conversion("http://site-c.example/nested", PAGE_C_TEXT))
+    with open(os.path.join(out_wet, "cc-001.warc.wet.gz"), "wb") as f:
+        with gzip.GzipFile(fileobj=f, mode="wb", mtime=0) as gz:
+            gz.write(wet1)
+    print(f"wrote {out_wet}/cc-000.warc.wet and cc-001.warc.wet.gz")
+    print("expected wet_host_stats rows (host, n_docs, n_chars):")
+    stats = {}
+    for url, text in [("http://site-a.example/index", PAGE_A_TEXT),
+                      ("http://site-b.example/post", PAGE_B_TEXT),
+                      ("http://plain.example/readme", PLAIN_TEXT),
+                      ("http://site-b.example/empty", ""),
+                      ("http://site-c.example/nested", PAGE_C_TEXT)]:
+        host = url.split("://")[1].split("/")[0]
+        n, c = stats.get(host, (0, 0))
+        stats[host] = (n + 1, c + len(text))
+    for h in sorted(stats):
+        print(f"  ({h!r}, {stats[h][0]}, {stats[h][1]}),")
+
+    def wat(url, status, ctype, title, links):
+        env = {"Envelope": {
+            "WARC-Header-Metadata": {"WARC-Target-URI": url,
+                                     "WARC-Type": "response"},
+            "Payload-Metadata": {"HTTP-Response-Metadata": {
+                "Response-Message": {"Status": str(status)},
+                "Headers": {"Content-Type": ctype},
+                "HTML-Metadata": (
+                    ({"Head": {"Title": title}} if title else {})
+                    | ({"Links": [{"path": "A@/href", "url": u, "text": t}
+                                  for (u, t) in links]} if links else {}))
+            }}}}
+        return record("metadata", url,
+                      json.dumps(env, sort_keys=True).encode("ascii"))
+
+    hub_links = [("http://alpha.example/a", "Alpha & Co"),
+                 ("/local/page", "the local page"),
+                 ("http://beta.example/b?q=1", "beta list"),
+                 ("http://alpha.example/a2", "Alpha & Co")]
+    wat0 = (info
+            + wat("http://hub.example/start", 200, "text/html", "", hub_links)
+            + wat("http://nolinks.example/t", 200, "text/html", "", []))
+    with open(os.path.join(out_wat, "cc-000.warc.wat"), "wb") as f:
+        f.write(wat0)
+    wat1 = (wat("http://upper.example/g", 200, "text/html", "Upper Gamma",
+                [("HTTP://Gamma.example/G", "Gamma Page")])
+            + wat("http://squote.example/s", 404, "text/html", "Not Found",
+                  []))
+    with open(os.path.join(out_wat, "cc-001.warc.wat.gz"), "wb") as f:
+        with gzip.GzipFile(fileobj=f, mode="wb", mtime=0) as gz:
+            gz.write(wat1)
+    print(f"wrote {out_wat}/cc-000.warc.wat and cc-001.warc.wat.gz")
+
+
 if __name__ == "__main__":
     main()
     make_links_fixture()
+    make_wet_wat_fixture()

@@ -979,9 +979,13 @@ object WarcSource {
   private[graft] def robotsVerdicts(pages: DataFrame, rules: DataFrame,
       agent: String): DataFrame = {
     val eff = effectiveRules(rules, agent)
+    // fragment stripped (ADVICE r12): RFC 9309 matching is defined on
+    // path(+query) only — a '#fragment' is client-side and never sent to
+    // the server, so it must not participate in rule matching
     val p = pages.select(col("url"), hostCol(col("url")).as("host"),
-      coalesce(nullif(regexp_extract(col("url"),
-        "^[A-Za-z]+://[^/]+(/.*)?$", 1), lit("")), lit("/")).as("path"))
+      coalesce(nullif(regexp_replace(regexp_extract(col("url"),
+        "^[A-Za-z]+://[^/]+(/.*)?$", 1), "#.*$", ""), lit("")), lit("/"))
+        .as("path"))
     p.as("p").join(eff.as("r"),
         col("p.host") === col("r.host")
           && expr("regexp_like(p.path, r.pattern)"), "left")

@@ -434,8 +434,10 @@ object DocsStream {
     * Stateless: join + filter, no aggregation. */
   def robotsGateStage(docs: DataFrame, ruleSets: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    val path = coalesce(nullif(regexp_extract(col("url"),
-      "^[A-Za-z]+://[^/]+(/.*)?$", 1), lit("")), lit("/"))
+    // fragment stripped like the batch twin (ADVICE r12): RFC 9309
+    // matches on path(+query) only, never the client-side '#fragment'
+    val path = coalesce(nullif(regexp_replace(regexp_extract(col("url"),
+      "^[A-Za-z]+://[^/]+(/.*)?$", 1), "#.*$", ""), lit("")), lit("/"))
     // get(), not [0]: ANSI mode throws on indexing an EMPTY filtered array
     val firstMatch = expr(
       "get(filter(rules, r -> regexp_like(__path, r.pattern)), 0)")

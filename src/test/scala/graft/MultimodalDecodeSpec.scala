@@ -301,6 +301,48 @@ class MultimodalDecodeSpec extends SparkTestBase {
       .count() == 15)
   }
 
+  // ---- raw-DIB AVI fixture (the committed driver-row corpus) ---------------
+
+  test("video fixture: raw-DIB frames decode exactly; the top-down JUNK-" +
+      "interleaved re-container (vid1) keeps every frame hash; streams " +
+      "without a vids strf are skipped") {
+    val hashes = Multimodal.videoPhash(spark, "ignored")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(hashes.size == 24, "4 videos x 6 frames must all decode")
+    // re-container invariance: vid1 stores the SAME pixels top-down with
+    // JUNK chunks between frames — every container byte differs, every
+    // perceptual hash must not
+    for (k <- 0L to 5L) assert(hashes((1L, k)) == hashes((0L, k)),
+      s"frame $k hash changed under re-containering")
+    // vid2 shares exactly frames 0-3 with vid0
+    for (k <- 0L to 3L) assert(hashes((2L, k)) == hashes((0L, k)))
+    assert(hashes((2L, 4L)) != hashes((0L, 4L)))
+    // the pair rollup: full match at 10000 bp, 4-of-6 at 6666, vid3 absent
+    val pairs = Multimodal.dedupVideo(spark, "ignored")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(6)).toMap
+    assert(pairs == Map((0L, 1L) -> 10000L, (0L, 2L) -> 6666L,
+      (1L, 2L) -> 6666L))
+    // a ##db chunk on a NON-vids stream must be skipped, not mis-decoded:
+    // a fake AVI with an 'auds' strl and a 00db chunk yields no frames
+    def u32le(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def chunk(tag: String, data: Array[Byte]) =
+      tag.getBytes("US-ASCII") ++ u32le(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    val strh = "auds".getBytes("US-ASCII") ++ new Array[Byte](52)
+    val strlBody = "strl".getBytes("US-ASCII") ++ chunk("strh", strh) ++
+      chunk("strf", new Array[Byte](16))
+    val strl = "LIST".getBytes("US-ASCII") ++ u32le(strlBody.length) ++ strlBody
+    val hdrlBody = "hdrl".getBytes("US-ASCII") ++ strl
+    val hdrl = "LIST".getBytes("US-ASCII") ++ u32le(hdrlBody.length) ++ hdrlBody
+    val moviBody = "movi".getBytes("US-ASCII") ++
+      chunk("00db", Array.fill[Byte](48)(7))
+    val movi = "LIST".getBytes("US-ASCII") ++ u32le(moviBody.length) ++ moviBody
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val avi = "RIFF".getBytes("US-ASCII") ++ u32le(body.length) ++ body
+    assert(Multimodal.aviVideoChunks(avi).isEmpty)
+  }
+
   // ---- audio fingerprinting -------------------------------------------------
 
   test("audioFingerprints: amplitude halving and re-containering keep the " +
