@@ -1029,4 +1029,161 @@ object WarcSource {
       |  ('http://c.example/whatever', 'c.example', '/whatever', true, ''),
       |  ('http://d.example/page', 'd.example', '/page', true, ''))
       |  AS t(url, host, path, allowed, matched_prefix)""".stripMargin
+
+  // ---- WET / WAT ingestion (Common Crawl's other two formats) -------------
+  // A crawl consumer rarely starts from raw WARC: Common Crawl publishes
+  // every segment in three flavors — WARC (raw HTTP), WET (extracted plain
+  // text) and WAT (per-page metadata JSON). Both extras are the SAME
+  // Content-Length-framed record walk the V2 connector already streams
+  // (VERDICT r12 #2); only the record type filter and block interpretation
+  // differ, so they ride readWarc unchanged — pushdown, record streaming
+  // and the one-record memory bound included.
+
+  /** WET fixture corpus backing `wet_host_stats` (generated by
+    * scripts/make_warc_fixture.py: the extracted-text twins of the
+    * graft/warc_html pages, bodies = the HAND-DERIVED extraction strings,
+    * plus a warcinfo preamble the type filter must drop). */
+  lazy val FixtureWetDir: String =
+    materializeFixture("wet", Seq("cc-000.warc.wet", "cc-001.warc.wet.gz"))
+  /** WAT fixture corpus backing `wat_page_meta`/`wat_outlinks` (same
+    * generator: metadata-JSON twins of the graft/warc_links pages, Links
+    * arrays = the hand-derived link rows). */
+  lazy val FixtureWatDir: String =
+    materializeFixture("wat", Seq("cc-000.warc.wat", "cc-001.warc.wat.gz"))
+
+  /** `conversion` records of a WET archive -> a `documents`-shaped frame.
+    * Unlike [[toDocuments]] there is no HTTP header block to strip — a WET
+    * block IS the extracted page text (that is the format's point); the
+    * type filter drops the warcinfo preamble every real WET file opens
+    * with. Same shared doc_id derivation as the WARC path. */
+  def documentsFromWet(spark: SparkSession, path: String): DataFrame =
+    toWetDocuments(readWarc(spark, path))
+
+  /** Streaming twin of [[documentsFromWet]] — identical projection over
+    * the V2 micro-batch stream, so a WET landing directory feeds the same
+    * DocsStream curation gates a WARC one does. */
+  def documentsFromWetStream(spark: SparkSession, dir: String): DataFrame =
+    toWetDocuments(readWarcStream(spark, dir))
+
+  private def toWetDocuments(recs: DataFrame): DataFrame =
+    recs
+      .where(col("warc_type") === "conversion")
+      .select(
+        graft.functions.TextFns.md5Long(concat_ws("\u0001",
+          col("path"), col("rec_ix"), col("url"))).as("doc_id"),
+        col("url"),
+        col("warc_date"),
+        col("block").cast("string").as("text"))
+
+  /** Driver-contract query: [[hostStats]] over the committed WET fixture —
+    * the rollup a WET consumer runs first. Ignores `dir` like
+    * [[warcHostStats]] (raw-file source, not an sfDir table). */
+  def wetHostStats(spark: SparkSession, dir: String): DataFrame =
+    hostStats(documentsFromWet(spark, FixtureWetDir))
+
+  /** Oracle: exact VALUES literal, derived in scripts/make_warc_fixture.py
+    * from the fixture body strings independently of the Scala parse —
+    * checks the conversion-type filter (the warcinfo row must not appear),
+    * the no-header-strip block semantics (n_chars are the FULL block) and
+    * the shared host normalization. site-b.example carries the empty-text
+    * record. */
+  val wetHostStatsSql: String =
+    """SELECT host, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(n_chars AS BIGINT) AS n_chars
+      |FROM (VALUES
+      |  ('plain.example', 1, 36),
+      |  ('site-a.example', 1, 96),
+      |  ('site-b.example', 2, 30),
+      |  ('site-c.example', 1, 14)) AS t(host, n_docs, n_chars)""".stripMargin
+
+  /** The WAT JSON envelope's typed read schema — only the fields the
+    * queries consume (from_json prunes the rest): response status,
+    * content type, title, and the outlink array. Built programmatically
+    * because WAT field names carry hyphens. */
+  private lazy val WatSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    def st(fields: (String, DataType)*): StructType =
+      StructType(fields.map { case (n, t) => StructField(n, t) })
+    st("Envelope" -> st(
+      "Payload-Metadata" -> st(
+        "HTTP-Response-Metadata" -> st(
+          "Response-Message" -> st("Status" -> StringType),
+          "Headers" -> st("Content-Type" -> StringType),
+          "HTML-Metadata" -> st(
+            "Head" -> st("Title" -> StringType),
+            "Links" -> ArrayType(st(
+              "path" -> StringType,
+              "url" -> StringType,
+              "text" -> StringType)))))))
+  }
+
+  /** `metadata` records of a WAT archive with the JSON envelope parsed
+    * under [[WatSchema]] — the typed `from_json` discipline of
+    * `event_props_agg` on the crawl-metadata grain. The page URL comes
+    * from the record's own WARC-Target-URI header (identical to the
+    * envelope's copy); unparseable JSON yields a null envelope row, not
+    * an abort. Row-local projection fused into the record scan. */
+  private def watPages(spark: SparkSession, path: String): DataFrame =
+    readWarc(spark, path)
+      .where(col("warc_type") === "metadata")
+      .select(col("url"),
+        from_json(col("block").cast("string"), WatSchema).as("env"))
+      .select(col("url"),
+        col("env").getField("Envelope").getField("Payload-Metadata")
+          .getField("HTTP-Response-Metadata").as("http"))
+
+  /** Driver-contract query: per-page metadata from the committed WAT
+    * fixture — status, content type, title, outlink count. Ignores `dir`
+    * like [[warcHostStats]]. */
+  def watPageMeta(spark: SparkSession, dir: String): DataFrame =
+    watPages(spark, FixtureWatDir)
+      .select(col("url"),
+        col("http").getField("Response-Message").getField("Status")
+          .cast("long").as("status"),
+        coalesce(col("http").getField("Headers").getField("Content-Type"),
+          lit("")).as("content_type"),
+        coalesce(col("http").getField("HTML-Metadata").getField("Head")
+          .getField("Title"), lit("")).as("title"),
+        coalesce(size(col("http").getField("HTML-Metadata")
+          .getField("Links")), lit(0)).cast("long").as("n_links"))
+
+  /** Oracle: exact VALUES literal (hand-derived in the generator) — pins
+    * the typed from_json chain end-to-end: nested hyphenated fields, the
+    * string->BIGINT status cast, absent Title/Links coalescing to ''/0,
+    * and the non-200 row. */
+  val watPageMetaSql: String =
+    """SELECT url, CAST(status AS BIGINT) AS status, content_type, title,
+      |  CAST(n_links AS BIGINT) AS n_links
+      |FROM (VALUES
+      |  ('http://hub.example/start', 200, 'text/html', '', 4),
+      |  ('http://nolinks.example/t', 200, 'text/html', '', 0),
+      |  ('http://squote.example/s', 404, 'text/html', 'Not Found', 0),
+      |  ('http://upper.example/g', 200, 'text/html', 'Upper Gamma', 1))
+      |  AS t(url, status, content_type, title, n_links)""".stripMargin
+
+  /** Driver-contract query: the outlink rows of the committed WAT fixture
+    * — (url, href, anchor) exploded from the envelope's Links array, the
+    * SAME shape [[htmlLinks]] extracts from raw WARC markup (conformance
+    * asserted in WarcSourceSpec: a WAT consumer and a WARC consumer get
+    * the same link table). Pages without links vanish (inner explode —
+    * link-grain output). */
+  def watOutlinks(spark: SparkSession, dir: String): DataFrame =
+    watPages(spark, FixtureWatDir)
+      .select(col("url"),
+        explode(col("http").getField("HTML-Metadata").getField("Links"))
+          .as("l"))
+      .select(col("url"), col("l").getField("url").as("href"),
+        col("l").getField("text").as("anchor"))
+
+  /** Oracle: exact VALUES literal — the same five hand-derived link rows
+    * the html_links oracle pins (the two fixtures describe the same
+    * pages by construction). */
+  val watOutlinksSql: String =
+    """SELECT url, href, anchor FROM (VALUES
+      |  ('http://hub.example/start', '/local/page', 'the local page'),
+      |  ('http://hub.example/start', 'http://alpha.example/a', 'Alpha & Co'),
+      |  ('http://hub.example/start', 'http://alpha.example/a2', 'Alpha & Co'),
+      |  ('http://hub.example/start', 'http://beta.example/b?q=1', 'beta list'),
+      |  ('http://upper.example/g', 'HTTP://Gamma.example/G', 'Gamma Page'))
+      |  AS t(url, href, anchor)""".stripMargin
 }

@@ -796,4 +796,37 @@ class WarcSourceSpec extends SparkTestBase {
     assert(!got("http://a.example/files/x.zip")) // wildcard+anchor rule
     assert(got("http://d.example/page")) // no '*' fallback group
   }
+
+  test("WET conformance: documentsFromWet text equals the WARC-derived " +
+      "htmlExtract text URL-for-URL; the warcinfo preamble is dropped") {
+    val wet = WarcSource.documentsFromWet(spark, WarcSource.FixtureWetDir)
+      .select("url", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val fromWarc = WarcSource.htmlExtract(
+      WarcSource.documentsFromWarc(spark, WarcSource.FixtureHtmlDir))
+      .select("url", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // the two fixtures describe the same five pages: a WET consumer and a
+    // WARC consumer running the extraction stage get the same corpus
+    assert(wet == fromWarc, s"wet=$wet warc=$fromWarc")
+    // no warcinfo row leaked in (5 pages exactly)
+    assert(wet.size == 5)
+  }
+
+  test("WAT conformance: wat_outlinks equals the html_links rows of the " +
+      "same pages; page meta pins status/title/link-count typing") {
+    val fromWat = WarcSource.watOutlinks(spark, "ignored").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val fromWarc = WarcSource.htmlLinksQ(spark, "ignored").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(fromWat == fromWarc, s"wat=$fromWat warc=$fromWarc")
+    val meta = WarcSource.watPageMeta(spark, "ignored").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getString(2), r.getString(3), r.getLong(4))).toMap
+    assert(meta("http://hub.example/start") == ((200L, "text/html", "", 4L)))
+    assert(meta("http://squote.example/s") ==
+      ((404L, "text/html", "Not Found", 0L)))
+    assert(meta("http://upper.example/g") ==
+      ((200L, "text/html", "Upper Gamma", 1L)))
+  }
 }
