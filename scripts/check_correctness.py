@@ -75,6 +75,8 @@ HEAVY_ORACLES = {
     # trigram-KN oracles materialize the per-doc trigram explode (~3x the
     # corpus token count) plus the bigram type frame
     "kn3_trigram_top", "kn3_perplexity", "kn3_buckets",
+    # 4-gram-KN oracles add the fourgram explode and trigram type frame
+    "kn4_fourgram_top", "kn4_perplexity", "kn4_buckets",
 }
 
 

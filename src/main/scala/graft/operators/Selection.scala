@@ -716,6 +716,273 @@ object Selection {
        |       ELSE 'tail' END AS bucket
        |FROM scored s JOIN thr ON s.lang = thr.lang""".stripMargin
 
+  // ---- Kneser–Ney 4-gram model (#35p–r: one order below KenLM's 5) ------
+  /** Interpolated Kneser–Ney with 4-GRAM context — the kn3 recursion
+    * (VERDICT r12 #3) applied one more time, proving each further order
+    * is the same closed-form continuation-count rollup over one more
+    * materialized n-gram frame:
+    *
+    *   P₄(w₄|w₁w₂w₃) = max(c₄−D,0)/c(w₁w₂w₃·)
+    *                   + D·N₁₊(w₁w₂w₃·)/c(w₁w₂w₃·) · P₃'(w₄|w₂w₃)
+    *   P₃'(w₄|w₂w₃)  = max(N₁₊(·w₂w₃w₄)−D,0)/N₁₊(·w₂w₃·)
+    *                   + D·N₁₊(w₂w₃·)/N₁₊(·w₂w₃·) · P₂'(w₄|w₃)
+    *   P₂'(w₄|w₃)    = max(N₁₊(·w₃w₄)−D,0)/N₁₊(·w₃·)
+    *                   + D·N₁₊(w₃·)/N₁₊(·w₃·) · P_c(w₄)
+    *   P_c(w₄)       = N₁₊(·w₄)/N₁₊(··)
+    *
+    * — top layer on raw 4-gram counts, every lower layer on CONTINUATION
+    * counts (4-gram types for P₃', trigram types for P₂''s numerator and
+    * its N₁₊(w₃·) weight from bigram types, bigram types for P_c).
+    *
+    * §6 HARDENING over kn3Model: each level is computed as an EXACT
+    * INTEGER on the e6 grid instead of a 6-dp HALF_UP double pin. With
+    * D = 3/4 every layer is the rational
+    *   p_e6 = ⌊(max(4·num−3, 0)·10⁶ + 3·weight·p_lower_e6) / (4·den)⌋
+    * — BIGINT end-to-end, floor division on non-negative operands
+    * (identical in both engines), final p = p_e6/10⁶ exactly-representable
+    * DOUBLE. kn3's DECIMAL(14,6) pin left a measure-zero boundary where
+    * the engines' round() disagree at the 6th decimal; sf0.01 actually
+    * HIT that boundary for two 4-gram types (p = 0.1794515), which is why
+    * this model pins harder.
+    *
+    * Scale: identical shape to [[kn3Model]] one order up — every
+    * aggregate is a grouped rollup of a materialized type table
+    * ([[TextAnalysis.fourgramCounts]] / trigramCounts / bigramCounts; the
+    * corpus explodes behind them each run ONCE per session), the eight
+    * model joins are type-keyed shuffle_hash joins between type-bounded
+    * frames, and the 1-row bigram-type total broadcasts. */
+  private val kn4ModelCache = Materialized.register(
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
+  private[operators] def kn4Model(spark: SparkSession, dir: String): DataFrame =
+    Materialized.cached(kn4ModelCache, spark, dir) {
+      import org.apache.spark.sql.graft.ExactMath.intDiv
+      // ⌊(max(4·num−3,0)·10⁶ + 3·weight·lower_e6) / (4·den)⌋ — one KN
+      // interpolation level on the exact e6 integer grid (D = 3/4)
+      def lvl(num: org.apache.spark.sql.Column,
+          weight: org.apache.spark.sql.Column,
+          lowerE6: org.apache.spark.sql.Column,
+          den: org.apache.spark.sql.Column) =
+        intDiv(greatest(lit(4L) * num - lit(3L), lit(0L)) * lit(1000000L)
+          + lit(3L) * weight * lowerE6, lit(4L) * den)
+      val c4 = TextAnalysis.fourgramCounts(spark, dir)
+        .select(col("fourgram"), col("n"),
+          substring_index(col("fourgram"), " ", 3).as("ctx3"),
+          element_at(split(col("fourgram"), " "), 2).as("w2"),
+          element_at(split(col("fourgram"), " "), 3).as("w3"),
+          element_at(split(col("fourgram"), " "), 4).as("w4"))
+      val cctx4 = c4.groupBy("ctx3")
+        .agg(sum(col("n")).as("n_ctx4"), count(lit(1)).as("nfollow4"))
+      val cont3 = c4.groupBy("w2", "w3", "w4")
+        .agg(count(lit(1)).as("n1p_234"))
+      val midTot3 = cont3.groupBy("w2", "w3")
+        .agg(sum(col("n1p_234")).as("n1p_mid3"))
+      // trigram TYPES (one row per type in the counts table)
+      val c3t = TextAnalysis.trigramCounts(spark, dir)
+        .select(element_at(split(col("trigram"), " "), 1).as("a1"),
+          element_at(split(col("trigram"), " "), 2).as("a2"),
+          element_at(split(col("trigram"), " "), 3).as("a3"))
+      val fol3 = c3t.groupBy(col("a1").as("w2"), col("a2").as("w3"))
+        .agg(count(lit(1)).as("nfollow3"))
+      val contBg = c3t.groupBy(col("a2").as("w3"), col("a3").as("w4"))
+        .agg(count(lit(1)).as("n1p_34"))
+      val midTot2 = contBg.groupBy("w3").agg(sum(col("n1p_34")).as("n1p_mid2"))
+      val c2 = TextAnalysis.bigramCounts(spark, dir)
+        .select(substring_index(col("bigram"), " ", 1).as("b1"),
+          substring_index(col("bigram"), " ", -1).as("b2"))
+      val follow2 = c2.groupBy(col("b1").as("w3"))
+        .agg(count(lit(1)).as("nfollow2"))
+      val cont1 = c2.groupBy(col("b2").as("w4")).agg(count(lit(1)).as("ncont1"))
+      val types = c2.agg(count(lit(1)).as("t_types"))
+      import org.apache.spark.sql.graft.ExactMath.intDiv
+      val pContE6 = intDiv(lit(1000000L) * col("ncont1"), col("t_types"))
+      val pMid2E6 =
+        lvl(col("n1p_34"), col("nfollow2"), col("p_cont_e6"), col("n1p_mid2"))
+      val pMid3E6 =
+        lvl(col("n1p_234"), col("nfollow3"), col("p_mid2_e6"), col("n1p_mid3"))
+      val p4E6 = lvl(col("n"), col("nfollow4"), col("p_mid3_e6"), col("n_ctx4"))
+      c4.join(cctx4.hint("shuffle_hash"), "ctx3")
+        .join(cont3.hint("shuffle_hash"), Seq("w2", "w3", "w4"))
+        .join(midTot3.hint("shuffle_hash"), Seq("w2", "w3"))
+        .join(fol3.hint("shuffle_hash"), Seq("w2", "w3"))
+        .join(contBg.hint("shuffle_hash"), Seq("w3", "w4"))
+        .join(midTot2.hint("shuffle_hash"), "w3")
+        .join(follow2.hint("shuffle_hash"), "w3")
+        .join(cont1.hint("shuffle_hash"), "w4")
+        .crossJoin(broadcast(types))
+        .withColumn("p_cont_e6", pContE6)
+        .withColumn("p_mid2_e6", pMid2E6)
+        .withColumn("p_mid3_e6", pMid3E6)
+        .select(col("fourgram"), col("n"),
+          (p4E6.cast("double") / lit(1000000d)).as("p_kn4"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** Driver-contract query: top-[[KnTopN]] smoothed 4-gram probabilities
+    * (the kn3_trigram_top shape — TakeOrderedAndProject + in-array rank
+    * recovery, no unpartitioned window). */
+  def kn4FourgramTop(spark: SparkSession, dir: String): DataFrame =
+    kn4Model(spark, dir)
+      .orderBy(col("p_kn4").desc, col("fourgram")).limit(KnTopN)
+      .select(struct(negate(col("p_kn4")).as("np"),
+        col("fourgram").as("fourgram"), col("n").as("n"),
+        col("p_kn4").as("p_kn4")).as("s"))
+      .agg(array_sort(collect_list(col("s"))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("pos", "s")))
+      .select(col("s.fourgram").as("fourgram"), col("s.n").as("n"),
+        col("s.p_kn4").as("p_kn4"), (col("pos") + 1).cast("long").as("rk"))
+
+  /** Shared CTE chain of the 4-gram KN model — identical math to
+    * [[kn4Model]]; `fg` carries doc_id for the scoring queries. */
+  private val kn4Ctes: String =
+    s"""toks AS MATERIALIZED (
+       |  SELECT doc_id, list_filter(list_transform(
+       |    string_split_regex(text, '\\s+'), t -> lower(t)), t -> t <> '') AS t
+       |  FROM documents
+       |), fg AS MATERIALIZED (
+       |  SELECT doc_id, g.f AS fourgram
+       |  FROM toks, unnest(list_transform(range(1, len(t) - 2),
+       |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3]))
+       |    AS g(f)
+       |  WHERE len(t) >= 4
+       |), c4 AS MATERIALIZED (
+       |  SELECT fourgram, count(*) AS n,
+       |    concat(split_part(fourgram, ' ', 1), ' ',
+       |      split_part(fourgram, ' ', 2), ' ',
+       |      split_part(fourgram, ' ', 3)) AS ctx3,
+       |    split_part(fourgram, ' ', 2) AS w2,
+       |    split_part(fourgram, ' ', 3) AS w3,
+       |    split_part(fourgram, ' ', 4) AS w4
+       |  FROM fg GROUP BY 1
+       |), cctx4 AS (
+       |  SELECT ctx3, sum(n) AS n_ctx4, count(*) AS nfollow4 FROM c4 GROUP BY 1
+       |), cont3 AS MATERIALIZED (
+       |  SELECT w2, w3, w4, count(*) AS n1p_234 FROM c4 GROUP BY 1, 2, 3
+       |), midtot3 AS (
+       |  SELECT w2, w3, sum(n1p_234) AS n1p_mid3 FROM cont3 GROUP BY 1, 2
+       |), tg3 AS MATERIALIZED (
+       |  SELECT DISTINCT g.tri AS trigram
+       |  FROM toks, unnest(list_transform(range(1, len(t) - 1),
+       |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g(tri)
+       |  WHERE len(t) >= 3
+       |), c3t AS MATERIALIZED (
+       |  SELECT split_part(trigram, ' ', 1) AS a1,
+       |    split_part(trigram, ' ', 2) AS a2,
+       |    split_part(trigram, ' ', 3) AS a3
+       |  FROM tg3
+       |), fol3 AS (
+       |  SELECT a1 AS w2, a2 AS w3, count(*) AS nfollow3 FROM c3t GROUP BY 1, 2
+       |), contbg AS MATERIALIZED (
+       |  SELECT a2 AS w3, a3 AS w4, count(*) AS n1p_34 FROM c3t GROUP BY 1, 2
+       |), midtot2 AS (
+       |  SELECT w3, sum(n1p_34) AS n1p_mid2 FROM contbg GROUP BY 1
+       |), bg2 AS MATERIALIZED (
+       |  SELECT DISTINCT g.b AS bigram
+       |  FROM toks, unnest(list_transform(range(1, len(t)),
+       |    i -> t[i] || ' ' || t[i + 1])) AS g(b)
+       |  WHERE len(t) >= 2
+       |), follow2 AS (
+       |  SELECT split_part(bigram, ' ', 1) AS w3, count(*) AS nfollow2
+       |  FROM bg2 GROUP BY 1
+       |), cont1 AS (
+       |  SELECT split_part(bigram, ' ', 2) AS w4, count(*) AS ncont1
+       |  FROM bg2 GROUP BY 1
+       |), types2 AS (SELECT count(*) AS t_types FROM bg2),
+       |pkn4 AS MATERIALIZED (
+       |  SELECT fourgram, n, CAST(
+       |      (greatest(4 * CAST(n AS BIGINT) - 3, 0) * 1000000
+       |        + 3 * nfollow4 *
+       |          ((greatest(4 * CAST(n1p_234 AS BIGINT) - 3, 0) * 1000000
+       |            + 3 * nfollow3 *
+       |              ((greatest(4 * CAST(n1p_34 AS BIGINT) - 3, 0) * 1000000
+       |                + 3 * nfollow2 *
+       |                  ((1000000 * CAST(ncont1 AS BIGINT)) // t_types))
+       |               // (4 * n1p_mid2)))
+       |           // (4 * n1p_mid3)))
+       |      // (4 * CAST(n_ctx4 AS BIGINT))
+       |    AS DOUBLE) / 1000000.0 AS p_kn4
+       |  FROM c4 JOIN cctx4 USING (ctx3) JOIN cont3 USING (w2, w3, w4)
+       |    JOIN midtot3 USING (w2, w3) JOIN fol3 USING (w2, w3)
+       |    JOIN contbg USING (w3, w4) JOIN midtot2 USING (w3)
+       |    JOIN follow2 USING (w3) JOIN cont1 USING (w4) CROSS JOIN types2
+       |)""".stripMargin
+  val kn4FourgramTopSql: String =
+    s"""WITH $kn4Ctes
+       |SELECT fourgram, n, p_kn4,
+       |  CAST(row_number() OVER (ORDER BY p_kn4 DESC, fourgram) AS BIGINT)
+       |    AS rk
+       |FROM pkn4 ORDER BY p_kn4 DESC, fourgram LIMIT $KnTopN""".stripMargin
+
+  /** 4-gram-KN document scoring — `kn3_perplexity` one order up (docs with
+    * <4 tokens have no row); same shuffle_hash model join + one doc-keyed
+    * rollup, model amortized per session. */
+  private val kn4PplCache = Materialized.register(
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
+  def kn4Perplexity(spark: SparkSession, dir: String): DataFrame =
+    Materialized.cached(kn4PplCache, spark, dir) {
+      val p = kn4Model(spark, dir).select(col("fourgram"),
+        round(log(greatest(col("p_kn4"), lit(KnPFloor))), 4)
+          .cast("decimal(18,4)").as("lp"))
+      TextAnalysis.docFourgrams(spark, dir)
+        .join(p.hint("shuffle_hash"), "fourgram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fourgrams"),
+          sum(col("lp")).cast("decimal(18,4)").cast("double").as("sum_lp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+  private val kn4ScoreCtes: String =
+    s"""$kn4Ctes, p4s AS (
+       |  SELECT fourgram,
+       |    CAST(round(ln(greatest(p_kn4, $KnPFloor)), 4) AS DECIMAL(18,4))
+       |      AS lp
+       |  FROM pkn4
+       |)""".stripMargin
+  val kn4PerplexitySql: String =
+    s"""WITH $kn4ScoreCtes
+       |SELECT doc_id, count(*) AS n_fourgrams,
+       |  CAST(CAST(sum(lp) AS DECIMAL(18,4)) AS DOUBLE) AS sum_lp
+       |FROM fg JOIN p4s USING (fourgram) GROUP BY 1""".stripMargin
+
+  /** CCNet bucketing under the 4-gram model — the [[knBuckets]] shape. */
+  def kn4Buckets(spark: SparkSession, dir: String): DataFrame = {
+    val scored = kn4Perplexity(spark, dir)
+      .join(docs(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"),
+        expr("CAST(round(-sum_lp * 10000, 0) AS BIGINT) div n_fourgrams")
+          .as("nll_e4"))
+    val thr = scored.groupBy("lang").agg(
+      expr(s"percentile(nll_e4, $HeadPct)")
+        .cast("decimal(14,4)").cast("double").as("t_head"),
+      expr(s"percentile(nll_e4, $TailPct)")
+        .cast("decimal(14,4)").cast("double").as("t_tail"))
+    scored.join(broadcast(thr), "lang")
+      .select(col("doc_id"), col("lang"), col("nll_e4"),
+        when(col("nll_e4") <= col("t_head"), "head")
+          .when(col("nll_e4") <= col("t_tail"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+  val kn4BucketsSql: String =
+    s"""WITH $kn4ScoreCtes, kpp AS (
+       |  SELECT doc_id, count(*) AS n_fourgrams,
+       |    CAST(CAST(sum(lp) AS DECIMAL(18,4)) AS DOUBLE) AS sum_lp
+       |  FROM fg JOIN p4s USING (fourgram) GROUP BY 1
+       |), scored AS MATERIALIZED (
+       |  SELECT d.doc_id, d.lang,
+       |    CAST(round(-sum_lp * 10000, 0) AS BIGINT) // n_fourgrams AS nll_e4
+       |  FROM kpp JOIN documents d ON kpp.doc_id = d.doc_id
+       |), thr AS (
+       |  SELECT lang,
+       |    CAST(CAST(quantile_cont(nll_e4, $HeadPct) AS DECIMAL(14,4))
+       |      AS DOUBLE) AS t_head,
+       |    CAST(CAST(quantile_cont(nll_e4, $TailPct) AS DECIMAL(14,4))
+       |      AS DOUBLE) AS t_tail
+       |  FROM scored GROUP BY 1
+       |)
+       |SELECT doc_id, s.lang, nll_e4,
+       |  CASE WHEN nll_e4 <= t_head THEN 'head'
+       |       WHEN nll_e4 <= t_tail THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM scored s JOIN thr ON s.lang = thr.lang""".stripMargin
+
   // ---- composed end product: the corpus a training run actually reads ----
   /** CCNet buckets the selection keeps (the tail is dropped). */
   val SelKeepBuckets: Seq[String] = Seq("head", "middle")

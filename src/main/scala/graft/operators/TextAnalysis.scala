@@ -695,6 +695,32 @@ object TextAnalysis {
         .groupBy("trigram").agg(count(lit(1)).as("n"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Per-doc consecutive word QUADRUPLES — the corpus-sized explode behind
+    * the 4-gram KN model ([[Selection.kn4Model]]). Same tokenization and
+    * space-joined keys as [[docBigrams]]/[[docTrigrams]]. */
+  private[graft] def docFourgrams(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        filter(transform(split(col("text"), WsTokenRe), t => lower(t)),
+          t => t =!= "").as("toks"))
+      .where(size(col("toks")) >= 4)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(3, size(toks) - 1), " +
+          "i -> concat(toks[i-3], ' ', toks[i-2], ' ', toks[i-1], ' ', toks[i]))"))
+        .as("fourgram"))
+
+  private val fourgramCache = Materialized.register(
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
+
+  /** Corpus 4-gram counts, materialized once per (session, corpus) —
+    * 4-gram-type-bounded; every KN-4 aggregate derives from THIS table so
+    * the corpus explode behind it runs once. */
+  private[operators] def fourgramCounts(spark: SparkSession, dir: String): DataFrame =
+    Materialized.cached(fourgramCache, spark, dir)(
+      docFourgrams(spark, dir)
+        .groupBy("fourgram").agg(count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   def wordBigrams(spark: SparkSession, dir: String): DataFrame =
     bigramCounts(spark, dir)
       // top-N via orderBy+limit → TakeOrderedAndProject (per-partition

@@ -526,6 +526,118 @@ class SelectionSpec extends SparkTestBase {
     assert(shareSum >= 9998L && shareSum <= 10000L)
   }
 
+  // ---- 4-gram Kneser–Ney ---------------------------------------------------
+
+  /** From-scratch interpolated 4-gram KN: every table re-derived from the
+    * raw tokens with plain collections, each level the exact e6-grid
+    * integer ⌊(max(4·num−3,0)·10⁶ + 3·w·lower_e6)/(4·den)⌋ the operator
+    * documents (D = 3/4). */
+  private lazy val bruteKn4: Map[String, (Long, Double)] = {
+    def lvl(num: Long, w: Long, lowerE6: Long, den: Long): Long =
+      (math.max(4L * num - 3L, 0L) * 1000000L + 3L * w * lowerE6) / (4L * den)
+    val four = corpus.flatMap(_._3.sliding(4).filter(_.length == 4)
+      .map(_.mkString(" ")))
+    val c4 = four.groupBy(identity).map { case (f, xs) => f -> xs.size.toLong }
+    val cctx4 = c4.toSeq.groupBy { case (f, _) =>
+      f.split(" ", 4).take(3).mkString(" ") }
+      .map { case (ctx, xs) => ctx -> ((xs.map(_._2).sum, xs.size.toLong)) }
+    val cont3 = c4.keysIterator.map(_.split(" ", 4)).toSeq
+      .groupBy(a => (a(1), a(2), a(3))).map { case (k, xs) => k -> xs.size.toLong }
+    val midTot3 = cont3.toSeq.groupBy { case ((w2, w3, _), _) => (w2, w3) }
+      .map { case (k, xs) => k -> xs.map(_._2).sum }
+    val triTypes = corpus.flatMap(_._3.sliding(3).filter(_.length == 3)
+      .map(_.mkString(" "))).distinct.map(_.split(" ", 3))
+    val fol3 = triTypes.groupBy(a => (a(0), a(1)))
+      .map { case (k, xs) => k -> xs.size.toLong }
+    val contBg = triTypes.groupBy(a => (a(1), a(2)))
+      .map { case (k, xs) => k -> xs.size.toLong }
+    val midTot2 = contBg.toSeq.groupBy(_._1._1)
+      .map { case (w3, xs) => w3 -> xs.map(_._2).sum }
+    val bigrams = corpus.flatMap(_._3.sliding(2).filter(_.length == 2)
+      .map(p => p(0) + " " + p(1))).distinct
+    val follow2 = bigrams.map(_.split(" ", 2)).groupBy(_(0))
+      .map { case (w, xs) => w -> xs.size.toLong }
+    val cont1 = bigrams.map(_.split(" ", 2)).groupBy(_(1))
+      .map { case (w, xs) => w -> xs.size.toLong }
+    val tTypes = bigrams.size.toLong
+    c4.map { case (f, n) =>
+      val a = f.split(" ", 4)
+      val (nctx, nf4) = cctx4(a.take(3).mkString(" "))
+      val pcE6 = 1000000L * cont1(a(3)) / tTypes
+      val pm2E6 = lvl(contBg((a(2), a(3))), follow2(a(2)), pcE6, midTot2(a(2)))
+      val pm3E6 =
+        lvl(cont3((a(1), a(2), a(3))), fol3((a(1), a(2))), pm2E6,
+          midTot3((a(1), a(2))))
+      f -> ((n, lvl(n, nf4, pm3E6, nctx).toDouble / 1000000d))
+    }
+  }
+
+  test("kn4_fourgram_top matches brute-force interpolated 4-gram KN") {
+    val expected = bruteKn4.toSeq
+      .sortBy { case (f, (_, p)) => (-p, f) }.take(Selection.KnTopN)
+      .zipWithIndex
+      .map { case ((f, (n, p)), i) => Seq[Any](f, n, p, (i + 1).toLong) }
+      .toSet
+    assert(collectSet(Selection.kn4FourgramTop(spark, dir)) == expected)
+    // conditional mass over the observed continuations of one context <1
+    val ctx = bruteKn4.keysIterator.next().split(" ", 4).take(3).mkString(" ")
+    val mass = bruteKn4.collect {
+      case (f, (_, p)) if f.startsWith(ctx + " ") => p }.sum
+    assert(mass < 1.0 + 1e-9)
+  }
+
+  test("kn4_perplexity + kn4_buckets match the independent scorer") {
+    val lp = bruteKn4.map { case (f, (_, p)) =>
+      f -> round4(math.log(math.max(p, Selection.KnPFloor)))
+    }
+    val byDoc = corpus.map { case (id, _, t) =>
+      id -> t.sliding(4).filter(_.length == 4).map(_.mkString(" ")).toSeq
+    }.filter(_._2.nonEmpty)
+    val sumLp = byDoc.map { case (id, fs) => id -> fs.map(lp).sum }.toMap
+    val expected = byDoc.map { case (id, fs) =>
+      Seq[Any](id, fs.size.toLong, sumLp(id).toDouble)
+    }.toSet
+    assert(collectSet(Selection.kn4Perplexity(spark, dir)) == expected)
+
+    val langOf = corpus.map(c => c._1 -> c._2).toMap
+    val nll = byDoc.map { case (id, fs) =>
+      id -> (-sumLp(id) * 10000).toLongExact / fs.size
+    }.toMap
+    val thr = nll.toSeq.groupBy { case (id, _) => langOf(id) }
+      .map { case (l, xs) =>
+        val sorted = xs.map(_._2).sorted.toIndexedSeq
+        l -> ((pct(sorted, Selection.HeadPct), pct(sorted, Selection.TailPct)))
+      }
+    val expB = nll.map { case (id, v) =>
+      val (h, t) = thr(langOf(id))
+      Seq[Any](id, langOf(id), v,
+        if (v <= h) "head" else if (v <= t) "middle" else "tail")
+    }.toSet
+    assert(collectSet(Selection.kn4Buckets(spark, dir)) == expB)
+  }
+
+  test("kn4 discriminates where the trigram model cannot: deterministic " +
+      "4-gram structure under ambiguous trigram context") {
+    // 10×"a x b c" + 10×"d x b e": after "x b", the trigram model splits
+    // mass between c and e (~1/2 each); the 4-gram context "a x b" is
+    // deterministic. The probe doc must score a strictly lower mean nll
+    // under the 4-gram model.
+    val d = java.nio.file.Files.createTempDirectory("graft-kn4disc").toString
+    import spark.implicits._
+    val rows = (1L to 10L).map(i => (i, "a x b c")) ++
+      (11L to 20L).map(i => (i, "d x b e")) :+ (99L, "a x b c")
+    rows.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'s' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val r4 = Selection.kn4Perplexity(spark, d).where("doc_id = 99").collect()(0)
+    val r3 = Selection.kn3Perplexity(spark, d).where("doc_id = 99").collect()(0)
+    val nll4 = -r4.getAs[Double]("sum_lp") / r4.getAs[Long]("n_fourgrams")
+    val nll3 = -r3.getAs[Double]("sum_lp") / r3.getAs[Long]("n_trigrams")
+    assert(nll4 < nll3,
+      s"4-gram mean nll $nll4 should beat trigram $nll3 on this corpus")
+  }
+
   test("kn3 discriminates where the bigram model cannot: deterministic " +
       "trigram structure under ambiguous bigram context") {
     // 10×"a b c" + 10×"d b e": after "b", the bigram model splits mass
