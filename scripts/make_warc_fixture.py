@@ -415,6 +415,25 @@ def make_wet_wat_fixture():
     for h in sorted(stats):
         print(f"  ({h!r}, {stats[h][0]}, {stats[h][1]}),")
 
+    # compression_ratio oracle: zlib level-6 deflate of the SAME WET bodies,
+    # computed by CPython's zlib independently of java.util.zip.Deflater
+    # (both wrap canonical zlib; a ScalaTest tripwire asserts the JVM
+    # produces these exact lengths, so a bundled-zlib divergence would fail
+    # the spec before it could fail the driver gate)
+    print("expected compression_ratio rows (url, n_bytes, deflate_bytes, "
+          "ratio_bp):")
+    import zlib
+    for url, text in sorted([
+            ("http://site-a.example/index", PAGE_A_TEXT),
+            ("http://site-b.example/post", PAGE_B_TEXT),
+            ("http://plain.example/readme", PLAIN_TEXT),
+            ("http://site-b.example/empty", ""),
+            ("http://site-c.example/nested", PAGE_C_TEXT)]):
+        raw = text.encode("utf-8")
+        dl = len(zlib.compress(raw, 6))
+        print(f"  ({url!r}, {len(raw)}, {dl}, "
+              f"{10000 * dl // max(len(raw), 1)}),")
+
     def wat(url, status, ctype, title, links):
         env = {"Envelope": {
             "WARC-Header-Metadata": {"WARC-Target-URI": url,

@@ -1926,6 +1926,153 @@ object Curation {
       |FROM documents d JOIN cnt ON d.doc_id = cnt.doc_id
       |GROUP BY d.doc_id, d.text""".stripMargin
 
+  // ---- #25k-c compression-ratio quality signal ----------------------------
+  /** Pinned deflate level — part of the signal's definition (a different
+    * level is a different signal). Level 6 is zlib's default and what
+    * production repetition tripwires (Gopher/RefinedWeb-class "too
+    * compressible" filters) effectively run. */
+  val DeflateLevel = 6
+
+  /** Documents whose deflate ratio falls below this (exact bp of
+    * compressed/raw bytes) are flagged repetitive: natural prose deflates
+    * to ~30–60%, while templated/looped text collapses far lower — the
+    * cheap catch-all for repetition the n-gram gates can miss (long-period
+    * repeats, structural boilerplate). */
+  val CompressionMinBp = 2000L
+
+  /** Exact zlib deflate length at [[DeflateLevel]] — java.util.zip wraps
+    * canonical zlib, and CurationSpec pins its output lengths against
+    * CPython-zlib-derived literals (the tripwire that would catch a
+    * bundled-zlib divergence before the driver gate does). */
+  private[graft] def deflateLen(bytes: Array[Byte]): Long = {
+    val d = new java.util.zip.Deflater(DeflateLevel)
+    d.setInput(bytes); d.finish()
+    val buf = new Array[Byte](8192)
+    var n = 0L
+    while (!d.finished()) n += d.deflate(buf)
+    d.end()
+    n
+  }
+
+  /** (key, n_bytes, deflate_bytes) of each document's UTF-8 text — the
+    * executor-side deflate pass (typed mapPartitions, one Deflater call
+    * per row, no UDF, no driver involvement; at 100 TB a map-only pass at
+    * scan speed — deflate runs ~100 MB/s/core, far above the quality
+    * gates' regex cost). */
+  private def deflateFrame(df: DataFrame, key: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(key).cast("string").as("k"), col("text"))
+      .as[(String, String)]
+      .mapPartitions(_.map { case (k, t) =>
+        val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        (k, bytes.length.toLong, deflateLen(bytes))
+      })
+      .toDF("k", "n_bytes", "deflate_bytes")
+  }
+
+  /** Driver-contract query: per-document deflate ratio over the committed
+    * WET fixture (exact byte-pinned texts) — url-keyed so the oracle can
+    * be a VALUES literal (doc_id embeds the JVM temp path). Ignores `dir`
+    * (raw-file source; the warc_host_stats pattern). */
+  def compressionRatio(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.ExactMath.intDiv
+    deflateFrame(
+      graft.sources.WarcSource.documentsFromWet(spark,
+        graft.sources.WarcSource.FixtureWetDir), "url")
+      .select(col("k").as("url"), col("n_bytes"), col("deflate_bytes"),
+        intDiv(lit(10000L) * col("deflate_bytes"),
+          greatest(col("n_bytes"), lit(1L))).as("ratio_bp"))
+  }
+
+  /** Oracle: exact VALUES literal — CPython zlib.compress(text, 6)
+    * lengths over the same hand-derived WET bodies
+    * (scripts/make_warc_fixture.py prints these; both runtimes wrap
+    * canonical zlib, and the spec tripwire pins the JVM side). The empty
+    * doc pins the 8-byte empty-stream header and the n_bytes=0 divide
+    * guard; sub-50-byte prose pins ratios >10000 (header overhead) —
+    * which is why the repetition gate only fires LOW. */
+  val compressionRatioSql: String =
+    """SELECT url, CAST(nb AS BIGINT) AS n_bytes,
+      |  CAST(db AS BIGINT) AS deflate_bytes, CAST(rb AS BIGINT) AS ratio_bp
+      |FROM (VALUES
+      |  ('http://plain.example/readme', 36, 44, 12222),
+      |  ('http://site-a.example/index', 96, 99, 10312),
+      |  ('http://site-b.example/empty', 0, 8, 80000),
+      |  ('http://site-b.example/post', 30, 35, 11666),
+      |  ('http://site-c.example/nested', 14, 22, 15714))
+      |  AS t(url, nb, db, rb)""".stripMargin
+
+  /** Corpus-level compression audit (rows-only by design — DuckDB cannot
+    * deflate, so no SQL oracle exists; brute-forced against direct
+    * java.util.zip calls in CurationSpec): per source, doc count, raw and
+    * deflated byte mass, the aggregate ratio in exact bp, and how many
+    * docs the [[CompressionMinBp]] repetition gate would flag.
+    *
+    * Scale: the deflate pass is map-only; the rollup is one map-side-
+    * partial agg on the ~10²-key source column. */
+  def compressionStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.ExactMath.intDiv
+    val src = docs(spark, dir).select(col("doc_id").cast("string").as("k"),
+      col("source"))
+    deflateFrame(docs(spark, dir), "doc_id")
+      .join(src, "k")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bytes")).as("raw_bytes"),
+        sum(col("deflate_bytes")).as("deflate_bytes"),
+        sum(when(intDiv(lit(10000L) * col("deflate_bytes"),
+            greatest(col("n_bytes"), lit(1L))) < CompressionMinBp, 1L)
+          .otherwise(0L)).as("n_repetitive"))
+      .select(col("source"), col("n_docs"), col("raw_bytes"),
+        col("deflate_bytes"),
+        intDiv(lit(10000L) * col("deflate_bytes"),
+          greatest(col("raw_bytes"), lit(1L))).as("ratio_bp"),
+        col("n_repetitive"))
+  }
+
+  /** Scorer-agreement audit, compression edition (rows-only like
+    * [[compressionStats]]; brute-forced in CurationSpec): Cohen's kappa
+    * between the deflate repetition gate (keep iff ratio_bp ≥
+    * [[CompressionMinBp]]) and the heuristic quality gate (keep iff
+    * quality ≥ CuratedQualityMinBp) — the `scorer_agreement` math with
+    * the deflate signal as the second scorer, completing VERDICT r12 #4's
+    * "4th scorer" wiring. Same exact-bp observed/chance agreement and the
+    * 4-dp-pinned kappa. */
+  def compressionAgreement(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.ExactMath.intDiv
+    import graft.functions.TextFns.bp
+    val q = docs(spark, dir).select(col("doc_id").cast("string").as("k"),
+      (TextAnalysis.qualityBpFrom(TextAnalysis.profileCol)
+        >= lit(CuratedQualityMinBp)).as("qk"))
+    val sig = deflateFrame(docs(spark, dir), "doc_id")
+      .select(col("k"),
+        (intDiv(lit(10000L) * col("deflate_bytes"),
+          greatest(col("n_bytes"), lit(1L))) >= CompressionMinBp).as("zk"))
+      .join(q, "k")
+    sig.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("qk") && col("zk"), 1L).otherwise(0L)).as("both_keep"),
+        sum(when(col("qk") && !col("zk"), 1L).otherwise(0L)).as("quality_only"),
+        sum(when(!col("qk") && col("zk"), 1L).otherwise(0L)).as("deflate_only"),
+        sum(when(!col("qk") && !col("zk"), 1L).otherwise(0L)).as("both_drop"))
+      .withColumn("po_bp",
+        bp(col("both_keep") + col("both_drop"), greatest(col("n_docs"), lit(1L))))
+      .withColumn("pq_bp",
+        bp(col("both_keep") + col("quality_only"), greatest(col("n_docs"), lit(1L))))
+      .withColumn("pz_bp",
+        bp(col("both_keep") + col("deflate_only"), greatest(col("n_docs"), lit(1L))))
+      .withColumn("pe_bp", intDiv(
+        col("pq_bp") * col("pz_bp")
+          + (lit(10000L) - col("pq_bp")) * (lit(10000L) - col("pz_bp")),
+        lit(10000L)))
+      .select(col("n_docs"), col("both_keep"), col("quality_only"),
+        col("deflate_only"), col("both_drop"), col("po_bp").as("agreement_bp"),
+        round((col("po_bp") - col("pe_bp")).cast("double")
+            / greatest(lit(10000L) - col("pe_bp"), lit(1L)).cast("double"), 4)
+          .cast("decimal(14,4)").cast("double").as("kappa"))
+  }
+
   // ---- #25ab-b encoding-damage (mojibake) audit ---------------------------
   /** Per-source encoding-health report — the audit a crawl pipeline runs
     * before trusting its decode stage (the reason ftfy exists). Three

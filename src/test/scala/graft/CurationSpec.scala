@@ -845,4 +845,79 @@ class CurationSpec extends SparkTestBase {
       Seq[Any]("s3", 1L, 0L, 0L, 0L, 0L, 1L)) // 5 added
     assert(got == expected)
   }
+
+  // ---- compression-ratio quality signal ------------------------------------
+
+  /** Independent deflate (its own java.util.zip loop, matching the
+    * CPython-zlib oracle literals — the tripwire for a bundled-zlib
+    * divergence). */
+  private def zlen(s: String): Long = {
+    val d = new java.util.zip.Deflater(Curation.DeflateLevel)
+    val in = s.getBytes("UTF-8")
+    d.setInput(in); d.finish()
+    val buf = new Array[Byte](1 << 16)
+    var n = 0L
+    while (!d.finished()) n += d.deflate(buf)
+    d.end(); n
+  }
+
+  test("compression_ratio fixture equals the CPython-zlib-pinned literals " +
+      "(the bundled-zlib tripwire)") {
+    val got = Curation.compressionRatio(spark, "ignored").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      ("http://plain.example/readme", 36L, 44L, 12222L),
+      ("http://site-a.example/index", 96L, 99L, 10312L),
+      ("http://site-b.example/empty", 0L, 8L, 80000L),
+      ("http://site-b.example/post", 30L, 35L, 11666L),
+      ("http://site-c.example/nested", 14L, 22L, 15714L)))
+  }
+
+  test("compression_stats rolls up per-source deflate mass and flags " +
+      "repetitive docs; compression_agreement matches the hand-derived " +
+      "2x2 kappa") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-zstats").toString
+    // sA: one long prose doc (quality keep, deflate keep) + one massively
+    // repetitive doc (quality keep by tokens, deflate FLAGS it — the case
+    // the n-gram gates can miss is exactly what this signal buys);
+    // sB: one short doc (quality drop, deflate keep: tiny texts ratio>1)
+    // 60 distinct hash-gibberish words: genuinely incompressible "prose"
+    // (natural-word filler like "word$i unique" deflates below the gate)
+    val prose = (1 to 60).map(i =>
+      java.lang.Long.toString(i * 2654435761L % 4586471023L, 36)).mkString(" ")
+    val loop = "spam ham " * 400
+    val short = "tiny text"
+    val rows = Seq((1L, prose, "sA"), (2L, loop, "sA"), (3L, short, "sB"))
+    rows.toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'en' AS lang", "source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val raw = rows.map { case (id, t, s) =>
+      (id, s, t.getBytes("UTF-8").length.toLong, zlen(t)) }
+    // sanity: the loop doc really is below the gate, the others above
+    assert(10000L * raw(1)._4 / raw(1)._3 < Curation.CompressionMinBp)
+    assert(10000L * raw(0)._4 / raw(0)._3 >= Curation.CompressionMinBp)
+    val expected = raw.groupBy(_._2).map { case (s, xs) =>
+      val rb = xs.map(_._3).sum; val db = xs.map(_._4).sum
+      Seq[Any](s, xs.size.toLong, rb, db, 10000L * db / math.max(rb, 1L),
+        xs.count(x => 10000L * x._4 / math.max(x._3, 1L)
+          < Curation.CompressionMinBp).toLong)
+    }.toSet
+    assert(collectSet(Curation.compressionStats(spark, d)) == expected)
+
+    // agreement: doc1 both-keep, doc2 quality-only (deflate flags),
+    // doc3 deflate-only (quality drops a 2-token doc) → po=1/3
+    val (bk, qo, zo, bd) = (1L, 1L, 1L, 0L)
+    val n = 3L
+    val po = 10000L * (bk + bd) / n
+    val pq = 10000L * (bk + qo) / n
+    val pz = 10000L * (bk + zo) / n
+    val pe = (pq * pz + (10000L - pq) * (10000L - pz)) / 10000L
+    val kappa = BigDecimal((po - pe).toDouble / math.max(10000L - pe, 1L))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Curation.compressionAgreement(spark, d).collect()(0)
+    assert(got.toSeq == Seq(n, bk, qo, zo, bd, po, kappa))
+  }
 }

@@ -27,7 +27,12 @@ class EntrySpec extends SparkTestBase {
     // no-single-SQL argument as bpe_merges; brute-forced from scratch in
     // PipelineOpsSpec (bbpe_pair_counts, the round-0 statistic, IS
     // fully oracled)
+    // compression_stats/compression_agreement: DuckDB has no deflate, so
+    // no SQL oracle can exist for any deflate-derived number; brute-forced
+    // against direct java.util.zip calls in CurationSpec (the per-doc
+    // compression_ratio row IS fully oracled via CPython-zlib literals)
     val rowsOnly = Set("partition_stats", "approx_stats", "bpe_merges",
+      "compression_stats", "compression_agreement",
       "bpe_encode", "bbpe_merges", "bbpe_encode",
       "dup_pagerank", "longest_repeat",
       "unigram_vocab", "unigram_encode", "unigram_fertility",
