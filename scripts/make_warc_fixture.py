@@ -468,7 +468,68 @@ def make_wet_wat_fixture():
     print(f"wrote {out_wat}/cc-000.warc.wat and cc-001.warc.wat.gz")
 
 
+# Ninth fixture (graft/warc_sitemap): sitemap.xml documents backing the
+# `sitemap_urls` driver row — the robots.txt companion every polite
+# crawler consumes for seed discovery (the sitemaps.org protocol).
+# Extraction rules (pinned): a response is a sitemap iff its body carries
+# a <urlset or <sitemapindex root tag (case-insensitive); <url> blocks
+# yield kind='url' rows, <sitemap> blocks (index files — the recursion
+# seed for the next fetch round) yield kind='sitemap' rows; loc is
+# REQUIRED (blocks without one are dropped), whitespace-trimmed, with the
+# core entity set decoded (&amp; in URLs is mandatory XML escaping);
+# lastmod/priority are optional strings, '' when absent. Expected rows,
+# derived BY HAND from the bodies below:
+#
+#   sitemap_url                          kind     loc                                lastmod      priority
+#   http://a.example/sitemap.xml         url      http://a.example/                  2024-01-01   1.0
+#   http://a.example/sitemap.xml         url      http://a.example/page?x=1&y=2      ''           ''
+#   http://a.example/sitemap.xml         url      http://a.example/spaced            2024-02-03   ''
+#   http://a.example/sitemap_index.xml   sitemap  http://a.example/sitemap.xml       2024-01-05   ''
+#   http://a.example/sitemap_index.xml   sitemap  http://a.example/sitemap2.xml.gz   ''           ''
+#   (the /notmap page and the loc-less <url> block yield no rows)
+SITEMAP_A = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+<url><loc>http://a.example/</loc><lastmod>2024-01-01</lastmod><priority>1.0</priority></url>
+<url><loc>http://a.example/page?x=1&amp;y=2</loc></url>
+<url><loc>
+  http://a.example/spaced
+</loc><lastmod>2024-02-03</lastmod></url>
+<url><lastmod>2024-03-01</lastmod></url>
+</urlset>"""
+SITEMAP_INDEX = """<?xml version="1.0"?>
+<SITEMAPINDEX>
+<sitemap><loc>http://a.example/sitemap.xml</loc><lastmod>2024-01-05</lastmod></sitemap>
+<sitemap><loc>http://a.example/sitemap2.xml.gz</loc></sitemap>
+</SITEMAPINDEX>"""
+
+
+def make_sitemap_fixture():
+    out = os.path.join(os.path.dirname(__file__), "..", "src", "main",
+                       "resources", "graft", "warc_sitemap")
+    os.makedirs(out, exist_ok=True)
+
+    def http_xml(body):
+        return (b"HTTP/1.1 200 OK\r\nContent-Type: application/xml\r\n\r\n"
+                + body.encode("ascii"))
+
+    part0 = (
+        record("response", "http://a.example/sitemap.xml",
+               http_xml(SITEMAP_A))
+        + record("response", "http://b.example/notmap",
+                 http("just a page, <url> marker without a sitemap root"))
+    )
+    with open(os.path.join(out, "cc-sitemap-000.warc"), "wb") as f:
+        f.write(part0)
+    part1 = record("response", "http://a.example/sitemap_index.xml",
+                   http_xml(SITEMAP_INDEX))
+    with open(os.path.join(out, "cc-sitemap-001.warc.gz"), "wb") as f:
+        with gzip.GzipFile(fileobj=f, mode="wb", mtime=0) as gz:
+            gz.write(part1)
+    print(f"wrote {out}/cc-sitemap-000.warc and cc-sitemap-001.warc.gz")
+
+
 if __name__ == "__main__":
     main()
     make_links_fixture()
     make_wet_wat_fixture()
+    make_sitemap_fixture()

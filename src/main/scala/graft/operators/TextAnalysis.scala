@@ -94,6 +94,72 @@ object TextAnalysis {
     }
   }
 
+  // ---- #22c Unicode-script census ----------------------------------------
+  /** The pinned script classes: (output column, Java regex class, RE2
+    * regex class). Both engines implement the Unicode Script property, so
+    * counts agree code-point-for-code-point; `kana` unions Hiragana and
+    * Katakana (one writing system for routing purposes). */
+  private[operators] val ScriptClasses: Seq[(String, String, String)] = Seq(
+    ("latin", "\\p{IsLatin}", "\\p{Latin}"),
+    ("han", "\\p{IsHan}", "\\p{Han}"),
+    ("cyrillic", "\\p{IsCyrillic}", "\\p{Cyrillic}"),
+    ("arabic", "\\p{IsArabic}", "\\p{Arabic}"),
+    ("devanagari", "\\p{IsDevanagari}", "\\p{Devanagari}"),
+    ("greek", "\\p{IsGreek}", "\\p{Greek}"),
+    ("hangul", "\\p{IsHangul}", "\\p{Hangul}"),
+    ("kana", "[\\p{IsHiragana}\\p{IsKatakana}]",
+      "[\\p{Hiragana}\\p{Katakana}]"))
+
+  /** Per-doc script-class character counts — the row-local substrate of
+    * [[scriptStats]] (exposed for composition: the router a multilingual
+    * corpus consults before any language decision). Map-only, fused into
+    * the scan. */
+  private def docScriptCounts(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id") +: col("source") +:
+        ScriptClasses.map { case (name, jre, _) =>
+          regexp_count(col("text"), lit(jre)).cast("long").as(name) }: _*)
+
+  /** Unicode-script census per source (SURVEY §2 #22c; VERDICT r12 #5):
+    * summed per-script code-point counts for the 8 pinned classes plus
+    * how many docs carry ANY non-Latin script — the signal that routes a
+    * corpus to per-script handling BEFORE the stopword-based `lang_id`
+    * (which is Latin-alphabet-only by construction) can mislead on
+    * non-Latin text.
+    *
+    * Scale: 8 row-local regexp_count projections fused into the scan
+    * (RE2-safe character classes — no backtracking blowup), then ONE
+    * map-side-partial agg on the ~10²-key source column. */
+  def scriptStats(spark: SparkSession, dir: String): DataFrame = {
+    val nonLatin = ScriptClasses.collect {
+      case (n, _, _) if n != "latin" => col(n) }.reduce(_ + _)
+    docScriptCounts(spark, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        (ScriptClasses.map { case (n, _, _) => sum(col(n)).as(n) } :+
+          sum(when(nonLatin > 0L, 1L).otherwise(0L)).as("n_docs_non_latin")): _*)
+  }
+  val scriptStatsSql: String = {
+    val per = ScriptClasses.map { case (n, _, re2) =>
+      s"CAST(length(regexp_extract_all(text, '$re2')) AS BIGINT) AS $n"
+    }.mkString(",\n    ")
+    // CAST each sum: DuckDB types sum(BIGINT) as HUGEINT (§6 ban)
+    val sums = ScriptClasses
+      .map { case (n, _, _) => s"CAST(sum($n) AS BIGINT) AS $n" }
+      .mkString(", ")
+    val nonLatin = ScriptClasses.collect { case (n, _, _) if n != "latin" => n }
+      .mkString(" + ")
+    s"""WITH per AS (
+       |  SELECT source,
+       |    $per
+       |  FROM documents
+       |)
+       |SELECT source, count(*) AS n_docs, $sums,
+       |  CAST(sum(CASE WHEN $nonLatin > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_docs_non_latin
+       |FROM per GROUP BY 1""".stripMargin
+  }
+
   def langId(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(col("doc_id"), col("lang").as("labeled_lang"), profileCol.as("__p"))

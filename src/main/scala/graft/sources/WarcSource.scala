@@ -1186,4 +1186,78 @@ object WarcSource {
       |  ('http://hub.example/start', 'http://beta.example/b?q=1', 'beta list'),
       |  ('http://upper.example/g', 'HTTP://Gamma.example/G', 'Gamma Page'))
       |  AS t(url, href, anchor)""".stripMargin
+
+  // ---- sitemap.xml parse (the robots.txt companion) ------------------------
+  /** Sitemap fixture corpus backing `sitemap_urls` (generated by
+    * scripts/make_warc_fixture.py: a urlset with lastmod/priority,
+    * entity-escaped and whitespace-padded locs and a loc-less block, an
+    * UPPERCASE sitemapindex, and a non-sitemap page carrying a literal
+    * "<url>" that must not match). */
+  lazy val FixtureSitemapDir: String =
+    materializeFixture("warc_sitemap",
+      Seq("cc-sitemap-000.warc", "cc-sitemap-001.warc.gz"))
+
+  /** Sitemap entries of a crawl (the sitemaps.org protocol — crawl seed
+    * discovery, the robots.txt companion; VERDICT r12 #6). Pinned rules:
+    * a response is a sitemap iff its body carries a `<urlset` or
+    * `<sitemapindex` root tag (case-insensitive); `<url>` blocks emit
+    * kind='url' rows and `<sitemap>` blocks of an index file emit
+    * kind='sitemap' rows — the recursion SEED for the next fetch round
+    * (batch ingestion parses what was fetched; it cannot fetch children,
+    * so index recursion is by re-joining emitted seeds against the next
+    * crawl segment). loc is required (block dropped without one),
+    * whitespace-trimmed, entity-decoded (&amp; in URLs is mandatory XML
+    * escaping); lastmod/priority optional, '' when absent.
+    *
+    * Scale: two regexp_extract_all projections + a positional explode per
+    * kind — row-local inside whole-stage codegen like [[htmlLinks]]; the
+    * sitemap root filter prunes the corpus before any block scan. */
+  def sitemapUrls(docs: DataFrame): DataFrame = {
+    def wsTrim(c: org.apache.spark.sql.Column) =
+      regexp_replace(c, "^\\s+|\\s+$", "")
+    def blocks(tag: String, kind: String) =
+      docs
+        .where(col("text").rlike("(?is)<\\s*(urlset|sitemapindex)"))
+        .select(col("url").as("sitemap_url"),
+          explode(regexp_extract_all(col("text"),
+            lit(s"(?is)<$tag\\b[^>]*>(.*?)</$tag\\s*>"), lit(1))).as("b"))
+        .select(col("sitemap_url"), lit(kind).as("kind"),
+          // regex trim: Spark's trim() strips only 0x20, and sitemap locs
+          // legally wrap in newlines
+          wsTrim(graft.functions.TextFns.htmlEntities(regexp_extract(col("b"),
+            "(?is)<loc\\s*>(.*?)</loc\\s*>", 1))).as("loc"),
+          wsTrim(regexp_extract(col("b"),
+            "(?is)<lastmod\\s*>(.*?)</lastmod\\s*>", 1)).as("lastmod"),
+          wsTrim(regexp_extract(col("b"),
+            "(?is)<priority\\s*>(.*?)</priority\\s*>", 1)).as("priority"))
+        .where(col("loc") =!= "")
+    blocks("url", "url").unionAll(blocks("sitemap", "sitemap"))
+  }
+
+  /** Driver-contract query: [[sitemapUrls]] over the committed sitemap
+    * fixture. Ignores `dir` like [[warcHostStats]]. */
+  def sitemapUrlsQ(spark: SparkSession, dir: String): DataFrame =
+    sitemapUrls(documentsFromWarc(spark, FixtureSitemapDir))
+
+  /** Oracle: exact VALUES literal, hand-derived in
+    * scripts/make_warc_fixture.py from the fixture bodies under the
+    * documented rules — pins the root-tag gate (the literal "<url>" on a
+    * plain page yields nothing), the `<url\b` boundary (a urlset root
+    * never parses as a url block), loc trim + entity decode, optional
+    * lastmod/priority, the loc-less block drop, and the uppercase index
+    * with kind='sitemap' seeds. */
+  val sitemapUrlsSql: String =
+    """SELECT sitemap_url, kind, loc, lastmod, priority
+      |FROM (VALUES
+      |  ('http://a.example/sitemap.xml', 'url', 'http://a.example/',
+      |   '2024-01-01', '1.0'),
+      |  ('http://a.example/sitemap.xml', 'url',
+      |   'http://a.example/page?x=1&y=2', '', ''),
+      |  ('http://a.example/sitemap.xml', 'url', 'http://a.example/spaced',
+      |   '2024-02-03', ''),
+      |  ('http://a.example/sitemap_index.xml', 'sitemap',
+      |   'http://a.example/sitemap.xml', '2024-01-05', ''),
+      |  ('http://a.example/sitemap_index.xml', 'sitemap',
+      |   'http://a.example/sitemap2.xml.gz', '', ''))
+      |  AS t(sitemap_url, kind, loc, lastmod, priority)""".stripMargin
 }

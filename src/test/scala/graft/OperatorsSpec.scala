@@ -963,4 +963,26 @@ class OperatorsSpec extends SparkTestBase {
     assert(got("1995-06") == ((90.0, 140.0, 6428.5714, 2L)))
     assert(got("1995-07") == ((150.0, 150.0, 10000.0, 1L)))
   }
+
+  test("script_stats counts the 8 pinned script classes on a mixed-script " +
+      "corpus and flags non-Latin docs") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-scripts").toString
+    Seq(
+      // hand-counted: 5 Latin, 3 Cyrillic, 2 Han, 5 Arabic, 6 Devanagari
+      // (4 letters + 2 combining marks carry the script property), 4 Greek,
+      // 2 Hangul, 9 kana (5 hiragana + 4 katakana); digits/punct no script
+      (1L, "Hello мир 你好 مرحبا नमस्ते Γειά 안녕 こんにちは カタカナ 123 !", "multi"),
+      (2L, "pure ascii prose only", "multi"),
+      (3L, "latin with 一二三 han", "cjk"))
+      .toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'xx' AS lang", "source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val got = TextAnalysis.scriptStats(spark, d).collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    // multi: doc1 (5,2,3,5,6,4,2,9 across the classes) + doc2 (18 latin)
+    assert(got("multi") == Seq(2L, 23L, 2L, 3L, 5L, 6L, 4L, 2L, 9L, 1L))
+    assert(got("cjk") == Seq(1L, 12L, 3L, 0L, 0L, 0L, 0L, 0L, 0L, 1L))
+  }
 }

@@ -797,6 +797,22 @@ class WarcSourceSpec extends SparkTestBase {
     assert(got("http://d.example/page")) // no '*' fallback group
   }
 
+  test("sitemapUrls: root-tag gate, <url\\b boundary, loc requirement and " +
+      "whitespace/entity normalization") {
+    import spark.implicits._
+    val docs = Seq(
+      ("http://s.example/m.xml",
+        "<urlset><url><loc> http://s.example/a&amp;b </loc></url>" +
+          "<url><priority>0.5</priority></url></urlset>"),
+      // literal <url> text without a sitemap root: not a sitemap
+      ("http://s.example/page", "see the <url><loc>http://x/</loc></url> tag")
+    ).toDF("url", "text")
+    val got = WarcSource.sitemapUrls(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(("http://s.example/m.xml", "url",
+      "http://s.example/a&b")))
+  }
+
   test("WET conformance: documentsFromWet text equals the WARC-derived " +
       "htmlExtract text URL-for-URL; the warcinfo preamble is dropped") {
     val wet = WarcSource.documentsFromWet(spark, WarcSource.FixtureWetDir)
