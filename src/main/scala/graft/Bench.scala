@@ -37,6 +37,20 @@ object Bench {
     // process-CPU/wall let a reader separate query regressions from a
     // contended or memory-starved box: contention shows as high load with
     // low cpu/wall utilization; heap pressure shows as gc_ms.
+    // Load gate (VERDICT r12 #8): BENCH_r12 ran at load 3.41 and read
+    // 129.6 s where the same commit benched 90.8 s on a quiet box — an
+    // adjudication burden every round it happens. If the box is busy at
+    // startup, WAIT (bounded) for the 1-min load to drop below 2 before
+    // measuring; the JSON records how long we waited and the load we gave
+    // up at, so a still-loaded record is explicit instead of ambiguous.
+    val loadAtStart = loadAvg
+    val cooldownBudget =
+      sys.env.getOrElse("GRAFT_BENCH_COOLDOWN_SECS", "120").toLong
+    val cooldown0 = System.nanoTime()
+    while (loadAvg > 2.0
+        && (System.nanoTime() - cooldown0) / 1e9 < cooldownBudget)
+      Thread.sleep(5000)
+    val cooldownSec = (System.nanoTime() - cooldown0) / 1e9
     val loadBefore = loadAvg
     val gc0 = gcMs
     val cpu0 = cpuNanos
@@ -126,6 +140,7 @@ object Bench {
     val telemetry = s""""wall_sec":${f2(wallSec)},"cpu_sec":${f2(cpuSec)},""" +
       s""""cpu_util":${f2(if (wallSec > 0 && cpuSec >= 0) cpuSec / wallSec else -1.0)},""" +
       s""""gc_ms":$gcDeltaMs,"load_before":${f2(loadBefore)},"load_after":${f2(loadAfter)},""" +
+      s""""load_at_start":${f2(loadAtStart)},"cooldown_sec":${f2(cooldownSec)},""" +
       s""""host_cpus":${Runtime.getRuntime.availableProcessors},""" +
       s""""passes":$passes"""
     // every headline scalar FIRST, the two long per-query maps LAST: the

@@ -1285,10 +1285,12 @@ object Selection {
     * bounded, not corpus windows). */
   def domainReweight(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graft.ExactMath.intDiv
+    // token mass rides the shared codegen'd TokenProfileHits pass
+    // (VERDICT r12 #4 micro-task): same whitespace tokenization as the
+    // old interpreted split/transform/filter chain, one struct-field read
+    // instead of three array passes per doc
     val toksPerDoc = docs(spark, dir).select(col("source"),
-      size(filter(transform(split(col("text"),
-        graft.functions.TextFns.WsTokenRe), t => lower(t)), t => t =!= ""))
-        .cast("long").as("n_toks"))
+      TextAnalysis.profileCol.getField("n_toks").cast("long").as("n_toks"))
       .groupBy("source").agg(sum(col("n_toks")).as("n_tokens"))
     val excess = excessLoss(spark, dir)
       .join(docs(spark, dir).select(col("doc_id"), col("source")), "doc_id")
