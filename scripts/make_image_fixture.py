@@ -210,6 +210,14 @@ def main():
         print(f"  ({r[0]}, {r[1]}, {r[2]}, {r[3]}, {r[4]}, "
               f"'{r[5]}', '{r[6]}'),")
 
+    print("\n-- image_resize VALUES rows (doc_id, width, height, "
+          "luma_milli_total of the exact 2x2 box-downsampled image)")
+    for name, pix, _ in imgs:
+        small = downsample2(pix)
+        lm = luma_grid(small)
+        print(f"  ({int(name[3])}, {len(small[0])}, {len(small)}, "
+              f"{sum(sum(r) for r in lm)}),")
+
     print("\n-- phash hamming distances")
     for i in range(len(rows)):
         for j in range(i + 1, len(rows)):

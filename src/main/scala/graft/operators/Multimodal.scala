@@ -363,6 +363,65 @@ object Multimodal {
       |  (4, 64, 64, 4096, 544178990))
       |  AS t(doc_id, w, h, np, lum)""".stripMargin
 
+  /** Driver-contract query: REAL image resize with an independent-oracle-
+    * able definition — exact 2×2 integer box downsample (per-channel sum
+    * of the 4 source pixels, floored by 4), the resolution-normalize step
+    * on the one resampling kernel two independent implementations can
+    * agree on bit-for-bit (bilinear Graphics2D — kept in
+    * [[resizeImages]]/spec — is JDK-internal arithmetic no oracle can
+    * re-derive). Output = resized dims + exact integer milli-luma total
+    * of the resized frame; images smaller than 2×2 are dropped. Same
+    * executor-side mapPartitions plumbing as the other decoders. */
+  def imageResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    imageBlobs(spark).mapPartitions(_.flatMap { r =>
+      val img = decodeOrNull(r.blob)
+      if (img == null || img.getWidth < 2 || img.getHeight < 2)
+        Iterator.empty
+      else {
+        val (w, h) = (img.getWidth / 2, img.getHeight / 2)
+        var total = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var rs = 0; var gs = 0; var bs = 0
+            var dy = 0
+            while (dy < 2) {
+              var dx = 0
+              while (dx < 2) {
+                val rgb = img.getRGB(2 * x + dx, 2 * y + dy)
+                rs += (rgb >> 16) & 0xff; gs += (rgb >> 8) & 0xff
+                bs += rgb & 0xff
+                dx += 1
+              }
+              dy += 1
+            }
+            total += 299L * (rs / 4) + 587L * (gs / 4) + 114L * (bs / 4)
+            x += 1
+          }
+          y += 1
+        }
+        Iterator.single((r.doc_id, w.toLong, h.toLong, total))
+      }
+    }).toDF("doc_id", "width", "height", "luma_milli_total")
+  }
+
+  /** Oracle: exact VALUES literal from the generator's own downsample2 +
+    * luma derivation (the same independent code that built img2 — whose
+    * full-resolution luma equals img0's resized row here by
+    * construction). */
+  val imageResizeSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(w AS BIGINT) AS width,
+      |  CAST(h AS BIGINT) AS height, CAST(lum AS BIGINT) AS luma_milli_total
+      |FROM (VALUES
+      |  (0, 32, 32, 141418013),
+      |  (1, 32, 32, 141418013),
+      |  (2, 16, 16, 35272157),
+      |  (3, 32, 32, 124243679),
+      |  (4, 32, 32, 135666106))
+      |  AS t(doc_id, w, h, lum)""".stripMargin
+
   /** Near-dup pair threshold (bits of the 63-bit pHash). */
   val PhashMaxHamming = 10
 
