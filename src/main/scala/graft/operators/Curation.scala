@@ -2013,10 +2013,10 @@ object Curation {
     * partial agg on the ~10²-key source column. */
   def compressionStats(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graft.ExactMath.intDiv
-    val src = docs(spark, dir).select(col("doc_id").cast("string").as("k"),
-      col("source"))
-    deflateFrame(docs(spark, dir), "doc_id")
-      .join(src, "k")
+    // source rides the deflate pass as the key — ONE corpus scan, no
+    // doc-keyed re-join (plan-audited r13)
+    deflateFrame(docs(spark, dir), "source")
+      .withColumnRenamed("k", "source")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_bytes")).as("raw_bytes"),
@@ -2042,14 +2042,16 @@ object Curation {
   def compressionAgreement(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graft.ExactMath.intDiv
     import graft.functions.TextFns.bp
-    val q = docs(spark, dir).select(col("doc_id").cast("string").as("k"),
-      (TextAnalysis.qualityBpFrom(TextAnalysis.profileCol)
-        >= lit(CuratedQualityMinBp)).as("qk"))
-    val sig = deflateFrame(docs(spark, dir), "doc_id")
-      .select(col("k"),
+    // the quality verdict is computed BEFORE the deflate pass and rides
+    // it as the key column — ONE corpus scan, no doc-keyed re-join
+    val sig = deflateFrame(
+      docs(spark, dir).select(
+        (TextAnalysis.qualityBpFrom(TextAnalysis.profileCol)
+          >= lit(CuratedQualityMinBp)).cast("string").as("qk"),
+        col("text")), "qk")
+      .select((col("k") === "true").as("qk"),
         (intDiv(lit(10000L) * col("deflate_bytes"),
           greatest(col("n_bytes"), lit(1L))) >= CompressionMinBp).as("zk"))
-      .join(q, "k")
     sig.agg(
         count(lit(1)).as("n_docs"),
         sum(when(col("qk") && col("zk"), 1L).otherwise(0L)).as("both_keep"),
