@@ -1940,50 +1940,48 @@ object Curation {
     * repeats, structural boilerplate). */
   val CompressionMinBp = 2000L
 
-  /** Exact zlib deflate length at [[DeflateLevel]] — java.util.zip wraps
+  /** (n_bytes, deflate_bytes, ratio_bp) projection columns over a text
+    * column — the deflate pass as NATIVE codegen'd expressions
+    * ([[org.apache.spark.sql.graft.DeflateLen]]; java.util.zip wraps
     * canonical zlib, and CurationSpec pins its output lengths against
-    * CPython-zlib-derived literals (the tripwire that would catch a
-    * bundled-zlib divergence before the driver gate does). */
-  private[graft] def deflateLen(bytes: Array[Byte]): Long = {
-    val d = new java.util.zip.Deflater(DeflateLevel)
-    d.setInput(bytes); d.finish()
-    val buf = new Array[Byte](8192)
-    var n = 0L
-    while (!d.finished()) n += d.deflate(buf)
-    d.end()
-    n
+    * CPython-zlib-derived literals — the tripwire that would catch a
+    * bundled-zlib divergence before the driver gate does). Pure
+    * projections compose into any scan/filter — including the stateless
+    * streaming gate — with no typed-mapPartitions detour; at 100 TB a
+    * map-only pass at scan speed. */
+  private def deflateCols(text: org.apache.spark.sql.Column)
+      : Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.graft.ExactMath.intDiv
+    val nb = octet_length(text).cast("long")
+    val db = org.apache.spark.sql.graft.DeflateLen(text, DeflateLevel)
+    Seq(nb.as("n_bytes"), db.as("deflate_bytes"),
+      intDiv(lit(10000L) * db, greatest(nb, lit(1L))).as("ratio_bp"))
   }
 
-  /** (key, n_bytes, deflate_bytes) of each document's UTF-8 text — the
-    * executor-side deflate pass (typed mapPartitions, one Deflater call
-    * per row, no UDF, no driver involvement; at 100 TB a map-only pass at
-    * scan speed — deflate runs ~100 MB/s/core, far above the quality
-    * gates' regex cost). */
-  private def deflateFrame(df: DataFrame, key: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(col(key).cast("string").as("k"), col("text"))
-      .as[(String, String)]
-      .mapPartitions(_.map { case (k, t) =>
-        val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        (k, bytes.length.toLong, deflateLen(bytes))
-      })
-      .toDF("k", "n_bytes", "deflate_bytes")
+  /** The repetition verdict column: keep iff deflate ratio ≥
+    * [[CompressionMinBp]] (sub-overhead-size docs ratio >10000 and always
+    * keep — the gate only fires LOW). Shared by the batch gate and the
+    * streaming stage so batch≡stream by construction. */
+  private[graft] def compressionKeepCol: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.ExactMath.intDiv
+    val nb = octet_length(col("text")).cast("long")
+    val db = org.apache.spark.sql.graft.DeflateLen(col("text"), DeflateLevel)
+    intDiv(lit(10000L) * db, greatest(nb, lit(1L))) >= CompressionMinBp
   }
+
+  /** Stateless repetition gate: drop too-compressible (repetitive) docs.
+    * Row-local filter — the streaming twin rides the same predicate. */
+  def compressionGateOf(docsFrame: DataFrame): DataFrame =
+    docsFrame.where(compressionKeepCol)
 
   /** Driver-contract query: per-document deflate ratio over the committed
     * WET fixture (exact byte-pinned texts) — url-keyed so the oracle can
     * be a VALUES literal (doc_id embeds the JVM temp path). Ignores `dir`
     * (raw-file source; the warc_host_stats pattern). */
-  def compressionRatio(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.graft.ExactMath.intDiv
-    deflateFrame(
-      graft.sources.WarcSource.documentsFromWet(spark,
-        graft.sources.WarcSource.FixtureWetDir), "url")
-      .select(col("k").as("url"), col("n_bytes"), col("deflate_bytes"),
-        intDiv(lit(10000L) * col("deflate_bytes"),
-          greatest(col("n_bytes"), lit(1L))).as("ratio_bp"))
-  }
+  def compressionRatio(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.WarcSource.documentsFromWet(spark,
+        graft.sources.WarcSource.FixtureWetDir)
+      .select(col("url") +: deflateCols(col("text")): _*)
 
   /** Oracle: exact VALUES literal — CPython zlib.compress(text, 6)
     * lengths over the same hand-derived WET bodies
@@ -2013,16 +2011,14 @@ object Curation {
     * partial agg on the ~10²-key source column. */
   def compressionStats(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graft.ExactMath.intDiv
-    // source rides the deflate pass as the key — ONE corpus scan, no
-    // doc-keyed re-join (plan-audited r13)
-    deflateFrame(docs(spark, dir), "source")
-      .withColumnRenamed("k", "source")
+    // deflate columns fused into the scan projection — ONE corpus scan,
+    // one uniform source-keyed exchange (plan-audited r13)
+    docs(spark, dir).select(col("source") +: deflateCols(col("text")): _*)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_bytes")).as("raw_bytes"),
         sum(col("deflate_bytes")).as("deflate_bytes"),
-        sum(when(intDiv(lit(10000L) * col("deflate_bytes"),
-            greatest(col("n_bytes"), lit(1L))) < CompressionMinBp, 1L)
+        sum(when(col("ratio_bp") < CompressionMinBp, 1L)
           .otherwise(0L)).as("n_repetitive"))
       .select(col("source"), col("n_docs"), col("raw_bytes"),
         col("deflate_bytes"),
@@ -2042,16 +2038,11 @@ object Curation {
   def compressionAgreement(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graft.ExactMath.intDiv
     import graft.functions.TextFns.bp
-    // the quality verdict is computed BEFORE the deflate pass and rides
-    // it as the key column — ONE corpus scan, no doc-keyed re-join
-    val sig = deflateFrame(
-      docs(spark, dir).select(
-        (TextAnalysis.qualityBpFrom(TextAnalysis.profileCol)
-          >= lit(CuratedQualityMinBp)).cast("string").as("qk"),
-        col("text")), "qk")
-      .select((col("k") === "true").as("qk"),
-        (intDiv(lit(10000L) * col("deflate_bytes"),
-          greatest(col("n_bytes"), lit(1L))) >= CompressionMinBp).as("zk"))
+    // both verdicts are row-local projections fused into ONE corpus scan
+    val sig = docs(spark, dir).select(
+      (TextAnalysis.qualityBpFrom(TextAnalysis.profileCol)
+        >= lit(CuratedQualityMinBp)).as("qk"),
+      compressionKeepCol.as("zk"))
     sig.agg(
         count(lit(1)).as("n_docs"),
         sum(when(col("qk") && col("zk"), 1L).otherwise(0L)).as("both_keep"),

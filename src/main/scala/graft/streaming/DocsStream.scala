@@ -459,6 +459,15 @@ object DocsStream {
   def ensembleGate(docs: DataFrame): DataFrame =
     graft.operators.Curation.ensembleGateOf(docs)
 
+  /** Stateless repetition gate — the deflate compression-ratio tripwire
+    * (`compression_*` family) at ingest: drop docs whose zlib ratio falls
+    * below `Curation.CompressionMinBp`. The SAME row-local
+    * [[org.apache.spark.sql.graft.DeflateLen]] predicate as the batch
+    * gate, so batch≡stream by construction (spec-locked keep sets).
+    * Map-only. */
+  def compressionGateStage(docs: DataFrame): DataFrame =
+    graft.operators.Curation.compressionGateOf(docs)
+
   /** Stateless encoding-damage quarantine — the streaming twin of
     * `mojibake_stats`' artifact classes as a drop rule (any U+FFFD /
     * double-encode face / C0 control drops the doc). Map-only,

@@ -1105,6 +1105,32 @@ class SourcesAndStreamingSpec extends SparkTestBase {
     assert(streamed == Set(1L, 4L)) // the gate actually discriminates
   }
 
+  test("compressionGateStage streaming twin replays equal to the batch " +
+      "gate and actually drops the repetitive doc") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val gibberish = (1 to 60).map(i =>
+      java.lang.Long.toString(i * 2654435761L % 4586471023L, 36)).mkString(" ")
+    val rows = Seq(
+      1L -> gibberish,         // incompressible: keep
+      2L -> ("spam ham " * 400), // collapses under deflate: drop
+      3L -> "tiny")            // sub-overhead: ratio >10000, keep
+    val d = writeDocsFixture(rows)
+    val batchKeep = graft.operators.Curation.compressionGateOf(
+      spark.read.parquet(s"$d/documents.parquet"))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val input = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.DocsStream.compressionGateStage(
+      input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("zgate")
+      .outputMode("append").start()
+    input.addData(rows: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("zgate").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(streamed == batchKeep)
+    assert(streamed == Set(1L, 3L)) // the gate actually discriminates
+  }
+
   test("ensembleGate / mojibakeGate / redactStage streaming twins replay " +
       "equal to their batch operators") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
