@@ -677,8 +677,14 @@ object WarcSource {
     when(col("href").rlike("(?i)^[a-z][a-z0-9+.-]*://"),
       hostCol(col("href"))).otherwise(hostCol(col("url")))
 
-  def linkGraph(docs: DataFrame): DataFrame =
-    htmlLinks(docs)
+  def linkGraph(docs: DataFrame): DataFrame = linkGraphOfLinks(htmlLinks(docs))
+
+  /** The registered-domain rollup over ANY (url, href, anchor) link frame
+    * — shared by the WARC-markup path ([[linkGraph]]) and the WAT-metadata
+    * path (`wat_link_graph`), so both crawl formats feed the identical
+    * graph product. */
+  def linkGraphOfLinks(links: DataFrame): DataFrame =
+    links
       .select(registeredDomain(hostCol(col("url"))).as("src_domain"),
         registeredDomain(dstHostCol).as("dst_domain"))
       .groupBy("src_domain", "dst_domain")
@@ -1178,6 +1184,17 @@ object WarcSource {
   /** Oracle: exact VALUES literal — the same five hand-derived link rows
     * the html_links oracle pins (the two fixtures describe the same
     * pages by construction). */
+  /** Driver-contract query: the registered-domain link graph built from
+    * the WAT metadata path — [[linkGraphOfLinks]] over [[watOutlinks]],
+    * proving a WAT consumer gets the identical graph product the
+    * WARC-markup path ships. */
+  def watLinkGraph(spark: SparkSession, dir: String): DataFrame =
+    linkGraphOfLinks(watOutlinks(spark, dir))
+
+  /** Oracle: the SAME hand-derived VALUES rows as `link_graph` — the two
+    * fixtures describe the same pages by construction. */
+  def watLinkGraphSql: String = linkGraphSql
+
   val watOutlinksSql: String =
     """SELECT url, href, anchor FROM (VALUES
       |  ('http://hub.example/start', '/local/page', 'the local page'),
