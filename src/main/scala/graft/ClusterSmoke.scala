@@ -121,8 +121,21 @@ object ClusterSmoke {
                           // parse + integer energy fold on executors
     "dedup_audio",        // banded fingerprint self-join across JVMs
     "image_dup_clusters", // components loop over the banded pair graph
-    "robots_gate")        // robots fixture: classpath materialization +
+    "robots_gate",        // robots fixture: classpath materialization +
                           // host-keyed rule join on executor JVMs
+    "video_phash",        // AVI fixture: RIFF walk + raw-DIB re-head + JDK
+                          // BMP decode + per-frame DCT on executor JVMs
+    "dedup_video",        // frame-grain banded join + per-side coverage
+                          // rollup across JVMs
+    "wet_host_stats",     // WET conversion-record walk on executors
+    "wat_outlinks",       // WAT typed from_json + link explode on executors
+    "sitemap_urls",       // sitemap fixture: root gate + block explode
+    "compression_ratio",  // DeflateLen codegen'd expression on executors
+    "compression_stats",  // deflate rollup: one scan + source exchange
+    "script_stats",       // 8 script-class regexp_counts + source rollup
+    "kn4_perplexity",     // 4-gram KN: e6-grid integer model, eight
+                          // type-keyed joins + scoring join across JVMs
+    "image_resize")       // exact 2x2 box downsample on executor JVMs
 
   private def warcDocCount(spark: SparkSession): Long =
     graft.sources.WarcSource
