@@ -88,13 +88,16 @@ def _halve_mem(mem):
     operator intended)."""
     import re
     import sys
-    m = re.fullmatch(r"(\d+(?:\.\d+)?)\s*([GM])(?:I?B)?", mem.strip(),
+    m = re.fullmatch(r"(\d+(?:\.\d+)?)\s*([GM])(I?)B?", mem.strip(),
                      re.IGNORECASE)
     if not m:
         print(f"warning: unparseable GRAFT_DUCKDB_MEM {mem!r}; "
               "retry falls back to 2GB", file=sys.stderr)
         return "2GB"
-    return f"{max(1, int(float(m.group(1)) // 2))}{m.group(2).upper()}B"
+    # keep the binary/decimal unit of the input: '6GiB' must halve to
+    # '3GiB', not a silently ~7%-smaller '3GB'
+    unit = m.group(2).upper() + ("iB" if m.group(3) else "B")
+    return f"{max(1, int(float(m.group(1)) // 2))}{unit}"
 
 def norm_cell(v):
     if v is None:

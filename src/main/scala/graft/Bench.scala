@@ -44,8 +44,16 @@ object Bench {
     // measuring; the JSON records how long we waited and the load we gave
     // up at, so a still-loaded record is explicit instead of ambiguous.
     val loadAtStart = loadAvg
+    // tolerant parse (the _halve_mem lesson): a malformed override must
+    // cost the default, never the whole bench record
     val cooldownBudget =
-      sys.env.getOrElse("GRAFT_BENCH_COOLDOWN_SECS", "120").toLong
+      sys.env.get("GRAFT_BENCH_COOLDOWN_SECS").flatMap(_.toLongOption)
+        .getOrElse {
+          sys.env.get("GRAFT_BENCH_COOLDOWN_SECS").foreach(v =>
+            System.err.println(
+              s"[bench] unparseable GRAFT_BENCH_COOLDOWN_SECS '$v'; using 120"))
+          120L
+        }
     val cooldown0 = System.nanoTime()
     while (loadAvg > 2.0
         && (System.nanoTime() - cooldown0) / 1e9 < cooldownBudget)

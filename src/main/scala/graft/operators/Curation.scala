@@ -1949,25 +1949,28 @@ object Curation {
     * projections compose into any scan/filter — including the stateless
     * streaming gate — with no typed-mapPartitions detour; at 100 TB a
     * map-only pass at scan speed. */
-  private def deflateCols(text: org.apache.spark.sql.Column)
-      : Seq[org.apache.spark.sql.Column] = {
+  /** The ONE ratio definition every compression consumer derives from
+    * (r13 review: two definitions of the signal could drift apart). */
+  private def deflateRatioBp(text: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
     import org.apache.spark.sql.graft.ExactMath.intDiv
-    val nb = octet_length(text).cast("long")
-    val db = org.apache.spark.sql.graft.DeflateLen(text, DeflateLevel)
-    Seq(nb.as("n_bytes"), db.as("deflate_bytes"),
-      intDiv(lit(10000L) * db, greatest(nb, lit(1L))).as("ratio_bp"))
+    intDiv(lit(10000L) * org.apache.spark.sql.graft.DeflateLen(text, DeflateLevel),
+      greatest(octet_length(text).cast("long"), lit(1L)))
   }
+
+  private def deflateCols(text: org.apache.spark.sql.Column)
+      : Seq[org.apache.spark.sql.Column] =
+    Seq(octet_length(text).cast("long").as("n_bytes"),
+      org.apache.spark.sql.graft.DeflateLen(text, DeflateLevel)
+        .as("deflate_bytes"),
+      deflateRatioBp(text).as("ratio_bp"))
 
   /** The repetition verdict column: keep iff deflate ratio ≥
     * [[CompressionMinBp]] (sub-overhead-size docs ratio >10000 and always
     * keep — the gate only fires LOW). Shared by the batch gate and the
     * streaming stage so batch≡stream by construction. */
-  private[graft] def compressionKeepCol: org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.graft.ExactMath.intDiv
-    val nb = octet_length(col("text")).cast("long")
-    val db = org.apache.spark.sql.graft.DeflateLen(col("text"), DeflateLevel)
-    intDiv(lit(10000L) * db, greatest(nb, lit(1L))) >= CompressionMinBp
-  }
+  private[graft] def compressionKeepCol: org.apache.spark.sql.Column =
+    deflateRatioBp(col("text")) >= CompressionMinBp
 
   /** Stateless repetition gate: drop too-compressible (repetitive) docs.
     * Row-local filter — the streaming twin rides the same predicate. */

@@ -793,7 +793,6 @@ object Selection {
         .agg(count(lit(1)).as("nfollow2"))
       val cont1 = c2.groupBy(col("b2").as("w4")).agg(count(lit(1)).as("ncont1"))
       val types = c2.agg(count(lit(1)).as("t_types"))
-      import org.apache.spark.sql.graft.ExactMath.intDiv
       val pContE6 = intDiv(lit(1000000L) * col("ncont1"), col("t_types"))
       val pMid2E6 =
         lvl(col("n1p_34"), col("nfollow2"), col("p_cont_e6"), col("n1p_mid2"))

@@ -122,10 +122,15 @@ object TextAnalysis {
 
   /** Unicode-script census per source (SURVEY §2 #22c; VERDICT r12 #5):
     * summed per-script code-point counts for the 8 pinned classes plus
-    * how many docs carry ANY non-Latin script — the signal that routes a
-    * corpus to per-script handling BEFORE the stopword-based `lang_id`
-    * (which is Latin-alphabet-only by construction) can mislead on
-    * non-Latin text.
+    * how many docs carry any of the 7 pinned NON-LATIN classes — the
+    * signal that routes a corpus to per-script handling BEFORE the
+    * stopword-based `lang_id` (Latin-alphabet-only by construction) can
+    * mislead on non-Latin text. NOTE the flag covers exactly the pinned
+    * classes: a script outside them (Thai, Hebrew, …) contributes to no
+    * column — extend [[ScriptClasses]] for such corpora rather than
+    * treating the flag as an any-non-Latin detector (RE2 has no class
+    * intersection, so "any letter outside Latin" is not expressible
+    * identically in both engines).
     *
     * Scale: 8 row-local regexp_count projections fused into the scan
     * (RE2-safe character classes — no backtracking blowup), then ONE

@@ -660,6 +660,17 @@ object WarcSource {
       |  ('http://upper.example/g', 'HTTP://Gamma.example/G', 'Gamma Page'))
       |  AS t(url, href, anchor)""".stripMargin
 
+  /** Driver-contract query: the registered-domain link graph built from
+    * the WAT metadata path — [[linkGraphOfLinks]] over [[watOutlinks]],
+    * proving a WAT consumer gets the identical graph product the
+    * WARC-markup path ships. */
+  def watLinkGraph(spark: SparkSession, dir: String): DataFrame =
+    linkGraphOfLinks(watOutlinks(spark, dir))
+
+  /** Oracle: the SAME hand-derived VALUES rows as `link_graph` — the two
+    * fixtures describe the same pages by construction. */
+  def watLinkGraphSql: String = linkGraphSql
+
   /** Registered-domain link graph over [[htmlLinks]] output — the
     * host-ranking substrate (PageRank seeds, spam-farm detection, seed
     * discovery run on exactly this edge list at crawl scale). Target
@@ -985,12 +996,17 @@ object WarcSource {
   private[graft] def robotsVerdicts(pages: DataFrame, rules: DataFrame,
       agent: String): DataFrame = {
     val eff = effectiveRules(rules, agent)
-    // fragment stripped (ADVICE r12): RFC 9309 matching is defined on
-    // path(+query) only — a '#fragment' is client-side and never sent to
-    // the server, so it must not participate in rule matching
+    // fragment stripped (ADVICE r12, hardened r13 review): RFC 9309
+    // matching is defined on path(+query) only — a '#fragment' is
+    // client-side and never sent to the server. Strip it from the URL
+    // BEFORE extracting the path: stripping the extracted path instead is
+    // defeated by a path-less hash-routing URL ('http://h#/admin'), where
+    // [^/]+ absorbs the '#' into the host token and the fragment leaks
+    // into the path as '/admin'.
     val p = pages.select(col("url"), hostCol(col("url")).as("host"),
-      coalesce(nullif(regexp_replace(regexp_extract(col("url"),
-        "^[A-Za-z]+://[^/]+(/.*)?$", 1), "#.*$", ""), lit("")), lit("/"))
+      coalesce(nullif(regexp_extract(
+        regexp_replace(col("url"), "#.*$", ""),
+        "^[A-Za-z]+://[^/]+(/.*)?$", 1), lit("")), lit("/"))
         .as("path"))
     p.as("p").join(eff.as("r"),
         col("p.host") === col("r.host")
@@ -1184,17 +1200,6 @@ object WarcSource {
   /** Oracle: exact VALUES literal — the same five hand-derived link rows
     * the html_links oracle pins (the two fixtures describe the same
     * pages by construction). */
-  /** Driver-contract query: the registered-domain link graph built from
-    * the WAT metadata path — [[linkGraphOfLinks]] over [[watOutlinks]],
-    * proving a WAT consumer gets the identical graph product the
-    * WARC-markup path ships. */
-  def watLinkGraph(spark: SparkSession, dir: String): DataFrame =
-    linkGraphOfLinks(watOutlinks(spark, dir))
-
-  /** Oracle: the SAME hand-derived VALUES rows as `link_graph` — the two
-    * fixtures describe the same pages by construction. */
-  def watLinkGraphSql: String = linkGraphSql
-
   val watOutlinksSql: String =
     """SELECT url, href, anchor FROM (VALUES
       |  ('http://hub.example/start', '/local/page', 'the local page'),

@@ -434,10 +434,12 @@ object DocsStream {
     * Stateless: join + filter, no aggregation. */
   def robotsGateStage(docs: DataFrame, ruleSets: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    // fragment stripped like the batch twin (ADVICE r12): RFC 9309
-    // matches on path(+query) only, never the client-side '#fragment'
-    val path = coalesce(nullif(regexp_replace(regexp_extract(col("url"),
-      "^[A-Za-z]+://[^/]+(/.*)?$", 1), "#.*$", ""), lit("")), lit("/"))
+    // fragment stripped like the batch twin (ADVICE r12, hardened r13
+    // review): from the URL BEFORE path extraction — a path-less
+    // hash-routing URL would otherwise leak its fragment into the path
+    val path = coalesce(nullif(regexp_extract(
+      regexp_replace(col("url"), "#.*$", ""),
+      "^[A-Za-z]+://[^/]+(/.*)?$", 1), lit("")), lit("/"))
     // get(), not [0]: ANSI mode throws on indexing an EMPTY filtered array
     val firstMatch = expr(
       "get(filter(rules, r -> regexp_like(__path, r.pattern)), 0)")

@@ -16,10 +16,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * The level is part of the expression (a different level is a different
   * signal); java.util.zip wraps canonical zlib, and CurationSpec pins the
-  * output lengths against CPython-zlib-derived literals. Row-local: one
-  * Deflater per evaluated row, allocated and freed inside the call —
-  * deflate at level 6 runs ~100 MB/s/core, far above the regex gates on
-  * the same scan, so this stays a map-only projection at 100 TB.
+  * output lengths against CPython-zlib-derived literals. The Deflater
+  * (native zlib workspace, ~270 KB) and the scratch buffer are
+  * THREAD-LOCAL and reset() between rows — a per-row allocate/free would
+  * dominate the short-doc hot path this signal exists for. Deflate at
+  * level 6 runs ~100 MB/s/core, far above the regex gates on the same
+  * scan, so this stays a map-only projection at 100 TB.
   */
 case class DeflateLen(child: Expression, level: Int)
     extends UnaryExpression with ExpectsInputTypes {
@@ -40,16 +42,28 @@ case class DeflateLen(child: Expression, level: Int)
 }
 
 object DeflateLen {
+  // one Deflater per (executor thread, level) plus one scratch buffer per
+  // thread, reset() between rows; lives as long as the task thread (a few
+  // per core — bounded), never per row
+  private val deflaters =
+    new ThreadLocal[java.util.HashMap[Int, java.util.zip.Deflater]] {
+      override def initialValue() =
+        new java.util.HashMap[Int, java.util.zip.Deflater]()
+    }
+  private val scratch = new ThreadLocal[Array[Byte]] {
+    override def initialValue() = new Array[Byte](8192)
+  }
+
   def compute(s: UTF8String, level: Int): Long = {
-    val d = new java.util.zip.Deflater(level)
-    try {
-      d.setInput(s.getBytes) // UTF8String stores UTF-8 bytes directly
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var n = 0L
-      while (!d.finished()) n += d.deflate(buf)
-      n
-    } finally d.end()
+    val d = deflaters.get.computeIfAbsent(level,
+      l => new java.util.zip.Deflater(l))
+    d.reset()
+    d.setInput(s.getBytes) // UTF8String stores UTF-8 bytes directly
+    d.finish()
+    val buf = scratch.get
+    var n = 0L
+    while (!d.finished()) n += d.deflate(buf)
+    n
   }
 
   def apply(text: Column, level: Int): Column =

@@ -736,6 +736,26 @@ class WarcSourceSpec extends SparkTestBase {
     assert(got("http://w.example/midway"))
   }
 
+  test("robotsVerdicts: a fragment never participates in matching — " +
+      "including the path-less hash-routing URL (r13 review)") {
+    import spark.implicits._
+    val rules = Seq(
+      ("h.example", "*", "group", ""),
+      ("h.example", "*", "disallow", "/admin"))
+      .toDF("host", "agent", "rule", "prefix")
+    val pages = Seq(
+      "http://h.example#/admin/x",   // path-less: path must be '/', allowed
+      "http://h.example/p#/admin/x", // fragment on a real path: allowed
+      "http://h.example/admin/x"     // the genuine disallow
+    ).toDF("url")
+    val got = WarcSource.robotsVerdicts(pages, rules, "graftbot")
+      .collect().map(r => r.getString(0) -> ((r.getString(2), r.getBoolean(3))))
+      .toMap
+    assert(got("http://h.example#/admin/x") == (("/", true)))
+    assert(got("http://h.example/p#/admin/x") == (("/p", true)))
+    assert(got("http://h.example/admin/x") == (("/admin/x", false)))
+  }
+
   test("robotsVerdicts: longest prefix wins and Allow wins a length tie") {
     import spark.implicits._
     val rules = Seq(
