@@ -77,6 +77,9 @@ HEAVY_ORACLES = {
     "kn3_trigram_top", "kn3_perplexity", "kn3_buckets",
     # 4-gram-KN oracles add the fourgram explode and trigram type frame
     "kn4_fourgram_top", "kn4_perplexity", "kn4_buckets",
+    # 5-gram-KN oracles materialize the fivegram explode plus the 4-gram,
+    # trigram and bigram type frames
+    "kn5_fivegram_top", "kn5_perplexity", "kn5_buckets",
 }
 
 

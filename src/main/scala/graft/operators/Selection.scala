@@ -982,6 +982,307 @@ object Selection {
        |       ELSE 'tail' END AS bucket
        |FROM scored s JOIN thr ON s.lang = thr.lang""".stripMargin
 
+  // ---- Kneser–Ney 5-gram model (#35s-u: the KenLM production order) -----
+  /** Interpolated Kneser–Ney with 5-GRAM context — the order production
+    * KenLM-filtered pipelines (CCNet, RedPajama, FineWeb ancestry) train
+    * and score with. The [[kn4Model]] recursion applied once more, every
+    * level the exact e6-grid BIGINT
+    *   p_e6 = ⌊(max(4·num−3, 0)·10⁶ + 3·weight·p_lower_e6) / (4·den)⌋
+    * (D = 3/4; floor division on non-negative operands — engine-identical
+    * by construction, no DECIMAL pin boundary):
+    *
+    *   P₅  : raw 5-gram counts over c(w₁w₂w₃w₄·)
+    *   P₄' : N₁₊(·w₂w₃w₄w₅)/N₁₊(·w₂w₃w₄·), weight N₁₊(w₂w₃w₄·) from
+    *         4-gram types
+    *   P₃' : N₁₊(·w₃w₄w₅)/N₁₊(·w₃w₄·) from 4-gram types, weight
+    *         N₁₊(w₃w₄·) from trigram types
+    *   P₂' : N₁₊(·w₄w₅)/N₁₊(·w₄·) from trigram types, weight N₁₊(w₄·)
+    *         from bigram types
+    *   P_c : N₁₊(·w₅)/N₁₊(··) from bigram types
+    *
+    * Scale: identical shape one order up — every aggregate is a grouped
+    * rollup of a materialized type table (fivegram/fourgram/trigram/
+    * bigram counts, each corpus explode run ONCE per session), eleven
+    * type-keyed shuffle_hash joins between type-bounded frames, the 1-row
+    * bigram-type total broadcast. At 100 TB the 5-gram type frame is the
+    * big one (~corpus tokens), which is exactly what KenLM's disk-based
+    * trainer holds too — materialized columnar, never re-exploded. */
+  private val kn5ModelCache = Materialized.register(
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
+  private[operators] def kn5Model(spark: SparkSession, dir: String): DataFrame =
+    Materialized.cached(kn5ModelCache, spark, dir) {
+      import org.apache.spark.sql.graft.ExactMath.intDiv
+      def lvl(num: org.apache.spark.sql.Column,
+          weight: org.apache.spark.sql.Column,
+          lowerE6: org.apache.spark.sql.Column,
+          den: org.apache.spark.sql.Column) =
+        intDiv(greatest(lit(4L) * num - lit(3L), lit(0L)) * lit(1000000L)
+          + lit(3L) * weight * lowerE6, lit(4L) * den)
+      val c5 = TextAnalysis.fivegramCounts(spark, dir)
+        .select(col("fivegram"), col("n"),
+          substring_index(col("fivegram"), " ", 4).as("ctx4"),
+          element_at(split(col("fivegram"), " "), 2).as("w2"),
+          element_at(split(col("fivegram"), " "), 3).as("w3"),
+          element_at(split(col("fivegram"), " "), 4).as("w4"),
+          element_at(split(col("fivegram"), " "), 5).as("w5"))
+      val cctx5 = c5.groupBy("ctx4")
+        .agg(sum(col("n")).as("n_ctx5"), count(lit(1)).as("nfollow5"))
+      val cont4 = c5.groupBy("w2", "w3", "w4", "w5")
+        .agg(count(lit(1)).as("n1p_2345"))
+      val midTot4 = cont4.groupBy("w2", "w3", "w4")
+        .agg(sum(col("n1p_2345")).as("n1p_mid4"))
+      // 4-gram TYPES (one row per type in the counts table)
+      val c4t = TextAnalysis.fourgramCounts(spark, dir)
+        .select(element_at(split(col("fourgram"), " "), 1).as("a1"),
+          element_at(split(col("fourgram"), " "), 2).as("a2"),
+          element_at(split(col("fourgram"), " "), 3).as("a3"),
+          element_at(split(col("fourgram"), " "), 4).as("a4"))
+      val fol4 = c4t.groupBy(col("a1").as("w2"), col("a2").as("w3"),
+          col("a3").as("w4"))
+        .agg(count(lit(1)).as("nfollow4c"))
+      val cont3p = c4t.groupBy(col("a2").as("w3"), col("a3").as("w4"),
+          col("a4").as("w5"))
+        .agg(count(lit(1)).as("n1p_345"))
+      val midTot3p = cont3p.groupBy("w3", "w4")
+        .agg(sum(col("n1p_345")).as("n1p_mid3p"))
+      // trigram TYPES
+      val c3t = TextAnalysis.trigramCounts(spark, dir)
+        .select(element_at(split(col("trigram"), " "), 1).as("a1"),
+          element_at(split(col("trigram"), " "), 2).as("a2"),
+          element_at(split(col("trigram"), " "), 3).as("a3"))
+      val fol3 = c3t.groupBy(col("a1").as("w3"), col("a2").as("w4"))
+        .agg(count(lit(1)).as("nfollow3c"))
+      val contBg = c3t.groupBy(col("a2").as("w4"), col("a3").as("w5"))
+        .agg(count(lit(1)).as("n1p_45"))
+      val midTot2 = contBg.groupBy("w4").agg(sum(col("n1p_45")).as("n1p_mid2"))
+      val c2 = TextAnalysis.bigramCounts(spark, dir)
+        .select(substring_index(col("bigram"), " ", 1).as("b1"),
+          substring_index(col("bigram"), " ", -1).as("b2"))
+      val follow2 = c2.groupBy(col("b1").as("w4"))
+        .agg(count(lit(1)).as("nfollow2"))
+      val cont1 = c2.groupBy(col("b2").as("w5")).agg(count(lit(1)).as("ncont1"))
+      val types = c2.agg(count(lit(1)).as("t_types"))
+      val pContE6 = intDiv(lit(1000000L) * col("ncont1"), col("t_types"))
+      val p2E6 =
+        lvl(col("n1p_45"), col("nfollow2"), col("p_cont_e6"), col("n1p_mid2"))
+      val p3E6 =
+        lvl(col("n1p_345"), col("nfollow3c"), col("p2_e6"), col("n1p_mid3p"))
+      val p4E6 =
+        lvl(col("n1p_2345"), col("nfollow4c"), col("p3_e6"), col("n1p_mid4"))
+      val p5E6 = lvl(col("n"), col("nfollow5"), col("p4_e6"), col("n_ctx5"))
+      c5.join(cctx5.hint("shuffle_hash"), "ctx4")
+        .join(cont4.hint("shuffle_hash"), Seq("w2", "w3", "w4", "w5"))
+        .join(midTot4.hint("shuffle_hash"), Seq("w2", "w3", "w4"))
+        .join(fol4.hint("shuffle_hash"), Seq("w2", "w3", "w4"))
+        .join(cont3p.hint("shuffle_hash"), Seq("w3", "w4", "w5"))
+        .join(midTot3p.hint("shuffle_hash"), Seq("w3", "w4"))
+        .join(fol3.hint("shuffle_hash"), Seq("w3", "w4"))
+        .join(contBg.hint("shuffle_hash"), Seq("w4", "w5"))
+        .join(midTot2.hint("shuffle_hash"), "w4")
+        .join(follow2.hint("shuffle_hash"), "w4")
+        .join(cont1.hint("shuffle_hash"), "w5")
+        .crossJoin(broadcast(types))
+        .withColumn("p_cont_e6", pContE6)
+        .withColumn("p2_e6", p2E6)
+        .withColumn("p3_e6", p3E6)
+        .withColumn("p4_e6", p4E6)
+        .select(col("fivegram"), col("n"),
+          (p5E6.cast("double") / lit(1000000d)).as("p_kn5"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** Driver-contract query: top-[[KnTopN]] smoothed 5-gram probabilities
+    * (TakeOrderedAndProject + in-array rank recovery). */
+  def kn5FivegramTop(spark: SparkSession, dir: String): DataFrame =
+    kn5Model(spark, dir)
+      .orderBy(col("p_kn5").desc, col("fivegram")).limit(KnTopN)
+      .select(struct(negate(col("p_kn5")).as("np"),
+        col("fivegram").as("fivegram"), col("n").as("n"),
+        col("p_kn5").as("p_kn5")).as("s"))
+      .agg(array_sort(collect_list(col("s"))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("pos", "s")))
+      .select(col("s.fivegram").as("fivegram"), col("s.n").as("n"),
+        col("s.p_kn5").as("p_kn5"), (col("pos") + 1).cast("long").as("rk"))
+
+  /** Shared CTE chain of the 5-gram KN model — identical math to
+    * [[kn5Model]]; `vg` carries doc_id for the scoring queries. */
+  private val kn5Ctes: String =
+    s"""toks AS MATERIALIZED (
+       |  SELECT doc_id, list_filter(list_transform(
+       |    string_split_regex(text, '\\s+'), t -> lower(t)), t -> t <> '') AS t
+       |  FROM documents
+       |), vg AS MATERIALIZED (
+       |  SELECT doc_id, g.f AS fivegram
+       |  FROM toks, unnest(list_transform(range(1, len(t) - 3),
+       |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] || ' ' ||
+       |      t[i + 3] || ' ' || t[i + 4]))
+       |    AS g(f)
+       |  WHERE len(t) >= 5
+       |), c5 AS MATERIALIZED (
+       |  SELECT fivegram, count(*) AS n,
+       |    concat(split_part(fivegram, ' ', 1), ' ',
+       |      split_part(fivegram, ' ', 2), ' ',
+       |      split_part(fivegram, ' ', 3), ' ',
+       |      split_part(fivegram, ' ', 4)) AS ctx4,
+       |    split_part(fivegram, ' ', 2) AS w2,
+       |    split_part(fivegram, ' ', 3) AS w3,
+       |    split_part(fivegram, ' ', 4) AS w4,
+       |    split_part(fivegram, ' ', 5) AS w5
+       |  FROM vg GROUP BY 1
+       |), cctx5 AS (
+       |  SELECT ctx4, sum(n) AS n_ctx5, count(*) AS nfollow5 FROM c5 GROUP BY 1
+       |), cont4 AS MATERIALIZED (
+       |  SELECT w2, w3, w4, w5, count(*) AS n1p_2345 FROM c5 GROUP BY 1, 2, 3, 4
+       |), midtot4 AS (
+       |  SELECT w2, w3, w4, sum(n1p_2345) AS n1p_mid4 FROM cont4 GROUP BY 1, 2, 3
+       |), fg4 AS MATERIALIZED (
+       |  SELECT DISTINCT g.f AS fourgram
+       |  FROM toks, unnest(list_transform(range(1, len(t) - 2),
+       |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3]))
+       |    AS g(f)
+       |  WHERE len(t) >= 4
+       |), c4t AS MATERIALIZED (
+       |  SELECT split_part(fourgram, ' ', 1) AS a1,
+       |    split_part(fourgram, ' ', 2) AS a2,
+       |    split_part(fourgram, ' ', 3) AS a3,
+       |    split_part(fourgram, ' ', 4) AS a4
+       |  FROM fg4
+       |), fol4 AS (
+       |  SELECT a1 AS w2, a2 AS w3, a3 AS w4, count(*) AS nfollow4c
+       |  FROM c4t GROUP BY 1, 2, 3
+       |), cont3p AS MATERIALIZED (
+       |  SELECT a2 AS w3, a3 AS w4, a4 AS w5, count(*) AS n1p_345
+       |  FROM c4t GROUP BY 1, 2, 3
+       |), midtot3p AS (
+       |  SELECT w3, w4, sum(n1p_345) AS n1p_mid3p FROM cont3p GROUP BY 1, 2
+       |), tg3 AS MATERIALIZED (
+       |  SELECT DISTINCT g.tri AS trigram
+       |  FROM toks, unnest(list_transform(range(1, len(t) - 1),
+       |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g(tri)
+       |  WHERE len(t) >= 3
+       |), c3t AS MATERIALIZED (
+       |  SELECT split_part(trigram, ' ', 1) AS a1,
+       |    split_part(trigram, ' ', 2) AS a2,
+       |    split_part(trigram, ' ', 3) AS a3
+       |  FROM tg3
+       |), fol3 AS (
+       |  SELECT a1 AS w3, a2 AS w4, count(*) AS nfollow3c FROM c3t GROUP BY 1, 2
+       |), contbg AS MATERIALIZED (
+       |  SELECT a2 AS w4, a3 AS w5, count(*) AS n1p_45 FROM c3t GROUP BY 1, 2
+       |), midtot2 AS (
+       |  SELECT w4, sum(n1p_45) AS n1p_mid2 FROM contbg GROUP BY 1
+       |), bg2 AS MATERIALIZED (
+       |  SELECT DISTINCT g.b AS bigram
+       |  FROM toks, unnest(list_transform(range(1, len(t)),
+       |    i -> t[i] || ' ' || t[i + 1])) AS g(b)
+       |  WHERE len(t) >= 2
+       |), follow2 AS (
+       |  SELECT split_part(bigram, ' ', 1) AS w4, count(*) AS nfollow2
+       |  FROM bg2 GROUP BY 1
+       |), cont1 AS (
+       |  SELECT split_part(bigram, ' ', 2) AS w5, count(*) AS ncont1
+       |  FROM bg2 GROUP BY 1
+       |), types2 AS (SELECT count(*) AS t_types FROM bg2),
+       |pkn5 AS MATERIALIZED (
+       |  SELECT fivegram, n, CAST(
+       |      (greatest(4 * CAST(n AS BIGINT) - 3, 0) * 1000000
+       |        + 3 * nfollow5 *
+       |          ((greatest(4 * CAST(n1p_2345 AS BIGINT) - 3, 0) * 1000000
+       |            + 3 * nfollow4c *
+       |              ((greatest(4 * CAST(n1p_345 AS BIGINT) - 3, 0) * 1000000
+       |                + 3 * nfollow3c *
+       |                  ((greatest(4 * CAST(n1p_45 AS BIGINT) - 3, 0) * 1000000
+       |                    + 3 * nfollow2 *
+       |                      ((1000000 * CAST(ncont1 AS BIGINT)) // t_types))
+       |                   // (4 * n1p_mid2)))
+       |               // (4 * n1p_mid3p)))
+       |           // (4 * n1p_mid4)))
+       |      // (4 * CAST(n_ctx5 AS BIGINT))
+       |    AS DOUBLE) / 1000000.0 AS p_kn5
+       |  FROM c5 JOIN cctx5 USING (ctx4) JOIN cont4 USING (w2, w3, w4, w5)
+       |    JOIN midtot4 USING (w2, w3, w4) JOIN fol4 USING (w2, w3, w4)
+       |    JOIN cont3p USING (w3, w4, w5) JOIN midtot3p USING (w3, w4)
+       |    JOIN fol3 USING (w3, w4) JOIN contbg USING (w4, w5)
+       |    JOIN midtot2 USING (w4) JOIN follow2 USING (w4)
+       |    JOIN cont1 USING (w5) CROSS JOIN types2
+       |)""".stripMargin
+  val kn5FivegramTopSql: String =
+    s"""WITH $kn5Ctes
+       |SELECT fivegram, n, p_kn5,
+       |  CAST(row_number() OVER (ORDER BY p_kn5 DESC, fivegram) AS BIGINT)
+       |    AS rk
+       |FROM pkn5 ORDER BY p_kn5 DESC, fivegram LIMIT $KnTopN""".stripMargin
+
+  /** 5-gram-KN document scoring — the production CCNet/KenLM score (docs
+    * with <5 tokens have no row). */
+  private val kn5PplCache = Materialized.register(
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
+  def kn5Perplexity(spark: SparkSession, dir: String): DataFrame =
+    Materialized.cached(kn5PplCache, spark, dir) {
+      val p = kn5Model(spark, dir).select(col("fivegram"),
+        round(log(greatest(col("p_kn5"), lit(KnPFloor))), 4)
+          .cast("decimal(18,4)").as("lp"))
+      TextAnalysis.docFivegrams(spark, dir)
+        .join(p.hint("shuffle_hash"), "fivegram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fivegrams"),
+          sum(col("lp")).cast("decimal(18,4)").cast("double").as("sum_lp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+  private val kn5ScoreCtes: String =
+    s"""$kn5Ctes, p5s AS (
+       |  SELECT fivegram,
+       |    CAST(round(ln(greatest(p_kn5, $KnPFloor)), 4) AS DECIMAL(18,4))
+       |      AS lp
+       |  FROM pkn5
+       |)""".stripMargin
+  val kn5PerplexitySql: String =
+    s"""WITH $kn5ScoreCtes
+       |SELECT doc_id, count(*) AS n_fivegrams,
+       |  CAST(CAST(sum(lp) AS DECIMAL(18,4)) AS DOUBLE) AS sum_lp
+       |FROM vg JOIN p5s USING (fivegram) GROUP BY 1""".stripMargin
+
+  /** CCNet bucketing under the 5-gram model — the [[knBuckets]] shape. */
+  def kn5Buckets(spark: SparkSession, dir: String): DataFrame = {
+    val scored = kn5Perplexity(spark, dir)
+      .join(docs(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"),
+        expr("CAST(round(-sum_lp * 10000, 0) AS BIGINT) div n_fivegrams")
+          .as("nll_e4"))
+    val thr = scored.groupBy("lang").agg(
+      expr(s"percentile(nll_e4, $HeadPct)")
+        .cast("decimal(14,4)").cast("double").as("t_head"),
+      expr(s"percentile(nll_e4, $TailPct)")
+        .cast("decimal(14,4)").cast("double").as("t_tail"))
+    scored.join(broadcast(thr), "lang")
+      .select(col("doc_id"), col("lang"), col("nll_e4"),
+        when(col("nll_e4") <= col("t_head"), "head")
+          .when(col("nll_e4") <= col("t_tail"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+  val kn5BucketsSql: String =
+    s"""WITH $kn5ScoreCtes, kpp AS (
+       |  SELECT doc_id, count(*) AS n_fivegrams,
+       |    CAST(CAST(sum(lp) AS DECIMAL(18,4)) AS DOUBLE) AS sum_lp
+       |  FROM vg JOIN p5s USING (fivegram) GROUP BY 1
+       |), scored AS MATERIALIZED (
+       |  SELECT d.doc_id, d.lang,
+       |    CAST(round(-sum_lp * 10000, 0) AS BIGINT) // n_fivegrams AS nll_e4
+       |  FROM kpp JOIN documents d ON kpp.doc_id = d.doc_id
+       |), thr AS (
+       |  SELECT lang,
+       |    CAST(CAST(quantile_cont(nll_e4, $HeadPct) AS DECIMAL(14,4))
+       |      AS DOUBLE) AS t_head,
+       |    CAST(CAST(quantile_cont(nll_e4, $TailPct) AS DECIMAL(14,4))
+       |      AS DOUBLE) AS t_tail
+       |  FROM scored GROUP BY 1
+       |)
+       |SELECT doc_id, s.lang, nll_e4,
+       |  CASE WHEN nll_e4 <= t_head THEN 'head'
+       |       WHEN nll_e4 <= t_tail THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM scored s JOIN thr ON s.lang = thr.lang""".stripMargin
+
   // ---- composed end product: the corpus a training run actually reads ----
   /** CCNet buckets the selection keeps (the tail is dropped). */
   val SelKeepBuckets: Seq[String] = Seq("head", "middle")

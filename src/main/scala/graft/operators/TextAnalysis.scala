@@ -792,6 +792,32 @@ object TextAnalysis {
         .groupBy("fourgram").agg(count(lit(1)).as("n"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Per-doc consecutive word QUINTUPLES — the corpus-sized explode behind
+    * the 5-gram KN model ([[Selection.kn5Model]], the order production
+    * KenLM filters actually score). Same tokenization and space-joined
+    * keys as the lower orders. */
+  private[graft] def docFivegrams(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        filter(transform(split(col("text"), WsTokenRe), t => lower(t)),
+          t => t =!= "").as("toks"))
+      .where(size(col("toks")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(4, size(toks) - 1), " +
+          "i -> concat(toks[i-4], ' ', toks[i-3], ' ', toks[i-2], ' ', " +
+          "toks[i-1], ' ', toks[i]))"))
+        .as("fivegram"))
+
+  private val fivegramCache = Materialized.register(
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
+
+  /** Corpus 5-gram counts, materialized once per (session, corpus). */
+  private[operators] def fivegramCounts(spark: SparkSession, dir: String): DataFrame =
+    Materialized.cached(fivegramCache, spark, dir)(
+      docFivegrams(spark, dir)
+        .groupBy("fivegram").agg(count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   def wordBigrams(spark: SparkSession, dir: String): DataFrame =
     bigramCounts(spark, dir)
       // top-N via orderBy+limit → TakeOrderedAndProject (per-partition

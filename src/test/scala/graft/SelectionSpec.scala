@@ -638,6 +638,123 @@ class SelectionSpec extends SparkTestBase {
       s"4-gram mean nll $nll4 should beat trigram $nll3 on this corpus")
   }
 
+  // ---- 5-gram Kneser–Ney ---------------------------------------------------
+
+  /** From-scratch interpolated 5-gram KN on the exact e6 grid. */
+  private lazy val bruteKn5: Map[String, (Long, Double)] = {
+    def lvl(num: Long, w: Long, lowerE6: Long, den: Long): Long =
+      (math.max(4L * num - 3L, 0L) * 1000000L + 3L * w * lowerE6) / (4L * den)
+    val five = corpus.flatMap(_._3.sliding(5).filter(_.length == 5)
+      .map(_.mkString(" ")))
+    val c5 = five.groupBy(identity).map { case (f, xs) => f -> xs.size.toLong }
+    val cctx5 = c5.toSeq.groupBy { case (f, _) =>
+      f.split(" ", 5).take(4).mkString(" ") }
+      .map { case (ctx, xs) => ctx -> ((xs.map(_._2).sum, xs.size.toLong)) }
+    val cont4 = c5.keysIterator.map(_.split(" ", 5)).toSeq
+      .groupBy(a => (a(1), a(2), a(3), a(4)))
+      .map { case (k, xs) => k -> xs.size.toLong }
+    val midTot4 = cont4.toSeq.groupBy { case ((w2, w3, w4, _), _) =>
+      (w2, w3, w4) }.map { case (k, xs) => k -> xs.map(_._2).sum }
+    val fourTypes = corpus.flatMap(_._3.sliding(4).filter(_.length == 4)
+      .map(_.mkString(" "))).distinct.map(_.split(" ", 4))
+    val fol4 = fourTypes.groupBy(a => (a(0), a(1), a(2)))
+      .map { case (k, xs) => k -> xs.size.toLong }
+    val cont3p = fourTypes.groupBy(a => (a(1), a(2), a(3)))
+      .map { case (k, xs) => k -> xs.size.toLong }
+    val midTot3p = cont3p.toSeq.groupBy { case ((w3, w4, _), _) => (w3, w4) }
+      .map { case (k, xs) => k -> xs.map(_._2).sum }
+    val triTypes = corpus.flatMap(_._3.sliding(3).filter(_.length == 3)
+      .map(_.mkString(" "))).distinct.map(_.split(" ", 3))
+    val fol3 = triTypes.groupBy(a => (a(0), a(1)))
+      .map { case (k, xs) => k -> xs.size.toLong }
+    val contBg = triTypes.groupBy(a => (a(1), a(2)))
+      .map { case (k, xs) => k -> xs.size.toLong }
+    val midTot2 = contBg.toSeq.groupBy(_._1._1)
+      .map { case (w4, xs) => w4 -> xs.map(_._2).sum }
+    val bigrams = corpus.flatMap(_._3.sliding(2).filter(_.length == 2)
+      .map(p => p(0) + " " + p(1))).distinct
+    val follow2 = bigrams.map(_.split(" ", 2)).groupBy(_(0))
+      .map { case (w, xs) => w -> xs.size.toLong }
+    val cont1 = bigrams.map(_.split(" ", 2)).groupBy(_(1))
+      .map { case (w, xs) => w -> xs.size.toLong }
+    val tTypes = bigrams.size.toLong
+    c5.map { case (f, n) =>
+      val a = f.split(" ", 5)
+      val (nctx, nf5) = cctx5(a.take(4).mkString(" "))
+      val pc = 1000000L * cont1(a(4)) / tTypes
+      val p2 = lvl(contBg((a(3), a(4))), follow2(a(3)), pc, midTot2(a(3)))
+      val p3 = lvl(cont3p((a(2), a(3), a(4))), fol3((a(2), a(3))), p2,
+        midTot3p((a(2), a(3))))
+      val p4 = lvl(cont4((a(1), a(2), a(3), a(4))), fol4((a(1), a(2), a(3))),
+        p3, midTot4((a(1), a(2), a(3))))
+      f -> ((n, lvl(n, nf5, p4, nctx).toDouble / 1000000d))
+    }
+  }
+
+  test("kn5_fivegram_top matches brute-force interpolated 5-gram KN") {
+    val expected = bruteKn5.toSeq
+      .sortBy { case (f, (_, p)) => (-p, f) }.take(Selection.KnTopN)
+      .zipWithIndex
+      .map { case ((f, (n, p)), i) => Seq[Any](f, n, p, (i + 1).toLong) }
+      .toSet
+    assert(collectSet(Selection.kn5FivegramTop(spark, dir)) == expected)
+    val ctx = bruteKn5.keysIterator.next().split(" ", 5).take(4).mkString(" ")
+    val mass = bruteKn5.collect {
+      case (f, (_, p)) if f.startsWith(ctx + " ") => p }.sum
+    assert(mass < 1.0 + 1e-9)
+  }
+
+  test("kn5_perplexity + kn5_buckets match the independent scorer") {
+    val lp = bruteKn5.map { case (f, (_, p)) =>
+      f -> round4(math.log(math.max(p, Selection.KnPFloor)))
+    }
+    val byDoc = corpus.map { case (id, _, t) =>
+      id -> t.sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSeq
+    }.filter(_._2.nonEmpty)
+    val sumLp = byDoc.map { case (id, fs) => id -> fs.map(lp).sum }.toMap
+    val expected = byDoc.map { case (id, fs) =>
+      Seq[Any](id, fs.size.toLong, sumLp(id).toDouble)
+    }.toSet
+    assert(collectSet(Selection.kn5Perplexity(spark, dir)) == expected)
+
+    val langOf = corpus.map(c => c._1 -> c._2).toMap
+    val nll = byDoc.map { case (id, fs) =>
+      id -> (-sumLp(id) * 10000).toLongExact / fs.size
+    }.toMap
+    val thr = nll.toSeq.groupBy { case (id, _) => langOf(id) }
+      .map { case (l, xs) =>
+        val sorted = xs.map(_._2).sorted.toIndexedSeq
+        l -> ((pct(sorted, Selection.HeadPct), pct(sorted, Selection.TailPct)))
+      }
+    val expB = nll.map { case (id, v) =>
+      val (h, t) = thr(langOf(id))
+      Seq[Any](id, langOf(id), v,
+        if (v <= h) "head" else if (v <= t) "middle" else "tail")
+    }.toSet
+    assert(collectSet(Selection.kn5Buckets(spark, dir)) == expB)
+  }
+
+  test("kn5 discriminates where the 4-gram model cannot: deterministic " +
+      "5-gram structure under ambiguous 4-gram context") {
+    // 10×"a p q r c" + 10×"d p q r e": after "p q r", the 4-gram model
+    // splits mass between c and e; the 5-gram context "a p q r" is
+    // deterministic.
+    val d = java.nio.file.Files.createTempDirectory("graft-kn5disc").toString
+    import spark.implicits._
+    val rows = (1L to 10L).map(i => (i, "a p q r c")) ++
+      (11L to 20L).map(i => (i, "d p q r e")) :+ (99L, "a p q r c")
+    rows.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'s' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val r5 = Selection.kn5Perplexity(spark, d).where("doc_id = 99").collect()(0)
+    val r4 = Selection.kn4Perplexity(spark, d).where("doc_id = 99").collect()(0)
+    val nll5 = -r5.getAs[Double]("sum_lp") / r5.getAs[Long]("n_fivegrams")
+    val nll4 = -r4.getAs[Double]("sum_lp") / r4.getAs[Long]("n_fourgrams")
+    assert(nll5 < nll4,
+      s"5-gram mean nll $nll5 should beat 4-gram $nll4 on this corpus")
+  }
+
   test("kn3 discriminates where the bigram model cannot: deterministic " +
       "trigram structure under ambiguous bigram context") {
     // 10×"a b c" + 10×"d b e": after "b", the bigram model splits mass
