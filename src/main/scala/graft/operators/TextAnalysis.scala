@@ -165,6 +165,44 @@ object TextAnalysis {
        |FROM per GROUP BY 1""".stripMargin
   }
 
+  /** Driver-contract query: the per-DOC script router (VERDICT r12 #5's
+    * "per doc" half) — each document's 8 class counts plus the dominant
+    * script (argmax with the fixed [[ScriptClasses]] priority order on
+    * ties — the predLangFromHits discipline; all-zero docs route to
+    * 'none'). This is the column a multilingual pipeline branches on
+    * before any language decision. Map-only, fused into the scan. */
+  def docScripts(spark: SparkSession, dir: String): DataFrame = {
+    val names = ScriptClasses.map(_._1)
+    val dominant = names.init.zipWithIndex.foldRight(lit(names.last)) {
+      case ((n, i), rest) =>
+        val geAll = names.drop(i + 1).map(o => col(n) >= col(o)).reduce(_ && _)
+        when(geAll, lit(n)).otherwise(rest)
+    }
+    docScriptCounts(spark, dir).drop("source")
+      .withColumn("script",
+        when(names.map(col).reduce(_ + _) === 0L, "none").otherwise(dominant))
+  }
+  val docScriptsSql: String = {
+    val per = ScriptClasses.map { case (n, _, re2) =>
+      s"CAST(length(regexp_extract_all(text, '$re2')) AS BIGINT) AS $n"
+    }.mkString(",\n    ")
+    val names = ScriptClasses.map(_._1)
+    val caseChain = names.init.zipWithIndex.foldRight(s"'${names.last}'") {
+      case ((n, i), rest) =>
+        val geAll = names.drop(i + 1).map(o => s"$n >= $o").mkString(" AND ")
+        s"CASE WHEN $geAll THEN '$n' ELSE $rest END"
+    }
+    s"""WITH per AS (
+       |  SELECT doc_id,
+       |    $per
+       |  FROM documents
+       |)
+       |SELECT doc_id, ${names.mkString(", ")},
+       |  CASE WHEN ${names.mkString(" + ")} = 0 THEN 'none'
+       |       ELSE $caseChain END AS script
+       |FROM per""".stripMargin
+  }
+
   def langId(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(col("doc_id"), col("lang").as("labeled_lang"), profileCol.as("__p"))

@@ -984,5 +984,21 @@ class OperatorsSpec extends SparkTestBase {
     // multi: doc1 (5,2,3,5,6,4,2,9 across the classes) + doc2 (18 latin)
     assert(got("multi") == Seq(2L, 23L, 2L, 3L, 5L, 6L, 4L, 2L, 9L, 1L))
     assert(got("cjk") == Seq(1L, 12L, 3L, 0L, 0L, 0L, 0L, 0L, 0L, 1L))
+    // per-doc router: the mixed doc is latin-dominant by count (5 < 9
+    // kana? no: ties and priority — hand-derive: counts are latin 5,
+    // kana 9 → kana wins); the cjk doc is latin-dominant (12 > 3); an
+    // all-digit doc routes to 'none'
+    val d2 = java.nio.file.Files.createTempDirectory("graft-scripts2").toString
+    Seq((1L, "12345 67890 ?!", "s"), (2L, "один два три", "s"))
+      .toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'xx' AS lang", "source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .coalesce(1).write.parquet(s"$d2/documents.parquet")
+    val routed = TextAnalysis.docScripts(spark, d2).collect()
+      .map(r => r.getLong(0) -> r.getString(9)).toMap
+    assert(routed == Map(1L -> "none", 2L -> "cyrillic"))
+    val routed1 = TextAnalysis.docScripts(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getString(9)).toMap
+    assert(routed1 == Map(1L -> "kana", 2L -> "latin", 3L -> "latin"))
   }
 }
