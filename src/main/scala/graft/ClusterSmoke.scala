@@ -135,6 +135,9 @@ object ClusterSmoke {
     "script_stats",       // 8 script-class regexp_counts + source rollup
     "kn4_perplexity",     // 4-gram KN: e6-grid integer model, eight
                           // type-keyed joins + scoring join across JVMs
+    "kn5_perplexity",     // 5-gram KN (the KenLM order): eleven type-keyed
+                          // joins + scoring join across JVMs
+    "doc_scripts",        // per-doc script router argmax on executors
     "image_resize")       // exact 2x2 box downsample on executor JVMs
 
   private def warcDocCount(spark: SparkSession): Long =
