@@ -482,11 +482,32 @@ def make_wet_wat_fixture():
 #
 #   sitemap_url                          kind     loc                                lastmod      priority
 #   http://a.example/sitemap.xml         url      http://a.example/                  2024-01-01   1.0
+#   http://a.example/sitemap.xml         url      http://a.example/big.zip           ''           ''
+#   http://a.example/sitemap.xml         url      http://a.example/graft-only/hidden ''           ''
 #   http://a.example/sitemap.xml         url      http://a.example/page?x=1&y=2      ''           ''
 #   http://a.example/sitemap.xml         url      http://a.example/spaced            2024-02-03   ''
+#   http://a.example/sitemap.xml         url      http://b.example/notmap            ''           ''
+#   http://a.example/sitemap.xml         url      http://tracker.example/lp2         ''           ''
 #   http://a.example/sitemap_index.xml   sitemap  http://a.example/sitemap.xml       2024-01-05   ''
 #   http://a.example/sitemap_index.xml   sitemap  http://a.example/sitemap2.xml.gz   ''           ''
 #   (the /notmap page and the loc-less <url> block yield no rows)
+#
+# The last four locs exist for the `crawl_frontier` composition row
+# (sitemap seeds -> blocklist -> robots -> already-fetched dedup; drop
+# precedence blocked > disallowed > fetched). Against the robots fixture's
+# a.example rules (graftbot group: Disallow /graft-only/ and /*.zip$ —
+# the specific group REPLACES '*'), the pinned UrlBlocklist
+# ('tracker.example') and this fixture's own fetched pages
+# (a.example/sitemap.xml, a.example/sitemap_index.xml, b.example/notmap),
+# the expected frontier verdicts are:
+#
+#   http://a.example/                    fetch       (canonical 'a.example' unfetched)
+#   http://a.example/big.zip             disallowed  (wildcard /*.zip$)
+#   http://a.example/graft-only/hidden   disallowed
+#   http://a.example/page?x=1&y=2        fetch
+#   http://a.example/spaced              fetch
+#   http://b.example/notmap              fetched     (this crawl already has it)
+#   http://tracker.example/lp2           blocked     (registered-domain blocklist)
 SITEMAP_A = """<?xml version="1.0" encoding="UTF-8"?>
 <urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
 <url><loc>http://a.example/</loc><lastmod>2024-01-01</lastmod><priority>1.0</priority></url>
@@ -495,6 +516,10 @@ SITEMAP_A = """<?xml version="1.0" encoding="UTF-8"?>
   http://a.example/spaced
 </loc><lastmod>2024-02-03</lastmod></url>
 <url><lastmod>2024-03-01</lastmod></url>
+<url><loc>http://a.example/graft-only/hidden</loc></url>
+<url><loc>http://a.example/big.zip</loc></url>
+<url><loc>http://tracker.example/lp2</loc></url>
+<url><loc>http://b.example/notmap</loc></url>
 </urlset>"""
 SITEMAP_INDEX = """<?xml version="1.0"?>
 <SITEMAPINDEX>

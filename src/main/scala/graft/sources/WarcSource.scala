@@ -1273,13 +1273,87 @@ object WarcSource {
       |FROM (VALUES
       |  ('http://a.example/sitemap.xml', 'url', 'http://a.example/',
       |   '2024-01-01', '1.0'),
+      |  ('http://a.example/sitemap.xml', 'url', 'http://a.example/big.zip',
+      |   '', ''),
+      |  ('http://a.example/sitemap.xml', 'url',
+      |   'http://a.example/graft-only/hidden', '', ''),
       |  ('http://a.example/sitemap.xml', 'url',
       |   'http://a.example/page?x=1&y=2', '', ''),
       |  ('http://a.example/sitemap.xml', 'url', 'http://a.example/spaced',
       |   '2024-02-03', ''),
+      |  ('http://a.example/sitemap.xml', 'url', 'http://b.example/notmap',
+      |   '', ''),
+      |  ('http://a.example/sitemap.xml', 'url', 'http://tracker.example/lp2',
+      |   '', ''),
       |  ('http://a.example/sitemap_index.xml', 'sitemap',
       |   'http://a.example/sitemap.xml', '2024-01-05', ''),
       |  ('http://a.example/sitemap_index.xml', 'sitemap',
       |   'http://a.example/sitemap2.xml.gz', '', ''))
       |  AS t(sitemap_url, kind, loc, lastmod, priority)""".stripMargin
+
+  // ---- crawl frontier (the crawl-ops end product) --------------------------
+  /** The next-fetch FRONTIER a polite crawler derives each cycle — the
+    * composition every crawl scheduler runs, built from four families
+    * this library already ships: sitemap seeds ([[sitemapUrls]], kind
+    * 'url'), the domain blocklist ([[urlBlockRule]] — cheapest, applied
+    * first), RFC 9309 robots verdicts ([[robotsVerdicts]] for
+    * [[RobotsAgent]]), and canonical-URL dedup against the already-
+    * fetched corpus ([[canonicalUrl]]). One verdict row per seed with
+    * pinned precedence blocked > disallowed > fetched > fetch. Host
+    * policy note: cross-host locs are NOT dropped here (the sitemaps.org
+    * same-host rule is a publisher constraint; a scheduler's own host
+    * policy gates separately — the blocklist already demonstrates the
+    * hook).
+    *
+    * Scale: seeds are sitemap-bounded (≪ corpus); the robots join is the
+    * host-keyed equi-join documented at [[robotsVerdicts]]; the fetched-
+    * set probe is a LEFT SEMI join on the canonical-URL key of the crawl
+    * — seed-side small, corpus-side pruned to one column. */
+  def crawlFrontier(seeds: DataFrame, rules: DataFrame,
+      fetched: DataFrame, agent: String): DataFrame = {
+    val blocked = seeds.select(col("loc").as("url"),
+      urlBlockRule(col("url"), UrlBlocklist).as("block_rule"))
+    val robots = robotsVerdicts(blocked.select(col("url")), rules, agent)
+      .select(col("url"), col("host"), col("allowed"))
+    val fetchedCanon = fetched
+      .select(canonicalUrl(col("url")).as("canon")).distinct()
+      .withColumn("already", lit(true))
+    blocked.join(robots, Seq("url"))
+      .join(fetchedCanon.hint("shuffle_hash"),
+        canonicalUrl(col("url")) === col("canon"), "left")
+      .select(col("url"), col("host"),
+        when(col("block_rule") =!= "", "blocked")
+          .when(!col("allowed"), "disallowed")
+          .when(coalesce(col("already"), lit(false)), "fetched")
+          .otherwise("fetch").as("verdict"))
+  }
+
+  /** Driver-contract query: [[crawlFrontier]] over the committed sitemap
+    * fixture's seeds, the robots fixture's rule table, and the sitemap
+    * fixture's own fetched pages. Ignores `dir` like [[warcHostStats]]. */
+  def crawlFrontierQ(spark: SparkSession, dir: String): DataFrame = {
+    val sm = documentsFromWarc(spark, FixtureSitemapDir)
+    crawlFrontier(
+      sitemapUrls(sm).where(col("kind") === "url"),
+      robotsRulesOf(spark, documentsFromWarc(spark, FixtureRobotsDir)),
+      sm, RobotsAgent)
+  }
+
+  /** Oracle: exact VALUES literal, hand-derived in
+    * scripts/make_warc_fixture.py (see the sitemap fixture docstring) —
+    * pins each drop reason once: the registered-domain blocklist hit, the
+    * graftbot group's /graft-only/ prefix and `*.zip$`-on-root wildcard (group
+    * selection REPLACING '*'), the already-fetched canonical probe, and
+    * the clean seeds left to fetch. */
+  val crawlFrontierSql: String =
+    """SELECT url, host, verdict
+      |FROM (VALUES
+      |  ('http://a.example/', 'a.example', 'fetch'),
+      |  ('http://a.example/big.zip', 'a.example', 'disallowed'),
+      |  ('http://a.example/graft-only/hidden', 'a.example', 'disallowed'),
+      |  ('http://a.example/page?x=1&y=2', 'a.example', 'fetch'),
+      |  ('http://a.example/spaced', 'a.example', 'fetch'),
+      |  ('http://b.example/notmap', 'b.example', 'fetched'),
+      |  ('http://tracker.example/lp2', 'tracker.example', 'blocked'))
+      |  AS t(url, host, verdict)""".stripMargin
 }

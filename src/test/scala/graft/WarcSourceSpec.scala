@@ -833,6 +833,29 @@ class WarcSourceSpec extends SparkTestBase {
       "http://s.example/a&b")))
   }
 
+  test("crawlFrontier precedence: blocked beats disallowed beats fetched") {
+    import spark.implicits._
+    val seeds = Seq(
+      "http://tracker.example/x", // blocklisted AND robots-disallowed
+      "http://h.example/x",       // disallowed AND already fetched
+      "http://h.example/ok"       // fetched only
+    ).toDF("loc")
+    val rules = Seq(
+      ("tracker.example", "*", "group", ""),
+      ("tracker.example", "*", "disallow", "/"),
+      ("h.example", "*", "group", ""),
+      ("h.example", "*", "disallow", "/x"))
+      .toDF("host", "agent", "rule", "prefix")
+    val fetched = Seq("http://h.example/x", "http://h.example/ok")
+      .toDF("url")
+    val got = WarcSource.crawlFrontier(seeds, rules, fetched, "graftbot")
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(got == Map(
+      "http://tracker.example/x" -> "blocked",
+      "http://h.example/x" -> "disallowed",
+      "http://h.example/ok" -> "fetched"))
+  }
+
   test("WET conformance: documentsFromWet text equals the WARC-derived " +
       "htmlExtract text URL-for-URL; the warcinfo preamble is dropped") {
     val wet = WarcSource.documentsFromWet(spark, WarcSource.FixtureWetDir)
