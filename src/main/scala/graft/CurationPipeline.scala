@@ -194,4 +194,26 @@ object CurationPipeline {
     writeManifest(outDir, all) // re-emit with the archive stage included
     all
   }
+
+  /** [[runFromWarc]]'s WET twin: Common Crawl consumers who start from the
+    * pre-extracted-text format feed the SAME curation battery — the only
+    * difference is the ingestion projection (conversion records, block IS
+    * the text) and that the C4 HTML-era line rules stay opt-in (WET text
+    * already passed an extractor; the run() overload's pre-structured
+    * default applies). Same blocklist-first discipline. */
+  def runFromWet(spark: SparkSession, wetDir: String, outDir: String): Map[String, Long] = {
+    import org.apache.spark.sql.functions._
+    val rawDir = s"$outDir/raw"
+    graft.sources.WarcSource.urlFilter(
+        graft.sources.WarcSource.documentsFromWet(spark, wetDir))
+      .select(col("doc_id"),
+        lit("und").as("lang"),
+        graft.sources.WarcSource.hostCol(col("url")).as("source"),
+        length(col("text")).cast("long").as("n_chars"),
+        col("text"))
+      .write.mode("overwrite").parquet(s"$rawDir/documents.parquet")
+    run(spark, rawDir, outDir,
+      c4Rules = spark.conf.getOption("graft.c4Rules")
+        .map(_.toBoolean).getOrElse(false))
+  }
 }

@@ -111,4 +111,34 @@ class CurationPipelineSpec extends SparkTestBase {
     assert(new String(arch.head.getAs[Array[Byte]]("block"), "UTF-8")
       == corpus.head.getAs[String]("text"))
   }
+
+  test("wet -> documents -> curate runs the pre-extracted path end-to-end") {
+    // WET twin of the crawl e2e: conversion records whose block IS the
+    // text (no HTTP headers), a warcinfo preamble the type filter drops,
+    // and a blocklisted host the url gate removes before curation
+    def record(wtype: String, url: String, body: String): Array[Byte] = {
+      val block = body.getBytes("UTF-8")
+      ((s"WARC/1.0\r\nWARC-Type: $wtype\r\n" +
+        (if (url == null) "" else s"WARC-Target-URI: $url\r\n") +
+        s"Content-Length: ${block.length}\r\n\r\n").getBytes("ISO-8859-1")
+        ++ block ++ "\r\n\r\n".getBytes("ISO-8859-1"))
+    }
+    val good = Iterator.tabulate(60)(i =>
+      s"the quick brown fox jumps over word$i dog.").mkString("\n")
+    val wetDir = java.nio.file.Files.createTempDirectory("graft-wet-e2e")
+    java.nio.file.Files.write(wetDir.resolve("crawl.warc.wet"),
+      record("warcinfo", null, "software: spec") ++
+        record("conversion", "http://good.example/page", good) ++
+        record("conversion", "http://junk.example/x", "zzz qqq") ++
+        record("conversion", "http://tracker.example/lp", good))
+    val out = java.nio.file.Files.createTempDirectory("graft-pipe-wet").toString
+    val manifest = CurationPipeline.runFromWet(spark, wetDir.toString, out)
+    // 2 raw docs: warcinfo dropped by the type filter, tracker.example
+    // dropped by the blocklist BEFORE the raw corpus is written
+    assert(manifest("raw_docs") == 2)
+    assert(manifest("curated_docs") == 1)
+    val corpus = spark.read.parquet(s"$out/corpus/documents.parquet").collect()
+    assert(corpus.map(_.getAs[String]("source")).toSet == Set("good.example"))
+    assert(corpus.head.getAs[String]("text") == good)
+  }
 }
