@@ -1344,4 +1344,362 @@ object Relational {
     (ProfileNumCols.map(numLeg) ++ ProfileStrCols.map(strLeg))
       .mkString("\nUNION ALL\n")
   }
+
+  // ======================================================================
+  // TPC-H classic shapes the engine had not yet exercised (§2 #34z family).
+  // The reference engine has no relational surface at all (its only query
+  // is the anagram pipeline, mapphase/map.go:60-151); these rows extend
+  // the engine the way §2 #27-34 did, each picked for a DISTINCT plan
+  // shape: a cyclic join constraint (Q5), a dual-role dimension (Q7), a
+  // returned-flag top-N (Q10), a scalar-max subquery (Q15), a correlated
+  // per-group average (Q17), a HAVING-semi into the detail (Q18), and an
+  // anti-join under a global scalar (Q22). Decimal discipline per §6:
+  // money math on DECIMAL(18,4), final column the lone double cast.
+  // ======================================================================
+
+  /** The decimal revenue term every TPC-H money rollup shares. */
+  private def revPart =
+    (col("l_extendedprice").cast("decimal(18,4)") *
+      (lit(BigDecimal(1)).cast("decimal(18,4)") -
+        col("l_discount").cast("decimal(18,4)"))).as("rev_part")
+  private val RevPartSql =
+    """CAST(l_extendedprice AS DECIMAL(18,4))
+      |    * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))""".stripMargin
+
+  // ---- #34z-a TPC-H Q5: local-supplier volume ----------------------------
+  /** Revenue per nation where the ordering customer and the line's supplier
+    * share that nation (the Q5 cycle), region- and order-year-filtered.
+    * Scale shape: the date filter pushes to the orders scan; orders⋈customer
+    * shuffles on custkey (customer is NOT force-broadcast — at warehouse
+    * scale it is a fact in its own right, and AQE may still pick a
+    * broadcast at toy SFs); lineitem⋈orders shuffles on orderkey; supplier,
+    * nation and region are true dimension broadcasts; the cycle closes as a
+    * post-join filter (c_nationkey = s_nationkey) that Catalyst evaluates
+    * before the dimension join. */
+  val Q5Region = "ASIA"
+  val Q5YearStart = "1996-01-01"
+  val Q5YearEnd = "1997-01-01"
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val nations = broadcast(
+      t(spark, dir, "nation")
+        .join(broadcast(t(spark, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === Q5Region)
+        .select(col("n_nationkey"), col("n_name")))
+    val supp = broadcast(t(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey")))
+    val ordCust = t(spark, dir, "orders")
+      .where(to_date(col("o_orderdate")) >= lit(Q5YearStart).cast("date") &&
+        to_date(col("o_orderdate")) < lit(Q5YearEnd).cast("date"))
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(t(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey"))
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), revPart)
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(ordCust, col("l_orderkey") === col("o_orderkey"))
+      .where(col("c_nationkey") === col("s_nationkey"))
+      .join(nations, col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(col("rev_part")).cast("decimal(18,4)").cast("double")
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+  val localSupplierVolumeSql: String =
+    s"""SELECT n_name,
+       |  CAST(CAST(sum($RevPartSql) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+       |  count(*) AS n_lines
+       |FROM customer, orders, lineitem, supplier, nation, region
+       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+       |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+       |  AND r_name = '$Q5Region'
+       |  AND CAST(o_orderdate AS DATE) >= DATE '$Q5YearStart'
+       |  AND CAST(o_orderdate AS DATE) < DATE '$Q5YearEnd'
+       |GROUP BY 1""".stripMargin
+
+  // ---- #34z-b TPC-H Q7 generalized: nation trade flows -------------------
+  /** The bilateral trade matrix: revenue by (supplier nation, customer
+    * nation, ship year) for every cross-nation pair — Q7's dual-role
+    * dimension (nation joined once through supplier, once through
+    * customer) without Q7's two-nation pin, so the row is non-vacuous at
+    * every SF. Output is bounded by |nations|² × years. Scale shape: the
+    * only fact⇄fact exchanges are lineitem⋈orders (orderkey) and
+    * orders⋈customer (custkey); both nation maps ride broadcasts. */
+  def nationTradeFlows(spark: SparkSession, dir: String): DataFrame = {
+    val supN = broadcast(t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+    val custN = t(spark, dir, "customer")
+      .join(broadcast(t(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(custN, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("cust_nation"))
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(to_date(col("l_shipdate"))).cast("long").as("ship_year"),
+        revPart)
+      .join(supN, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .where(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
+      .agg(
+        sum(col("rev_part")).cast("decimal(18,4)").cast("double")
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+  val nationTradeFlowsSql: String =
+    s"""SELECT supp.n_name AS supp_nation, cust.n_name AS cust_nation,
+       |  CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS ship_year,
+       |  CAST(CAST(sum($RevPartSql) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+       |  count(*) AS n_lines
+       |FROM lineitem
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation supp ON s_nationkey = supp.n_nationkey
+       |JOIN nation cust ON c_nationkey = cust.n_nationkey
+       |WHERE supp.n_name <> cust.n_name
+       |GROUP BY 1, 2, 3""".stripMargin
+
+  // ---- #34z-c TPC-H Q10: returned-item customer ranking ------------------
+  /** Top [[ReturnedTopN]] customers by revenue lost to returns
+    * (l_returnflag = 'R') among one order-quarter — the classic churn
+    * report. Scale shape: both filters push to their scans, the quarter's
+    * order keys shuffle against the returned lines on orderkey, the top-N
+    * runs on the EXACT decimal revenue via TakeOrderedAndProject with
+    * rank recovery inside one array (the shipping_priority pattern), and
+    * the customer/nation names join onto the 20 surviving rows only. */
+  val ReturnedTopN = 20
+  val Q10QuarterStart = "1996-01-01"
+  val Q10QuarterEnd = "1996-04-01"
+  def returnedItemRanking(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .where(to_date(col("o_orderdate")) >= lit(Q10QuarterStart).cast("date") &&
+        to_date(col("o_orderdate")) < lit(Q10QuarterEnd).cast("date"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val top = t(spark, dir, "lineitem")
+      .where(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), revPart)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("rev_part")).cast("decimal(18,4)").as("rev_dec"))
+      .orderBy(col("rev_dec").desc, col("o_custkey")).limit(ReturnedTopN)
+      .select(struct(negate(col("rev_dec")).as("nr"),
+        col("o_custkey").as("o_custkey"),
+        col("rev_dec").cast("double").as("revenue")).as("s"))
+      .agg(array_sort(collect_list(col("s"))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("pos", "s")))
+      .select(col("s.o_custkey").as("o_custkey"),
+        col("s.revenue").as("revenue"),
+        (col("pos") + 1).cast("long").as("rk"))
+    top
+      .join(broadcast(t(spark, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("revenue"), col("rk"))
+  }
+  val returnedItemRankingSql: String =
+    s"""WITH agg AS (
+       |  SELECT o_custkey,
+       |    CAST(sum($RevPartSql) AS DECIMAL(18,4)) AS rev_dec
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE l_returnflag = 'R'
+       |    AND CAST(o_orderdate AS DATE) >= DATE '$Q10QuarterStart'
+       |    AND CAST(o_orderdate AS DATE) < DATE '$Q10QuarterEnd'
+       |  GROUP BY 1
+       |), ranked AS (
+       |  SELECT *, CAST(row_number() OVER (ORDER BY rev_dec DESC, o_custkey)
+       |    AS BIGINT) AS rk
+       |  FROM agg
+       |)
+       |SELECT c_custkey, c_name, n_name, CAST(rev_dec AS DOUBLE) AS revenue, rk
+       |FROM ranked
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE rk <= $ReturnedTopN""".stripMargin
+
+  // ---- #34z-d TPC-H Q15: top supplier via scalar-max subquery ------------
+  /** The supplier(s) whose quarter revenue equals the global maximum — the
+    * scalar-subquery shape. Scale shape: ONE lineitem scan (date filter
+    * pushed) → suppkey-keyed partial+final agg; the global max is a 1-row
+    * aggregate broadcast back over the per-supplier frame (the
+    * domain_reweight totals pattern — a conditioned BNLJ against a 1-row
+    * build is the audited-tiny exception PlanLintSpec allowlists); the
+    * supplier name joins onto the surviving row(s) only. Ties all
+    * surface — same semantics as Q15's revenue-view equality. */
+  val Q15QuarterStart = "1996-01-01"
+  val Q15QuarterEnd = "1996-04-01"
+  def topSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = t(spark, dir, "lineitem")
+      .where(to_date(col("l_shipdate")) >= lit(Q15QuarterStart).cast("date") &&
+        to_date(col("l_shipdate")) < lit(Q15QuarterEnd).cast("date"))
+      .select(col("l_suppkey"), revPart)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("rev_part")).cast("decimal(18,4)").as("rev_dec"))
+    val mx = rev.agg(max(col("rev_dec")).as("max_rev"))
+    rev.join(broadcast(mx), col("rev_dec") === col("max_rev"))
+      .join(broadcast(t(spark, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev_dec").cast("double").as("revenue"))
+  }
+  val topSupplierSql: String =
+    s"""WITH rev AS (
+       |  SELECT l_suppkey,
+       |    CAST(sum($RevPartSql) AS DECIMAL(18,4)) AS rev_dec
+       |  FROM lineitem
+       |  WHERE CAST(l_shipdate AS DATE) >= DATE '$Q15QuarterStart'
+       |    AND CAST(l_shipdate AS DATE) < DATE '$Q15QuarterEnd'
+       |  GROUP BY 1
+       |)
+       |SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS revenue
+       |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE rev_dec = (SELECT max(rev_dec) FROM rev)""".stripMargin
+
+  // ---- #34z-e TPC-H Q17: small-quantity-order revenue by brand -----------
+  /** Revenue sitting in lines whose quantity is below 20% of their part's
+    * average order quantity, rolled up per brand — Q17's correlated
+    * per-group average, generalized from Q17's single-brand pin so the row
+    * is non-vacuous at every SF. Exactness: the 20%-of-average test runs as
+    * an EXACT cross-multiplication (qty × 5 × n < Σqty on DECIMAL), so no
+    * engine ever divides. Scale shape: part (brand map) broadcasts; the
+    * per-part average and the probe re-join co-partition on l_partkey
+    * (one exchange, reused); no window, no sort. */
+  def smallQtyParts(spark: SparkSession, dir: String): DataFrame = {
+    val pl = t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("p_brand"),
+        col("l_quantity").cast("decimal(18,4)").as("qty_dec"),
+        col("l_extendedprice").cast("decimal(18,4)").as("price_dec"))
+    val perPart = pl.groupBy(col("l_partkey").as("pp_partkey"))
+      .agg(sum(col("qty_dec")).cast("decimal(28,4)").as("sum_qty"),
+        count(lit(1)).as("n_part_lines"))
+    pl.join(perPart, col("l_partkey") === col("pp_partkey"))
+      .where(col("qty_dec") * lit(5) * col("n_part_lines") < col("sum_qty"))
+      .groupBy(col("p_brand"))
+      .agg(
+        sum(col("price_dec")).cast("decimal(18,4)").cast("double")
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+  val smallQtyPartsSql: String =
+    """WITH pl AS (
+      |  SELECT l_partkey, p_brand,
+      |    CAST(l_quantity AS DECIMAL(18,4)) AS qty_dec,
+      |    CAST(l_extendedprice AS DECIMAL(18,4)) AS price_dec
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |), per_part AS (
+      |  SELECT l_partkey AS pp_partkey,
+      |    CAST(sum(qty_dec) AS DECIMAL(28,4)) AS sum_qty,
+      |    count(*) AS n_part_lines
+      |  FROM pl GROUP BY 1
+      |)
+      |SELECT p_brand,
+      |  CAST(CAST(sum(price_dec) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+      |  count(*) AS n_lines
+      |FROM pl JOIN per_part ON l_partkey = pp_partkey
+      |WHERE qty_dec * 5 * n_part_lines < sum_qty
+      |GROUP BY 1""".stripMargin
+
+  // ---- #34z-f TPC-H Q18: large-volume customers --------------------------
+  /** Orders whose total line quantity exceeds [[LargeOrderMinQty]], with
+    * their customer — Q18's HAVING-semi into the detail. No top-N pin:
+    * the qualifying set IS the report (it stays rare by construction —
+    * the threshold sits in the far tail of the per-order quantity
+    * distribution at every SF), so there is no global sort at all. Scale
+    * shape: ONE lineitem agg on orderkey, the surviving keys semi-join
+    * orders on the same key, customer names ride a broadcast. */
+  val LargeOrderMinQty = 300
+  def largeVolumeCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val big = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,4)"))
+        .cast("decimal(18,4)").as("qty_dec"))
+      .where(col("qty_dec") > lit(LargeOrderMinQty))
+    big
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(spark, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        col("o_totalprice"),
+        col("qty_dec").cast("double").as("total_qty"))
+  }
+  val largeVolumeCustomersSql: String =
+    s"""WITH big AS (
+       |  SELECT l_orderkey,
+       |    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4))
+       |      AS qty_dec
+       |  FROM lineitem GROUP BY 1
+       |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4))
+       |    > $LargeOrderMinQty
+       |)
+       |SELECT c_custkey, c_name, o_orderkey,
+       |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_date,
+       |  o_totalprice, CAST(qty_dec AS DOUBLE) AS total_qty
+       |FROM big
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey""".stripMargin
+
+  // ---- #34z-g TPC-H Q22 shape: dormant high-balance customers ------------
+  /** Per-nation census of customers whose account balance beats the global
+    * average yet who placed NO order since [[DormantCutoff]] — Q22's
+    * anti-join under a global scalar (its phone-prefix grouping swapped
+    * for nation, which this schema has). Exactness: the above-average test
+    * cross-multiplies (bal × n > Σbal on DECIMAL) so no engine divides.
+    * Scale shape: the cutoff filter pushes to the orders scan and the
+    * distinct active-customer keys anti-join on custkey; the global
+    * (Σbal, n) is a 1-row broadcast (the PlanLintSpec-allowlisted tiny
+    * BNLJ); nation names ride a broadcast. */
+  val DormantCutoff = "2000-01-01"
+  def dormantCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+    val totals = cust.agg(
+      sum(col("c_acctbal").cast("decimal(18,4)")).cast("decimal(28,4)")
+        .as("sum_bal"),
+      count(lit(1)).as("n_cust"))
+    val active = t(spark, dir, "orders")
+      .where(to_date(col("o_orderdate")) >= lit(DormantCutoff).cast("date"))
+      .select(col("o_custkey")).distinct()
+    cust
+      .join(active, col("c_custkey") === col("o_custkey"), "left_anti")
+      .crossJoin(broadcast(totals))
+      .where(col("c_acctbal").cast("decimal(18,4)") * col("n_cust")
+        > col("sum_bal"))
+      .join(broadcast(t(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_dormant"),
+        sum(col("c_acctbal").cast("decimal(18,4)"))
+          .cast("decimal(18,4)").cast("double").as("total_bal"))
+  }
+  val dormantCustomersSql: String =
+    s"""WITH tot AS (
+       |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(28,4))
+       |      AS sum_bal,
+       |    count(*) AS n_cust
+       |  FROM customer
+       |), active AS (
+       |  SELECT DISTINCT o_custkey FROM orders
+       |  WHERE CAST(o_orderdate AS DATE) >= DATE '$DormantCutoff'
+       |)
+       |SELECT n_name, count(*) AS n_dormant,
+       |  CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(18,4))
+       |    AS DOUBLE) AS total_bal
+       |FROM customer JOIN nation ON c_nationkey = n_nationkey, tot
+       |WHERE CAST(c_acctbal AS DECIMAL(18,4)) * n_cust > sum_bal
+       |  AND c_custkey NOT IN (SELECT o_custkey FROM active)
+       |GROUP BY 1""".stripMargin
 }

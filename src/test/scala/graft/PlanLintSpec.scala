@@ -32,7 +32,10 @@ class PlanLintSpec extends SparkTestBase {
       "ann_recall", "ivfpq_recall",
       // both RRF modalities broadcast the SAME 1-row query frame with the
       // self-exclusion (id <> qid) pushed into the join — the ann_topk shape
-      "hybrid_search_rrf")
+      "hybrid_search_rrf",
+      // scalar-subquery shapes: a 1-row global aggregate (max revenue /
+      // (Σbal, n)) broadcast with the comparison pushed into the join
+      "top_supplier", "dormant_customers")
 
   test("no query plans a cartesian, a conditioned nested loop, or a global window") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
