@@ -511,6 +511,11 @@ object WarcSource {
   }
   lazy val FixtureDir: String =
     materializeFixture("warc", Seq("cc-000.warc", "cc-001.warc.gz"))
+  /** Chat-conversation JSONL fixture (scripts/make_chat_fixture.py),
+    * materialized for graft.operators.Chat — same single-host caveat as
+    * every classpath fixture here. */
+  def materializeChatFixture(): String =
+    materializeFixture("chat", Seq("part-000.jsonl.gz", "part-001.jsonl"))
   /** URL-variant fixture corpus backing `warc_url_dedup` (same generator
     * script; www/scheme-case/query/fragment/trailing-slash variants of the
     * same pages plus one exact refetch). */
