@@ -2141,6 +2141,112 @@ object Curation {
        |FROM agg""".stripMargin
   }
 
+  // ---- #25k-d mojibake REPAIR ---------------------------------------------
+  /** Undo CP1252 double-encoding (UTF-8 bytes misread as CP1252 and
+    * re-encoded — the artifact class [[mojibakeStats]] audits): map the 27
+    * CP1252 specials back to their 0x80-0x9F bytes (`translate`), encode
+    * ISO-8859-1, decode UTF-8, and accept only when
+    *  - the byte view carries a lead+continuation byte pair (the
+    *    script-agnostic double-encode trigger — a superset of the
+    *    [[MojibakeDoubleEncMarkers]] audit heuristic, which is
+    *    Latin-marker-only and would miss Greek/Cyrillic mojibake),
+    *  - the byte view is VALID UTF-8 per the full RFC 3629 grammar
+    *    ([[Utf8ByteViewRe]] — overlongs/surrogates rejected like a strict
+    *    decoder), which also enforces byte-representability: whole-string
+    *    repair only, so mixed CJK+mojibake stays untouched.
+    * Repair runs ONCE — a triple-encoded doc comes back double-encoded and
+    * the next pass of the same operator finishes it (pinned; the fixture's
+    * doc 8 locks this).
+    *
+    * Scale: the whole chain — contains, translate, encode, decode, rlike —
+    * is codegen'd builtin expressions fused into one projection. MAP-ONLY;
+    * no UDF, no custom expression needed. Oracle independence: the
+    * committed fixture (scripts/make_mojibake_fixture.py) derives the
+    * expected rows with CPython's own codec machinery; the VALUES literal
+    * below embeds that independent derivation. */
+  private val Cp1252Specials: Seq[(Int, Char)] = Seq(
+    0x80 -> '€', 0x82 -> '‚', 0x83 -> 'ƒ', 0x84 -> '„', 0x85 -> '…',
+    0x86 -> '†', 0x87 -> '‡', 0x88 -> 'ˆ', 0x89 -> '‰', 0x8a -> 'Š',
+    0x8b -> '‹', 0x8c -> 'Œ', 0x8e -> 'Ž', 0x91 -> '‘', 0x92 -> '’',
+    0x93 -> '“', 0x94 -> '”', 0x95 -> '•', 0x96 -> '–', 0x97 -> '—',
+    0x98 -> '˜', 0x99 -> '™', 0x9a -> 'š', 0x9b -> '›', 0x9c -> 'œ',
+    0x9e -> 'ž', 0x9f -> 'Ÿ')
+
+  /** RFC 3629 UTF-8 over a byte-view string (every char one byte): the
+    * exact valid-sequence grammar, rejecting overlongs, surrogates and
+    * out-of-range exactly like a strict decoder. Chars > 0xFF match no
+    * alternative, so this also subsumes the byte-representability guard.
+    * Anchored \\A..\\z (not ^$ — Java's $ tolerates a trailing newline). */
+  private val Utf8ByteViewRe: String =
+    "\\A(?:[\\x00-\\x7F]" +
+      "|[\\xC2-\\xDF][\\x80-\\xBF]" +
+      "|\\xE0[\\xA0-\\xBF][\\x80-\\xBF]" +
+      "|[\\xE1-\\xEC\\xEE\\xEF][\\x80-\\xBF]{2}" +
+      "|\\xED[\\x80-\\x9F][\\x80-\\xBF]" +
+      "|\\xF0[\\x90-\\xBF][\\x80-\\xBF]{2}" +
+      "|[\\xF1-\\xF3][\\x80-\\xBF]{3}" +
+      "|\\xF4[\\x80-\\x8F][\\x80-\\xBF]{2})*\\z"
+
+  /** (repaired-flag, repaired-text) columns for a text column — exposed so
+    * pipelines and the streaming gate can compose the repair row-locally.
+    * Spark 4's `decode` is ANSI-strict (MALFORMED_CHARACTER_CODING), so
+    * validity is decided FIRST by [[Utf8ByteViewRe]] and the decode only
+    * runs under the guard (CaseWhen branches evaluate lazily). */
+  def mojibakeRepairCols(text: org.apache.spark.sql.Column)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val from = Cp1252Specials.map(_._2).mkString
+    val to = Cp1252Specials.map(_._1.toChar).mkString
+    val pre = translate(text, from, to)
+    // Trigger: any UTF-8 lead byte followed by a continuation byte in the
+    // byte view — script-agnostic (Greek 'ε' corrupts to "Îµ", Cyrillic to
+    // "Ñ…": no Latin marker, but always lead+continuation), and a superset
+    // of the [[MojibakeDoubleEncMarkers]] audit heuristic. Genuine text
+    // almost never parks an 0x80-0xBF char behind an 0xC2-0xF4 one, and
+    // the full-grammar validity gate below re-checks whatever slips by.
+    val trigger = pre.rlike("[\\xC2-\\xF4][\\x80-\\xBF]")
+    val ok = trigger && pre.rlike(Utf8ByteViewRe)
+    (when(ok, 1L).otherwise(0L),
+      when(ok, decode(encode(pre, "ISO-8859-1"), "UTF-8")).otherwise(text))
+  }
+
+  /** Repair a documents frame in place (text swapped for the repaired
+    * form, `mojibake_repaired` flag appended). */
+  def fixMojibakeStage(df: DataFrame): DataFrame = {
+    val (flag, out) = mojibakeRepairCols(col("text"))
+    df.withColumn("mojibake_repaired", flag)
+      .withColumn("text", out)
+  }
+
+  lazy val MojibakeFixtureDir: String =
+    graft.sources.WarcSource.materializeMojibakeFixture()
+
+  /** Driver row over the committed fixture (ignores `dir` — raw-file
+    * source, the jsonl_ingest pattern). */
+  def fixMojibake(spark: SparkSession, dir: String): DataFrame = {
+    val (flag, out) = mojibakeRepairCols(col("text"))
+    graft.sources.JsonlSource.readJsonl(spark, MojibakeFixtureDir)
+      .select(col("doc_id"), flag.as("repaired"), out.as("text_out"))
+      .withColumn("n_chars_out", length(col("text_out")).cast("long"))
+  }
+  /** Expected rows printed by scripts/make_mojibake_fixture.py's CPython
+    * repair — doc 10's strings carry a literal U+00A0. */
+  val fixMojibakeSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(repaired AS BIGINT) AS repaired, text_out,
+      |  CAST(n_chars_out AS BIGINT) AS n_chars_out
+      |FROM (VALUES
+      |  (1, 1, 'Café résumé', 11),
+      |  (2, 1, '“quoted” and — dash', 19),
+      |  (3, 1, 'price €100 • item', 17),
+      |  (4, 0, 'Ã is a letter of some alphabets', 31),
+      |  (5, 0, 'plain ascii text', 16),
+      |  (6, 0, '中文文档', 4),
+      |  (7, 0, 'naÃ¯ve 中文', 9),
+      |  (8, 1, 'Ã©tÃ©', 5),
+      |  (9, 0, '', 0),
+      |  (10, 1, 'before after', 12))
+      |  AS t(doc_id, repaired, text_out, n_chars_out)""".stripMargin
+
   // ---- #25w-b code-likeness detection -------------------------------------
   /** Per-document code-likeness profile + verdict — the filter web-corpus
     * curation runs to keep source code out of a prose corpus (or to route

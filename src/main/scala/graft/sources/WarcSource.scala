@@ -516,6 +516,9 @@ object WarcSource {
     * every classpath fixture here. */
   def materializeChatFixture(): String =
     materializeFixture("chat", Seq("part-000.jsonl.gz", "part-001.jsonl"))
+  /** Mojibake-repair JSONL fixture (scripts/make_mojibake_fixture.py). */
+  def materializeMojibakeFixture(): String =
+    materializeFixture("mojibake", Seq("part-000.jsonl.gz"))
   /** URL-variant fixture corpus backing `warc_url_dedup` (same generator
     * script; www/scheme-case/query/fragment/trailing-slash variants of the
     * same pages plus one exact refetch). */
