@@ -1653,6 +1653,137 @@ object Relational {
        |JOIN orders ON l_orderkey = o_orderkey
        |JOIN customer ON o_custkey = c_custkey""".stripMargin
 
+  // ---- #34y-a key-skew diagnostics ---------------------------------------
+  /** The shuffle-planning report behind `Scale.saltedJoin`/`saltedAgg`:
+    * for each candidate shuffle key of the events stream (user_id,
+    * event_type), the per-key count distribution — total rows, distinct
+    * keys, hottest-key count, mean occupancy and max/mean skew in exact
+    * bp, how many keys run >2× mean, and the salt factor that would level
+    * the hottest key back to mean occupancy (pinned: 1 when skew ≤
+    * [[SkewAlertBp]], else ceil(skew_bp/10⁴) capped at [[SkewSaltCap]] —
+    * derived from skew_bp so both engines compute the identical integer).
+    *
+    * Scale shape: ONE groupBy per key leg (the only fact-sized exchange),
+    * localCheckpointed so the totals pass and the hot-key census re-read
+    * the counts frame instead of re-scanning the fact; the 1-row totals
+    * attach as an UNCONDITIONED broadcast with every comparison in the
+    * projection (the rfm_segments discipline — nothing for Catalyst to
+    * pull into a join condition). Cross-multiplications ride DECIMAL(38,0)
+    * ([[org.apache.spark.sql.graft.ExactMath.intDivWide]]) so cnt×n_keys
+    * can't overflow Long at 100 TB. */
+  val SkewAlertBp = 30000L
+  val SkewSaltCap = 256L
+  private val SkewKeys = Seq("user_id", "event_type")
+
+  /** Per-key count frame for one leg, materialized once. */
+  private def skewCounts(spark: SparkSession, dir: String, key: String) =
+    t(spark, dir, "events")
+      .groupBy(col(key).cast("string").as("key_value"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+
+  def skewReport(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.ExactMath.{intDiv, intDivWide}
+    SkewKeys.map { key =>
+      val counts = skewCounts(spark, dir, key)
+      val totals = counts.agg(
+        sum(col("cnt")).cast("long").as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("max_count"))
+      val hot = counts.crossJoin(broadcast(totals))
+        .select(when(
+          col("cnt").cast("decimal(38,0)") * col("n_keys")
+            > lit(2) * col("n_rows").cast("decimal(38,0)"), 1L)
+          .otherwise(0L).as("is_hot"),
+          col("n_rows"), col("n_keys"), col("max_count"))
+        .groupBy()
+        .agg(max(col("n_rows")).as("n_rows"), max(col("n_keys")).as("n_keys"),
+          max(col("max_count")).as("max_count"),
+          sum(col("is_hot")).as("n_hot_keys"))
+      // n_keys×10⁴ forms in Long before the wide cast: fine to ~9·10¹⁴
+      // distinct keys — beyond any event stream this engine will shuffle
+      val skewBp = intDivWide(col("max_count"),
+        col("n_keys") * lit(10000L), col("n_rows"), lit(1L)).cast("long")
+      hot.select(
+        lit(key).as("key_col"), col("n_rows"), col("n_keys"),
+        col("max_count"),
+        intDivWide(col("n_rows"), lit(10000L), col("n_keys"), lit(1L))
+          .cast("long").as("mean_x_bp"),
+        skewBp.as("skew_bp"), col("n_hot_keys"))
+        .withColumn("recommended_salt",
+          when(col("skew_bp") <= SkewAlertBp, 1L)
+            .otherwise(least(lit(SkewSaltCap),
+              intDiv(col("skew_bp") + lit(9999L), lit(10000L)))))
+    }.reduce(_.unionAll(_))
+  }
+  val skewReportSql: String = {
+    // plain-BIGINT `//` here (floors, matching Spark's truncation on
+    // these non-negative values): oracle-SF values fit Long; DuckDB's
+    // `//` on DECIMAL would ROUND, so the wide casts stay Spark-side only
+    def leg(key: String) =
+      s"""SELECT '$key' AS key_col, n_rows, n_keys, max_count,
+         |  (n_rows * 10000) // n_keys AS mean_x_bp,
+         |  (max_count * n_keys * 10000) // n_rows AS skew_bp,
+         |  n_hot_keys
+         |FROM (
+         |  SELECT CAST(max(n_rows) AS BIGINT) AS n_rows,
+         |    max(n_keys) AS n_keys, max(max_count) AS max_count,
+         |    CAST(sum(CASE WHEN cnt * n_keys > 2 * n_rows
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_keys
+         |  FROM (SELECT CAST($key AS VARCHAR) AS key_value, count(*) AS cnt
+         |        FROM events GROUP BY 1) c,
+         |    (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+         |       count(*) AS n_keys, max(cnt) AS max_count
+         |     FROM (SELECT count(*) AS cnt FROM events GROUP BY $key)) t
+         |)""".stripMargin
+    s"""SELECT key_col, n_rows, n_keys, max_count, mean_x_bp, skew_bp,
+       |  n_hot_keys,
+       |  CASE WHEN skew_bp <= $SkewAlertBp THEN CAST(1 AS BIGINT)
+       |    ELSE least($SkewSaltCap, (skew_bp + 9999) // 10000) END
+       |    AS recommended_salt
+       |FROM (${SkewKeys.map(leg).mkString("\nUNION ALL\n")})""".stripMargin
+  }
+
+  // ---- #34y-b hottest shuffle keys ----------------------------------------
+  /** Top [[HotKeysTopN]] keys per leg by occupancy with exact-bp share —
+    * the companion drill-down naming WHICH keys need the salt. Per-leg
+    * top-N is TakeOrderedAndProject on the materialized counts frame
+    * (never a window over all keys) with in-array rank recovery; the
+    * 1-row total attaches unconditioned for the share. */
+  val HotKeysTopN = 5
+  def hotKeys(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFns.bp
+    SkewKeys.map { key =>
+      val counts = skewCounts(spark, dir, key)
+      val total = counts.agg(sum(col("cnt")).cast("long").as("n_rows"))
+      counts
+        .orderBy(col("cnt").desc, col("key_value")).limit(HotKeysTopN)
+        .select(struct(negate(col("cnt")).as("nc"),
+          col("key_value").as("key_value"), col("cnt").as("cnt")).as("s"))
+        .agg(array_sort(collect_list(col("s"))).as("arr"))
+        .select(posexplode(col("arr")).as(Seq("pos", "s")))
+        .crossJoin(broadcast(total))
+        .select(lit(key).as("key_col"), col("s.key_value").as("key_value"),
+          col("s.cnt").as("cnt"), bp(col("s.cnt"), col("n_rows")).as("share_bp"),
+          (col("pos") + 1).cast("long").as("rk"))
+    }.reduce(_.unionAll(_))
+  }
+  val hotKeysSql: String = {
+    def leg(key: String) =
+      s"""SELECT '$key' AS key_col, key_value, cnt,
+         |  ${graft.functions.TextFns.sqlBp("cnt",
+               "(SELECT count(*) FROM events)")} AS share_bp,
+         |  rk
+         |FROM (
+         |  SELECT key_value, cnt,
+         |    CAST(row_number() OVER (ORDER BY cnt DESC, key_value)
+         |      AS BIGINT) AS rk
+         |  FROM (SELECT CAST($key AS VARCHAR) AS key_value, count(*) AS cnt
+         |        FROM events GROUP BY 1)
+         |) WHERE rk <= $HotKeysTopN""".stripMargin
+    SkewKeys.map(leg).mkString("\nUNION ALL\n")
+  }
+
   // ---- #34z-g TPC-H Q22 shape: dormant high-balance customers ------------
   /** Per-nation census of customers whose account balance beats the global
     * average yet who placed NO order since [[DormantCutoff]] — Q22's

@@ -143,6 +143,45 @@ class RelationalClassicsSpec extends SparkTestBase {
     assert(got.toSeq == Seq((2L, "C2", 13L, "1999-05-01", 400.0, 301.0)))
   }
 
+  test("skew_report: exact skew math and the salt recommendation") {
+    val d = java.nio.file.Files.createTempDirectory("graft-skew").toString
+    // user 1: 30 events (hot); users 2..11: 1 each → n=40, k=11, max=30
+    val rows = (1 to 30).map(i => (i.toLong, i.toLong, 1L, "a", 1.0, "{}")) ++
+      (2 to 11).map(u => (100L + u, 200L + u, u.toLong, "b", 1.0, "{}"))
+    rows.toDF("event_id", "sec", "user_id", "event_type", "value", "props")
+      .withColumn("ts", org.apache.spark.sql.functions.col("sec")
+        .cast("timestamp")).drop("sec")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = Relational.skewReport(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    // user_id: mean_x_bp = 40·10⁴/11 = 36363; skew = 30·11·10⁴/40 = 82500;
+    // hot keys: 30·11 > 2·40 only for user 1; salt = ⌈82500/10⁴⌉ = 9
+    assert(got("user_id") == ((40L, 11L, 30L, 36363L, 82500L, 1L, 9L)))
+    // event_type: a=30, b=10 → mean 20 → skew 30·2·10⁴/40 = 15000 ≤ alert
+    // threshold → salt 1; no key above 2× mean
+    assert(got("event_type") == ((40L, 2L, 30L, 200000L, 15000L, 0L, 1L)))
+  }
+
+  test("hot_keys ranks the heavy keys with exact shares") {
+    val d = java.nio.file.Files.createTempDirectory("graft-hotk").toString
+    val rows = (1 to 6).map(i => (i.toLong, i.toLong, 7L, "x", 1.0, "{}")) ++
+      (1 to 3).map(i => (10L + i, 20L + i, 8L, "y", 1.0, "{}")) :+
+      (20L, 30L, 9L, "y", 1.0, "{}")
+    rows.toDF("event_id", "sec", "user_id", "event_type", "value", "props")
+      .withColumn("ts", org.apache.spark.sql.functions.col("sec")
+        .cast("timestamp")).drop("sec")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = Relational.hotKeys(spark, d)
+      .where($"key_col" === "user_id").orderBy($"rk").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // 10 events total: user 7 ×6 (6000 bp), user 8 ×3 (3000), user 9 ×1
+    assert(got.toSeq == Seq(("7", 6L, 6000L, 1L), ("8", 3L, 3000L, 2L),
+      ("9", 1L, 1000L, 3L)))
+  }
+
   test("dormant_customers anti-joins recent activity under the global mean") {
     // avg bal 5700: C2 (9000, last order 1999) and C3 (8000, never ordered)
     // qualify; C1 is both below average and active in 2001.
