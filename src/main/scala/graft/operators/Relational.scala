@@ -1784,6 +1784,57 @@ object Relational {
     SkewKeys.map(leg).mkString("\nUNION ALL\n")
   }
 
+  // ---- #34y-c state intervals (gaps-and-islands / SCD2 builder) ----------
+  /** Collapse each user's event stream into VALIDITY INTERVALS of the
+    * consecutive-equal event_type runs — the gaps-and-islands collapse
+    * that builds a type-2 slowly-changing dimension from a change log
+    * (effective-from/to per state, run ordinal for the "current row"
+    * lookup). Scale shape: identical to [[sessionize]] — ONE user_id
+    * exchange, lag + running-sum windows partitioned per user (never
+    * corpus-wide), then a (user, run) agg on the SAME partitioning.
+    * Deterministic (ts, event_id) ordering; second-precision epochs. */
+  def stateIntervals(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val raw = t(spark, dir, "events")
+    raw
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), evSec(raw).as("sec"))
+      .withColumn("is_new",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+          lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("run_ix", sum(col("is_new")).over(wRun))
+      .groupBy(col("user_id"), col("run_ix"))
+      .agg(min(col("event_type")).as("event_type"), // constant in the run
+        min(col("sec")).as("start_sec"), max(col("sec")).as("end_sec"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("run_ix"), col("event_type"),
+        col("start_sec"), col("end_sec"), col("n_events"))
+  }
+  val stateIntervalsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+      |  FROM events
+      |), flagged AS (
+      |  SELECT *,
+      |    CASE WHEN lag(event_type) OVER w IS NULL
+      |           OR lag(event_type) OVER w <> event_type
+      |      THEN 1 ELSE 0 END AS is_new
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), runs AS (
+      |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_ix
+      |  FROM flagged
+      |)
+      |SELECT user_id, CAST(run_ix AS BIGINT) AS run_ix,
+      |  min(event_type) AS event_type,
+      |  min(sec) AS start_sec, max(sec) AS end_sec,
+      |  count(*) AS n_events
+      |FROM runs GROUP BY user_id, run_ix""".stripMargin
+
   // ---- #34z-g TPC-H Q22 shape: dormant high-balance customers ------------
   /** Per-nation census of customers whose account balance beats the global
     * average yet who placed NO order since [[DormantCutoff]] — Q22's

@@ -182,6 +182,28 @@ class RelationalClassicsSpec extends SparkTestBase {
       ("9", 1L, 1000L, 3L)))
   }
 
+  test("state_intervals collapses consecutive equal states per user") {
+    val d = java.nio.file.Files.createTempDirectory("graft-scd").toString
+    // user 1: view,view,buy,view → 3 runs; user 2: buy → 1 run
+    val rows = Seq(
+      (1L, 10L, 1L, "view"), (2L, 20L, 1L, "view"), (3L, 30L, 1L, "buy"),
+      (4L, 40L, 1L, "view"), (5L, 15L, 2L, "buy"))
+      .map { case (e, s, u, t) => (e, s, u, t, 1.0, "{}") }
+    rows.toDF("event_id", "sec", "user_id", "event_type", "value", "props")
+      .withColumn("ts", org.apache.spark.sql.functions.col("sec")
+        .cast("timestamp")).drop("sec")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = Relational.stateIntervals(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == Set(
+      (1L, 1L, "view", 10L, 20L, 2L),
+      (1L, 2L, "buy", 30L, 30L, 1L),
+      (1L, 3L, "view", 40L, 40L, 1L),
+      (2L, 1L, "buy", 15L, 15L, 1L)))
+  }
+
   test("dormant_customers anti-joins recent activity under the global mean") {
     // avg bal 5700: C2 (9000, last order 1999) and C3 (8000, never ordered)
     // qualify; C1 is both below average and active in 2001.
