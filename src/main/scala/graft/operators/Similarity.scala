@@ -1884,4 +1884,212 @@ object Similarity {
        |  CAST(CAST(round(cos_raw, 4) AS DECIMAL(14,4)) AS DOUBLE) AS cos
        |FROM kept WHERE rk = 1""".stripMargin
   }
+
+  // ---- #21s MMR diversified selection ------------------------------------
+  /** Maximal-marginal-relevance top-[[MmrK]] (Carbonell & Goldstein 1998):
+    * greedily pick argmax λ·cos(q,d) − (1−λ)·max_{s∈S} cos(d,s) — the
+    * retrieval answer that is relevant AND non-redundant (a plain top-k
+    * over a near-dup-heavy corpus returns k copies of one document).
+    *
+    * Scale shape: the DISTRIBUTED work is the relevance scan — one pass,
+    * TakeOrderedAndProject down to the [[MmrPoolN]]-row candidate pool.
+    * The greedy loop then runs driver-side on that bounded pool (the
+    * Lloyd/BPE ≤-model-table-rows collect discipline: ≤50 rows of 64
+    * floats regardless of corpus size; the iteration is inherently
+    * sequential — each pick changes the next round's penalty term).
+    * Rows-only BY DESIGN (iterative argmax fixpoint, the bpe_merges
+    * argument); brute-forced from scratch in SimilaritySpec. */
+  val MmrK = 10
+  val MmrPoolN = 50
+  val MmrLambda = 0.7
+  def mmrSelect(spark: SparkSession, dir: String): DataFrame = {
+    val q = emb(spark, dir).orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val pool = emb(spark, dir).crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("vec_id"), col("embedding"),
+        cosExpr("embedding", "qv").as("rel"))
+      .orderBy(col("rel").desc, col("vec_id")).limit(MmrPoolN)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val selected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Array[Float], Double, Double)]
+    val remaining = scala.collection.mutable.ArrayBuffer(pool: _*)
+    while (selected.length < MmrK && remaining.nonEmpty) {
+      val best = remaining.map { case (id, v, rel) =>
+        val penalty =
+          if (selected.isEmpty) 0.0
+          else selected.map(s => cos(v, s._2)).max
+        (id, v, rel, MmrLambda * rel - (1 - MmrLambda) * penalty)
+      }.minBy { case (id, _, _, score) => (-score, id) }
+      selected += best
+      remaining --= remaining.filter(_._1 == best._1)
+    }
+    import spark.implicits._
+    selected.toSeq.zipWithIndex
+      .map { case ((id, _, rel, score), ix) =>
+        (ix + 1L, id,
+          BigDecimal(rel).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble,
+          BigDecimal(score).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble)
+      }.toDF("rk", "vec_id", "rel", "mmr")
+  }
+
+  // ---- #21t streaming-free PCA: top components by subspace iteration -----
+  /** Top-[[PcaComponents]] principal components of the embedding cloud by
+    * BLOCK power iteration (orthogonal/subspace iteration) — the
+    * covariance matrix is NEVER materialized: each round is ONE
+    * distributed pass computing n·C·V as Σ_d s_d·x_d − (Σ_d s_d)·μ with
+    * s_d = x_dᵀv − μᵀv, via a posexplode over the dims (the vector gets a
+    * sentinel 1.0 slot appended so Σ s_d rides the same 65-key exchange),
+    * followed by driver-side Gram-Schmidt on the 4×64 block. Eigenvalues
+    * are the Rayleigh quotients of the final pass; the deterministic seed
+    * block is StrictMath-sin based (no RNG). Whitening/dim-reduction for
+    * embedding pipelines — dedup/ANN run in the reduced space at a
+    * fraction of the cost.
+    *
+    * Rows-only BY DESIGN (iterative fixpoint, float math); SimilaritySpec
+    * verifies eigen-properties (orthonormality, Cv≈λv residual, λ
+    * ordering) against an independently computed covariance matrix. */
+  val PcaComponents = 4
+  val PcaIters = 12
+  def pcaModel(spark: SparkSession, dir: String)
+      : (Array[Double], Array[Array[Double]], Array[Double], Long) = {
+    val e = emb(spark, dir)
+    val dim = Dedup.Dim
+    // mean + count: one dim-keyed exchange
+    val meanRows = e.select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("pos").agg(sum(col("v").cast("double")).as("s"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
+    val n = meanRows.head._3
+    val mean = Array.ofDim[Double](dim)
+    meanRows.foreach { case (p, s, _) => mean(p) = s / n }
+    // deterministic seed block, Gram-Schmidt-orthonormalized
+    var block = Array.tabulate(PcaComponents, dim)((j, i) =>
+      StrictMath.sin((j * dim + i + 1).toDouble))
+    def gramSchmidt(b: Array[Array[Double]]): Array[Array[Double]] = {
+      val out = Array.ofDim[Double](b.length, dim)
+      for (j <- b.indices) {
+        val v = b(j).clone()
+        for (k <- 0 until j) {
+          val d = (0 until dim).map(i => v(i) * out(k)(i)).sum
+          for (i <- 0 until dim) v(i) -= d * out(k)(i)
+        }
+        val norm = math.sqrt(v.map(x => x * x).sum)
+        for (i <- 0 until dim) out(j)(i) = v(i) / norm
+      }
+      out
+    }
+    block = gramSchmidt(block)
+    // one distributed pass: n·C·V for the current block (the matvec)
+    def matvec(b: Array[Array[Double]]): Array[Array[Double]] = {
+      val vLits = b.map(v => lit(v.map(_.toFloat)))
+      val cs = b.map(v => (0 until dim).map(i => v(i) * mean(i)).sum)
+      // s_j columns + the sentinel slot; ONE 65-key exchange
+      val scored = e.select(
+        Seq(posexplode(concat(col("embedding"),
+          array(lit(1.0f)))).as(Seq("pos", "v"))) ++
+        b.indices.map(j =>
+          (org.apache.spark.sql.graft.FloatDotProduct(
+            col("embedding"), vLits(j)) - lit(cs(j))).as(s"s$j")): _*)
+      val aggCols = b.indices.map(j =>
+        sum(col(s"s$j") * col("v").cast("double")).as(s"w$j"))
+      val agg = scored.groupBy("pos")
+        .agg(aggCols.head, aggCols.tail: _*)
+        .collect().map(r => r.getInt(0) ->
+          b.indices.map(j => r.getDouble(j + 1)).toArray).toMap
+      b.indices.map { j =>
+        val sumS = agg(dim)(j) // the sentinel slot = Σ s_d
+        Array.tabulate(dim)(i => agg(i)(j) - sumS * mean(i))
+      }.toArray
+    }
+    for (_ <- 1 to PcaIters) block = gramSchmidt(matvec(block))
+    // Rayleigh-Ritz finish: with a nearly flat spectrum the block spans
+    // the dominant subspace but its columns aren't individual
+    // eigendirections — rotate by the eigenvectors of the small
+    // M = VᵀCV (4×4 Jacobi on the driver) and sort by Ritz value.
+    val raw = matvec(block)
+    val small = Array.tabulate(PcaComponents, PcaComponents)((a, b) =>
+      (0 until dim).map(i => block(a)(i) * raw(b)(i)).sum / n)
+    val (ritzVals, rot) = jacobiSym(small)
+    val order = ritzVals.indices.sortBy(j => -ritzVals(j))
+    val comps = order.map { oj =>
+      Array.tabulate(dim)(i =>
+        (0 until PcaComponents).map(k => rot(k)(oj) * block(k)(i)).sum)
+    }.toArray
+    val eigen = order.map(ritzVals).toArray
+    // sign pin: largest-|loading| coordinate positive (lowest index wins)
+    for (j <- comps.indices) {
+      val k = (0 until dim).maxBy(i => (math.abs(comps(j)(i)), -i))
+      if (comps(j)(k) < 0) for (i <- 0 until dim) comps(j)(i) = -comps(j)(i)
+    }
+    (mean, comps, eigen, n)
+  }
+
+  /** Cyclic Jacobi for a small symmetric matrix: (eigenvalues,
+    * eigenvector matrix with vectors in COLUMNS). Deterministic sweep
+    * order; plenty for the 4×4 Ritz block. */
+  private def jacobiSym(m: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val k = m.length
+    val a = m.map(_.clone())
+    val v = Array.tabulate(k, k)((i, j) => if (i == j) 1.0 else 0.0)
+    for (_ <- 0 until 30; p <- 0 until k; q <- p + 1 until k
+         if math.abs(a(p)(q)) > 1e-14) {
+      val phi = 0.5 * math.atan2(2 * a(p)(q), a(q)(q) - a(p)(p))
+      val c = math.cos(phi); val s = math.sin(phi)
+      for (i <- 0 until k) {
+        val aip = a(i)(p); val aiq = a(i)(q)
+        a(i)(p) = c * aip - s * aiq; a(i)(q) = s * aip + c * aiq
+      }
+      for (i <- 0 until k) {
+        val api = a(p)(i); val aqi = a(q)(i)
+        a(p)(i) = c * api - s * aqi; a(q)(i) = s * api + c * aqi
+      }
+      for (i <- 0 until k) {
+        val vip = v(i)(p); val viq = v(i)(q)
+        v(i)(p) = c * vip - s * viq; v(i)(q) = s * vip + c * viq
+      }
+    }
+    (Array.tabulate(k)(i => a(i)(i)), v)
+  }
+
+  def embeddingPca(spark: SparkSession, dir: String): DataFrame = {
+    val (_, block, eigen, _) = pcaModel(spark, dir)
+    import spark.implicits._
+    block.indices.flatMap { j =>
+      block(j).indices.map { i =>
+        (j.toLong, i.toLong,
+          BigDecimal(block(j)(i)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble,
+          BigDecimal(eigen(j)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble)
+      }
+    }.toDF("comp_ix", "dim_ix", "loading", "eigenvalue")
+  }
+
+  /** Project every embedding onto the fitted components — the reduced
+    * representation downstream dedup/ANN consume. Distributed map-only
+    * projection under the broadcast 4×64 block. Rows-only (inherits the
+    * fixpoint). */
+  def pcaProject(spark: SparkSession, dir: String): DataFrame = {
+    val (mean, block, _, _) = pcaModel(spark, dir)
+    val cs = block.map(v => v.indices.map(i => v(i) * mean(i)).sum)
+    val vLits = block.map(v => lit(v.map(_.toFloat)))
+    emb(spark, dir).select(
+      Seq(col("vec_id")) ++ block.indices.map(j =>
+        round(org.apache.spark.sql.graft.FloatDotProduct(
+          col("embedding"), vLits(j)) - lit(cs(j)), 4)
+          .cast("decimal(14,4)").cast("double").as(s"pc$j")): _*)
+  }
 }

@@ -31,6 +31,11 @@ class EntrySpec extends SparkTestBase {
     // no SQL oracle can exist for any deflate-derived number; brute-forced
     // against direct java.util.zip calls in CurationSpec (the per-doc
     // compression_ratio row IS fully oracled via CPython-zlib literals)
+    // mmr_select: greedy argmax fixpoint over the bounded relevance pool —
+    // the bpe_merges argument; brute-forced from scratch in SimilaritySpec
+    // embedding_pca/pca_project: subspace-iteration eigen fixpoint (and
+    // its projection) — no single-SQL oracle; eigen-properties verified
+    // against an independent covariance in SimilaritySpec
     val rowsOnly = Set("partition_stats", "approx_stats", "bpe_merges",
       "compression_stats", "compression_agreement",
       "bpe_encode", "bbpe_merges", "bbpe_encode",
@@ -38,7 +43,7 @@ class EntrySpec extends SparkTestBase {
       "unigram_vocab", "unigram_encode", "unigram_fertility",
       "wordpiece_merges", "wordpiece_encode", "tokenizer_faceoff",
       "domain_pagerank", "logreg_train", "logreg_score", "logreg_eval",
-      "logreg_calibration")
+      "logreg_calibration", "mmr_select", "embedding_pca", "pca_project")
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == rowsOnly)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }

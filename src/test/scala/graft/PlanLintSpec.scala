@@ -35,7 +35,9 @@ class PlanLintSpec extends SparkTestBase {
       "hybrid_search_rrf",
       // scalar-subquery shapes: a 1-row global aggregate (max revenue /
       // (Σbal, n)) broadcast with the comparison pushed into the join
-      "top_supplier", "dormant_customers")
+      "top_supplier", "dormant_customers",
+      // the ann_topk shape: 1-row query broadcast, self-exclusion pushed in
+      "mmr_select")
 
   test("no query plans a cartesian, a conditioned nested loop, or a global window") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -578,4 +578,112 @@ class SimilaritySpec extends SparkTestBase {
     assert(got == expected)
     assert(got.nonEmpty) // the audit actually fires at this SF
   }
+
+  test("mmr_select: brute-forced greedy MMR over the relevance pool") {
+    val sfDir = "/root/testdata/sf0.001"
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      d / (na * nb)
+    }
+    val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val qid = all.keys.min
+    val qv = all(qid)
+    val pool = all.toSeq.filter(_._1 != qid)
+      .map { case (id, v) => (id, v, cos(v, qv)) }
+      .sortBy { case (id, _, rel) => (-rel, id) }.take(Similarity.MmrPoolN)
+    var selected = Vector.empty[(Long, Seq[Float], Double)]
+    var remaining = pool
+    while (selected.length < Similarity.MmrK && remaining.nonEmpty) {
+      val best = remaining.map { case (id, v, rel) =>
+        val pen = if (selected.isEmpty) 0.0
+          else selected.map(s => cos(v, s._2)).max
+        (id, v, rel,
+          Similarity.MmrLambda * rel - (1 - Similarity.MmrLambda) * pen)
+      }.minBy { case (id, _, _, sc) => (-sc, id) }
+      selected :+= ((best._1, best._2, best._3))
+      remaining = remaining.filterNot(_._1 == best._1)
+    }
+    val got = Similarity.mmrSelect(spark, sfDir).orderBy("rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == selected.zipWithIndex.map { case (s, i) =>
+      (i + 1L, s._1) })
+    // diversification is real: MMR's tail diverges from plain top-k
+    val plainTopk = pool.take(Similarity.MmrK).map(_._1)
+    assert(got.map(_._2).toSeq != plainTopk.toSeq)
+  }
+
+  test("embedding_pca: eigen-properties against an independent covariance") {
+    val sfDir = "/root/testdata/sf0.001"
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val n = vecs.length
+    val dim = vecs.head.length
+    val mean = Array.tabulate(dim)(i => vecs.map(_(i)).sum / n)
+    val cov = Array.tabulate(dim, dim)((i, j) =>
+      vecs.map(v => (v(i) - mean(i)) * (v(j) - mean(j))).sum / n)
+    val rows = Similarity.embeddingPca(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val comps = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (j, rs) =>
+      val v = rs.sortBy(_._2).map(_._3)
+      (j, v, rs.head._4)
+    }
+    assert(comps.length == Similarity.PcaComponents)
+    // orthonormal block
+    for ((_, v, _) <- comps)
+      assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-4)
+    for (Seq((_, a, _), (_, b, _)) <- comps.combinations(2))
+      assert(math.abs(a.zip(b).map { case (x, y) => x * y }.sum) < 1e-3)
+    // eigenvalues descend and dominate
+    val eig = comps.map(_._3)
+    assert(eig == eig.sortBy(-_))
+    assert(eig.head > 0)
+    // true spectrum by an INDEPENDENT full 64×64 cyclic Jacobi
+    val a = cov.map(_.clone())
+    for (_ <- 0 until 60; p <- 0 until dim; q <- p + 1 until dim
+         if math.abs(a(p)(q)) > 1e-13) {
+      val phi = 0.5 * math.atan2(2 * a(p)(q), a(q)(q) - a(p)(p))
+      val c = math.cos(phi); val s = math.sin(phi)
+      for (i <- 0 until dim) {
+        val aip = a(i)(p); val aiq = a(i)(q)
+        a(i)(p) = c * aip - s * aiq; a(i)(q) = s * aip + c * aiq
+      }
+      for (i <- 0 until dim) {
+        val api = a(p)(i); val aqi = a(q)(i)
+        a(p)(i) = c * api - s * aqi; a(q)(i) = s * api + c * aqi
+      }
+    }
+    val trueTop = (0 until dim).map(i => a(i)(i)).sortBy(-_)
+      .take(Similarity.PcaComponents)
+    // each Ritz value within 5% of its true eigenvalue, ≥97% of the true
+    // top-k variance captured (the honest test under a flat spectrum,
+    // where individual directions are near-degenerate)
+    eig.zip(trueTop).foreach { case (got, tru) =>
+      assert(math.abs(got - tru) / tru < 0.05, s"lambda $got vs true $tru")
+    }
+    assert(eig.sum >= 0.97 * trueTop.sum)
+    // sign pin: the largest-|loading| coordinate is positive
+    for ((_, v, _) <- comps) {
+      val k = v.indices.maxBy(i => (math.abs(v(i)), -i))
+      assert(v(k) > 0)
+    }
+  }
+
+  test("pca_project: projection variance matches the eigenvalues") {
+    val sfDir = "/root/testdata/sf0.001"
+    val eig = Similarity.embeddingPca(spark, sfDir)
+      .where(org.apache.spark.sql.functions.col("dim_ix") === 0)
+      .orderBy("comp_ix").collect().map(_.getDouble(3))
+    val proj = Similarity.pcaProject(spark, sfDir).collect()
+    val n = proj.length
+    for (j <- 0 until Similarity.PcaComponents) {
+      val xs = proj.map(_.getDouble(j + 1))
+      val m = xs.sum / n
+      val v = xs.map(x => (x - m) * (x - m)).sum / n
+      assert(math.abs(v - eig(j)) / eig(j) < 0.02,
+        s"projection variance $v vs eigenvalue ${eig(j)}")
+    }
+  }
 }
