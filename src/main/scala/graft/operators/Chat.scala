@@ -100,9 +100,36 @@ object Chat {
         col("m.role").as("role"), col("m.content").as("content"),
         length(col("m.content")).cast("long").as("n_chars"))
 
+  // ---- streaming-composable stages ---------------------------------------
+  /** Parse a stream (or frame) of raw JSONL lines in column `line` into
+    * the conversations shape — `from_json` under the explicit schema, the
+    * event_props_agg discipline; unparseable lines yield null `messages`
+    * and are dropped by the same guard as the batch read. */
+  def parseChatLines(lines: DataFrame): DataFrame =
+    lines
+      .withColumn("c", from_json(col("line"),
+        org.apache.spark.sql.types.StructType(ChatSchema.fields)))
+      .select((ChatSchema.fieldNames.map(f => col(s"c.$f")) ++
+        lines.columns.filter(_ != "line").map(col)): _*)
+      .where(col("messages").isNotNull)
+
+  /** Stateless streaming twin of [[chatGate]] — map-only, so the same
+    * projection serves batch and stream (spec-locked batch≡stream). */
+  def chatGateStage(conv: DataFrame): DataFrame = chatGateOf(conv)
+
+  /** Streaming prompt-level dedup: the [[chatDedup]] canonical key as
+    * keyed state — a re-submitted prompt within the watermark horizon is
+    * dropped (the DocsStream.dedupByContent shape; requires an
+    * `ingest_ts` event-time column). */
+  def promptDedupStage(conv: DataFrame): DataFrame =
+    conv
+      .withColumn("prompt_key", promptKeyCol)
+      .withWatermark("ingest_ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("prompt_key")
+
   // ---- #39b chat_stats: per-conversation census (map-only) ---------------
-  def chatStats(spark: SparkSession, dir: String): DataFrame =
-    conversations(spark).select(
+  private def chatStatsOf(conv: DataFrame): DataFrame =
+    conv.select(
       col("conv_id"), col("source"),
       size(col("messages")).cast("long").as("n_turns"),
       expr("size(filter(messages, m -> m.role = 'system'))").cast("long")
@@ -117,14 +144,17 @@ object Chat {
         "(acc, m) -> acc + length(m.content))").as("total_chars"),
       expr(AlternationExpr).as("alternation_ok"))
 
+  def chatStats(spark: SparkSession, dir: String): DataFrame =
+    chatStatsOf(conversations(spark))
+
   // ---- #39c chat_gate: structural quality gate (map-only) ----------------
   /** Keep/drop with ONE pinned reason. Precedence (first failing wins):
     * bad_start (first non-system turn isn't user, or no body at all) >
     * bad_alternation > empty_turn (any whitespace-only content) >
     * too_short (fewer than 2 non-system turns) > bad_end (doesn't finish
     * on assistant) > ok. */
-  def chatGate(spark: SparkSession, dir: String): DataFrame =
-    conversations(spark)
+  private def chatGateOf(conv: DataFrame): DataFrame =
+    conv
       .select(col("conv_id"), col("source"),
         expr(s"""CASE
           | WHEN size($BodyRolesExpr) = 0
@@ -137,6 +167,9 @@ object Chat {
       .withColumn("keep",
         when(col("reason") === "ok", 1L).otherwise(0L))
       .select(col("conv_id"), col("source"), col("keep"), col("reason"))
+
+  def chatGate(spark: SparkSession, dir: String): DataFrame =
+    chatGateOf(conversations(spark))
 
   // ---- #39d chat_dedup: prompt-level duplicate census ---------------------
   /** Conversations grouped by canonical prompt key (user turns only — the

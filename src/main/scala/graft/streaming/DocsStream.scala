@@ -477,6 +477,13 @@ object DocsStream {
   def mojibakeGate(docs: DataFrame): DataFrame =
     graft.operators.Curation.mojibakeGateOf(docs)
 
+  /** Stateless encoding REPAIR — the streaming twin of `fix_mojibake`:
+    * heal CP1252 double-encoding in-flight instead of quarantining
+    * (run BEFORE [[mojibakeGate]] so only unrepairable damage drops).
+    * Map-only codegen'd builtins, batch≡stream by construction. */
+  def mojibakeRepairStage(docs: DataFrame): DataFrame =
+    graft.operators.Curation.fixMojibakeStage(docs)
+
   /** Stateless TRAINED-classifier gate — the streaming twin of the batch
     * `logreg_score` verdict: score each arriving document under the
     * batch-trained weight table (passed in, like [[mixGate]]'s rates —

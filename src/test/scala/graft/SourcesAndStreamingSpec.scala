@@ -1256,4 +1256,86 @@ class SourcesAndStreamingSpec extends SparkTestBase {
       .map(_.getAs[Long]("doc_id")).toSet == Set(11L),
       "unknown buckets must contribute 0, not NULL-drop the doc")
   }
+
+  test("chat stream: parse + gate over raw lines equals the batch gate") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val batch = graft.operators.Chat.chatGate(spark, "unused").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .toSet
+    // stream the SAME committed fixture files as a text source
+    val q = graft.operators.Chat.chatGateStage(
+      graft.operators.Chat.parseChatLines(
+        spark.readStream.text(graft.operators.Chat.FixtureDir)
+          .toDF("line")))
+      .writeStream.format("memory").queryName("chatgate")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("chatgate").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(streamed == batch)
+    assert(streamed.exists(_._4 == "bad_alternation")) // gate discriminates
+    // a MemoryStream corrupt line is one dropped row, not a query abort
+    val input = MemoryStream[String](spark)
+    val q2 = graft.operators.Chat.parseChatLines(input.toDF().toDF("line"))
+      .writeStream.format("memory").queryName("chatparse")
+      .outputMode("append").start()
+    input.addData("""{"conv_id":90,"source":"s","messages":[{"role":"user","content":"x"},{"role":"assistant","content":"y"}]}""",
+      """{"conv_id":91,"messages": [""")
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.table("chatparse").collect()
+      .map(_.getAs[Long]("conv_id")).toSet == Set(90L))
+  }
+
+  test("chat stream: prompt-dedup state suppresses re-submitted prompts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def line(id: Long, prompt: String) =
+      s"""{"conv_id":$id,"source":"s","messages":[{"role":"user","content":"$prompt"},{"role":"assistant","content":"a$id"}]}"""
+    val input = MemoryStream[(String, java.sql.Timestamp)](spark)
+    def t(sec: Long) =
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    val q = graft.operators.Chat.promptDedupStage(
+      graft.operators.Chat.parseChatLines(
+        input.toDF().toDF("line", "ingest_ts")))
+      .writeStream.format("memory").queryName("promptdedup")
+      .outputMode("append").start()
+    input.addData(
+      (line(1, "What is 2+2?"), t(100)),
+      (line(2, "  what   IS 2+2? "), t(110)), // canonical dup of conv 1
+      (line(3, "something else"), t(120)))
+    q.processAllAvailable()
+    input.addData((line(4, "WHAT IS 2+2?"), t(130))) // late dup, in horizon
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("promptdedup").collect()
+      .map(_.getAs[Long]("conv_id")).toSet
+    assert(out.intersect(Set(1L, 2L, 4L)).size == 1)
+    assert(out.contains(3L) && out.size == 2)
+  }
+
+  test("mojibakeRepairStage streaming twin equals the batch repair") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = Seq(1L -> "CafÃ© rÃ©sumÃ©", 2L -> "clean ascii",
+      3L -> "Ã bare marker stays")
+    val d = writeDocsFixture(rows)
+    val batch = graft.operators.Curation.fixMojibakeStage(
+      spark.read.parquet(s"$d/documents.parquet"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("text"), r.getAs[Long]("mojibake_repaired"))))
+      .toMap
+    val input = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.DocsStream.mojibakeRepairStage(
+      input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("mjrepair")
+      .outputMode("append").start()
+    input.addData(rows: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("mjrepair").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("text"), r.getAs[Long]("mojibake_repaired"))))
+      .toMap
+    assert(streamed == batch)
+    assert(streamed(1L)._1 == "Café résumé" && streamed(1L)._2 == 1L)
+    assert(streamed(3L)._2 == 0L)
+  }
 }
