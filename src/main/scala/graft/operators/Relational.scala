@@ -1784,6 +1784,80 @@ object Relational {
     SkewKeys.map(leg).mkString("\nUNION ALL\n")
   }
 
+  // ---- #34z-h TPC-H Q19 shape: disjunctive-predicate revenue -------------
+  /** Revenue under a DISJUNCTION of (brand, quantity-band) conditions —
+    * Q19's plan lesson: the OR spans join-side columns, so it can only
+    * evaluate post-join (no single-side pushdown exists for the
+    * disjunction itself); what DOES push is the brand IN-list to the part
+    * scan. One broadcast join, one brand rollup; per-band counts surface
+    * so a consumer can see which arm fired. */
+  val Q19Bands: Seq[(String, Int, Int)] =
+    Seq(("Brand#1", 1, 11), ("Brand#2", 10, 20), ("Brand#3", 20, 30))
+  def disjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val arm = Q19Bands.map { case (b, lo, hi) =>
+      col("p_brand") === b &&
+        col("l_quantity") >= lo.toDouble && col("l_quantity") <= hi.toDouble
+    }.reduce(_ || _)
+    t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part")
+        .where(col("p_brand").isin(Q19Bands.map(_._1): _*))
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .where(arm)
+      .groupBy(col("p_brand"))
+      .agg(
+        sum((col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(BigDecimal(1)).cast("decimal(18,4)") -
+            col("l_discount").cast("decimal(18,4)"))))
+          .cast("decimal(18,4)").cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+  val disjunctiveRevenueSql: String = {
+    val arms = Q19Bands.map { case (b, lo, hi) =>
+      s"(p_brand = '$b' AND l_quantity >= $lo AND l_quantity <= $hi)"
+    }.mkString("(", " OR ", ")")
+    val inList = Q19Bands.map(b => s"'${b._1}'").mkString(", ")
+    s"""SELECT p_brand,
+       |  CAST(CAST(sum($RevPartSql) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+       |  count(*) AS n_lines
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE p_brand IN ($inList) AND $arms
+       |GROUP BY 1""".stripMargin
+  }
+
+  // ---- #34z-i TPC-H Q16 shape: supplier diversity with exclusion ---------
+  /** Distinct suppliers actually shipping each part type, EXCLUDING a
+    * supplier denylist (Q16's NOT-IN) — the anti-join + distinct-count
+    * shape. The denylist (name-pattern audit) is dimension-sized and
+    * anti-joins as a broadcast; the distinct runs on (p_type, suppkey)
+    * with map-side partials. */
+  val Q16ExcludeNameLike = "%7%"
+  def partSupplierDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val excluded = t(spark, dir, "supplier")
+      .where(col("s_name").like(Q16ExcludeNameLike))
+      .select(col("s_suppkey"))
+    t(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .join(broadcast(t(spark, dir, "part")
+        .select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"))
+      .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_lines"))
+  }
+  val partSupplierDiversitySql: String =
+    s"""SELECT p_type,
+       |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+       |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       |  count(*) AS n_lines
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE l_suppkey NOT IN (
+       |  SELECT s_suppkey FROM supplier WHERE s_name LIKE '$Q16ExcludeNameLike')
+       |GROUP BY 1""".stripMargin
+
   // ---- #34y-c state intervals (gaps-and-islands / SCD2 builder) ----------
   /** Collapse each user's event stream into VALIDITY INTERVALS of the
     * consecutive-equal event_type runs — the gaps-and-islands collapse

@@ -204,6 +204,42 @@ class RelationalClassicsSpec extends SparkTestBase {
       (2L, 1L, "buy", 15L, 15L, 1L)))
   }
 
+  test("disjunctive_revenue evaluates the OR arms post-join, per brand") {
+    // Brand#1 band is qty 1..11: line a (qty 1, rev 90) and b/c/d (qty 10,
+    // rev 200+400+500) qualify; f (qty 301) falls outside every band;
+    // e is Brand#2 at qty 10 → inside Brand#2's 10..20 band (rev 600).
+    val got = Relational.disjunctiveRevenue(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got == Set(("Brand#1", 1190.0, 4L), ("Brand#2", 600.0, 1L)))
+  }
+
+  test("part_supplier_diversity excludes denylisted suppliers") {
+    // No fixture supplier matches '%7%', so nothing is excluded: type T
+    // sees suppliers {1,2} over parts {1,2} and all 6 lines.
+    val got = Relational.partSupplierDiversity(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("T", 2L, 2L, 6L)))
+    // and WITH a matching denylist: a supplier named like '%7%'
+    val d2 = java.nio.file.Files.createTempDirectory("graft-q16").toString
+    Seq((1L, "S7", 0, 0.0), (2L, "S2", 0, 0.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d2/supplier.parquet")
+    Seq((1L, "P1", "B", "T1", 1, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d2/part.parquet")
+    Seq(
+      (1L, 1L, 1L, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", "1996-01-01"),
+      (2L, 1L, 2L, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", "1996-01-02"),
+    ).toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d2/lineitem.parquet")
+    val got2 = Relational.partSupplierDiversity(spark, d2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(got2.toSeq == Seq(("T1", 1L, 1L))) // S7's line excluded
+  }
+
   test("dormant_customers anti-joins recent activity under the global mean") {
     // avg bal 5700: C2 (9000, last order 1999) and C3 (8000, never ordered)
     // qualify; C1 is both below average and active in 2001.
