@@ -77,8 +77,15 @@ object CurationPipeline {
     // rebuild, applied to the SURVIVOR-joined frame so the explode/window
     // never runs for dropped documents); n_chars re-derives from the
     // trimmed text so every downstream length signal sees what ships
-    val rawSurvivors = spark.read.parquet(s"$sfDir/documents.parquet")
-      .join(survivors, "doc_id")
+    // stage 1.1: encoding repair — heal CP1252 double-encoding (the
+    // oracled fix_mojibake projection) BEFORE any content stage, so the
+    // C4 rules, trims and every downstream signal see the text a reader
+    // would. Map-only; unrepairable damage passes through untouched (the
+    // mojibake_stats audit still reports it).
+    val rawSurvivors = graft.operators.Curation.fixMojibakeStage(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .join(survivors, "doc_id"))
+      .drop("mojibake_repaired")
     // stage 1.25 (when on): C4 content rules FIRST (the map-only line
     // filter plus the lorem-ipsum/brace/few-sentences doc gate), so the
     // trim stage below never windows over lines the content rules already
