@@ -138,7 +138,33 @@ object ClusterSmoke {
     "kn5_perplexity",     // 5-gram KN (the KenLM order): eleven type-keyed
                           // joins + scoring join across JVMs
     "doc_scripts",        // per-doc script router argmax on executors
-    "image_resize")       // exact 2x2 box downsample on executor JVMs
+    "image_resize",       // exact 2x2 box downsample on executor JVMs
+    "local_supplier_volume", // Q5 cycle: fact shuffles + 3 dim broadcasts
+    "returned_item_ranking", // exact-decimal TakeOrdered + rank recovery
+    "top_supplier",       // 1-row scalar-max broadcast re-attached
+    "dormant_customers",  // LEFT-ANTI under the 1-row (Σ,n) broadcast
+    "chat_turns",         // chat JSONL fixture: classpath materialization
+                          // + from_json array explode on executor JVMs
+    "chat_dedup",         // map-only prompt keys + uniform-key rollup
+    "fix_mojibake",       // translate/encode/decode repair chain +
+                          // RFC 3629 byte-view regex on executor JVMs
+    "skew_report",        // localCheckpointed counts frame re-read by the
+                          // totals pass across executor block managers
+    "state_intervals",    // per-user lag + running-sum windows across JVMs
+    "mmr_select",         // bounded pool TakeOrdered + driver greedy
+    "embedding_pca",      // 12 matvec rounds: 65-key exchanges + driver GS
+    "disjunctive_revenue",// post-join OR arms over the brand broadcast
+    "forecast_revenue",   // Q6: all-predicate pushdown, 1-row agg merge
+    "min_cost_supplier",  // Q2: integral-division unit prices + per-part
+                          // min broadcast re-attach across JVMs
+    "market_share",       // Q8: conditional-sum share via DECIMAL(38,0)
+                          // integral division on executors
+    "important_stock",    // Q11: localCheckpointed positions re-read by
+                          // the totals pass across executor block managers
+    "sole_blame_suppliers", // Q21: per-order census + distinct-R frame
+                          // joining on orderkey across JVMs
+    "copurchase_triangles") // wedge-closure joins over the checkpointed
+                          // edge frame across executor block managers
 
   private def warcDocCount(spark: SparkSession): Long =
     graft.sources.WarcSource

@@ -1958,4 +1958,658 @@ object Relational {
        |WHERE CAST(c_acctbal AS DECIMAL(18,4)) * n_cust > sum_bal
        |  AND c_custkey NOT IN (SELECT o_custkey FROM active)
        |GROUP BY 1""".stripMargin
+
+  // ---- #34z-j TPC-H Q6: forecast revenue change --------------------------
+  /** Revenue that would vanish if one year's mid-band discounts had not
+    * been given — Q6 verbatim (the schema carries every column it needs):
+    * one filtered scan, one global sum, NO join and NO shuffle beyond the
+    * final 1-row agg merge. The plan lesson Q6 exists to teach: all four
+    * predicates push to the parquet scan (date + both discount bounds +
+    * quantity), so at 100 TB the stage reads only row groups whose min/max
+    * straddle the window. Money on exact decimals: price(2dp)×disc(2dp)
+    * has exactly 4 decimals, so the (18,4) casts lose nothing. */
+  val Q6YearStart = "1996-01-01"
+  val Q6YearEnd = "1997-01-01"
+  val Q6DiscLo = 0.05
+  val Q6DiscHi = 0.07
+  val Q6MaxQty = 24
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .where(to_date(col("l_shipdate")) >= lit(Q6YearStart).cast("date") &&
+        to_date(col("l_shipdate")) < lit(Q6YearEnd).cast("date") &&
+        col("l_discount") >= Q6DiscLo && col("l_discount") <= Q6DiscHi &&
+        col("l_quantity") < Q6MaxQty)
+      .agg(
+        sum((col("l_extendedprice").cast("decimal(18,4)") *
+          col("l_discount").cast("decimal(18,4)")).cast("decimal(18,4)"))
+          .cast("decimal(18,4)").cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  val forecastRevenueSql: String =
+    s"""SELECT
+       |  CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+       |      * CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(18,4)))
+       |    AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+       |  count(*) AS n_lines
+       |FROM lineitem
+       |WHERE CAST(l_shipdate AS DATE) >= DATE '$Q6YearStart'
+       |  AND CAST(l_shipdate AS DATE) < DATE '$Q6YearEnd'
+       |  AND l_discount >= $Q6DiscLo AND l_discount <= $Q6DiscHi
+       |  AND l_quantity < $Q6MaxQty""".stripMargin
+
+  // ---- #34z-k TPC-H Q2 shape: minimum-cost supplier ----------------------
+  /** For each part in a size/type slice, the in-region supplier(s) whose
+    * best observed unit price hits the per-part minimum — Q2's correlated
+    * scalar-min re-expressed over the schema at hand: with no partsupp
+    * table the OFFER BOOK is lineitem itself, unit price = extendedprice /
+    * quantity in exact 1e-4 dollars (cents×100 integer-divided by the
+    * whole-number quantity — bit-identical in both engines, no double
+    * division anywhere). Scale shape: the part slice and the in-region
+    * supplier roster are dimension broadcasts that turn the fact scan into
+    * its own filter (runtime row-group skipping via DPP/runtime filters);
+    * ONE composite-key agg builds the per-(part,supplier) best offer; the
+    * per-part minimum is a ≤|slice| frame that re-attaches as a broadcast,
+    * so the correlated subquery costs one small hash join — never a
+    * re-scan. */
+  val Q2MaxSize = 10
+  val Q2Type = "STANDARD"
+  val Q2Region = "EUROPE"
+  def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.ExactMath.intDiv
+    val parts = broadcast(t(spark, dir, "part")
+      .where(col("p_size") <= Q2MaxSize && col("p_type") === Q2Type)
+      .select(col("p_partkey"), col("p_name")))
+    val supp = broadcast(t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === Q2Region)
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+        col("n_name")))
+    val perPS = t(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        intDiv(round(col("l_extendedprice") * 100.0).cast("long") * 100L,
+          col("l_quantity").cast("long")).as("unit_e4"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_partkey"), col("p_name"), col("s_suppkey"),
+        col("s_name"), col("s_acctbal"), col("n_name"))
+      .agg(min(col("unit_e4")).as("unit_e4"))
+    val minPer = perPS.groupBy(col("p_partkey").as("mp_partkey"))
+      .agg(min(col("unit_e4")).as("min_e4"))
+    perPS.join(broadcast(minPer),
+      col("p_partkey") === col("mp_partkey") &&
+        col("unit_e4") === col("min_e4"))
+      .select(col("p_partkey"), col("p_name"), col("s_suppkey"),
+        col("s_name"), col("s_acctbal"), col("n_name"), col("unit_e4"))
+  }
+  val minCostSupplierSql: String =
+    s"""WITH parts AS (
+       |  SELECT p_partkey, p_name FROM part
+       |  WHERE p_size <= $Q2MaxSize AND p_type = '$Q2Type'
+       |), supp AS (
+       |  SELECT s_suppkey, s_name, s_acctbal, n_name
+       |  FROM supplier
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey
+       |  WHERE r_name = '$Q2Region'
+       |), per_ps AS (
+       |  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+       |    min(CAST(round(l_extendedprice * 100) AS BIGINT) * 100
+       |      // CAST(l_quantity AS BIGINT)) AS unit_e4
+       |  FROM lineitem
+       |  JOIN parts ON l_partkey = p_partkey
+       |  JOIN supp ON l_suppkey = s_suppkey
+       |  GROUP BY 1, 2, 3, 4, 5, 6
+       |), min_per AS (
+       |  SELECT p_partkey AS mp_partkey, min(unit_e4) AS min_e4
+       |  FROM per_ps GROUP BY 1
+       |)
+       |SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+       |  unit_e4
+       |FROM per_ps JOIN min_per
+       |  ON p_partkey = mp_partkey AND unit_e4 = min_e4""".stripMargin
+
+  // ---- #34z-l TPC-H Q8: national market share ----------------------------
+  /** Per order-year: the share (exact bp) of one nation's suppliers in the
+    * revenue of one part type delivered to one region's customers — Q8's
+    * conditional-sum-over-sum. Scale shape: part slice and supplier→nation
+    * map are broadcasts; customer region membership joins orders on
+    * custkey, lineitem joins orders on orderkey (the only fact⇄fact
+    * exchanges); the share forms from ONE agg's two conditional sums —
+    * never two scans. The bp ratio runs through DECIMAL(38,0) integral
+    * division Spark-side ([[org.apache.spark.sql.graft.ExactMath
+    * .intDivWide]]: year-level e4 revenue × 10⁴ overflows Long at 100 TB)
+    * while the oracle stays plain-BIGINT `//` (oracle-SF values fit). */
+  val Q8Type = "PROMO"
+  val Q8Region = "ASIA"
+  val Q8Nation = "NATION_7"
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.ExactMath.intDivWide
+    val parts = broadcast(t(spark, dir, "part")
+      .where(col("p_type") === Q8Type).select(col("p_partkey")))
+    val suppN = broadcast(t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+    val custRegion = t(spark, dir, "customer")
+      .join(broadcast(t(spark, dir, "nation")
+        .join(broadcast(t(spark, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === Q8Region)
+        .select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val ord = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(to_date(col("o_orderdate"))).cast("long").as("o_year"))
+      .join(custRegion, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_year"))
+    val agg = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), revPart)
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .join(suppN, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === Q8Nation, col("rev_part"))
+          .otherwise(lit(BigDecimal(0)).cast("decimal(18,4)")))
+          .cast("decimal(28,4)").as("nat_dec"),
+        sum(col("rev_part")).cast("decimal(28,4)").as("all_dec"),
+        count(lit(1)).as("n_lines"))
+    agg.select(col("o_year"),
+      intDivWide(
+        (col("nat_dec") * lit(10000L)).cast("decimal(38,0)"), lit(10000L),
+        (col("all_dec") * lit(10000L)).cast("decimal(38,0)"), lit(1L))
+        .cast("long").as("share_bp"),
+      col("nat_dec").cast("decimal(18,4)").cast("double")
+        .as("nation_revenue"),
+      col("all_dec").cast("decimal(18,4)").cast("double")
+        .as("total_revenue"),
+      col("n_lines"))
+  }
+  val marketShareSql: String =
+    s"""WITH agg AS (
+       |  SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+       |    CAST(CAST(sum(CASE WHEN n.n_name = '$Q8Nation'
+       |        THEN $RevPartSql
+       |        ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(28,4)) * 10000
+       |      AS BIGINT) AS nat_e4,
+       |    CAST(CAST(sum($RevPartSql) AS DECIMAL(28,4)) * 10000 AS BIGINT)
+       |      AS all_e4,
+       |    count(*) AS n_lines
+       |  FROM lineitem
+       |  JOIN part ON l_partkey = p_partkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation n ON s_nationkey = n.n_nationkey
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+       |  JOIN region ON cn.n_regionkey = r_regionkey
+       |  WHERE p_type = '$Q8Type' AND r_name = '$Q8Region'
+       |  GROUP BY 1
+       |)
+       |SELECT o_year,
+       |  (nat_e4 * 10000) // all_e4 AS share_bp,
+       |  CAST(CAST(nat_e4 AS DECIMAL(28,4)) / 10000 AS DOUBLE)
+       |    AS nation_revenue,
+       |  CAST(CAST(all_e4 AS DECIMAL(28,4)) / 10000 AS DOUBLE)
+       |    AS total_revenue,
+       |  n_lines
+       |FROM agg""".stripMargin
+
+  // ---- #34z-m TPC-H Q9 shape: product-line profit ------------------------
+  /** Profit by (supplier nation, order year) for one part-name family —
+    * Q9 with the schema's cost model: no partsupp ⇒ unit cost is pinned at
+    * half the part's retail price ([[Q9CostBp]] bp), so profit = discounted
+    * revenue − quantity × retail/2, all on exact decimals (revenue has 4
+    * decimals, the cost leg 3 — nothing rounds before the final DOUBLE
+    * cast). Scale shape: the name-sliced part map and supplier→nation map
+    * broadcast; lineitem⋈orders (for the order year) is the one fact⇄fact
+    * exchange; one (nation, year) rollup ends it. */
+  val Q9NamePattern = "%bolt%"
+  val Q9CostBp = 5000
+  def productProfit(spark: SparkSession, dir: String): DataFrame = {
+    val parts = broadcast(t(spark, dir, "part")
+      .where(col("p_name").like(Q9NamePattern))
+      .select(col("p_partkey"), col("p_retailprice")))
+    val suppN = broadcast(t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name")))
+    val ordYear = t(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        year(to_date(col("o_orderdate"))).cast("long").as("o_year"))
+    val amount =
+      ((col("l_extendedprice").cast("decimal(18,4)") *
+        (lit(BigDecimal(1)).cast("decimal(18,4)") -
+          col("l_discount").cast("decimal(18,4)"))) -
+        col("l_quantity").cast("decimal(4,0)") *
+          (col("p_retailprice").cast("decimal(12,2)") *
+            lit("0.5").cast("decimal(2,1)")))
+        .cast("decimal(27,4)").as("amount")
+    t(spark, dir, "lineitem")
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .join(suppN, col("l_suppkey") === col("s_suppkey"))
+      .join(ordYear, col("l_orderkey") === col("o_orderkey"))
+      .select(col("n_name"), col("o_year"), amount)
+      .groupBy(col("n_name"), col("o_year"))
+      .agg(
+        sum(col("amount")).cast("decimal(18,4)").cast("double")
+          .as("profit"),
+        count(lit(1)).as("n_lines"))
+  }
+  val productProfitSql: String =
+    s"""SELECT n_name,
+       |  CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+       |  CAST(CAST(sum(CAST(
+       |    ($RevPartSql)
+       |    - CAST(l_quantity AS DECIMAL(4,0))
+       |      * (CAST(p_retailprice AS DECIMAL(12,2))
+       |         * CAST(0.5 AS DECIMAL(2,1)))
+       |    AS DECIMAL(27,4))) AS DECIMAL(18,4)) AS DOUBLE) AS profit,
+       |  count(*) AS n_lines
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |WHERE p_name LIKE '$Q9NamePattern'
+       |GROUP BY 1, 2""".stripMargin
+
+  // ---- #34z-n TPC-H Q11 shape: important stock ---------------------------
+  /** (nation, part) positions whose supplied value exceeds [[Q11MeanMult]]×
+    * the MEAN position — Q11's GROUP-BY-under-a-global-scalar-HAVING with
+    * lineitem's extended price as the supplied-value ledger (no partsupp)
+    * and the threshold pinned to the mean rather than Q11's fixed corpus
+    * fraction: a fixed fraction of the total is vacuous under uniform data
+    * the moment |positions| outgrows the denominator, while ">K× mean"
+    * names the same heavy tail at every SF. Scale shape: ONE (nation,
+    * part)-keyed agg over the fact (nation rides a supplier broadcast so
+    * the key exists pre-shuffle), localCheckpointed; the global (total,
+    * count) re-aggregates THAT frame — never the fact; the 1-row total
+    * attaches as an unconditioned broadcast; the val×count vs K×total
+    * compare runs on e4 integers in DECIMAL(38,0) Spark-side (the
+    * skew_report cross-multiplication discipline — no Long overflow at
+    * 100 TB) and plain BIGINT in the oracle (oracle-SF values fit). */
+  val Q11MeanMult = 3L
+  def importantStock(spark: SparkSession, dir: String): DataFrame = {
+    val suppN = broadcast(t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name")))
+    val positions = t(spark, dir, "lineitem")
+      .join(suppN, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name"), col("l_partkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,4)"))
+        .cast("decimal(28,4)").as("val_dec"),
+        count(lit(1)).as("n_lines"))
+      .localCheckpoint()
+    val total = positions.agg(
+      (sum(col("val_dec")).cast("decimal(34,4)") * lit(10000L))
+        .cast("decimal(38,0)").as("total_e4"),
+      count(lit(1)).as("n_positions"))
+    positions.crossJoin(broadcast(total))
+      .where(
+        (col("val_dec") * lit(10000L)).cast("decimal(38,0)")
+          * col("n_positions")
+          > lit(Q11MeanMult) * col("total_e4"))
+      .select(col("n_name"), col("l_partkey"),
+        col("val_dec").cast("decimal(18,4)").cast("double")
+          .as("supplied_value"),
+        col("n_lines"))
+  }
+  val importantStockSql: String =
+    s"""WITH positions AS (
+       |  SELECT n_name, l_partkey,
+       |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+       |      AS DECIMAL(28,4)) AS val_dec,
+       |    count(*) AS n_lines
+       |  FROM lineitem
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT CAST(CAST(sum(val_dec) AS DECIMAL(34,4)) * 10000 AS BIGINT)
+       |      AS total_e4,
+       |    count(*) AS n_positions
+       |  FROM positions
+       |)
+       |SELECT n_name, l_partkey,
+       |  CAST(CAST(val_dec AS DECIMAL(18,4)) AS DOUBLE) AS supplied_value,
+       |  n_lines
+       |FROM positions, tot
+       |WHERE CAST(val_dec * 10000 AS BIGINT) * n_positions
+       |  > $Q11MeanMult * total_e4""".stripMargin
+
+  // ---- #34z-o TPC-H Q20 shape: promotion-candidate suppliers -------------
+  /** Suppliers who DOMINATE the flow of a part-name family: shipped more
+    * than [[Q20MeanMult]]× the average supplier's share of a part's total
+    * quantity — Q20's nested semi-join-with-correlated-threshold, the
+    * availqty/2 test re-read against shipped volume and pinned to the
+    * per-part mean (a fixed >half share is vacuous once a part's flow
+    * splits across tens of suppliers, at every SF; ">K× the mean
+    * supplier" names the same dominators scale-independently). Scale
+    * shape: the name slice broadcasts into the fact scan; ONE (part,
+    * supplier) agg then a per-part rollup OF THAT FRAME (both on the same
+    * partkey-first key, so AQE coalesces); the per-part (total, supplier
+    * count) re-attaches as a broadcast; supplier and nation names join
+    * onto the few surviving rows. Quantities are whole numbers ⇒ exact
+    * integer math throughout — the cross-multiplied compare rides
+    * DECIMAL(38,0) Spark-side, plain BIGINT in the oracle. */
+  val Q20NamePrefix = "red%"
+  val Q20MeanMult = 3L
+  def promotionSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val parts = broadcast(t(spark, dir, "part")
+      .where(col("p_name").like(Q20NamePrefix))
+      .select(col("p_partkey")))
+    val perPS = t(spark, dir, "lineitem")
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("qty_s"))
+      .localCheckpoint()
+    val perPart = perPS.groupBy(col("l_partkey").as("pp_partkey"))
+      .agg(sum(col("qty_s")).as("qty_total"),
+        count(lit(1)).as("n_supp"))
+    perPS.join(broadcast(perPart),
+      col("l_partkey") === col("pp_partkey"))
+      .where(col("qty_s").cast("decimal(38,0)") * col("n_supp")
+        > lit(Q20MeanMult) * col("qty_total").cast("decimal(38,0)"))
+      .join(broadcast(t(spark, dir, "supplier")
+        .join(broadcast(t(spark, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_parts_dominated"),
+        sum(col("qty_s")).as("dominated_qty"))
+  }
+  val promotionSuppliersSql: String =
+    s"""WITH per_ps AS (
+       |  SELECT l_partkey, l_suppkey,
+       |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_s
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE p_name LIKE '$Q20NamePrefix'
+       |  GROUP BY 1, 2
+       |), per_part AS (
+       |  SELECT l_partkey AS pp_partkey,
+       |    CAST(sum(qty_s) AS BIGINT) AS qty_total,
+       |    count(*) AS n_supp
+       |  FROM per_ps GROUP BY 1
+       |)
+       |SELECT s_suppkey, s_name, n_name,
+       |  count(*) AS n_parts_dominated,
+       |  CAST(sum(qty_s) AS BIGINT) AS dominated_qty
+       |FROM per_ps
+       |JOIN per_part ON l_partkey = pp_partkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |WHERE qty_s * n_supp > $Q20MeanMult * qty_total
+       |GROUP BY 1, 2, 3""".stripMargin
+
+  // ---- #34z-p TPC-H Q21 shape: sole-blame suppliers ----------------------
+  /** Suppliers who were the ONLY one with returned lines inside completed
+    * multi-supplier orders — Q21's EXISTS(other supplier) ∧ NOT
+    * EXISTS(other supplier also failing) dual-correlation, with the
+    * return flag standing in for the missing receipt/commit dates. Both
+    * correlated subqueries collapse into ONE per-order agg (distinct
+    * suppliers, distinct RETURNING suppliers: conditional count-distinct),
+    * so the whole query is two orderkey-keyed exchanges — the per-order
+    * census and the returned-lines frame joining it — plus a completed-
+    * orders semi-join on the same key and a supplier-name broadcast.
+    * Order status 'F' filters push to the orders scan. */
+  def soleBlameSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val perOrder = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("po_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+          .as("n_ret_supp"))
+      .where(col("n_supp") > 1L && col("n_ret_supp") === 1L)
+    val finished = t(spark, dir, "orders")
+      .where(col("o_orderstatus") === "F").select(col("o_orderkey"))
+    t(spark, dir, "lineitem")
+      .where(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .join(finished, col("l_orderkey") === col("o_orderkey"))
+      .join(perOrder, col("l_orderkey") === col("po_orderkey"))
+      .join(broadcast(t(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+  }
+  val soleBlameSuppliersSql: String =
+    """WITH per_order AS (
+      |  SELECT l_orderkey AS po_orderkey,
+      |    count(DISTINCT l_suppkey) AS n_supp,
+      |    count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
+      |      AS n_ret_supp
+      |  FROM lineitem GROUP BY 1
+      |  HAVING count(DISTINCT l_suppkey) > 1
+      |    AND count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
+      |      = 1
+      |), ret AS (
+      |  SELECT DISTINCT l_orderkey, l_suppkey
+      |  FROM lineitem WHERE l_returnflag = 'R'
+      |)
+      |SELECT s_suppkey, s_name, count(*) AS numwait
+      |FROM ret
+      |JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
+      |JOIN per_order ON l_orderkey = po_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY 1, 2""".stripMargin
+
+  // ---- #34x-a co-purchase graph triangle census --------------------------
+  /** Triangle count over the UNDIRECTED co-purchase graph (parts that ever
+    * shipped in the same order, the [[partsCopurchase]] edge base): edges,
+    * open wedges (a<b<c paths), and closed triangles — the global
+    * clustering signal behind basket-affinity models, and the classic
+    * distributed-graph benchmark shape. The a<b<c orientation (edges only
+    * store part_a < part_b, wedges join low→mid→high) counts every
+    * triangle exactly once and caps the wedge explosion at the LOW-degree
+    * endpoint — the standard node-ordering trick that tames hub vertices.
+    * Scale shape: the edge frame derives from ONE orderkey-partitioned
+    * scan (mega-orders capped at [[CopurchaseMaxLines]] BEFORE any pair
+    * materializes), is localCheckpointed once and re-read three times; the
+    * wedge⋈edge closure joins on composite vertex keys — AQE's skew split
+    * handles residual hot vertices. Output is a single exact-count row. */
+  def copurchaseTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_orderkey")
+    val edges = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .repartition(col("l_orderkey"))
+      .dropDuplicates("l_orderkey", "l_partkey")
+      .withColumn("m", count(lit(1)).over(w))
+      .where(col("m").between(2L, CopurchaseMaxLines))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)),
+          |    y -> struct(x AS part_a, y AS part_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
+      .distinct()
+      .localCheckpoint()
+    val wedges = edges.toDF("wa", "wb")
+      .join(edges.toDF("xa", "xb"), col("wb") === col("xa"))
+      .select(col("wa").as("ta"), col("wb").as("tb"), col("xb").as("tc"))
+    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+    val nWedges = wedges.agg(count(lit(1)).as("n_wedges"))
+    val nTri = wedges
+      .join(edges.toDF("ya", "yb"),
+        col("ta") === col("ya") && col("tc") === col("yb"))
+      .agg(count(lit(1)).as("n_triangles"))
+    nEdges.crossJoin(nWedges).crossJoin(nTri)
+  }
+  val copurchaseTrianglesSql: String =
+    s"""WITH op AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       |), keep AS (
+       |  SELECT l_orderkey FROM op GROUP BY 1
+       |  HAVING count(*) BETWEEN 2 AND $CopurchaseMaxLines
+       |), b AS (
+       |  SELECT op.l_orderkey, op.l_partkey
+       |  FROM op JOIN keep ON op.l_orderkey = keep.l_orderkey
+       |), e AS (
+       |  SELECT DISTINCT x.l_partkey AS part_a, y.l_partkey AS part_b
+       |  FROM b x JOIN b y
+       |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+       |), wedges AS (
+       |  SELECT e1.part_a AS ta, e1.part_b AS tb, e2.part_b AS tc
+       |  FROM e e1 JOIN e e2 ON e1.part_b = e2.part_a
+       |)
+       |SELECT
+       |  (SELECT count(*) FROM e) AS n_edges,
+       |  (SELECT count(*) FROM wedges) AS n_wedges,
+       |  (SELECT count(*) FROM wedges w JOIN e e3
+       |     ON w.ta = e3.part_a AND w.tc = e3.part_b) AS n_triangles""".stripMargin
+
+  // ---- #34x-b per-vertex local clustering coefficient --------------------
+  /** Local clustering per part over the same co-purchase graph: for each
+    * vertex with degree ≥ 2, its degree, the exact count of triangles it
+    * sits in, and the closed-wedge ratio 2·tri/(deg·(deg−1)) in exact bp —
+    * the per-node "how clique-like is my neighborhood" signal that
+    * separates hub parts (low coefficient, bridge many baskets) from
+    * bundle parts (high coefficient, always bought as a set). Scale shape:
+    * the SAME capped, localCheckpointed edge frame as
+    * [[copurchaseTriangles]]; degrees come from one explode+agg of the
+    * edge endpoints; per-vertex triangle counts explode each closed
+    * triangle's 3 vertices (a triangle found once under the a<b<c
+    * orientation credits all three corners) — the bp ratio rides
+    * DECIMAL(38,0) integral division Spark-side, plain BIGINT in the
+    * oracle. */
+  def copurchaseClustering(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.ExactMath.intDivWide
+    val w = Window.partitionBy("l_orderkey")
+    val edges = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .repartition(col("l_orderkey"))
+      .dropDuplicates("l_orderkey", "l_partkey")
+      .withColumn("m", count(lit(1)).over(w))
+      .where(col("m").between(2L, CopurchaseMaxLines))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)),
+          |    y -> struct(x AS part_a, y AS part_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
+      .distinct()
+      .localCheckpoint()
+    val degrees = edges
+      .select(explode(array(col("part_a"), col("part_b"))).as("part"))
+      .groupBy(col("part")).agg(count(lit(1)).as("degree"))
+    val triPerVertex = edges.toDF("wa", "wb")
+      .join(edges.toDF("xa", "xb"), col("wb") === col("xa"))
+      .select(col("wa").as("ta"), col("wb").as("tb"), col("xb").as("tc"))
+      .join(edges.toDF("ya", "yb"),
+        col("ta") === col("ya") && col("tc") === col("yb"))
+      .select(explode(array(col("ta"), col("tb"), col("tc"))).as("part"))
+      .groupBy(col("part")).agg(count(lit(1)).as("n_triangles"))
+    degrees
+      .join(triPerVertex, Seq("part"), "left")
+      .where(col("degree") >= 2L)
+      .select(col("part"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("coeff_bp",
+        intDivWide(col("n_triangles") * lit(20000L), lit(1L),
+          col("degree"), col("degree") - lit(1L)).cast("long"))
+  }
+  val copurchaseClusteringSql: String =
+    s"""WITH op AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       |), keep AS (
+       |  SELECT l_orderkey FROM op GROUP BY 1
+       |  HAVING count(*) BETWEEN 2 AND $CopurchaseMaxLines
+       |), b AS (
+       |  SELECT op.l_orderkey, op.l_partkey
+       |  FROM op JOIN keep ON op.l_orderkey = keep.l_orderkey
+       |), e AS (
+       |  SELECT DISTINCT x.l_partkey AS part_a, y.l_partkey AS part_b
+       |  FROM b x JOIN b y
+       |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+       |), deg AS (
+       |  SELECT part, count(*) AS degree FROM (
+       |    SELECT part_a AS part FROM e
+       |    UNION ALL SELECT part_b AS part FROM e
+       |  ) GROUP BY 1
+       |), tri AS (
+       |  SELECT e1.part_a AS ta, e1.part_b AS tb, e2.part_b AS tc
+       |  FROM e e1
+       |  JOIN e e2 ON e1.part_b = e2.part_a
+       |  JOIN e e3 ON e1.part_a = e3.part_a AND e2.part_b = e3.part_b
+       |), tpv AS (
+       |  SELECT part, count(*) AS n_triangles FROM (
+       |    SELECT ta AS part FROM tri
+       |    UNION ALL SELECT tb AS part FROM tri
+       |    UNION ALL SELECT tc AS part FROM tri
+       |  ) GROUP BY 1
+       |)
+       |SELECT deg.part, degree,
+       |  COALESCE(n_triangles, 0) AS n_triangles,
+       |  (COALESCE(n_triangles, 0) * 20000) // (degree * (degree - 1))
+       |    AS coeff_bp
+       |FROM deg LEFT JOIN tpv ON deg.part = tpv.part
+       |WHERE degree >= 2""".stripMargin
+
+  // ---- #34y-d Benford first-digit audit ----------------------------------
+  /** First-significant-digit census of the two money columns vs Benford's
+    * law — the classic synthetic-data / fraud / unit-mix-up detector a
+    * corpus profiler runs before trusting a numeric feed. Per (measure,
+    * digit): count, exact-bp observed share, the PINNED Benford expectation
+    * ([[BenfordBp]] — ⌊log₁₀(1+1/d)·10⁴⌉ as integer literals, so no engine
+    * ever evaluates a log), and the signed deviation. The first digit is
+    * extracted from the INTEGER cents string (leading zeros impossible,
+    * value exactness inherited from the cents round) — no float anywhere.
+    * Scale shape: two map-only scans, ≤9 keys each; the per-measure total
+    * attaches as a 1-row broadcast. */
+  val BenfordBp: Seq[(Int, Long)] = Seq(1 -> 3010L, 2 -> 1761L, 3 -> 1249L,
+    4 -> 969L, 5 -> 792L, 6 -> 669L, 7 -> 580L, 8 -> 512L, 9 -> 458L)
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.ExactMath.intDivWide
+    val expected = broadcast(
+      spark.createDataFrame(BenfordBp.map { case (d, bp) =>
+        (d.toString, bp)
+      }).toDF("digit", "benford_bp"))
+    def leg(table: String, column: String) = {
+      val digits = t(spark, dir, table)
+        .where(col(column) > 0)
+        .select(substring(
+          round(col(column) * 100.0).cast("long").cast("string"), 1, 1)
+          .as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val total = digits.agg(sum(col("n")).cast("long").as("n_total"))
+      digits.crossJoin(broadcast(total))
+        .join(expected, Seq("digit"))
+        .select(lit(column).as("measure"), col("digit"), col("n"),
+          intDivWide(col("n"), lit(10000L), col("n_total"), lit(1L))
+            .cast("long").as("share_bp"),
+          col("benford_bp"))
+        .withColumn("dev_bp", col("share_bp") - col("benford_bp"))
+    }
+    leg("orders", "o_totalprice").unionAll(leg("lineitem", "l_extendedprice"))
+  }
+  val benfordAuditSql: String = {
+    val expected = BenfordBp
+      .map { case (d, bp) => s"('$d', CAST($bp AS BIGINT))" }
+      .mkString(", ")
+    def leg(table: String, column: String) =
+      s"""SELECT '$column' AS measure, digit, n,
+         |  (n * 10000) // n_total AS share_bp, benford_bp,
+         |  (n * 10000) // n_total - benford_bp AS dev_bp
+         |FROM (
+         |  SELECT digit, count(*) AS n FROM (
+         |    SELECT substr(CAST(CAST(round($column * 100) AS BIGINT)
+         |      AS VARCHAR), 1, 1) AS digit
+         |    FROM $table WHERE $column > 0
+         |  ) GROUP BY 1
+         |) d
+         |JOIN (VALUES $expected) AS exp(digit, benford_bp) USING (digit),
+         |  (SELECT CAST(count(*) AS BIGINT) AS n_total
+         |   FROM $table WHERE $column > 0) t""".stripMargin
+    leg("orders", "o_totalprice") + "\nUNION ALL\n" +
+      leg("lineitem", "l_extendedprice")
+  }
 }

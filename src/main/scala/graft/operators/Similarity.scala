@@ -1971,7 +1971,10 @@ object Similarity {
       .groupBy("pos").agg(sum(col("v").cast("double")).as("s"),
         count(lit(1)).as("n"))
       .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
-    val n = meanRows.head._3
+    // empty corpus: no mean rows at all — return the orthonormal seed with
+    // zero eigenvalues instead of iterating (the matvec agg would be empty
+    // too); callers emit 0 rows under n == 0
+    val n = meanRows.headOption.map(_._3).getOrElse(0L)
     val mean = Array.ofDim[Double](dim)
     meanRows.foreach { case (p, s, _) => mean(p) = s / n }
     // deterministic seed block, Gram-Schmidt-orthonormalized
@@ -2013,6 +2016,8 @@ object Similarity {
         Array.tabulate(dim)(i => agg(i)(j) - sumS * mean(i))
       }.toArray
     }
+    if (n == 0L)
+      return (mean, block, Array.fill(PcaComponents)(0.0), 0L)
     for (_ <- 1 to PcaIters) block = gramSchmidt(matvec(block))
     // Rayleigh-Ritz finish: with a nearly flat spectrum the block spans
     // the dominant subspace but its columns aren't individual
@@ -2065,8 +2070,11 @@ object Similarity {
   }
 
   def embeddingPca(spark: SparkSession, dir: String): DataFrame = {
-    val (_, block, eigen, _) = pcaModel(spark, dir)
+    val (_, block, eigen, nRows) = pcaModel(spark, dir)
     import spark.implicits._
+    if (nRows == 0L)
+      return Seq.empty[(Long, Long, Double, Double)]
+        .toDF("comp_ix", "dim_ix", "loading", "eigenvalue")
     block.indices.flatMap { j =>
       block(j).indices.map { i =>
         (j.toLong, i.toLong,

@@ -34,8 +34,9 @@ class PlanLintSpec extends SparkTestBase {
       // self-exclusion (id <> qid) pushed into the join — the ann_topk shape
       "hybrid_search_rrf",
       // scalar-subquery shapes: a 1-row global aggregate (max revenue /
-      // (Σbal, n)) broadcast with the comparison pushed into the join
-      "top_supplier", "dormant_customers",
+      // (Σbal, n) / (total_e4, n_positions)) broadcast with the comparison
+      // pushed into the join
+      "top_supplier", "dormant_customers", "important_stock",
       // the ann_topk shape: 1-row query broadcast, self-exclusion pushed in
       "mmr_select")
 
