@@ -2035,6 +2035,9 @@ object Relational {
       .groupBy(col("p_partkey"), col("p_name"), col("s_suppkey"),
         col("s_name"), col("s_acctbal"), col("n_name"))
       .agg(min(col("unit_e4")).as("unit_e4"))
+      // referenced twice (probe side + per-part minima): checkpoint the
+      // ≤|slice|×|roster| offer frame so the fact is scanned ONCE
+      .localCheckpoint()
     val minPer = perPS.groupBy(col("p_partkey").as("mp_partkey"))
       .agg(min(col("unit_e4")).as("min_e4"))
     perPS.join(broadcast(minPer),
@@ -2352,51 +2355,48 @@ object Relational {
     * multi-supplier orders — Q21's EXISTS(other supplier) ∧ NOT
     * EXISTS(other supplier also failing) dual-correlation, with the
     * return flag standing in for the missing receipt/commit dates. Both
-    * correlated subqueries collapse into ONE per-order agg (distinct
-    * suppliers, distinct RETURNING suppliers: conditional count-distinct),
-    * so the whole query is two orderkey-keyed exchanges — the per-order
-    * census and the returned-lines frame joining it — plus a completed-
-    * orders semi-join on the same key and a supplier-name broadcast.
-    * Order status 'F' filters push to the orders scan. */
+    * correlated subqueries AND the blamed supplier's identity collapse
+    * into ONE per-order agg (distinct suppliers, distinct RETURNING
+    * suppliers, and — sound exactly because the census demands n_ret = 1 —
+    * max(returning suppkey) IS that sole supplier), so the whole query is
+    * ONE lineitem scan with one orderkey exchange, a completed-orders
+    * semi-join on the same key, and a supplier-name broadcast. Order
+    * status 'F' filters push to the orders scan. */
   def soleBlameSuppliers(spark: SparkSession, dir: String): DataFrame = {
     val perOrder = t(spark, dir, "lineitem")
-      .groupBy(col("l_orderkey").as("po_orderkey"))
+      .groupBy(col("l_orderkey"))
       .agg(countDistinct(col("l_suppkey")).as("n_supp"),
         countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
-          .as("n_ret_supp"))
+          .as("n_ret_supp"),
+        max(when(col("l_returnflag") === "R", col("l_suppkey")))
+          .as("ret_supp"))
       .where(col("n_supp") > 1L && col("n_ret_supp") === 1L)
     val finished = t(spark, dir, "orders")
       .where(col("o_orderstatus") === "F").select(col("o_orderkey"))
-    t(spark, dir, "lineitem")
-      .where(col("l_returnflag") === "R")
-      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    perOrder
       .join(finished, col("l_orderkey") === col("o_orderkey"))
-      .join(perOrder, col("l_orderkey") === col("po_orderkey"))
       .join(broadcast(t(spark, dir, "supplier")
         .select(col("s_suppkey"), col("s_name"))),
-        col("l_suppkey") === col("s_suppkey"))
+        col("ret_supp") === col("s_suppkey"))
       .groupBy(col("s_suppkey"), col("s_name"))
       .agg(count(lit(1)).as("numwait"))
   }
   val soleBlameSuppliersSql: String =
     """WITH per_order AS (
-      |  SELECT l_orderkey AS po_orderkey,
+      |  SELECT l_orderkey,
       |    count(DISTINCT l_suppkey) AS n_supp,
       |    count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
-      |      AS n_ret_supp
+      |      AS n_ret_supp,
+      |    max(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS ret_supp
       |  FROM lineitem GROUP BY 1
       |  HAVING count(DISTINCT l_suppkey) > 1
       |    AND count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
       |      = 1
-      |), ret AS (
-      |  SELECT DISTINCT l_orderkey, l_suppkey
-      |  FROM lineitem WHERE l_returnflag = 'R'
       |)
       |SELECT s_suppkey, s_name, count(*) AS numwait
-      |FROM ret
+      |FROM per_order
       |JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
-      |JOIN per_order ON l_orderkey = po_orderkey
-      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN supplier ON ret_supp = s_suppkey
       |GROUP BY 1, 2""".stripMargin
 
   // ---- #34x-a co-purchase graph triangle census --------------------------
@@ -2580,6 +2580,9 @@ object Relational {
           round(col(column) * 100.0).cast("long").cast("string"), 1, 1)
           .as("digit"))
         .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        // ≤9 rows, referenced by the census AND the total: checkpoint so
+        // the money column is scanned ONCE per leg
+        .localCheckpoint()
       val total = digits.agg(sum(col("n")).cast("long").as("n_total"))
       digits.crossJoin(broadcast(total))
         .join(expected, Seq("digit"))
