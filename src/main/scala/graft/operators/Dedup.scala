@@ -690,6 +690,80 @@ object Dedup {
     out
   }
 
+  /** HITS (Kleinberg) hubs-and-authorities over a directed edge frame —
+    * PageRank's complement: authority rewards being pointed at BY good
+    * hubs (the quality-content signal), hub rewards pointing AT good
+    * authorities (the directory/index signal); a crawl frontier wants
+    * high-authority domains to fetch and high-hub domains to re-mine for
+    * links. Pinned variant: [[HitsRounds]] synchronized rounds of the
+    * power iteration with L1 normalization each half-step (deterministic —
+    * no RNG, no tolerance test), nodes = src∪dst so pure sinks/sources get
+    * rows. Scale shape: node-grain frames only — each half-round is ONE
+    * join + ONE agg on the edge frame plus a 1-row L1 sum (the only
+    * driver-side value, the pagerankOn bounded-fixpoint discipline);
+    * rounds localCheckpoint so lineage stays flat, blocks freed after the
+    * durable finish. */
+  val HitsRounds = 8
+  private[graft] def hitsOn(edges: DataFrame, tag: String): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
+    val nodes = e.select(col("src"))
+      .union(e.select(col("dst").as("src"))).distinct()
+      .select(col("src").as("node")).localCheckpoint(false)
+    val n = nodes.count()
+    if (n == 0)
+      return nodes.select(col("node").as("domain"),
+        lit(0L).as("out_degree"), lit(0L).as("in_degree"),
+        lit(0.0).as("hub"), lit(0.0).as("auth"))
+    val ckpts = scala.collection.mutable.ListBuffer.empty[org.apache.spark.rdd.RDD[_]]
+    var hub = nodes.select(col("node"), lit(1.0 / n).as("hub"))
+      .localCheckpoint(false)
+    checkpointRdd(hub).foreach(ckpts += _)
+    var auth = nodes.select(col("node"), lit(1.0 / n).as("auth"))
+    for (_ <- 1 to HitsRounds) {
+      val rawAuth = e.join(hub, col("src") === col("node"))
+        .groupBy(col("dst")).agg(sum(col("hub")).as("raw"))
+      val aSum = rawAuth.agg(sum(col("raw")).as("s"))
+        .collect().headOption.map(_.getDouble(0)).getOrElse(1.0)
+      auth = nodes
+        .join(rawAuth, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (coalesce(col("raw"), lit(0.0)) / lit(aSum)).as("auth"))
+        .localCheckpoint(false)
+      checkpointRdd(auth).foreach(ckpts += _)
+      val rawHub = e.join(auth, col("dst") === col("node"))
+        .groupBy(col("src")).agg(sum(col("auth")).as("raw"))
+      val hSum = rawHub.agg(sum(col("raw")).as("s"))
+        .collect().headOption.map(_.getDouble(0)).getOrElse(1.0)
+      hub = nodes
+        .join(rawHub, col("node") === col("src"), "left")
+        .select(col("node"),
+          (coalesce(col("raw"), lit(0.0)) / lit(hSum)).as("hub"))
+        .localCheckpoint(false)
+      checkpointRdd(hub).foreach(ckpts += _)
+    }
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("out_degree"))
+    val inDeg = e.groupBy(col("dst")).agg(count(lit(1)).as("in_degree"))
+    val out = durableFinish(spark, tag,
+      nodes
+        .join(outDeg, col("node") === col("src"), "left").drop("src")
+        .join(inDeg, col("node") === col("dst"), "left").drop("dst")
+        .join(hub.withColumnRenamed("node", "hn"), col("node") === col("hn"))
+        .drop("hn")
+        .join(auth.withColumnRenamed("node", "an"), col("node") === col("an"))
+        .drop("an")
+        .select(col("node").as("domain"),
+          coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+          coalesce(col("in_degree"), lit(0L)).as("in_degree"),
+          round(col("hub"), 6).cast("decimal(14,6)").cast("double")
+            .as("hub"),
+          round(col("auth"), 6).cast("decimal(14,6)").cast("double")
+            .as("auth")))
+    out.count()
+    ckpts.foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
+    out
+  }
+
   def dupPagerank(spark: SparkSession, dir: String): DataFrame =
     // the rank table is a per-corpus artifact like the component labels:
     // materialize once per (session, corpus) — the 10-round loop re-running

@@ -800,6 +800,38 @@ object WarcSource {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
+  // ---- registered-domain HITS (crawl frontier ranking) -------------------
+  /** HITS hubs/authorities over the same registered-domain graph as
+    * [[domainPagerank]] — the complementary crawl-ops ranking (authority =
+    * what to FETCH next, hub = what to RE-MINE for links); same edge
+    * pinning (distinct cross-domain pairs, self-links dropped), iteration
+    * in [[graft.operators.Dedup.hitsOn]]. Rows-only like the PageRank row
+    * (iterative float fixpoint); brute-forced against an independent
+    * in-memory HITS in WarcSourceSpec. */
+  def domainHits(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val edges = linkGraph(docs)
+      .where(col("src_domain") =!= col("dst_domain"))
+      .select(col("src_domain").as("src"), col("dst_domain").as("dst"))
+      .distinct()
+    graft.operators.Dedup.hitsOn(edges,
+      s"domain-hits-${java.util.UUID.randomUUID()}")
+  }
+
+  private val domainHitsCache = graft.operators.Materialized.register(
+    scala.collection.concurrent.TrieMap
+      .empty[(String, String), DataFrame])
+
+  /** Driver-contract query (rows-only): [[domainHits]] over the committed
+    * link fixture, materialized once per (session, fixture). Ignores `dir`
+    * like [[warcHostStats]]. */
+  def domainHitsQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Materialized.cached(domainHitsCache, spark,
+        FixtureLinksDir) {
+      domainHits(documentsFromWarc(spark, FixtureLinksDir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   /** Oracle: exact VALUES literal, hand-derived from the link fixture
     * (scripts/make_warc_fixture.py): the hub's two absolute links resolve
     * to their own domains, its rooted `/local/page` stays on hub.example,

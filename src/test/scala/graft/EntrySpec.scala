@@ -42,7 +42,11 @@ class EntrySpec extends SparkTestBase {
       "dup_pagerank", "longest_repeat",
       "unigram_vocab", "unigram_encode", "unigram_fertility",
       "wordpiece_merges", "wordpiece_encode", "tokenizer_faceoff",
-      "domain_pagerank", "logreg_train", "logreg_score", "logreg_eval",
+      // domain_hits: the same iterative-fixpoint argument as
+      // domain_pagerank; brute-forced against an independent in-memory
+      // HITS in WarcSourceSpec
+      "domain_pagerank", "domain_hits",
+      "logreg_train", "logreg_score", "logreg_eval",
       "logreg_calibration", "mmr_select", "embedding_pca", "pca_project")
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == rowsOnly)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))

@@ -661,6 +661,44 @@ class WarcSourceSpec extends SparkTestBase {
     assert(pr.values.toSet.size > 1)
   }
 
+  test("domain_hits matches an independent in-memory HITS over the " +
+      "fixture's domain graph, L1-normalized each half-step") {
+    val docs = graft.sources.WarcSource.documentsFromWarc(
+      spark, graft.sources.WarcSource.FixtureLinksDir)
+    val edges = graft.sources.WarcSource.linkGraph(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .filter { case (a, b) => a != b }.distinct
+    val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct.sorted
+    val n = nodes.length
+    val outDeg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val inDeg = edges.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    var hub = nodes.map(_ -> 1.0 / n).toMap
+    var auth = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to graft.operators.Dedup.HitsRounds) {
+      val rawA = edges.groupBy(_._2).view
+        .mapValues(_.map { case (s, _) => hub(s) }.sum).toMap
+      val aSum = rawA.values.sum
+      auth = nodes.map(d => d -> rawA.getOrElse(d, 0.0) / aSum).toMap
+      val rawH = edges.groupBy(_._1).view
+        .mapValues(_.map { case (_, t) => auth(t) }.sum).toMap
+      val hSum = rawH.values.sum
+      hub = nodes.map(d => d -> rawH.getOrElse(d, 0.0) / hSum).toMap
+    }
+    def r6(d: Double) =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = nodes.map(d => Seq[Any](d, outDeg.getOrElse(d, 0L),
+      inDeg.getOrElse(d, 0L), r6(hub(d)), r6(auth(d)))).toSet
+    val got = collectSet(graft.sources.WarcSource.domainHitsQ(spark, ""))
+    assert(got == expected)
+    // the roles separate: the hub page concentrates ALL hub mass (it is
+    // the only multi-outlink source) and carries zero authority, while a
+    // pure sink carries authority but zero hub mass
+    val topHub = hub.maxBy(_._2)._1
+    assert(outDeg(topHub) == outDeg.values.max)
+    assert(auth(topHub) == 0.0 || inDeg.getOrElse(topHub, 0L) > 0L)
+    assert(expected.exists(r => r(1) == 0L && r(4).asInstanceOf[Double] > 0))
+  }
+
   // ---- robots.txt (RFC 9309) -----------------------------------------------
 
   test("parseRobots: orphan rules, consecutive UA runs, group restarts, " +
