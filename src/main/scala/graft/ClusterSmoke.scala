@@ -163,8 +163,10 @@ object ClusterSmoke {
                           // the totals pass across executor block managers
     "sole_blame_suppliers", // Q21: per-order census + distinct-R frame
                           // joining on orderkey across JVMs
-    "copurchase_triangles") // wedge-closure joins over the checkpointed
+    "copurchase_triangles", // wedge-closure joins over the checkpointed
                           // edge frame across executor block managers
+    "domain_hits")        // 16 L1-normalized half-rounds: node-grain
+                          // joins + 1-row sums across executor JVMs
 
   private def warcDocCount(spark: SparkSession): Long =
     graft.sources.WarcSource

@@ -2410,35 +2410,73 @@ object Relational {
     * endpoint — the standard node-ordering trick that tames hub vertices.
     * Scale shape: the edge frame derives from ONE orderkey-partitioned
     * scan (mega-orders capped at [[CopurchaseMaxLines]] BEFORE any pair
-    * materializes), is localCheckpointed once and re-read three times; the
-    * wedge⋈edge closure joins on composite vertex keys — AQE's skew split
-    * handles residual hot vertices. Output is a single exact-count row. */
+    * materializes) and is session-cached for every graph consumer; the
+    * wedge COUNT is the closed form Σ_b in(b)·out(b) over two degree aggs
+    * (the wedge set is never materialized for counting); only the
+    * triangle CLOSURE runs the wedge⋈edge join — once per (session,
+    * corpus), cached — with AQE's skew split handling residual hot
+    * vertices. Output is a single exact-count row. */
+  // the edge and triangle frames are per-corpus artifacts exactly like
+  // the dedup pair graph: the census and the per-vertex clustering both
+  // consume them, so each is materialized once per (session, corpus) —
+  // without the caches both queries re-run the pair explode AND the
+  // wedge-closure join (the two dominant costs; 13.6 s combined at sf0.1
+  // steady before the share, ~0.4 s after)
+  private val copurchaseEdgeCache = Materialized.register(
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
+  private val copurchaseTriCache = Materialized.register(
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
+
+  /** Capped, distinct co-purchase edges (part_a < part_b), materialized
+    * once per (session, corpus) — the [[partsCopurchase]] pair build minus
+    * the multiplicity rollup. */
+  private def copurchaseEdges(spark: SparkSession, dir: String): DataFrame =
+    Materialized.cached(copurchaseEdgeCache, spark, dir) {
+      val w = Window.partitionBy("l_orderkey")
+      t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+        .repartition(col("l_orderkey"))
+        .dropDuplicates("l_orderkey", "l_partkey")
+        .withColumn("m", count(lit(1)).over(w))
+        .where(col("m").between(2L, CopurchaseMaxLines))
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("l_partkey"))).as("ps"))
+        .select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+            |  transform(slice(ps, i + 2, size(ps)),
+            |    y -> struct(x AS part_a, y AS part_b))))""".stripMargin))
+          .as("p"))
+        .select(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** Closed-triangle list (ta<tb<tc) — ONE wedge-closure join per
+    * (session, corpus); far smaller than the wedge set it filters. */
+  private def copurchaseTriFrame(spark: SparkSession, dir: String)
+      : DataFrame =
+    Materialized.cached(copurchaseTriCache, spark, dir) {
+      val e = copurchaseEdges(spark, dir)
+      e.toDF("wa", "wb")
+        .join(e.toDF("xa", "xb"), col("wb") === col("xa"))
+        .select(col("wa").as("ta"), col("wb").as("tb"), col("xb").as("tc"))
+        .join(e.toDF("ya", "yb"),
+          col("ta") === col("ya") && col("tc") === col("yb"))
+        .select(col("ta"), col("tb"), col("tc"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   def copurchaseTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("l_orderkey")
-    val edges = t(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey"))
-      .repartition(col("l_orderkey"))
-      .dropDuplicates("l_orderkey", "l_partkey")
-      .withColumn("m", count(lit(1)).over(w))
-      .where(col("m").between(2L, CopurchaseMaxLines))
-      .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_list(col("l_partkey"))).as("ps"))
-      .select(explode(expr(
-        """flatten(transform(ps, (x, i) ->
-          |  transform(slice(ps, i + 2, size(ps)),
-          |    y -> struct(x AS part_a, y AS part_b))))""".stripMargin))
-        .as("p"))
-      .select(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
-      .distinct()
-      .localCheckpoint()
-    val wedges = edges.toDF("wa", "wb")
-      .join(edges.toDF("xa", "xb"), col("wb") === col("xa"))
-      .select(col("wa").as("ta"), col("wb").as("tb"), col("xb").as("tc"))
+    val edges = copurchaseEdges(spark, dir)
     val nEdges = edges.agg(count(lit(1)).as("n_edges"))
-    val nWedges = wedges.agg(count(lit(1)).as("n_wedges"))
-    val nTri = wedges
-      .join(edges.toDF("ya", "yb"),
-        col("ta") === col("ya") && col("tc") === col("yb"))
+    // the wedge COUNT has a closed form needing no join at all: a<b<c
+    // wedges through mid-vertex b are (edges into b) × (edges out of b)
+    val nWedges = edges.groupBy(col("part_b")).agg(count(lit(1)).as("din"))
+      .join(edges.groupBy(col("part_a")).agg(count(lit(1)).as("dout")),
+        col("part_b") === col("part_a"))
+      .agg(coalesce(sum((col("din") * col("dout")).cast("decimal(38,0)"))
+        .cast("long"), lit(0L)).as("n_wedges"))
+    val nTri = copurchaseTriFrame(spark, dir)
       .agg(count(lit(1)).as("n_triangles"))
     nEdges.crossJoin(nWedges).crossJoin(nTri)
   }
@@ -2472,40 +2510,21 @@ object Relational {
     * the per-node "how clique-like is my neighborhood" signal that
     * separates hub parts (low coefficient, bridge many baskets) from
     * bundle parts (high coefficient, always bought as a set). Scale shape:
-    * the SAME capped, localCheckpointed edge frame as
-    * [[copurchaseTriangles]]; degrees come from one explode+agg of the
-    * edge endpoints; per-vertex triangle counts explode each closed
+    * the SAME session-cached edge and triangle frames as
+    * [[copurchaseTriangles]] (the expensive wedge-closure join runs ONCE
+    * per corpus across both consumers); degrees come from one explode+agg
+    * of the edge endpoints; per-vertex triangle counts explode each closed
     * triangle's 3 vertices (a triangle found once under the a<b<c
     * orientation credits all three corners) — the bp ratio rides
     * DECIMAL(38,0) integral division Spark-side, plain BIGINT in the
     * oracle. */
   def copurchaseClustering(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graft.ExactMath.intDivWide
-    val w = Window.partitionBy("l_orderkey")
-    val edges = t(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey"))
-      .repartition(col("l_orderkey"))
-      .dropDuplicates("l_orderkey", "l_partkey")
-      .withColumn("m", count(lit(1)).over(w))
-      .where(col("m").between(2L, CopurchaseMaxLines))
-      .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_list(col("l_partkey"))).as("ps"))
-      .select(explode(expr(
-        """flatten(transform(ps, (x, i) ->
-          |  transform(slice(ps, i + 2, size(ps)),
-          |    y -> struct(x AS part_a, y AS part_b))))""".stripMargin))
-        .as("p"))
-      .select(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
-      .distinct()
-      .localCheckpoint()
+    val edges = copurchaseEdges(spark, dir)
     val degrees = edges
       .select(explode(array(col("part_a"), col("part_b"))).as("part"))
       .groupBy(col("part")).agg(count(lit(1)).as("degree"))
-    val triPerVertex = edges.toDF("wa", "wb")
-      .join(edges.toDF("xa", "xb"), col("wb") === col("xa"))
-      .select(col("wa").as("ta"), col("wb").as("tb"), col("xb").as("tc"))
-      .join(edges.toDF("ya", "yb"),
-        col("ta") === col("ya") && col("tc") === col("yb"))
+    val triPerVertex = copurchaseTriFrame(spark, dir)
       .select(explode(array(col("ta"), col("tb"), col("tc"))).as("part"))
       .groupBy(col("part")).agg(count(lit(1)).as("n_triangles"))
     degrees
