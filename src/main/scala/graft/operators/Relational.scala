@@ -2360,16 +2360,24 @@ object Relational {
     * suppliers, and — sound exactly because the census demands n_ret = 1 —
     * max(returning suppkey) IS that sole supplier), so the whole query is
     * ONE lineitem scan with one orderkey exchange, a completed-orders
-    * semi-join on the same key, and a supplier-name broadcast. Order
-    * status 'F' filters push to the orders scan. */
+    * semi-join on the same key, and a supplier-name broadcast. The
+    * distinct counts run as a TWO-LEVEL agg — (order, supplier) rollup,
+    * then the per-order census of THAT frame — instead of two
+    * countDistincts, whose Expand would triple the scan's rows before the
+    * exchange; the explicit orderkey repartition clusters both levels on
+    * the one exchange. Order status 'F' filters push to the orders
+    * scan. */
   def soleBlameSuppliers(spark: SparkSession, dir: String): DataFrame = {
     val perOrder = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+      .repartition(col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+        .as("has_r"))
       .groupBy(col("l_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
-          .as("n_ret_supp"),
-        max(when(col("l_returnflag") === "R", col("l_suppkey")))
-          .as("ret_supp"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum(col("has_r")).as("n_ret_supp"),
+        max(when(col("has_r") === 1L, col("l_suppkey"))).as("ret_supp"))
       .where(col("n_supp") > 1L && col("n_ret_supp") === 1L)
     val finished = t(spark, dir, "orders")
       .where(col("o_orderstatus") === "F").select(col("o_orderkey"))

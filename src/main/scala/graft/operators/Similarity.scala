@@ -1962,7 +1962,21 @@ object Similarity {
     * ordering) against an independently computed covariance matrix. */
   val PcaComponents = 4
   val PcaIters = 12
+
+  // the fitted model is a per-corpus artifact like the IVF centroids:
+  // without the cache BOTH consumers (embedding_pca, pca_project) re-run
+  // the 12-round matvec loop per invocation (~3 s each at sf0.1 steady)
+  private val pcaModelCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String),
+      (Array[Double], Array[Array[Double]], Array[Double], Long)]
+  Materialized.registerClearable(() => pcaModelCache.clear())
+
   def pcaModel(spark: SparkSession, dir: String)
+      : (Array[Double], Array[Array[Double]], Array[Double], Long) =
+    pcaModelCache.getOrElseUpdate(Materialized.sessionKey(spark, dir),
+      pcaModelFit(spark, dir))
+
+  private def pcaModelFit(spark: SparkSession, dir: String)
       : (Array[Double], Array[Array[Double]], Array[Double], Long) = {
     val e = emb(spark, dir)
     val dim = Dedup.Dim
