@@ -355,6 +355,103 @@ object Dedup {
        |JOIN sizes nb ON doc_b = nb.doc_id
        |WHERE ${sqlBp("inter", "(na.n + nb.n - inter)")} >= $JaccardBp""".stripMargin
 
+  // ---- #17d exact prefix-filtered Jaccard join (PPJoin-style) ------------
+  /** EXACT set-similarity self-join at Jaccard ≥ [[PrefixJaccardBp]] via
+    * prefix filtering (Chaudhuri/Xiao's PPJoin family): the zero-false-
+    * negative complement to the LSH path — band bucketing can MISS a true
+    * pair (it is probabilistic by design; `minhash_calibration` prices the
+    * error), while two sets with Jaccard ≥ τ MUST share a token inside
+    * each other's (n − ⌈τ·n⌉ + 1)-token prefix, so prefix candidates are
+    * COMPLETE. Pinned: the same 5-gram shingle-hash sets as the whole
+    * minhash family ([[sigSets]] — the corpus pass is shared, not
+    * re-run); prefix ordering is rarest-document-frequency-first (df asc,
+    * hash asc — the standard ordering that keeps prefix buckets small);
+    * ⌈τ·n⌉ = (8n+9) div 10, all-integer. Prefix buckets larger than
+    * [[PrefixBucketCap]] are dropped before the self-join (the LSH
+    * BucketCap discipline): a shingle shared by hundreds of documents'
+    * RARE-end prefixes means pathological vocabulary collapse, and the
+    * cap is the documented audit hook — completeness holds for every pair
+    * with at least one sub-cap shared prefix token.
+    *
+    * Scale shape: ONE explode of the materialized sets → df rollup; the
+    * per-doc prefix rank is a doc-partitioned window (never global); the
+    * candidate self-join is bounded by Σ bucket² ≤ |buckets|·cap²; exact
+    * verification joins the pair-bounded candidates back through the
+    * cached set table (shuffle_hash — never broadcast the corpus). */
+  val PrefixJaccardBp = 8000L
+  val PrefixBucketCap = 256L
+  def dedupPrefixExact(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sets = sigSets(spark, dir).select(col("doc_id"), col("hs"))
+    val tokens = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+    val freq = tokens.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("h"))
+    val prefix = tokens.join(freq, "h")
+      .select(col("doc_id"), col("h"),
+        row_number().over(w).as("rk"),
+        count(lit(1)).over(Window.partitionBy("doc_id")).as("n"))
+      .where(col("rk") <= col("n") - expr("(8 * n + 9) DIV 10") + 1)
+    val kept = prefix.groupBy(col("h")).agg(count(lit(1)).as("bn"))
+      .where(col("bn").between(2L, PrefixBucketCap))
+      .select(col("h"))
+    val pf = prefix.join(kept, "h").select(col("h"), col("doc_id"))
+    val cand = pf.select(col("h"), col("doc_id").as("doc_a"))
+      .join(pf.select(col("h").as("h2"), col("doc_id").as("doc_b")),
+        col("h") === col("h2") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cand.hint("shuffle_hash")
+      .join(sets.select(col("doc_id").as("ia"), col("hs").as("hsa")),
+        col("doc_a") === col("ia"))
+      .join(sets.select(col("doc_id").as("ib"), col("hs").as("hsb")),
+        col("doc_b") === col("ib"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("hsa"), col("hsb"))).cast("long")
+          .as("inter"),
+        (size(col("hsa")) + size(col("hsb"))).cast("long").as("szsum"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("szsum") - col("inter")).as("n_union"))
+      .where(col("inter") * lit(10000L)
+        >= lit(PrefixJaccardBp) * col("n_union"))
+      .withColumn("jaccard_bp", bp(col("inter"), col("n_union")))
+  }
+  val dedupPrefixExactSql: String =
+    s"""$shinglesCte, dfreq AS MATERIALIZED (
+       |  SELECT h, count(*) AS df FROM sh GROUP BY 1
+       |), dsz AS MATERIALIZED (
+       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+       |), ranked AS MATERIALIZED (
+       |  SELECT s.doc_id, s.h,
+       |    row_number() OVER (PARTITION BY s.doc_id ORDER BY f.df, s.h)
+       |      AS rk,
+       |    d.n
+       |  FROM sh s JOIN dfreq f USING (h) JOIN dsz d USING (doc_id)
+       |), pre AS MATERIALIZED (
+       |  SELECT doc_id, h FROM ranked
+       |  WHERE rk <= n - (8 * n + 9) // 10 + 1
+       |), keptp AS (
+       |  SELECT h FROM pre GROUP BY 1
+       |  HAVING count(*) BETWEEN 2 AND $PrefixBucketCap
+       |), pf AS MATERIALIZED (
+       |  SELECT p.doc_id, p.h FROM pre p JOIN keptp USING (h)
+       |), cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM pf a JOIN pf b ON a.h = b.h AND a.doc_id < b.doc_id
+       |), ov AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+       |  FROM cand c
+       |  JOIN sh x ON x.doc_id = c.doc_a
+       |  JOIN sh y ON y.doc_id = c.doc_b AND y.h = x.h
+       |  GROUP BY 1, 2
+       |)
+       |SELECT o.doc_a, o.doc_b, o.inter,
+       |  na.n + nb.n - o.inter AS n_union,
+       |  ${graft.functions.TextFns.sqlBp("o.inter",
+             "(na.n + nb.n - o.inter)")} AS jaccard_bp
+       |FROM ov o
+       |JOIN dsz na ON o.doc_a = na.doc_id
+       |JOIN dsz nb ON o.doc_b = nb.doc_id
+       |WHERE o.inter * 10000 >= $PrefixJaccardBp * (na.n + nb.n - o.inter)""".stripMargin
+
   // ---- #16g MinHash calibration (estimate vs exact error curve) ----------
   /** How good is the K=32 signature as a Jaccard estimator ON THIS CORPUS —
     * the calibration audit that justifies (or re-sizes) K before anyone

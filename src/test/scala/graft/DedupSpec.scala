@@ -390,4 +390,33 @@ class DedupSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == Set(("small", 1L, 1L), ("red", 0L, 1L)))
   }
+
+  test("dedup_prefix_exact matches brute-force all-pairs exact Jaccard " +
+      "at the 0.8 pin (candidate completeness)") {
+    val dir = "/root/testdata/sf0.001"
+    val sets = Dedup.sigSets(spark, dir).select("doc_id", "hs").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
+    // brute force every pair — the prefix filter must lose NOTHING at
+    // this corpus (no prefix bucket near the cap), so equality checks
+    // candidate completeness AND verification in one shot
+    val expected = (for {
+      i <- sets.indices.iterator
+      j <- (i + 1 until sets.length).iterator
+    } yield {
+      val (d1, h1) = sets(i); val (d2, h2) = sets(j)
+      val (da, ha, db, hb) =
+        if (d1 < d2) (d1, h1, d2, h2) else (d2, h2, d1, h1)
+      val inter = (ha & hb).size.toLong
+      val uni = ha.size + hb.size - inter
+      (da, db, inter, uni)
+    }).filter { case (_, _, inter, uni) => inter * 10000L >= 8000L * uni }
+      .map { case (da, db, inter, uni) =>
+        Seq[Any](da, db, inter, uni, inter * 10000L / uni) }
+      .toSet
+    val got = collectSet(Dedup.dedupPrefixExact(spark, dir))
+    assert(got == expected)
+    // non-vacuous on the planted near-dups, and strictly tighter than the
+    // 0.35-pin LSH row (a genuine ≥0.8 subset exists)
+    assert(got.nonEmpty)
+  }
 }
