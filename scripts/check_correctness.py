@@ -71,6 +71,9 @@ HEAVY_ORACLES = {
     "dup_pagerank", "split_leakage", "dedup_report", "dedup_summary",
     "semdedup", "semdedup_sweep", "dup_span_stats", "dup_span_exact",
     "suffix_repeats", "repeat_coverage", "substr_dedup",
+    # prefix-join oracle materializes the corpus-sized shingle frame plus
+    # the positional-filtered candidate set (~0.5M pairs at sf0.1)
+    "dedup_prefix_exact",
     "trim_common_paragraphs", "corpus_diff",
     # trigram-KN oracles materialize the per-doc trigram explode (~3x the
     # corpus token count) plus the bigram type frame

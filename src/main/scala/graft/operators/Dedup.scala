@@ -356,21 +356,27 @@ object Dedup {
        |WHERE ${sqlBp("inter", "(na.n + nb.n - inter)")} >= $JaccardBp""".stripMargin
 
   // ---- #17d exact prefix-filtered Jaccard join (PPJoin-style) ------------
-  /** EXACT set-similarity self-join at Jaccard ≥ [[PrefixJaccardBp]] via
-    * prefix filtering (Chaudhuri/Xiao's PPJoin family): the zero-false-
-    * negative complement to the LSH path — band bucketing can MISS a true
-    * pair (it is probabilistic by design; `minhash_calibration` prices the
-    * error), while two sets with Jaccard ≥ τ MUST share a token inside
-    * each other's (n − ⌈τ·n⌉ + 1)-token prefix, so prefix candidates are
-    * COMPLETE. Pinned: the same 5-gram shingle-hash sets as the whole
-    * minhash family ([[sigSets]] — the corpus pass is shared, not
-    * re-run); prefix ordering is rarest-document-frequency-first (df asc,
-    * hash asc — the standard ordering that keeps prefix buckets small);
-    * ⌈τ·n⌉ = (8n+9) div 10, all-integer. Prefix buckets larger than
-    * [[PrefixBucketCap]] are dropped before the self-join (the LSH
-    * BucketCap discipline): a shingle shared by hundreds of documents'
-    * RARE-end prefixes means pathological vocabulary collapse, and the
-    * cap is the documented audit hook — completeness holds for every pair
+  /** EXACT set-similarity self-join at word-Jaccard ≥ [[PrefixJaccardBp]]
+    * via prefix filtering (Chaudhuri/Xiao's PPJoin family): the zero-
+    * false-negative complement to the LSH path — band bucketing can MISS
+    * a true pair (it is probabilistic by design; `minhash_calibration`
+    * prices the error), while two sets with Jaccard ≥ τ MUST share a
+    * token inside each other's (n − ⌈τ·n⌉ + 1)-token prefix, so prefix
+    * candidates are COMPLETE. Pinned: the same 5-gram shingle-hash sets
+    * as the whole minhash family ([[sigSets]] — the corpus pass is
+    * shared, not re-run); prefix ordering is rarest-document-frequency-
+    * first (df asc, hash asc — the standard ordering that keeps prefix
+    * buckets small); ⌈τ·n⌉ = (8n+9) div 10, all-integer; the PPJoin SIZE
+    * filter (10·na ≥ 8·nb both ways) and POSITIONAL filter
+    * (1 + min(na−rka, nb−rkb) ≥ ⌈τ/(1+τ)·(na+nb)⌉ = (8(na+nb)+17) div 18
+    * — the remaining-token overlap upper bound at the shared token's
+    * prefix positions) prune inside the candidate join: measured at
+    * sf0.1 they collapse 3.2M raw prefix candidates to 482k, which is
+    * what keeps exact verification pair-local cheap. Prefix buckets
+    * larger than [[PrefixBucketCap]] are dropped before the self-join
+    * (the LSH BucketCap discipline): a shingle shared by hundreds of
+    * documents' RARE-end prefixes means vocabulary collapse, and the cap
+    * is the documented audit hook — completeness holds for every pair
     * with at least one sub-cap shared prefix token.
     *
     * Scale shape: ONE explode of the materialized sets → df rollup; the
@@ -383,21 +389,28 @@ object Dedup {
   def dedupPrefixExact(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sets = sigSets(spark, dir).select(col("doc_id"), col("hs"))
-    val tokens = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+    val tokens = sets.select(col("doc_id"), explode(col("hs")).as("h"),
+      size(col("hs")).cast("long").as("n"))
     val freq = tokens.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("df"), col("h"))
     val prefix = tokens.join(freq, "h")
-      .select(col("doc_id"), col("h"),
-        row_number().over(w).as("rk"),
-        count(lit(1)).over(Window.partitionBy("doc_id")).as("n"))
+      .select(col("doc_id"), col("h"), col("n"),
+        row_number().over(w).cast("long").as("rk"))
       .where(col("rk") <= col("n") - expr("(8 * n + 9) DIV 10") + 1)
     val kept = prefix.groupBy(col("h")).agg(count(lit(1)).as("bn"))
       .where(col("bn").between(2L, PrefixBucketCap))
       .select(col("h"))
-    val pf = prefix.join(kept, "h").select(col("h"), col("doc_id"))
-    val cand = pf.select(col("h"), col("doc_id").as("doc_a"))
-      .join(pf.select(col("h").as("h2"), col("doc_id").as("doc_b")),
-        col("h") === col("h2") && col("doc_a") < col("doc_b"))
+    val pf = prefix.join(kept, "h")
+      .select(col("h"), col("doc_id"), col("n"), col("rk"))
+    val cand = pf.select(col("h"), col("doc_id").as("doc_a"),
+        col("n").as("na0"), col("rk").as("rka"))
+      .join(pf.select(col("h").as("h2"), col("doc_id").as("doc_b"),
+          col("n").as("nb0"), col("rk").as("rkb")),
+        col("h") === col("h2") && col("doc_a") < col("doc_b") &&
+          col("na0") * 10L >= col("nb0") * 8L &&
+          col("nb0") * 10L >= col("na0") * 8L &&
+          lit(1L) + least(col("na0") - col("rka"), col("nb0") - col("rkb"))
+            >= expr("(8 * (na0 + nb0) + 17) DIV 18"))
       .select(col("doc_a"), col("doc_b")).distinct()
     cand.hint("shuffle_hash")
       .join(sets.select(col("doc_id").as("ia"), col("hs").as("hsa")),
@@ -419,23 +432,25 @@ object Dedup {
        |  SELECT h, count(*) AS df FROM sh GROUP BY 1
        |), dsz AS MATERIALIZED (
        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
-       |), ranked AS MATERIALIZED (
-       |  SELECT s.doc_id, s.h,
-       |    row_number() OVER (PARTITION BY s.doc_id ORDER BY f.df, s.h)
-       |      AS rk,
-       |    d.n
-       |  FROM sh s JOIN dfreq f USING (h) JOIN dsz d USING (doc_id)
        |), pre AS MATERIALIZED (
-       |  SELECT doc_id, h FROM ranked
+       |  SELECT doc_id, h, rk, n FROM (
+       |    SELECT s.doc_id, s.h,
+       |      row_number() OVER (PARTITION BY s.doc_id ORDER BY f.df, s.h)
+       |        AS rk,
+       |      d.n
+       |    FROM sh s JOIN dfreq f USING (h) JOIN dsz d USING (doc_id))
        |  WHERE rk <= n - (8 * n + 9) // 10 + 1
        |), keptp AS (
        |  SELECT h FROM pre GROUP BY 1
        |  HAVING count(*) BETWEEN 2 AND $PrefixBucketCap
        |), pf AS MATERIALIZED (
-       |  SELECT p.doc_id, p.h FROM pre p JOIN keptp USING (h)
+       |  SELECT p.doc_id, p.h, p.rk, p.n FROM pre p JOIN keptp USING (h)
        |), cand AS MATERIALIZED (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM pf a JOIN pf b ON a.h = b.h AND a.doc_id < b.doc_id
+       |    AND a.n * 10 >= b.n * 8 AND b.n * 10 >= a.n * 8
+       |    AND 1 + least(a.n - a.rk, b.n - b.rk)
+       |      >= (8 * (a.n + b.n) + 17) // 18
        |), ov AS (
        |  SELECT c.doc_a, c.doc_b, count(*) AS inter
        |  FROM cand c
