@@ -636,11 +636,18 @@ object Dedup {
     * component); only docs in the pair graph appear. */
   private[operators] def componentsOfPairs(spark: SparkSession,
       pairs: DataFrame, tag: String): DataFrame = {
-      val edges = pairs
+      val edges0 = pairs
         .select(col("doc_a"), col("doc_b"))
         .union(pairs.select(col("doc_b"), col("doc_a")))
         .toDF("src", "dst")
+      val nEdges = edges0.count()
+      // iterative-loop execution profile (see pagerankOn): each round is
+      // 3 fixed-shape joins + 1 count — per-exchange AQE planning jobs and
+      // 32-way tiny shuffles dominate on a pair-graph-bounded frame
+      Scale.loopSession(spark, nEdges) { cs =>
+      val edges = Scale.rebind(cs, edges0).localCheckpoint(false)
       val ckpts = scala.collection.mutable.ListBuffer.empty[org.apache.spark.rdd.RDD[_]]
+      checkpointRdd(edges).foreach(ckpts += _)
       // localCheckpoint each round: labels is referenced 3× per round, so
       // without lineage truncation the logical plan grows ~3^rounds and
       // planning time explodes (measured 111 s at sf0.1; ~5 s with it).
@@ -695,6 +702,7 @@ object Dedup {
       result.count()
       ckpts.foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
       result
+      }
   }
   val dedupComponentsSql: String =
     s"""WITH RECURSIVE pairs AS (
@@ -761,45 +769,67 @@ object Dedup {
   private[graft] def pagerankOn(edges: DataFrame,
       tag: String = s"pagerank-adhoc-${java.util.UUID.randomUUID()}",
       nodes: Option[DataFrame] = None): DataFrame = {
-    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val deg = nodes match {
+    val spark = edges.sparkSession
+    // checkpoint the edge frame before anything reads it: the callers'
+    // edge lineages re-parse their source per action (the WARC fixture
+    // parse measured ~1 s/scan), and this function reads edges from five
+    // places (degrees, two counts, the loop rebind, the final join)
+    val e0 = edges.localCheckpoint(false)
+    val outDeg = e0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // deg is also checkpointed up front: the optional `nodes` universe
+    // carries the caller's source lineage too, and deg is read four times
+    val deg0 = (nodes match {
       case None => outDeg
       case Some(ns) => ns.select(col("src")).distinct()
         .join(outDeg, Seq("src"), "left")
         .select(col("src"), coalesce(col("deg"), lit(0L)).as("deg"))
-    }
-    val n = deg.count()
-    if (n == 0)
-      return deg.select(col("src").as("doc_id"), col("deg").as("degree"),
-        lit(0.0).as("pr"))
-    val edgesW = edges.join(deg.where(col("deg") > 0), "src")
+    }).localCheckpoint(false)
     val ckpts = scala.collection.mutable.ListBuffer.empty[org.apache.spark.rdd.RDD[_]]
-    var ranks = deg.select(col("src").as("doc"), lit(1.0 / n).as("pr"))
-      .localCheckpoint(false)
-    checkpointRdd(ranks).foreach(ckpts += _)
-    for (_ <- 1 to PrRounds) {
-      val contrib = edgesW
-        .join(ranks, col("src") === col("doc"))
-        .groupBy(col("dst"))
-        .agg(sum(col("pr") / col("deg")).as("inflow"))
-      ranks = deg.select(col("src").as("doc"))
-        .join(contrib, col("doc") === col("dst"), "left")
-        .select(col("doc"),
-          (lit((1.0 - PrDamp) / n)
-            + lit(PrDamp) * coalesce(col("inflow"), lit(0.0))).as("pr"))
+    checkpointRdd(e0).foreach(ckpts += _)
+    checkpointRdd(deg0).foreach(ckpts += _)
+    val n = deg0.count()
+    if (n == 0)
+      return deg0.select(col("src").as("doc_id"), col("deg").as("degree"),
+        lit(0.0).as("pr"))
+    val nEdges = e0.count()
+    // the loop's fixed-shape rounds run under the iterative-loop execution
+    // profile (Scale.loopSession): on a bounded graph, AQE's per-exchange
+    // planning jobs are the dominant cost of every round (measured 161
+    // jobs / 21 s wall for a 10-round loop over a 5-node fixture graph)
+    Scale.loopSession(spark, math.max(n, nEdges)) { cs =>
+      val deg = Scale.rebind(cs, deg0).localCheckpoint(false)
+      val edgesW = Scale.rebind(cs, e0).join(deg.where(col("deg") > 0), "src")
+        .localCheckpoint(false)
+      checkpointRdd(deg).foreach(ckpts += _)
+      checkpointRdd(edgesW).foreach(ckpts += _)
+      var ranks = deg.select(col("src").as("doc"), lit(1.0 / n).as("pr"))
         .localCheckpoint(false)
       checkpointRdd(ranks).foreach(ckpts += _)
+      for (_ <- 1 to PrRounds) {
+        val contrib = edgesW
+          .join(ranks, col("src") === col("doc"))
+          .groupBy(col("dst"))
+          .agg(sum(col("pr") / col("deg")).as("inflow"))
+        ranks = deg.select(col("src").as("doc"))
+          .join(contrib, col("doc") === col("dst"), "left")
+          .select(col("doc"),
+            (lit((1.0 - PrDamp) / n)
+              + lit(PrDamp) * coalesce(col("inflow"), lit(0.0))).as("pr"))
+          .localCheckpoint(false)
+        checkpointRdd(ranks).foreach(ckpts += _)
+      }
+      // Same release discipline as dedupComponents: durable finish first
+      // (scratch parquet + persisted read-back — the ranks keep a recompute
+      // path after the round checkpoints are freed), then drop the blocks.
+      // Finished via the PARENT session so readers keep its adaptive conf.
+      val out = durableFinish(spark, tag,
+        ranks.join(deg, col("doc") === col("src"))
+          .select(col("doc").as("doc_id"), col("deg").as("degree"),
+            round(col("pr"), 6).cast("decimal(14,6)").cast("double").as("pr")))
+      out.count()
+      ckpts.foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
+      out
     }
-    // Same release discipline as dedupComponents: durable finish first
-    // (scratch parquet + persisted read-back — the ranks keep a recompute
-    // path after the round checkpoints are freed), then drop the blocks.
-    val out = durableFinish(edges.sparkSession, tag,
-      ranks.join(deg, col("doc") === col("src"))
-        .select(col("doc").as("doc_id"), col("deg").as("degree"),
-          round(col("pr"), 6).cast("decimal(14,6)").cast("double").as("pr")))
-    out.count()
-    ckpts.foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
-    out
   }
 
   /** HITS (Kleinberg) hubs-and-authorities over a directed edge frame —
@@ -818,16 +848,26 @@ object Dedup {
   val HitsRounds = 8
   private[graft] def hitsOn(edges: DataFrame, tag: String): DataFrame = {
     val spark = edges.sparkSession
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
-    val nodes = e.select(col("src"))
-      .union(e.select(col("dst").as("src"))).distinct()
+    val e0 = edges.select(col("src"), col("dst")).localCheckpoint(false)
+    val nodes0 = e0.select(col("src"))
+      .union(e0.select(col("dst").as("src"))).distinct()
       .select(col("src").as("node")).localCheckpoint(false)
-    val n = nodes.count()
+    val n = nodes0.count()
     if (n == 0)
-      return nodes.select(col("node").as("domain"),
+      return nodes0.select(col("node").as("domain"),
         lit(0L).as("out_degree"), lit(0L).as("in_degree"),
         lit(0.0).as("hub"), lit(0.0).as("auth"))
+    val nEdges = e0.count()
+    // iterative-loop execution profile (see pagerankOn): 2 collects + 2
+    // checkpoints per round make HITS even more round-trip-bound than PR
+    Scale.loopSession(spark, math.max(n, nEdges)) { cs =>
+    val e = Scale.rebind(cs, e0).localCheckpoint(false)
+    val nodes = Scale.rebind(cs, nodes0).localCheckpoint(false)
     val ckpts = scala.collection.mutable.ListBuffer.empty[org.apache.spark.rdd.RDD[_]]
+    checkpointRdd(e).foreach(ckpts += _)
+    checkpointRdd(nodes).foreach(ckpts += _)
+    checkpointRdd(e0).foreach(ckpts += _)
+    checkpointRdd(nodes0).foreach(ckpts += _)
     var hub = nodes.select(col("node"), lit(1.0 / n).as("hub"))
       .localCheckpoint(false)
     checkpointRdd(hub).foreach(ckpts += _)
@@ -874,6 +914,7 @@ object Dedup {
     out.count()
     ckpts.foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
     out
+    }
   }
 
   def dupPagerank(spark: SparkSession, dir: String): DataFrame =

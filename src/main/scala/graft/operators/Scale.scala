@@ -142,6 +142,74 @@ object Scale {
         outCol, org.apache.spark.sql.types.LongType, nullable = false)))
   }
 
+  /** Default per-partition row budget for [[loopSession]] — graph/model
+    * rows are narrow (tens of bytes), so 1M rows ≈ tens of MB per task,
+    * inside the guide's 100 MB–1 GB window with headroom for join state. */
+  val LoopRowsPerPartition = 1000000L
+
+  /** Iterative-fixpoint frames above this stay on the parent session
+    * (AQE on, session shuffle sizing): at that size each round runs long
+    * enough that AQE's per-exchange planning jobs are amortized and its
+    * skew handling is worth keeping. Below it the loop's fixed-shape
+    * per-round plans pay ~100 ms of driver round-trip per exchange —
+    * across rounds×exchanges that overhead dominates the actual work
+    * (measured: 161 AQE jobs / 21 s wall for a 10-round PageRank over a
+    * 5-node graph whose total task time was 9 s spread over 251 tasks). */
+  val LoopAqeOffMaxRows = 50000000L
+
+  /** Run `body` with a session tuned for a BOUNDED ITERATIVE LOOP over
+    * frames of roughly `rows` rows (graph edges, model tables): when the
+    * loop is small enough that per-round driver overhead dominates
+    * ([[LoopAqeOffMaxRows]]), the body gets a CLONED session (the
+    * SuffixRepeats.withoutAqe discipline — shared SparkContext/cache,
+    * isolated SQLConf, so nothing leaks to concurrent queries) with AQE
+    * off and shuffle partitions derived from `rows` instead of the
+    * session constant. Above the threshold the parent session is handed
+    * back unchanged — at that scale AQE's skew splits matter more than
+    * its planning round-trips. Both knobs are conf-overridable
+    * (`graft.loopRowsPerPartition`, `graft.loopAqeOffMaxRows`) so a
+    * cluster deployment can retune without code changes. Frames built
+    * under the clone may escape (the clone shares the SparkContext);
+    * durable results should be re-rooted via the PARENT session so
+    * readers keep its adaptive behavior. */
+  def loopSession[A](spark: org.apache.spark.sql.SparkSession, rows: Long)(
+      body: org.apache.spark.sql.SparkSession => A): A = {
+    val aqeMax = spark.conf.getOption("graft.loopAqeOffMaxRows")
+      .flatMap(_.toLongOption).getOrElse(LoopAqeOffMaxRows)
+    if (rows > aqeMax) body(spark)
+    else {
+      val perPart = spark.conf.getOption("graft.loopRowsPerPartition")
+        .flatMap(_.toLongOption).getOrElse(LoopRowsPerPartition)
+      val parentP = spark.sessionState.conf.numShufflePartitions
+      val p = math.max(1L, math.min(parentP.toLong,
+        rows / math.max(perPart, 1L) + 1L)).toInt
+      val cs = spark.newSession()
+      spark.conf.getAll.foreach { case (k, v) =>
+        try cs.conf.set(k, v)
+        catch { case _: Exception => () } // static/immutable entries
+      }
+      cs.conf.set("spark.sql.adaptive.enabled", "false")
+      cs.conf.set("spark.sql.shuffle.partitions", p.toString)
+      // Below the threshold, whole-stage codegen is pure overhead too: a
+      // fixpoint round embeds round-specific literals (1/n, per-round L1
+      // sums), so every round's generated source is unique and Janino
+      // compiles it fresh — ~50-150 ms per fragment × fragments × rounds,
+      // on stages whose task time is microseconds. Interpreted execution
+      // is semantically identical (Spark's codegen contract) and skips
+      // the compiler entirely.
+      cs.conf.set("spark.sql.codegen.wholeStage", "false")
+      cs.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      body(cs)
+    }
+  }
+
+  /** Re-root `df` under session `cs` (same SparkContext): the public-API
+    * path is an RDD[Row] bridge, so downstream computes pay one
+    * InternalRow→Row conversion per materialization — callers should
+    * localCheckpoint the result once before looping over it. */
+  def rebind(cs: org.apache.spark.sql.SparkSession, df: DataFrame): DataFrame =
+    if (df.sparkSession eq cs) df else cs.createDataFrame(df.rdd, df.schema)
+
   /** Hive-style partitioned layout (`out/col=value/part-*.parquet`): the
     * standard way a 100 TB corpus store is laid out so per-partition
     * queries (one language, one source, one dump date) read only matching

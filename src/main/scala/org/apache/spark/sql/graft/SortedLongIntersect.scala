@@ -1,0 +1,66 @@
+// Lives under org.apache.spark.sql — see FloatDotProduct.scala.
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType}
+
+/** Intersection of two ASCENDING-SORTED, DUPLICATE-FREE `array<long>`
+  * columns as one primitive two-pointer merge.
+  *
+  * Why a custom Catalyst expression: the built-in `array_intersect` builds
+  * a boxed hash set per ROW (one `java.lang.Long` allocation per element
+  * of both sides) — on the co-purchase triangle closure that is ~290M
+  * allocations for 1.2M edges × ~240 neighbor entries, measured ~190
+  * task-seconds; the merge below is two primitive cursors over unboxed
+  * `getLong` reads. Same set-intersection result as `array_intersect` on
+  * inputs satisfying the sorted/distinct contract (which our adjacency
+  * lists do by construction: `sort_array` over distinct edge endpoints) —
+  * and additionally in ascending order, which consumers treat as an
+  * unordered set anyway.
+  */
+case class SortedLongIntersect(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sorted_long_intersect"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SortedLongIntersect.merge(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = org.apache.spark.sql.graft.SortedLongIntersect.merge($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedLongIntersect {
+  /** Two-pointer merge; allocates once at the exact result size. */
+  def merge(x: ArrayData, y: ArrayData): ArrayData = {
+    val nx = x.numElements()
+    val ny = y.numElements()
+    val buf = new Array[Long](math.min(nx, ny))
+    var i = 0; var j = 0; var k = 0
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv < yv) i += 1
+      else if (xv > yv) j += 1
+      else { buf(k) = xv; k += 1; i += 1; j += 1 }
+    }
+    new GenericArrayData(if (k == buf.length) buf
+    else java.util.Arrays.copyOf(buf, k))
+  }
+
+  def apply(a: Column, b: Column): Column =
+    ExpressionUtils.column(SortedLongIntersect(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}
