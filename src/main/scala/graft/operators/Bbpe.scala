@@ -105,9 +105,14 @@ object Bbpe {
   def bbpeMerges(spark: SparkSession, dir: String): DataFrame =
     Materialized.cached(mergesCache, spark, dir) {
       import spark.implicits._
-      var syms = wordFreq(spark, dir)
+      val base = wordFreq(spark, dir)
         .where(length(col("h")) >= 4)
-        .select(col("freq"), col("h")).as[(Long, String)]
+        .select(col("freq"), col("h"))
+      val nWords = base.count()
+      // bounded argmax fixpoint over the vocabulary frame — iterative-loop
+      // execution profile (Scale.loopSession, see Dedup.pagerankOn)
+      val merges = Scale.loopSession(spark, nWords) { cs =>
+      var syms = Scale.rebind(cs, base).as[(Long, String)]
         .map { case (f, h) => (f, hexSyms(h)) }
       val merges = scala.collection.mutable.ArrayBuffer
         .empty[(Long, String, String, Long)]
@@ -133,6 +138,8 @@ object Bbpe {
           if (round % 4 == 0) syms = syms.localCheckpoint(true)
           round += 1
         }
+      }
+      merges
       }
       merges.toSeq.toDF("merge_ix", "left", "right", "pair_count")
         .select(col("merge_ix"), col("left"), col("right"),

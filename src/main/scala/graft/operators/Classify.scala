@@ -284,14 +284,26 @@ object Classify {
   private[graft] def lrTrainedWeights(spark: SparkSession,
       dir: String): Map[Long, BigDecimal] =
     lrWeightsCache.getOrElseUpdate(Materialized.sessionKey(spark, dir), {
-      val feats = lrFeatures(spark, dir)
-      val n = feats.select("doc_id").distinct().count()
+      val feats0 = lrFeatures(spark, dir)
+      val n = feats0.select("doc_id").distinct().count()
+      val nFeats = feats0.count()
+      // the GD rounds are a bounded fixpoint over the bucketed feature
+      // frame — run them under the iterative-loop execution profile
+      // (Scale.loopSession; see Dedup.pagerankOn) and checkpoint each
+      // round's residuals so the two gradient reads share one compute
+      Scale.loopSession(spark, nFeats, roundLiterals = true) { cs =>
+      val feats = Scale.rebind(cs, feats0).localCheckpoint(false)
+      val ckpts = scala.collection.mutable.ListBuffer.empty[org.apache.spark.rdd.RDD[_]]
+      feats.queryExecution.analyzed.collectLeaves().collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => ckpts += l.rdd }
       var w: Map[Long, BigDecimal] =
         ((-1L) +: (0L until LrBuckets.toLong)).map(_ -> BigDecimal(0)).toMap
       // empty corpus: zero weights, zero rounds (a `return` here would be
       // a NonLocalReturnControl throw through getOrElseUpdate — uncached)
       for (_ <- 1 to (if (n == 0) 0 else LrRounds)) {
-        val resid = lrResiduals(feats, w)
+        val resid = lrResiduals(feats, w).localCheckpoint(false)
+        resid.queryExecution.analyzed.collectLeaves().collectFirst {
+          case l: org.apache.spark.sql.execution.LogicalRDD => ckpts += l.rdd }
         // gradient: exact decimal sums over the rounded residuals
         val gB = resid.join(feats, Seq("doc_id"))
           .groupBy(col("b"))
@@ -305,7 +317,9 @@ object Classify {
           b -> (wb - (LrRate * g / n)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
         }
       }
+      ckpts.foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
       w
+      }
     })
 
   /** Per-doc 6-dp residual σ(margin)−y under weight map `w`: the margin is

@@ -498,9 +498,15 @@ object Curation {
   /** Row-local per-grain repetition stats of a `toks` array column — one
     * struct per n ∈ [[GopherNs]] the doc is long enough for (see
     * [[gopherRepetition]] for the run-length-fold derivation). Shared by
-    * the batch operator and the streaming gate so they cannot diverge. */
+    * the batch operator and the streaming gate so they cannot diverge.
+    * Since r13 this is the codegen'd
+    * [[org.apache.spark.sql.graft.GopherRepStats]] primitive — the
+    * interpreted higher-order-function fold it replaces (kept below as
+    * [[gopherFoldExprSql]] documentation of the pinned semantics) cost
+    * ~7 s of single-task CPU at sf0.1; outputs are identical (same
+    * 60-bit md5 gram key, same struct sort order, same run fold). */
   private[graft] def gopherRepStatsArr: org.apache.spark.sql.Column =
-    expr(gopherFoldExprSql)
+    org.apache.spark.sql.graft.GopherRepStats(col("toks"), GopherNs)
 
   private def gopherRepetitionUncached(spark: SparkSession, dir: String): DataFrame =
     // ROW-LOCAL formulation: a doc's grams all live in its own row, so the

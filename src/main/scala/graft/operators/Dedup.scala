@@ -129,7 +129,12 @@ object Dedup {
         .where(length(col("text")) >= ShingleK)
         .select(col("doc_id"), org.apache.spark.sql.graft.ShinglePolyHash(
           col("text"), ShingleK, ShingleB, P).as("raw"))
-        .select(col("doc_id"), array_distinct(col("raw")).as("hs"),
+        // hs is SORTED ascending: every consumer is set-semantic (explode,
+        // size, intersection size), and sorted+distinct arrays let the
+        // pair verifications run the zero-alloc two-pointer
+        // SortedLongIntersectCount instead of array_intersect's per-row
+        // boxed hash set (the measured hot spot of the verify joins)
+        .select(col("doc_id"), sort_array(array_distinct(col("raw"))).as("hs"),
           org.apache.spark.sql.graft.MinhashSig(col("raw"), CoefA, CoefB, P).as("sig"))
         .select(col("doc_id") +: col("hs") +:
           (0 until K).map(i => col("sig").getItem(i).as(s"s$i")): _*)
@@ -323,7 +328,8 @@ object Dedup {
         .join(shSets.as("a"), col("doc_a") === col("a.doc_id"))
         .join(shSets.as("b"), col("doc_b") === col("b.doc_id"))
         .select(col("doc_a"), col("doc_b"),
-          size(array_intersect(col("a.hs"), col("b.hs"))).as("inter"),
+          org.apache.spark.sql.graft.SortedLongIntersectCount(
+            col("a.hs"), col("b.hs")).as("inter"),
           size(col("a.hs")).as("na"), size(col("b.hs")).as("nb"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
@@ -386,22 +392,36 @@ object Dedup {
     * cached set table (shuffle_hash — never broadcast the corpus). */
   val PrefixJaccardBp = 8000L
   val PrefixBucketCap = 256L
+  /** The PPJoin PREFIX INDEX (h, doc_id, n, rk) — the per-corpus artifact
+    * the exact join probes (kept prefix tokens in rarest-first rank
+    * order, hot buckets dropped), materialized once per (session, corpus)
+    * exactly like the banded LSH signature table: the token explode, the
+    * document-frequency join and the per-doc rank window all run once. */
+  private val prefixIndexCache = Materialized.register(
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
+  private def prefixIndex(spark: SparkSession, dir: String): DataFrame =
+    Materialized.cached(prefixIndexCache, spark, dir) {
+      import org.apache.spark.sql.expressions.Window
+      val sets = sigSets(spark, dir).select(col("doc_id"), col("hs"))
+      val tokens = sets.select(col("doc_id"), explode(col("hs")).as("h"),
+        size(col("hs")).cast("long").as("n"))
+      val freq = tokens.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id").orderBy(col("df"), col("h"))
+      val prefix = tokens.join(freq, "h")
+        .select(col("doc_id"), col("h"), col("n"),
+          row_number().over(w).cast("long").as("rk"))
+        .where(col("rk") <= col("n") - expr("(8 * n + 9) DIV 10") + 1)
+      val kept = prefix.groupBy(col("h")).agg(count(lit(1)).as("bn"))
+        .where(col("bn").between(2L, PrefixBucketCap))
+        .select(col("h"))
+      prefix.join(kept, "h")
+        .select(col("h"), col("doc_id"), col("n"), col("rk"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+
   def dedupPrefixExact(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sets = sigSets(spark, dir).select(col("doc_id"), col("hs"))
-    val tokens = sets.select(col("doc_id"), explode(col("hs")).as("h"),
-      size(col("hs")).cast("long").as("n"))
-    val freq = tokens.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("h"))
-    val prefix = tokens.join(freq, "h")
-      .select(col("doc_id"), col("h"), col("n"),
-        row_number().over(w).cast("long").as("rk"))
-      .where(col("rk") <= col("n") - expr("(8 * n + 9) DIV 10") + 1)
-    val kept = prefix.groupBy(col("h")).agg(count(lit(1)).as("bn"))
-      .where(col("bn").between(2L, PrefixBucketCap))
-      .select(col("h"))
-    val pf = prefix.join(kept, "h")
-      .select(col("h"), col("doc_id"), col("n"), col("rk"))
+    val pf = prefixIndex(spark, dir)
     val cand = pf.select(col("h"), col("doc_id").as("doc_a"),
         col("n").as("na0"), col("rk").as("rka"))
       .join(pf.select(col("h").as("h2"), col("doc_id").as("doc_b"),
@@ -418,8 +438,8 @@ object Dedup {
       .join(sets.select(col("doc_id").as("ib"), col("hs").as("hsb")),
         col("doc_b") === col("ib"))
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("hsa"), col("hsb"))).cast("long")
-          .as("inter"),
+        org.apache.spark.sql.graft.SortedLongIntersectCount(
+          col("hsa"), col("hsb")).as("inter"),
         (size(col("hsa")) + size(col("hsb"))).cast("long").as("szsum"))
       .select(col("doc_a"), col("doc_b"), col("inter"),
         (col("szsum") - col("inter")).as("n_union"))
@@ -860,7 +880,7 @@ object Dedup {
     val nEdges = e0.count()
     // iterative-loop execution profile (see pagerankOn): 2 collects + 2
     // checkpoints per round make HITS even more round-trip-bound than PR
-    Scale.loopSession(spark, math.max(n, nEdges)) { cs =>
+    Scale.loopSession(spark, math.max(n, nEdges), roundLiterals = true) { cs =>
     val e = Scale.rebind(cs, e0).localCheckpoint(false)
     val nodes = Scale.rebind(cs, nodes0).localCheckpoint(false)
     val ckpts = scala.collection.mutable.ListBuffer.empty[org.apache.spark.rdd.RDD[_]]
@@ -1467,7 +1487,8 @@ object Dedup {
   def semanticLexicalAgreement(spark: SparkSession, dir: String): DataFrame = {
     val pairs = dedupEmbedding(spark, dir)
     val shSets = sigSets(spark, dir).select(col("doc_id"), col("hs"))
-    val inter = size(array_intersect(col("a.hs"), col("b.hs")))
+    val inter = org.apache.spark.sql.graft.SortedLongIntersectCount(
+      col("a.hs"), col("b.hs"))
     shSets.as("a").join(broadcast(pairs), col("vec_a") === col("a.doc_id"))
       .join(shSets.as("b"), col("vec_b") === col("b.doc_id"))
       .select(col("vec_a"), col("vec_b"), col("cos"),

@@ -2423,31 +2423,30 @@ object Relational {
     * dedups), materialized once per (session, corpus). ONE lineitem scan,
     * ONE order-keyed exchange: the explicit repartition on l_orderkey
     * satisfies the clustering requirement of the (orderkey, partkey)
-    * distinct, the per-order line-count agg and the order-keyed
-    * self-join, so none re-exchanges. The [[CopurchaseMaxLines]] cap
-    * bounds per-order join output at C(cap, 2) rows even against an
-    * adversarial mega-order (the LSH bucket-cap discipline). Pairs come
-    * from the capped frame's SELF-JOIN on l_orderkey with part_a <
-    * part_b — whole-stage-codegen end to end, which measured 2.2×
-    * faster than the previous sorted-array collect + slice-explode
-    * (transform(slice(...)) re-copies a subarray and allocates a struct
-    * per pair; the join emits flat unsafe rows). Same (order, pair)
-    * multiset by construction. */
+    * distinct, the per-order line-count window and the pair expansion, so
+    * none re-exchanges. The [[CopurchaseMaxLines]] cap filters on the
+    * WINDOW count BEFORE any per-order array materializes (collected
+    * state ≤ cap elements per order even against an adversarial
+    * mega-order — the LSH bucket-cap discipline); pairs expand from the
+    * sorted per-order array (i < j ⇒ part_a < part_b) through the
+    * codegen'd [[org.apache.spark.sql.graft.SortedLongPairs]] — the
+    * interpreted transform(slice(...)) spelling it replaces paid an
+    * O(size) subarray copy per element and was the family's measured
+    * hot spot (~4 s of the 4.6 s build at sf0.1). */
   private def copurchasePairs(spark: SparkSession, dir: String): DataFrame =
     Materialized.cached(copurchasePairCache, spark, dir) {
-      val dd = t(spark, dir, "lineitem")
+      val w = Window.partitionBy("l_orderkey")
+      t(spark, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"))
         .repartition(col("l_orderkey"))
         .dropDuplicates("l_orderkey", "l_partkey")
-      val keep = dd.groupBy("l_orderkey").agg(count(lit(1)).as("m"))
+        .withColumn("m", count(lit(1)).over(w))
         .where(col("m").between(2L, CopurchaseMaxLines))
-        .select("l_orderkey")
-      val capped = dd.join(keep, "l_orderkey")
-      capped.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-        .join(capped.select(col("l_orderkey"), col("l_partkey").as("part_b")),
-          "l_orderkey")
-        .where(col("part_a") < col("part_b"))
-        .select("part_a", "part_b")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("l_partkey"))).as("ps"))
+        .select(explode(org.apache.spark.sql.graft.SortedLongPairs(col("ps")))
+          .as("p"))
+        .select(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 

@@ -172,7 +172,17 @@ object Scale {
     * under the clone may escape (the clone shares the SparkContext);
     * durable results should be re-rooted via the PARENT session so
     * readers keep its adaptive behavior. */
-  def loopSession[A](spark: org.apache.spark.sql.SparkSession, rows: Long)(
+  /** `roundLiterals`: set true when the loop embeds ROUND-VARYING literal
+    * values in its plans (per-round normalization sums, rotated component
+    * blocks): every round's generated source is then unique, Janino
+    * compiles it fresh (~50-150 ms per fragment × fragments × rounds, on
+    * stages whose task time is microseconds), and interpreted execution —
+    * semantically identical by Spark's codegen contract — is cheaper.
+    * Loops whose plan text is round-invariant (the argmax tokenizers, the
+    * label-propagation rounds) compile once and hit the codegen cache, so
+    * they keep codegen on. */
+  def loopSession[A](spark: org.apache.spark.sql.SparkSession, rows: Long,
+      roundLiterals: Boolean = false)(
       body: org.apache.spark.sql.SparkSession => A): A = {
     val aqeMax = spark.conf.getOption("graft.loopAqeOffMaxRows")
       .flatMap(_.toLongOption).getOrElse(LoopAqeOffMaxRows)
@@ -190,15 +200,10 @@ object Scale {
       }
       cs.conf.set("spark.sql.adaptive.enabled", "false")
       cs.conf.set("spark.sql.shuffle.partitions", p.toString)
-      // Below the threshold, whole-stage codegen is pure overhead too: a
-      // fixpoint round embeds round-specific literals (1/n, per-round L1
-      // sums), so every round's generated source is unique and Janino
-      // compiles it fresh — ~50-150 ms per fragment × fragments × rounds,
-      // on stages whose task time is microseconds. Interpreted execution
-      // is semantically identical (Spark's codegen contract) and skips
-      // the compiler entirely.
-      cs.conf.set("spark.sql.codegen.wholeStage", "false")
-      cs.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      if (roundLiterals) {
+        cs.conf.set("spark.sql.codegen.wholeStage", "false")
+        cs.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      }
       body(cs)
     }
   }
@@ -206,9 +211,18 @@ object Scale {
   /** Re-root `df` under session `cs` (same SparkContext): the public-API
     * path is an RDD[Row] bridge, so downstream computes pay one
     * InternalRow→Row conversion per materialization — callers should
-    * localCheckpoint the result once before looping over it. */
+    * localCheckpoint the result once before looping over it. The result
+    * is coalesced to the clone's shuffle sizing: the parent frame carries
+    * the parent's partitioning (32-way for a few thousand rows at bench),
+    * and without the narrow coalesce every map stage of every round still
+    * fans out over near-empty tasks. */
   def rebind(cs: org.apache.spark.sql.SparkSession, df: DataFrame): DataFrame =
-    if (df.sparkSession eq cs) df else cs.createDataFrame(df.rdd, df.schema)
+    if (df.sparkSession eq cs) df
+    else {
+      val p = cs.conf.getOption("spark.sql.shuffle.partitions")
+        .flatMap(_.toIntOption).getOrElse(1)
+      cs.createDataFrame(df.rdd, df.schema).coalesce(math.max(p, 1))
+    }
 
   /** Hive-style partitioned layout (`out/col=value/part-*.parquet`): the
     * standard way a 100 TB corpus store is laid out so per-partition

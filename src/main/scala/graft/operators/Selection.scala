@@ -549,14 +549,20 @@ object Selection {
             / col("n_ctx").cast("double")
           + (lit(KnDiscount) * col("nfollow3").cast("double")
             / col("n_ctx").cast("double")) * col("p_mid"))
-      c3.join(cctx.hint("shuffle_hash"), "ctx")
-        .join(contBg.hint("shuffle_hash"), Seq("w2", "w3"))
+      // the lower-order probability is resolved at ITS OWN grain (w2, w3)
+      // — |distinct bigram| rows — and the trigram table joins it once,
+      // instead of dragging every trigram row through five key-cascaded
+      // exchanges; the per-row expression trees are unchanged, so the
+      // pinned doubles are bit-identical
+      val pMidTab = contBg
         .join(midTot.hint("shuffle_hash"), "w2")
         .join(follow2.hint("shuffle_hash"), "w2")
         .join(cont1.hint("shuffle_hash"), "w3")
         .crossJoin(broadcast(types))
         .withColumn("p_cont", pCont)
-        .withColumn("p_mid", pMid)
+        .select(col("w2"), col("w3"), pMid.as("p_mid"))
+      c3.join(cctx.hint("shuffle_hash"), "ctx")
+        .join(pMidTab.hint("shuffle_hash"), Seq("w2", "w3"))
         .select(col("trigram"), col("n"), p3.as("p_kn3"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
@@ -799,18 +805,24 @@ object Selection {
       val pMid3E6 =
         lvl(col("n1p_234"), col("nfollow3"), col("p_mid2_e6"), col("n1p_mid3"))
       val p4E6 = lvl(col("n"), col("nfollow4"), col("p_mid3_e6"), col("n_ctx4"))
-      c4.join(cctx4.hint("shuffle_hash"), "ctx3")
-        .join(cont3.hint("shuffle_hash"), Seq("w2", "w3", "w4"))
-        .join(midTot3.hint("shuffle_hash"), Seq("w2", "w3"))
-        .join(fol3.hint("shuffle_hash"), Seq("w2", "w3"))
-        .join(contBg.hint("shuffle_hash"), Seq("w3", "w4"))
+      // each interpolation level is resolved at ITS OWN grain and the next
+      // level joins the one below it once (kn3Model discipline): the
+      // 4-gram table sees two exchanges instead of eight, and the integer
+      // e6 math is position-for-position the same
+      val p2Tab = contBg
         .join(midTot2.hint("shuffle_hash"), "w3")
         .join(follow2.hint("shuffle_hash"), "w3")
         .join(cont1.hint("shuffle_hash"), "w4")
         .crossJoin(broadcast(types))
         .withColumn("p_cont_e6", pContE6)
-        .withColumn("p_mid2_e6", pMid2E6)
-        .withColumn("p_mid3_e6", pMid3E6)
+        .select(col("w3"), col("w4"), pMid2E6.as("p_mid2_e6"))
+      val p3Tab = cont3
+        .join(midTot3.hint("shuffle_hash"), Seq("w2", "w3"))
+        .join(fol3.hint("shuffle_hash"), Seq("w2", "w3"))
+        .join(p2Tab.hint("shuffle_hash"), Seq("w3", "w4"))
+        .select(col("w2"), col("w3"), col("w4"), pMid3E6.as("p_mid3_e6"))
+      c4.join(cctx4.hint("shuffle_hash"), "ctx3")
+        .join(p3Tab.hint("shuffle_hash"), Seq("w2", "w3", "w4"))
         .select(col("fourgram"), col("n"),
           (p4E6.cast("double") / lit(1000000d)).as("p_kn4"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1070,22 +1082,28 @@ object Selection {
       val p4E6 =
         lvl(col("n1p_2345"), col("nfollow4c"), col("p3_e6"), col("n1p_mid4"))
       val p5E6 = lvl(col("n"), col("nfollow5"), col("p4_e6"), col("n_ctx5"))
-      c5.join(cctx5.hint("shuffle_hash"), "ctx4")
-        .join(cont4.hint("shuffle_hash"), Seq("w2", "w3", "w4", "w5"))
-        .join(midTot4.hint("shuffle_hash"), Seq("w2", "w3", "w4"))
-        .join(fol4.hint("shuffle_hash"), Seq("w2", "w3", "w4"))
-        .join(cont3p.hint("shuffle_hash"), Seq("w3", "w4", "w5"))
-        .join(midTot3p.hint("shuffle_hash"), Seq("w3", "w4"))
-        .join(fol3.hint("shuffle_hash"), Seq("w3", "w4"))
-        .join(contBg.hint("shuffle_hash"), Seq("w4", "w5"))
+      // each interpolation level resolved at ITS OWN grain, joined upward
+      // once (kn3Model discipline): the 5-gram table sees two exchanges
+      // instead of eleven; identical integer e6 math per row
+      val p2Tab = contBg
         .join(midTot2.hint("shuffle_hash"), "w4")
         .join(follow2.hint("shuffle_hash"), "w4")
         .join(cont1.hint("shuffle_hash"), "w5")
         .crossJoin(broadcast(types))
         .withColumn("p_cont_e6", pContE6)
-        .withColumn("p2_e6", p2E6)
-        .withColumn("p3_e6", p3E6)
-        .withColumn("p4_e6", p4E6)
+        .select(col("w4"), col("w5"), p2E6.as("p2_e6"))
+      val p3Tab = cont3p
+        .join(midTot3p.hint("shuffle_hash"), Seq("w3", "w4"))
+        .join(fol3.hint("shuffle_hash"), Seq("w3", "w4"))
+        .join(p2Tab.hint("shuffle_hash"), Seq("w4", "w5"))
+        .select(col("w3"), col("w4"), col("w5"), p3E6.as("p3_e6"))
+      val p4Tab = cont4
+        .join(midTot4.hint("shuffle_hash"), Seq("w2", "w3", "w4"))
+        .join(fol4.hint("shuffle_hash"), Seq("w2", "w3", "w4"))
+        .join(p3Tab.hint("shuffle_hash"), Seq("w3", "w4", "w5"))
+        .select(col("w2"), col("w3"), col("w4"), col("w5"), p4E6.as("p4_e6"))
+      c5.join(cctx5.hint("shuffle_hash"), "ctx4")
+        .join(p4Tab.hint("shuffle_hash"), Seq("w2", "w3", "w4", "w5"))
         .select(col("fivegram"), col("n"),
           (p5E6.cast("double") / lit(1000000d)).as("p_kn5"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

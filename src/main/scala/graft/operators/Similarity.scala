@@ -1978,8 +1978,15 @@ object Similarity {
 
   private def pcaModelFit(spark: SparkSession, dir: String)
       : (Array[Double], Array[Array[Double]], Array[Double], Long) = {
-    val e = emb(spark, dir)
+    val e0 = emb(spark, dir)
     val dim = Dedup.Dim
+    // the 13 matvec passes each embed a fresh literal block (the rotated
+    // V), so every round recompiles its codegen fragments and replans
+    // under AQE — the iterative-loop profile (Scale.loopSession, see
+    // Dedup.pagerankOn) runs them interpreted on a size-derived layout
+    val nVecs = e0.count()
+    Scale.loopSession(spark, nVecs * (dim + 1L)) { cs =>
+    val e = Scale.rebind(cs, e0).localCheckpoint(false)
     // mean + count: one dim-keyed exchange
     val meanRows = e.select(posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy("pos").agg(sum(col("v").cast("double")).as("s"),
@@ -2030,8 +2037,8 @@ object Similarity {
         Array.tabulate(dim)(i => agg(i)(j) - sumS * mean(i))
       }.toArray
     }
-    if (n == 0L)
-      return (mean, block, Array.fill(PcaComponents)(0.0), 0L)
+    if (n == 0L) (mean, block, Array.fill(PcaComponents)(0.0), 0L)
+    else {
     for (_ <- 1 to PcaIters) block = gramSchmidt(matvec(block))
     // Rayleigh-Ritz finish: with a nearly flat spectrum the block spans
     // the dominant subspace but its columns aren't individual
@@ -2053,6 +2060,8 @@ object Similarity {
       if (comps(j)(k) < 0) for (i <- 0 until dim) comps(j)(i) = -comps(j)(i)
     }
     (mean, comps, eigen, n)
+    }
+    }
   }
 
   /** Cyclic Jacobi for a small symmetric matrix: (eigenvalues,

@@ -193,7 +193,8 @@ object SuffixRepeats {
     * ONCE, here. Runtime conf the parent changes later (e.g. shuffle
     * partitions) never reaches reader queries over the escaped level
     * frames — they keep the values in force when the build started. */
-  private def withoutAqe[A](spark: SparkSession)(body: SparkSession => A): A = {
+  private def withoutAqe[A](spark: SparkSession, dir: String)(
+      body: SparkSession => A): A = {
     val key = "spark.sql.adaptive.enabled"
     val s = spark.newSession()
     spark.conf.getAll.foreach { case (k, v) =>
@@ -201,6 +202,20 @@ object SuffixRepeats {
       catch { case _: Exception => () } // static/immutable entries
     }
     s.conf.set(key, "false")
+    // With AQE off nothing coalesces the fixed shuffle-partition count, so
+    // derive it from the corpus's char mass (the char frame is one row per
+    // codepoint): a bench-scale corpus otherwise fans every level's sort
+    // into hundreds of near-empty tasks (measured 1.5k tasks over a 1.5M
+    // char corpus), while a 100 TB corpus keeps the session's sizing.
+    val chars = docs(spark, dir)
+      .agg(coalesce(sum(length(col("text")).cast("long")), lit(0L)))
+      .collect()(0).getLong(0)
+    val parentP = spark.sessionState.conf.numShufflePartitions
+    val perPart = spark.conf.getOption("graft.loopRowsPerPartition")
+      .flatMap(_.toLongOption).getOrElse(Scale.LoopRowsPerPartition)
+    val p = math.max(1L, math.min(parentP.toLong,
+      chars / math.max(perPart, 1L) + 1L)).toInt
+    s.conf.set("spark.sql.shuffle.partitions", p.toString)
     try body(s)
     finally s.conf.set(key,
       spark.sessionState.conf.adaptiveExecutionEnabled.toString)
@@ -232,7 +247,7 @@ object SuffixRepeats {
     * level-cutoff rule; the pack width adapts to the corpus's widest
     * codepoint, see [[CensusChain]]). */
   private[operators] def censuses(spark: SparkSession, dir: String): CensusChain =
-    censusCache.getOrElseUpdate(Materialized.sessionKey(spark, dir), withoutAqe(spark) { cs =>
+    censusCache.getOrElseUpdate(Materialized.sessionKey(spark, dir), withoutAqe(spark, dir) { cs =>
       val base = charFrame(cs, dir)
       val (c1, maxCp) =
         packedCensus(1L, base.select(col("doc_id"), col("ch").as("k")))
@@ -391,7 +406,7 @@ object SuffixRepeats {
     levelsCache.getOrElseUpdate(Materialized.sessionKey(spark, dir), {
       val chain = censuses(spark, dir)
       if (!chain.fullChain) Seq.empty
-      else withoutAqe(spark) { cs =>
+      else withoutAqe(spark, dir) { cs =>
         val ckpt = levelCkptBase(spark, dir)
         val out = scala.collection.mutable.ListBuffer.empty[Level]
         ckpt.foreach(base =>

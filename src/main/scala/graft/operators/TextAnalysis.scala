@@ -1422,10 +1422,14 @@ object TextAnalysis {
 
   private def bpeMergesUncached(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    var syms = termCounts(spark, dir)
+    val base = termCounts(spark, dir)
       .where(col("term").rlike("^[a-z]+$") && length(col("term")) >= 2)
       .select(col("n").as("freq"), split(col("term"), "").as("syms"))
-      .as[(Long, IndexedSeq[String])]
+    val nWords = base.count()
+    // bounded argmax fixpoint over the vocabulary frame — iterative-loop
+    // execution profile (Scale.loopSession, see Dedup.pagerankOn)
+    val merges = Scale.loopSession(spark, nWords) { cs =>
+    var syms = Scale.rebind(cs, base).as[(Long, IndexedSeq[String])]
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var round = 1
     var exhausted = false
@@ -1451,6 +1455,8 @@ object TextAnalysis {
         if (round % 4 == 0) syms = syms.localCheckpoint(true)
         round += 1
       }
+    }
+    merges
     }
     merges.toSeq.toDF("merge_ix", "left", "right", "pair_count")
       .select(col("merge_ix"), col("left"), col("right"),

@@ -162,7 +162,13 @@ object Unigram {
       dir: String): (Map[String, Long], Set[String]) =
     stateCache.getOrElseUpdate(Materialized.sessionKey(spark, dir), {
       import spark.implicits._
-      val wf = wordFreq(spark, dir).as[(String, Long)]
+      val wf0 = wordFreq(spark, dir)
+      val nWords = wf0.count()
+      // bounded EM fixpoint over the vocabulary frame — iterative-loop
+      // execution profile (Scale.loopSession, see Dedup.pagerankOn)
+      Scale.loopSession(spark, nWords) { cs =>
+      val wf = Scale.rebind(cs, wf0).as[(String, Long)]
+        .localCheckpoint(false)
       // seed inventory (bounded collect: ≤ UnigramSeedK + |charset| rows)
       val seed = seedCounts(spark, dir)
       val chars = seed.where(length(col("piece")) === 1)
@@ -190,6 +196,7 @@ object Unigram {
         .take(math.max(UnigramVocabK - charSet.size, 0))
       (charSet.map(c => c -> usage.getOrElse(c, 0L)).toMap ++ multiFinal,
         charSet)
+      }
     })
 
   /** Driver-contract query (rows-only, brute-forced in spec): the trained

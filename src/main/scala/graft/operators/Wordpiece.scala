@@ -165,8 +165,15 @@ object Wordpiece {
   private[operators] def trainedState(spark: SparkSession, dir: String)
       : (IndexedSeq[(Long, String, String, Long, Long)], Set[String]) =
     stateCache.getOrElseUpdate(Materialized.sessionKey(spark, dir), {
-      import spark.implicits._
-      var syms = wordFreq(spark, dir).as[(String, Long)]
+      val wf = wordFreq(spark, dir)
+      val nWords = wf.count()
+      // bounded argmax fixpoint over the vocabulary frame — iterative-loop
+      // execution profile (Scale.loopSession, see Dedup.pagerankOn): each
+      // round is one fixed-shape score+argmax job whose AQE planning
+      // round-trips dominate on a vocabulary-sized frame
+      Scale.loopSession(spark, nWords) { cs =>
+      import cs.implicits._
+      var syms = Scale.rebind(cs, wf).as[(String, Long)]
         .map { case (w, f) => (f, wpSyms(w)) }
       // initial inventory (bounded collect: ≤ 2·|charset| rows)
       val charInv = syms.toDF("freq", "syms")
@@ -194,6 +201,7 @@ object Wordpiece {
         }
       }
       (merges.toIndexedSeq, charInv)
+      }
     })
 
   /** Driver-contract query (rows-only, brute-forced in spec): the ordered

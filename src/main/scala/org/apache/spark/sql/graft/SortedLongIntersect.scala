@@ -42,7 +42,54 @@ case class SortedLongIntersect(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** |a ∩ b| of two ASCENDING-SORTED, DUPLICATE-FREE `array<long>` columns —
+  * [[SortedLongIntersect]] without the result allocation, for the exact
+  * Jaccard/containment verifications that only need the SIZE. Replaces
+  * `size(array_intersect(a, b))`, whose per-row boxed hash set dominated
+  * the candidate-pair verification joins. */
+case class SortedLongIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_long_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SortedLongIntersect.countCommon(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = org.apache.spark.sql.graft.SortedLongIntersect.countCommon($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedLongIntersectCount {
+  def apply(a: Column, b: Column): Column =
+    ExpressionUtils.column(SortedLongIntersectCount(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}
+
 object SortedLongIntersect {
+  /** Two-pointer |a ∩ b| — no allocation. */
+  def countCommon(x: ArrayData, y: ArrayData): Long = {
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0; var j = 0; var k = 0L
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv < yv) i += 1
+      else if (xv > yv) j += 1
+      else { k += 1L; i += 1; j += 1 }
+    }
+    k
+  }
+
   /** Two-pointer merge; allocates once at the exact result size. */
   def merge(x: ArrayData, y: ArrayData): ArrayData = {
     val nx = x.numElements()
