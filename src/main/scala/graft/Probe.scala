@@ -20,60 +20,60 @@ object Probe {
       val t0 = System.nanoTime(); val r = f
       println(f"[probe] $tag: ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
     }
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("l_orderkey")
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .select(col("l_orderkey"), col("l_partkey"))
-    val pairs = li
-      .repartition(col("l_orderkey"))
-      .dropDuplicates("l_orderkey", "l_partkey")
-      .withColumn("m", count(lit(1)).over(w))
-      .where(col("m").between(2L, 64L))
-      .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_list(col("l_partkey"))).as("ps"))
-      .select(explode(expr(
-        """flatten(transform(ps, (x, i) ->
-          |  transform(slice(ps, i + 2, size(ps)),
-          |    y -> struct(x AS part_a, y AS part_b))))""".stripMargin))
-        .as("p"))
-      .select(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
-    time("pairs count (uncached)")(println("[probe] n=" + pairs.count()))
-    val pc = pairs.persist()
-    time("pairs persist+count")(println("[probe] n=" + pc.count()))
-    val e = pc.distinct().persist()
-    time("edges distinct+count")(println("[probe] n=" + e.count()))
-    time("pair rollup (steady parts_copurchase shape)")(
-      println("[probe] top=" + pc.groupBy("part_a", "part_b").agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc).limit(20).collect().length))
-    val adj = e.groupBy(col("part_a").as("p"))
-      .agg(sort_array(collect_list(col("part_b"))).as("nbrs")).persist()
-    time("adjacency build")(println("[probe] adj=" + adj.count()))
-    val tri = e.join(adj.select(col("p").as("pa_"), col("nbrs").as("nbrs_a")),
-        col("part_a") === col("pa_"))
-      .join(adj.select(col("p").as("pb_"), col("nbrs").as("nbrs_b")),
-        col("part_b") === col("pb_"))
-      .select(col("part_a").as("ta"), col("part_b").as("tb"),
-        explode(org.apache.spark.sql.graft.SortedLongIntersect(
-          col("nbrs_a"), col("nbrs_b"))).as("tc"))
-    time("triangle intersect count")(println("[probe] tri=" + tri.count()))
-    // alternative pair generation: self-join instead of collect+slice-explode
-    val dd = li.repartition(col("l_orderkey"))
-      .dropDuplicates("l_orderkey", "l_partkey")
-    val keep = dd.groupBy("l_orderkey").agg(count(lit(1)).as("m"))
-      .where(col("m").between(2L, 64L)).select("l_orderkey")
-    val dd2 = dd.join(keep, "l_orderkey")
-    val pairs2 = dd2.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-      .join(dd2.select(col("l_orderkey"), col("l_partkey").as("part_b")),
-        "l_orderkey")
-      .where(col("part_a") < col("part_b"))
-      .select("part_a", "part_b")
-    time("pairs2 self-join count")(println("[probe] n2=" + pairs2.count()))
-    time("pairs2 again")(println("[probe] n2=" + pairs2.count()))
-    println("[probe] collected=" + pairs2.collect().length)
-    val fin = pairs2.queryExecution.executedPlan.toString
-    println("[probe] final plan scans=" +
-      fin.linesIterator.count(_.contains("Scan parquet")) +
-      " reused=" + fin.linesIterator.count(_.contains("ReusedExchange")))
-    println(fin.linesIterator.take(60).mkString("\n"))
+    // warm
+    li.groupBy("l_returnflag").count().collect()
+    def q1Dec() = li
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,4)"))
+          .cast("decimal(18,4)").cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,4)"))
+          .cast("decimal(18,4)").cast("double").as("sum_base_price"),
+        sum((col("l_extendedprice").cast("decimal(18,4)")
+          * (lit(BigDecimal(1)).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))))
+          .cast("decimal(18,4)").cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+    def q1Long() = li
+      .select(col("l_returnflag"), col("l_linestatus"),
+        round(col("l_quantity") * 10000).cast("long").as("qty4"),
+        round(col("l_extendedprice") * 10000).cast("long").as("price4"),
+        round(col("l_discount") * 10000).cast("long").as("disc4"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        (sum(col("qty4")).cast("decimal(38,0)").cast("decimal(38,4)")
+          / lit(10000)).cast("decimal(18,4)").cast("double").as("sum_qty"),
+        (sum(col("price4")).cast("decimal(38,0)").cast("decimal(38,4)")
+          / lit(10000)).cast("decimal(18,4)").cast("double").as("sum_base_price"),
+        (sum(col("price4") * (lit(10000L) - col("disc4"))).cast("decimal(38,0)")
+          .cast("decimal(38,8)") / lit(100000000L)).cast("decimal(18,4)")
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+    def q1Hybrid() = li
+      .select(col("l_returnflag"), col("l_linestatus"),
+        round(col("l_quantity") * 10000).cast("long").as("qty4"),
+        round(col("l_extendedprice") * 10000).cast("long").as("price4"),
+        round(col("l_discount") * 10000).cast("long").as("disc4"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        (sum(col("qty4").cast("decimal(38,0)")).cast("decimal(38,4)")
+          / lit(10000)).cast("decimal(18,4)").cast("double").as("sum_qty"),
+        (sum(col("price4").cast("decimal(38,0)")).cast("decimal(38,4)")
+          / lit(10000)).cast("decimal(18,4)").cast("double").as("sum_base_price"),
+        (sum((col("price4") * (lit(10000L) - col("disc4"))).cast("decimal(38,0)"))
+          .cast("decimal(38,8)") / lit(100000000L)).cast("decimal(18,4)")
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+    (1 to 3).foreach { i =>
+      time(s"q1 decimal pass $i")(q1Dec().write.mode("overwrite").format("noop").save())
+      time(s"q1 long pass $i")(q1Long().write.mode("overwrite").format("noop").save())
+      time(s"q1 hybrid pass $i")(q1Hybrid().write.mode("overwrite").format("noop").save())
+    }
+    val c = q1Hybrid().orderBy("l_returnflag", "l_linestatus").collect()
+    val a = q1Dec().orderBy("l_returnflag", "l_linestatus").collect()
+    val b = q1Long().orderBy("l_returnflag", "l_linestatus").collect()
+    println("[probe] equalLong=" + (a.map(_.toString).mkString("|") == b.map(_.toString).mkString("|"))
+      + " equalHybrid=" + (a.map(_.toString).mkString("|") == c.map(_.toString).mkString("|")))
     spark.stop()
   }
 }

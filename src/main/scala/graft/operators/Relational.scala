@@ -2607,31 +2607,30 @@ object Relational {
   val BenfordBp: Seq[(Int, Long)] = Seq(1 -> 3010L, 2 -> 1761L, 3 -> 1249L,
     4 -> 969L, 5 -> 792L, 6 -> 669L, 7 -> 580L, 8 -> 512L, 9 -> 458L)
   def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.graft.ExactMath.intDivWide
-    val expected = broadcast(
-      spark.createDataFrame(BenfordBp.map { case (d, bp) =>
-        (d.toString, bp)
-      }).toDF("digit", "benford_bp"))
-    def leg(table: String, column: String) = {
+    import spark.implicits._
+    // per leg: ONE scan job collecting the ≤9-digit census (the bounded
+    // driver-side-collect pattern); the share/deviation arithmetic over 9
+    // rows runs on the driver. The previous shape (eager checkpoint +
+    // broadcast total + expected join) spent ~6 driver jobs per leg per
+    // pass on frames of at most 9 rows.
+    def leg(table: String, column: String): Seq[(String, String, Long, Long, Long)] = {
       val digits = t(spark, dir, table)
         .where(col(column) > 0)
         .select(substring(
           round(col(column) * 100.0).cast("long").cast("string"), 1, 1)
           .as("digit"))
         .groupBy(col("digit")).agg(count(lit(1)).as("n"))
-        // ≤9 rows, referenced by the census AND the total: checkpoint so
-        // the money column is scanned ONCE per leg
-        .localCheckpoint()
-      val total = digits.agg(sum(col("n")).cast("long").as("n_total"))
-      digits.crossJoin(broadcast(total))
-        .join(expected, Seq("digit"))
-        .select(lit(column).as("measure"), col("digit"), col("n"),
-          intDivWide(col("n"), lit(10000L), col("n_total"), lit(1L))
-            .cast("long").as("share_bp"),
-          col("benford_bp"))
-        .withColumn("dev_bp", col("share_bp") - col("benford_bp"))
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      val total = digits.map(_._2).sum
+      digits.toSeq.map { case (d, n) =>
+        val shareBp = if (total > 0) n * 10000L / total else 0L
+        val benford = BenfordBp.toMap.apply(d.head - '0')
+        (column, d, n, shareBp, benford)
+      }
     }
-    leg("orders", "o_totalprice").unionAll(leg("lineitem", "l_extendedprice"))
+    (leg("orders", "o_totalprice") ++ leg("lineitem", "l_extendedprice"))
+      .toDF("measure", "digit", "n", "share_bp", "benford_bp")
+      .withColumn("dev_bp", col("share_bp") - col("benford_bp"))
   }
   val benfordAuditSql: String = {
     val expected = BenfordBp
