@@ -64,16 +64,34 @@ object Probe {
           .cast("decimal(38,8)") / lit(100000000L)).cast("decimal(18,4)")
           .cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
+    // r14: the scale-safe 128-bit-accumulator path (Int128Sum) — expected
+    // to match the all-long probe's speed with NO overflow bound.
+    def q1I128() = {
+      import org.apache.spark.sql.graft.Int128Sum.{fixedPoint, sumLongs, unscaled}
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          fixedPoint(col("l_quantity"), 4)
+            .cast("decimal(18,4)").cast("double").as("sum_qty"),
+          fixedPoint(col("l_extendedprice"), 4)
+            .cast("decimal(18,4)").cast("double").as("sum_base_price"),
+          sumLongs(unscaled(col("l_extendedprice"), 4)
+            * (lit(10000L) - unscaled(col("l_discount"), 4)), 8)
+            .cast("decimal(18,4)").cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }
     (1 to 3).foreach { i =>
       time(s"q1 decimal pass $i")(q1Dec().write.mode("overwrite").format("noop").save())
       time(s"q1 long pass $i")(q1Long().write.mode("overwrite").format("noop").save())
       time(s"q1 hybrid pass $i")(q1Hybrid().write.mode("overwrite").format("noop").save())
+      time(s"q1 int128 pass $i")(q1I128().write.mode("overwrite").format("noop").save())
     }
     val c = q1Hybrid().orderBy("l_returnflag", "l_linestatus").collect()
     val a = q1Dec().orderBy("l_returnflag", "l_linestatus").collect()
     val b = q1Long().orderBy("l_returnflag", "l_linestatus").collect()
+    val d = q1I128().orderBy("l_returnflag", "l_linestatus").collect()
     println("[probe] equalLong=" + (a.map(_.toString).mkString("|") == b.map(_.toString).mkString("|"))
-      + " equalHybrid=" + (a.map(_.toString).mkString("|") == c.map(_.toString).mkString("|")))
+      + " equalHybrid=" + (a.map(_.toString).mkString("|") == c.map(_.toString).mkString("|"))
+      + " equalInt128=" + (a.map(_.toString).mkString("|") == d.map(_.toString).mkString("|")))
     spark.stop()
   }
 }

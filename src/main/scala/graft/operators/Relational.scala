@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Int128Sum
 
 /** Supplementary engine queries (SURVEY.md §2 #27-31): classic OLAP shapes +
   * event-time analytics, written so Catalyst gets full pushdown/broadcast
@@ -40,11 +41,16 @@ object Relational {
   // ---- #27 TPC-H Q1-style aggregate ------------------------------------
   def q1Agg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"), revPartE8,
+        e4(col("l_quantity")).as("qty4"),
+        e4(col("l_extendedprice")).as("price4"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(col("l_quantity").cast("decimal(18,4)"))
+        // exact fixed-point sums (Int128Sum — same values as the decimal
+        // spelling, long speed; probe A/B 1.05 s → 0.24 s at sf0.1)
+        Int128Sum.sumLongs(col("qty4"), 4)
           .cast("decimal(18,4)").cast("double").as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(18,4)"))
+        Int128Sum.sumLongs(col("price4"), 4)
           .cast("decimal(18,4)").cast("double").as("sum_base_price"),
         // the scale-8 product sum narrows to DECIMAL(18,4) BEFORE the
         // double cast: DuckDB 1.0's wide-decimal→double conversion goes
@@ -57,8 +63,7 @@ object Relational {
         // grows ~6e8 per SF unit here, so the cap holds to SF ~10^5 (far
         // past 100 TB ≈ SF 10^2-10^3); past it, widen to DECIMAL(24,4) and
         // accept the documented ~1-ulp double drift instead.
-        sum((col("l_extendedprice").cast("decimal(18,4)")
-          * (lit(BigDecimal(1)).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))))
+        sumRevPart
           .cast("decimal(18,4)").cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
   val q1AggSql: String =
@@ -91,7 +96,7 @@ object Relational {
   def topCustomersWindow(spark: SparkSession, dir: String): DataFrame = {
     val rev = t(spark, dir, "orders")
       .groupBy("o_custkey")
-      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("rev"))
+      .agg(sumE4(col("o_totalprice")).as("rev"))
     val w = Window.partitionBy("n_name").orderBy(col("rev").desc, col("c_custkey"))
     rev
       .join(broadcast(t(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
@@ -372,12 +377,12 @@ object Relational {
       .join(broadcast(t(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
       .join(broadcast(t(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(t(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .withColumn("rev_part", revPartE8)
       .groupBy(col("n_name").as("nation"), col("p_brand").as("brand"))
       .agg(
         // same DECIMAL(18,4) narrowing as q1_agg before the double cast
         // (DuckDB wide-decimal→double hugeint drift at raw > 2^53)
-        sum((col("l_extendedprice").cast("decimal(18,4)")
-          * (lit(BigDecimal(1)).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))))
+        sumRevPart
           .cast("decimal(18,4)").cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
   val brandRevenueSql: String =
@@ -407,18 +412,16 @@ object Relational {
     * p_type is read — column pruning matters at 10⁹ parts); ONE uniform
     * ~10²-key month agg with map-side partials. No fact shuffle at all. */
   def promoRevenue(spark: SparkSession, dir: String): DataFrame = {
-    val rev = (col("l_extendedprice").cast("decimal(18,4)")
-      * (lit(BigDecimal(1)).cast("decimal(18,4)")
-        - col("l_discount").cast("decimal(18,4)")))
+    val rev = e4(col("l_extendedprice")) * (lit(10000L) - e4(col("l_discount")))
     t(spark, dir, "lineitem")
       .join(broadcast(t(spark, dir, "part").select("p_partkey", "p_type")),
         col("l_partkey") === col("p_partkey"))
       .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
       .agg(
-        sum(when(col("p_type") === "PROMO", rev).otherwise(
-          lit(BigDecimal(0)).cast("decimal(18,4)")))
+        Int128Sum.sumLongs(when(col("p_type") === "PROMO", rev)
+          .otherwise(lit(0L)), 8)
           .cast("decimal(18,4)").as("promo_dec"),
-        sum(rev).cast("decimal(18,4)").as("total_dec"),
+        Int128Sum.sumLongs(rev, 8).cast("decimal(18,4)").as("total_dec"),
         count(lit(1)).as("n_items"))
       .select(col("ship_month"),
         col("promo_dec").cast("double").as("promo_revenue"),
@@ -734,7 +737,7 @@ object Relational {
     t(spark, dir, "orders")
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast("decimal(18,4)"))
+        sumE4(col("o_totalprice"))
           .cast("decimal(18,4)").cast("double").as("revenue"))
       .select(
         coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
@@ -899,12 +902,13 @@ object Relational {
       .select(col("o_custkey"),
         datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
           .cast("long").as("day_num"),
-        col("o_totalprice").cast("decimal(18,4)").as("price"))
+        e4(col("o_totalprice")).as("price4"))
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("n_orders"),
         min(col("day_num")).as("first_day"),
         max(col("day_num")).as("last_day"),
-        sum(col("price")).cast("decimal(18,4)").cast("double").as("revenue"))
+        Int128Sum.sumLongs(col("price4"), 4)
+          .cast("decimal(18,4)").cast("double").as("revenue"))
   val customerLifetimeSql: String =
     """SELECT o_custkey, count(*) AS n_orders,
       |  CAST(min(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)))
@@ -935,12 +939,12 @@ object Relational {
       .select(col("o_custkey"),
         datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
           .cast("long").as("day_num"),
-        col("o_totalprice").cast("decimal(18,4)").as("price"))
+        e4(col("o_totalprice")).as("price4"))
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("frequency"),
         max(col("day_num")).as("last_day"),
-        (sum(col("price")).cast("decimal(18,4)") * lit(10000))
-          .cast("long").as("monetary_e4"))
+        (Int128Sum.sumLongs(col("price4"), 4).cast("decimal(18,4)")
+          * lit(10000)).cast("long").as("monetary_e4"))
     val scored = base
       .crossJoin(broadcast(base.agg(max(col("last_day")).as("maxd"))))
       .select(col("o_custkey"), (col("maxd") - col("last_day")).as("recency_days"),
@@ -1022,13 +1026,10 @@ object Relational {
       .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
     t(spark, dir, "lineitem")
       .where(to_date(col("l_shipdate")) > cut)
-      .select(col("l_orderkey"),
-        (col("l_extendedprice").cast("decimal(18,4)")
-          * (lit(BigDecimal(1)).cast("decimal(18,4)")
-            - col("l_discount").cast("decimal(18,4)"))).as("rev_part"))
+      .select(col("l_orderkey"), revPartE8)
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(sum(col("rev_part")).cast("decimal(18,4)").as("rev_dec"))
+      .agg(sumRevPart.cast("decimal(18,4)").as("rev_dec"))
       .orderBy(col("rev_dec").desc, col("l_orderkey")).limit(10)
       .select(struct(negate(col("rev_dec")).as("nr"),
         col("l_orderkey").as("l_orderkey"),
@@ -1346,6 +1347,25 @@ object Relational {
     """CAST(l_extendedprice AS DECIMAL(18,4))
       |    * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))""".stripMargin
 
+  // r14 exact-money fast path (Int128Sum.scala; guide §1.2 step 2, §4):
+  // the decimal spellings above pay a BigDecimal(Double.toString) per row
+  // plus a wide-decimal sum buffer. These helpers compute the SAME exact
+  // values — scale-4 unscaled longs per row, 128-bit-accumulator sum,
+  // DECIMAL(38,s) out — so every trailing .cast("decimal(18,4)")
+  // .cast("double") chain emits bit-identical doubles (gate-verified per
+  // SF; see the equivalence argument in Int128Sum.scala). The oracle SQL
+  // keeps the decimal formulation, so the hash compare is the proof.
+  /** Scale-4 unscaled long of a 2-decimal money DOUBLE. */
+  private def e4(c: org.apache.spark.sql.Column) = Int128Sum.unscaled(c, 4)
+  /** Σ money as DECIMAL(38,4) — replaces sum(c.cast("decimal(18,4)")). */
+  private def sumE4(c: org.apache.spark.sql.Column) = Int128Sum.fixedPoint(c, 4)
+  /** [[revPart]] as a scale-8 unscaled long (identical product values). */
+  private def revPartE8 =
+    (e4(col("l_extendedprice")) * (lit(10000L) - e4(col("l_discount"))))
+      .as("rev_part")
+  /** Σ rev_part longs as DECIMAL(38,8) — replaces sum(col("rev_part")). */
+  private def sumRevPart = Int128Sum.sumLongs(col("rev_part"), 8)
+
   // ---- #34z-a TPC-H Q5: local-supplier volume ----------------------------
   /** Revenue per nation where the ordering customer and the line's supplier
     * share that nation (the Q5 cycle), region- and order-year-filtered.
@@ -1377,14 +1397,14 @@ object Relational {
         col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("c_nationkey"))
     t(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_suppkey"), revPart)
+      .select(col("l_orderkey"), col("l_suppkey"), revPartE8)
       .join(supp, col("l_suppkey") === col("s_suppkey"))
       .join(ordCust, col("l_orderkey") === col("o_orderkey"))
       .where(col("c_nationkey") === col("s_nationkey"))
       .join(nations, col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
-        sum(col("rev_part")).cast("decimal(18,4)").cast("double")
+        sumRevPart.cast("decimal(18,4)").cast("double")
           .as("revenue"),
         count(lit(1)).as("n_lines"))
   }
@@ -1425,13 +1445,13 @@ object Relational {
     t(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"),
         year(to_date(col("l_shipdate"))).cast("long").as("ship_year"),
-        revPart)
+        revPartE8)
       .join(supN, col("l_suppkey") === col("s_suppkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .where(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
       .agg(
-        sum(col("rev_part")).cast("decimal(18,4)").cast("double")
+        sumRevPart.cast("decimal(18,4)").cast("double")
           .as("revenue"),
         count(lit(1)).as("n_lines"))
   }
@@ -1467,10 +1487,10 @@ object Relational {
       .select(col("o_orderkey"), col("o_custkey"))
     val top = t(spark, dir, "lineitem")
       .where(col("l_returnflag") === "R")
-      .select(col("l_orderkey"), revPart)
+      .select(col("l_orderkey"), revPartE8)
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey"))
-      .agg(sum(col("rev_part")).cast("decimal(18,4)").as("rev_dec"))
+      .agg(sumRevPart.cast("decimal(18,4)").as("rev_dec"))
       .orderBy(col("rev_dec").desc, col("o_custkey")).limit(ReturnedTopN)
       .select(struct(negate(col("rev_dec")).as("nr"),
         col("o_custkey").as("o_custkey"),
@@ -1523,9 +1543,9 @@ object Relational {
     val rev = t(spark, dir, "lineitem")
       .where(to_date(col("l_shipdate")) >= lit(Q15QuarterStart).cast("date") &&
         to_date(col("l_shipdate")) < lit(Q15QuarterEnd).cast("date"))
-      .select(col("l_suppkey"), revPart)
+      .select(col("l_suppkey"), revPartE8)
       .groupBy(col("l_suppkey"))
-      .agg(sum(col("rev_part")).cast("decimal(18,4)").as("rev_dec"))
+      .agg(sumRevPart.cast("decimal(18,4)").as("rev_dec"))
     val mx = rev.agg(max(col("rev_dec")).as("max_rev"))
     rev.join(broadcast(mx), col("rev_dec") === col("max_rev"))
       .join(broadcast(t(spark, dir, "supplier")),
@@ -1556,22 +1576,27 @@ object Relational {
     * per-part average and the probe re-join co-partition on l_partkey
     * (one exchange, reused); no window, no sort. */
   def smallQtyParts(spark: SparkSession, dir: String): DataFrame = {
+    // fixed-point twin of the decimal spelling: the 20%-of-average test
+    // compares same-scale unscaled values, so the integer comparison is
+    // the decimal comparison. qty4·5·n_part_lines stays in Long to ~1.8e13
+    // lines per part — a single part cannot reach that below 2^63 total
+    // rows (and sum_qty's per-part Long bound is the same argument).
     val pl = t(spark, dir, "lineitem")
       .join(broadcast(t(spark, dir, "part")
         .select(col("p_partkey"), col("p_brand"))),
         col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey"), col("p_brand"),
-        col("l_quantity").cast("decimal(18,4)").as("qty_dec"),
-        col("l_extendedprice").cast("decimal(18,4)").as("price_dec"))
+        e4(col("l_quantity")).as("qty4"),
+        e4(col("l_extendedprice")).as("price4"))
     val perPart = pl.groupBy(col("l_partkey").as("pp_partkey"))
-      .agg(sum(col("qty_dec")).cast("decimal(28,4)").as("sum_qty"),
+      .agg(sum(col("qty4")).as("sum_qty4"),
         count(lit(1)).as("n_part_lines"))
     pl.join(perPart, col("l_partkey") === col("pp_partkey"))
-      .where(col("qty_dec") * lit(5) * col("n_part_lines") < col("sum_qty"))
+      .where(col("qty4") * lit(5L) * col("n_part_lines") < col("sum_qty4"))
       .groupBy(col("p_brand"))
       .agg(
-        sum(col("price_dec")).cast("decimal(18,4)").cast("double")
-          .as("revenue"),
+        Int128Sum.sumLongs(col("price4"), 4)
+          .cast("decimal(18,4)").cast("double").as("revenue"),
         count(lit(1)).as("n_lines"))
   }
   val smallQtyPartsSql: String =
@@ -1605,7 +1630,7 @@ object Relational {
   def largeVolumeCustomers(spark: SparkSession, dir: String): DataFrame = {
     val big = t(spark, dir, "lineitem")
       .groupBy(col("l_orderkey"))
-      .agg(sum(col("l_quantity").cast("decimal(18,4)"))
+      .agg(sumE4(col("l_quantity"))
         .cast("decimal(18,4)").as("qty_dec"))
       .where(col("qty_dec") > lit(LargeOrderMinQty))
     big
@@ -1784,11 +1809,10 @@ object Relational {
         .select(col("p_partkey"), col("p_brand"))),
         col("l_partkey") === col("p_partkey"))
       .where(arm)
+      .withColumn("rev_part", revPartE8)
       .groupBy(col("p_brand"))
       .agg(
-        sum((col("l_extendedprice").cast("decimal(18,4)") *
-          (lit(BigDecimal(1)).cast("decimal(18,4)") -
-            col("l_discount").cast("decimal(18,4)"))))
+        sumRevPart
           .cast("decimal(18,4)").cast("double").as("revenue"),
         count(lit(1)).as("n_lines"))
   }
@@ -1960,8 +1984,10 @@ object Relational {
         col("l_discount") >= Q6DiscLo && col("l_discount") <= Q6DiscHi &&
         col("l_quantity") < Q6MaxQty)
       .agg(
-        sum((col("l_extendedprice").cast("decimal(18,4)") *
-          col("l_discount").cast("decimal(18,4)")).cast("decimal(18,4)"))
+        // price(2dp)·disc(2dp) has exactly 4 decimals, so the scale-8 long
+        // product's one-shot rescale to (18,4) is lossless — identical to
+        // the decimal spelling's per-row (18,4) narrow (comment above)
+        Int128Sum.sumLongs(e4(col("l_extendedprice")) * e4(col("l_discount")), 8)
           .cast("decimal(18,4)").cast("double").as("revenue"),
         count(lit(1)).as("n_lines"))
   val forecastRevenueSql: String =
@@ -2089,16 +2115,16 @@ object Relational {
       .join(custRegion, col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("o_year"))
     val agg = t(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), revPart)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), revPartE8)
       .join(parts, col("l_partkey") === col("p_partkey"))
       .join(suppN, col("l_suppkey") === col("s_suppkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_year"))
       .agg(
-        sum(when(col("supp_nation") === Q8Nation, col("rev_part"))
-          .otherwise(lit(BigDecimal(0)).cast("decimal(18,4)")))
+        Int128Sum.sumLongs(when(col("supp_nation") === Q8Nation,
+          col("rev_part")).otherwise(lit(0L)), 8)
           .cast("decimal(28,4)").as("nat_dec"),
-        sum(col("rev_part")).cast("decimal(28,4)").as("all_dec"),
+        sumRevPart.cast("decimal(28,4)").as("all_dec"),
         count(lit(1)).as("n_lines"))
     agg.select(col("o_year"),
       intDivWide(
@@ -2163,14 +2189,17 @@ object Relational {
     val ordYear = t(spark, dir, "orders")
       .select(col("o_orderkey"),
         year(to_date(col("o_orderdate"))).cast("long").as("o_year"))
+    // scale-8 long twin of the decimal spelling: revenue has exactly 4
+    // decimals and the cost leg 3 (qty·retail(2dp)·0.5), so the scale-8
+    // difference has ≤4 decimals and its one-shot rescale to (18,4) is
+    // lossless — same value as the per-row (27,4) narrow. Magnitudes:
+    // qty≤50 · retail2≤10⁶ · 5 · 10⁵ ≈ 2.5e13 per row — Long-safe.
     val amount =
-      ((col("l_extendedprice").cast("decimal(18,4)") *
-        (lit(BigDecimal(1)).cast("decimal(18,4)") -
-          col("l_discount").cast("decimal(18,4)"))) -
-        col("l_quantity").cast("decimal(4,0)") *
-          (col("p_retailprice").cast("decimal(12,2)") *
-            lit("0.5").cast("decimal(2,1)")))
-        .cast("decimal(27,4)").as("amount")
+      (e4(col("l_extendedprice")) * (lit(10000L) - e4(col("l_discount"))) -
+        Int128Sum.unscaled(col("l_quantity"), 0) *
+          (Int128Sum.unscaled(col("p_retailprice"), 2) * lit(5L)) *
+          lit(100000L))
+        .as("amount")
     t(spark, dir, "lineitem")
       .join(parts, col("l_partkey") === col("p_partkey"))
       .join(suppN, col("l_suppkey") === col("s_suppkey"))
@@ -2178,8 +2207,8 @@ object Relational {
       .select(col("n_name"), col("o_year"), amount)
       .groupBy(col("n_name"), col("o_year"))
       .agg(
-        sum(col("amount")).cast("decimal(18,4)").cast("double")
-          .as("profit"),
+        Int128Sum.sumLongs(col("amount"), 8)
+          .cast("decimal(18,4)").cast("double").as("profit"),
         count(lit(1)).as("n_lines"))
   }
   val productProfitSql: String =
@@ -2224,7 +2253,7 @@ object Relational {
     val positions = t(spark, dir, "lineitem")
       .join(suppN, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("n_name"), col("l_partkey"))
-      .agg(sum(col("l_extendedprice").cast("decimal(18,4)"))
+      .agg(sumE4(col("l_extendedprice"))
         .cast("decimal(28,4)").as("val_dec"),
         count(lit(1)).as("n_lines"))
       .localCheckpoint()
@@ -2470,10 +2499,19 @@ object Relational {
     * EXPLORATION happens inside the per-row intersection — never as
     * shuffled rows; shuffle volume is |edges| + 2·|adjacency| instead of
     * |wedges|. Identical output triples to the wedge-closure form. */
-  private def copurchaseTriFrame(spark: SparkSession, dir: String)
-      : DataFrame =
-    Materialized.cached(copurchaseTriCache, spark, dir) {
-      val e = copurchaseEdges(spark, dir)
+  /** Closed-triangle enumeration over an (part_a < part_b) edge frame via
+    * sorted greater-neighbor adjacency lists (r13). Degree guard (r14;
+    * VERDICT r13 #4): a hub vertex's full list is an O(degree) array built
+    * in ONE task — above `graft.copurchaseAdjChunkEntries` (default 4M
+    * entries ≈ 32 MB of longs) the lists split into `nChunks` pieces keyed
+    * by a deterministic hash of the NEIGHBOR id, and the closure
+    * intersects per MATCHING chunk: any common closing vertex hashes to
+    * the same chunk on both sides, so the (ta, tb, tc) multiset is
+    * identical (spec-asserted with a forced-low bound). nChunks = 1 keeps
+    * the r13 plan byte-for-byte. */
+  private[graft] def copurchaseTriClosure(e: DataFrame,
+      nChunks: Long): DataFrame =
+    if (nChunks <= 1L) {
       val adj = e.groupBy(col("part_a").as("p"))
         .agg(sort_array(collect_list(col("part_b"))).as("nbrs"))
       e.join(adj.select(col("p").as("pa_"), col("nbrs").as("nbrs_a")),
@@ -2483,6 +2521,34 @@ object Relational {
         .select(col("part_a").as("ta"), col("part_b").as("tb"),
           explode(org.apache.spark.sql.graft.SortedLongIntersect(
             col("nbrs_a"), col("nbrs_b"))).as("tc"))
+    } else {
+      val adj = e.groupBy(col("part_a").as("p"),
+          pmod(xxhash64(col("part_b")), lit(nChunks)).as("ck"))
+        .agg(sort_array(collect_list(col("part_b"))).as("nbrs"))
+      e.join(adj.select(col("p").as("pa_"), col("ck").as("ck_a"),
+            col("nbrs").as("nbrs_a")),
+          col("part_a") === col("pa_"))
+        .join(adj.select(col("p").as("pb_"), col("ck").as("ck_b"),
+            col("nbrs").as("nbrs_b")),
+          col("part_b") === col("pb_") && col("ck_a") === col("ck_b"))
+        .select(col("part_a").as("ta"), col("part_b").as("tb"),
+          explode(org.apache.spark.sql.graft.SortedLongIntersect(
+            col("nbrs_a"), col("nbrs_b"))).as("tc"))
+    }
+
+  private def copurchaseTriFrame(spark: SparkSession, dir: String)
+      : DataFrame =
+    Materialized.cached(copurchaseTriCache, spark, dir) {
+      val e = copurchaseEdges(spark, dir)
+      val bound = spark.conf.getOption("graft.copurchaseAdjChunkEntries")
+        .flatMap(_.toLongOption).getOrElse(4000000L)
+      // one cheap agg over the cached edge frame decides the guard; the
+      // max out-degree also bounds every adjacency list's array size
+      val maxDeg = e.groupBy(col("part_a")).agg(count(lit(1)).as("d"))
+        .agg(coalesce(max(col("d")), lit(0L)).as("m"))
+        .collect()(0).getLong(0)
+      val nChunks = math.max(1L, (maxDeg + bound - 1) / math.max(bound, 1L))
+      copurchaseTriClosure(e, nChunks)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
@@ -2608,19 +2674,26 @@ object Relational {
     4 -> 969L, 5 -> 792L, 6 -> 669L, 7 -> 580L, 8 -> 512L, 9 -> 458L)
   def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // per leg: ONE scan job collecting the ≤9-digit census (the bounded
-    // driver-side-collect pattern); the share/deviation arithmetic over 9
-    // rows runs on the driver. The previous shape (eager checkpoint +
-    // broadcast total + expected join) spent ~6 driver jobs per leg per
-    // pass on frames of at most 9 rows.
-    def leg(table: String, column: String): Seq[(String, String, Long, Long, Long)] = {
-      val digits = t(spark, dir, table)
+    // ONE scan job for BOTH money legs (r14; VERDICT r13 #2): the two
+    // projected digit censuses union into a single ≤18-row collect — the
+    // scheduler overlaps the orders and lineitem scans inside one action —
+    // and the share/deviation arithmetic runs on the driver (the bounded
+    // driver-side-collect pattern). The digit extraction rides the
+    // codegen'd fixed_point_long (same value as round(x·100) for 2-decimal
+    // money — Int128Sum.scala) instead of the per-row BigDecimal Round.
+    def legDf(table: String, column: String) =
+      t(spark, dir, table)
         .where(col(column) > 0)
-        .select(substring(
-          round(col(column) * 100.0).cast("long").cast("string"), 1, 1)
-          .as("digit"))
-        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getString(0) -> r.getLong(1))
+        .select(lit(column).as("measure"),
+          substring(Int128Sum.unscaled(col(column), 2).cast("string"), 1, 1)
+            .as("digit"))
+    val census = legDf("orders", "o_totalprice")
+      .unionAll(legDf("lineitem", "l_extendedprice"))
+      .groupBy(col("measure"), col("digit")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    def leg(column: String): Seq[(String, String, Long, Long, Long)] = {
+      val digits = census.getOrElse(column, Array.empty).map(r => r._2 -> r._3)
       val total = digits.map(_._2).sum
       digits.toSeq.map { case (d, n) =>
         val shareBp = if (total > 0) n * 10000L / total else 0L
@@ -2628,7 +2701,7 @@ object Relational {
         (column, d, n, shareBp, benford)
       }
     }
-    (leg("orders", "o_totalprice") ++ leg("lineitem", "l_extendedprice"))
+    (leg("o_totalprice") ++ leg("l_extendedprice"))
       .toDF("measure", "digit", "n", "share_bp", "benford_bp")
       .withColumn("dev_bp", col("share_bp") - col("benford_bp"))
   }

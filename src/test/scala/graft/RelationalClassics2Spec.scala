@@ -170,6 +170,27 @@ class RelationalClassics2Spec extends SparkTestBase {
       ("o_totalprice", "3", 1L, 3333L, 1249L, 2084L)))
   }
 
+  test("degree-guarded triangle closure (chunked adjacency) emits the " +
+      "identical triple multiset") {
+    // Skewed fixture: hub 1 → {2..30} plus a ring 2-3, 3-4, …, 29-30 —
+    // triangles are exactly (1, k, k+1) for k = 2..29. The chunked
+    // closure (r14 degree guard) must reproduce the unchunked multiset
+    // for every chunk count, including ones that split the hub's list.
+    import spark.implicits._
+    val edges = ((2L to 30L).map(b => (1L, b)) ++
+      (2L to 29L).map(k => (k, k + 1L))).toDF("part_a", "part_b")
+    def triples(nChunks: Long) =
+      graft.operators.Relational.copurchaseTriClosure(edges, nChunks)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sorted
+    val base = triples(1L)
+    assert(base.toSeq == (2L to 29L).map(k => (1L, k, k + 1L)))
+    Seq(2L, 3L, 7L, 64L).foreach { nc =>
+      assert(triples(nc).toSeq == base.toSeq,
+        s"chunked closure diverged at nChunks=$nc")
+    }
+  }
+
   test("copurchase_triangles counts each closed a<b<c exactly once") {
     // Baskets: O10 {1,2,3}, O11 {1,3}, O12 {1,2,3} → distinct edges
     // (1,2),(1,3),(2,3). Wedges (low→mid→high): (1,2)+(2,3) → (1,2,3)
