@@ -45,13 +45,10 @@ object Classify {
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
   private def docTokenCounts(spark: SparkSession, dir: String): DataFrame =
     Materialized.cached(tokCache, spark, dir) {
-      docs(spark, dir)
-        .select(col("doc_id"), col("lang"),
-          // the ONE corpus tokenizer convention (TextFns.WsTokenRe) — a
-          // private regex literal here would silently drift if it changes
-          explode(filter(transform(
-            split(col("text"), graft.functions.TextFns.WsTokenRe),
-            t => lower(t)), t => t =!= "")).as("t"))
+      // token arrays ride the shared tokenized-corpus frame
+      // (TextAnalysis.lowerToks — the ONE WsTokenRe tokenize per corpus)
+      TextAnalysis.lowerToks(spark, dir)
+        .select(col("doc_id"), col("lang"), explode(col("toks")).as("t"))
         .groupBy("doc_id", "lang", "t")
         .agg(count(lit(1)).as("cnt"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -304,16 +301,23 @@ object Classify {
         val resid = lrResiduals(feats, w).localCheckpoint(false)
         resid.queryExecution.analyzed.collectLeaves().collectFirst {
           case l: org.apache.spark.sql.execution.LogicalRDD => ckpts += l.rdd }
-        // gradient: exact decimal sums over the rounded residuals
-        val gB = resid.join(feats, Seq("doc_id"))
+        // gradient: exact decimal sums over the rounded residuals. ONE
+        // collect per round (r14; VERDICT r13 candidate #5): the bias
+        // gradient rides the same aggregation as the per-bucket gradients
+        // through a sentinel b = −1 union leg — both legs re-read the
+        // checkpointed residuals, and the decimal sums are identical to
+        // the former two-job formulation (exact decimals, lossless widen).
+        val gAll = resid.join(feats, Seq("doc_id"))
+          .select(col("b"),
+            (col("resid") * col("cnt")).cast("decimal(38,6)").as("t"))
+          .unionAll(resid.select(lit(-1L).as("b"),
+            col("resid").cast("decimal(38,6)").as("t")))
           .groupBy(col("b"))
-          .agg(sum(col("resid") * col("cnt")).as("g"))
+          .agg(sum(col("t")).as("g"))
           .collect().map(r => r.getLong(0) ->
             BigDecimal(r.getDecimal(1))).toMap
-        val g0 = BigDecimal(resid.agg(sum(col("resid"))).collect()(0)
-          .getDecimal(0))
         w = w.map { case (b, wb) =>
-          val g = if (b == -1L) g0 else gB.getOrElse(b, BigDecimal(0))
+          val g = gAll.getOrElse(b, BigDecimal(0))
           b -> (wb - (LrRate * g / n)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
         }
       }

@@ -147,8 +147,8 @@ object Selection {
     // fitted once per (session, corpus): dsir_weights, dsir_select and the
     // streaming gate's table all read the same bounded artifact
     modelCache.getOrElseUpdate(Materialized.sessionKey(spark, dir), {
-      val bcnt = docs(spark, dir)
-        .select(col("lang"), explode(TextAnalysis.toks(col("text"))).as("tok"))
+      val bcnt = TextAnalysis.lowerToks(spark, dir)
+        .select(col("lang"), explode(col("toks")).as("tok"))
         .select(col("lang"), (md5Long(col("tok")) % DsirBuckets.toLong).as("b"))
         .groupBy("b").agg(count(lit(1)).as("n_raw"),
           sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("n_tgt"))
@@ -184,15 +184,26 @@ object Selection {
     * exactly representable). At 100 TB the model is a written artifact
     * fitted once (or on a sample, as the paper does); the scoring pass is
     * embarrassingly parallel. */
-  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
-    val lrE4 = typedLit(dsirModelE4(spark, dir))
-    docs(spark, dir)
-      .select(col("doc_id"), TextAnalysis.toks(col("text")).as("__t"))
-      .where(size(col("__t")) >= 1)
-      .select(col("doc_id"), size(col("__t")).cast("long").as("n_toks"),
-        (org.apache.spark.sql.graft.DsirLlrE4(col("__t"), lrE4)
-          .cast("double") / lit(10000.0)).as("llr"))
-  }
+  /** Per-doc DSIR weight frame, materialized per (session, corpus) — r14:
+    * `dsir_weights`, `dsir_select` AND `selected_corpus` all consume it
+    * (selected_corpus alone read it twice — the weights join and the top-k
+    * membership — re-tokenizing the corpus per pass; VERDICT r13 #7). Same
+    * per-doc-artifact discipline as [[scoredFrame]]; the token arrays ride
+    * the shared [[TextAnalysis.lowerToks]] frame, so even the first touch
+    * re-splits nothing. Still zero exchanges (ScaleSpec lock). */
+  private val dsirWeightsCache = Materialized.register(
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame =
+    Materialized.cached(dsirWeightsCache, spark, dir) {
+      val lrE4 = typedLit(dsirModelE4(spark, dir))
+      TextAnalysis.lowerToks(spark, dir)
+        .select(col("doc_id"), col("toks").as("__t"))
+        .where(size(col("__t")) >= 1)
+        .select(col("doc_id"), size(col("__t")).cast("long").as("n_toks"),
+          (org.apache.spark.sql.graft.DsirLlrE4(col("__t"), lrE4)
+            .cast("double") / lit(10000.0)).as("llr"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
   private val dsirCtes =
     s"""tok AS MATERIALIZED (
        |  SELECT doc_id, lang, ${sqlMd5Long("g.tok")} % $DsirBuckets AS b

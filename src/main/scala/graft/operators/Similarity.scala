@@ -425,20 +425,47 @@ object Similarity {
   private val centCache = Materialized.register(
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
 
+  /** The persisted RDD behind a localCheckpoint'd frame (the Dedup
+    * checkpointRdd discipline) — released once training collects. */
+  private def ckptRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectLeaves().collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+
   def ivfCentroids(spark: SparkSession, dir: String): DataFrame =
     // trained once per (session, corpus) — ann_ivf, embedding_clusters and
     // cluster_purity all quantize against the same 16-row frame (at scale:
-    // train once, broadcast everywhere)
+    // train once, broadcast everywhere).
+    // r14: the 2-round Lloyd is a bounded fixpoint — it runs under the
+    // iterative-loop execution profile (Scale.loopSession, the pagerankOn
+    // discipline: AQE planning jobs and 32-way tiny exchanges dominated
+    // the training at bench scale), and the ≤IvfK-row result bounded-
+    // collects back to the PARENT session as a LocalRelation, so every
+    // consumer broadcasts 16 rows without re-entering the training
+    // lineage.
     Materialized.cached(centCache, spark, dir) {
-      val e = emb(spark, dir)
-      val seeds = e
-        .orderBy(graft.functions.TextFns.md5Long(col("vec_id").cast("string")),
-          col("vec_id"))
-        .limit(IvfK)
-        .select(col("vec_id").as("cid"), col("embedding").as("c"))
-      lloydRound(e, lloydRound(e, seeds))
+      val e0 = emb(spark, dir)
+      val n = e0.count()
+      val (schema, rows) = Scale.loopSession(spark, n) { cs =>
+        val e = Scale.rebind(cs, e0).localCheckpoint(false)
+        val eRdd = ckptRdd(e)
+        val seeds = e
+          .orderBy(graft.functions.TextFns.md5Long(col("vec_id").cast("string")),
+            col("vec_id"))
+          .limit(IvfK)
+          .select(col("vec_id").as("cid"), col("embedding").as("c"))
+        val trained = lloydRound(e, lloydRound(e, seeds))
+        val out = (trained.schema, trained.collect().toSeq)
+        eRdd.foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
+        out
+      }
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
+  // The Lloyd outputs are tiny (IvfK rows) but referenced by several later
+  // CTEs; MATERIALIZED stops DuckDB inlining (= re-running) the whole
+  // assign→mean pipeline per reference, which multiplied the window
+  // operators and their memory reservations (driver gate OOM, r13).
   private def sqlLloyd(src: String, aN: String, rN: String, outN: String): String =
     s"""$aN AS (
        |  SELECT vec_id, embedding, cid,
@@ -450,7 +477,7 @@ object Similarity {
        |    CAST(round(avg(CAST(embedding[g.i] AS DOUBLE)), 6) AS FLOAT) AS m
        |  FROM $aN, unnest(range(1, ${Dedup.Dim} + 1)) AS g(i)
        |  WHERE rn = 1 GROUP BY 1, 2
-       |), $outN AS (
+       |), $outN AS MATERIALIZED (
        |  SELECT cid, list(m ORDER BY i) AS c FROM $rN GROUP BY cid
        |)""".stripMargin
   private val ivfCentroidsCte: String =
@@ -967,7 +994,7 @@ object Similarity {
       .select(col("vec_id"), round(col("cos"), 4).cast("decimal(14,4)").cast("double").as("cos"))
   }
   val annRangeSearchSql: String =
-    s"""WITH e AS (
+    s"""WITH e AS MATERIALIZED (
        |  SELECT vec_id, embedding, ${sqlBucket("embedding")} AS bucket
        |  FROM embeddings
        |), q AS (
@@ -1012,9 +1039,13 @@ object Similarity {
   val PqSubDim = Dedup.Dim / PqM
   val PqK = 16
 
+  // r14 (§4): the codegen'd FloatDotProduct IS this fold — a strict left
+  // fold from 0.0 of (double)a_i · (double)b_i — so the swap is
+  // bit-identical; the interpreted aggregate/zip_with lambdas were the
+  // dominant per-row cost of the whole PQ family (3 evals per (sv, c)
+  // candidate pair in every assign).
   private def subDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.graft.FloatDotProduct(a, b)
   private def subL2sq(a: String, b: String) =
     subDot(col(a), col(a)) + subDot(col(b), col(b)) -
       lit(2.0) * subDot(col(a), col(b))
@@ -1057,17 +1088,32 @@ object Similarity {
   private val pqCache = Materialized.register(
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
   def pqCodebooks(spark: SparkSession, dir: String): DataFrame =
+    // r14: same loop profile + bounded-collect finish as [[ivfCentroids]]
+    // — the two PQ Lloyd rounds are a bounded fixpoint over the exploded
+    // (vec, subspace) frame, and the PqM×PqK-row codebook table returns
+    // to the parent session as a LocalRelation.
     Materialized.cached(pqCache, spark, dir) {
-      val e = emb(spark, dir)
-      val seeds = e
-        .orderBy(graft.functions.TextFns.md5Long(col("vec_id").cast("string")),
-          col("vec_id"))
-        .limit(PqK)
-        .select(col("vec_id").as("cid"), col("embedding"))
-      val seedBooks = subVecs(seeds.withColumnRenamed("cid", "vec_id"))
-        .select(col("m"), col("vec_id").as("cid"), col("sv").as("c"))
-      val sv = subVecs(e)
-      pqLloyd(sv, pqLloyd(sv, seedBooks))
+      val e0 = emb(spark, dir)
+      val n = e0.count()
+      val (schema, rows) = Scale.loopSession(spark, n * PqM) { cs =>
+        val e = Scale.rebind(cs, e0).localCheckpoint(false)
+        val eRdd = ckptRdd(e)
+        val seeds = e
+          .orderBy(graft.functions.TextFns.md5Long(col("vec_id").cast("string")),
+            col("vec_id"))
+          .limit(PqK)
+          .select(col("vec_id").as("cid"), col("embedding"))
+        val seedBooks = subVecs(seeds.withColumnRenamed("cid", "vec_id"))
+          .select(col("m"), col("vec_id").as("cid"), col("sv").as("c"))
+        val sv = subVecs(e).localCheckpoint(false)
+        val svRdd = ckptRdd(sv)
+        val trained = pqLloyd(sv, pqLloyd(sv, seedBooks))
+        val out = (trained.schema, trained.collect().toSeq)
+        (eRdd ++ svRdd).foreach(r =>
+          try r.unpersist(false) catch { case _: Throwable => () })
+        out
+      }
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
@@ -1111,11 +1157,11 @@ object Similarity {
        |    CAST(round(avg(CAST(sv[g.i] AS DOUBLE)), 6) AS FLOAT) AS mn
        |  FROM $aN, unnest(range(1, $PqSubDim + 1)) AS g(i)
        |  WHERE rn = 1 GROUP BY 1, 2, 3
-       |), $outN AS (
+       |), $outN AS MATERIALIZED (
        |  SELECT m, cid, list(mn ORDER BY i) AS c FROM $rN GROUP BY 1, 2
        |)""".stripMargin
   val pqQuantizeSql: String =
-    s"""WITH sv AS (
+    s"""WITH sv AS MATERIALIZED (
        |  SELECT vec_id, CAST(g.m AS BIGINT) AS m,
        |    embedding[g.m * $PqSubDim + 1 : (g.m + 1) * $PqSubDim] AS sv
        |  FROM embeddings, unnest(range(0, $PqM)) AS g(m)
@@ -1180,7 +1226,7 @@ object Similarity {
         (col("pos") + 1).cast("long").as("rk"))
   }
   val annPqSql: String =
-    s"""WITH sv AS (
+    s"""WITH sv AS MATERIALIZED (
        |  SELECT vec_id, CAST(g.m AS BIGINT) AS m,
        |    embedding[g.m * $PqSubDim + 1 : (g.m + 1) * $PqSubDim] AS sv
        |  FROM embeddings, unnest(range(0, $PqM)) AS g(m)
@@ -1194,7 +1240,7 @@ object Similarity {
        |  FROM seeds, unnest(range(0, $PqM)) AS g(m)
        |), ${sqlPqLloyd("sv", "seedbooks", "a1", "r1", "b1")},
        |${sqlPqLloyd("sv", "b1", "a2", "r2", "b2")},
-       |codes AS (
+       |codes AS MATERIALIZED (
        |  SELECT vec_id, m, cid FROM (
        |    SELECT s.vec_id, s.m, b.cid,
        |      row_number() OVER (PARTITION BY s.vec_id, s.m
@@ -1207,7 +1253,7 @@ object Similarity {
        |  SELECT q.qid, CAST(g.m AS BIGINT) AS m,
        |    qv[g.m * $PqSubDim + 1 : (g.m + 1) * $PqSubDim] AS qsv
        |  FROM q, unnest(range(0, $PqM)) AS g(m)
-       |), dtab AS (
+       |), dtab AS MATERIALIZED (
        |  SELECT qsub.qid, qsub.m, b.cid, ${sqlSubL2sq("qsub.qsv", "b.c")} AS qd
        |  FROM qsub JOIN b2 b ON qsub.m = b.m
        |), scored AS (
@@ -1304,7 +1350,7 @@ object Similarity {
        |        ORDER BY ${sqlL2sq("q.qv", "c.c")}, c.cid) AS qrn
        |    FROM cents c CROSS JOIN q
        |  ) WHERE qrn <= $IvfProbes
-       |), sv AS (
+       |), sv AS MATERIALIZED (
        |  SELECT vec_id, CAST(g.m AS BIGINT) AS m,
        |    embedding[g.m * $PqSubDim + 1 : (g.m + 1) * $PqSubDim] AS sv
        |  FROM embeddings, unnest(range(0, $PqM)) AS g(m)
@@ -1318,7 +1364,7 @@ object Similarity {
        |  FROM pseeds, unnest(range(0, $PqM)) AS g(m)
        |), ${sqlPqLloyd("sv", "pseedbooks", "pa1", "pr1", "pb1")},
        |${sqlPqLloyd("sv", "pb1", "pa2", "pr2", "pb2")},
-       |codes AS (
+       |codes AS MATERIALIZED (
        |  SELECT vec_id, m, cid FROM (
        |    SELECT s.vec_id, s.m, b.cid,
        |      row_number() OVER (PARTITION BY s.vec_id, s.m
@@ -1328,7 +1374,7 @@ object Similarity {
        |  SELECT q.qid, CAST(g.m AS BIGINT) AS m,
        |    qv[g.m * $PqSubDim + 1 : (g.m + 1) * $PqSubDim] AS qsv
        |  FROM q, unnest(range(0, $PqM)) AS g(m)
-       |), dtab AS (
+       |), dtab AS MATERIALIZED (
        |  SELECT qsub.qid, qsub.m, b.cid, ${sqlSubL2sq("qsub.qsv", "b.c")} AS qd
        |  FROM qsub JOIN pb2 b ON qsub.m = b.m
        |), scored AS (

@@ -751,13 +751,30 @@ object TextAnalysis {
   // ---- word bigram counts (corpus n-gram statistics) --------------------
   val BigramTopN = 50
 
+  private val lowerToksCache = Materialized.register(
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
+
+  /** The lowered, empty-filtered token array per doc — the ONE tokenize
+    * the whole n-gram family (bigram/trigram/4/5-gram counts, the k-gram
+    * frames, each KN model's per-doc scoring pass) shares, materialized
+    * once per (session, corpus). r13's builds each re-split the corpus
+    * text (4 regex tokenizes of the same documents for the 4 gram orders;
+    * r13 candidate #3). At 100 TB this is the tokenized-corpus artifact an
+    * n-gram pipeline writes once before counting (KenLM's preprocessing
+    * step) — the same once-per-corpus discipline as the LSH signature and
+    * PPJoin prefix tables. */
+  private[operators] def lowerToks(spark: SparkSession, dir: String): DataFrame =
+    Materialized.cached(lowerToksCache, spark, dir)(
+      docs(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          filter(transform(split(col("text"), WsTokenRe), t => lower(t)),
+            t => t =!= "").as("toks"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** Per-doc consecutive word pairs — the corpus-sized explode behind
     * `word_bigrams` and `lm_perplexity`. */
   private[graft] def docBigrams(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .select(col("doc_id"),
-        filter(transform(split(col("text"), WsTokenRe), t => lower(t)),
-          t => t =!= "").as("toks"))
+    lowerToks(spark, dir)
       .where(size(col("toks")) >= 2) // sequence(1,0) would run descending
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))"))
@@ -781,10 +798,7 @@ object TextAnalysis {
     * [[docBigrams]]; space-joined keys so `split_part`/`substring_index`
     * recover the context on both engines. */
   private[graft] def docTrigrams(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .select(col("doc_id"),
-        filter(transform(split(col("text"), WsTokenRe), t => lower(t)),
-          t => t =!= "").as("toks"))
+    lowerToks(spark, dir)
       .where(size(col("toks")) >= 3) // sequence(1,1) ok, but gate like bigrams
       .select(col("doc_id"), explode(expr(
         "transform(sequence(2, size(toks) - 1), " +
@@ -808,10 +822,7 @@ object TextAnalysis {
     * the 4-gram KN model ([[Selection.kn4Model]]). Same tokenization and
     * space-joined keys as [[docBigrams]]/[[docTrigrams]]. */
   private[graft] def docFourgrams(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .select(col("doc_id"),
-        filter(transform(split(col("text"), WsTokenRe), t => lower(t)),
-          t => t =!= "").as("toks"))
+    lowerToks(spark, dir)
       .where(size(col("toks")) >= 4)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(3, size(toks) - 1), " +
@@ -835,10 +846,7 @@ object TextAnalysis {
     * KenLM filters actually score). Same tokenization and space-joined
     * keys as the lower orders. */
   private[graft] def docFivegrams(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .select(col("doc_id"),
-        filter(transform(split(col("text"), WsTokenRe), t => lower(t)),
-          t => t =!= "").as("toks"))
+    lowerToks(spark, dir)
       .where(size(col("toks")) >= 5)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(4, size(toks) - 1), " +
@@ -1124,10 +1132,7 @@ object TextAnalysis {
   private[operators] def docGrams(spark: SparkSession, dir: String,
       k: Int = BoilerK): DataFrame =
     Materialized.cached(gramCache, spark, s"$dir#k=$k")(
-      docs(spark, dir)
-        .select(col("doc_id"),
-          filter(transform(split(col("text"), WsTokenRe), t => lower(t)),
-            t => t =!= "").as("toks"))
+      lowerToks(spark, dir)
         .where(size(col("toks")) >= k) // sequence(1,0) would descend
         .select(col("doc_id"), explode(expr(
           s"transform(sequence(1, size(toks) - ${k - 1}), " +

@@ -239,6 +239,21 @@ object WarcSource {
   def documentsFromWarc(spark: SparkSession, path: String): DataFrame =
     toDocuments(readWarc(spark, path))
 
+  /** Parsed documents frame of a COMMITTED FIXTURE dir, materialized once
+    * per (session, dir) — r14: the fixture-backed queries re-ran the WARC
+    * record split + header parse per REFERENCE (crawl_frontier alone holds
+    * three references to the sitemap fixture in one plan; the links
+    * fixture feeds five declared queries). The fixtures are KB-bounded by
+    * construction, so the cache is bounded; at crawl scale the equivalent
+    * artifact is the parsed-documents parquet an ingest job writes once
+    * (documentsFromWarc stays uncached for arbitrary dirs). */
+  private val fixtureDocsCache = graft.operators.Materialized.register(
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
+  private[graft] def fixtureDocs(spark: SparkSession, path: String): DataFrame =
+    graft.operators.Materialized.cached(fixtureDocsCache, spark, path)(
+      documentsFromWarc(spark, path)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** Streaming twin of [[documentsFromWarc]] — the identical projection
     * over [[readWarcStream]], so stream output is replay-equal to batch by
     * construction (asserted in WarcSourceSpec). Compose with the
@@ -464,7 +479,7 @@ object WarcSource {
     * host and a no-URL record — the registered-domain edge cases).
     * Ignores `dir` like [[warcHostStats]]. */
   def domainStatsQ(spark: SparkSession, dir: String): DataFrame =
-    domainStats(documentsFromWarc(spark, FixtureBlockDir))
+    domainStats(fixtureDocs(spark, FixtureBlockDir))
 
   /** Oracle: exact VALUES literal, hand-derived from the block fixture's
     * URLs and body strings (scripts/make_warc_fixture.py) under the
@@ -546,7 +561,7 @@ object WarcSource {
     * Ignores `dir` — WARC is a raw-file source, not an sfDir parquet table
     * (the same end-to-end pattern as the Gutenberg raw-file path). */
   def warcHostStats(spark: SparkSession, dir: String): DataFrame =
-    hostStats(documentsFromWarc(spark, FixtureDir))
+    hostStats(fixtureDocs(spark, FixtureDir))
 
   /** Oracle: exact VALUES literal. The counts are derived in
     * scripts/make_warc_fixture.py from the fixture's body strings —
@@ -567,7 +582,7 @@ object WarcSource {
     * the committed URL-variant fixture. Ignores `dir` like
     * [[warcHostStats]] — WARC is a raw-file source, not an sfDir table. */
   def warcUrlDedup(spark: SparkSession, dir: String): DataFrame =
-    urlDedup(documentsFromWarc(spark, FixtureUrlsDir))
+    urlDedup(fixtureDocs(spark, FixtureUrlsDir))
 
   /** Oracle: exact VALUES literal, hand-derived in
     * scripts/make_warc_fixture.py from the fixture's raw URLs —
@@ -595,7 +610,7 @@ object WarcSource {
     * fixture. Ignores `dir` like [[warcHostStats]] — WARC is a raw-file
     * source, not an sfDir table. */
   def warcHtmlExtract(spark: SparkSession, dir: String): DataFrame =
-    htmlExtract(documentsFromWarc(spark, FixtureHtmlDir))
+    htmlExtract(fixtureDocs(spark, FixtureHtmlDir))
 
   /** Oracle: exact VALUES literal, hand-derived in
     * scripts/make_warc_fixture.py from the fixture pages' markup under the
@@ -651,7 +666,7 @@ object WarcSource {
   /** Driver-contract query: [[htmlLinks]] over the committed link fixture.
     * Ignores `dir` like [[warcHostStats]]. */
   def htmlLinksQ(spark: SparkSession, dir: String): DataFrame =
-    htmlLinks(documentsFromWarc(spark, FixtureLinksDir))
+    htmlLinks(fixtureDocs(spark, FixtureLinksDir))
 
   /** Oracle: exact VALUES literal, hand-derived in
     * scripts/make_warc_fixture.py from the link fixture's markup under the
@@ -733,7 +748,7 @@ object WarcSource {
   /** Driver-contract query: [[anchorTexts]] over the committed link
     * fixture. Ignores `dir` like [[warcHostStats]]. */
   def anchorTextsQ(spark: SparkSession, dir: String): DataFrame =
-    anchorTexts(documentsFromWarc(spark, FixtureLinksDir))
+    anchorTexts(fixtureDocs(spark, FixtureLinksDir))
 
   /** Oracle: exact VALUES literal, hand-derived from the link fixture —
     * alpha.example carries the duplicate-anchor case (two hrefs, one
@@ -752,7 +767,7 @@ object WarcSource {
   /** Driver-contract query: [[linkGraph]] over the committed link fixture.
     * Ignores `dir` like [[warcHostStats]]. */
   def linkGraphQ(spark: SparkSession, dir: String): DataFrame =
-    linkGraph(documentsFromWarc(spark, FixtureLinksDir))
+    linkGraph(fixtureDocs(spark, FixtureLinksDir))
 
   // ---- registered-domain PageRank (crawl ranking product) ----------------
   /** PageRank over the registered-domain link graph — the host-ranking
@@ -800,7 +815,7 @@ object WarcSource {
   def domainPagerankQ(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Materialized.cached(domainPrCache, spark,
         FixtureLinksDir) {
-      domainPagerank(documentsFromWarc(spark, FixtureLinksDir))
+      domainPagerank(fixtureDocs(spark, FixtureLinksDir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
@@ -832,7 +847,7 @@ object WarcSource {
   def domainHitsQ(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Materialized.cached(domainHitsCache, spark,
         FixtureLinksDir) {
-      domainHits(documentsFromWarc(spark, FixtureLinksDir))
+      domainHits(fixtureDocs(spark, FixtureLinksDir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
@@ -855,7 +870,7 @@ object WarcSource {
     * like [[warcHostStats]] — WARC is a raw-file source, not an sfDir
     * table. */
   def urlFilterQ(spark: SparkSession, dir: String): DataFrame =
-    urlFilterAudit(documentsFromWarc(spark, FixtureBlockDir))
+    urlFilterAudit(fixtureDocs(spark, FixtureBlockDir))
 
   /** Oracle: exact VALUES literal, hand-derived in
     * scripts/make_warc_fixture.py from the fixture's URLs and the
@@ -983,7 +998,7 @@ object WarcSource {
     * fixture. Ignores `dir` (raw-file source; the warc_host_stats
     * pattern). */
   def robotsRules(spark: SparkSession, dir: String): DataFrame =
-    robotsRulesOf(spark, documentsFromWarc(spark, FixtureRobotsDir))
+    robotsRulesOf(spark, fixtureDocs(spark, FixtureRobotsDir))
 
   /** Oracle: exact VALUES literal, hand-derived in
     * scripts/make_robots_fixture.py from the fixture bodies — checks the
@@ -1070,7 +1085,7 @@ object WarcSource {
     * the committed fixture's PAGE responses (robots.txt bodies excluded
     * by PATH — the gate governs content fetches). */
   def robotsGate(spark: SparkSession, dir: String): DataFrame = {
-    val docs = documentsFromWarc(spark, FixtureRobotsDir)
+    val docs = fixtureDocs(spark, FixtureRobotsDir)
     robotsVerdicts(
       docs.where(lower(coalesce(parse_url(col("url"), lit("PATH")), lit("")))
         =!= "/robots.txt"),
@@ -1303,7 +1318,7 @@ object WarcSource {
   /** Driver-contract query: [[sitemapUrls]] over the committed sitemap
     * fixture. Ignores `dir` like [[warcHostStats]]. */
   def sitemapUrlsQ(spark: SparkSession, dir: String): DataFrame =
-    sitemapUrls(documentsFromWarc(spark, FixtureSitemapDir))
+    sitemapUrls(fixtureDocs(spark, FixtureSitemapDir))
 
   /** Oracle: exact VALUES literal, hand-derived in
     * scripts/make_warc_fixture.py from the fixture bodies under the
@@ -1376,10 +1391,10 @@ object WarcSource {
     * fixture's seeds, the robots fixture's rule table, and the sitemap
     * fixture's own fetched pages. Ignores `dir` like [[warcHostStats]]. */
   def crawlFrontierQ(spark: SparkSession, dir: String): DataFrame = {
-    val sm = documentsFromWarc(spark, FixtureSitemapDir)
+    val sm = fixtureDocs(spark, FixtureSitemapDir)
     crawlFrontier(
       sitemapUrls(sm).where(col("kind") === "url"),
-      robotsRulesOf(spark, documentsFromWarc(spark, FixtureRobotsDir)),
+      robotsRulesOf(spark, fixtureDocs(spark, FixtureRobotsDir)),
       sm, RobotsAgent)
   }
 
