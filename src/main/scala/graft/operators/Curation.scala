@@ -1176,9 +1176,8 @@ object Curation {
         transform(split(col("text"), WsTokenRe), t => lower(t)),
         t => t =!= "").as("toks"))
       .where(size(col("toks")) >= k)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(toks) - ${k - 1}), " +
-          s"i -> concat_ws(' ', slice(toks, i, $k)))")).as("gram"))
+      .select(col("doc_id"), explode(
+        org.apache.spark.sql.graft.WordGrams(col("toks"), k)).as("gram"))
 
   /** `decontaminate` with the probe set supplied by the caller — the
     * production shape, where the benchmark arrives as a file (see

@@ -306,8 +306,8 @@ object TextAnalysis {
     * outputs re-center. */
   val ClfSeed = "clf"
   def classifierScore(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .select(col("doc_id"), toks(col("text")).as("tk"))
+    lowerToks(spark, dir)
+      .select(col("doc_id"), col("toks").as("tk"))
       .select(col("doc_id"),
         size(col("tk")).cast("long").as("n_toks"),
         aggregate(
@@ -474,14 +474,16 @@ object TextAnalysis {
   // libm implementations can't flip the ordering.
   val TfIdfTopN = 5
   def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
-    val toksDf = docs(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), WsTokenRe)).as("tok"))
-      .where(col("tok") =!= "")
-      .select(col("doc_id"), lower(col("tok")).as("term"))
+    // identical term multiset: lower-then-drop-empty ≡ drop-empty-then-lower.
+    // doc_len comes from the token ARRAY (size(toks) ≡ the former
+    // sum(tf) OVER (PARTITION BY doc_id) — the doc's token count either
+    // way), so the per-doc length window and its exchange are gone.
+    val toksDf = lowerToks(spark, dir)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("doc_len"),
+        explode(col("toks")).as("term"))
     val nDocs = docs(spark, dir).select(countDistinct(col("doc_id")).as("nd"))
-    val tf = toksDf.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .withColumn("doc_len", sum(col("tf")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+    val tf = toksDf.groupBy("doc_id", "doc_len", "term")
+      .agg(count(lit(1)).as("tf"))
     // tf already has exactly one row per (doc, term), so document frequency
     // is a row count over it — no second corpus explode + distinct shuffle
     val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -766,7 +768,7 @@ object TextAnalysis {
   private[operators] def lowerToks(spark: SparkSession, dir: String): DataFrame =
     Materialized.cached(lowerToksCache, spark, dir)(
       docs(spark, dir)
-        .select(col("doc_id"), col("lang"),
+        .select(col("doc_id"), col("lang"), col("source"),
           filter(transform(split(col("text"), WsTokenRe), t => lower(t)),
             t => t =!= "").as("toks"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -775,10 +777,9 @@ object TextAnalysis {
     * `word_bigrams` and `lm_perplexity`. */
   private[graft] def docBigrams(spark: SparkSession, dir: String): DataFrame =
     lowerToks(spark, dir)
-      .where(size(col("toks")) >= 2) // sequence(1,0) would run descending
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))"))
-        .as("bigram"))
+      .where(size(col("toks")) >= 2) // WordGrams is empty below k anyway
+      .select(col("doc_id"), explode(
+        org.apache.spark.sql.graft.WordGrams(col("toks"), 2)).as("bigram"))
 
   private val bigramCache = Materialized.register(
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
@@ -799,11 +800,9 @@ object TextAnalysis {
     * recover the context on both engines. */
   private[graft] def docTrigrams(spark: SparkSession, dir: String): DataFrame =
     lowerToks(spark, dir)
-      .where(size(col("toks")) >= 3) // sequence(1,1) ok, but gate like bigrams
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(2, size(toks) - 1), " +
-          "i -> concat(toks[i-2], ' ', toks[i-1], ' ', toks[i]))"))
-        .as("trigram"))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(
+        org.apache.spark.sql.graft.WordGrams(col("toks"), 3)).as("trigram"))
 
   private val trigramCache = Materialized.register(
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
@@ -824,10 +823,8 @@ object TextAnalysis {
   private[graft] def docFourgrams(spark: SparkSession, dir: String): DataFrame =
     lowerToks(spark, dir)
       .where(size(col("toks")) >= 4)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(3, size(toks) - 1), " +
-          "i -> concat(toks[i-3], ' ', toks[i-2], ' ', toks[i-1], ' ', toks[i]))"))
-        .as("fourgram"))
+      .select(col("doc_id"), explode(
+        org.apache.spark.sql.graft.WordGrams(col("toks"), 4)).as("fourgram"))
 
   private val fourgramCache = Materialized.register(
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
@@ -848,11 +845,8 @@ object TextAnalysis {
   private[graft] def docFivegrams(spark: SparkSession, dir: String): DataFrame =
     lowerToks(spark, dir)
       .where(size(col("toks")) >= 5)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(4, size(toks) - 1), " +
-          "i -> concat(toks[i-4], ' ', toks[i-3], ' ', toks[i-2], ' ', " +
-          "toks[i-1], ' ', toks[i]))"))
-        .as("fivegram"))
+      .select(col("doc_id"), explode(
+        org.apache.spark.sql.graft.WordGrams(col("toks"), 5)).as("fivegram"))
 
   private val fivegramCache = Materialized.register(
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
@@ -997,8 +991,8 @@ object TextAnalysis {
     * — a columnar intermediate at cluster scale. */
   private[operators] def termCounts(spark: SparkSession, dir: String): DataFrame =
     Materialized.cached(termCountCache, spark, dir)(
-      docs(spark, dir)
-        .select(explode(toks(col("text"))).as("term"))
+      lowerToks(spark, dir)
+        .select(explode(col("toks")).as("term"))
         .groupBy("term").agg(count(lit(1)).as("n"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
@@ -1088,9 +1082,9 @@ object TextAnalysis {
   // tokenized corpus through (doc, token) and per-doc aggregation
   // exchanges. Population guard (≥1 token) matches the explode form.
   def repetitionStats(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
+    lowerToks(spark, dir)
       .select(col("doc_id"),
-        org.apache.spark.sql.graft.TokenStats(toks(col("text"))).as("s"))
+        org.apache.spark.sql.graft.TokenStats(col("toks")).as("s"))
       .where(col("s.n_tokens") > 0)
       .select(col("doc_id"),
         col("s.n_tokens").as("n_tokens"),
@@ -1133,10 +1127,9 @@ object TextAnalysis {
       k: Int = BoilerK): DataFrame =
     Materialized.cached(gramCache, spark, s"$dir#k=$k")(
       lowerToks(spark, dir)
-        .where(size(col("toks")) >= k) // sequence(1,0) would descend
-        .select(col("doc_id"), explode(expr(
-          s"transform(sequence(1, size(toks) - ${k - 1}), " +
-            s"i -> concat_ws(' ', slice(toks, i, $k)))")).as("gram"))
+        .where(size(col("toks")) >= k) // WordGrams is empty below k anyway
+        .select(col("doc_id"), explode(
+          org.apache.spark.sql.graft.WordGrams(col("toks"), k)).as("gram"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** The k-gram CTE shared by the boilerplate and decontamination oracles. */
@@ -1285,8 +1278,8 @@ object TextAnalysis {
     * vocab × |sources|², never corpus-sized), then one ≤|sources|²-key
     * rollup and two broadcast size joins. Exact integer basis points. */
   def vocabOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val st = docs(spark, dir)
-      .select(col("source"), explode(toks(col("text"))).as("term"))
+    val st = lowerToks(spark, dir)
+      .select(col("source"), explode(col("toks")).as("term"))
       .distinct()
     val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val inter = st.select(col("source").as("src_a"), col("term"))
@@ -1510,8 +1503,8 @@ object TextAnalysis {
         }.toDF("term", "n_syms")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
-    docs(spark, dir)
-      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+    lowerToks(spark, dir)
+      .select(col("doc_id"), explode(col("toks")).as("term"))
       .join(encodedVocab, Seq("term"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"),
@@ -1968,8 +1961,8 @@ object TextAnalysis {
     * nothing shuffles but the k-row merge. */
   def bm25Topk(spark: SparkSession, dir: String): DataFrame = {
     val qs = Bm25Query
-    val base = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id") +: toks(col("text")).as("__t") +: Nil: _*)
+    val base = lowerToks(spark, dir)
+      .select(col("doc_id") +: col("toks").as("__t") +: Nil: _*)
       .select(col("doc_id") +: size(col("__t")).cast("long").as("len_d") +:
         qs.zipWithIndex.map { case (term, i) =>
           size(filter(col("__t"), t => t === term)).cast("long").as(s"tf_$i")

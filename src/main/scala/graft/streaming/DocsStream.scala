@@ -55,12 +55,9 @@ object DocsStream {
     * "contaminated" means. */
   def decontaminationGate(docs: DataFrame, probeGrams: Seq[String]): DataFrame = {
     val k = graft.operators.Curation.ContamK
-    // guard: sequence(1, 0) runs DESCENDING, so short docs get an explicit
-    // empty gram array instead
-    val grams = when(size(col("toks")) >= k, expr(
-      s"transform(sequence(1, size(toks) - ${k - 1}), " +
-        s"i -> concat_ws(' ', slice(toks, i, $k)))"))
-      .otherwise(array().cast("array<string>"))
+    // WordGrams emits an empty array below k tokens, matching the batch
+    // gram construction exactly (identical strings, so batch ≡ stream)
+    val grams = org.apache.spark.sql.graft.WordGrams(col("toks"), k)
     docs
       .withColumn("toks", filter(
         transform(split(col("text"), WsTokenRe), t => lower(t)), t => t =!= ""))
