@@ -982,10 +982,17 @@ object Dedup {
     * one-pass codegen'd profile through a doc_id equi-join; the window is
     * component-keyed, so its partitions are cluster-sized — never global. */
   def dedupBestSurvivors(spark: SparkSession, dir: String): DataFrame = {
-    val q = docs(spark, dir).select(col("doc_id"),
-      TextAnalysis.qualityBpFrom(TextAnalysis.profileCol).as("quality_bp"))
+    val comp = dedupComponents(spark, dir)
+    // r14 (mirrors the oracle's r11 spill fix): profile ONLY the docs in
+    // the pair-graph-bounded component frame — the semi-join prunes the
+    // corpus BEFORE the per-doc regex profile pass, which previously ran
+    // over every document on every invocation.
+    val q = docs(spark, dir)
+      .join(comp.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        TextAnalysis.qualityBpFrom(TextAnalysis.profileCol).as("quality_bp"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
-    dedupComponents(spark, dir)
+    comp
       .join(q, Seq("doc_id"))
       .withColumn("n_members", count(lit(1)).over(w))
       .withColumn("rk", row_number().over(

@@ -411,6 +411,17 @@ object SuffixRepeats {
         val out = scala.collection.mutable.ListBuffer.empty[Level]
         ckpt.foreach(base =>
           out ++= loadCompletedLevels(cs, base, chain.rankStart))
+        // r14: each level's input is lazily localCheckpointed before
+        // RangeRank — repartitionByRange EVALUATES its child twice (the
+        // range-boundary sampling pass, then the shuffle write), so
+        // without the checkpoint every level re-ran its k-shift join
+        // (and level 1 the packKey projection) once more than needed.
+        // The checkpoint is released as soon as the level finishes: the
+        // ranked frame replays from RangeRank's own sorted cache.
+        def inputRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+          df.queryExecution.analyzed.collectLeaves().collectFirst {
+            case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+          }
         if (out.isEmpty) {
           val base = charFrame(cs, dir)
           val block = chain.rankStart
@@ -419,8 +430,11 @@ object SuffixRepeats {
             .select(col("gpos"), col("doc_id"), col("pos"), col("doc_len"),
               packKey(chain.bits, 0, half).as("k1"),
               packKey(chain.bits, half, half).as("k2"))
+            .localCheckpoint(false)
           out += finishLevel(cs, ckpt, block,
             RangeRank.rankLevel(startIn, numKeys = 2, block = block))
+          inputRdd(startIn).foreach(r =>
+            try r.unpersist(false) catch { case _: Throwable => () })
         }
         while (out.last.hasDup && out.last.block < MaxBlock) {
           val Level(block, t, _, _) = out.last
@@ -438,8 +452,11 @@ object SuffixRepeats {
               col("rank"),
               coalesce(col("rank2"), -(col("gpos") + lit(block)) - lit(2))
                 .as("rank2"))
+            .localCheckpoint(false)
           out += finishLevel(cs, ckpt, block * 2,
             RangeRank.rankLevel(paired, numKeys = 2, block = block * 2))
+          inputRdd(paired).foreach(r =>
+            try r.unpersist(false) catch { case _: Throwable => () })
         }
         out.toSeq
       }
